@@ -28,6 +28,9 @@ object Tables {
     * timestamp_ntz keeps wall-clock (naive) semantics matching DuckDB.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // Session-build code (Verify/Bench/test harness) sets this conf up
+    // front; this defensive set covers driver-owned sessions (e.g. the
+    // smoke check) that didn't. Idempotent — the value is always "true".
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read
       .parquet(s"$dir/events.parquet")

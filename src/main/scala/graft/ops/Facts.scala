@@ -20,9 +20,15 @@ object Facts {
 
   /** Deterministic pseudo-random int in [0, n) from a key column and salt.
     * Pure int64 arithmetic (Knuth multiplicative constant) — identical
-    * semantics in Spark and DuckDB, overflow-free for key < ~3.5e9. */
-  def det(key: Column, salt: Int, n: Int): Column =
-    (key * lit(2654435761L) + lit(salt.toLong)) % lit(2147483647L) % lit(n)
+    * semantics in Spark and DuckDB for any 64-bit key: the key is first
+    * reduced mod 2^31-1, so the product is bounded by ~5.7e18 < Long.Max
+    * and can never overflow (Spark 4 ANSI mode would throw; legacy mode
+    * would wrap negative and break element_at). pmod keeps the result
+    * non-negative even for negative keys. */
+  def det(key: Column, salt: Int, n: Int): Column = {
+    val p = lit(2147483647L)
+    pmod(pmod(key, p) * lit(2654435761L) + lit(salt.toLong), p) % lit(n)
+  }
 
   private def pick(key: Column, salt: Int, choices: Seq[String]): Column =
     element_at(array(choices.map(lit): _*), (det(key, salt, choices.size) + lit(1)).cast("int"))

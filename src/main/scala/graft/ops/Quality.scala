@@ -46,9 +46,14 @@ object Quality {
       case Between(_, c, lo, hi) =>
         df.filter(col(c).isNull || !col(c).between(lo, hi))
       case Unique(_, c) =>
-        // single shuffle: window count per key, keep multiplicity > 1
-        val counts = df.groupBy(col(c)).count().filter(col("count") > 1).drop("count")
-        df.join(counts, Seq(c), "left_semi")
+        // single shuffle: window count per key, keep multiplicity > 1.
+        // A window (unlike a groupBy + semi-join back) scans the input once
+        // and groups NULL keys together — matching SQL GROUP BY / pandas
+        // duplicated() semantics, where duplicate NULLs ARE violations.
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col(c))
+        df.withColumn("_key_count", count(lit(1)).over(w))
+          .filter(col("_key_count") > 1)
+          .drop("_key_count")
       case ForeignKey(_, c, _, refC) =>
         df.join(ref.select(col(refC).as(c)).distinct(), Seq(c), "left_anti")
     }
@@ -64,7 +69,7 @@ object Quality {
           lit(rule.columnName).as("column_name"),
           col("violations"))
     }
-    counted.reduce(_ unionByName _).orderBy("table_name", "rule", "column_name")
+    counted.reduce(_ unionByName _)
   }
 
   /** Quarantine: union of violating rows across rules on one table, tagged

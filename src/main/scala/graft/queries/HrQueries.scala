@@ -46,7 +46,6 @@ object HrQueries {
       Windows
         .latestPerKey(Tables.orders(spark, dir), "o_custkey", "o_orderdate", "o_orderkey")
         .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus")
-        .orderBy("o_custkey")
     },
 
     // ---- J2 keyed upsert merge (reference: bronze_builder.py:116-123)
@@ -70,7 +69,7 @@ object HrQueries {
         .filter(col("o_orderkey") % 2 === 0)
         .withColumn("o_orderstatus", lit("U"))
         .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
-      Merge.upsertMerge(target, source, "o_orderkey").orderBy("o_orderkey")
+      Merge.upsertMerge(target, source, "o_orderkey")
     },
 
     // ---- J3 SCD2 close-out merge (reference: silver_builder.py:103-132)
@@ -116,7 +115,6 @@ object HrQueries {
         .withColumn("updated_at", lit("2024-06-01 00:00:00").cast("timestamp_ntz"))
       Merge
         .scd2Merge(target, source, "c_custkey", Seq("c_acctbal"))
-        .orderBy("c_custkey", "effective_start_date")
     },
 
     // ---- D2 rule-driven DQ counts (reference: dq_checks.py:63-98)
@@ -175,7 +173,6 @@ object HrQueries {
         Seq(Between("lineitem", "l_quantity", 5, 45),
           Between("lineitem", "l_discount", 0.0, 0.08)),
         li, Seq("l_orderkey", "l_linenumber"))
-        .orderBy("l_orderkey", "l_linenumber", "violated_rule")
     },
 
     // ---- T7/A1 watermark-incremental slice + advance (bronze_builder.py:78-128)
@@ -218,7 +215,6 @@ object HrQueries {
       Windows
         .beforeAfter(Tables.events(spark, dir), "user_id", "ts", "event_id",
           Seq("event_type", "value"))
-        .orderBy("user_id")
     },
 
     // ---- F2 Debezium envelope build + extract roundtrip (verify_spark.py:92-121)
@@ -236,7 +232,7 @@ object HrQueries {
         StructField("user_id", LongType),
         StructField("event_type", StringType),
         StructField("value", DoubleType)))
-      Cdc.debeziumAfter(env, "json", after).orderBy("event_id")
+      Cdc.debeziumAfter(env, "json", after)
     },
 
     // ---- P7/F1/F3 schema-validation DLQ split (kafka_DLQ.py:38-90)
@@ -261,7 +257,6 @@ object HrQueries {
       Cdc
         .tagged(corrupted, "payload", schema)
         .select(col("event_id"), col("data.k").as("k"), col("status"), col("reason"))
-        .orderBy("event_id")
     },
 
     // ---- F7/F8/F9 date math (silver_attrition_builder.py:98-123)
@@ -288,26 +283,24 @@ object HrQueries {
           min(delay).as("min_delay"),
           max(delay).as("max_delay"),
           (sum(delay).cast("double") / count(lit(1))).as("avg_delay"))
-        .orderBy("order_month")
     },
 
     // ---- D1 deterministic synthetic features (silver_attrition_builder.py:71-86)
     Q(
       "q14_synthetic_features",
       """SELECT c_custkey,
-        |  ['Single','Married'][CAST((c_custkey*2654435761 + 1) % 2147483647 % 2 AS INT) + 1]
+        |  ['Single','Married'][CAST(((c_custkey % 2147483647)*2654435761 + 1) % 2147483647 % 2 AS INT) + 1]
         |    AS marital_status,
-        |  ['Remote','Office'][CAST((c_custkey*2654435761 + 2) % 2147483647 % 2 AS INT) + 1]
+        |  ['Remote','Office'][CAST(((c_custkey % 2147483647)*2654435761 + 2) % 2147483647 % 2 AS INT) + 1]
         |    AS persona,
-        |  CAST((c_custkey*2654435761 + 3) % 2147483647 % 3 + 1 AS INT) AS travel_time_hrs,
-        |  CAST((c_custkey*2654435761 + 4) % 2147483647 % 34 + 22 AS INT) AS age,
-        |  ['Yes','No'][CAST((c_custkey*2654435761 + 5) % 2147483647 % 2 AS INT) + 1]
+        |  CAST(((c_custkey % 2147483647)*2654435761 + 3) % 2147483647 % 3 + 1 AS INT) AS travel_time_hrs,
+        |  CAST(((c_custkey % 2147483647)*2654435761 + 4) % 2147483647 % 34 + 22 AS INT) AS age,
+        |  ['Yes','No'][CAST(((c_custkey % 2147483647)*2654435761 + 5) % 2147483647 % 2 AS INT) + 1]
         |    AS overtime,
-        |  CAST((c_custkey*2654435761 + 6) % 2147483647 % 5 + 1 AS INT) AS last_appraisal_score,
-        |  CAST((c_custkey*2654435761 + 7) % 2147483647 % 21 AS INT) AS years_at_company
+        |  CAST(((c_custkey % 2147483647)*2654435761 + 6) % 2147483647 % 5 + 1 AS INT) AS last_appraisal_score,
+        |  CAST(((c_custkey % 2147483647)*2654435761 + 7) % 2147483647 % 21 AS INT) AS years_at_company
         |FROM customer ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
       Facts
         .syntheticFeatures(Tables.customer(spark, dir).select("c_custkey"), "c_custkey")
-        .orderBy("c_custkey")
     })
 }

@@ -46,12 +46,15 @@ object GoldModels {
       |GROUP BY 1, 2, 3
       |ORDER BY 1, 3""".stripMargin
 
-  /** gold_attrition_summary: re-aggregate the department model by year (A5). */
+  /** gold_attrition_summary: re-aggregate the department model by year (A5).
+    * Sums are CAST to BIGINT: DuckDB's sum(BIGINT) widens to HUGEINT (which
+    * pandas renders as float64) while Spark keeps BIGINT — the explicit cast
+    * makes both engines agree (same pattern as q07's oracle). */
   val attritionSummary: String =
     """SELECT
       |  year,
-      |  sum(attrition_count) AS attrition_count,
-      |  sum(total_rows) AS total_rows,
+      |  CAST(sum(attrition_count) AS BIGINT) AS attrition_count,
+      |  CAST(sum(total_rows) AS BIGINT) AS total_rows,
       |  round(coalesce(sum(attrition_count) / nullif(sum(total_rows), 0), 0), 6)
       |    AS attrition_rate
       |FROM (""".stripMargin + "\n" + attritionByDept.replace("ORDER BY 1, 3", "") +
