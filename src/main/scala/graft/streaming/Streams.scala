@@ -1,0 +1,148 @@
+package graft.streaming
+
+import graft.Meta
+import graft.ops.{Cdc, Merge}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming layer (SURVEY.md §2.1 S4/K2-K6, §2.10 T1-T6;
+  * reference: kafka/consumer/kafka_DLQ.py:38-93,
+  * kafka_consumer_contract_signing_events_DLQ.py:69-158,
+  * util/verify_spark.py:108-114).
+  *
+  * The environment has no Kafka connector jar, so the source is a file
+  * stream with an explicit schema — the same (value, ts) row shape the
+  * Kafka source yields, and the same `schemaInference=false` discipline
+  * (kafka_DLQ.py:32). All transforms are the `graft.ops.Cdc` batch
+  * functions reused verbatim: Structured Streaming's unified Dataset API
+  * means one tested implementation serves both paths.
+  *
+  * Scale notes: every stream here is stateless (the reference has no
+  * watermarks or stateful aggregation — batchWatermarkMs=0 in its
+  * checkpoints), so throughput is bounded by source listing + sink commit,
+  * both embarrassingly parallel. Checkpointing gives exactly-once into
+  * file sinks; the DLQ fork follows the reference in running the
+  * source+parse once per started query.
+  */
+object Streams {
+
+  /** S4 substitute: JSON-lines file stream with explicit schema
+    * (kafka_DLQ.py:38-43 subscribe + earliest offsets → here: the file
+    * source's own listing checkpoint provides replay, T2). */
+  def jsonFileSource(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).json(dir)
+
+  /** S4 substitute over parquet input (for re-streaming lake tables). */
+  def parquetFileSource(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** K2: exactly-once micro-batch append to a parquet table with a
+    * checkpoint (kafka_DLQ.py:59-63; parquet for Delta per SURVEY §7.1). */
+  def parquetAppend(df: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(), name: String = null): StreamingQuery = {
+    val w = df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(trigger)
+    (if (name != null) w.queryName(name) else w).start()
+  }
+
+  /** K4: invalid rows as the DLQ body `{value, kafka_ts, reason}`
+    * (kafka_DLQ.py:68-71) appended as JSON-lines, one file per micro-batch
+    * (kafka_DLQ.py:80-90). The json sink serializes the columns itself; a
+    * Kafka DLQ (K3) would instead send `Cdc.dlqPayload` pre-serialized as
+    * the message `value` — same body either way. */
+  def jsonDlq(invalid: DataFrame, valueCol: String, tsCol: String, reason: String,
+      path: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(), name: String = null): StreamingQuery = {
+    val w = invalid
+      .select(col(valueCol).as("value"), col(tsCol).as("kafka_ts"),
+        lit(reason).as("reason"))
+      .writeStream.format("json")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(trigger)
+    (if (name != null) w.queryName(name) else w).start()
+  }
+
+  /** K5: console tee of a stream, debug aid
+    * (kafka_consumer_contract_signing_events_DLQ.py:99-103). */
+  def consoleTee(df: DataFrame, numRows: Int = 10,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    df.writeStream.format("console")
+      .option("numRows", numRows)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+
+  /** K6: `foreachBatch` SCD2 upsert into a parquet target
+    * (util/verify_spark.py:108-114 — the lost `upsert_department_to_delta`
+    * body, reconstructed from the dim_department output schema). */
+  def scd2Sink(source: DataFrame, targetPath: String, pk: String,
+      trackedCols: Seq[String], checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    source.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        scd2Upsert(batch, targetPath, pk, trackedCols)
+      }
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /** One SCD2 micro-batch: merge into the parquet target and rewrite it.
+    * `localCheckpoint(eager)` materializes the merged result before the
+    * overwrite so the read-then-overwrite cycle on one path is safe in
+    * this single-JVM harness. On a real cluster the rewrite belongs in a
+    * transactional table format (the reference's Delta MERGE) — the merge
+    * semantics themselves are identical either way. */
+  def scd2Upsert(batch: DataFrame, targetPath: String, pk: String,
+      trackedCols: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val target =
+      if (Meta.tableExists(spark, targetPath)) spark.read.parquet(targetPath)
+      else Merge.asScd2(batch.drop("updated_at").limit(0), "2000-01-01 00:00:00")
+    Merge.scd2Merge(target, batch, pk, trackedCols)
+      .localCheckpoint(true)
+      .write.mode("overwrite").parquet(targetPath)
+  }
+
+  /** Handles for the canonical two-sink DLQ pipeline (kafka_DLQ.py:38-93). */
+  final case class DlqPipeline(valid: StreamingQuery, dlq: StreamingQuery) {
+    def awaitAll(): Unit = { valid.awaitTermination(); dlq.awaitTermination() }
+    def stopAll(): Unit = { valid.stop(); dlq.stop() }
+  }
+
+  /** The reference's canonical consumer: raw stream → schema-validated
+    * fork (Cdc.split) → valid parquet append + invalid JSON DLQ. Two
+    * independent queries with independent checkpoints, exactly like the
+    * reference (which pays the parse twice — T5/T6 semantics). */
+  def dlqPipeline(raw: DataFrame, jsonCol: String, tsCol: String, schema: StructType,
+      validPath: String, dlqPath: String, checkpointRoot: String,
+      trigger: Trigger = Trigger.AvailableNow()): DlqPipeline = {
+    val s = Cdc.split(raw, jsonCol, schema)
+    DlqPipeline(
+      valid = parquetAppend(s.valid, validPath, s"$checkpointRoot/valid", trigger,
+        name = "dlq_pipeline_valid"),
+      dlq = jsonDlq(s.invalid, jsonCol, tsCol, "schema_parse_failed",
+        dlqPath, s"$checkpointRoot/dlq", trigger, name = "dlq_pipeline_dlq"))
+  }
+
+  /** T6: one status line per active query (the reference polls
+    * spark.streams.active / q.status / q.lastProgress,
+    * kafka_consumer_contract_signing_events_DLQ.py:143-155). */
+  def activeSummaries(spark: SparkSession): Seq[String] =
+    spark.streams.active.toSeq.map { q =>
+      val rows = Option(q.lastProgress).map(_.numInputRows).getOrElse(0L)
+      s"${Option(q.name).getOrElse(q.id.toString)}: active=${q.isActive} " +
+        s"status=${q.status.message} lastBatchRows=$rows"
+    }
+
+  /** T6: block until any active query terminates (kafka_DLQ.py:93). */
+  def awaitAnyTermination(spark: SparkSession, timeoutMs: Long): Boolean =
+    spark.streams.awaitAnyTermination(timeoutMs)
+}

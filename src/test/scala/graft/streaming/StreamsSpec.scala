@@ -1,0 +1,122 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.{Files, Path}
+
+/** Streaming semantics: DLQ fork (T5), exactly-once checkpoint replay
+  * (T2/T3), foreachBatch SCD2 (K6), console tee (K5) and multi-query
+  * monitoring (T6) — reference: kafka/consumer/kafka_DLQ.py:38-93,
+  * util/verify_spark.py:108-114. */
+class StreamsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val eventSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("payload", StringType),
+    StructField("kafka_ts", StringType)))
+
+  private def tmp(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  private def writeInput(dir: Path, name: String, lines: Seq[String]): Unit =
+    Files.write(dir.resolve(name), String.join("\n", lines: _*).getBytes)
+
+  private def line(id: Long, inner: String): String =
+    s"""{"id": $id, "payload": "${inner.replace("\"", "\\\"")}", "kafka_ts": "2024-01-01T00:00:0$id"}"""
+
+  private val innerSchema = StructType(Seq(StructField("k", LongType)))
+
+  test("dlqPipeline: valid rows land in parquet, malformed rows in the JSON DLQ") {
+    val in = tmp("stream-in"); val valid = tmp("valid"); val dlq = tmp("dlq"); val cp = tmp("cp")
+    writeInput(in, "batch0.json", Seq(
+      line(1, """{"k": 10}"""), line(2, """not json"""), line(3, """{"k": 30}""")))
+    val raw = Streams.jsonFileSource(spark, in.toString, eventSchema)
+    val p = Streams.dlqPipeline(raw, "payload", "kafka_ts", innerSchema,
+      valid.toString, dlq.toString, cp.toString)
+    p.awaitAll()
+    val validDf = spark.read.parquet(valid.toString)
+    assert(validDf.select("k").as[Long].collect().sorted.toSeq == Seq(10L, 30L))
+    val dlqDf = spark.read.json(dlq.toString)
+    assert(dlqDf.count() == 1)
+    assert(dlqDf.select("reason").as[String].head() == "schema_parse_failed")
+    assert(dlqDf.select("value").as[String].head() == "not json")
+  }
+
+  test("checkpoint restart: new input only — each record exactly once (T2/T3)") {
+    val in = tmp("stream-in"); val valid = tmp("valid"); val dlq = tmp("dlq"); val cp = tmp("cp")
+    writeInput(in, "batch0.json", Seq(line(1, """{"k": 1}"""), line(2, """{"k": 2}""")))
+    def run(): Unit = {
+      val raw = Streams.jsonFileSource(spark, in.toString, eventSchema)
+      Streams.dlqPipeline(raw, "payload", "kafka_ts", innerSchema,
+        valid.toString, dlq.toString, cp.toString).awaitAll()
+    }
+    run()
+    // "kill" = AvailableNow termination; restart over the same checkpoint
+    // with one more input file: only the delta may be appended.
+    writeInput(in, "batch1.json", Seq(line(3, """{"k": 3}""")))
+    run()
+    run() // third run with nothing new must append nothing
+    val got = spark.read.parquet(valid.toString).select("k").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L), s"duplicate or lost rows: ${got.toSeq}")
+  }
+
+  test("scd2Sink: streaming foreachBatch upsert keeps the two-phase quirk (K6)") {
+    val target = tmp("scd2-target"); val cp = tmp("scd2-cp")
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String, String)]
+    val source = ms.toDF().toDF("id", "name", "upd")
+      .withColumn("updated_at", col("upd").cast("timestamp_ntz")).drop("upd")
+
+    val q = source.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Streams.scd2Upsert(batch, target.toString, "id", Seq("name"))
+      }
+      .outputMode("update")
+      .option("checkpointLocation", cp.toString)
+      .start()
+    try {
+      ms.addData((1L, "a", "2024-01-01 00:00:00"), (2L, "b", "2024-01-01 00:00:00"))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(target.toString)
+      assert(after1.filter(col("is_current")).count() == 2)
+
+      ms.addData((1L, "A", "2024-06-01 00:00:00"))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(target.toString)
+      // two-phase quirk: key 1's old version is closed out, new version
+      // not yet inserted (reference MERGE semantics, Merge.scala)
+      assert(after2.filter(col("id") === 1 && col("is_current")).count() == 0)
+      assert(after2.filter(col("id") === 1 && !col("is_current")).count() == 1)
+
+      ms.addData((1L, "A", "2024-07-01 00:00:00"))
+      q.processAllAvailable()
+      val after3 = spark.read.parquet(target.toString)
+      assert(after3.filter(col("id") === 1 && col("is_current")).count() == 1)
+    } finally q.stop()
+  }
+
+  test("console tee + multi-query monitoring (K5/T6)") {
+    val in = tmp("stream-in"); val valid = tmp("valid"); val dlq = tmp("dlq"); val cp = tmp("cp")
+    writeInput(in, "b.json", Seq(line(1, """{"k": 1}""")))
+    val raw = Streams.jsonFileSource(spark, in.toString, eventSchema)
+    val p = Streams.dlqPipeline(raw, "payload", "kafka_ts", innerSchema,
+      valid.toString, dlq.toString, cp.toString)
+    val tee = Streams.consoleTee(
+      Streams.jsonFileSource(spark, in.toString, eventSchema))
+    try {
+      val summaries = Streams.activeSummaries(spark)
+      assert(summaries.nonEmpty)
+      assert(summaries.exists(_.contains("dlq_pipeline_valid")))
+      // awaitAnyTermination returns once the fastest AvailableNow query ends
+      assert(Streams.awaitAnyTermination(spark, 60000))
+    } finally { p.stopAll(); tee.stop() }
+    spark.streams.resetTerminated()
+  }
+}
