@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data curation: exact (content
+  * hash), MinHash+LSH near-dup (banded candidate generation — never
+  * all-pairs), SimHash near-dup, and exact n-gram Jaccard over blocked
+  * candidate pairs.
+  *
+  * Scale design: every candidate-generation step is a shuffle keyed on a
+  * hash/band bucket — `groupBy`-shaped, linear in corpus size — and the
+  * quadratic verification (Jaccard / Hamming) only ever runs on bucket
+  * collisions. At 100 TB the knobs are (k, bands, rowsPerBand) for the
+  * candidate recall/cost trade and the band-key shuffle partitioning;
+  * there is no O(n²) stage to outgrow.
+  */
+object Dedup {
+  import Text.{Mult, P}
+
+  /** Exact dedup (content hash): tags every row with its content hash and
+    * whether it is a non-first copy (first = lowest id wins). Single
+    * shuffle on the hash. */
+  def exactDupTag(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
+    df.withColumn("content_hash", md5(col(textCol)))
+      .withColumn("is_dup", row_number().over(w) > 1)
+  }
+
+  /** Per-doc distinct shingle-hash set: tokens → word n-grams → 32-bit
+    * hashes reduced mod P. Column name: `hv`. */
+  def withShingleHashes(df: DataFrame, textCol: String, n: Int): DataFrame =
+    df.withColumn("hv",
+      transform(
+        array_distinct(Text.shingles(Text.tokens(col(textCol)), n)),
+        s => Text.strHash32(s) % P))
+
+  /** MinHash parameters for signature i (1-based): h_i(x) = (a_i·x + b_i) mod P.
+    * a_i odd-ish and nonzero by construction; x is already < P so the
+    * product stays < 2^62 (no Long overflow). */
+  def minhashA(i: Int): Long = ((2L * i + 1) * Mult) % P
+  def minhashB(i: Int): Long = (i.toLong * 40503L) % P
+
+  /** k-wide MinHash signature over the `hv` shingle-hash set. */
+  def minhashSignature(hv: Column, k: Int): Column =
+    array((1 to k).map { i =>
+      array_min(transform(hv, x => (lit(minhashA(i)) * x + lit(minhashB(i))) % P))
+    }: _*)
+
+  /** LSH banding: one row per (doc, band) with the band's signature slice
+    * as the bucket key. Docs with no shingles are dropped (no signature). */
+  def lshBands(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    require(bands * r == k, s"bands ($bands) must divide k ($k)")
+    withShingleHashes(df, textCol, shingleN)
+      .filter(size(col("hv")) > 0)
+      .withColumn("sig", minhashSignature(col("hv"), k))
+      .select(col(idCol), col("hv"), posexplode(
+        array((0 until bands).map(b =>
+          concat_ws(",", transform(slice(col("sig"), b * r + 1, r),
+            x => x.cast("string")))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+  }
+
+  /** Candidate pairs = docs sharing any (band, band_key) bucket — the
+    * banded LSH join (shuffle on the bucket key), then exact Jaccard on
+    * the candidates only. Returns (id_a, id_b, jaccard) with id_a < id_b,
+    * filtered to `threshold`. */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 12, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val banded = lshBands(df, idCol, textCol, shingleN, k, bands)
+    val a = banded.select(col("band"), col("band_key"),
+      col(idCol).as("id_a"), col("hv").as("hv_a"))
+    val b = banded.select(col("band"), col("band_key"),
+      col(idCol).as("id_b"), col("hv").as("hv_b"))
+    val cand = a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "hv_a", "hv_b")
+      .dropDuplicates("id_a", "id_b")
+    val inter = size(array_intersect(col("hv_a"), col("hv_b")))
+    val union = size(col("hv_a")) + size(col("hv_b")) - inter
+    cand
+      .withColumn("jaccard", inter.cast("double") / union)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Number of bits in the SimHash fingerprints below. */
+  val SimHashBits = 16
+
+  /** SimHash fingerprint over the doc's token-hash multiset: bit j is set
+    * iff the sum over tokens of (bit_j(hash)·2 − 1) is positive. Near-dup
+    * docs differ in few bits. Bits are unrolled as literal expressions —
+    * pure integer arithmetic, engine-portable. */
+  def simhash(tokenHashes: Column): Column =
+    (0 until SimHashBits).map { j =>
+      val pow = 1L << j
+      val bitSum = aggregate(tokenHashes, lit(0L),
+        (acc, x) => acc + (x.cast("long") / pow).cast("long") % 2 * 2 - 1)
+      when(bitSum > 0, lit(pow)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** SimHash near-dup pairs: band the fingerprint into `bands` nibble
+    * groups; docs sharing any band are candidates; keep Hamming ≤ maxHamming.
+    * Same banded-join shape as MinHash-LSH (pigeonhole: ≤ maxHamming bit
+    * flips cannot touch all bands when maxHamming < bands). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val bitsPerBand = SimHashBits / bands
+    val hashed = df
+      .withColumn("th", transform(Text.tokens(col(textCol)), t => Text.strHash32(t) % P))
+      .filter(size(col("th")) > 0)
+      .withColumn("sim", simhash(col("th")))
+    val banded = hashed.select(col(idCol), col("sim"), posexplode(
+      array((0 until bands).map(b =>
+        shiftright(col("sim"), b * bitsPerBand) % (1 << bitsPerBand)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+    val a = banded.select(col("band"), col("band_key"),
+      col(idCol).as("id_a"), col("sim").as("sim_a"))
+    val b = banded.select(col("band"), col("band_key"),
+      col(idCol).as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard over *blocked* candidate pairs: all pairs
+    * within a blocking key (e.g. source) — the classic bounded-quadratic
+    * fallback when a metadata key already localizes duplicates. */
+  def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, shingleN: Int, threshold: Double): DataFrame = {
+    val hv = withShingleHashes(df, textCol, shingleN)
+      .filter(size(col("hv")) > 0)
+      .select(col(blockCol), col(idCol), col("hv"))
+    val a = hv.select(col(blockCol), col(idCol).as("id_a"), col("hv").as("hv_a"))
+    val b = hv.select(col(blockCol), col(idCol).as("id_b"), col("hv").as("hv_b"))
+    val inter = size(array_intersect(col("hv_a"), col("hv_b")))
+    val union = size(col("hv_a")) + size(col("hv_b")) - inter
+    a.join(b, Seq(blockCol))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", inter.cast("double") / union)
+      .filter(col("jaccard") >= threshold)
+      .select(col(blockCol), col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-data-pipeline surface: tokenizing,
+  * shingling, deterministic string hashing, token counting, language-ID
+  * heuristics and quality ratios. The reference pipeline has no text
+  * layer — this extends the engine toward large-scale training-data
+  * curation (builder brief), so every formula is chosen to be exactly
+  * reproducible in ANSI-ish SQL (the DuckDB oracle): md5-prefix hashes,
+  * sequential left-fold rolling hashes, integer ratios.
+  *
+  * Everything is a Catalyst higher-order-function expression — no UDFs —
+  * so the operators stay distributed, null-safe, and spill-free: per-row
+  * work is O(doc length) with no driver involvement.
+  */
+object Text {
+
+  /** Shared modulus (2^31 - 1, prime) for all derived hashes. */
+  val P = 2147483647L
+
+  /** Knuth multiplicative constant shared with Facts.det. */
+  val Mult = 2654435761L
+
+  /** Lowercased alphanumeric tokens; empty tokens dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Word n-gram shingles joined by a single space; empty if < n tokens.
+    * (The `when` guard matters: Spark's sequence(1, 0) would yield a
+    * DESCENDING [1, 0], not an empty array.) */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** 32-bit string hash both engines share bit-for-bit: the first 8 hex
+    * chars of md5, parsed as an integer (Spark: conv; DuckDB: 0x-cast). */
+  def strHash32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** Rolling polynomial hash over characters (base 31, mod 1e9+7) — a
+    * sequential left fold, so any engine reproduces it exactly. Used as
+    * the document fingerprint. */
+  def rollingHash(s: Column): Column =
+    when(length(s) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))).cast("long")),
+        lit(0L),
+        (acc, c) => (acc * 31 + c) % 1000000007L))
+
+  /** Whitespace-ish token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token estimate: greedy runs of ≤4 letters, single digits,
+    * and single non-space symbols — the shape of a byte-pair vocabulary
+    * without shipping one. */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z]{1,4}|[0-9]|[^a-z0-9\\s]"))
+
+  /** Fraction of characters matching `charClass` (integer char counts
+    * divided as double — exact same division in any engine). */
+  def charRatio(text: Column, charClass: String): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, charClass, "")))
+        .cast("double") / length(text))
+
+  /** Tiny per-language stopword lists for the n-gram language heuristic.
+    * Order = deterministic tie-break priority. */
+  val StopWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"))
+
+  /** Count of tokens present in `words`. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Language-ID heuristic: argmax of stopword hits with deterministic
+    * tie-break (StopWords order); "und" (undetermined) when no list hits. */
+  def langId(toks: Column): Column = {
+    val scores = StopWords.map { case (lang, words) => lang -> stopwordHits(toks, words) }
+    val best = scores.foldLeft(lit("und") -> lit(0)) { case ((bl, bs), (lang, s)) =>
+      // strictly-greater keeps earlier languages on ties
+      (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    best._1
+  }
+
+  /** Stopword ratio across all lists (any-language hit rate). */
+  def stopwordRatio(toks: Column): Column = {
+    val all = StopWords.flatMap(_._2).distinct
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(stopwordHits(toks, all).cast("double") / size(toks))
+  }
+}

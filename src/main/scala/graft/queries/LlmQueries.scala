@@ -1,0 +1,318 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over the `documents` /
+  * `embeddings` fixtures: exact + MinHash-LSH + SimHash + blocked-Jaccard
+  * dedup, brute-force + LSH-bucketed cosine similarity search, text
+  * statistics / language-ID / quality scoring, and multimodal binary
+  * feature extraction.
+  *
+  * Every oracle below is generated from the SAME constants as the Scala
+  * operators (Text.P, Dedup.minhashA/B, Text.StopWords...) so the two
+  * engines cannot drift. Float math is sequential-left-fold on doubles on
+  * both sides — bit-identical, no tolerance needed.
+  */
+object LlmQueries {
+  import Text.{Mult, P}
+
+  // ---- shared oracle fragments (DuckDB dialect) -------------------------
+
+  /** tokens CTE body: lowercase alnum tokens of `text`. */
+  private val toksSql =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  /** distinct 3-gram shingles over token list `t`. */
+  private val shinglesSql =
+    """list_distinct(CASE WHEN len(t) < 3 THEN []
+      |    ELSE list_transform(range(1, len(t)-1),
+      |           i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END)""".stripMargin
+
+  /** md5-prefix 32-bit string hash of `x`, reduced mod P. */
+  private def strHashSql(x: String) =
+    s"CAST(concat('0x', substr(md5($x),1,8)) AS BIGINT) % $P"
+
+  /** Sequential left fold: sum of `elems` starting at `init`. */
+  private def foldSumSql(elems: String, init: String, step: String = "a + x") =
+    s"list_reduce(list_prepend($init, $elems), (a, x) -> $step)"
+
+  private val k = 12; private val bands = 4; private val r = 3
+
+  /** The k MinHash signature expressions over hash-set column `hv`. */
+  private val sigSql = (1 to k).map(i =>
+    s"list_min(list_transform(hv, x -> (${Dedup.minhashA(i)}*x + ${Dedup.minhashB(i)}) % $P))")
+    .mkString("[", ",\n    ", "]")
+
+  /** Shared CTE prefix: documents → tokens → shingles → hash sets. */
+  private val hvCte =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, $toksSql AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, source, $shinglesSql AS s FROM toks),
+       |hvt AS (
+       |  SELECT doc_id, source, list_transform(s, x -> ${strHashSql("x")}) AS hv
+       |  FROM sh WHERE len(s) > 0)""".stripMargin
+
+  private val jaccardSql =
+    """CAST(len(list_intersect(ha.hv, hb.hv)) AS DOUBLE)
+      |      / (len(ha.hv) + len(hb.hv) - len(list_intersect(ha.hv, hb.hv)))""".stripMargin
+
+  // ---- queries ---------------------------------------------------------
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Exact dedup by content hash. The fixture has no exact copies,
+    // so the corpus replants every 5th doc under a shifted id — derived
+    // from the fixture alone, same transform on both engines.
+    Q(
+      "q22_exact_dedup",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0)
+        |SELECT doc_id, md5(text) AS content_hash,
+        |       row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_dup
+        |FROM corpus""".stripMargin) { (spark, dir) =>
+      val d = Tables.documents(spark, dir).select("doc_id", "text")
+      val corpus = d.unionByName(
+        d.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      Dedup.exactDupTag(corpus, "text", "doc_id")
+        .select("doc_id", "content_hash", "is_dup")
+    },
+
+    // ---- MinHash + banded LSH near-dup: k=12 signatures, 4 bands × 3
+    // rows; candidates = bucket collisions only (29 candidates at sf0.01,
+    // never all-pairs); exact shingle-set Jaccard ≥ 0.5 on candidates.
+    Q(
+      "q23_minhash_near_dup",
+      s"""$hvCte,
+         |sigs AS (
+         |  SELECT doc_id, hv, $sigSql AS sig FROM hvt),
+         |banded AS (
+         |  ${(0 until bands).map(b =>
+              s"SELECT doc_id, $b AS band, array_to_string(sig[${b * r + 1}:${b * r + r}], ',') AS band_key FROM sigs")
+              .mkString("\n  UNION ALL ")}),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b USING (band, band_key)
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT id_a, id_b, $jaccardSql AS jaccard
+         |  FROM pairs
+         |  JOIN hvt ha ON ha.doc_id = id_a
+         |  JOIN hvt hb ON hb.doc_id = id_b)
+         |WHERE jaccard >= 0.5""".stripMargin) { (spark, dir) =>
+      Dedup.nearDupPairs(Tables.documents(spark, dir), "doc_id", "text",
+        shingleN = 3, k = k, bands = bands, threshold = 0.5)
+    },
+
+    // ---- Text statistics: token counts (whitespace-ish + BPE-ish),
+    // mean token length, digit ratio, rolling-hash fingerprint.
+    Q(
+      "q24_text_stats",
+      s"""SELECT doc_id,
+         |  CAST(len(t) AS INT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]|[^a-z0-9\\s]')) AS INT)
+         |    AS n_bpeish,
+         |  CAST(${foldSumSql("list_transform(t, w -> CAST(length(w) AS BIGINT))", "CAST(0 AS BIGINT)")} AS DOUBLE)
+         |    / len(t) AS mean_token_len,
+         |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+         |    / length(text) AS digit_ratio,
+         |  ${foldSumSql(
+              "list_transform(range(1, length(text)+1), i -> CAST(ascii(substr(text,i,1)) AS BIGINT))",
+              "CAST(0 AS BIGINT)", "(a*31 + x) % 1000000007")} AS fingerprint
+         |FROM (SELECT doc_id, text, $toksSql AS t FROM documents)""".stripMargin) {
+      (spark, dir) =>
+        val toks = Text.tokens(col("text"))
+        Tables.documents(spark, dir).select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          Text.bpeishTokenCount(col("text")).as("n_bpeish"),
+          (aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
+            .cast("double") / size(toks)).as("mean_token_len"),
+          Text.charRatio(col("text"), "[0-9]").as("digit_ratio"),
+          Text.rollingHash(col("text")).as("fingerprint"))
+    },
+
+    // ---- Language-ID heuristic + quality gate (stopword argmax with
+    // deterministic tie-break; keep = length/shape thresholds).
+    Q(
+      "q25_lang_quality", {
+        val hits = Text.StopWords.map { case (lang, words) =>
+          lang -> s"len(list_filter(t, w -> w IN (${words.map(w => s"'$w'").mkString(",")})))"
+        }
+        val greatest = s"GREATEST(${hits.map(h => s"${h._1}_hits").mkString(", ")})"
+        val cases = hits.map { case (lang, _) =>
+          s"WHEN ${lang}_hits = $greatest THEN '$lang'"
+        }.mkString(" ")
+        val allWords = Text.StopWords.flatMap(_._2).distinct
+        s"""WITH base AS (
+           |  SELECT doc_id, lang, $toksSql AS t FROM documents),
+           |h AS (
+           |  SELECT doc_id, lang, t,
+           |    ${hits.map { case (l, sql) => s"$sql AS ${l}_hits" }.mkString(",\n    ")}
+           |  FROM base)
+           |SELECT doc_id, lang,
+           |  CASE WHEN $greatest = 0 THEN 'und' $cases END AS predicted_lang,
+           |  CASE WHEN len(t) = 0 THEN 0.0 ELSE
+           |    CAST(len(list_filter(t, w -> w IN (${allWords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
+           |      / len(t) END AS stopword_ratio,
+           |  len(t) >= 10 AND len(t) <= 1000 AS quality_keep
+           |FROM h""".stripMargin
+      }) { (spark, dir) =>
+      val toks = Text.tokens(col("text"))
+      Tables.documents(spark, dir).select(
+        col("doc_id"), col("lang"),
+        Text.langId(toks).as("predicted_lang"),
+        Text.stopwordRatio(toks).as("stopword_ratio"),
+        (size(toks) >= 10 && size(toks) <= 1000).as("quality_keep"))
+    },
+
+    // ---- Brute-force cosine top-k: 5 query vectors broadcast against
+    // the corpus; sequential-fold double math on both engines.
+    Q(
+      "q26_cosine_topk", {
+        def dotSql(a: String, b: String) =
+          foldSumSql(s"list_transform(range(1, 65), i -> $a[i]*$b[i])", "CAST(0 AS DOUBLE)")
+        s"""WITH v AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+           |  FROM embeddings),
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    ${dotSql("q.dv", "c.dv")}
+           |      / (sqrt(${dotSql("q.dv", "q.dv")}) * sqrt(${dotSql("c.dv", "c.dv")})) AS cos
+           |  FROM v q, v c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM scored)
+           |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, round(cos, 6) AS cos
+           |FROM ranked WHERE rn <= 3""".stripMargin
+      }) { (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+      Similarity
+        .topKBruteForce(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 3)
+        .withColumn("cos", round(col("cos"), 6))
+    },
+
+    // ---- LSH-bucketed ANN top-k, multi-table: 4 hash tables × 4
+    // deterministic hyperplane bits. Candidates = bucket collision in ANY
+    // table (≈ 4·n/16 scored pairs instead of n per query, recall
+    // amplified to 1−(1−p⁴)⁴) — the scale path; nbits grows with corpus
+    // size to keep buckets constant, tables with the recall target.
+    Q(
+      "q27_ann_lsh_topk", {
+        val nbits = 4; val tables = 4
+        def dotSql(a: String, b: String) =
+          foldSumSql(s"list_transform(range(1, 65), i -> $a[i]*$b[i])", "CAST(0 AS DOUBLE)")
+        def bucketSql(t: Int) = (0 until nbits).map { bit =>
+          val g = t * nbits + bit
+          val proj = foldSumSql(
+            s"""list_transform(dv, (x, i) ->
+               |        x * CASE WHEN (($g*64 + (i-1)) * $Mult) % $P % 2 = 0
+               |            THEN 1.0 ELSE -1.0 END)""".stripMargin,
+            "CAST(0 AS DOUBLE)")
+          s"(CASE WHEN $proj > 0 THEN ${1L << bit} ELSE 0 END)"
+        }.mkString(" + ")
+        val banded = (0 until tables).map(t =>
+          s"SELECT vec_id, $t AS tbl, ${bucketSql(t)} AS bucket FROM v")
+          .mkString("\n  UNION ALL ")
+        s"""WITH v AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+           |  FROM embeddings),
+           |banded AS (
+           |  $banded),
+           |cand AS (
+           |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           |  FROM banded q JOIN banded c
+           |    ON q.tbl = c.tbl AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 5),
+           |scored AS (
+           |  SELECT query_id, neighbor_id,
+           |    ${dotSql("vq.dv", "vc.dv")}
+           |      / (sqrt(${dotSql("vq.dv", "vq.dv")}) * sqrt(${dotSql("vc.dv", "vc.dv")})) AS cos
+           |  FROM cand
+           |  JOIN v vq ON vq.vec_id = query_id
+           |  JOIN v vc ON vc.vec_id = neighbor_id),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM scored)
+           |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, round(cos, 6) AS cos
+           |FROM ranked WHERE rn <= 3""".stripMargin
+      }) { (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+      Similarity
+        .topKBucketed(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 3, nbits = 4, dim = 64, tables = 4)
+        .withColumn("cos", round(col("cos"), 6))
+    },
+
+    // ---- SimHash near-dup pairs: 16-bit fingerprints, 4 nibble bands,
+    // Hamming ≤ 3 (pigeonhole-complete for ≤ 3 flips over 4 bands).
+    Q(
+      "q28_simhash_pairs", {
+        val simSql = (0 until Dedup.SimHashBits).map { j =>
+          val pow = 1L << j
+          val bitSum = foldSumSql(
+            s"list_transform(th, x -> ((x // $pow) % 2) * 2 - 1)",
+            "CAST(0 AS BIGINT)")
+          s"(CASE WHEN $bitSum > 0 THEN $pow ELSE 0 END)"
+        }.mkString("\n     + ")
+        val bandedSql = (0 until 4).map(b =>
+          s"SELECT doc_id, sim, $b AS band, (sim // ${1L << (b * 4)}) % 16 AS band_key FROM sims")
+          .mkString("\n  UNION ALL ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, $toksSql AS t FROM documents),
+           |th AS (
+           |  SELECT doc_id, list_transform(t, x -> ${strHashSql("x")}) AS th
+           |  FROM toks WHERE len(t) > 0),
+           |sims AS (
+           |  SELECT doc_id, $simSql AS sim FROM th),
+           |banded AS (
+           |  $bandedSql)
+           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+           |FROM banded a JOIN banded b USING (band, band_key)
+           |WHERE a.doc_id < b.doc_id
+           |  AND bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin
+      }) { (spark, dir) =>
+      Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
+        bands = 4, maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("int"))
+    },
+
+    // ---- Exact n-gram Jaccard over metadata-blocked pairs (bounded
+    // quadratic within each `source` block).
+    Q(
+      "q29_blocked_jaccard",
+      s"""$hvCte
+         |SELECT ha.source, ha.doc_id AS id_a, hb.doc_id AS id_b, $jaccardSql AS jaccard
+         |FROM hvt ha JOIN hvt hb
+         |  ON ha.source = hb.source AND ha.doc_id < hb.doc_id
+         |WHERE $jaccardSql >= 0.1""".stripMargin) { (spark, dir) =>
+      Dedup.blockedJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+        "source", shingleN = 3, threshold = 0.1)
+    },
+
+    // ---- Multimodal: opaque binary + metadata → per-partition stubbed
+    // decode/feature-extract/frame-sample (Multimodal.scala; the oracle
+    // replays the deterministic byte arithmetic on the text form).
+    Q(
+      "q30_multimodal_features",
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS INT) AS n_bytes,
+         |  CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+         |  CAST(ascii(substr(text, length(text), 1)) AS INT) AS last_byte,
+         |  ${foldSumSql(
+              "list_transform(range(1, length(text)+1), i -> CAST(ascii(substr(text,i,1)) AS BIGINT))",
+              "CAST(0 AS BIGINT)", "(a + x) % 65536")} AS checksum,
+         |  CAST((length(text) + 255) // 256 AS INT) AS n_frames,
+         |  CAST(((length(text) + 255) // 256 + 3) // 4 AS INT) AS n_sampled
+         |FROM documents""".stripMargin) { (spark, dir) =>
+      Multimodal.extract(spark, Tables.documents(spark, dir), "doc_id", "text")
+    })
+}
