@@ -1,0 +1,50 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Session construction: one place for the engine's config + the custom
+  * expression registrations (SparkSessionExtensions.injectFunction — the
+  * public extension point; the expressions live in graft.functions).
+  */
+object Sessions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other =>
+      throw new IllegalArgumentException(s"$fn expects a literal int, got $other")
+  }
+
+  /** Registers the graft_* functions (see graft.functions.TextKernels). */
+  val registerGraftFunctions: SparkSessionExtensions => Unit = { ext =>
+    def info(name: String, clazz: Class[_]) = new ExpressionInfo(clazz.getName, name)
+    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes", classOf[ShingleHashes]),
+      (e: Seq[Expression]) => ShingleHashes(e.head, intArg(e(1), "graft_shingle_hashes"))))
+    ext.injectFunction((FunctionIdentifier("graft_token_hashes"),
+      info("graft_token_hashes", classOf[TokenHashes]),
+      (e: Seq[Expression]) => TokenHashes(e.head)))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_signature"),
+      info("graft_minhash_signature", classOf[MinHashSignature]),
+      (e: Seq[Expression]) => MinHashSignature(e.head, intArg(e(1), "graft_minhash_signature"))))
+    ext.injectFunction((FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", classOf[SimHash]),
+      (e: Seq[Expression]) => SimHash(e.head, intArg(e(1), "graft_simhash"))))
+    ext.injectFunction((FunctionIdentifier("graft_sorted_intersect_size"),
+      info("graft_sorted_intersect_size", classOf[SortedIntersectSize]),
+      (e: Seq[Expression]) => SortedIntersectSize(e.head, e(1))))
+  }
+
+  /** Standard engine session builder (UTC, tuned shuffle width, events
+    * nanos compat, custom functions). */
+  def builder(master: String, shufflePartitions: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(registerGraftFunctions)
+}

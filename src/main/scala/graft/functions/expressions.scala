@@ -1,0 +1,238 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the text-dedup hot path.
+  *
+  * Why expressions and not the built-in higher-order functions: lambda
+  * functions (`transform`/`aggregate`) are evaluated interpreted — one
+  * boxed invocation per array element — and Catalyst does not share the
+  * common md5-shingle subtree across the 12 MinHash signature expressions.
+  * Measured at sf0.1 that made signature computation alone cost 51 s.
+  * These expressions run one compiled-Scala call per ROW (CodegenFallback
+  * is a single invoke; the inner loops are plain JVM code), with
+  * [[SortedIntersectSize]] additionally generating a two-pointer codegen
+  * loop. Semantics are bit-identical to the HOF formulas they replace
+  * (same md5-prefix hash, same constants), so the DuckDB oracles are
+  * unchanged except for the explicit distinct+sort on shingle sets.
+  */
+object TextKernels {
+
+  val P: Long = 2147483647L
+
+  private val digest = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 4 md5 bytes as unsigned int — identical to parsing the first 8
+    * hex chars of md5 (conv(substr(md5(s),1,8),16,10)) — reduced mod P. */
+  def hash32(s: String): Long = {
+    val d = digest.get()
+    d.reset()
+    val b = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+      ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)) % P
+  }
+
+  private val splitter = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
+  /** Lowercased alphanumeric tokens (same as Text.tokens). */
+  def tokenize(text: String): Array[String] =
+    splitter.split(text.toLowerCase).filter(_.nonEmpty)
+}
+
+/** Sorted distinct hash set of word n-gram shingles of a text column.
+  * Replaces: array_sort(array_distinct(transform(array_distinct(
+  * shingles(tokens(text))), s -> strHash32(s) % P))). */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextKernels.tokenize(input.asInstanceOf[UTF8String].toString)
+    if (toks.length < n) new GenericArrayData(Array.empty[Long])
+    else {
+      val out = new java.util.TreeSet[java.lang.Long]()
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j)); j += 1
+        }
+        out.add(TextKernels.hash32(sb.toString))
+        i += 1
+      }
+      val arr = new Array[Long](out.size)
+      val it = out.iterator(); var k = 0
+      while (it.hasNext) { arr(k) = it.next(); k += 1 }
+      new GenericArrayData(arr)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** Per-token hashes in document order (multiset — input to SimHash). */
+case class TokenHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_token_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextKernels.tokenize(input.asInstanceOf[UTF8String].toString)
+    val arr = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { arr(i) = TextKernels.hash32(toks(i)); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+    copy(child = newChild)
+}
+
+/** k MinHash signatures in one pass over the hash set: sig_i = min over x
+  * of (a_i·x + b_i) mod P, 1-based i, constants from Dedup.minhashA/B.
+  * Null (no signature) for an empty set. */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects ARRAY<BIGINT>, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_signature"
+
+  private val as = (1 to k).map(i => graft.ops.Dedup.minhashA(i)).toArray
+  private val bs = (1 to k).map(i => graft.ops.Dedup.minhashB(i)).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val hv = input.asInstanceOf[ArrayData]
+    val m = hv.numElements()
+    if (m == 0) null
+    else {
+      val sig = Array.fill(k)(Long.MaxValue)
+      var j = 0
+      while (j < m) {
+        val x = hv.getLong(j)
+        var i = 0
+        while (i < k) {
+          val h = (as(i) * x + bs(i)) % TextKernels.P
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+        j += 1
+      }
+      new GenericArrayData(sig)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** SimHash over a token-hash multiset: bit j of the result is set iff
+  * Σ_tokens (bit_j(hash)·2 − 1) > 0. Matches the unrolled HOF formula
+  * (x // 2^j % 2) exactly for non-negative hashes. */
+case class SimHash(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects ARRAY<BIGINT>, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val th = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](bits)
+    val m = th.numElements()
+    var i = 0
+    while (i < m) {
+      val x = th.getLong(i)
+      var j = 0
+      while (j < bits) {
+        if (((x >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < bits) { if (counts(j) > 0) sim |= (1L << j); j += 1 }
+    sim
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
+/** Intersection size of two SORTED DISTINCT long arrays — two-pointer
+  * merge, full whole-stage codegen (no per-call hash set like the
+  * built-in array_intersect). */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt.isInstanceOf[ArrayType] &&
+      dt.asInstanceOf[ArrayType].elementType == LongType
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two ARRAY<BIGINT>, got ${left.dataType}, ${right.dataType}")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0
+    val xn = x.numElements(); val yn = y.numElements()
+    while (i < xn && j < yn) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xn = ctx.freshName("xn"); val yn = ctx.freshName("yn")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0, $j = 0, $c = 0;
+         |final int $xn = $a.numElements(), $yn = $b.numElements();
+         |while ($i < $xn && $j < $yn) {
+         |  final long $xv = $a.getLong($i);
+         |  final long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; }
+         |  else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+}

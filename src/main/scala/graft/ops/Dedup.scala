@@ -28,13 +28,14 @@ object Dedup {
       .withColumn("is_dup", row_number().over(w) > 1)
   }
 
-  /** Per-doc distinct shingle-hash set: tokens → word n-grams → 32-bit
-    * hashes reduced mod P. Column name: `hv`. */
+  /** Per-doc SORTED DISTINCT shingle-hash set: tokens → word n-grams →
+    * 32-bit hashes reduced mod P. Column name: `hv`. One compiled kernel
+    * call per row (graft.functions.ShingleHashes) — the equivalent
+    * higher-order-function chain evaluates interpreted per element and
+    * was the measured hot spot. Sortedness feeds the two-pointer
+    * intersect below. */
   def withShingleHashes(df: DataFrame, textCol: String, n: Int): DataFrame =
-    df.withColumn("hv",
-      transform(
-        array_distinct(Text.shingles(Text.tokens(col(textCol)), n)),
-        s => Text.strHash32(s) % P))
+    df.withColumn("hv", call_function("graft_shingle_hashes", col(textCol), lit(n)))
 
   /** MinHash parameters for signature i (1-based): h_i(x) = (a_i·x + b_i) mod P.
     * a_i odd-ish and nonzero by construction; x is already < P so the
@@ -42,67 +43,94 @@ object Dedup {
   def minhashA(i: Int): Long = ((2L * i + 1) * Mult) % P
   def minhashB(i: Int): Long = (i.toLong * 40503L) % P
 
-  /** k-wide MinHash signature over the `hv` shingle-hash set. */
+  /** k-wide MinHash signature over the `hv` shingle-hash set — all k mins
+    * in one compiled pass (graft.functions.MinHashSignature). */
   def minhashSignature(hv: Column, k: Int): Column =
-    array((1 to k).map { i =>
-      array_min(transform(hv, x => (lit(minhashA(i)) * x + lit(minhashB(i))) % P))
-    }: _*)
+    call_function("graft_minhash_signature", hv, lit(k))
 
-  /** LSH banding: one row per (doc, band) with the band's signature slice
-    * as the bucket key. Docs with no shingles are dropped (no signature). */
-  def lshBands(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, k: Int, bands: Int): DataFrame = {
+  /** LSH banding over a prepared (id, hv, sig) frame: one row per
+    * (doc, band) with the band's signature slice as the bucket key. */
+  private def bandKeys(sigs: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
     val r = k / bands
     require(bands * r == k, s"bands ($bands) must divide k ($k)")
-    withShingleHashes(df, textCol, shingleN)
-      .filter(size(col("hv")) > 0)
-      .withColumn("sig", minhashSignature(col("hv"), k))
-      .select(col(idCol), col("hv"), posexplode(
-        array((0 until bands).map(b =>
-          concat_ws(",", transform(slice(col("sig"), b * r + 1, r),
-            x => x.cast("string")))): _*)))
+    sigs.select(col(idCol), posexplode(
+      array((0 until bands).map(b =>
+        concat_ws(",", transform(slice(col("sig"), b * r + 1, r),
+          x => x.cast("string")))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
+  }
+
+  /** (id, hv, sig) for docs with ≥1 shingle. Exposed for tests. */
+  def lshBands(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, bands: Int): DataFrame = {
+    val sigs = withShingleHashes(df, textCol, shingleN)
+      .filter(size(col("hv")) > 0)
+      .withColumn("sig", minhashSignature(col("hv"), k))
+      .select(col(idCol), col("hv"), col("sig"))
+    bandKeys(sigs, idCol, k, bands)
+      .join(sigs.select(col(idCol), col("hv")), Seq(idCol))
   }
 
   /** Candidate pairs = docs sharing any (band, band_key) bucket — the
     * banded LSH join (shuffle on the bucket key), then exact Jaccard on
     * the candidates only. Returns (id_a, id_b, jaccard) with id_a < id_b,
-    * filtered to `threshold`. */
+    * filtered to `threshold`.
+    *
+    * The shingle/signature table is computed ONCE and cached: the band
+    * self-join and the two hash-set lookups all reuse it (uncached, the
+    * md5-shingle pipeline would run 4×). Band rows carry only (id, band,
+    * key) — the heavy hash arrays never enter the explode shuffle. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 12, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    val banded = lshBands(df, idCol, textCol, shingleN, k, bands)
-    val a = banded.select(col("band"), col("band_key"),
-      col(idCol).as("id_a"), col("hv").as("hv_a"))
-    val b = banded.select(col("band"), col("band_key"),
-      col(idCol).as("id_b"), col("hv").as("hv_b"))
-    val cand = a.join(b, Seq("band", "band_key"))
+    val sigs = withShingleHashes(df, textCol, shingleN)
+      .filter(size(col("hv")) > 0)
+      .withColumn("sig", minhashSignature(col("hv"), k))
+      .select(col(idCol), col("hv"), col("sig"))
+      .cache()
+    val banded = bandKeys(sigs, idCol, k, bands)
+    val cand = banded.select(col("band"), col("band_key"), col(idCol).as("id_a"))
+      .join(banded.select(col("band"), col("band_key"), col(idCol).as("id_b")),
+        Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "hv_a", "hv_b")
-      .dropDuplicates("id_a", "id_b")
-    val inter = size(array_intersect(col("hv_a"), col("hv_b")))
+      .select("id_a", "id_b")
+      .distinct()
+    val hvT = sigs.select(col(idCol), col("hv"))
+    jaccardJoin(cand, hvT, idCol, threshold)
+  }
+
+  /** Intersection size of two sorted distinct hash sets — codegen'd
+    * two-pointer merge (graft.functions.SortedIntersectSize), no per-call
+    * hash-set build like array_intersect. */
+  def intersectSize(a: Column, b: Column): Column =
+    call_function("graft_sorted_intersect_size", a, b)
+
+  /** Join hash sets onto (id_a, id_b) pairs and keep Jaccard ≥ threshold. */
+  private def jaccardJoin(pairs: DataFrame, hvT: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    val inter = intersectSize(col("hv_a"), col("hv_b"))
     val union = size(col("hv_a")) + size(col("hv_b")) - inter
-    cand
+    pairs
+      .join(hvT.select(col(idCol).as("id_a"), col("hv").as("hv_a")), Seq("id_a"))
+      .join(hvT.select(col(idCol).as("id_b"), col("hv").as("hv_b")), Seq("id_b"))
       .withColumn("jaccard", inter.cast("double") / union)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Number of bits in the SimHash fingerprints below. */
-  val SimHashBits = 16
+  /** Number of bits in the SimHash fingerprints below. 32 bits / 8-bit
+    * bands keeps band buckets selective (256 values per band): at 16 bits
+    * the 4-bit band keys had only 16 values and candidate buckets grew
+    * quadratically with corpus size. */
+  val SimHashBits = 32
 
   /** SimHash fingerprint over the doc's token-hash multiset: bit j is set
     * iff the sum over tokens of (bit_j(hash)·2 − 1) is positive. Near-dup
-    * docs differ in few bits. Bits are unrolled as literal expressions —
-    * pure integer arithmetic, engine-portable. */
+    * docs differ in few bits. Compiled single-pass kernel
+    * (graft.functions.SimHash); pure integer arithmetic, engine-portable. */
   def simhash(tokenHashes: Column): Column =
-    (0 until SimHashBits).map { j =>
-      val pow = 1L << j
-      val bitSum = aggregate(tokenHashes, lit(0L),
-        (acc, x) => acc + (x.cast("long") / pow).cast("long") % 2 * 2 - 1)
-      when(bitSum > 0, lit(pow)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    call_function("graft_simhash", tokenHashes, lit(SimHashBits))
 
   /** SimHash near-dup pairs: band the fingerprint into `bands` nibble
     * groups; docs sharing any band are candidates; keep Hamming ≤ maxHamming.
@@ -111,10 +139,14 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, maxHamming: Int = 3): DataFrame = {
     val bitsPerBand = SimHashBits / bands
+    // fingerprints computed once and cached — both sides of the band
+    // join and the hamming lookup reuse them
     val hashed = df
-      .withColumn("th", transform(Text.tokens(col(textCol)), t => Text.strHash32(t) % P))
+      .withColumn("th", call_function("graft_token_hashes", col(textCol)))
       .filter(size(col("th")) > 0)
       .withColumn("sim", simhash(col("th")))
+      .select(col(idCol), col("sim"))
+      .cache()
     val banded = hashed.select(col(idCol), col("sim"), posexplode(
       array((0 until bands).map(b =>
         shiftright(col("sim"), b * bitsPerBand) % (1 << bitsPerBand)): _*)))
@@ -137,12 +169,14 @@ object Dedup {
     * fallback when a metadata key already localizes duplicates. */
   def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, shingleN: Int, threshold: Double): DataFrame = {
+    // hash sets computed once, cached, reused by both join sides
     val hv = withShingleHashes(df, textCol, shingleN)
       .filter(size(col("hv")) > 0)
       .select(col(blockCol), col(idCol), col("hv"))
+      .cache()
     val a = hv.select(col(blockCol), col(idCol).as("id_a"), col("hv").as("hv_a"))
     val b = hv.select(col(blockCol), col(idCol).as("id_b"), col("hv").as("hv_b"))
-    val inter = size(array_intersect(col("hv_a"), col("hv_b")))
+    val inter = intersectSize(col("hv_a"), col("hv_b"))
     val union = size(col("hv_a")) + size(col("hv_b")) - inter
     a.join(b, Seq(blockCol))
       .filter(col("id_a") < col("id_b"))

@@ -47,13 +47,21 @@ object Facts {
       .withColumn("years_at_company", det(k, 7, 21).cast("int"))
   }
 
-  /** Faithful nondeterministic variant (rand-based, like the reference's
-    * Python UDFs marked nondeterministic by nature). Not oracle-checkable;
-    * exists for API parity. */
-  def randomFeatures(df: DataFrame): DataFrame =
-    df.withColumn("marital_status",
-        element_at(array(lit("Single"), lit("Married")), (floor(rand() * 2) + 1).cast("int")))
+  /** Faithful nondeterministic variant of all 7 reference UDFs
+    * (silver_attrition_builder.py:71-77; rand-based, nondeterministic by
+    * nature). Not oracle-checkable; tests pin domains only. */
+  def randomFeatures(df: DataFrame): DataFrame = {
+    def pickR(choices: String*): Column =
+      element_at(array(choices.map(lit): _*),
+        (floor(rand() * choices.size) + 1).cast("int"))
+    df.withColumn("marital_status", pickR("Single", "Married"))
+      .withColumn("persona", pickR("Remote", "Office"))
+      .withColumn("travel_time_hrs", (floor(rand() * 3) + 1).cast("int"))
       .withColumn("age", (floor(rand() * 34) + 22).cast("int"))
+      .withColumn("overtime", pickR("Yes", "No"))
+      .withColumn("last_appraisal_score", (floor(rand() * 5) + 1).cast("int"))
+      .withColumn("years_at_company", floor(rand() * 21).cast("int"))
+  }
 
   /** Attrition fact rows (silver_attrition_builder.py:96-111): filter the
     * departed population (P6 compound boolean), derive tenure + period

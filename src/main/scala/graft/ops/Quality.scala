@@ -72,21 +72,42 @@ object Quality {
     counted.reduce(_ unionByName _)
   }
 
-  /** Quarantine: union of violating rows across rules on one table, tagged
-    * with the rule name, deduplicated (dq_checks.py:75-98 pd.concat +
-    * drop_duplicates → U1/U2 in SURVEY.md §2.7).
+  /** Quarantine: rows violating any rule, tagged with the rule name,
+    * deduplicated (dq_checks.py:75-98 pd.concat + drop_duplicates →
+    * U1/U2 in SURVEY.md §2.7).
+    *
+    * Single-scan design: k rules are evaluated as k flag columns over ONE
+    * pass of `df` (row-local predicates cost nothing extra; Unique adds a
+    * window over its key; ForeignKey adds a left join against the parent's
+    * distinct keys — typically broadcast). The tag array is then exploded,
+    * keeping only violated tags. The per-rule union-of-scans alternative
+    * re-reads the table k times — the r1 scale bottleneck in q08.
     */
   def quarantine(rules: Seq[Rule], df: DataFrame, keyCols: Seq[String],
       refs: Map[String, DataFrame] = Map.empty): DataFrame = {
-    val tagged = rules.map { r =>
-      val ref = r match {
-        case fk: ForeignKey => refs(fk.refTable)
-        case _              => null
+    var cur = df
+    val tags = rules.zipWithIndex.map { case (r, i) =>
+      val flag = s"_violates_$i"
+      r match {
+        case NotNull(_, c) =>
+          cur = cur.withColumn(flag, col(c).isNull)
+        case Between(_, c, lo, hi) =>
+          cur = cur.withColumn(flag, col(c).isNull || !col(c).between(lo, hi))
+        case Unique(_, c) =>
+          val w = org.apache.spark.sql.expressions.Window.partitionBy(col(c))
+          cur = cur.withColumn(flag, count(lit(1)).over(w) > 1)
+        case ForeignKey(_, c, refT, refC) =>
+          val hit = s"_fk_hit_$i"
+          val parent = refs(refT).select(col(refC).as(c)).distinct()
+            .withColumn(hit, lit(true))
+          cur = cur.join(parent, Seq(c), "left")
+            .withColumn(flag, col(hit).isNull).drop(hit)
       }
-      violatingRows(r, df, ref)
-        .select(keyCols.map(col) :+
-          lit(s"${r.ruleName}:${r.columnName}").as("violated_rule"): _*)
+      when(col(flag), lit(s"${r.ruleName}:${r.columnName}"))
     }
-    tagged.reduce(_ unionByName _).dropDuplicates()
+    cur
+      .select(keyCols.map(col) :+
+        explode(filter(array(tags: _*), t => t.isNotNull)).as("violated_rule"): _*)
+      .dropDuplicates()
   }
 }

@@ -52,7 +52,8 @@ object LlmQueries {
        |sh AS (
        |  SELECT doc_id, source, $shinglesSql AS s FROM toks),
        |hvt AS (
-       |  SELECT doc_id, source, list_transform(s, x -> ${strHashSql("x")}) AS hv
+       |  SELECT doc_id, source,
+       |    list_sort(list_distinct(list_transform(s, x -> ${strHashSql("x")}))) AS hv
        |  FROM sh WHERE len(s) > 0)""".stripMargin
 
   private val jaccardSql =
@@ -251,7 +252,8 @@ object LlmQueries {
         .withColumn("cos", round(col("cos"), 6))
     },
 
-    // ---- SimHash near-dup pairs: 16-bit fingerprints, 4 nibble bands,
+    // ---- SimHash near-dup pairs: 32-bit fingerprints, 4 byte-wide bands
+    // (256-value keys keep buckets selective as the corpus grows),
     // Hamming ≤ 3 (pigeonhole-complete for ≤ 3 flips over 4 bands).
     Q(
       "q28_simhash_pairs", {
@@ -262,8 +264,9 @@ object LlmQueries {
             "CAST(0 AS BIGINT)")
           s"(CASE WHEN $bitSum > 0 THEN $pow ELSE 0 END)"
         }.mkString("\n     + ")
+        val bitsPerBand = Dedup.SimHashBits / 4
         val bandedSql = (0 until 4).map(b =>
-          s"SELECT doc_id, sim, $b AS band, (sim // ${1L << (b * 4)}) % 16 AS band_key FROM sims")
+          s"SELECT doc_id, sim, $b AS band, (sim // ${1L << (b * bitsPerBand)}) % ${1 << bitsPerBand} AS band_key FROM sims")
           .mkString("\n  UNION ALL ")
         s"""WITH toks AS (
            |  SELECT doc_id, $toksSql AS t FROM documents),

@@ -62,7 +62,14 @@ object GoldModels {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
-  /** Run a model the dbt way: SQL text → SparkSession.sql (the CTAS write
-    * is the caller's concern, mirroring materialized='table'; M5). */
+  /** Run a model the dbt way: SQL text → SparkSession.sql. */
   def run(spark: SparkSession, model: String): DataFrame = spark.sql(model)
+
+  /** M5: CTAS-style gold materialization — run the model and overwrite
+    * the gold table path (dbt materialized='table' + file_format/location,
+    * dbt_project.yml; Delta swapped for parquet per SURVEY §7.1). */
+  def materialize(spark: SparkSession, model: String, path: String): DataFrame = {
+    run(spark, model).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
 }

@@ -65,4 +65,24 @@ class QualitySpec extends SparkSuite {
       Row(2L, "between:amount"),
       Row(2L, "not_null:amount")))
   }
+
+  test("quarantine: all four rule kinds in one pass (window + FK join included)") {
+    val parent = Seq("x").toDF("tag")
+    val out = quarantine(
+      Seq(Unique("t", "id"), ForeignKey("t", "tag", "p", "tag"), NotNull("t", "amount")),
+      df, Seq("id", "amount"), refs = Map("p" -> parent))
+    val byRule = out.collect().groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(byRule == Map(
+      "unique:id" -> 4,       // ids 2,2,3,3
+      "foreign_key:tag" -> 2, // 'y' and NULL tag rows
+      "not_null:amount" -> 1))
+  }
+
+  test("randomFeatures: all 7 features exist with valid domains") {
+    val out = Facts.randomFeatures(Seq(1L, 2L, 3L).toDF("id"))
+    assert(out.columns.toSeq == Seq("id", "marital_status", "persona", "travel_time_hrs",
+      "age", "overtime", "last_appraisal_score", "years_at_company"))
+    assert(out.filter(!col("persona").isin("Remote", "Office")).count() == 0)
+    assert(out.filter(col("last_appraisal_score") < 1 || col("last_appraisal_score") > 5).count() == 0)
+  }
 }
