@@ -35,6 +35,9 @@ object Sessions {
     ext.injectFunction((FunctionIdentifier("graft_sorted_intersect_size"),
       info("graft_sorted_intersect_size", classOf[SortedIntersectSize]),
       (e: Seq[Expression]) => SortedIntersectSize(e.head, e(1))))
+    ext.injectFunction((FunctionIdentifier("graft_dot_product"),
+      info("graft_dot_product", classOf[DotProduct]),
+      (e: Seq[Expression]) => DotProduct(e.head, e(1))))
   }
 
   /** Standard engine session builder (UTC, tuned shuffle width, events

@@ -9,7 +9,8 @@ object SparkEntry {
   /** Every registered operator query (one per SURVEY.md §2 inventory row /
     * LLM-pipeline operator), each with a DuckDB oracle where the semantics
     * are ANSI-SQL-expressible. */
-  def registry: Seq[Q] = HrQueries.all ++ PipelineQueries.all ++ LlmQueries.all
+  def registry: Seq[Q] =
+    HrQueries.all ++ PipelineQueries.all ++ LlmQueries.all ++ StatefulQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

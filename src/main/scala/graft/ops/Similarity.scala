@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
 object Similarity {
   import Text.{Mult, P}
 
-  /** Sequential-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product of two double arrays — compiled kernel
+    * (graft.functions.DotProduct), bit-identical to the
+    * aggregate(zip_with(...)) fold it replaces. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot_product", a, b)
 
   /** Cast a float vector to doubles (all arithmetic happens in f64). */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
@@ -34,13 +35,17 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Exact top-k neighbors for each query vector: broadcast the query
-    * set, score every corpus vector, rank per query. */
+    * set, score every corpus vector, rank per query. Norms are
+    * precomputed per VECTOR before the join (n sqrt-dots, not n·q) —
+    * same values, same fold order, one dot per pair inside the join. */
   def topKBruteForce(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("nv"))
+      .withColumn("nn", sqrt(dot(col("nv"), col("nv"))))
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored
@@ -82,19 +87,21 @@ object Similarity {
   def topKBucketed(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nbits: Int, dim: Int, tables: Int = 4): DataFrame = {
     val c = withTableBuckets(
-      corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("nv")),
+      corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("nv"))
+        .withColumn("nn", sqrt(dot(col("nv"), col("nv")))),
       "nv", nbits, dim, tables)
     val q = withTableBuckets(
-      queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv")),
+      queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+        .withColumn("qn", sqrt(dot(col("qv"), col("qv")))),
       "qv", nbits, dim, tables)
     val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "nv")
+      .select("query_id", "qv", "qn", "neighbor_id", "nv", "nn")
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     cand
-      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
@@ -104,13 +111,18 @@ object Similarity {
     * similarity search): pairs in the same bucket with cosine ≥ threshold. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nbits: Int, dim: Int): DataFrame = {
+    // buckets + norms computed once per vector, cached for both join sides
     val v = df.select(col(idCol), toDouble(col(vecCol)).as("dv"))
       .withColumn("bucket", lshBucket(col("dv"), nbits, dim))
-    val a = v.select(col("bucket"), col(idCol).as("id_a"), col("dv").as("va"))
-    val b = v.select(col("bucket"), col(idCol).as("id_b"), col("dv").as("vb"))
+      .withColumn("nrm", sqrt(dot(col("dv"), col("dv"))))
+      .cache()
+    val a = v.select(col("bucket"), col(idCol).as("id_a"),
+      col("dv").as("va"), col("nrm").as("na"))
+    val b = v.select(col("bucket"), col(idCol).as("id_b"),
+      col("dv").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape pins: the properties that make these operators
+  * scale (pushdown reaching the parquet scan, broadcast for small dims,
+  * top-k instead of global sort, whole-stage codegen) are asserted here
+  * so a refactor can't silently regress them.
+  */
+class PlansSpec extends SparkSuite {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("filters and column pruning reach the parquet scan") {
+    val p = plan(Tables.orders(spark, sfDir())
+      .filter(col("o_totalprice") > 1000.0)
+      .select("o_orderkey"))
+    assert(p.contains("PushedFilters: ["), s"no pushdown in:\n$p")
+    assert(p.contains("GreaterThan(o_totalprice,1000.0)"), s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      s"columns not pruned:\n$p")
+  }
+
+  test("gold dept model: dimension joins broadcast, no shuffle join") {
+    Seq("orders", "customer", "nation").foreach(t =>
+      Tables.load(spark, sfDir(), t).createOrReplaceTempView(t))
+    val df = graft.sql.GoldModels.run(spark, graft.sql.GoldModels.attritionByDept)
+    df.collect() // let AQE finalize the plan
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+
+  test("LIMIT after ORDER BY plans as top-k, not a global sort") {
+    val p = plan(Tables.orders(spark, sfDir())
+      .orderBy(col("o_totalprice").desc).limit(5))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
+  }
+
+  test("whole-stage codegen covers the scan+filter+agg spine") {
+    val df = Tables.orders(spark, sfDir())
+      .filter(col("o_orderstatus") === "F")
+      .groupBy("o_custkey").agg(count(lit(1)))
+    df.collect() // AQE shows codegen spans only in the final plan
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("*("), s"no whole-stage codegen spans:\n$p")
+  }
+
+  test("broadcast ANN: corpus side has no shuffle exchange before the join") {
+    val e = Tables.embeddings(spark, sfDir())
+    val df = graft.ops.Similarity.topKBruteForce(
+      e, e.filter(col("vec_id") < 2), "vec_id", "embedding", 2)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$p")
+  }
+}

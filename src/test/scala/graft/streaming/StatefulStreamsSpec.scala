@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.ops.Sessionize
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+import java.time.LocalDateTime
+
+/** Stateful Structured Streaming: event-time windows with watermark in
+  * append mode, and mapGroupsWithState sessionization across batches. */
+class StatefulStreamsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("windowed agg + watermark, append mode: closed windows emit, open ones hold") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Double)]
+    val agg = ms.toDF().toDF("ts", "value")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("graft_watermark_test")
+      .outputMode("append").start()
+    try {
+      ms.addData((Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+        (Timestamp.valueOf("2024-01-01 11:00:00"), 2.0))
+      q.processAllAvailable()
+      // watermark still inside Jan 1 → nothing final yet
+      assert(spark.table("graft_watermark_test").count() == 0)
+      // an event far past Jan 1 advances the watermark beyond the window
+      ms.addData((Timestamp.valueOf("2024-01-03 12:00:00"), 3.0))
+      q.processAllAvailable()
+      ms.addData((Timestamp.valueOf("2024-01-05 12:00:00"), 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("graft_watermark_test")
+        .select(col("w.start").cast("string"), col("n")).as[(String, Long)].collect().toMap
+      assert(rows("2024-01-01 00:00:00") == 2L)
+      assert(!rows.contains("2024-01-05 00:00:00"), "open window must not emit in append mode")
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState sessionization: state carries across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, Long)]
+    val events = ms.toDF().toDF("user_id", "ts0", "event_id")
+      .withColumn("ts", col("ts0").cast("timestamp_ntz")).drop("ts0")
+      .as[Sessionize.Event]
+    val q = Sessionize.sessionizeStream(events, gapSeconds = 3600)
+      .writeStream.format("memory").queryName("graft_session_test")
+      .outputMode(Sessionize.StreamOutputMode.toString.toLowerCase).start()
+    try {
+      ms.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+        (1L, Timestamp.valueOf("2024-01-01 10:30:00"), 2L))
+      q.processAllAvailable()
+      val s1 = spark.table("graft_session_test")
+        .select("session_id", "n_events").as[(Long, Long)].collect().last
+      assert(s1 == ((1L, 2L)), "one open session with 2 events")
+      // within the gap → same session grows across the batch boundary
+      ms.addData((1L, Timestamp.valueOf("2024-01-01 11:00:00"), 3L))
+      q.processAllAvailable()
+      // beyond the gap → session id rolls over, counter resets
+      ms.addData((1L, Timestamp.valueOf("2024-01-02 10:00:00"), 4L))
+      q.processAllAvailable()
+      val all = spark.table("graft_session_test")
+        .select("session_id", "n_events").as[(Long, Long)].collect().toSeq
+      assert(all.contains((1L, 3L)), "session 1 grew to 3 events across batches")
+      assert(all.last == ((2L, 1L)), "gap exceeded -> new session")
+    } finally q.stop()
+  }
+
+  test("typed sessionization equals the window-function variant on the fixture") {
+    val ev = graft.Tables.events(spark, sfDir("0.001"))
+    import spark.implicits._
+    val typed = Sessionize
+      .sessionizeTyped(ev.select(col("user_id"), col("ts"), col("event_id"))
+        .as[Sessionize.Event], 86400)
+      .toDF()
+      .select("user_id", "session_start", "session_end", "n_events")
+    val windowed = Sessionize
+      .sessionizeWindows(ev, "ts", "user_id", "event_id", 86400)
+      .select("user_id", "session_start", "session_end", "n_events")
+    assert(typed.collect().map(_.toString).sorted.toSeq ==
+      windowed.collect().map(_.toString).sorted.toSeq)
+  }
+}
