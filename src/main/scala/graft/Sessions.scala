@@ -41,13 +41,23 @@ object Sessions {
   }
 
   /** Standard engine session builder (UTC, tuned shuffle width, events
-    * nanos compat, custom functions). */
+    * nanos compat, custom functions). AQE knobs are set explicitly even
+    * where they match Spark 4 defaults — runtime partition coalescing
+    * and skew-join splitting are part of this engine's 100 TB design
+    * (shuffle width here is sized for the local harness; a cluster
+    * deployment scales `shuffle.partitions` with executor count and
+    * relies on AQE to coalesce). */
   def builder(master: String, shufflePartitions: String): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
       .withExtensions(registerGraftFunctions)
 }

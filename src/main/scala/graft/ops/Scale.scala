@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale techniques as first-class operators: explicit key salting for
+  * extreme join skew, and bucketed table layout for exchange-free
+  * co-located joins. Both are semantics-neutral — results are identical
+  * to the plain join; only the physical distribution changes — so their
+  * oracles are the unsalted/unbucketed SQL.
+  */
+object Scale {
+
+  /** Salted inner equi-join for skewed keys: the large side spreads each
+    * key's rows across `salts` sub-partitions via a deterministic row
+    * hash; the small side is replicated once per salt. A hot key's
+    * shuffle partition is thereby split `salts` ways. AQE's skew-join
+    * split handles moderate skew at runtime; explicit salting is the
+    * deterministic fallback for extreme single-key skew (and works for
+    * aggregations-after-join where AQE cannot).
+    */
+  def saltedEquiJoin(large: DataFrame, small: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    val saltedLarge = large.withColumn("_salt",
+      pmod(hash(large.columns.map(col): _*), lit(salts)))
+    val saltedSmall = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedLarge.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Write `df` bucketed and sorted by `key` into the session catalog —
+    * the co-located layout: two tables bucketed the same way join with
+    * NO shuffle exchange (pinned in PlansSpec). At 100 TB this is the
+    * difference between re-shuffling the fact table per join and reading
+    * it pre-partitioned; bucket count is sized to executor parallelism.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+}

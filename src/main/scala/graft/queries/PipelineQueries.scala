@@ -140,6 +140,51 @@ object PipelineQueries {
         .limit(20)
     },
 
+    // ---- Skew-salted join (semantics-neutral — oracle is the plain
+    // join): large side split per-key via deterministic row hash, small
+    // side replicated per salt. The explicit fallback for extreme
+    // single-key skew beyond AQE's runtime split.
+    Q(
+      "q34_salted_join",
+      """SELECT o.o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      Scale
+        .saltedEquiJoin(
+          Tables.lineitem(spark, dir).withColumnRenamed("l_orderkey", "o_orderkey"),
+          Tables.orders(spark, dir), "o_orderkey", salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(DecimalType(12, 2))).cast("double").as("total_qty"))
+    },
+
+    // ---- Bucketed co-located join (semantics-neutral): both sides
+    // written bucketed+sorted by the join key, then joined without any
+    // shuffle exchange (plan shape pinned in PlansSpec).
+    Q(
+      "q35_bucketed_join",
+      """SELECT o.o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(max(l.l_shipdate) AS TIMESTAMP) AS latest_ship
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin) { (spark, dir) =>
+      Scale.writeBucketed(
+        Tables.orders(spark, dir), "graft_b_orders", "o_orderkey", 8)
+      Scale.writeBucketed(
+        Tables.lineitem(spark, dir).withColumnRenamed("l_orderkey", "o_orderkey"),
+        "graft_b_lineitem", "o_orderkey", 8)
+      spark.table("graft_b_lineitem")
+        .join(spark.table("graft_b_orders"), "o_orderkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          max(col("l_shipdate")).cast("timestamp").as("latest_ship"))
+    },
+
     // ---- F5/F12: to_timestamp on ISO strings + to_date/current_timestamp
     // (kafka_consumer_contract_signing_events.py:48, verify_spark.py:3)
     Q(
