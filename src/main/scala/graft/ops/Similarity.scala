@@ -107,6 +107,46 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** IVF-style ANN top-k: corpus vectors are assigned to their nearest of
+    * `centroids` cells; queries probe their `nprobe` nearest cells and
+    * score only those members (candidates ≈ nprobe/centroids of the
+    * corpus). Centroids here are the first C vectors by id — a
+    * deterministic stand-in for trained centroids (swap in k-means
+    * output in production; the cell-assignment/probe plumbing is
+    * identical). Assignment is a broadcast of the tiny centroid set
+    * against a corpus scan — no shuffle of the corpus beyond the final
+    * per-query ranking. */
+  def topKIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Int, nprobe: Int): DataFrame = {
+    val cent = corpus.filter(col(idCol) < centroids)
+      .select(col(idCol).as("cid"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    def cells(df: DataFrame, id: String, v: String, nrm: String, keep: Int) = {
+      val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cid"))
+      df.join(broadcast(cent), lit(true))
+        .withColumn("ccos", dot(col(v), col("cv")) / (col(nrm) * col("cn")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= keep)
+        .drop("cv", "cn", "ccos", "crn")
+    }
+    val c = cells(
+      corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("nv"))
+        .withColumn("nn", sqrt(dot(col("nv"), col("nv")))),
+      "neighbor_id", "nv", "nn", 1)
+    val q = cells(
+      queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+        .withColumn("qn", sqrt(dot(col("qv"), col("qv")))),
+      "query_id", "qv", "qn", nprobe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** Embedding-cosine near-dup pairs within LSH buckets (the dedup use of
     * similarity search): pairs in the same bucket with cosine ≥ threshold. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

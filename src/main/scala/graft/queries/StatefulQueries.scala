@@ -89,6 +89,47 @@ object StatefulQueries {
       Sessionize.sessionizeTyped(ev, gapSeconds = 86400).toDF()
     },
 
+    // ---- IVF-style ANN: 16 deterministic centroid cells, queries probe
+    // their 2 nearest cells — candidates ≈ 1/8 of the corpus per query.
+    Q(
+      "q36_ann_ivf_topk", {
+        def dotSql(a: String, b: String) =
+          s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $a[i]*$b[i])), (a, x) -> a + x)"
+        def cosSql(a: String, an: String, b: String, bn: String) =
+          s"${dotSql(a, b)} / ($an * $bn)"
+        s"""WITH v AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+           |  FROM embeddings),
+           |n AS (SELECT vec_id, dv, sqrt(${dotSql("dv", "dv")}) AS nrm FROM v),
+           |cent AS (SELECT vec_id AS cid, dv AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+           |asg AS (
+           |  SELECT vec_id, dv, nrm, cid, crn FROM (
+           |    SELECT n.vec_id, n.dv, n.nrm, cent.cid,
+           |      row_number() OVER (PARTITION BY n.vec_id
+           |        ORDER BY ${cosSql("n.dv", "n.nrm", "cent.cv", "cent.cn")} DESC, cent.cid) AS crn
+           |    FROM n, cent)),
+           |c AS (SELECT vec_id AS neighbor_id, dv AS nv, nrm AS nn, cid
+           |      FROM asg WHERE crn = 1),
+           |q AS (SELECT vec_id AS query_id, dv AS qv, nrm AS qn, cid
+           |      FROM asg WHERE crn <= 2 AND vec_id < 5),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM (
+           |    SELECT q.query_id, c.neighbor_id,
+           |      ${cosSql("q.qv", "q.qn", "c.nv", "c.nn")} AS cos
+           |    FROM c JOIN q USING (cid)
+           |    WHERE q.query_id <> c.neighbor_id))
+           |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, round(cos, 6) AS cos
+           |FROM ranked WHERE rn <= 3""".stripMargin
+      }) { (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+      Similarity
+        .topKIvf(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 3, centroids = 16, nprobe = 2)
+        .withColumn("cos", round(col("cos"), 6))
+    },
+
     // ---- Embedding-cosine near-dup pairs within hyperplane buckets
     // (dedup via similarity; threshold at the fixture's high-cosine tail).
     Q(

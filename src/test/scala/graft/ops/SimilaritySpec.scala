@@ -48,6 +48,17 @@ class SimilaritySpec extends SparkSuite {
     assert(ann.size <= exact.size)
   }
 
+  test("IVF ANN: candidates restricted to probed cells, decent recall") {
+    val e = Tables.embeddings(spark, sfDir("0.01"))
+    val q = e.filter(col("vec_id") < 10)
+    val exact = Similarity.topKBruteForce(e, q, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.topKIvf(e, q, "vec_id", "embedding", 3, centroids = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
   test("cosineNearDupPairs: finds planted near-identical embedding") {
     val withDup = vecs.unionByName(Seq((9L, Seq(0.99f, 0.05f, 0f, 0f))).toDF("vec_id", "embedding"))
     val pairs = Similarity.cosineNearDupPairs(withDup, "vec_id", "embedding",
