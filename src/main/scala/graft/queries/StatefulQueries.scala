@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Sessionize, Similarity, Text}
+import graft.ops.{Merge, Sessionize, Similarity, Text}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -87,6 +87,83 @@ object StatefulQueries {
         .select(col("user_id"), col("ts"), col("event_id"))
         .as[Sessionize.Event]
       Sessionize.sessionizeTyped(ev, gapSeconds = 86400).toDF()
+    },
+
+    // ---- K6 end-to-end: foreachBatch SCD2 upsert driven by a real
+    // stream (MemoryStream, two micro-batches of customer updates into a
+    // parquet target; util/verify_spark.py:108-114). The oracle replays
+    // the reference's MERGE semantics twice in SQL — including the
+    // two-phase quirk: batch-1 close-outs get their new version only
+    // when batch 2 replays the key.
+    Q(
+      "q37_stream_scd2_upsert", {
+        def pass(target: String, source: String) =
+          s"""SELECT t.c_custkey, t.c_name, t.c_nationkey, t.c_acctbal, t.c_mktsegment,
+             |       t.effective_start_date,
+             |       CASE WHEN s.c_custkey IS NOT NULL AND t.c_acctbal <> s.c_acctbal
+             |            THEN s.updated_at ELSE t.effective_end_date END AS effective_end_date,
+             |       CASE WHEN s.c_custkey IS NOT NULL AND t.c_acctbal <> s.c_acctbal
+             |            THEN false ELSE t.is_current END AS is_current
+             |  FROM $target t LEFT JOIN $source s
+             |    ON t.c_custkey = s.c_custkey AND t.is_current
+             |  UNION ALL
+             |  SELECT s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, s.c_mktsegment,
+             |         s.updated_at, TIMESTAMP '2099-12-31 00:00:00', true
+             |  FROM $source s
+             |  WHERE NOT EXISTS (SELECT 1 FROM $target t
+             |                    WHERE t.c_custkey = s.c_custkey AND t.is_current)""".stripMargin
+        s"""WITH t0 AS (
+           |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           |         TIMESTAMP '2024-01-01 00:00:00' AS effective_start_date,
+           |         TIMESTAMP '2099-12-31 00:00:00' AS effective_end_date,
+           |         true AS is_current
+           |  FROM customer),
+           |s1 AS (
+           |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 10.0 AS c_acctbal,
+           |         c_mktsegment, TIMESTAMP '2024-02-01 00:00:00' AS updated_at
+           |  FROM customer WHERE c_custkey % 3 = 0),
+           |s2 AS (
+           |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 20.0 AS c_acctbal,
+           |         c_mktsegment, TIMESTAMP '2024-03-01 00:00:00' AS updated_at
+           |  FROM customer WHERE c_custkey % 3 = 0),
+           |m1 AS (
+           |  ${pass("t0", "s1")}),
+           |m2 AS (
+           |  ${pass("m1", "s2")})
+           |SELECT * FROM m2""".stripMargin
+      }) { (spark, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.Streams
+      val root = java.nio.file.Files.createTempDirectory("graft-q37")
+      root.toFile.deleteOnExit()
+      val (target, cp) = (s"$root/scd2", s"$root/cp")
+      val c = Tables.customer(spark, dir)
+      Merge.asScd2(c, "2024-01-01 00:00:00").write.parquet(target)
+
+      implicit val ctx = spark.sqlContext
+      import spark.implicits._
+      val ms = MemoryStream[(Long, String, Int, Double, String, String)]
+      val src = ms.toDF()
+        .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment", "upd")
+        .withColumn("updated_at", col("upd").cast("timestamp_ntz")).drop("upd")
+      val q = src.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Streams.scd2Upsert(batch, target, "c_custkey", Seq("c_acctbal"))
+        }
+        .outputMode("update")
+        .option("checkpointLocation", cp)
+        .start()
+      def batchOf(delta: Double, ts: String) = c
+        .filter(col("c_custkey") % 3 === 0)
+        .collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+          r.getDouble(3) + delta, r.getString(4), ts))
+      try {
+        ms.addData(batchOf(10.0, "2024-02-01 00:00:00"))
+        q.processAllAvailable()
+        ms.addData(batchOf(20.0, "2024-03-01 00:00:00"))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(target)
     },
 
     // ---- IVF-style ANN: 16 deterministic centroid cells, queries probe
