@@ -18,13 +18,19 @@ object Meta {
   }
 
   /** M1: does a readable table exist at `path`? True iff the directory
-    * exists and contains at least one parquet part file (an empty dir —
-    * e.g. a failed write — is not a table). */
+    * exists and contains at least one parquet part file at any depth
+    * (partitioned tables nest part files under key=value directories;
+    * an empty dir — e.g. a failed write — is not a table). */
   def tableExists(spark: SparkSession, path: String): Boolean = {
     val (f, p) = fs(spark, path)
-    f.exists(p) && f.listStatus(p).exists { s =>
-      val n = s.getPath.getName
-      n.endsWith(".parquet") || n.startsWith("part-")
+    f.exists(p) && {
+      val it = f.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val n = it.next().getPath.getName
+        found = n.endsWith(".parquet") || n.startsWith("part-")
+      }
+      found
     }
   }
 

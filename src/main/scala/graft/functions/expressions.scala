@@ -29,14 +29,20 @@ object TextKernels {
     () => java.security.MessageDigest.getInstance("MD5"))
 
   /** First 4 md5 bytes as unsigned int — identical to parsing the first 8
-    * hex chars of md5 (conv(substr(md5(s),1,8),16,10)) — reduced mod P. */
-  def hash32(s: String): Long = {
+    * hex chars of md5 (conv(substr(md5(s),1,8),16,10)). Full 32-bit range:
+    * bit 31 is meaningful (SimHash depends on it). */
+  def rawHash32(s: String): Long = {
     val d = digest.get()
     d.reset()
     val b = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    (((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
-      ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)) % P
+    ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+      ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
   }
+
+  /** [[rawHash32]] reduced mod P (the MinHash domain). NOTE: values are
+    * < 2^31, so bit 31 is always 0 — use [[rawHash32]] where the full bit
+    * width matters. */
+  def hash32(s: String): Long = rawHash32(s) % P
 
   private val splitter = java.util.regex.Pattern.compile("[^a-z0-9]+")
 
@@ -84,7 +90,8 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
-/** Per-token hashes in document order (multiset — input to SimHash). */
+/** Per-token RAW 32-bit hashes in document order (multiset — input to
+  * SimHash, which needs all 32 bits meaningful; no mod-P reduction). */
 case class TokenHashes(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def checkInputDataTypes(): TypeCheckResult =
@@ -97,7 +104,7 @@ case class TokenHashes(child: Expression)
     val toks = TextKernels.tokenize(input.asInstanceOf[UTF8String].toString)
     val arr = new Array[Long](toks.length)
     var i = 0
-    while (i < toks.length) { arr(i) = TextKernels.hash32(toks(i)); i += 1 }
+    while (i < toks.length) { arr(i) = TextKernels.rawHash32(toks(i)); i += 1 }
     new GenericArrayData(arr)
   }
 
@@ -116,6 +123,8 @@ case class MinHashSignature(child: Expression, k: Int)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName expects ARRAY<BIGINT>, got ${child.dataType}")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // an empty hash set evaluates to null regardless of child nullability
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_minhash_signature"
 
   private val as = (1 to k).map(i => graft.ops.Dedup.minhashA(i)).toArray

@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   * collisions. At 100 TB the knobs are (k, bands, rowsPerBand) for the
   * candidate recall/cost trade and the band-key shuffle partitioning;
   * there is no O(n²) stage to outgrow.
+  *
+  * Caching contract: the pair operators `cache()` their per-doc
+  * signature table because it feeds both sides of a self-join plus the
+  * verify lookup (uncached it would be recomputed up to 4×). The cache
+  * is session-scoped and sized O(corpus signatures); a long-lived
+  * service calling these repeatedly should `spark.catalog.clearCache()`
+  * between corpora.
   */
 object Dedup {
   import Text.{Mult, P}
@@ -122,7 +129,8 @@ object Dedup {
   /** Number of bits in the SimHash fingerprints below. 32 bits / 8-bit
     * bands keeps band buckets selective (256 values per band): at 16 bits
     * the 4-bit band keys had only 16 values and candidate buckets grew
-    * quadratically with corpus size. */
+    * quadratically with corpus size. Token hashes feeding SimHash use the
+    * RAW 32-bit hash (not the mod-P MinHash domain) so bit 31 is live. */
   val SimHashBits = 32
 
   /** SimHash fingerprint over the doc's token-hash multiset: bit j is set

@@ -21,8 +21,11 @@ object Scale {
     */
   def saltedEquiJoin(large: DataFrame, small: DataFrame, key: String,
       salts: Int): DataFrame = {
+    // row-position spreading: cheap, type-safe (no hashing of map/struct
+    // columns), and semantics-neutral — ANY salt assignment yields the
+    // same join result, the salt only splits a hot key's shuffle partition
     val saltedLarge = large.withColumn("_salt",
-      pmod(hash(large.columns.map(col): _*), lit(salts)))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
     val saltedSmall = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLarge.join(saltedSmall, Seq(key, "_salt")).drop("_salt")

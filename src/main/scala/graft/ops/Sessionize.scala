@@ -92,32 +92,39 @@ object Sessionize {
     }
   }
 
-  /** Streaming variant: `mapGroupsWithState` carries the open session per
-    * user across micro-batches and emits its current snapshot each batch
-    * (update mode). A production variant would add an event-time timeout
-    * to finalize idle sessions; the state transition logic is the part
-    * under test and is shared with the batch fold. */
+  /** Streaming variant: `flatMapGroupsWithState` carries the open session
+    * per user across micro-batches; each batch emits the FINAL row of
+    * every session that closed inside the batch plus the current open
+    * session's snapshot (update mode) — so no session's last events are
+    * lost when it closes mid-batch. A production variant would add an
+    * event-time timeout to finalize idle sessions; the state transition
+    * logic is shared with the batch fold. */
   def sessionizeStream(events: Dataset[Event], gapSeconds: Long): Dataset[SessionRow] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionRow](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[SessionState, SessionRow](
+        StreamOutputMode, GroupStateTimeout.NoTimeout) {
         (uid, batch, state: GroupState[SessionState]) =>
           val sorted = batch.toArray.sortWith { (a, b) =>
             val c = a.ts.compareTo(b.ts)
             c < 0 || (c == 0 && a.event_id < b.event_id)
           }
+          val out = Seq.newBuilder[SessionRow]
           var s = state.getOption.orNull
           sorted.foreach { e =>
-            s =
-              if (s == null) SessionState(1L, e.ts, e.ts, 1L)
-              else if (gapExceeded(s.last, e.ts, gapSeconds))
-                SessionState(s.sessionId + 1, e.ts, e.ts, 1L)
-              else s.copy(last = e.ts, n = s.n + 1)
+            if (s == null) s = SessionState(1L, e.ts, e.ts, 1L)
+            else if (gapExceeded(s.last, e.ts, gapSeconds)) {
+              out += SessionRow(uid, s.sessionId, s.start, s.last, s.n) // closed
+              s = SessionState(s.sessionId + 1, e.ts, e.ts, 1L)
+            } else s = s.copy(last = e.ts, n = s.n + 1)
           }
-          state.update(s)
-          SessionRow(uid, s.sessionId, s.start, s.last, s.n)
+          if (s != null) {
+            state.update(s)
+            out += SessionRow(uid, s.sessionId, s.start, s.last, s.n) // open snapshot
+          }
+          out.result().iterator
       }
   }
 

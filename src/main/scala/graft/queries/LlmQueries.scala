@@ -271,7 +271,8 @@ object LlmQueries {
         s"""WITH toks AS (
            |  SELECT doc_id, $toksSql AS t FROM documents),
            |th AS (
-           |  SELECT doc_id, list_transform(t, x -> ${strHashSql("x")}) AS th
+           |  SELECT doc_id,
+           |    list_transform(t, x -> CAST(concat('0x', substr(md5(x),1,8)) AS BIGINT)) AS th
            |  FROM toks WHERE len(t) > 0),
            |sims AS (
            |  SELECT doc_id, $simSql AS sim FROM th),
@@ -302,11 +303,16 @@ object LlmQueries {
     },
 
     // ---- Multimodal: opaque binary + metadata → per-partition stubbed
-    // decode/feature-extract/frame-sample (Multimodal.scala; the oracle
-    // replays the deterministic byte arithmetic on the text form).
+    // decode/feature-extract/frame-sample (Multimodal.scala). The oracle
+    // replays the byte arithmetic on the text form, which only agrees
+    // with real UTF-8 bytes for ASCII — so BOTH sides strip non-printable
+    // -ASCII first, making the bytes==chars contract explicit rather
+    // than an accident of the fixture.
     Q(
       "q30_multimodal_features",
-      s"""SELECT doc_id,
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS text FROM documents)
+         |SELECT doc_id,
          |  CAST(length(text) AS INT) AS n_bytes,
          |  CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
          |  CAST(ascii(substr(text, length(text), 1)) AS INT) AS last_byte,
@@ -315,7 +321,9 @@ object LlmQueries {
               "CAST(0 AS BIGINT)", "(a + x) % 65536")} AS checksum,
          |  CAST((length(text) + 255) // 256 AS INT) AS n_frames,
          |  CAST(((length(text) + 255) // 256 + 3) // 4 AS INT) AS n_sampled
-         |FROM documents""".stripMargin) { (spark, dir) =>
-      Multimodal.extract(spark, Tables.documents(spark, dir), "doc_id", "text")
+         |FROM d""".stripMargin) { (spark, dir) =>
+      val ascii = Tables.documents(spark, dir)
+        .withColumn("text", regexp_replace(col("text"), "[^ -~]", ""))
+      Multimodal.extract(spark, ascii, "doc_id", "text")
     })
 }

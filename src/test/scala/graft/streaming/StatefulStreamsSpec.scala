@@ -59,12 +59,15 @@ class StatefulStreamsSpec extends SparkSuite {
       // within the gap → same session grows across the batch boundary
       ms.addData((1L, Timestamp.valueOf("2024-01-01 11:00:00"), 3L))
       q.processAllAvailable()
-      // beyond the gap → session id rolls over, counter resets
-      ms.addData((1L, Timestamp.valueOf("2024-01-02 10:00:00"), 4L))
+      // one batch holding BOTH a continuing event and a far event: the
+      // closing session's FINAL row must be emitted alongside the new
+      // session's snapshot (a session closing mid-batch loses nothing)
+      ms.addData((1L, Timestamp.valueOf("2024-01-01 11:30:00"), 4L),
+        (1L, Timestamp.valueOf("2024-01-02 10:00:00"), 5L))
       q.processAllAvailable()
       val all = spark.table("graft_session_test")
         .select("session_id", "n_events").as[(Long, Long)].collect().toSeq
-      assert(all.contains((1L, 3L)), "session 1 grew to 3 events across batches")
+      assert(all.contains((1L, 4L)), "closed session 1 emitted its final 4-event row")
       assert(all.last == ((2L, 1L)), "gap exceeded -> new session")
     } finally q.stop()
   }
