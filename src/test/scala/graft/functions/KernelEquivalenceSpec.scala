@@ -1,0 +1,98 @@
+package graft.functions
+
+import graft.SparkSuite
+import graft.ops.{Dedup, Text}
+import org.apache.spark.sql.functions._
+
+/** Bit-identity pins: each compiled kernel must produce EXACTLY the value
+  * of the higher-order-function formula it replaced (the DuckDB oracles
+  * were written against those formulas; fixture data alone doesn't
+  * exercise every edge, so these run on adversarial + seeded-random
+  * inputs). */
+class KernelEquivalenceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(17)
+  private val texts: Seq[String] = Seq(
+    "", " ", "a", "A-b_c 42!", "x " * 500, "tok1 tok2 tok1 tok2",
+    "Ünïcode émojis stay out", "1 2 3 4 5 6 7 8 9") ++
+    (1 to 30).map { _ =>
+      (1 to rng.nextInt(80)).map(_ => s"w${rng.nextInt(40)}").mkString(" ")
+    }
+
+  test("ShingleHashes == sorted distinct HOF md5-shingle pipeline") {
+    val df = texts.toDF("text")
+    val kernel = df.select(
+      call_function("graft_shingle_hashes", col("text"), lit(3)).as("hv"))
+    val hof = df.select(
+      array_sort(array_distinct(transform(
+        array_distinct(Text.shingles(Text.tokens(col("text")), 3)),
+        s => Text.strHash32(s) % Text.P))).as("hv"))
+    assert(kernel.as[Seq[Long]].collect().toSeq == hof.as[Seq[Long]].collect().toSeq)
+  }
+
+  test("TokenHashes == per-token raw md5-prefix HOF") {
+    val df = texts.toDF("text")
+    val kernel = df.select(call_function("graft_token_hashes", col("text")).as("th"))
+    val hof = df.select(
+      transform(Text.tokens(col("text")), t => Text.strHash32(t)).as("th"))
+    // strHash32 is the raw 32-bit parse (no mod); TokenHashes must match it
+    assert(kernel.as[Seq[Long]].collect().toSeq == hof.as[Seq[Long]].collect().toSeq)
+  }
+
+  test("MinHashSignature == k independent array_min HOF signatures") {
+    val hv = (1 to 20).map(_ => (1 to rng.nextInt(50) + 1).map(_ =>
+      rng.nextLong().abs % Text.P).toSeq)
+    val df = hv.toDF("hv")
+    val kernel = df.select(
+      call_function("graft_minhash_signature", col("hv"), lit(12)).as("sig"))
+    val hof = df.select(array((1 to 12).map { i =>
+      array_min(transform(col("hv"),
+        x => (lit(Dedup.minhashA(i)) * x + lit(Dedup.minhashB(i))) % Text.P))
+    }: _*).as("sig"))
+    assert(kernel.as[Seq[Long]].collect().toSeq == hof.as[Seq[Long]].collect().toSeq)
+  }
+
+  test("SimHash == unrolled per-bit HOF formula over raw 32-bit hashes") {
+    val th = (1 to 20).map(_ => (1 to rng.nextInt(60) + 1).map(_ =>
+      rng.nextLong().abs % (1L << 32)).toSeq)
+    val df = th.toDF("th")
+    val kernel = df.select(
+      call_function("graft_simhash", col("th"), lit(32)).as("sim"))
+    val hof = df.select((0 until 32).map { j =>
+      val pow = 1L << j
+      val bitSum = aggregate(col("th"), lit(0L),
+        (acc, x) => acc + (x.cast("long") / pow).cast("long") % 2 * 2 - 1)
+      when(bitSum > 0, lit(pow)).otherwise(lit(0L))
+    }.reduce(_ + _).as("sim"))
+    assert(kernel.as[Long].collect().toSeq == hof.as[Long].collect().toSeq)
+  }
+
+  test("SortedIntersectSize == size(array_intersect) on sorted distinct arrays") {
+    val pairs = (1 to 30).map { _ =>
+      def arr = (1 to rng.nextInt(40)).map(_ => rng.nextInt(60).toLong)
+        .distinct.sorted.toSeq
+      (arr, arr)
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq(5L), Seq(5L)))
+    val df = pairs.toDF("a", "b")
+    val kernel = df.select(
+      call_function("graft_sorted_intersect_size", col("a"), col("b")).as("n"))
+    val hof = df.select(size(array_intersect(col("a"), col("b"))).as("n"))
+    assert(kernel.as[Int].collect().toSeq == hof.as[Int].collect().toSeq)
+  }
+
+  test("DotProduct == aggregate(zip_with) sequential fold, bit for bit") {
+    val vecs = (1 to 20).map { _ =>
+      val n = rng.nextInt(64) + 1
+      ((1 to n).map(_ => rng.nextDouble() * 2 - 1).toSeq,
+        (1 to n).map(_ => rng.nextDouble() * 2 - 1).toSeq)
+    }
+    val df = vecs.toDF("a", "b")
+    val kernel = df.select(call_function("graft_dot_product", col("a"), col("b")).as("d"))
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("d"))
+    // bit-identical, not approximately equal — the oracle depends on it
+    assert(kernel.as[Double].collect().toSeq == hof.as[Double].collect().toSeq)
+  }
+}

@@ -102,6 +102,26 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("maxFilesPerTrigger: input drains over multiple micro-batches (T1/T2)") {
+    val in = tmp("stream-in"); val out = tmp("out"); val cp = tmp("cp")
+    (0 until 3).foreach(i =>
+      writeInput(in, s"b$i.json", Seq(line(i + 1, s"""{"k": ${i + 1}}"""))))
+    val raw = spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1").json(in.toString)
+    val q = graft.ops.Cdc.split(raw, "payload", innerSchema).valid
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", cp.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // AvailableNow + maxFilesPerTrigger=1 → one micro-batch per file
+    assert(q.recentProgress.count(_.numInputRows > 0) == 3,
+      s"expected 3 draining micro-batches, got ${q.recentProgress.map(_.numInputRows).toSeq}")
+    assert(spark.read.parquet(out.toString).count() == 3)
+  }
+
   test("console tee + multi-query monitoring (K5/T6)") {
     val in = tmp("stream-in"); val valid = tmp("valid"); val dlq = tmp("dlq"); val cp = tmp("cp")
     writeInput(in, "b.json", Seq(line(1, """{"k": 1}""")))
