@@ -27,6 +27,9 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = try { queries(name)(spark, sfDir).count(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+      // isolate queries: session-scoped caches (dedup signature tables
+      // etc.) must not tax the storage memory of later-running queries
+      spark.catalog.clearCache()
       // a failed query reports -1 so a regression can't masquerade as a speedup
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }

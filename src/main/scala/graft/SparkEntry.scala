@@ -10,7 +10,8 @@ object SparkEntry {
     * LLM-pipeline operator), each with a DuckDB oracle where the semantics
     * are ANSI-SQL-expressible. */
   def registry: Seq[Q] =
-    HrQueries.all ++ PipelineQueries.all ++ LlmQueries.all ++ StatefulQueries.all
+    HrQueries.all ++ PipelineQueries.all ++ LlmQueries.all ++
+      StatefulQueries.all ++ TemporalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

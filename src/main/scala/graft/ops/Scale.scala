@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Scale techniques as first-class operators: explicit key salting for
@@ -19,13 +19,16 @@ object Scale {
     * deterministic fallback for extreme single-key skew (and works for
     * aggregations-after-join where AQE cannot).
     */
+  /** @param saltBy deterministic expression spreading a hot key's rows
+    *   across salts (e.g. a narrow-column hash). Defaults to row-position
+    *   spreading, which is type-safe but nondeterministic-flagged —
+    *   prefer passing a cheap hash of stable columns. ANY assignment
+    *   yields the same join result; the salt only splits shuffle
+    *   partitions. */
   def saltedEquiJoin(large: DataFrame, small: DataFrame, key: String,
-      salts: Int): DataFrame = {
-    // row-position spreading: cheap, type-safe (no hashing of map/struct
-    // columns), and semantics-neutral — ANY salt assignment yields the
-    // same join result, the salt only splits a hot key's shuffle partition
-    val saltedLarge = large.withColumn("_salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+      salts: Int, saltBy: Option[Column] = None): DataFrame = {
+    val salt = saltBy.getOrElse(pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val saltedLarge = large.withColumn("_salt", salt.cast("int") % salts)
     val saltedSmall = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLarge.join(saltedSmall, Seq(key, "_salt")).drop("_salt")

@@ -155,7 +155,8 @@ object PipelineQueries {
       Scale
         .saltedEquiJoin(
           Tables.lineitem(spark, dir).withColumnRenamed("l_orderkey", "o_orderkey"),
-          Tables.orders(spark, dir), "o_orderkey", salts = 8)
+          Tables.orders(spark, dir), "o_orderkey", salts = 8,
+          saltBy = Some(pmod(hash(col("l_linenumber"), col("o_orderkey")), lit(8))))
         .groupBy(col("o_orderpriority"))
         .agg(
           count(lit(1)).as("n_items"),

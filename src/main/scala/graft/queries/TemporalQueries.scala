@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Temporal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Temporal-join and multi-level aggregate queries: as-of join (the
+  * natural SCD2 read-side query the reference materializes around),
+  * point-in-interval range join via time binning, and ROLLUP subtotals.
+  */
+object TemporalQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- As-of join: every event attached to the latest "rate update"
+    // (every 10th event) at-or-before it for the same user. One window
+    // pass, one shuffle — the oracle uses DuckDB's native ASOF LEFT JOIN.
+    Q(
+      "q38_asof_join",
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |r AS (
+        |  SELECT user_id, ts, value AS rate, event_id AS rate_event
+        |  FROM e WHERE event_id % 10 = 0)
+        |SELECT e.event_id, e.user_id, e.ts, e.value,
+        |       r.rate AS right_rate, r.rate_event AS right_rate_event,
+        |       r.ts AS right_ts
+        |FROM e ASOF LEFT JOIN r
+        |  ON e.user_id = r.user_id AND e.ts >= r.ts""".stripMargin) { (spark, dir) =>
+      val e = Tables.events(spark, dir).select("event_id", "user_id", "ts", "value")
+      val rates = e.filter(col("event_id") % 10 === 0)
+        .select(col("user_id"), col("ts"),
+          col("value").as("rate"), col("event_id").as("rate_event"))
+      Temporal.asOfJoin(e, rates, "user_id", "ts", Seq("rate", "rate_event"), "rate_event")
+    },
+
+    // ---- Binned range join: events counted into 6-hour promo windows
+    // (every 200th event opens one). The bin explode turns the range
+    // predicate into an equi-join; oracle is the naive BETWEEN join.
+    Q(
+      "q39_range_join",
+      """WITH w AS (
+        |  SELECT event_id AS promo_id, CAST(ts AS TIMESTAMP) AS ws,
+        |         CAST(ts AS TIMESTAMP) + INTERVAL 6 HOUR AS we
+        |  FROM events WHERE event_id % 200 = 0),
+        |e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+        |SELECT w.promo_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM e JOIN w ON e.ts BETWEEN w.ws AND w.we
+        |GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val e = Tables.events(spark, dir).select("event_id", "ts", "value")
+      val windows = e.filter(col("event_id") % 200 === 0)
+        .select(col("event_id").as("promo_id"), col("ts").as("ws"),
+          (col("ts") + expr("INTERVAL 6 HOURS")).as("we"))
+      Temporal.binnedRangeJoin(e.drop("event_id"), windows, "ts", "ws", "we",
+        binSeconds = 21600)
+        .groupBy("promo_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total_value"))
+    },
+
+    // ---- ROLLUP subtotals (multi-level aggregate; beyond the
+    // reference's flat GROUP BYs): per-month, per-year, and grand total.
+    Q(
+      "q40_rollup",
+      """SELECT CAST(year(o_orderdate) AS INT) AS year,
+        |       CAST(month(o_orderdate) AS INT) AS month,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY ROLLUP (year, month)""".stripMargin) { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .rollup(
+          year(col("o_orderdate")).cast("int").as("year"),
+          month(col("o_orderdate")).cast("int").as("month"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total_price"))
+    })
+}
