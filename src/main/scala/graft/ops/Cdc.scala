@@ -44,7 +44,7 @@ object Cdc {
     Split(
       valid = parsed
         .filter(!parseFailed)
-        .select(schema.fieldNames.map(f => col(s"data.$f")) ++ df.columns.map(col): _*),
+        .select(schema.fieldNames.toSeq.map(f => col(s"data.$f")) ++ df.columns.toSeq.map(col): _*),
       invalid = parsed.filter(parseFailed).drop("data"))
   }
 

@@ -74,7 +74,7 @@ object Similarity {
   /** One row per (vector, table) with the table's bucket as key. */
   private def withTableBuckets(df: DataFrame, vCol: String, nbits: Int,
       dim: Int, tables: Int): DataFrame =
-    df.select(df.columns.map(col) :+ posexplode(
+    df.select(df.columns.toSeq.map(col) :+ posexplode(
       array((0 until tables).map(t => lshBucket(col(vCol), nbits, dim, t)): _*)): _*)
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "bucket")

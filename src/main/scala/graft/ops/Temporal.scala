@@ -50,7 +50,8 @@ object Temporal {
     val w = Window.partitionBy(col(key))
       .orderBy(col(tsCol), col("_side"), col("_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.select(r.columns.map(col): _*).unionByName(r.select(r.columns.map(col): _*))
+    l.select(r.columns.toSeq.map(col): _*)
+      .unionByName(r.select(r.columns.toSeq.map(col): _*))
       .withColumn("_matched", last(col("_rdata"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
       .select(leftCols.map(col) ++
