@@ -38,6 +38,27 @@ object Streams {
   def parquetFileSource(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
+  /** S4 with the EXACT Kafka-source column contract — key/value binary,
+    * topic, partition, offset, timestamp, timestampType (the row shape of
+    * `format("kafka")`, kafka_DLQ.py:38-46). Downstream code written
+    * against this adapter runs unchanged when the file source is swapped
+    * for the real connector; `keyCol`/`valueCol` name columns of the
+    * staged JSON-lines input. `offset` is an OPAQUE stand-in (a row hash —
+    * monotone counters aren't expressible on a streaming frame); real
+    * offsets come from the connector. */
+  def kafkaShapedSource(spark: SparkSession, dir: String, inputSchema: StructType,
+      keyCol: String, valueCol: String, tsCol: String,
+      topic: String): DataFrame =
+    spark.readStream.schema(inputSchema).json(dir)
+      .select(
+        col(keyCol).cast("string").cast("binary").as("key"),
+        col(valueCol).cast("string").cast("binary").as("value"),
+        lit(topic).as("topic"),
+        spark_partition_id().as("partition"),
+        xxhash64(col(keyCol), col(valueCol), col(tsCol)).as("offset"),
+        col(tsCol).cast("timestamp").as("timestamp"),
+        lit(0).as("timestampType"))
+
   /** K2: exactly-once micro-batch append to a parquet table with a
     * checkpoint (kafka_DLQ.py:59-63; parquet for Delta per SURVEY §7.1). */
   def parquetAppend(df: DataFrame, path: String, checkpoint: String,

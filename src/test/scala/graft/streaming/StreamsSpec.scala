@@ -102,6 +102,29 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("kafkaShapedSource: exact Kafka-source column contract (S4)") {
+    val in = tmp("stream-in"); val cp = tmp("cp")
+    writeInput(in, "b.json", Seq(line(1, """{"k": 1}""")))
+    val src = Streams.kafkaShapedSource(spark, in.toString, eventSchema,
+      keyCol = "id", valueCol = "payload", tsCol = "kafka_ts", topic = "hr.events")
+    assert(src.schema.map(f => (f.name, f.dataType.simpleString)) == Seq(
+      "key" -> "binary", "value" -> "binary", "topic" -> "string",
+      "partition" -> "int", "offset" -> "bigint",
+      "timestamp" -> "timestamp", "timestampType" -> "int"))
+    // the canonical consumer's first step runs unchanged on this shape
+    // (kafka_DLQ.py:46 selectExpr CAST value AS STRING)
+    val q = src.selectExpr("CAST(value AS STRING) AS json_str", "topic")
+      .writeStream.format("memory").queryName("graft_kafka_shape")
+      .outputMode("append")
+      .option("checkpointLocation", cp.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("graft_kafka_shape").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0).contains(""""k": 1"""))
+    assert(rows.head.getString(1) == "hr.events")
+  }
+
   test("maxFilesPerTrigger: input drains over multiple micro-batches (T1/T2)") {
     val in = tmp("stream-in"); val out = tmp("out"); val cp = tmp("cp")
     (0 until 3).foreach(i =>
