@@ -61,6 +61,26 @@ object TemporalQueries {
           sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total_value"))
     },
 
+    // ---- Set operations beyond the reference's UNION surface:
+    // INTERSECT/EXCEPT with distinct-set semantics.
+    Q(
+      "q41_set_ops",
+      """SELECT id FROM (
+        |  SELECT c_custkey AS id FROM customer WHERE c_custkey <= 200
+        |  INTERSECT
+        |  SELECT user_id AS id FROM events)
+        |EXCEPT
+        |SELECT o_custkey AS id FROM orders
+        |WHERE o_orderkey % 2 = 0 AND o_custkey <= 50""".stripMargin) { (spark, dir) =>
+      val active = Tables.customer(spark, dir)
+        .filter(col("c_custkey") <= 200).select(col("c_custkey").as("id"))
+      val seen = Tables.events(spark, dir).select(col("user_id").as("id"))
+      val excluded = Tables.orders(spark, dir)
+        .filter(col("o_orderkey") % 2 === 0 && col("o_custkey") <= 50)
+        .select(col("o_custkey").as("id"))
+      active.intersect(seen).except(excluded)
+    },
+
     // ---- ROLLUP subtotals (multi-level aggregate; beyond the
     // reference's flat GROUP BYs): per-month, per-year, and grand total.
     Q(
