@@ -38,6 +38,15 @@ object Sessions {
     ext.injectFunction((FunctionIdentifier("graft_dot_product"),
       info("graft_dot_product", classOf[DotProduct]),
       (e: Seq[Expression]) => DotProduct(e.head, e(1))))
+    ext.injectFunction((FunctionIdentifier("graft_hll_distinct"),
+      info("graft_hll_distinct", classOf[HllDistinct]),
+      (e: Seq[Expression]) => HllDistinct(e.head,
+        if (e.length > 1) intArg(e(1), "graft_hll_distinct") else 12)))
+    ext.injectFunction((FunctionIdentifier("graft_lsh_buckets"),
+      info("graft_lsh_buckets", classOf[LshBuckets]),
+      (e: Seq[Expression]) => LshBuckets(e.head,
+        intArg(e(1), "graft_lsh_buckets"), intArg(e(2), "graft_lsh_buckets"),
+        intArg(e(3), "graft_lsh_buckets"))))
   }
 
   /** Standard engine session builder (UTC, tuned shuffle width, events

@@ -11,7 +11,7 @@ object SparkEntry {
     * are ANSI-SQL-expressible. */
   def registry: Seq[Q] =
     HrQueries.all ++ PipelineQueries.all ++ LlmQueries.all ++
-      StatefulQueries.all ++ TemporalQueries.all
+      StatefulQueries.all ++ TemporalQueries.all ++ AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

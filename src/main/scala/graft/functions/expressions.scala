@@ -246,6 +246,55 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All `tables` random-hyperplane LSH bucket ids of a double vector in one
+  * compiled pass — bit-identical to Similarity's HOF formula (sequential
+  * left-fold projection per plane; plane (t·nbits+b, j) sign =
+  * ((g·dim + j)·Mult) mod P mod 2 == 0 ? +1 : −1, j 0-based), which
+  * evaluates interpreted per element and per plane (tables·nbits folds of
+  * dim boxed lambda calls per row). Signs are precomputed once per plan.
+  * Returns ARRAY<BIGINT> of length `tables` (bucket of table t at index t). */
+case class LshBuckets(child: Expression, nbits: Int, dim: Int, tables: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects ARRAY<DOUBLE>, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lsh_buckets"
+
+  // signs(g)(j) for plane g = t*nbits + b, vector element j (0-based)
+  private lazy val signs: Array[Array[Double]] =
+    Array.tabulate(tables * nbits, dim) { (g, j) =>
+      if ((g.toLong * dim + j) * graft.ops.Text.Mult % graft.ops.Text.P % 2 == 0) 1.0 else -1.0
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < nbits) {
+        val s = signs(t * nbits + b)
+        var proj = 0.0
+        var j = 0
+        while (j < n) { proj += v.getDouble(j) * s(j); j += 1 }
+        if (proj > 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+    copy(child = newChild)
+}
+
 /** Sequential-left-fold dot product of two double arrays — bit-identical
   * to aggregate(zip_with(a, b, _*_), 0.0, _+_) but one compiled loop
   * (the HOF pair is interpreted per element and dominated the

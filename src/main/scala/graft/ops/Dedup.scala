@@ -168,8 +168,12 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      // Hamming is deterministic per pair, so filtering BEFORE the
+      // dedup shuffle is equivalent — and shuffles only the matching
+      // pairs instead of every band collision (the collision set grows
+      // with corpus size; the match set is the tiny near-dup tail)
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact n-gram Jaccard over *blocked* candidate pairs: all pairs

@@ -41,6 +41,12 @@ object Scale {
     * it pre-partitioned; bucket count is sized to executor parallelism.
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write.mode("overwrite").format("parquet")
+    // repartition on the key with width == bucket count: Spark's bucket
+    // assignment is the same murmur3 hash as HashPartitioning, so each
+    // task then holds exactly one bucket and writes ONE file — without
+    // this, every input partition writes a file per bucket it touches
+    // (p×b small files; at 32 partitions × 8 buckets the file-commit
+    // overhead dominated the write).
+    df.repartition(buckets, col(key)).write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
 }

@@ -60,10 +60,21 @@ object Similarity {
     when(pmod((lit(bit.toLong * dim) + d) * Mult, lit(P)) % 2 === 0, lit(1.0))
       .otherwise(lit(-1.0))
 
-  /** Random-hyperplane LSH bucket id (nbits bits) of a double vector for
-    * hash `table`: bit b = sign of the projection onto plane
-    * (table·nbits + b) — tables use disjoint plane families. */
-  def lshBucket(v: Column, nbits: Int, dim: Int, table: Int = 0): Column =
+  /** All `tables` random-hyperplane LSH bucket ids (nbits bits each) of a
+    * double vector in ONE compiled pass (graft.functions.LshBuckets) —
+    * bucket of table t at array index t+1 (1-based element_at). Tables use
+    * disjoint plane families. */
+  def lshBuckets(v: Column, nbits: Int, dim: Int, tables: Int): Column =
+    call_function("graft_lsh_buckets", v, lit(nbits), lit(dim), lit(tables))
+
+  /** Single-table LSH bucket id (see [[lshBuckets]]). */
+  def lshBucket(v: Column, nbits: Int, dim: Int): Column =
+    element_at(lshBuckets(v, nbits, dim, 1), 1)
+
+  /** Interpreted HOF formula of [[lshBuckets]] for hash `table` — kept as
+    * the executable spec the compiled kernel is pinned against
+    * (KernelEquivalenceSpec); the hot paths call the kernel. */
+  def lshBucketHof(v: Column, nbits: Int, dim: Int, table: Int = 0): Column =
     (0 until nbits).map { b =>
       val proj = aggregate(
         transform(v, (x, i) => x * planeSign(table * nbits + b, i, dim)),
@@ -74,8 +85,8 @@ object Similarity {
   /** One row per (vector, table) with the table's bucket as key. */
   private def withTableBuckets(df: DataFrame, vCol: String, nbits: Int,
       dim: Int, tables: Int): DataFrame =
-    df.select(df.columns.toSeq.map(col) :+ posexplode(
-      array((0 until tables).map(t => lshBucket(col(vCol), nbits, dim, t)): _*)): _*)
+    df.select(df.columns.toSeq.map(col) :+
+      posexplode(lshBuckets(col(vCol), nbits, dim, tables)): _*)
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "bucket")
 

@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Analytic-SQL surface beyond the reference's flat GROUP BYs: the full
+  * window-function battery, PIVOT, CUBE with grouping_id, exact
+  * distribution quantiles, and the HLL sketch aggregate (the custom
+  * TypedImperativeAggregate in graft.functions.HllDistinct).
+  */
+object AnalyticsQueries {
+
+  private val priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+  private def pcol(p: String) =
+    "p" + p.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Window-function battery: ranking, distribution, and offset
+    // functions over one total order (the tie-broken ORDER BY makes every
+    // output — including lag/lead neighbors — deterministic).
+    Q(
+      "q42_window_battery",
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS prank,
+        |  cume_dist() OVER w AS cdist,
+        |  lag(c_acctbal, 1) OVER w AS prev_bal,
+        |  lead(c_acctbal, 1) OVER w AS next_bal
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)""".stripMargin) {
+      (spark, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        Tables.customer(spark, dir).select(
+          col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"),
+          lag(col("c_acctbal"), 1).over(w).as("prev_bal"),
+          lead(col("c_acctbal"), 1).over(w).as("next_bal"))
+    },
+
+    // ---- PIVOT: long→wide reshape with a fixed column set (the
+    // DataFrame pivot with explicit values — one pass, no per-value
+    // scans; absent cells coalesce to 0 to match conditional-count SQL).
+    Q(
+      "q43_pivot",
+      s"""SELECT o_orderstatus,
+         |  ${priorities.map(p =>
+             s"CAST(count(CASE WHEN o_orderpriority = '$p' THEN 1 END) AS BIGINT) AS ${pcol(p)}")
+             .mkString(",\n  ")}
+         |FROM orders GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val wide = Tables.orders(spark, dir)
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", priorities)
+        .count()
+      wide.select(col("o_orderstatus") +:
+        priorities.map(p => coalesce(col(s"`$p`"), lit(0L)).as(pcol(p))): _*)
+    },
+
+    // ---- CUBE + grouping_id: all four aggregation levels in one pass
+    // (Spark Expand, one shuffle), with the grouping bitmask exposed so
+    // consumers can tell a NULL key from a subtotal row.
+    Q(
+      "q44_cube_grouping",
+      """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin) {
+      (spark, dir) =>
+        Tables.orders(spark, dir)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            grouping_id().cast("long").as("gid"),
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total_price"))
+          .select("gid", "o_orderstatus", "o_orderpriority", "n_orders", "total_price")
+    },
+
+    // ---- Exact interpolated quantiles per group. Both engines compute
+    // the same 1-based rank interpolation ((n−1)·q) over sorted doubles;
+    // l_quantity is integer-valued so the quartiles are exact halves —
+    // bit-identical across engines.
+    Q(
+      "q47_quantiles",
+      """SELECT l_returnflag,
+        |  CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS DOUBLE) AS q25,
+        |  CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.50) AS DOUBLE) AS q50,
+        |  CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS DOUBLE) AS q75,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val q = Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          percentile(col("l_quantity").cast("double"), lit(0.25)).as("q25"),
+          percentile(col("l_quantity").cast("double"), lit(0.50)).as("q50"),
+          percentile(col("l_quantity").cast("double"), lit(0.75)).as("q75"),
+          count(lit(1)).as("n"))
+      q
+    },
+
+    // ---- HLL sketch vs exact NDV per group (graft.functions.HllDistinct,
+    // p=12 → ~1.6% expected error). The sketch is engine-specific (DuckDB
+    // cannot replay its registers), so this is a rows-only entry; the
+    // error bound and merge determinism are pinned in HllSpec instead.
+    Q.noOracle("q48_hll_distinct") { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          call_function("graft_hll_distinct", col("l_orderkey")).as("hll_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+    })
+}

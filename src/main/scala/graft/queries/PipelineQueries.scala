@@ -154,8 +154,11 @@ object PipelineQueries {
       import org.apache.spark.sql.types.DecimalType
       Scale
         .saltedEquiJoin(
-          Tables.lineitem(spark, dir).withColumnRenamed("l_orderkey", "o_orderkey"),
-          Tables.orders(spark, dir), "o_orderkey", salts = 8,
+          Tables.lineitem(spark, dir)
+            .select(col("l_orderkey").as("o_orderkey"),
+              col("l_quantity"), col("l_linenumber")),
+          Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
+          "o_orderkey", salts = 8,
           saltBy = Some(pmod(hash(col("l_linenumber"), col("o_orderkey")), lit(8))))
         .groupBy(col("o_orderpriority"))
         .agg(
@@ -173,10 +176,15 @@ object PipelineQueries {
         |  CAST(max(l.l_shipdate) AS TIMESTAMP) AS latest_ship
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1""".stripMargin) { (spark, dir) =>
+      // layout only the columns the downstream queries consume — the
+      // bucketed write is a materialization, and bucketing a 16-column
+      // fact to serve a 2-column query re-writes 8× the bytes needed
       Scale.writeBucketed(
-        Tables.orders(spark, dir), "graft_b_orders", "o_orderkey", 8)
+        Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus"),
+        "graft_b_orders", "o_orderkey", 8)
       Scale.writeBucketed(
-        Tables.lineitem(spark, dir).withColumnRenamed("l_orderkey", "o_orderkey"),
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate")),
         "graft_b_lineitem", "o_orderkey", 8)
       spark.table("graft_b_lineitem")
         .join(spark.table("graft_b_orders"), "o_orderkey")

@@ -52,9 +52,13 @@ object StatefulQueries {
           count(lit(1)).as("n_events"),
           sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total_value"))
       val name = "graft_q31_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // state width sized to the window-key volume (~few hundred groups),
+      // not the batch CPU count — see Streams.withShufflePartitions
+      graft.streaming.Streams.withShufflePartitions(spark, 4) {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       spark.table(name).select(
         col("w.start").as("day"), col("event_type"),
         col("n_events"), col("total_value"))
@@ -146,23 +150,27 @@ object StatefulQueries {
       val src = ms.toDF()
         .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment", "upd")
         .withColumn("updated_at", col("upd").cast("timestamp_ntz")).drop("upd")
-      val q = src.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          Streams.scd2Upsert(batch, target, "c_custkey", Seq("c_acctbal"))
-        }
-        .outputMode("update")
-        .option("checkpointLocation", cp)
-        .start()
       def batchOf(delta: Double, ts: String) = c
         .filter(col("c_custkey") % 3 === 0)
         .collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getInt(2),
           r.getDouble(3) + delta, r.getString(4), ts))
-      try {
-        ms.addData(batchOf(10.0, "2024-02-01 00:00:00"))
-        q.processAllAvailable()
-        ms.addData(batchOf(20.0, "2024-03-01 00:00:00"))
-        q.processAllAvailable()
-      } finally q.stop()
+      // the per-batch SCD2 merge joins a few thousand rows — 4 shuffle
+      // partitions, not the batch-tuned 32 (see withShufflePartitions)
+      Streams.withShufflePartitions(spark, 4) {
+        val q = src.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            Streams.scd2Upsert(batch, target, "c_custkey", Seq("c_acctbal"))
+          }
+          .outputMode("update")
+          .option("checkpointLocation", cp)
+          .start()
+        try {
+          ms.addData(batchOf(10.0, "2024-02-01 00:00:00"))
+          q.processAllAvailable()
+          ms.addData(batchOf(20.0, "2024-03-01 00:00:00"))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       spark.read.parquet(target)
     },
 
@@ -205,6 +213,76 @@ object StatefulQueries {
         .topKIvf(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 3, centroids = 16, nprobe = 2)
         .withColumn("cos", round(col("cos"), 6))
+    },
+
+    // ---- Stream-stream inner join with watermarks on both sides: the
+    // event stream joined to its flagged subset on the event key with a
+    // ±1h event-time constraint (the constraint is what lets the engine
+    // expire join state — without it, both sides buffer forever).
+    // AvailableNow over the fixture; oracle is the equivalent batch join.
+    Q(
+      "q45_stream_stream_join",
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |f AS (
+        |  SELECT event_id, value AS flag_value FROM e WHERE event_id % 10 = 0)
+        |SELECT e.event_id, e.user_id, e.ts, e.value, f.flag_value
+        |FROM e JOIN f USING (event_id)""".stripMargin) { (spark, dir) =>
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q45-in")
+      streamDir.toFile.deleteOnExit()
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      // watermarks require TIMESTAMP (not NTZ); the session runs in UTC so
+      // the wall-clock values are identical — cast to NTZ only on output
+      def src = spark.readStream.schema(eventsRawSchema).parquet(streamDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val left = src.select("event_id", "user_id", "ts", "value")
+        .withWatermark("ts", "1 day")
+      val right = src.filter(col("event_id") % 10 === 0)
+        .select(col("event_id").as("f_event_id"), col("ts").as("f_ts"),
+          col("value").as("flag_value"))
+        .withWatermark("f_ts", "1 day")
+      val joined = left.join(right,
+        col("event_id") === col("f_event_id") &&
+          col("f_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+          col("f_ts") <= col("ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"), col("value"), col("flag_value"))
+      val name = "graft_q45_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      graft.streaming.Streams.withShufflePartitions(spark, 4) {
+        val q = joined.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      spark.table(name)
+    },
+
+    // ---- Streaming dedup: dropDuplicates keyed on (user_id, event_type)
+    // with an event-time watermark. Which physical row survives per key
+    // depends on arrival order, so only the KEY columns are emitted —
+    // exactly the distinct-key set, arrival-order-independent.
+    Q(
+      "q46_stream_dedup",
+      "SELECT DISTINCT user_id, event_type FROM events") { (spark, dir) =>
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q46-in")
+      streamDir.toFile.deleteOnExit()
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      // TIMESTAMP (not NTZ) for the watermark column; it is not emitted
+      val src = spark.readStream.schema(eventsRawSchema).parquet(streamDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 day")
+        .dropDuplicates("user_id", "event_type")
+        .select("user_id", "event_type")
+      val name = "graft_q46_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      graft.streaming.Streams.withShufflePartitions(spark, 4) {
+        val q = src.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      spark.table(name)
     },
 
     // ---- Embedding-cosine near-dup pairs within hyperplane buckets

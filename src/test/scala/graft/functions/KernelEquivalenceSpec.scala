@@ -81,6 +81,17 @@ class KernelEquivalenceSpec extends SparkSuite {
     assert(kernel.as[Int].collect().toSeq == hof.as[Int].collect().toSeq)
   }
 
+  test("LshBuckets == per-table interpreted HOF projection formula") {
+    val dim = 64
+    val vecs = (1 to 20).map(_ => (1 to dim).map(_ => rng.nextDouble() * 2 - 1).toSeq)
+    val df = vecs.toDF("v")
+    val kernel = df.select(
+      call_function("graft_lsh_buckets", col("v"), lit(4), lit(dim), lit(4)).as("bk"))
+    val hof = df.select(array((0 until 4).map(t =>
+      graft.ops.Similarity.lshBucketHof(col("v"), 4, dim, t)): _*).as("bk"))
+    assert(kernel.as[Seq[Long]].collect().toSeq == hof.as[Seq[Long]].collect().toSeq)
+  }
+
   test("DotProduct == aggregate(zip_with) sequential fold, bit for bit") {
     val vecs = (1 to 20).map { _ =>
       val n = rng.nextInt(64) + 1
