@@ -42,6 +42,9 @@ object Sessions {
       info("graft_hll_distinct", classOf[HllDistinct]),
       (e: Seq[Expression]) => HllDistinct(e.head,
         if (e.length > 1) intArg(e(1), "graft_hll_distinct") else 12)))
+    ext.injectFunction((FunctionIdentifier("graft_freq_sketch"),
+      info("graft_freq_sketch", classOf[FreqSketch]),
+      (e: Seq[Expression]) => FreqSketch(e.head, intArg(e(1), "graft_freq_sketch"))))
     ext.injectFunction((FunctionIdentifier("graft_lsh_buckets"),
       info("graft_lsh_buckets", classOf[LshBuckets]),
       (e: Seq[Expression]) => LshBuckets(e.head,

@@ -11,7 +11,8 @@ object SparkEntry {
     * are ANSI-SQL-expressible. */
   def registry: Seq[Q] =
     HrQueries.all ++ PipelineQueries.all ++ LlmQueries.all ++
-      StatefulQueries.all ++ TemporalQueries.all ++ AnalyticsQueries.all
+      StatefulQueries.all ++ TemporalQueries.all ++ AnalyticsQueries.all ++
+      CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

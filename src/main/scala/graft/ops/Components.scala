@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair relation — the step that turns
+  * near-duplicate PAIRS (Dedup.nearDupPairs / simhashPairs /
+  * Similarity.cosineNearDupPairs) into duplicate CLUSTERS, so a dedup
+  * pipeline can pick one canonical survivor per cluster instead of
+  * reasoning about an edge list. The reference pipeline has no graph
+  * step; this extends the engine toward corpus-level curation
+  * (builder brief: dedup as a first-class 100 TB operation).
+  *
+  * Algorithm: minimum-label propagation to fixpoint. Every vertex
+  * starts labeled with itself; each round replaces a vertex's label
+  * with the min over its own and its neighbors' labels; at fixpoint
+  * every vertex carries the min vertex id of its component. Rounds are
+  * pure DataFrame joins/aggregations (shuffle on vertex id), so each
+  * round is one co-partitioned join + one hash aggregate at any scale.
+  *
+  * Scale notes:
+  *  - Round count is the graph DIAMETER. Near-dup graphs are tiny
+  *    star/clique clusters (diameter ≤ ~3), so propagation converges in
+  *    a handful of rounds; for adversarial long-path graphs the
+  *    large-star/small-star alternation (Kiveris et al., "Connected
+  *    Components in MapReduce and Beyond") gets O(log n) rounds — the
+  *    swap-in point is this same (id, comp) fixpoint loop.
+  *  - `localCheckpoint` each round truncates the iterative plan lineage
+  *    (uncheckpointed, Catalyst re-analyzes a plan that doubles per
+  *    round and re-executes every prior round per action).
+  *  - The convergence probe is `isEmpty` on the changed-label set — a
+  *    driver-side boolean per round, not a data collect.
+  */
+object Components {
+
+  /** (id, comp) for every vertex of the `srcCol`/`dstCol` pair relation;
+    * comp = min vertex id reachable. Throws if `maxIter` rounds don't
+    * reach the fixpoint (deterministic-output contract — a partial
+    * propagation would silently mislabel).
+    *
+    * Each round is neighbor-min propagation PLUS one pointer-jumping hop
+    * (comp ← comp(comp)), so label paths halve every round: convergence
+    * in O(log diameter) rounds instead of O(diameter). Checkpoints are
+    * lazy — the convergence probe is the action that materializes the
+    * round, one job per round, and each round's plan is 3 small
+    * co-partitioned joins regardless of how many rounds preceded it. */
+  def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25, smallGraphEdges: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    // the label/edge tables are tiny relative to the corpus (near-dup
+    // tail); a cluster run sizes this to edge volume, not corpus width
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      // symmetric edge list; distinct so parallel edges don't inflate joins
+      val half = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      val edges = half
+        .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .localCheckpoint()
+      // Adaptive small-graph path (the AQE move: measure, then pick the
+      // physical strategy): a near-dup edge list is usually the tiny tail
+      // of a huge corpus, and a driver union-find beats a multi-round
+      // distributed fixpoint by the whole per-round scheduling cost. The
+      // count is a metadata-cheap scan of the materialized checkpoint;
+      // same min-label output either way (pinned by CurationSpec).
+      if (edges.count() <= smallGraphEdges) return driverUnionFind(edges)
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id"))
+        .localCheckpoint()
+      var round = 0
+      while (round < maxIter) {
+        // min label over each vertex's neighborhood (incl. its own label)
+        val viaNeighbors = edges
+          .join(labels.select(col("id").as("dst"), col("comp")), "dst")
+          .select(col("src").as("id"), col("comp"))
+        val propagated = labels.unionByName(viaNeighbors)
+          .groupBy("id").agg(min("comp").as("comp"))
+        // pointer jump: follow the label one more hop (comp is itself a
+        // vertex, so it has a label) — path-halving each round
+        val next = propagated
+          .join(
+            propagated.select(col("id").as("comp"), col("comp").as("comp2")),
+            Seq("comp"), "left")
+          .select(col("id"), coalesce(col("comp2"), col("comp")).as("comp"))
+          .localCheckpoint(eager = false)
+        val changed = next.join(labels.withColumnRenamed("comp", "prevc"), "id")
+          .filter(col("comp") < col("prevc"))
+        val done = changed.isEmpty // the one action: materializes `next` too
+        labels = next
+        round += 1
+        if (done) return labels
+      }
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "component diameter exceeds the round budget; raise maxIter or " +
+          "switch to large-star/small-star alternation")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Weighted-union union-find with path compression over a collected
+    * edge list, rooted at each component's MIN vertex id — identical
+    * output to the distributed fixpoint. Only reachable below the
+    * `smallGraphEdges` gate. */
+  private def driverUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // compress
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // min id becomes the root — the deterministic label contract
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+    parent.keysIterator.map(id => (id, find(id))).toSeq.toDF("id", "comp")
+  }
+
+  /** Full dedup resolution over a document table: every row keyed to its
+    * cluster representative (min id of its near-dup component; itself if
+    * unpaired), plus the keep/drop verdict — `keep` iff the row IS the
+    * representative. One left join against the component map. */
+  def resolveClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, srcCol, dstCol)
+      .withColumnRenamed("id", idCol)
+    docs.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("comp"), col(idCol)).as("component"),
+        (coalesce(col("comp"), col(idCol)) === col(idCol)).as("keep"))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation: hash-gated row
+  * selection that any engine reproduces bit-for-bit, unlike
+  * `df.sample`/`sampleBy` whose Bernoulli draws depend on partitioning
+  * and RNG stream position. Extends the reference's only sampling shape
+  * (`ORDER BY random() LIMIT 1` victim picks,
+  * reference: jobs/bronze/ingest_change_source.py:81) into the
+  * reproducible corpus-curation form: membership is a pure function of
+  * the row KEY, so re-runs, retries, and engine migrations select the
+  * same rows — the property a 100 TB training-set builder needs for
+  * auditable dataset versioning (and it needs no shuffle at all: the
+  * gate is a scan-level filter).
+  */
+object Sample {
+  import Text.{Mult, P}
+
+  /** Hash gate in [0, 100): multiplicative hash of the key, mod P, mod
+    * 100 — the Knuth scheme shared with Facts.det / Text, expressible in
+    * ANSI SQL as ((key * Mult) % P) % 100. Keys must be < ~3.4e9 for the
+    * product to stay in Long range; wider keys should pre-mask
+    * (pmod(key, P)) on BOTH engines. */
+  def hashGate(key: Column): Column =
+    pmod(pmod(key.cast("long") * Mult, lit(P)), lit(100))
+
+  /** Uniform pct% deterministic sample keyed on `key`. */
+  def hashSample(df: DataFrame, key: String, pct: Int): DataFrame =
+    df.filter(hashGate(col(key)) < pct)
+
+  /** Stratified deterministic sample: per-stratum percentage with a
+    * default for unlisted strata. The CASE ladder keeps the whole gate a
+    * scan-level predicate — no join against a rate table, no shuffle. */
+  def stratifiedSample(df: DataFrame, key: String, stratumCol: String,
+      rates: Seq[(String, Int)], defaultPct: Int): DataFrame = {
+    val rate = rates.foldRight(lit(defaultPct)) { case ((stratum, pct), other) =>
+      when(col(stratumCol) === stratum, lit(pct)).otherwise(other)
+    }
+    df.filter(hashGate(col(key)) < rate)
+  }
+}

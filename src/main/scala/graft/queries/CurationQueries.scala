@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Corpus-curation layer round 3: near-dup CLUSTER resolution (pairs →
+  * connected components → canonical survivors), TF-IDF term scoring,
+  * deterministic stratified sampling, partition-pruned materialization,
+  * and sketch-based heavy hitters — the operations that turn the dedup /
+  * text primitives in LlmQueries into an end-to-end training-set build.
+  */
+object CurationQueries {
+  import graft.ops.Text.{Mult, P}
+
+  /** tokens CTE body shared with LlmQueries (DuckDB dialect). */
+  private val toksSql =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Near-dup clusters: SimHash pairs (the q28 edge list) → minimum
+    // -label connected components → one canonical survivor per cluster.
+    // The oracle replays the same fixpoint as a recursive transitive
+    // closure (min reachable id), over the same pair CTEs as q28.
+    Q(
+      "q49_dedup_clusters",
+      s"""WITH RECURSIVE ${LlmQueries.simhashCtes},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b USING (band, band_key)
+         |  WHERE a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.sim, b.sim)) <= 3),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT DISTINCT src AS id, src AS comp FROM edges
+         |  UNION
+         |  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+         |cmp AS (
+         |  SELECT id, min(comp) AS component FROM reach GROUP BY id)
+         |SELECT d.doc_id,
+         |  coalesce(c.component, d.doc_id) AS component,
+         |  coalesce(c.component, d.doc_id) = d.doc_id AS keep
+         |FROM documents d LEFT JOIN cmp c ON c.id = d.doc_id""".stripMargin) {
+      (spark, dir) =>
+        val docs = Tables.documents(spark, dir)
+        val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+          bands = 4, maxHamming = 3)
+        Components.resolveClusters(docs, "doc_id", pairs, "id_a", "id_b")
+    },
+
+    // ---- TF-IDF top terms per document: corpus df/idf + per-doc tf in
+    // two hash aggregates, top-3 via per-doc window. Both engines compute
+    // tf · ln((N+1)/(df+1)) on doubles from the same integers; round(6)
+    // absorbs any last-ulp ln() divergence.
+    Q(
+      "q50_tfidf_terms",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks GROUP BY 1, 2),
+         |dfx AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+         |scored AS (
+         |  SELECT doc_id, term,
+         |    tf * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) AS tfidf
+         |  FROM tf JOIN dfx USING (term), nd),
+         |ranked AS (
+         |  SELECT doc_id, term, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+         |  FROM scored)
+         |SELECT doc_id, CAST(rn AS INT) AS rank, term, round(tfidf, 6) AS tfidf
+         |FROM ranked WHERE rn <= 3""".stripMargin) { (spark, dir) =>
+      val toks = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = tf.select(countDistinct(col("doc_id")).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+      tf.join(dfT, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"),
+          round(col("tfidf"), 6).as("tfidf"))
+    },
+
+    // ---- Deterministic stratified sample: per-language keep rates as a
+    // pure hash gate on the key (Sample.stratifiedSample) — reproducible
+    // across runs, partitionings, and engines; zero shuffle.
+    Q(
+      "q51_stratified_sample",
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ((doc_id * $Mult) % $P) % 100 <
+         |  CASE WHEN lang = 'en' THEN 20 WHEN lang = 'zh' THEN 40 ELSE 60 END""".stripMargin) {
+      (spark, dir) =>
+        Sample.stratifiedSample(
+          Tables.documents(spark, dir).select("doc_id", "lang"),
+          "doc_id", "lang", Seq("en" -> 20, "zh" -> 40), defaultPct = 60)
+    },
+
+    // ---- Partition-pruned materialization: write events partitioned by
+    // event_type (the M5 CTAS shape at lake layout), read back ONE
+    // partition — the scan must touch only that directory (pruning
+    // asserted in PlansSpec). At 100 TB this is the difference between
+    // scanning a partition and scanning the lake.
+    Q(
+      "q52_partitioned_prune",
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_type = 'purchase' GROUP BY 1""".stripMargin) {
+      (spark, dir) =>
+        val out = java.nio.file.Files.createTempDirectory("graft-q52").toString
+        Tables.events(spark, dir).select("event_id", "user_id", "event_type", "value")
+          .write.mode("overwrite").partitionBy("event_type").parquet(out)
+        spark.read.parquet(out)
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total_value"))
+    },
+
+    // ---- Heavy hitters, two-pass: Misra–Gries sketch (one scan, O(k)
+    // mergeable state — graft.functions.FreqSketch) emits a candidate
+    // superset of every term with freq > n/401; pass 2 exact-counts ONLY
+    // the candidates (broadcast filter, no full-domain aggregate) and
+    // applies the real threshold freq·200 > n. Output is exact and
+    // merge-order-independent — only the pruning is approximate.
+    Q(
+      "q53_heavy_hitters",
+      s"""WITH toks AS (
+         |  SELECT unnest($toksSql) AS term FROM documents),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks)
+         |SELECT term, CAST(count(*) AS BIGINT) AS cnt
+         |FROM toks, tot
+         |GROUP BY term, n_total
+         |HAVING count(*) * 200 > n_total""".stripMargin) { (spark, dir) =>
+      val toks = Tables.documents(spark, dir)
+        .select(explode(Text.tokens(col("text"))).as("term"))
+      val sketch = toks.agg(
+        call_function("graft_freq_sketch", col("term"), lit(400)).as("cands"),
+        count(lit(1)).as("n_total"))
+      toks.crossJoin(broadcast(sketch))
+        .filter(array_contains(col("cands"), col("term")))
+        .groupBy("term", "n_total")
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * 200 > col("n_total"))
+        .select("term", "cnt")
+    })
+}

@@ -40,6 +40,33 @@ object LlmQueries {
 
   private val k = 12; private val bands = 4; private val r = 3
 
+  /** SimHash CTE chain (toks → th → sims → banded) shared by q28 and the
+    * q49 component clustering oracle — generated from the same constants
+    * as Dedup.simhashPairs. */
+  private[queries] val simhashCtes: String = {
+    val simSql = (0 until Dedup.SimHashBits).map { j =>
+      val pow = 1L << j
+      val bitSum = foldSumSql(
+        s"list_transform(th, x -> ((x // $pow) % 2) * 2 - 1)",
+        "CAST(0 AS BIGINT)")
+      s"(CASE WHEN $bitSum > 0 THEN $pow ELSE 0 END)"
+    }.mkString("\n     + ")
+    val bitsPerBand = Dedup.SimHashBits / 4
+    val bandedSql = (0 until 4).map(b =>
+      s"SELECT doc_id, sim, $b AS band, (sim // ${1L << (b * bitsPerBand)}) % ${1 << bitsPerBand} AS band_key FROM sims")
+      .mkString("\n  UNION ALL ")
+    s"""toks AS (
+       |  SELECT doc_id, $toksSql AS t FROM documents),
+       |th AS (
+       |  SELECT doc_id,
+       |    list_transform(t, x -> CAST(concat('0x', substr(md5(x),1,8)) AS BIGINT)) AS th
+       |  FROM toks WHERE len(t) > 0),
+       |sims AS (
+       |  SELECT doc_id, $simSql AS sim FROM th),
+       |banded AS (
+       |  $bandedSql)""".stripMargin
+  }
+
   /** The k MinHash signature expressions over hash-set column `hv`. */
   private val sigSql = (1 to k).map(i =>
     s"list_min(list_transform(hv, x -> (${Dedup.minhashA(i)}*x + ${Dedup.minhashB(i)}) % $P))")
@@ -257,27 +284,7 @@ object LlmQueries {
     // Hamming ≤ 3 (pigeonhole-complete for ≤ 3 flips over 4 bands).
     Q(
       "q28_simhash_pairs", {
-        val simSql = (0 until Dedup.SimHashBits).map { j =>
-          val pow = 1L << j
-          val bitSum = foldSumSql(
-            s"list_transform(th, x -> ((x // $pow) % 2) * 2 - 1)",
-            "CAST(0 AS BIGINT)")
-          s"(CASE WHEN $bitSum > 0 THEN $pow ELSE 0 END)"
-        }.mkString("\n     + ")
-        val bitsPerBand = Dedup.SimHashBits / 4
-        val bandedSql = (0 until 4).map(b =>
-          s"SELECT doc_id, sim, $b AS band, (sim // ${1L << (b * bitsPerBand)}) % ${1 << bitsPerBand} AS band_key FROM sims")
-          .mkString("\n  UNION ALL ")
-        s"""WITH toks AS (
-           |  SELECT doc_id, $toksSql AS t FROM documents),
-           |th AS (
-           |  SELECT doc_id,
-           |    list_transform(t, x -> CAST(concat('0x', substr(md5(x),1,8)) AS BIGINT)) AS th
-           |  FROM toks WHERE len(t) > 0),
-           |sims AS (
-           |  SELECT doc_id, $simSql AS sim FROM th),
-           |banded AS (
-           |  $bandedSql)
+        s"""WITH $simhashCtes
            |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
            |FROM banded a JOIN banded b USING (band, band_key)

@@ -55,4 +55,27 @@ class PlansSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query side must broadcast:\n$p")
   }
+
+  test("partitioned layout: single-partition filter prunes the scan (q52)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    Tables.events(spark, sfDir()).select("event_id", "user_id", "event_type", "value")
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val df = spark.read.parquet(out).filter(col("event_type") === "purchase")
+    val p = plan(df)
+    assert(p.contains("PartitionFilters:") && p.contains("event_type"),
+      s"no partition filter in scan:\n$p")
+    // the pruned scan must read exactly the one matching directory
+    val scanned = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned.contains(1), s"expected 1 selected partition, got $scanned")
+  }
+
+  test("deterministic sample gate stays a scan-level pushed filter") {
+    // no Exchange anywhere: sampling must not shuffle
+    val p = plan(graft.ops.Sample.hashSample(
+      Tables.documents(spark, sfDir()), "doc_id", 25))
+    assert(!p.contains("Exchange"), s"sampling introduced a shuffle:\n$p")
+  }
 }
