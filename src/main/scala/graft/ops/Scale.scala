@@ -49,4 +49,35 @@ object Scale {
     // overhead dominated the write).
     df.repartition(buckets, col(key)).write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
+  /** Small-file compaction (the OPTIMIZE maintenance op): rewrite a
+    * parquet directory into ~`targetRowsPerFile`-row files. Streaming
+    * append sinks and per-trigger commits leave thousands of tiny files;
+    * at 100 TB an uncompacted table pays per-file open/footer cost on
+    * every scan. Row-count-proportional repartition is the
+    * deterministic-size stand-in for byte-targeted sizing; returns the
+    * (filesBefore, filesAfter) pair for observability. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetRowsPerFile: Long): (Int, Int) = {
+    def parquetFiles(p: String): Int =
+      new java.io.File(p).listFiles((_, n) => n.endsWith(".parquet")).length
+    val before = parquetFiles(dir)
+    val df = spark.read.parquet(dir)
+    val files = math.max(1, math.ceil(df.count().toDouble / targetRowsPerFile).toInt)
+    val tmp = dir + "_compacting"
+    df.repartition(files).write.mode("overwrite").parquet(tmp)
+    // atomic-ish swap: the rewritten layout replaces the original only
+    // after a complete successful write (object stores would rename a
+    // manifest; local fs renames the directory)
+    val old = new java.io.File(dir)
+    val dead = new java.io.File(dir + "_old")
+    old.renameTo(dead)
+    new java.io.File(tmp).renameTo(old)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete()
+    }
+    rm(dead)
+    (before, parquetFiles(dir))
+  }
 }

@@ -118,5 +118,59 @@ object AnalyticsQueries {
         .agg(
           call_function("graft_hll_distinct", col("l_orderkey")).as("hll_orders"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
+    },
+
+    // ---- Window FRAMES: running total (unbounded preceding) and a
+    // centered 7-row moving aggregate over each customer's order
+    // history. DECIMAL sums keep frame aggregates exact; the moving
+    // average divides a decimal-exact sum by the frame row count, so
+    // partial-agg order can't perturb it.
+    Q(
+      "q56_window_frames",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_total,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER w7 AS DOUBLE)
+        |    / count(*) OVER w7, 6) AS moving_avg_7
+        |FROM orders
+        |WINDOW w7 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)""".stripMargin) {
+      (spark, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val order = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val w7 = order.rowsBetween(-3, 3)
+        val price = col("o_totalprice").cast(DecimalType(18, 2))
+        Tables.orders(spark, dir).select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(price).over(cum).cast("double").as("running_total"),
+          round(sum(price).over(w7).cast("double")
+            / count(lit(1)).over(w7), 6).as("moving_avg_7"))
+    },
+
+    // ---- Schema-evolution read (bronze-layer staple): two parquet
+    // batches with drifted schemas (v2 adds a column) land in one
+    // directory; mergeSchema unions the schemas and backfills v1 rows
+    // with NULL — the lake behavior MERGE-based bronze ingest relies on.
+    Q(
+      "q57_schema_evolution",
+      """SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN o_orderpriority END AS o_orderpriority
+        |FROM orders""".stripMargin) { (spark, dir) =>
+      val out = java.nio.file.Files.createTempDirectory("graft-q57").toString
+      val orders = Tables.orders(spark, dir)
+      // v1 batch: two columns; v2 batch: adds o_orderpriority
+      orders.filter(col("o_orderkey") % 2 =!= 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.parquet(s"$out/b=1")
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.parquet(s"$out/b=2")
+      spark.read.option("mergeSchema", "true").parquet(out)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
     })
 }

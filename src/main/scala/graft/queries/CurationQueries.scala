@@ -129,6 +129,82 @@ object CurationQueries {
             sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total_value"))
     },
 
+    // ---- BM25 relevance scoring (Robertson; Lucene's smoothed idf):
+    // the retrieval-grade extension of q50's TF-IDF — same two hash
+    // aggregates plus per-doc length normalization against the corpus
+    // average. Expression trees are written identically in both engines
+    // (same literal k1=1.2 b=0.75, same division order); round(6)
+    // absorbs last-ulp ln() divergence.
+    Q(
+      "q54_bm25_terms",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks GROUP BY 1, 2),
+         |dl AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |dfx AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |      * (tf * 2.2)
+         |      / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+         |          / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS bm25
+         |  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id), stats),
+         |ranked AS (
+         |  SELECT doc_id, term, bm25,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, term) AS rn
+         |  FROM scored)
+         |SELECT doc_id, CAST(rn AS INT) AS rank, term, round(bm25, 6) AS bm25
+         |FROM ranked WHERE rn <= 3""".stripMargin) { (spark, dir) =>
+      val toks = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      val w = Window.partitionBy("doc_id").orderBy(col("bm25").desc, col("term"))
+      tf.join(dfT, "term").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("bm25",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+            * (col("tf") * 2.2)
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double")
+                / (col("sum_dl").cast("double") / col("n_docs"))))))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"),
+          round(col("bm25"), 6).as("bm25"))
+    },
+
+    // ---- Per-label embedding centroids: element-wise mean via
+    // posexplode → (label, dim) hash aggregate — the vector aggregate
+    // layout that scales (shuffle keyed on (label, dim), never a
+    // collect_list of a label's vectors). Exact DECIMAL sums make the
+    // mean partial-merge-order-independent; both engines divide the
+    // same decimal-exact sum as double.
+    Q(
+      "q55_label_centroids",
+      """SELECT label, CAST(i - 1 AS INT) AS dim,
+        |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)
+        |    / count(*), 6) AS mean,
+        |  CAST(count(*) AS BIGINT) AS n_vectors
+        |FROM embeddings, range(1, 65) t(i)
+        |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      Tables.embeddings(spark, dir)
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos").cast("int").as("dim"))
+        .agg(
+          round(sum(col("col").cast("double").cast(DecimalType(27, 10)))
+            .cast("double") / count(lit(1)), 6).as("mean"),
+          count(lit(1)).as("n_vectors"))
+    },
+
     // ---- Heavy hitters, two-pass: Misra–Gries sketch (one scan, O(k)
     // mergeable state — graft.functions.FreqSketch) emits a candidate
     // superset of every term with freq > n/401; pass 2 exact-counts ONLY

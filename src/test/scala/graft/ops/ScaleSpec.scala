@@ -41,4 +41,15 @@ class ScaleSpec extends SparkSuite {
       assert(plain.queryExecution.executedPlan.toString().contains("Exchange hashpartitioning"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("compact: merges a many-file layout, preserves every row") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    (1L to 5000L).toDF("id").repartition(40).write.parquet(dir)
+    val before = spark.read.parquet(dir).as[Long].collect().sorted.toSeq
+    val (nBefore, nAfter) = Scale.compact(spark, dir, targetRowsPerFile = 2500L)
+    assert(nBefore == 40 && nAfter == 2, s"got $nBefore -> $nAfter")
+    val after = spark.read.parquet(dir).as[Long].collect().sorted.toSeq
+    assert(after == before)
+  }
 }
