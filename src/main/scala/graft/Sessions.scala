@@ -45,6 +45,9 @@ object Sessions {
     ext.injectFunction((FunctionIdentifier("graft_freq_sketch"),
       info("graft_freq_sketch", classOf[FreqSketch]),
       (e: Seq[Expression]) => FreqSketch(e.head, intArg(e(1), "graft_freq_sketch"))))
+    ext.injectFunction((FunctionIdentifier("graft_topk"),
+      info("graft_topk", classOf[TopKRows]),
+      (e: Seq[Expression]) => TopKRows(e.head, e(1), intArg(e(2), "graft_topk"))))
     ext.injectFunction((FunctionIdentifier("graft_lsh_buckets"),
       info("graft_lsh_buckets", classOf[LshBuckets]),
       (e: Seq[Expression]) => LshBuckets(e.head,

@@ -16,6 +16,17 @@ object AnalyticsQueries {
   private def pcol(p: String) =
     "p" + p.toLowerCase.replaceAll("[^a-z0-9]+", "_")
 
+  /** q60: one SQL text both engines run verbatim (dialect-shared subset). */
+  private val correlatedSql =
+    """SELECT c_custkey, c_nationkey, c_acctbal
+      |FROM customer c
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2))
+      |        * (SELECT count(*) FROM customer c2
+      |           WHERE c2.c_nationkey = c.c_nationkey)
+      |      > (SELECT sum(CAST(c3.c_acctbal AS DECIMAL(18,2))) FROM customer c3
+      |         WHERE c3.c_nationkey = c.c_nationkey)
+      |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- Window-function battery: ranking, distribution, and offset
@@ -150,6 +161,47 @@ object AnalyticsQueries {
           sum(price).over(cum).cast("double").as("running_total"),
           round(sum(price).over(w7).cast("double")
             / count(lit(1)).over(w7), 6).as("moving_avg_7"))
+    },
+
+    // ---- Top-k rows per key via the bounded-heap aggregate
+    // (graft.functions.TopKRows): map-side partials prune every
+    // partition to k rows per key BEFORE the shuffle — the scale path
+    // the window row_number formulation (q04/q19) can't take, since a
+    // window must sort each key's full row set. Sort key is
+    // struct(price, orderkey): unique per group → deterministic.
+    Q(
+      "q58_topk_per_key",
+      """SELECT o_custkey, CAST(rn AS INT) AS rank, o_orderkey, o_totalprice
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin) { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .groupBy("o_custkey")
+        .agg(call_function("graft_topk",
+          struct(col("o_totalprice"), col("o_orderkey")),
+          struct(col("o_orderkey"), col("o_totalprice")),
+          lit(3)).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(col("o_custkey"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.o_orderkey").as("o_orderkey"),
+          col("col.o_totalprice").as("o_totalprice"))
+    },
+
+    // ---- Correlated subqueries: two correlated scalars (count + exact
+    // DECIMAL sum — "balance above the nation average" without a
+    // double-precision average) and an EXISTS semi-join, run as ONE SQL
+    // string through spark.sql — the same text the DuckDB oracle runs.
+    // Catalyst decorrelates to aggregates + joins; DuckDB does its own
+    // unnesting; exact integer/decimal math keeps them comparable.
+    Q(
+      "q60_correlated_subquery",
+      correlatedSql) { (spark, dir) =>
+      Seq("customer", "orders").foreach(t =>
+        Tables.load(spark, dir, t).createOrReplaceTempView(t))
+      spark.sql(correlatedSql)
     },
 
     // ---- Schema-evolution read (bronze-layer staple): two parquet

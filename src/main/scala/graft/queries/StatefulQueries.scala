@@ -285,6 +285,43 @@ object StatefulQueries {
       spark.table(name)
     },
 
+    // ---- Stream-static join: the event stream enriched against a
+    // static dimension snapshot (the canonical streaming-enrichment
+    // shape). The static side re-resolves per micro-batch and Catalyst
+    // broadcasts it — no stream-side state at all, unlike q45's
+    // stream-stream join. Aggregation happens batch-side over the sink
+    // (the stream stays stateless append).
+    Q(
+      "q59_stream_static_join",
+      """SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q59-in")
+      streamDir.toFile.deleteOnExit()
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val dim = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val joined = spark.readStream.schema(eventsRawSchema)
+        .parquet(streamDir.toString)
+        .select(col("user_id"), col("value"))
+        .join(dim, col("user_id") === col("c_custkey"))
+        .select("c_mktsegment", "value")
+      val name = "graft_q59_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      graft.streaming.Streams.withShufflePartitions(spark, 4) {
+        val q = joined.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      spark.table(name)
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total_value"))
+    },
+
     // ---- Embedding-cosine near-dup pairs within hyperplane buckets
     // (dedup via similarity; threshold at the fixture's high-cosine tail).
     Q(
