@@ -204,6 +204,50 @@ object AnalyticsQueries {
       spark.sql(correlatedSql)
     },
 
+    // ---- GROUPING SETS: explicit aggregation levels (status totals +
+    // priority totals in one pass over Expand), completing the q40
+    // ROLLUP / q44 CUBE family with the arbitrary-sets form.
+    Q(
+      "q62_grouping_sets",
+      """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin) {
+      (spark, dir) =>
+        Tables.orders(spark, dir)
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            grouping_id().cast("long").as("gid"),
+            count(lit(1)).as("n_orders"))
+          .select("gid", "o_orderstatus", "o_orderpriority", "n_orders")
+    },
+
+    // ---- Calendar-function battery (F-layer completion): month
+    // arithmetic with end-of-month clamping, last_day, quarter,
+    // day-of-week, ISO week. Spark's dayofweek is 1-based Sunday-first;
+    // DuckDB's is 0-based — the oracle maps explicitly. DATE-typed
+    // results are cast to TIMESTAMP (driver compare requirement).
+    Q(
+      "q63_calendar_battery",
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate + INTERVAL 2 MONTH AS TIMESTAMP) AS plus_2mo,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  CAST(weekofyear(o_orderdate) AS INT) AS iso_week
+        |FROM orders""".stripMargin) { (spark, dir) =>
+      Tables.orders(spark, dir).select(
+        col("o_orderkey"),
+        add_months(col("o_orderdate"), 2).cast("timestamp_ntz").as("plus_2mo"),
+        last_day(col("o_orderdate")).cast("timestamp_ntz").as("month_end"),
+        quarter(col("o_orderdate")).as("qtr"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        weekofyear(col("o_orderdate")).as("iso_week"))
+    },
+
     // ---- Schema-evolution read (bronze-layer staple): two parquet
     // batches with drifted schemas (v2 adds a column) land in one
     // directory; mergeSchema unions the schemas and backfills v1 rows

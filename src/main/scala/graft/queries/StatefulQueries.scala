@@ -322,6 +322,51 @@ object StatefulQueries {
           sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total_value"))
     },
 
+    // ---- Streaming SESSION windows: the engine-native gap-merge
+    // (session_window + watermark, dynamic merging state) against the
+    // same 24h-gap semantics q32 computes with gaps-and-islands /
+    // mapGroupsWithState. New session iff the gap is >= the timeout
+    // (a window [ts, ts+gap) stops merging exactly at ts+gap).
+    Q(
+      "q61_stream_session_window",
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    lag(CAST(ts AS TIMESTAMP)) OVER
+        |      (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(CASE WHEN prev IS NULL
+        |             OR epoch_us(ts) - epoch_us(prev) >= 86400000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM e)
+        |SELECT user_id, min(ts) AS session_start,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, session_id""".stripMargin) { (spark, dir) =>
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q61-in")
+      streamDir.toFile.deleteOnExit()
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val src = spark.readStream.schema(eventsRawSchema).parquet(streamDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 day")
+      val agg = src
+        .groupBy(col("user_id"), session_window(col("ts"), "24 hours").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+      val name = "graft_q61_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      graft.streaming.Streams.withShufflePartitions(spark, 4) {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      spark.table(name).select(
+        col("user_id"),
+        col("w.start").cast("timestamp_ntz").as("session_start"),
+        col("n_events"))
+    },
+
     // ---- Embedding-cosine near-dup pairs within hyperplane buckets
     // (dedup via similarity; threshold at the fixture's high-cosine tail).
     Q(
