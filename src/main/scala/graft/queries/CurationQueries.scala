@@ -79,7 +79,10 @@ object CurationQueries {
          |FROM ranked WHERE rn <= 3""".stripMargin) { (spark, dir) =>
       val toks = Tables.documents(spark, dir)
         .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
-      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // cached: df, N, and the scoring join all read tf, but their
+      // different column prunings defeat exchange reuse — uncached, the
+      // tokenize+explode+aggregate pipeline runs 3x (6 document scans)
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).cache()
       val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nDocs = tf.select(countDistinct(col("doc_id")).as("n_docs"))
       val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
@@ -164,7 +167,9 @@ object CurationQueries {
          |FROM ranked WHERE rn <= 3""".stripMargin) { (spark, dir) =>
       val toks = Tables.documents(spark, dir)
         .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
-      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // cached for the same reason as q50 — FOUR consumers here
+      // (dl, df, corpus stats, scoring join)
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).cache()
       val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
       val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
