@@ -17,8 +17,10 @@ object Sessions {
       throw new IllegalArgumentException(s"$fn expects a literal int, got $other")
   }
 
-  /** Registers the graft_* functions (see graft.functions.TextKernels). */
+  /** Registers the graft_* functions (see graft.functions.TextKernels)
+    * and the kernel-fusion optimizer rule (graft.plans.KernelFusion). */
   val registerGraftFunctions: SparkSessionExtensions => Unit = { ext =>
+    ext.injectOptimizerRule(graft.plans.KernelFusion.apply)
     def info(name: String, clazz: Class[_]) = new ExpressionInfo(clazz.getName, name)
     ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
       info("graft_shingle_hashes", classOf[ShingleHashes]),

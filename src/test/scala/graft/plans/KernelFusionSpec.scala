@@ -1,0 +1,97 @@
+package graft.plans
+
+import graft.SparkSuite
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pins for the kernel-fusion optimizer rule: the idiomatic HOF dot
+  * product fuses to the compiled kernel, the substitution is exactly
+  * semantics-preserving (ragged lengths, null elements, null arrays),
+  * and near-miss patterns are left untouched. */
+class KernelFusionSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def hofDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def optimizedContainsFused(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.expressions
+      .exists(_.exists(_.isInstanceOf[graft.functions.FusedDotProduct]))
+
+  // repartition keeps ConvertToLocalRelation from evaluating the
+  // projection at optimization time (which would erase the expression
+  // before the plan assertions — and skip the codegen path entirely)
+  private val vecs = Seq(
+    (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),   // plain
+    (Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)),         // ragged → NULL
+    (Seq.empty[Double], Seq.empty[Double]))      // empty → 0.0
+    .toDF("a", "b").repartition(2)
+
+  test("idiomatic HOF dot product fuses to the compiled kernel") {
+    val df = vecs.select(hofDot(col("a"), col("b")).as("dot"))
+    assert(optimizedContainsFused(df), df.queryExecution.optimizedPlan.toString)
+    // commuted lambda operands fuse too (bit-identical for doubles)
+    val commuted = vecs.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => y * x),
+        lit(0.0), (acc, v) => v + acc).as("dot"))
+    assert(optimizedContainsFused(commuted))
+  }
+
+  test("fusion is exactly semantics-preserving, including NULL cases") {
+    // null element and null array rows, built with explicit nullable arrays
+    val tricky = Seq[(Option[Seq[Option[Double]]], Option[Seq[Option[Double]]])](
+      (Some(Seq(Some(1.0), Some(2.0))), Some(Seq(Some(3.0), Some(4.0)))),
+      (Some(Seq(Some(1.0), None)), Some(Seq(Some(3.0), Some(4.0)))), // null elem → NULL
+      (None, Some(Seq(Some(1.0)))),                                  // null array → NULL
+      (Some(Seq(Some(1.0))), Some(Seq(Some(1.0), Some(2.0)))))       // ragged → NULL
+      .toDF("a", "b").repartition(2)
+      .select(col("a").cast("array<double>").as("a"), col("b").cast("array<double>").as("b"))
+    val fused = tricky.select(hofDot(col("a"), col("b")).as("d"))
+    assert(optimizedContainsFused(fused))
+    val unfused = {
+      val prev = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+      spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.KernelFusion")
+      try {
+        val df = tricky.select(hofDot(col("a"), col("b")).as("d"))
+        assert(!optimizedContainsFused(df), "excludedRules must disable fusion")
+        df.collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.optimizer.excludedRules", v)
+        case None => spark.conf.unset("spark.sql.optimizer.excludedRules")
+      }
+    }
+    // repartition scrambles row order — compare as multisets
+    val got = fused.collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
+    assert(got.sortBy(String.valueOf(_)) == unfused.sortBy(String.valueOf(_)),
+      s"fused=$got unfused=$unfused")
+    assert(got.count(_ == null) == 3 && got.contains(11.0))
+  }
+
+  test("near-miss patterns do not fuse") {
+    // wrong seed, wrong zip lambda, non-trivial finish: all left alone
+    val wrongSeed = vecs.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(1.0), (acc, v) => acc + v))
+    val wrongLambda = vecs.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x + y),
+        lit(0.0), (acc, v) => acc + v))
+    val withFinish = vecs.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v, acc => acc * 2))
+    Seq(wrongSeed, wrongLambda, withFinish).foreach(df =>
+      assert(!optimizedContainsFused(df), df.queryExecution.optimizedPlan.toString))
+  }
+
+  test("fused plan result matches the engine-internal kernel on dense vectors") {
+    val dense = (1 to 50).map { i =>
+      val r = new scala.util.Random(i)
+      (Seq.fill(64)(r.nextDouble() * 2 - 1), Seq.fill(64)(r.nextDouble() * 2 - 1))
+    }.toDF("a", "b")
+    val viaHof = dense.select(hofDot(col("a"), col("b")).as("d"))
+      .collect().map(_.getDouble(0)).toSeq
+    val viaKernel = dense.select(
+      call_function("graft_dot_product", col("a"), col("b")).as("d"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(viaHof == viaKernel) // bit-identical sequential folds
+  }
+}
