@@ -72,6 +72,18 @@ class PlansSpec extends SparkSuite {
     assert(scanned.contains(1), s"expected 1 selected partition, got $scanned")
   }
 
+  test("latest-per-key window gets Spark's native rank pushdown (WindowGroupLimit)") {
+    // the engine deliberately does NOT reimplement this rewrite: Spark's
+    // InferWindowGroupLimit already prunes each partition to the top rank
+    // before the shuffle for the window formulation; graft_topk covers
+    // the aggregate formulation (q58), where partial aggregation prunes
+    // instead. Pin that the native optimization actually fires.
+    val df = SparkEntry.queries("q04_latest_order_per_customer")(spark, sfDir())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("WindowGroupLimit"), s"rank pushdown missing:\n$p")
+  }
+
   test("deterministic sample gate stays a scan-level pushed filter") {
     // no Exchange anywhere: sampling must not shuffle
     val p = plan(graft.ops.Sample.hashSample(
