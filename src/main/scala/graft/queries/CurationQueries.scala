@@ -210,6 +210,30 @@ object CurationQueries {
           count(lit(1)).as("n_vectors"))
     },
 
+    // ---- Fuzzy matching battery: edit distance against a
+    // deterministically-dirtied variant (translate 0→O, the classic OCR
+    // confusion) plus neighbor distance within a blocked window — the
+    // string-similarity primitives entity resolution builds on (blocked,
+    // never all-pairs; same discipline as q29).
+    Q(
+      "q64_fuzzy_match",
+      """SELECT c_custkey,
+        |  translate(c_name, '0', 'O') AS dirty,
+        |  CAST(levenshtein(c_name, translate(c_name, '0', 'O')) AS INT) AS lev_dirty,
+        |  CAST(levenshtein(c_name,
+        |    lag(c_name) OVER (PARTITION BY c_nationkey ORDER BY c_custkey)) AS INT)
+        |    AS lev_prev
+        |FROM customer""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+      Tables.customer(spark, dir).select(
+        col("c_custkey"),
+        translate(col("c_name"), "0", "O").as("dirty"),
+        levenshtein(col("c_name"), translate(col("c_name"), "0", "O"))
+          .as("lev_dirty"),
+        levenshtein(col("c_name"), lag(col("c_name"), 1).over(w)).as("lev_prev"))
+    },
+
     // ---- Heavy hitters, two-pass: Misra–Gries sketch (one scan, O(k)
     // mergeable state — graft.functions.FreqSketch) emits a candidate
     // superset of every term with freq > n/401; pass 2 exact-counts ONLY
