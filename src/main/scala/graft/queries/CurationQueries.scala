@@ -210,6 +210,41 @@ object CurationQueries {
           count(lit(1)).as("n_vectors"))
     },
 
+    // ---- Unigram log-probability per document — the corpus-statistics
+    // quality score perplexity filtering builds on (docs whose tokens are
+    // globally rare score low). Per-token ln p is rounded to 9 decimals
+    // and summed as DECIMAL so the per-doc mean cannot depend on Spark's
+    // partial-aggregation order; ln() inputs are exact integer ratios.
+    Q(
+      "q65_unigram_logprob",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |freq AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST(round(ln(CAST(cnt AS DOUBLE) / n_total), 9) AS DECIMAL(18,9)) AS lp
+         |  FROM toks JOIN freq USING (term), tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logprob
+         |FROM scored GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val toks = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+        .cache() // feeds corpus freq, the total, and the per-doc score join
+      val freq = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val tot = toks.agg(count(lit(1)).as("n_total"))
+      toks.join(freq, "term")
+        .crossJoin(broadcast(tot))
+        .withColumn("lp",
+          round(log(col("cnt").cast("double") / col("n_total")), 9)
+            .cast(DecimalType(18, 9)))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("mean_logprob"))
+    },
+
     // ---- Fuzzy matching battery: edit distance against a
     // deterministically-dirtied variant (translate 0→O, the classic OCR
     // confusion) plus neighbor distance within a blocked window — the
