@@ -248,6 +248,35 @@ object AnalyticsQueries {
         weekofyear(col("o_orderdate")).as("iso_week"))
     },
 
+    // ---- Star-schema revenue rollup: fact → supplier → nation → region,
+    // a three-hop broadcast chain (every dimension is tiny; the fact
+    // table is never shuffled — one scan, three broadcast hash joins,
+    // one aggregate). Per-row double revenue is exact per row; the sum
+    // goes through DECIMAL.
+    Q(
+      "q66_region_revenue",
+      """SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |           AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1""".stripMargin) { (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(Tables.supplier(spark, dir)
+          .select("s_suppkey", "s_nationkey")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(spark, dir)
+          .select("n_nationkey", "n_regionkey")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+    },
+
     // ---- Schema-evolution read (bronze-layer staple): two parquet
     // batches with drifted schemas (v2 adds a column) land in one
     // directory; mergeSchema unions the schemas and backfills v1 rows

@@ -84,6 +84,16 @@ class PlansSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"), s"rank pushdown missing:\n$p")
   }
 
+  test("star-schema rollup: three broadcast hops, fact table never shuffled pre-join") {
+    val df = SparkEntry.queries("q66_region_revenue")(spark, sfDir())
+    df.collect()
+    // AQE's toString prints the final plan then echoes the initial plan —
+    // count joins only in the final section
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, s"expected 3 broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact side must not shuffle for a join:\n$p")
+  }
+
   test("deterministic sample gate stays a scan-level pushed filter") {
     // no Exchange anywhere: sampling must not shuffle
     val p = plan(graft.ops.Sample.hashSample(
