@@ -401,3 +401,38 @@ case class FusedDotProduct(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): FusedDotProduct =
     copy(left = newLeft, right = newRight)
 }
+
+/** Fused form of the tokenization pipeline
+  * `filter(split(lower(text), regex, -1), t => t != "")` — substituted by
+  * [[graft.plans.KernelFusion]]. The built-in chain splits compiled but
+  * then runs the empty-string filter as an interpreted lambda per array
+  * element; this does lowercase → split → drop-empties in one call,
+  * reusing the engine's own primitives (UTF8String.toLowerCase, the same
+  * java.util.regex split as StringSplit) so results are bit-identical. */
+case class Tokenize(child: Expression, regex: String, lowercase: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokenize"
+
+  @transient private lazy val pattern = java.util.regex.Pattern.compile(regex)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val str = (if (lowercase) s.toLowerCase else s).toString
+    val parts = pattern.split(str, -1)
+    val out = new Array[Any](parts.length)
+    var n = 0
+    var i = 0
+    while (i < parts.length) {
+      if (!parts(i).isEmpty) { out(n) = UTF8String.fromString(parts(i)); n += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], n))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Tokenize =
+    copy(child = newChild)
+}

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.FusedDotProduct
+import graft.functions.{FusedDotProduct, Tokenize}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -33,6 +33,7 @@ case class KernelFusion(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.transformAllExpressionsWithPruning(_.containsPattern(
       org.apache.spark.sql.catalyst.trees.TreePattern.HIGH_ORDER_FUNCTION)) {
       case HofDotProduct(a, b) => FusedDotProduct(a, b)
+      case HofTokens(text, regex, lowered) => Tokenize(text, regex, lowered)
     }
 
   /** Matches the resolved HOF dot-product tree. Multiplication and
@@ -65,6 +66,38 @@ case class KernelFusion(spark: SparkSession) extends Rule[LogicalPlan] {
             isPair(ml, mr, x, y) && isPair(al, ar, acc, v) &&
             fin.exprId == finArg.exprId =>
         Some((a, b))
+      case _ => None
+    }
+  }
+
+  /** Matches the tokenization chain
+    * `filter(split([lower(]text[)], regexLit, -1), t => t != "")` —
+    * any literal regex, with or without the lower() step, either operand
+    * order in the not-equals lambda. */
+  private object HofTokens {
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+
+    private def isEmptyStrLit(e: Expression): Boolean = e match {
+      case Literal(s: UTF8String, StringType) => s.numChars == 0
+      case _ => false
+    }
+
+    def unapply(e: Expression): Option[(Expression, String, Boolean)] = e match {
+      case ArrayFilter(
+            StringSplit(strExpr, Literal(regex: UTF8String, StringType), Literal(-1, IntegerType)),
+            LambdaFunction(Not(EqualTo(l, r)), Seq(v: NamedLambdaVariable), _))
+          if e.resolved && {
+            (l, r) match {
+              case (x: NamedLambdaVariable, lit) => x.exprId == v.exprId && isEmptyStrLit(lit)
+              case (lit, x: NamedLambdaVariable) => x.exprId == v.exprId && isEmptyStrLit(lit)
+              case _ => false
+            }
+          } =>
+        strExpr match {
+          case Lower(inner) => Some((inner, regex.toString, true))
+          case other => Some((other, regex.toString, false))
+        }
       case _ => None
     }
   }

@@ -82,6 +82,56 @@ class KernelFusionSpec extends SparkSuite {
       assert(!optimizedContainsFused(df), df.queryExecution.optimizedPlan.toString))
   }
 
+  private def withFusionDisabled[T](body: => T): T = {
+    val prev = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.KernelFusion")
+    try body finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.optimizer.excludedRules", v)
+      case None => spark.conf.unset("spark.sql.optimizer.excludedRules")
+    }
+  }
+
+  test("tokenization chain fuses and is bit-identical, unicode included") {
+    val texts = Seq(
+      "Hello, World! 42 times",
+      "  -- punctuation -- only --  ",
+      "",
+      "ÅNGSTRÖM über café 北京 MIXED case12three",
+      "\ttabs\nand\nnewlines 007").toDF("text").repartition(2)
+    def toks(df: org.apache.spark.sql.DataFrame) = df.select(
+      filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "").as("t"))
+    val fusedDf = toks(texts)
+    assert(fusedDf.queryExecution.optimizedPlan.expressions
+      .exists(_.exists(_.isInstanceOf[graft.functions.Tokenize])),
+      fusedDf.queryExecution.optimizedPlan.toString)
+    val fused = fusedDf.collect().map(_.getSeq[String](0)).toSeq
+    val unfused = withFusionDisabled {
+      val df = toks(texts)
+      assert(!df.queryExecution.optimizedPlan.expressions
+        .exists(_.exists(_.isInstanceOf[graft.functions.Tokenize])))
+      df.collect().map(_.getSeq[String](0)).toSeq
+    }
+    assert(fused.sortBy(_.mkString(" ")) == unfused.sortBy(_.mkString(" ")))
+    // un-lowered and custom-regex variants fuse too
+    val noLower = texts.select(filter(split(col("text"), ","), t => t =!= ""))
+    assert(noLower.queryExecution.optimizedPlan.expressions
+      .exists(_.exists(_.isInstanceOf[graft.functions.Tokenize])))
+  }
+
+  test("tokenize near-misses do not fuse") {
+    val df = Seq("a b").toDF("text").repartition(2)
+    // different filter predicate (keeps empties out by length): not the pattern
+    val lenFilter = df.select(
+      filter(split(lower(col("text")), " "), t => length(t) > 0))
+    // split with an explicit non-(-1) limit never reaches the pattern
+    // (functions.split(str, regex) always passes -1, so build via expr)
+    val limited = df.selectExpr("filter(split(text, ' ', 2), t -> t != '')")
+    Seq(lenFilter, limited).foreach(d =>
+      assert(!d.queryExecution.optimizedPlan.expressions
+        .exists(_.exists(_.isInstanceOf[graft.functions.Tokenize])),
+        d.queryExecution.optimizedPlan.toString))
+  }
+
   test("fused plan result matches the engine-internal kernel on dense vectors") {
     val dense = (1 to 50).map { i =>
       val r = new scala.util.Random(i)
