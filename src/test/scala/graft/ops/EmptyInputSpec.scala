@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Empty-input behavior of the core operators: a pipeline stage fed an
+  * empty (but correctly-typed) frame must return an empty, correctly-
+  * schemed result — not throw. This is the shape of every first
+  * production run, backfill gap, and fully-filtered partition. */
+class EmptyInputSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val noDocs = Seq.empty[(Long, String, String)]
+    .toDF("doc_id", "text", "source")
+  private val noVecs = Seq.empty[(Long, Seq[Double], String)]
+    .toDF("vec_id", "embedding", "label")
+
+  test("dedup family returns empty pair/tag sets") {
+    assert(Dedup.exactDupTag(noDocs, "text", "doc_id").isEmpty)
+    assert(Dedup.nearDupPairs(noDocs, "doc_id", "text").isEmpty)
+    assert(Dedup.simhashPairs(noDocs, "doc_id", "text").isEmpty)
+    assert(Dedup.blockedJaccardPairs(noDocs, "doc_id", "text", "source", 3, 0.1).isEmpty)
+  }
+
+  test("connected components of an empty pair set is empty; resolve keeps all docs") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Components.connectedComponents(noPairs, "id_a", "id_b").isEmpty)
+    val docs = Seq(1L, 2L).toDF("doc_id")
+    val resolved = Components.resolveClusters(docs, "doc_id", noPairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(resolved == Set((1L, 1L, true), (2L, 2L, true)))
+  }
+
+  test("similarity search over an empty corpus / empty query set") {
+    val q = Seq((0L, Seq.fill(4)(1.0), "x")).toDF("vec_id", "embedding", "label")
+    assert(Similarity.topKBruteForce(noVecs, q, "vec_id", "embedding", 3).isEmpty)
+    assert(Similarity.topKBruteForce(q, q.limit(0), "vec_id", "embedding", 3).isEmpty)
+    assert(Similarity
+      .topKBucketed(noVecs, noVecs, "vec_id", "embedding", 3, 2, 4, 2).isEmpty)
+  }
+
+  test("merge family: empty source is a no-op, empty target bootstraps") {
+    val target = Seq((1L, "a")).toDF("k", "v")
+    val empty = target.limit(0)
+    val kept = Merge.upsertMerge(target, empty, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept == Set((1L, "a")))
+    val inserted = Merge.upsertMerge(empty, target, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(inserted == Set((1L, "a")))
+  }
+
+  test("DQ rules over an empty frame report zero violations") {
+    val empty = Seq.empty[(Long, Option[Double])].toDF("id", "x")
+    val counts = Quality.violationCounts(spark, Seq(
+      (Quality.NotNull("t", "x"), empty, null),
+      (Quality.Unique("t", "id"), empty, null)))
+    assert(counts.collect().forall(r => r.getLong(r.length - 1) == 0L))
+  }
+
+  test("sketch aggregates on empty input: HLL 0, sketch [], topk []") {
+    val empty = Seq.empty[Long].toDF("v")
+    assert(empty.agg(call_function("graft_hll_distinct", col("v")))
+      .head().getLong(0) == 0L)
+    assert(empty.select(col("v").cast("string").as("s"))
+      .agg(call_function("graft_freq_sketch", col("s"), lit(8)))
+      .head().getSeq[String](0).isEmpty)
+    assert(empty.agg(call_function("graft_topk", col("v"), col("v"), lit(3)))
+      .head().getSeq[Long](0).isEmpty)
+  }
+}
