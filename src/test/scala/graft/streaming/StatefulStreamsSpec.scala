@@ -40,6 +40,43 @@ class StatefulStreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stateful restart: aggregation state restored from the checkpoint (T3)") {
+    // file source + running count. The restarted query must NOT re-read
+    // file 1 (offset log) yet still knows its counts — i.e. the state
+    // store, not the input, carries them across the restart.
+    val root = java.nio.file.Files.createTempDirectory("graft-stateful-restart")
+    root.toFile.deleteOnExit()
+    val in = root.resolve("in"); val cp = root.resolve("cp").toString
+    java.nio.file.Files.createDirectories(in)
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(in.resolve(name),
+        String.join("\n", lines: _*).getBytes)
+    def runOnce(sinkName: String) =
+      Streams.withShufflePartitions(spark, 4) {
+        val q = spark.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.StringType))))
+          .json(in.toString)
+          .groupBy("k").count()
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    writeFile("f1.json", Seq("""{"k":"a"}""", """{"k":"a"}""", """{"k":"b"}"""))
+    runOnce("graft_sr1")
+    val first = spark.table("graft_sr1").as[(String, Long)].collect().toMap
+    assert(first == Map("a" -> 2L, "b" -> 1L))
+    writeFile("f2.json", Seq("""{"k":"a"}""", """{"k":"c"}"""))
+    runOnce("graft_sr2")
+    val second = spark.table("graft_sr2").as[(String, Long)].collect().toMap
+    // a: 2 restored + 1 new; b: purely restored state (file 1 not re-read)
+    assert(second == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+  }
+
   test("mapGroupsWithState sessionization: state carries across micro-batches") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Long, Timestamp, Long)]
