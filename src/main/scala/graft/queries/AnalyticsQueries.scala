@@ -277,6 +277,56 @@ object AnalyticsQueries {
             .cast(DecimalType(18, 4))).cast("double").as("revenue"))
     },
 
+    // ---- Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL
+    // keys MATCH each other — the semantics CDC merges need when the
+    // business key itself is nullable (a plain equi-join silently drops
+    // every NULL-keyed row, the classic DQ trap flagged in round 1's
+    // Unique-rule review).
+    Q(
+      "q67_null_safe_join",
+      """WITH a AS (
+        |  SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_mktsegment END AS k,
+        |    CAST(count(*) AS BIGINT) AS n_a
+        |  FROM customer GROUP BY 1),
+        |b AS (
+        |  SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS k,
+        |    CAST(count(*) AS BIGINT) AS n_b
+        |  FROM customer GROUP BY 1)
+        |SELECT a.k, n_a, n_b
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""".stripMargin) { (spark, dir) =>
+      val c = Tables.customer(spark, dir)
+      def side(mod: Int, out: String) = c
+        .groupBy(when(col("c_custkey") % mod === 0, lit(null))
+          .otherwise(col("c_mktsegment")).as("k"))
+        .agg(count(lit(1)).as(out))
+      val a = side(10, "n_a")
+      val b = side(7, "n_b").withColumnRenamed("k", "kb")
+      a.join(b, col("k") <=> col("kb")).select("k", "n_a", "n_b")
+    },
+
+    // ---- Conditional / selective aggregate battery: count_if-style
+    // conditional counts, bool_or / bool_and gates, and max_by / min_by
+    // row selection (deterministic here: each group's price extremes are
+    // unique in the fixture — verified at both scale factors).
+    Q(
+      "q68_conditional_aggs",
+      """SELECT o_orderstatus,
+        |  CAST(count(CASE WHEN o_totalprice > 200000 THEN 1 END) AS BIGINT) AS n_big,
+        |  bool_or(o_totalprice > 200000) AS any_big,
+        |  bool_and(o_totalprice > 0) AS all_positive,
+        |  arg_max(o_orderkey, o_totalprice) AS priciest_order,
+        |  arg_min(o_orderkey, o_totalprice) AS cheapest_order
+        |FROM orders GROUP BY 1""".stripMargin) { (spark, dir) =>
+      Tables.orders(spark, dir)
+        .groupBy("o_orderstatus")
+        .agg(
+          count(when(col("o_totalprice") > 200000, 1)).as("n_big"),
+          bool_or(col("o_totalprice") > 200000).as("any_big"),
+          bool_and(col("o_totalprice") > 0).as("all_positive"),
+          max_by(col("o_orderkey"), col("o_totalprice")).as("priciest_order"),
+          min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_order"))
+    },
+
     // ---- Schema-evolution read (bronze-layer staple): two parquet
     // batches with drifted schemas (v2 adds a column) land in one
     // directory; mergeSchema unions the schemas and backfills v1 rows
