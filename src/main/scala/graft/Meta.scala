@@ -59,4 +59,61 @@ object Meta {
     val total = if (rows.size <= n) rows.size.toLong else df.count()
     (total, rows.take(n))
   }
+
+  /** M3 extended: versioned snapshot writes over plain parquet — the
+    * time-travel surface the reference gets from Delta (`dt.version()`,
+    * jobs/silver/silver_reader.py:71), rebuilt on directory layout:
+    * every write lands in `path/v=<n+1>`, readers resolve latest or any
+    * retained historical version. Writers never mutate a published
+    * snapshot, so concurrent readers of version n are isolated from the
+    * n+1 write — the same immutability contract a transaction log gives,
+    * minus cross-table atomicity. */
+  object Versioned {
+    private def versions(spark: SparkSession, path: String): Seq[Long] = {
+      val (f, p) = fs(spark, path)
+      if (!f.exists(p)) Seq.empty
+      else f.listStatus(p).toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+        .sorted
+    }
+
+    /** Publish `df` as the next version; returns the new version number. */
+    def write(df: DataFrame, path: String): Long = {
+      val next = versions(df.sparkSession, path).lastOption.getOrElse(0L) + 1
+      df.write.mode("errorifexists").parquet(s"$path/v=$next")
+      next
+    }
+
+    /** Latest version number, if any snapshot exists. */
+    def latestVersion(spark: SparkSession, path: String): Option[Long] =
+      versions(spark, path).lastOption
+
+    /** Read latest (version = None) or a specific retained snapshot. */
+    def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
+      val v = version.orElse(latestVersion(spark, path)).getOrElse(
+        throw new IllegalArgumentException(s"no versions at $path"))
+      spark.read.parquet(s"$path/v=$v")
+    }
+
+    /** Drop all but the newest `keep` snapshots (VACUUM). */
+    def vacuum(spark: SparkSession, path: String, keep: Int): Seq[Long] = {
+      val all = versions(spark, path)
+      val dead = all.dropRight(keep)
+      val (f, _) = fs(spark, path)
+      dead.foreach(v => f.delete(new org.apache.hadoop.fs.Path(s"$path/v=$v"), true))
+      dead
+    }
+  }
+
+  /** Single-pass pipeline observability (`Dataset.observe`): named
+    * metrics collected DURING an action over one scan — no second
+    * count()/agg() pass over the input, which at 100 TB is the
+    * difference between free metrics and a doubled read. */
+  def observed(df: DataFrame, name: String,
+      metrics: (String, org.apache.spark.sql.Column)*): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val first +: rest = metrics.map { case (alias, c) => c.as(alias) }.toSeq
+    (df.observe(obs, first, rest: _*), obs)
+  }
 }

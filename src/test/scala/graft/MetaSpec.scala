@@ -36,4 +36,26 @@ class MetaSpec extends SparkSuite {
     val (n2, rows2) = Meta.preview((1 to 2).toDF("x"), 3)
     assert(n2 == 2 && rows2.size == 2)
   }
+
+  test("Versioned: publish, time travel, latest, vacuum (M3 time travel)") {
+    val dir = Files.createTempDirectory("meta-ver").toString + "/t"
+    assert(Meta.Versioned.latestVersion(spark, dir).isEmpty)
+    assert(Meta.Versioned.write(Seq(1, 2).toDF("x"), dir) == 1L)
+    assert(Meta.Versioned.write(Seq(3).toDF("x"), dir) == 2L)
+    assert(Meta.Versioned.write(Seq(4, 5, 6).toDF("x"), dir) == 3L)
+    assert(Meta.Versioned.latestVersion(spark, dir).contains(3L))
+    assert(Meta.Versioned.read(spark, dir).count() == 3)                  // latest
+    assert(Meta.Versioned.read(spark, dir, Some(1L)).count() == 2)        // time travel
+    assert(Meta.Versioned.vacuum(spark, dir, keep = 2) == Seq(1L))
+    assert(Meta.Versioned.latestVersion(spark, dir).contains(3L))
+    intercept[Exception] { Meta.Versioned.read(spark, dir, Some(1L)).count() }
+  }
+
+  test("observed: metrics collected in the same pass as the action") {
+    import org.apache.spark.sql.functions._
+    val (df, obs) = Meta.observed((1 to 100).toDF("x"), "m",
+      "n" -> count(lit(1)), "sum_x" -> sum(col("x")))
+    df.count() // one action, metrics ride along
+    assert(obs.get("n") == 100L && obs.get("sum_x") == 5050L)
+  }
 }
