@@ -60,7 +60,9 @@ object Scale {
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
       targetRowsPerFile: Long): (Int, Int) = {
     def parquetFiles(p: String): Int =
-      new java.io.File(p).listFiles((_, n) => n.endsWith(".parquet")).length
+      Option(new java.io.File(p).listFiles((_, n) => n.endsWith(".parquet")))
+        .fold(0)(_.length)
+    require(new java.io.File(dir).isDirectory, s"not a table directory: $dir")
     val before = parquetFiles(dir)
     val df = spark.read.parquet(dir)
     val files = math.max(1, math.ceil(df.count().toDouble / targetRowsPerFile).toInt)
