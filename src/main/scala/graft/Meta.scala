@@ -112,8 +112,9 @@ object Meta {
     * difference between free metrics and a doubled read. */
   def observed(df: DataFrame, name: String,
       metrics: (String, org.apache.spark.sql.Column)*): (DataFrame, org.apache.spark.sql.Observation) = {
+    require(metrics.nonEmpty, "observed requires at least one metric")
     val obs = org.apache.spark.sql.Observation(name)
-    val first +: rest = metrics.map { case (alias, c) => c.as(alias) }.toSeq
-    (df.observe(obs, first, rest: _*), obs)
+    val exprs = metrics.map { case (alias, c) => c.as(alias) }
+    (df.observe(obs, exprs.head, exprs.tail: _*), obs)
   }
 }

@@ -57,6 +57,18 @@ object Sessions {
         intArg(e(3), "graft_lsh_buckets"))))
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` = n, restoring the
+    * previous value after. Size to the VOLUME a stage actually shuffles
+    * (streaming state keys, a near-dup label table), not CPU count —
+    * and keep heavy upstream work OUTSIDE the scope: the conf is read at
+    * plan time, so anything materialized inside runs at the narrow
+    * width. */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Standard engine session builder (UTC, tuned shuffle width, events
     * nanos compat, custom functions). AQE knobs are set explicitly even
     * where they match Spark 4 defaults — runtime partition coalescing

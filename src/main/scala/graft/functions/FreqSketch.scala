@@ -96,7 +96,12 @@ case class FreqSketch(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (k, c) => out.writeUTF(k); out.writeLong(c) }
+    // length-prefixed UTF-8, not writeUTF: modified-UTF-8 caps keys at
+    // 65535 bytes and would fail the whole aggregation on one long item
+    buf.foreach { case (k, c) =>
+      val bytes = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(bytes.length); out.write(bytes); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -106,7 +111,13 @@ case class FreqSketch(
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val bytes = new Array[Byte](len)
+      in.readFully(bytes)
+      buf.update(new String(bytes, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     buf
   }
 

@@ -36,7 +36,10 @@ case class TopKRows(
 
   override def children: Seq[Expression] = Seq(keyExpr, payloadExpr)
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(payloadExpr.dataType, containsNull = false)
+  // a nullable payload expression can put null elements in the result
+  // array — declare it, or downstream codegen skips null checks
+  override def dataType: DataType =
+    ArrayType(payloadExpr.dataType, containsNull = payloadExpr.nullable)
   override def prettyName: String = "graft_topk"
 
   override def checkInputDataTypes(): TypeCheckResult =

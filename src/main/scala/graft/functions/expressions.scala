@@ -269,19 +269,30 @@ case class LshBuckets(child: Expression, nbits: Int, dim: Int, tables: Int)
       if ((g.toLong * dim + j) * graft.ops.Text.Mult % graft.ops.Text.P % 2 == 0) 1.0 else -1.0
     }
 
+  private def signAt(g: Int, j: Int): Double =
+    if ((g.toLong * dim + j) * graft.ops.Text.Mult % graft.ops.Text.P % 2 == 0) 1.0 else -1.0
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val n = math.min(v.numElements(), dim)
+    // ALL elements, like the HOF spec (which folds the whole array even
+    // past the declared dim) — precomputed signs cover j < dim, the
+    // formula covers any overhang, so kernel and spec stay bit-identical
+    // for every input length
+    val n = v.numElements()
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
       var bucket = 0L
       var b = 0
       while (b < nbits) {
-        val s = signs(t * nbits + b)
+        val g = t * nbits + b
+        val s = signs(g)
         var proj = 0.0
         var j = 0
-        while (j < n) { proj += v.getDouble(j) * s(j); j += 1 }
+        while (j < n) {
+          proj += v.getDouble(j) * (if (j < dim) s(j) else signAt(g, j))
+          j += 1
+        }
         if (proj > 0) bucket |= (1L << b)
         b += 1
       }

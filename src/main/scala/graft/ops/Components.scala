@@ -47,24 +47,26 @@ object Components {
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25, smallGraphEdges: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
-    // the label/edge tables are tiny relative to the corpus (near-dup
-    // tail); a cluster run sizes this to edge volume, not corpus width
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      // symmetric edge list; distinct so parallel edges don't inflate joins
-      val half = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      val edges = half
-        .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
-        .localCheckpoint()
-      // Adaptive small-graph path (the AQE move: measure, then pick the
-      // physical strategy): a near-dup edge list is usually the tiny tail
-      // of a huge corpus, and a driver union-find beats a multi-round
-      // distributed fixpoint by the whole per-round scheduling cost. The
-      // count is a metadata-cheap scan of the materialized checkpoint;
-      // same min-label output either way (pinned by CurationSpec).
-      if (edges.count() <= smallGraphEdges) return driverUnionFind(edges)
+    // Materialize the edge list BEFORE narrowing the shuffle width:
+    // `pairs` is typically a corpus-scale candidate join (SimHash bands
+    // etc.) and must run at the session's tuned parallelism — only the
+    // tiny label fixpoint below gets the narrow width.
+    // Symmetric; distinct so parallel edges don't inflate joins.
+    val half = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val edges = half
+      .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    // Adaptive small-graph path (the AQE move: measure, then pick the
+    // physical strategy): a near-dup edge list is usually the tiny tail
+    // of a huge corpus, and a driver union-find beats a multi-round
+    // distributed fixpoint by the whole per-round scheduling cost. The
+    // count is a metadata-cheap scan of the materialized checkpoint;
+    // same min-label output either way (pinned by CurationSpec).
+    if (edges.count() <= smallGraphEdges) return driverUnionFind(edges)
+    // the label/edge tables are the near-dup tail, tiny relative to the
+    // corpus; a cluster run sizes this to edge volume, not corpus width
+    graft.Sessions.withShufflePartitions(spark, 8) {
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("comp", col("id"))
         .localCheckpoint()
@@ -95,7 +97,7 @@ object Components {
         s"connectedComponents did not converge in $maxIter rounds — " +
           "component diameter exceeds the round budget; raise maxIter or " +
           "switch to large-star/small-star alternation")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
   }
 
   /** Weighted-union union-find with path compression over a collected

@@ -70,14 +70,28 @@ object Scale {
     df.repartition(files).write.mode("overwrite").parquet(tmp)
     // atomic-ish swap: the rewritten layout replaces the original only
     // after a complete successful write (object stores would rename a
-    // manifest; local fs renames the directory)
-    val old = new java.io.File(dir)
-    val dead = new java.io.File(dir + "_old")
-    old.renameTo(dead)
-    new java.io.File(tmp).renameTo(old)
+    // manifest; local fs renames the directory). Every rename result is
+    // CHECKED: a silent rename failure here either corrupts the swap or
+    // deletes the only live copy, so failure rolls back and throws.
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(rm)
       f.delete()
+    }
+    val old = new java.io.File(dir)
+    val dead = new java.io.File(dir + "_old")
+    if (dead.exists()) // debris from a crashed previous swap — clear it
+      rm(dead)
+    if (!old.renameTo(dead)) {
+      rm(new java.io.File(tmp))
+      throw new java.io.IOException(s"compact: cannot move $dir aside; table unchanged")
+    }
+    if (!new java.io.File(tmp).renameTo(old)) {
+      // roll the original back before reporting failure
+      if (!dead.renameTo(old))
+        throw new java.io.IOException(
+          s"compact: swap failed AND rollback failed — original preserved at $dead")
+      rm(new java.io.File(tmp))
+      throw new java.io.IOException(s"compact: cannot publish rewrite; table unchanged")
     }
     rm(dead)
     (before, parquetFiles(dir))

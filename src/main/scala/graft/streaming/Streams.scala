@@ -167,16 +167,13 @@ object Streams {
   def awaitAnyTermination(spark: SparkSession, timeoutMs: Long): Boolean =
     spark.streams.awaitAnyTermination(timeoutMs)
 
-  /** Run `body` with `spark.sql.shuffle.partitions` = n, restoring the
-    * previous value after. Stateful streaming ops instantiate one state
-    * store (with its own checkpoint delta files) PER shuffle partition
-    * PER micro-batch — a low-rate stream with the batch-tuned width pays
-    * 32 state commits per trigger for a handful of rows. The width is
-    * frozen into the checkpoint at first start, so it must be set before
-    * the query begins; size it to state volume, not CPU count. */
-  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+  /** Stateful streaming ops instantiate one state store (with its own
+    * checkpoint delta files) PER shuffle partition PER micro-batch — a
+    * low-rate stream with the batch-tuned width pays 32 state commits
+    * per trigger for a handful of rows. The width is frozen into the
+    * checkpoint at first start, so it must be set before the query
+    * begins; size it to state volume, not CPU count. Delegates to the
+    * shared [[graft.Sessions.withShufflePartitions]]. */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
+    graft.Sessions.withShufflePartitions(spark, n)(body)
 }

@@ -48,17 +48,10 @@ class KernelFusionSpec extends SparkSuite {
       .select(col("a").cast("array<double>").as("a"), col("b").cast("array<double>").as("b"))
     val fused = tricky.select(hofDot(col("a"), col("b")).as("d"))
     assert(optimizedContainsFused(fused))
-    val unfused = {
-      val prev = spark.conf.getOption("spark.sql.optimizer.excludedRules")
-      spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.KernelFusion")
-      try {
-        val df = tricky.select(hofDot(col("a"), col("b")).as("d"))
-        assert(!optimizedContainsFused(df), "excludedRules must disable fusion")
-        df.collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
-      } finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.optimizer.excludedRules", v)
-        case None => spark.conf.unset("spark.sql.optimizer.excludedRules")
-      }
+    val unfused = withFusionDisabled {
+      val df = tricky.select(hofDot(col("a"), col("b")).as("d"))
+      assert(!optimizedContainsFused(df), "excludedRules must disable fusion")
+      df.collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
     }
     // repartition scrambles row order — compare as multisets
     val got = fused.collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
