@@ -94,6 +94,64 @@ class PlansSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), s"fact side must not shuffle for a join:\n$p")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    import spark.implicits._
+    // one hot key with ~200k wide rows vs 100 cold keys; thresholds
+    // lowered so the local fixture trips the same machinery a 100 TB
+    // hot-key join would
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // thresholds in terms of COMPRESSED shuffle-block sizes (what map
+      // output statistics report), hence far below the logical bytes
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val pad = "x" * 64
+      val skewed = (1 to 220000).map(i => (if (i % 11 == 0) i.toLong % 100 else 0L, pad))
+        .toDF("k", "pad")
+      val dim = (0L to 100L).map(k => (k, s"dim$k")).toDF("k", "name")
+      // aggregate over pad so column pruning can't strip the bytes that
+      // make the hot partition skewed
+      val joined = skewed.join(dim, "k").groupBy("name")
+        .agg(sum(length(col("pad"))).as("bytes"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString()
+      assert(p.contains("skew=true"), s"AQE did not split the skewed partition:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // a selective dimension filter should inject a bloom filter on the
+    // fact side's join key BEFORE the shuffle — at 100 TB this drops
+    // most fact rows at the scan instead of shuffling them. Thresholds
+    // lowered to fixture scale.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sfDir("0.01")).select("l_orderkey", "l_quantity")
+      val o = Tables.orders(spark, sfDir("0.01"))
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString()
+      assert(p.toLowerCase.contains("bloom"), s"no runtime bloom filter injected:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("deterministic sample gate stays a scan-level pushed filter") {
     // no Exchange anywhere: sampling must not shuffle
     val p = plan(graft.ops.Sample.hashSample(

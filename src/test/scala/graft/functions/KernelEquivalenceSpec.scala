@@ -82,14 +82,19 @@ class KernelEquivalenceSpec extends SparkSuite {
   }
 
   test("LshBuckets == per-table interpreted HOF projection formula") {
-    val dim = 64
-    val vecs = (1 to 20).map(_ => (1 to dim).map(_ => rng.nextDouble() * 2 - 1).toSeq)
-    val df = vecs.toDF("v")
-    val kernel = df.select(
-      call_function("graft_lsh_buckets", col("v"), lit(4), lit(dim), lit(4)).as("bk"))
-    val hof = df.select(array((0 until 4).map(t =>
-      graft.ops.Similarity.lshBucketHof(col("v"), 4, dim, t)): _*).as("bk"))
-    assert(kernel.as[Seq[Long]].collect().toSeq == hof.as[Seq[Long]].collect().toSeq)
+    // vectors at, below, and ABOVE the declared dim: the kernel must fold
+    // every element exactly like the HOF (overhang signs via formula)
+    val dim = 16
+    for (len <- Seq(8, dim, 40)) {
+      val vecs = (1 to 20).map(_ => (1 to len).map(_ => rng.nextDouble() * 2 - 1).toSeq)
+      val df = vecs.toDF("v")
+      val kernel = df.select(
+        call_function("graft_lsh_buckets", col("v"), lit(4), lit(dim), lit(4)).as("bk"))
+      val hof = df.select(array((0 until 4).map(t =>
+        graft.ops.Similarity.lshBucketHof(col("v"), 4, dim, t)): _*).as("bk"))
+      assert(kernel.as[Seq[Long]].collect().toSeq == hof.as[Seq[Long]].collect().toSeq,
+        s"len=$len")
+    }
   }
 
   test("DotProduct == aggregate(zip_with) sequential fold, bit for bit") {
