@@ -107,6 +107,42 @@ object Dedup {
     jaccardJoin(cand, hvT, idCol, threshold)
   }
 
+  /** Incremental near-dup: a NEW batch deduplicated AGAINST an existing
+    * corpus — the continuous-ingest shape (nobody re-runs the self-join
+    * over 100 TB per arriving batch). Same banded-LSH candidate
+    * generation, but the band join is corpus × batch (shuffle keyed on
+    * the band bucket; the corpus side would be a pre-materialized
+    * signature table in production — signatures are computed once per
+    * document ever, not per batch). Returns (corpus_id, batch_id,
+    * jaccard) for candidates with Jaccard ≥ threshold. */
+  def nearDupPairsAgainst(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 12, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    def sigTable(df: DataFrame) = withShingleHashes(df, textCol, shingleN)
+      .filter(size(col("hv")) > 0)
+      .withColumn("sig", minhashSignature(col("hv"), k))
+      .select(col(idCol), col("hv"), col("sig"))
+      .cache()
+    val cSigs = sigTable(corpus)
+    val bSigs = sigTable(batch)
+    val cand = bandKeys(cSigs, idCol, k, bands)
+      .select(col("band"), col("band_key"), col(idCol).as("corpus_id"))
+      .join(bandKeys(bSigs, idCol, k, bands)
+        .select(col("band"), col("band_key"), col(idCol).as("batch_id")),
+        Seq("band", "band_key"))
+      .select("corpus_id", "batch_id")
+      .distinct()
+    val inter = intersectSize(col("hv_a"), col("hv_b"))
+    val union = size(col("hv_a")) + size(col("hv_b")) - inter
+    cand
+      .join(cSigs.select(col(idCol).as("corpus_id"), col("hv").as("hv_a")), Seq("corpus_id"))
+      .join(bSigs.select(col(idCol).as("batch_id"), col("hv").as("hv_b")), Seq("batch_id"))
+      .withColumn("jaccard", inter.cast("double") / union)
+      .filter(col("jaccard") >= threshold)
+      .select("corpus_id", "batch_id", "jaccard")
+  }
+
   /** Intersection size of two sorted distinct hash sets — codegen'd
     * two-pointer merge (graft.functions.SortedIntersectSize), no per-call
     * hash-set build like array_intersect. */

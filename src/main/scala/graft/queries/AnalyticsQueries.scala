@@ -327,6 +327,57 @@ object AnalyticsQueries {
           min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_order"))
     },
 
+    // ---- UNPIVOT (melt): the wide status×priority count matrix back to
+    // long form — the inverse of q43's PIVOT, one Expand pass. NULL
+    // cells (absent combinations) are dropped to match the long-form
+    // GROUP BY the oracle computes directly.
+    Q(
+      "q69_unpivot",
+      """SELECT o_orderpriority, o_orderstatus AS status,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      val statuses = Seq("O", "F", "P")
+      val wide = Tables.orders(spark, dir)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .count()
+      wide.unpivot(
+        Array(col("o_orderpriority")),
+        statuses.map(col).toArray, "status", "n")
+        .filter(col("n").isNotNull)
+    },
+
+    // ---- Calendar gap-fill (densification): generate every month in
+    // the data's range and left-join the per-month counts, so empty
+    // months surface as zero — the reporting shape dashboards need.
+    // sequence+explode is the scalable generator (no driver loop).
+    Q(
+      "q70_gap_fill",
+      """WITH bounds AS (
+        |  SELECT min(date_trunc('month', o_orderdate)) AS mn,
+        |         max(date_trunc('month', o_orderdate)) AS mx
+        |  FROM orders),
+        |months AS (
+        |  SELECT unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS month
+        |  FROM bounds),
+        |counts AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT month, coalesce(n_orders, 0) AS n_orders
+        |FROM months LEFT JOIN counts USING (month)""".stripMargin) { (spark, dir) =>
+      val o = Tables.orders(spark, dir)
+      val bounds = o.agg(
+        date_trunc("month", min(col("o_orderdate"))).as("mn"),
+        date_trunc("month", max(col("o_orderdate"))).as("mx"))
+      val months = bounds.select(
+        explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 MONTH"))).as("month"))
+      val counts = o.groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"))
+      months.join(counts, Seq("month"), "left")
+        .select(col("month"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    },
+
     // ---- Schema-evolution read (bronze-layer staple): two parquet
     // batches with drifted schemas (v2 adds a column) land in one
     // directory; mergeSchema unions the schemas and backfills v1 rows

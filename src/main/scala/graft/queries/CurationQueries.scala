@@ -210,6 +210,50 @@ object CurationQueries {
           count(lit(1)).as("n_vectors"))
     },
 
+    // ---- Incremental near-dup: a NEW batch (every 4th doc re-ingested
+    // under a shifted id) deduplicated AGAINST the standing corpus —
+    // banded-LSH candidates across the corpus×batch join, never a
+    // corpus self-join per batch (Dedup.nearDupPairsAgainst).
+    Q(
+      "q71_incremental_dedup", {
+        def hvSig(prefix: String, src: String): String = {
+          import LlmQueries.{toksSql => tok, shinglesSql, strHashSql, sigSql}
+          val banded = (0 until 4).map(b =>
+            s"SELECT doc_id, $b AS band, array_to_string(sig[${b * 3 + 1}:${b * 3 + 3}], ',') AS band_key FROM ${prefix}_sigs")
+            .mkString("\n  UNION ALL ")
+          s"""${prefix}_toks AS (
+             |  SELECT doc_id, $tok AS t FROM $src),
+             |${prefix}_sh AS (
+             |  SELECT doc_id, $shinglesSql AS s FROM ${prefix}_toks),
+             |${prefix}_hv AS (
+             |  SELECT doc_id,
+             |    list_sort(list_distinct(list_transform(s, x -> ${strHashSql("x")}))) AS hv
+             |  FROM ${prefix}_sh WHERE len(s) > 0),
+             |${prefix}_sigs AS (
+             |  SELECT doc_id, hv, $sigSql AS sig FROM ${prefix}_hv),
+             |${prefix}_banded AS (
+             |  $banded)""".stripMargin
+        }
+        s"""WITH batch0 AS (
+           |  SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0),
+           |${hvSig("c", "documents")},
+           |${hvSig("b", "batch0")},
+           |cand AS (
+           |  SELECT DISTINCT c.doc_id AS corpus_id, b.doc_id AS batch_id
+           |  FROM c_banded c JOIN b_banded b USING (band, band_key))
+           |SELECT corpus_id, batch_id, jaccard FROM (
+           |  SELECT corpus_id, batch_id, ${LlmQueries.jaccardSql} AS jaccard
+           |  FROM cand
+           |  JOIN c_hv ha ON ha.doc_id = corpus_id
+           |  JOIN b_hv hb ON hb.doc_id = batch_id)
+           |WHERE jaccard >= 0.5""".stripMargin
+      }) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+        .withColumn("doc_id", col("doc_id") + 20000)
+      Dedup.nearDupPairsAgainst(docs, batch, "doc_id", "text", threshold = 0.5)
+    },
+
     // ---- Unigram log-probability per document — the corpus-statistics
     // quality score perplexity filtering builds on (docs whose tokens are
     // globally rare score low). Per-token ln p is rounded to 9 decimals

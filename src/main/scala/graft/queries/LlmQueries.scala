@@ -21,24 +21,24 @@ object LlmQueries {
   // ---- shared oracle fragments (DuckDB dialect) -------------------------
 
   /** tokens CTE body: lowercase alnum tokens of `text`. */
-  private val toksSql =
+  private[queries] val toksSql =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
   /** distinct 3-gram shingles over token list `t`. */
-  private val shinglesSql =
+  private[queries] val shinglesSql =
     """list_distinct(CASE WHEN len(t) < 3 THEN []
       |    ELSE list_transform(range(1, len(t)-1),
       |           i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END)""".stripMargin
 
   /** md5-prefix 32-bit string hash of `x`, reduced mod P. */
-  private def strHashSql(x: String) =
+  private[queries] def strHashSql(x: String) =
     s"CAST(concat('0x', substr(md5($x),1,8)) AS BIGINT) % $P"
 
   /** Sequential left fold: sum of `elems` starting at `init`. */
-  private def foldSumSql(elems: String, init: String, step: String = "a + x") =
+  private[queries] def foldSumSql(elems: String, init: String, step: String = "a + x") =
     s"list_reduce(list_prepend($init, $elems), (a, x) -> $step)"
 
-  private val k = 12; private val bands = 4; private val r = 3
+  private[queries] val k = 12; private val bands = 4; private val r = 3
 
   /** SimHash CTE chain (toks → th → sims → banded) shared by q28 and the
     * q49 component clustering oracle — generated from the same constants
@@ -68,7 +68,7 @@ object LlmQueries {
   }
 
   /** The k MinHash signature expressions over hash-set column `hv`. */
-  private val sigSql = (1 to k).map(i =>
+  private[queries] val sigSql = (1 to k).map(i =>
     s"list_min(list_transform(hv, x -> (${Dedup.minhashA(i)}*x + ${Dedup.minhashB(i)}) % $P))")
     .mkString("[", ",\n    ", "]")
 
@@ -83,7 +83,7 @@ object LlmQueries {
        |    list_sort(list_distinct(list_transform(s, x -> ${strHashSql("x")}))) AS hv
        |  FROM sh WHERE len(s) > 0)""".stripMargin
 
-  private val jaccardSql =
+  private[queries] val jaccardSql =
     """CAST(len(list_intersect(ha.hv, hb.hv)) AS DOUBLE)
       |      / (len(ha.hv) + len(hb.hv) - len(list_intersect(ha.hv, hb.hv)))""".stripMargin
 
