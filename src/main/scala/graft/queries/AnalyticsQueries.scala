@@ -378,6 +378,32 @@ object AnalyticsQueries {
         .select(col("month"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
     },
 
+    // ---- Outer-join battery over key sets: the left-anti / inner /
+    // full-outer counts as one three-row report (the join-type surface
+    // beyond the equi/anti joins the pipelines use). Aggregated to
+    // distinct keys first, so each join is key-set sized.
+    Q(
+      "q72_outer_join_battery",
+      """WITH ck AS (SELECT DISTINCT c_custkey AS k FROM customer),
+        |ok AS (SELECT DISTINCT o_custkey AS k FROM orders)
+        |SELECT 'customers_no_orders' AS side,
+        |  CAST((SELECT count(*) FROM ck LEFT JOIN ok USING (k) WHERE ok.k IS NULL) AS BIGINT) AS n
+        |UNION ALL
+        |SELECT 'customers_with_orders',
+        |  CAST((SELECT count(*) FROM ck JOIN ok USING (k)) AS BIGINT)
+        |UNION ALL
+        |SELECT 'all_keys_either_side',
+        |  CAST((SELECT count(*) FROM ck FULL OUTER JOIN ok USING (k)) AS BIGINT)""".stripMargin) {
+      (spark, dir) =>
+        val ck = Tables.customer(spark, dir).select(col("c_custkey").as("k")).distinct()
+        val ok = Tables.orders(spark, dir).select(col("o_custkey").as("k")).distinct()
+        def row(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n")).select(lit(name).as("side"), col("n"))
+        row("customers_no_orders", ck.join(ok, Seq("k"), "left_anti"))
+          .unionByName(row("customers_with_orders", ck.join(ok, Seq("k"), "left_semi")))
+          .unionByName(row("all_keys_either_side", ck.join(ok, Seq("k"), "full_outer")))
+    },
+
     // ---- Schema-evolution read (bronze-layer staple): two parquet
     // batches with drifted schemas (v2 adds a column) land in one
     // directory; mergeSchema unions the schemas and backfills v1 rows
