@@ -404,6 +404,26 @@ object AnalyticsQueries {
           .unionByName(row("all_keys_either_side", ck.join(ok, Seq("k"), "full_outer")))
     },
 
+    // ---- Lake maintenance end-to-end: publish two versioned snapshots
+    // (Meta.Versioned), compact the older one's file layout in place
+    // (Scale.compact — rewrite must preserve every row), then time-travel
+    // read snapshot v1. The oracle is the v1 dataset definition — proving
+    // the publish → compact → as-of-read cycle is lossless.
+    Q(
+      "q73_versioned_maintenance",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin) { (spark, dir) =>
+      val table = java.nio.file.Files.createTempDirectory("graft-q73").toString + "/t"
+      val c = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_acctbal",
+        "c_mktsegment")
+      val v1 = c.filter(col("c_mktsegment") === "BUILDING").repartition(8)
+      assert(graft.Meta.Versioned.write(v1, table) == 1L)
+      assert(graft.Meta.Versioned.write(c, table) == 2L)
+      graft.ops.Scale.compact(spark, s"$table/v=1", targetRowsPerFile = 1000000L)
+      graft.Meta.Versioned.read(spark, table, version = Some(1L))
+        .select("c_custkey", "c_name", "c_acctbal")
+    },
+
     // ---- Schema-evolution read (bronze-layer staple): two parquet
     // batches with drifted schemas (v2 adds a column) land in one
     // directory; mergeSchema unions the schemas and backfills v1 rows
