@@ -44,6 +44,16 @@ object Sessions {
       info("graft_hll_distinct", classOf[HllDistinct]),
       (e: Seq[Expression]) => HllDistinct(e.head,
         if (e.length > 1) intArg(e(1), "graft_hll_distinct") else 12)))
+    ext.injectFunction((FunctionIdentifier("graft_hll_sketch"),
+      info("graft_hll_sketch", classOf[HllSketch]),
+      (e: Seq[Expression]) => HllSketch(e.head,
+        if (e.length > 1) intArg(e(1), "graft_hll_sketch") else 12)))
+    ext.injectFunction((FunctionIdentifier("graft_hll_merge"),
+      info("graft_hll_merge", classOf[HllMergeAgg]),
+      (e: Seq[Expression]) => HllMergeAgg(e.head)))
+    ext.injectFunction((FunctionIdentifier("graft_hll_estimate"),
+      info("graft_hll_estimate", classOf[HllEstimate]),
+      (e: Seq[Expression]) => HllEstimate(e.head)))
     ext.injectFunction((FunctionIdentifier("graft_freq_sketch"),
       info("graft_freq_sketch", classOf[FreqSketch]),
       (e: Seq[Expression]) => FreqSketch(e.head, intArg(e(1), "graft_freq_sketch"))))

@@ -47,46 +47,17 @@ case class HllDistinct(
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 
+  // register math shared with the re-aggregatable sketch family
+  // (HllSketch / HllMergeAgg / HllEstimate) via graft.functions.Hll
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
-    if (v != null) {
-      val h = HllDistinct.hash64(v.asInstanceOf[Long])
-      val idx = (h >>> (64 - precision)).toInt
-      // rank of the remaining 64-p bits: leading zeros + 1, capped when
-      // the suffix is all zeros
-      val w = h << precision
-      val rank = (if (w == 0) 64 - precision else java.lang.Long.numberOfLeadingZeros(w)) + 1
-      if (rank > (buf(idx) & 0xff)) buf(idx) = rank.toByte
-    }
+    if (v != null) Hll.updateRegisters(buf, precision, v.asInstanceOf[Long])
     buf
   }
 
-  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    var i = 0
-    while (i < m) {
-      if ((b(i) & 0xff) > (a(i) & 0xff)) a(i) = b(i)
-      i += 1
-    }
-    a
-  }
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = Hll.mergeInto(a, b)
 
-  override def eval(buf: Array[Byte]): Any = {
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
-    var sum = 0.0
-    var zeros = 0
-    var i = 0
-    while (i < m) {
-      val r = buf(i) & 0xff
-      sum += 1.0 / (1L << r)
-      if (r == 0) zeros += 1
-      i += 1
-    }
-    val est = alpha * m.toDouble * m.toDouble / sum
-    val corrected =
-      if (est <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) // linear counting
-      else est
-    math.round(corrected)
-  }
+  override def eval(buf: Array[Byte]): Any = Hll.estimate(buf)
 
   override def serialize(buf: Array[Byte]): Array[Byte] = buf
   override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes

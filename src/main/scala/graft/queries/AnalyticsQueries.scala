@@ -120,15 +120,26 @@ object AnalyticsQueries {
     },
 
     // ---- HLL sketch vs exact NDV per group (graft.functions.HllDistinct,
-    // p=12 → ~1.6% expected error). The sketch is engine-specific (DuckDB
-    // cannot replay its registers), so this is a rows-only entry; the
-    // error bound and merge determinism are pinned in HllSpec instead.
+    // p=12 → ~1.6% expected error), plus the re-aggregatable cube path:
+    // per-(returnflag, linestatus) sketches materialized and ROLLED UP to
+    // the returnflag estimate (sketch → merge → estimate) — identical to
+    // the direct estimate by register-max idempotence (pinned in HllSpec;
+    // the cube pattern that avoids rescanning raw data at 100 TB). The
+    // sketch registers are engine-specific (DuckDB cannot replay them),
+    // so this is the one rows-only entry.
     Q.noOracle("q48_hll_distinct") { (spark, dir) =>
+      val rolled = Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(call_function("graft_hll_sketch", col("l_orderkey")).as("sk"))
+        .groupBy("l_returnflag")
+        .agg(call_function("graft_hll_estimate",
+          call_function("graft_hll_merge", col("sk"))).as("hll_rolled"))
       Tables.lineitem(spark, dir)
         .groupBy("l_returnflag")
         .agg(
           call_function("graft_hll_distinct", col("l_orderkey")).as("hll_orders"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
+        .join(rolled, "l_returnflag")
     },
 
     // ---- Window FRAMES: running total (unbounded preceding) and a

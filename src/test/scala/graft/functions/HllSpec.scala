@@ -41,6 +41,39 @@ class HllSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("sketch -> merge -> estimate rollup == direct estimate, any grouping") {
+    // the materialized-cube identity: per-day sketches rolled up must
+    // give EXACTLY the direct whole-table estimate (register max is
+    // commutative/idempotent and the hash is fixed)
+    val df = (1L to 50000L).map(v => (v % 37, v)).toDF("day", "v")
+    val direct = df.agg(call_function("graft_hll_distinct", col("v")))
+      .head().getLong(0)
+    val rolled = df
+      .groupBy("day").agg(call_function("graft_hll_sketch", col("v")).as("sk"))
+      .agg(call_function("graft_hll_estimate",
+        call_function("graft_hll_merge", col("sk"))))
+      .head().getLong(0)
+    assert(rolled == direct)
+    // two-level rollup tree (day -> week -> total) gives the same answer
+    val twoLevel = df
+      .groupBy("day").agg(call_function("graft_hll_sketch", col("v")).as("sk"))
+      .groupBy(col("day") % 7).agg(call_function("graft_hll_merge", col("sk")).as("sk"))
+      .agg(call_function("graft_hll_estimate",
+        call_function("graft_hll_merge", col("sk"))))
+      .head().getLong(0)
+    assert(twoLevel == direct)
+  }
+
+  test("merging sketches of different precision fails loudly") {
+    val df = (1L to 100L).toDF("v")
+    val sk8 = df.agg(call_function("graft_hll_sketch", col("v"), lit(8)).as("sk"))
+    val sk12 = df.agg(call_function("graft_hll_sketch", col("v"), lit(12)).as("sk"))
+    val mixed = sk8.unionByName(sk12)
+      .agg(call_function("graft_hll_merge", col("sk")))
+    val e = intercept[Exception] { mixed.collect() }
+    assert(e.getMessage != null)
+  }
+
   test("nulls are ignored; explicit precision argument respected") {
     val df = Seq[Option[Long]](Some(1L), None, Some(2L), Some(2L)).toDF("v")
     val est = df.agg(call_function("graft_hll_distinct", col("v"))).head().getLong(0)
