@@ -54,6 +54,19 @@ object Sessions {
     ext.injectFunction((FunctionIdentifier("graft_hll_estimate"),
       info("graft_hll_estimate", classOf[HllEstimate]),
       (e: Seq[Expression]) => HllEstimate(e.head)))
+    ext.injectFunction((FunctionIdentifier("graft_kmv_sketch"),
+      info("graft_kmv_sketch", classOf[KmvSketch]),
+      (e: Seq[Expression]) => KmvSketch(e.head,
+        if (e.length > 1) intArg(e(1), "graft_kmv_sketch") else 1024)))
+    ext.injectFunction((FunctionIdentifier("graft_kmv_merge"),
+      info("graft_kmv_merge", classOf[KmvMergeAgg]),
+      (e: Seq[Expression]) => KmvMergeAgg(e.head)))
+    ext.injectFunction((FunctionIdentifier("graft_kmv_estimate"),
+      info("graft_kmv_estimate", classOf[KmvEstimate]),
+      (e: Seq[Expression]) => KmvEstimate(e.head)))
+    ext.injectFunction((FunctionIdentifier("graft_kmv_jaccard"),
+      info("graft_kmv_jaccard", classOf[KmvJaccard]),
+      (e: Seq[Expression]) => KmvJaccard(e.head, e(1))))
     ext.injectFunction((FunctionIdentifier("graft_freq_sketch"),
       info("graft_freq_sketch", classOf[FreqSketch]),
       (e: Seq[Expression]) => FreqSketch(e.head, intArg(e(1), "graft_freq_sketch"))))

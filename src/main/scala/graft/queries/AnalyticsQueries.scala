@@ -138,6 +138,8 @@ object AnalyticsQueries {
         .groupBy("l_returnflag")
         .agg(
           call_function("graft_hll_distinct", col("l_orderkey")).as("hll_orders"),
+          call_function("graft_kmv_estimate",
+            call_function("graft_kmv_sketch", col("l_orderkey"))).as("kmv_orders"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
         .join(rolled, "l_returnflag")
     },

@@ -1,0 +1,89 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Pins for the KMV bottom-k sketch family: NDV error bound, exactness
+  * under k, partitioning/rollup invariance, and set-overlap (Jaccard /
+  * intersection) estimation between materialized sketches. */
+class KmvSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def sketchOf(df: org.apache.spark.sql.DataFrame, k: Int = 1024) =
+    df.agg(call_function("graft_kmv_sketch", col("v"), lit(k)).as("sk"))
+
+  test("NDV estimate: exact under k, within ~3x stderr above k") {
+    // under k distinct values the sketch IS the distinct set
+    val small = (1L to 500L).toDF("v")
+    assert(sketchOf(small).select(
+      call_function("graft_kmv_estimate", col("sk"))).head().getLong(0) == 500L)
+    // above k: (k-1)/theta, error ~ 1/sqrt(k-2) ~ 3.1% at k=1024
+    val big = (1L to 100000L).toDF("v")
+    val est = sketchOf(big).select(
+      call_function("graft_kmv_estimate", col("sk"))).head().getLong(0)
+    assert(math.abs(est - 100000L) < 10000, s"est=$est")
+  }
+
+  test("estimate is partitioning- and rollup-invariant (bottom-k union)") {
+    val df = (1L to 50000L).map(v => (v % 23, v)).toDF("day", "v")
+    def direct(parts: Int) = df.repartition(parts)
+      .agg(call_function("graft_kmv_sketch", col("v")).as("sk"))
+      .select(call_function("graft_kmv_estimate", col("sk"))).head().getLong(0)
+    val one = direct(1)
+    assert(direct(7) == one && direct(32) == one)
+    val rolled = df.groupBy("day")
+      .agg(call_function("graft_kmv_sketch", col("v")).as("sk"))
+      .agg(call_function("graft_kmv_estimate",
+        call_function("graft_kmv_merge", col("sk"))))
+      .head().getLong(0)
+    assert(rolled == one)
+  }
+
+  test("Jaccard between sketches tracks true overlap") {
+    // A = [1, 60k], B = [40k+1, 100k] → |∩|=20k, |∪|=100k, J=0.2
+    val a = (1L to 60000L).toDF("v")
+    val b = (40001L to 100000L).toDF("v")
+    val j = sketchOf(a).crossJoin(sketchOf(b).withColumnRenamed("sk", "skb"))
+      .select(call_function("graft_kmv_jaccard", col("sk"), col("skb")))
+      .head().getDouble(0)
+    assert(math.abs(j - 0.2) < 0.05, s"jaccard=$j")
+    // disjoint sets → 0
+    val d = (200000L to 210000L).toDF("v")
+    val j0 = sketchOf(a).crossJoin(sketchOf(d).withColumnRenamed("sk", "skb"))
+      .select(call_function("graft_kmv_jaccard", col("sk"), col("skb")))
+      .head().getDouble(0)
+    assert(j0 == 0.0)
+    // identical sets → 1
+    val j1 = sketchOf(a).crossJoin(sketchOf(a).withColumnRenamed("sk", "skb"))
+      .select(call_function("graft_kmv_jaccard", col("sk"), col("skb")))
+      .head().getDouble(0)
+    assert(j1 == 1.0)
+  }
+
+  test("intersection cardinality = jaccard * union estimate, near truth") {
+    val a = (1L to 60000L).toDF("v")
+    val b = (40001L to 100000L).toDF("v")
+    // union estimate: aggregate the two sketches as rows of one merge
+    val u = sketchOf(a).unionByName(sketchOf(b))
+      .agg(call_function("graft_kmv_estimate",
+        call_function("graft_kmv_merge", col("sk")))).head().getLong(0)
+    val j = sketchOf(a).crossJoin(sketchOf(b).withColumnRenamed("sk", "skb"))
+      .select(call_function("graft_kmv_jaccard", col("sk"), col("skb")))
+      .head().getDouble(0)
+    val inter = j * u
+    assert(math.abs(inter - 20000.0) < 4000, s"intersection=$inter (union=$u j=$j)")
+  }
+
+  test("merging mixed-k sketches contracts to the smaller k, both orders") {
+    val a = (1L to 30000L).toDF("v")
+    for (ks <- Seq(Seq(256, 1024), Seq(1024, 256))) {
+      val sks = sketchOf(a, ks.head).unionByName(sketchOf(a, ks(1)))
+      val est = sks.agg(call_function("graft_kmv_estimate",
+        call_function("graft_kmv_merge", col("sk")))).head().getLong(0)
+      // same value set, so estimate equals the small-k sketch's estimate
+      val small = sketchOf(a, 256).select(
+        call_function("graft_kmv_estimate", col("sk"))).head().getLong(0)
+      assert(est == small, s"ks=$ks est=$est small=$small")
+    }
+  }
+}
