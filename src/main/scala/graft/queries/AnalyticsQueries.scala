@@ -437,6 +437,57 @@ object AnalyticsQueries {
         .select("c_custkey", "c_name", "c_acctbal")
     },
 
+    // ---- Statistical moments from exact DECIMAL power sums: built-in
+    // var_samp/stddev/corr sum doubles in partial-merge order (results
+    // drift run to run and engine to engine); computing Σx, Σx², Σxy as
+    // exact decimals and assembling the moments in one fixed double
+    // expression at the end makes variance/stddev/correlation exactly
+    // reproducible. Identical assembly trees both engines; round(6).
+    Q(
+      "q74_exact_moments",
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(20,2))
+        |           * CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS p1,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))
+        |           * CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS p2,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(20,2))
+        |           * CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  round(s1 / n, 6) AS mean_qty,
+        |  round((s2 - s1 * s1 / n) / (n - 1), 6) AS var_qty,
+        |  round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS stddev_qty,
+        |  round((sxy - s1 * p1 / n)
+        |    / sqrt((s2 - s1 * s1 / n) * (p2 - p1 * p1 / n)), 6) AS corr_qty_price
+        |FROM s""".stripMargin) { (spark, dir) =>
+      val qty = col("l_quantity").cast(DecimalType(20, 2))
+      val price = col("l_extendedprice").cast(DecimalType(20, 2))
+      Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(qty).cast("double").as("s1"),
+          sum(qty * qty).cast("double").as("s2"),
+          sum(price).cast("double").as("p1"),
+          sum(price * price).cast("double").as("p2"),
+          sum(qty * price).cast("double").as("sxy"))
+        .select(
+          col("l_returnflag"), col("n"),
+          round(col("s1") / col("n"), 6).as("mean_qty"),
+          round((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), 6)
+            .as("var_qty"),
+          round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)), 6)
+            .as("stddev_qty"),
+          round((col("sxy") - col("s1") * col("p1") / col("n"))
+            / sqrt((col("s2") - col("s1") * col("s1") / col("n"))
+              * (col("p2") - col("p1") * col("p1") / col("n"))), 6)
+            .as("corr_qty_price"))
+    },
+
     // ---- Schema-evolution read (bronze-layer staple): two parquet
     // batches with drifted schemas (v2 adds a column) land in one
     // directory; mergeSchema unions the schemas and backfills v1 rows
