@@ -43,6 +43,23 @@ class TopKSpec extends SparkSuite {
     assert(got == Seq(2L, 1L)) // descending by (v, id)
   }
 
+  test("global top-k by hash == orderBy(hash).limit(k): a sort-free sampler") {
+    // composition note: graft_topk over a hash sort key IS a
+    // deterministic uniform sample — the map-side heaps prune to k rows
+    // per partition, so no global sort ever materializes (q20's
+    // TakeOrdered cousin, but usable inside any aggregation)
+    val df = (1L to 20000L).toDF("id")
+      .withColumn("h", xxhash64(col("id")))
+    val viaSort = df.orderBy(col("h").desc, col("id")).limit(50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val viaTopK = df.groupBy()
+      .agg(call_function("graft_topk",
+        struct(col("h"), col("id")), col("id"), lit(50)).as("sample"))
+      .select(explode(col("sample")))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaTopK == viaSort)
+  }
+
   test("struct payloads survive the serialized merge path") {
     val df = (1L to 200L).map(i => (i, (i % 3).toInt, i.toDouble)).toDF("id", "g", "v")
     val got = df.repartition(17).groupBy("g")
