@@ -85,7 +85,9 @@ object Sessions {
     * (streaming state keys, a near-dup label table), not CPU count —
     * and keep heavy upstream work OUTSIDE the scope: the conf is read at
     * plan time, so anything materialized inside runs at the narrow
-    * width. */
+    * width. Mutates the session's SQLConf, so callers running queries
+    * CONCURRENTLY on one session should instead plan the narrow work on
+    * `spark.newSession()` (isolated conf, shared catalog/state). */
   def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
