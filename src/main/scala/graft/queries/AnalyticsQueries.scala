@@ -488,6 +488,32 @@ object AnalyticsQueries {
             .as("corr_qty_price"))
     },
 
+    // ---- Ratio-to-report done scalably: group shares of a global total
+    // via a broadcast join against the pre-aggregated total — NOT
+    // `sum(x) OVER ()`, whose empty frame funnels every row through one
+    // partition. Same DECIMAL-exact sums on both sides of the division.
+    Q(
+      "q75_ratio_to_report",
+      """WITH g AS (
+        |  SELECT l_returnflag,
+        |    sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(rev) AS total FROM g)
+        |SELECT l_returnflag,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  round(CAST(rev AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+        |FROM g, t""".stripMargin) { (spark, dir) =>
+      val g = Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_extendedprice").cast(DecimalType(20, 2))).as("rev"))
+      val t = g.agg(sum(col("rev")).as("total"))
+      g.crossJoin(broadcast(t))
+        .select(
+          col("l_returnflag"),
+          col("rev").cast("double").as("revenue"),
+          round(col("rev").cast("double") / col("total").cast("double"), 6).as("share"))
+    },
+
     // ---- Schema-evolution read (bronze-layer staple): two parquet
     // batches with drifted schemas (v2 adds a column) land in one
     // directory; mergeSchema unions the schemas and backfills v1 rows

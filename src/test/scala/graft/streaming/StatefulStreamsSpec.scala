@@ -77,6 +77,25 @@ class StatefulStreamsSpec extends SparkSuite {
     assert(second == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("observe metrics ride along streaming micro-batches (T6 observability)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Long]
+    val observed = ms.toDF().toDF("v")
+      .observe("m", count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val q = observed.writeStream.format("noop").start()
+    try {
+      ms.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      val m = q.lastProgress.observedMetrics.get("m")
+      assert(m.getAs[Long]("n") == 3L && m.getAs[Long]("s") == 6L)
+      ms.addData(10L)
+      q.processAllAvailable()
+      val m2 = q.lastProgress.observedMetrics.get("m")
+      // per-micro-batch metrics, not cumulative
+      assert(m2.getAs[Long]("n") == 1L && m2.getAs[Long]("s") == 10L)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState sessionization: state carries across micro-batches") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Long, Timestamp, Long)]
