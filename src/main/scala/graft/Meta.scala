@@ -69,12 +69,17 @@ object Meta {
     * n+1 write — the same immutability contract a transaction log gives,
     * minus cross-table atomicity. */
   object Versioned {
+    // STRICTLY v=<digits> — maintenance debris (e.g. Scale.compact's
+    // sibling `v=1_compacting` / `v=1_old` work dirs) must be invisible
+    // to the version surface, not a parse crash
+    private val VersionDir = "^v=(\\d+)$".r
+
     private def versions(spark: SparkSession, path: String): Seq[Long] = {
       val (f, p) = fs(spark, path)
       if (!f.exists(p)) Seq.empty
       else f.listStatus(p).toSeq
         .map(_.getPath.getName)
-        .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+        .collect { case VersionDir(n) => n.toLong }
         .sorted
     }
 

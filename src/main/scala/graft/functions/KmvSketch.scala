@@ -56,6 +56,8 @@ object Kmv {
   }
 
   def fromBytes(bytes: Array[Byte]): Buffer = {
+    require(bytes.length >= 8 && (bytes.length - 8) % 8 == 0,
+      s"malformed KMV sketch: ${bytes.length} bytes")
     val bb = ByteBuffer.wrap(bytes)
     val buf = new Buffer(bb.getInt)
     val n = bb.getInt
@@ -64,8 +66,11 @@ object Kmv {
     buf
   }
 
-  /** Distinct-count estimate from serialized sketch bytes. */
+  /** Distinct-count estimate from serialized sketch bytes (0 for the
+    * empty-sentinel sketch). */
   def estimate(bytes: Array[Byte]): Long = {
+    if (bytes.isEmpty) return 0L
+    require(bytes.length >= 8, s"malformed KMV sketch: ${bytes.length} bytes")
     val bb = ByteBuffer.wrap(bytes)
     val k = bb.getInt; val n = bb.getInt
     if (n < k) n.toLong // sketch holds every distinct hash seen
@@ -81,8 +86,10 @@ object Kmv {
   }
 
   /** Jaccard estimate between two sketches: fraction of the union's
-    * bottom-min(kA,kB) present in both. */
+    * bottom-min(kA,kB) present in both (0.0 if either is the empty
+    * sentinel). */
   def jaccard(a: Array[Byte], b: Array[Byte]): Double = {
+    if (a.isEmpty || b.isEmpty) return 0.0
     val ba = fromBytes(a); val bb = fromBytes(b)
     val k = math.min(ba.k, bb.k)
     val union = new java.util.TreeSet[java.lang.Long]()
@@ -172,18 +179,26 @@ case class KmvMergeAgg(
   override def update(buf: Option[Kmv.Buffer], input: InternalRow): Option[Kmv.Buffer] = {
     val v = child.eval(input)
     if (v == null) buf
-    else mergeBufs(buf, Kmv.fromBytes(v.asInstanceOf[Array[Byte]]))
+    else {
+      val bytes = v.asInstanceOf[Array[Byte]]
+      // empty sentinel (a merge of zero sketches) carries no information
+      if (bytes.isEmpty) buf else mergeBufs(buf, Kmv.fromBytes(bytes))
+    }
   }
 
   override def merge(a: Option[Kmv.Buffer], b: Option[Kmv.Buffer]): Option[Kmv.Buffer] =
     b.fold(a)(bb => mergeBufs(a, bb))
 
+  // "no sketches seen" serializes as a ZERO-LENGTH sentinel and round-
+  // trips back to None — it must never look like a real low-k sketch, or
+  // an empty partition in a partial aggregation would silently contract
+  // the whole merged result to that k
   override def eval(buf: Option[Kmv.Buffer]): Any =
-    Kmv.toBytes(buf.getOrElse(new Kmv.Buffer(16)))
+    buf.fold(Array.emptyByteArray)(Kmv.toBytes)
   override def serialize(buf: Option[Kmv.Buffer]): Array[Byte] =
-    Kmv.toBytes(buf.getOrElse(new Kmv.Buffer(0 max 16)))
+    buf.fold(Array.emptyByteArray)(Kmv.toBytes)
   override def deserialize(bytes: Array[Byte]): Option[Kmv.Buffer] =
-    Some(Kmv.fromBytes(bytes))
+    if (bytes.isEmpty) None else Some(Kmv.fromBytes(bytes))
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvMergeAgg =
     copy(mutableAggBufferOffset = newOffset)

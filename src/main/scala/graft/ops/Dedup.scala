@@ -88,14 +88,20 @@ object Dedup {
     * self-join and the two hash-set lookups all reuse it (uncached, the
     * md5-shingle pipeline would run 4×). Band rows carry only (id, band,
     * key) — the heavy hash arrays never enter the explode shuffle. */
-  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 12, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
-    val sigs = withShingleHashes(df, textCol, shingleN)
+  /** Cached (id, hv, sig) signature table — shared by the self-join and
+    * incremental near-dup paths (cache contract in the object doc). */
+  private def sigTable(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int): DataFrame =
+    withShingleHashes(df, textCol, shingleN)
       .filter(size(col("hv")) > 0)
       .withColumn("sig", minhashSignature(col("hv"), k))
       .select(col(idCol), col("hv"), col("sig"))
       .cache()
+
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 12, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val sigs = sigTable(df, idCol, textCol, shingleN, k)
     val banded = bandKeys(sigs, idCol, k, bands)
     val cand = banded.select(col("band"), col("band_key"), col(idCol).as("id_a"))
       .join(banded.select(col("band"), col("band_key"), col(idCol).as("id_b")),
@@ -103,8 +109,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    val hvT = sigs.select(col(idCol), col("hv"))
-    jaccardJoin(cand, hvT, idCol, threshold)
+    jaccardJoin(cand, sigs, sigs, idCol, "id_a", "id_b", threshold)
   }
 
   /** Incremental near-dup: a NEW batch deduplicated AGAINST an existing
@@ -119,13 +124,8 @@ object Dedup {
       idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 12, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
-    def sigTable(df: DataFrame) = withShingleHashes(df, textCol, shingleN)
-      .filter(size(col("hv")) > 0)
-      .withColumn("sig", minhashSignature(col("hv"), k))
-      .select(col(idCol), col("hv"), col("sig"))
-      .cache()
-    val cSigs = sigTable(corpus)
-    val bSigs = sigTable(batch)
+    val cSigs = sigTable(corpus, idCol, textCol, shingleN, k)
+    val bSigs = sigTable(batch, idCol, textCol, shingleN, k)
     val cand = bandKeys(cSigs, idCol, k, bands)
       .select(col("band"), col("band_key"), col(idCol).as("corpus_id"))
       .join(bandKeys(bSigs, idCol, k, bands)
@@ -133,14 +133,7 @@ object Dedup {
         Seq("band", "band_key"))
       .select("corpus_id", "batch_id")
       .distinct()
-    val inter = intersectSize(col("hv_a"), col("hv_b"))
-    val union = size(col("hv_a")) + size(col("hv_b")) - inter
-    cand
-      .join(cSigs.select(col(idCol).as("corpus_id"), col("hv").as("hv_a")), Seq("corpus_id"))
-      .join(bSigs.select(col(idCol).as("batch_id"), col("hv").as("hv_b")), Seq("batch_id"))
-      .withColumn("jaccard", inter.cast("double") / union)
-      .filter(col("jaccard") >= threshold)
-      .select("corpus_id", "batch_id", "jaccard")
+    jaccardJoin(cand, cSigs, bSigs, idCol, "corpus_id", "batch_id", threshold)
   }
 
   /** Intersection size of two sorted distinct hash sets — codegen'd
@@ -149,17 +142,19 @@ object Dedup {
   def intersectSize(a: Column, b: Column): Column =
     call_function("graft_sorted_intersect_size", a, b)
 
-  /** Join hash sets onto (id_a, id_b) pairs and keep Jaccard ≥ threshold. */
-  private def jaccardJoin(pairs: DataFrame, hvT: DataFrame, idCol: String,
+  /** Join hash sets (possibly from two different tables) onto candidate
+    * pairs and keep Jaccard ≥ threshold. */
+  private def jaccardJoin(pairs: DataFrame, hvLeft: DataFrame, hvRight: DataFrame,
+      idCol: String, leftCol: String, rightCol: String,
       threshold: Double): DataFrame = {
     val inter = intersectSize(col("hv_a"), col("hv_b"))
     val union = size(col("hv_a")) + size(col("hv_b")) - inter
     pairs
-      .join(hvT.select(col(idCol).as("id_a"), col("hv").as("hv_a")), Seq("id_a"))
-      .join(hvT.select(col(idCol).as("id_b"), col("hv").as("hv_b")), Seq("id_b"))
+      .join(hvLeft.select(col(idCol).as(leftCol), col("hv").as("hv_a")), Seq(leftCol))
+      .join(hvRight.select(col(idCol).as(rightCol), col("hv").as("hv_b")), Seq(rightCol))
       .withColumn("jaccard", inter.cast("double") / union)
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select(leftCol, rightCol, "jaccard")
   }
 
   /** Number of bits in the SimHash fingerprints below. 32 bits / 8-bit

@@ -217,9 +217,9 @@ object CurationQueries {
     Q(
       "q71_incremental_dedup", {
         def hvSig(prefix: String, src: String): String = {
-          import LlmQueries.{toksSql => tok, shinglesSql, strHashSql, sigSql}
-          val banded = (0 until 4).map(b =>
-            s"SELECT doc_id, $b AS band, array_to_string(sig[${b * 3 + 1}:${b * 3 + 3}], ',') AS band_key FROM ${prefix}_sigs")
+          import LlmQueries.{toksSql => tok, shinglesSql, strHashSql, sigSql, bands, r}
+          val banded = (0 until bands).map(b =>
+            s"SELECT doc_id, $b AS band, array_to_string(sig[${b * r + 1}:${b * r + r}], ',') AS band_key FROM ${prefix}_sigs")
             .mkString("\n  UNION ALL ")
           s"""${prefix}_toks AS (
              |  SELECT doc_id, $tok AS t FROM $src),

@@ -38,7 +38,9 @@ object LlmQueries {
   private[queries] def foldSumSql(elems: String, init: String, step: String = "a + x") =
     s"list_reduce(list_prepend($init, $elems), (a, x) -> $step)"
 
-  private[queries] val k = 12; private val bands = 4; private val r = 3
+  private[queries] val k = 12
+  private[queries] val bands = 4
+  private[queries] val r = 3
 
   /** SimHash CTE chain (toks → th → sims → banded) shared by q28 and the
     * q49 component clustering oracle — generated from the same constants

@@ -71,7 +71,10 @@ class HllSpec extends SparkSuite {
     val mixed = sk8.unionByName(sk12)
       .agg(call_function("graft_hll_merge", col("sk")))
     val e = intercept[Exception] { mixed.collect() }
-    assert(e.getMessage != null)
+    // the INTENDED failure, not any crash: the mergeInto precision guard
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("different precision")), messages(e).mkString(" | "))
   }
 
   test("nulls are ignored; explicit precision argument respected") {
