@@ -9,11 +9,20 @@ import org.apache.spark.sql.SparkSession
   * map order absorbed ~5 s of warmup and looked 6× slower than identical
   * shapes run later). Queries are timed in sorted-name order so numbers
   * are comparable round over round.
+  *
+  * Each query is timed over `SPARK_GRAFT_BENCH_PASSES` (default 3) full
+  * sweeps and reports its per-query MEDIAN (plus min): two consecutive
+  * driver rounds measured identical code apart by up to 5.5× per query
+  * under machine-load variance, so single-pass numbers were unusable for
+  * regression detection. Sweeps interleave queries (pass 1 runs all
+  * queries, then pass 2, …) so a transient load spike taxes different
+  * queries in different passes instead of all samples of one query.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
     val spark = Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries
@@ -23,7 +32,7 @@ object Bench {
       "q11_debezium_roundtrip").foreach { n =>
       queries.get(n).foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
     }
-    val results = names.map { name =>
+    def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       val ok = try { queries(name)(spark, sfDir).count(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
@@ -31,22 +40,37 @@ object Bench {
       // etc.) must not tax the storage memory of later-running queries
       spark.catalog.clearCache()
       // a failed query reports -1 so a regression can't masquerade as a speedup
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val samples: Seq[Seq[(String, Double)]] =
+      (1 to passes).map(_ => names.map(n => n -> timeOnce(n)))
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = names.map { name =>
+      val ts = samples.map(_.toMap.apply(name))
+      // any failed pass marks the query failed — never average over a crash
+      if (ts.exists(_ < 0)) (name, -1.0, -1.0)
+      else (name, medianOf(ts), ts.min)
+    }
+    def jsonMap(vals: Seq[(String, Double)]) =
+      vals.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jsonMap(results.map(r => (r._1, r._2)))
+    val qsMin = jsonMap(results.map(r => (r._1, r._3)))
     val total = results.map(_._2).sum
     // context submetrics (extra keys are ignorable by any JSON reader):
     // gold_sec = the three dbt-gold models — the only workload the
     // reference publishes a number for (BASELINE.md: 40.65 s) — and the
     // per-query median, since `total` scales with registered-query count
-    // (64 queries here vs the reference's 3-model build)
+    // (75 queries here vs the reference's 3-model build)
     val gold = results.collect {
-      case (n, v) if n.startsWith("q01") || n.startsWith("q02") || n.startsWith("q03") => v
+      case (n, v, _) if n.startsWith("q01") || n.startsWith("q02") || n.startsWith("q03") => v
     }.sum
     val sortedTimes = results.map(_._2).filter(_ >= 0).sorted
     val median = if (sortedTimes.isEmpty) -1.0 else sortedTimes(sortedTimes.size / 2)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""queries_min":$qsMin,"passes":$passes,""" +
       s""""gold_sec":$gold,"median_sec":$median,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -109,6 +109,97 @@ object Meta {
       dead.foreach(v => f.delete(new org.apache.hadoop.fs.Path(s"$path/v=$v"), true))
       dead
     }
+
+    // ------- cross-table ATOMIC publish (manifest pointer) -------
+    //
+    // Per-table `write` gives snapshot isolation WITHIN one table; a
+    // pipeline that publishes several tables per run (the reference's
+    // bronze MERGE commits dims + facts through one Delta log) needs the
+    // SET to appear atomically. Parquet-native equivalent: stage every
+    // table's next `v=` dir (invisible to manifest readers), then commit
+    // ONE manifest file via atomic rename — the commit point. Readers
+    // resolve versions exclusively through the newest manifest, so they
+    // observe either the complete old set or the complete new set, never
+    // a torn mix; a crash between staging and commit leaves only
+    // unreferenced version dirs (debris, not corruption). Commit ids are
+    // claimed by rename-if-absent, so a lost race throws rather than
+    // overwriting another writer's manifest.
+
+    private val CommitFile = "^_commit=(\\d+)$".r
+
+    private def commits(spark: SparkSession, root: String): Seq[Long] = {
+      val (f, p) = fs(spark, root)
+      if (!f.exists(p)) Seq.empty
+      else f.listStatus(p).toSeq
+        .map(_.getPath.getName)
+        .collect { case CommitFile(n) => n.toLong }
+        .sorted
+    }
+
+    /** Publish every (tableName → df) as one atomic commit; returns the
+      * commit id. Tables live at `root/<name>` with the usual `v=` layout. */
+    def publishAll(root: String, tables: Seq[(String, DataFrame)]): Long = {
+      require(tables.nonEmpty, "publishAll requires at least one table")
+      tables.foreach { case (n, _) =>
+        require(n.nonEmpty && !n.contains("/") && !n.startsWith("_"),
+          s"illegal table name: $n")
+      }
+      val spark = tables.head._2.sparkSession
+      // stage: each table's next version dir, not yet referenced anywhere
+      val staged = tables.map { case (name, df) => name -> write(df, s"$root/$name") }
+      // commit: write the manifest aside, then one atomic rename
+      val (f, _) = fs(spark, root)
+      val id = commits(spark, root).lastOption.getOrElse(0L) + 1
+      val tmp = new org.apache.hadoop.fs.Path(s"$root/_commit_staging_$id")
+      val out = f.create(tmp, true)
+      try out.write(staged.map { case (n, v) => s"$n\t$v" }.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!f.rename(tmp, new org.apache.hadoop.fs.Path(s"$root/_commit=$id"))) {
+        f.delete(tmp, false)
+        throw new java.io.IOException(
+          s"publishAll: commit $id already claimed by a concurrent writer; " +
+            "staged version dirs left as debris (re-run to publish)")
+      }
+      id
+    }
+
+    /** The (table → version) set of `commit` (default: newest commit);
+      * None if the root has no commits yet. */
+    def committedVersions(spark: SparkSession, root: String,
+        commit: Option[Long] = None): Option[Map[String, Long]] = {
+      val id = commit.orElse(commits(spark, root).lastOption)
+      id.map { c =>
+        val (f, _) = fs(spark, root)
+        val in = f.open(new org.apache.hadoop.fs.Path(s"$root/_commit=$c"))
+        val bytes =
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val chunk = new Array[Byte](8192)
+            var n = in.read(chunk)
+            while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+            buf.toByteArray
+          } finally in.close()
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").toSeq.filter(_.nonEmpty)
+          .map { line =>
+            val Array(name, v) = line.split("\t")
+            name -> v.toLong
+          }.toMap
+      }
+    }
+
+    /** Read `table` at the committed version set — never a staged (torn)
+      * write. `commit` pins a historical commit for cross-table time
+      * travel. */
+    def readCommitted(spark: SparkSession, root: String, table: String,
+        commit: Option[Long] = None): DataFrame = {
+      val versions = committedVersions(spark, root, commit).getOrElse(
+        throw new IllegalArgumentException(s"no commits at $root"))
+      val v = versions.getOrElse(table,
+        throw new IllegalArgumentException(s"table $table not in commit: $versions"))
+      read(spark, s"$root/$table", version = Some(v))
+    }
   }
 
   /** Single-pass pipeline observability (`Dataset.observe`): named

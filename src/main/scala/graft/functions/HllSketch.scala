@@ -32,7 +32,15 @@ object Hll {
 
   def estimate(buf: Array[Byte]): Long = {
     val m = buf.length
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // Flajolet et al. bias-correction constants: the asymptotic formula
+    // overestimates alpha for small register counts, so m=16/32/64 use
+    // the published exact values (HyperLogLog paper, Fig. 3).
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
     var sum = 0.0
     var zeros = 0
     var i = 0

@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
   *
   * Caching contract: the pair operators `cache()` their per-doc
   * signature table because it feeds both sides of a self-join plus the
-  * verify lookup (uncached it would be recomputed up to 4×). The cache
-  * is session-scoped and sized O(corpus signatures); a long-lived
-  * service calling these repeatedly should `spark.catalog.clearCache()`
-  * between corpora.
+  * verify lookup (uncached it would be recomputed up to 4×). Each
+  * operator materializes its (small, near-dup-tail-sized) result via
+  * `localCheckpoint` and UNPERSISTS the signature cache before
+  * returning, so repeated calls — in particular the per-batch
+  * `nearDupPairsAgainst` ingest path — never accumulate stale
+  * O(corpus-signature) caches in executor storage memory.
   */
 object Dedup {
   import Text.{Mult, P}
@@ -109,7 +111,10 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    jaccardJoin(cand, sigs, sigs, idCol, "id_a", "id_b", threshold)
+    val out = jaccardJoin(cand, sigs, sigs, idCol, "id_a", "id_b", threshold)
+      .localCheckpoint() // materialize the tail-sized result …
+    sigs.unpersist()     // … so the corpus-sized cache can be released now
+    out
   }
 
   /** Incremental near-dup: a NEW batch deduplicated AGAINST an existing
@@ -133,7 +138,11 @@ object Dedup {
         Seq("band", "band_key"))
       .select("corpus_id", "batch_id")
       .distinct()
-    jaccardJoin(cand, cSigs, bSigs, idCol, "corpus_id", "batch_id", threshold)
+    val out = jaccardJoin(cand, cSigs, bSigs, idCol, "corpus_id", "batch_id", threshold)
+      .localCheckpoint() // per-batch path: without the release below, every
+    cSigs.unpersist()    // ingest batch would leak TWO signature caches
+    bSigs.unpersist()
+    out
   }
 
   /** Intersection size of two sorted distinct hash sets — codegen'd
@@ -195,7 +204,7 @@ object Dedup {
       col(idCol).as("id_a"), col("sim").as("sim_a"))
     val b = banded.select(col("band"), col("band_key"),
       col(idCol).as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("band", "band_key"))
+    val out = a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
@@ -205,6 +214,9 @@ object Dedup {
       // with corpus size; the match set is the tiny near-dup tail)
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
+      .localCheckpoint()
+    hashed.unpersist()
+    out
   }
 
   /** Exact n-gram Jaccard over *blocked* candidate pairs: all pairs
@@ -221,10 +233,13 @@ object Dedup {
     val b = hv.select(col(blockCol), col(idCol).as("id_b"), col("hv").as("hv_b"))
     val inter = intersectSize(col("hv_a"), col("hv_b"))
     val union = size(col("hv_a")) + size(col("hv_b")) - inter
-    a.join(b, Seq(blockCol))
+    val out = a.join(b, Seq(blockCol))
       .filter(col("id_a") < col("id_b"))
       .withColumn("jaccard", inter.cast("double") / union)
       .filter(col("jaccard") >= threshold)
       .select(col(blockCol), col("id_a"), col("id_b"), col("jaccard"))
+      .localCheckpoint()
+    hv.unpersist()
+    out
   }
 }

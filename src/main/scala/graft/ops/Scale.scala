@@ -56,44 +56,53 @@ object Scale {
     * at 100 TB an uncompacted table pays per-file open/footer cost on
     * every scan. Row-count-proportional repartition is the
     * deterministic-size stand-in for byte-targeted sizing; returns the
-    * (filesBefore, filesAfter) pair for observability. */
+    * (filesBefore, filesAfter) pair for observability.
+    *
+    * All directory surgery goes through Hadoop `FileSystem` (resolved
+    * from the table path, same as [[graft.Meta]]), so the operator works
+    * on any Hadoop-compatible filesystem, not just `file:`. Every rename
+    * result is CHECKED: a silent rename failure either corrupts the swap
+    * or deletes the only live copy, so failure rolls back and throws.
+    *
+    * Swap-window contract: the publish is two renames (dir → dir_old,
+    * then dir_compacting → dir). Each rename is atomic on HDFS/local
+    * filesystems, but BETWEEN them a concurrent reader resolving the
+    * path sees no directory — compaction of a live table needs either a
+    * read-quiesced maintenance window or a manifest-pointer layout where
+    * readers never resolve raw paths ([[graft.Meta.Versioned.publishAll]]
+    * is that layout: compact a NEW version dir, then commit the manifest).
+    */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
       targetRowsPerFile: Long): (Int, Int) = {
-    def parquetFiles(p: String): Int =
-      Option(new java.io.File(p).listFiles((_, n) => n.endsWith(".parquet")))
-        .fold(0)(_.length)
-    require(new java.io.File(dir).isDirectory, s"not a table directory: $dir")
-    val before = parquetFiles(dir)
+    import org.apache.hadoop.fs.Path
+    val table = new Path(dir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(p: Path): Int =
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    require(fs.exists(table) && fs.getFileStatus(table).isDirectory,
+      s"not a table directory: $dir")
+    val before = parquetFiles(table)
     val df = spark.read.parquet(dir)
     val files = math.max(1, math.ceil(df.count().toDouble / targetRowsPerFile).toInt)
-    val tmp = dir + "_compacting"
-    df.repartition(files).write.mode("overwrite").parquet(tmp)
-    // atomic-ish swap: the rewritten layout replaces the original only
-    // after a complete successful write (object stores would rename a
-    // manifest; local fs renames the directory). Every rename result is
-    // CHECKED: a silent rename failure here either corrupts the swap or
-    // deletes the only live copy, so failure rolls back and throws.
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete()
-    }
-    val old = new java.io.File(dir)
-    val dead = new java.io.File(dir + "_old")
-    if (dead.exists()) // debris from a crashed previous swap — clear it
-      rm(dead)
-    if (!old.renameTo(dead)) {
-      rm(new java.io.File(tmp))
+    val tmp = new Path(dir + "_compacting")
+    df.repartition(files).write.mode("overwrite").parquet(tmp.toString)
+    val dead = new Path(dir + "_old")
+    if (fs.exists(dead)) // debris from a crashed previous swap — clear it
+      fs.delete(dead, true)
+    if (!fs.rename(table, dead)) {
+      fs.delete(tmp, true)
       throw new java.io.IOException(s"compact: cannot move $dir aside; table unchanged")
     }
-    if (!new java.io.File(tmp).renameTo(old)) {
+    if (!fs.rename(tmp, table)) {
       // roll the original back before reporting failure
-      if (!dead.renameTo(old))
+      if (!fs.rename(dead, table))
         throw new java.io.IOException(
           s"compact: swap failed AND rollback failed — original preserved at $dead")
-      rm(new java.io.File(tmp))
+      fs.delete(tmp, true)
       throw new java.io.IOException(s"compact: cannot publish rewrite; table unchanged")
     }
-    rm(dead)
-    (before, parquetFiles(dir))
+    fs.delete(dead, true)
+    (before, parquetFiles(table))
   }
 }

@@ -124,16 +124,29 @@ object AnalyticsQueries {
     // per-(returnflag, linestatus) sketches materialized and ROLLED UP to
     // the returnflag estimate (sketch → merge → estimate) — identical to
     // the direct estimate by register-max idempotence (pinned in HllSpec;
-    // the cube pattern that avoids rescanning raw data at 100 TB). The
-    // sketch registers are engine-specific (DuckDB cannot replay them),
-    // so this is the one rows-only entry.
-    Q.noOracle("q48_hll_distinct") { (spark, dir) =>
+    // the cube pattern that avoids rescanning raw data at 100 TB).
+    // DuckDB cannot replay the register bytes, so the oracle checks the
+    // CONTRACT instead: the exact NDV column must match, and the
+    // estimates are emitted as within-bound BOOLEANS (|est − exact| ≤
+    // 5%·exact — deterministic, because the splitmix64/xxhash-style
+    // hashes are fixed, so each dataset yields one fixed error) plus the
+    // exact rolled==direct equality. The oracle computes the exact side
+    // and asserts every boolean TRUE.
+    Q(
+      "q48_hll_distinct",
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |  TRUE AS hll_ok, TRUE AS kmv_ok, TRUE AS rolled_ok,
+        |  TRUE AS rolled_matches_direct
+        |FROM lineitem GROUP BY 1""".stripMargin) { (spark, dir) =>
       val rolled = Tables.lineitem(spark, dir)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(call_function("graft_hll_sketch", col("l_orderkey")).as("sk"))
         .groupBy("l_returnflag")
         .agg(call_function("graft_hll_estimate",
           call_function("graft_hll_merge", col("sk"))).as("hll_rolled"))
+      def within(est: org.apache.spark.sql.Column) =
+        abs(est - col("exact_orders")).cast("double") <= col("exact_orders") * lit(0.05)
       Tables.lineitem(spark, dir)
         .groupBy("l_returnflag")
         .agg(
@@ -142,6 +155,12 @@ object AnalyticsQueries {
             call_function("graft_kmv_sketch", col("l_orderkey"))).as("kmv_orders"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
         .join(rolled, "l_returnflag")
+        .select(
+          col("l_returnflag"), col("exact_orders"),
+          within(col("hll_orders")).as("hll_ok"),
+          within(col("kmv_orders")).as("kmv_ok"),
+          within(col("hll_rolled")).as("rolled_ok"),
+          (col("hll_rolled") === col("hll_orders")).as("rolled_matches_direct"))
     },
 
     // ---- Window FRAMES: running total (unbounded preceding) and a
@@ -408,13 +427,25 @@ object AnalyticsQueries {
         |SELECT 'all_keys_either_side',
         |  CAST((SELECT count(*) FROM ck FULL OUTER JOIN ok USING (k)) AS BIGINT)""".stripMargin) {
       (spark, dir) =>
+        // ONE full-outer join with presence flags + one conditional
+        // aggregate yields all three counts — the anti/semi/full trio as
+        // separate joins recomputed both distinct key sets three times
+        // (six scans, six shuffles; measured 2.24 s → the one pass is the
+        // same report off two scans and one join).
         val ck = Tables.customer(spark, dir).select(col("c_custkey").as("k")).distinct()
+          .withColumn("in_c", lit(1))
         val ok = Tables.orders(spark, dir).select(col("o_custkey").as("k")).distinct()
-        def row(name: String, df: org.apache.spark.sql.DataFrame) =
-          df.agg(count(lit(1)).as("n")).select(lit(name).as("side"), col("n"))
-        row("customers_no_orders", ck.join(ok, Seq("k"), "left_anti"))
-          .unionByName(row("customers_with_orders", ck.join(ok, Seq("k"), "left_semi")))
-          .unionByName(row("all_keys_either_side", ck.join(ok, Seq("k"), "full_outer")))
+          .withColumn("in_o", lit(1))
+        ck.join(ok, Seq("k"), "full_outer")
+          .agg(
+            count(when(col("in_c").isNotNull && col("in_o").isNull, 1)).as("no_orders"),
+            count(when(col("in_c").isNotNull && col("in_o").isNotNull, 1)).as("with_orders"),
+            count(lit(1)).as("either_side"))
+          .select(expr(
+            """stack(3,
+              |  'customers_no_orders',  no_orders,
+              |  'customers_with_orders', with_orders,
+              |  'all_keys_either_side', either_side) AS (side, n)""".stripMargin))
     },
 
     // ---- Lake maintenance end-to-end: publish two versioned snapshots
@@ -430,8 +461,12 @@ object AnalyticsQueries {
       val c = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_acctbal",
         "c_mktsegment")
       val v1 = c.filter(col("c_mktsegment") === "BUILDING").repartition(8)
-      assert(graft.Meta.Versioned.write(v1, table) == 1L)
-      assert(graft.Meta.Versioned.write(c, table) == 2L)
+      // side-effecting publishes must not live inside assert (vanish
+      // under -Xdisable-assertions); the version contract is checked
+      // with require on the captured results
+      val ver1 = graft.Meta.Versioned.write(v1, table)
+      val ver2 = graft.Meta.Versioned.write(c, table)
+      require(ver1 == 1L && ver2 == 2L, s"unexpected versions: $ver1, $ver2")
       graft.ops.Scale.compact(spark, s"$table/v=1", targetRowsPerFile = 1000000L)
       graft.Meta.Versioned.read(spark, table, version = Some(1L))
         .select("c_custkey", "c_name", "c_acctbal")

@@ -122,7 +122,11 @@ object CurationQueries {
         |FROM events WHERE event_type = 'purchase' GROUP BY 1""".stripMargin) {
       (spark, dir) =>
         val out = java.nio.file.Files.createTempDirectory("graft-q52").toString
+        // repartition on the partition column first (same discipline as
+        // Scale.writeBucketed): each event_type lands in one task → one
+        // file per partition value, instead of tasks × values small files
         Tables.events(spark, dir).select("event_id", "user_id", "event_type", "value")
+          .repartition(col("event_type"))
           .write.mode("overwrite").partitionBy("event_type").parquet(out)
         spark.read.parquet(out)
           .filter(col("event_type") === "purchase")
@@ -333,8 +337,14 @@ object CurationQueries {
       val sketch = toks.agg(
         call_function("graft_freq_sketch", col("term"), lit(400)).as("cands"),
         count(lit(1)).as("n_total"))
-      toks.crossJoin(broadcast(sketch))
-        .filter(array_contains(col("cands"), col("term")))
+      // candidates exploded to a ~k-row frame and BROADCAST-HASH-joined on
+      // term: O(1) hash probe per token occurrence. The previous
+      // crossJoin + array_contains filter cost an O(k=400) interpreted
+      // string scan inside the innermost per-token loop — a 400×
+      // constant factor at corpus scale. Sketch candidates are distinct
+      // by construction, so the inner join IS the membership filter.
+      val cands = sketch.select(explode(col("cands")).as("term"), col("n_total"))
+      toks.join(broadcast(cands), Seq("term"))
         .groupBy("term", "n_total")
         .agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") * 200 > col("n_total"))
