@@ -51,6 +51,40 @@ class MetaSpec extends SparkSuite {
     intercept[Exception] { Meta.Versioned.read(spark, dir, Some(1L)).count() }
   }
 
+  test("Versioned.publishAll: readers never observe a torn multi-table publish") {
+    val root = Files.createTempDirectory("meta-multi").toString
+    val c1 = Meta.Versioned.publishAll(root, Seq(
+      "dim" -> Seq((1L, "a")).toDF("id", "name"),
+      "fact" -> Seq((1L, 10.0)).toDF("id", "v")))
+    assert(c1 == 1L)
+    assert(Meta.Versioned.committedVersions(spark, root)
+      .contains(Map("dim" -> 1L, "fact" -> 1L)))
+    assert(Meta.Versioned.readCommitted(spark, root, "dim").count() == 1)
+    // a TORN publish: a new version dir staged (crash before the manifest
+    // rename) — manifest readers must keep resolving commit 1's versions
+    Meta.Versioned.write(Seq((2L, "b")).toDF("id", "name"), s"$root/dim")
+    assert(Meta.Versioned.committedVersions(spark, root)
+      .contains(Map("dim" -> 1L, "fact" -> 1L)))
+    assert(Meta.Versioned.readCommitted(spark, root, "dim").count() == 1)
+    // the next publishAll lands AFTER the debris version and flips the
+    // whole set atomically
+    val c2 = Meta.Versioned.publishAll(root, Seq(
+      "dim" -> Seq((1L, "a"), (2L, "b")).toDF("id", "name"),
+      "fact" -> Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")))
+    assert(c2 == 2L)
+    assert(Meta.Versioned.committedVersions(spark, root)
+      .contains(Map("dim" -> 3L, "fact" -> 2L)))
+    assert(Meta.Versioned.readCommitted(spark, root, "dim").count() == 2)
+    assert(Meta.Versioned.readCommitted(spark, root, "fact").count() == 2)
+    // cross-table time travel: the full consistent set of commit 1
+    assert(Meta.Versioned.readCommitted(spark, root, "fact", commit = Some(1L)).count() == 1)
+    assert(Meta.Versioned.readCommitted(spark, root, "dim", commit = Some(1L)).count() == 1)
+    // unknown table in a commit is an error, not an empty frame
+    intercept[IllegalArgumentException] {
+      Meta.Versioned.readCommitted(spark, root, "nope")
+    }
+  }
+
   test("observed: metrics collected in the same pass as the action") {
     import org.apache.spark.sql.functions._
     val (df, obs) = Meta.observed((1 to 100).toDF("x"), "m",

@@ -152,6 +152,30 @@ class PlansSpec extends SparkSuite {
     }
   }
 
+  test("q53 heavy hitters: candidate membership is a broadcast hash join, not a per-row array scan") {
+    // the exploded ~k-row candidate frame must broadcast-hash-join on
+    // term — O(1) probe per token occurrence; the array_contains
+    // formulation cost an O(k=400) interpreted scan per token
+    val df = SparkEntry.queries("q53_heavy_hitters")(spark, sfDir())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast hash join on term:\n$p")
+    assert(!p.contains("array_contains"), s"per-row candidate scan survived:\n$p")
+  }
+
+  test("partitioned write: one file per partition value (q52 write layout)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-writelayout").toString
+    Tables.events(spark, sfDir()).select("event_id", "user_id", "event_type", "value")
+      .repartition(col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("event_type="))
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val files = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"${d.getName}: expected 1 file per partition value, got $files")
+    }
+  }
+
   test("deterministic sample gate stays a scan-level pushed filter") {
     // no Exchange anywhere: sampling must not shuffle
     val p = plan(graft.ops.Sample.hashSample(

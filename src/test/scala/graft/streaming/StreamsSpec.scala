@@ -125,6 +125,55 @@ class StreamsSpec extends SparkSuite {
     assert(rows.head.getString(1) == "hr.events")
   }
 
+  test("K3 round-trip: dlqPayload published to a kafka-shaped topic reads back intact") {
+    // the Kafka SINK direction, closed testably without the connector jar:
+    // PRODUCE the DLQ message exactly as it would go to Kafka — value =
+    // Cdc.dlqPayload serialized body, key = event id (kafka_DLQ.py:66-79) —
+    // into a file-backed topic, then CONSUME it back through
+    // kafkaShapedSource's exact connector column contract and recover the
+    // {value, kafka_ts, reason} body.
+    val in = tmp("stream-in"); val topic = tmp("topic")
+    val cp = tmp("cp"); val cp2 = tmp("cp2")
+    writeInput(in, "b.json", Seq(line(1, """{"k": 1}"""), line(2, "not json")))
+    val raw = Streams.jsonFileSource(spark, in.toString, eventSchema)
+    val invalid = graft.ops.Cdc.split(raw, "payload", innerSchema).invalid
+    val produce = invalid.select(
+        col("id").cast("string").as("msg_key"),
+        graft.ops.Cdc.dlqPayload(col("payload"), col("kafka_ts"),
+          "schema_parse_failed").as("msg_value"),
+        col("kafka_ts").as("msg_ts"))
+      .writeStream.format("json")
+      .option("path", topic.toString)
+      .option("checkpointLocation", cp.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    produce.awaitTermination()
+    val topicSchema = StructType(Seq(
+      StructField("msg_key", StringType),
+      StructField("msg_value", StringType),
+      StructField("msg_ts", StringType)))
+    val src = Streams.kafkaShapedSource(spark, topic.toString, topicSchema,
+      keyCol = "msg_key", valueCol = "msg_value", tsCol = "msg_ts", topic = "hr.dlq")
+    val body = StructType(Seq(
+      StructField("value", StringType),
+      StructField("kafka_ts", StringType),
+      StructField("reason", StringType)))
+    val consume = src
+      .select(from_json(col("value").cast("string"), body).as("b")).select("b.*")
+      .writeStream.format("memory").queryName("graft_dlq_roundtrip")
+      .option("checkpointLocation", cp2.toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    consume.awaitTermination()
+    val rows = spark.table("graft_dlq_roundtrip").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("value") == "not json")
+    assert(rows.head.getAs[String]("reason") == "schema_parse_failed")
+    assert(rows.head.getAs[String]("kafka_ts") == "2024-01-01T00:00:02")
+  }
+
   test("maxFilesPerTrigger: input drains over multiple micro-batches (T1/T2)") {
     val in = tmp("stream-in"); val out = tmp("out"); val cp = tmp("cp")
     (0 until 3).foreach(i =>
