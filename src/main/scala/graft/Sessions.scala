@@ -67,6 +67,16 @@ object Sessions {
     ext.injectFunction((FunctionIdentifier("graft_kmv_jaccard"),
       info("graft_kmv_jaccard", classOf[KmvJaccard]),
       (e: Seq[Expression]) => KmvJaccard(e.head, e(1))))
+    ext.injectFunction((FunctionIdentifier("graft_kll_sketch"),
+      info("graft_kll_sketch", classOf[KllSketchAgg]),
+      (e: Seq[Expression]) => KllSketchAgg(e.head,
+        if (e.length > 1) intArg(e(1), "graft_kll_sketch") else 256)))
+    ext.injectFunction((FunctionIdentifier("graft_kll_merge"),
+      info("graft_kll_merge", classOf[KllMergeAgg]),
+      (e: Seq[Expression]) => KllMergeAgg(e.head)))
+    ext.injectFunction((FunctionIdentifier("graft_kll_quantile"),
+      info("graft_kll_quantile", classOf[KllQuantile]),
+      (e: Seq[Expression]) => KllQuantile(e.head, e(1))))
     ext.injectFunction((FunctionIdentifier("graft_freq_sketch"),
       info("graft_freq_sketch", classOf[FreqSketch]),
       (e: Seq[Expression]) => FreqSketch(e.head, intArg(e(1), "graft_freq_sketch"))))

@@ -569,5 +569,80 @@ object AnalyticsQueries {
         .write.parquet(s"$out/b=2")
       spark.read.option("mergeSchema", "true").parquet(out)
         .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    },
+
+    // ---- Cross-table ATOMIC publish (Meta.Versioned.publishAll — the
+    // parquet-native stand-in for the reference's multi-table Delta
+    // commit): dim + fact published as one manifest commit, a second
+    // commit supersedes it, and a TORN write (version dir staged with no
+    // manifest) is left as live debris. The committed read must resolve
+    // the complete second commit — the oracle is the consistent-pair
+    // join, which only matches if readers never see the torn version.
+    Q(
+      "q76_atomic_publish",
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-q76").toString
+      val customer = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+      val orders = Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      // commit 1: a partial load; commit 2: the full consistent pair
+      graft.Meta.Versioned.publishAll(root, Seq(
+        "customer" -> customer.limit(10), "orders" -> orders.limit(10)))
+      graft.Meta.Versioned.publishAll(root, Seq(
+        "customer" -> customer, "orders" -> orders))
+      // torn write: staged version dir, crash before the manifest commit
+      graft.Meta.Versioned.write(customer.limit(1), s"$root/customer")
+      val c = graft.Meta.Versioned.readCommitted(spark, root, "customer")
+      val o = graft.Meta.Versioned.readCommitted(spark, root, "orders")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+    },
+
+    // ---- Mergeable quantile sketch (graft.functions.Kll — KLL, the
+    // quantile member of the materialized-sketch cube family): direct
+    // per-group sketches AND the rollup path (per-(returnflag,
+    // linestatus) sketches merged up to returnflag) both estimated
+    // against the exact interpolated percentile. Same oracle contract as
+    // q48: exact columns must match; estimates are within-bound booleans
+    // (5% of the exact value — KLL k=256 observes ~1% rank error).
+    Q(
+      "q77_quantile_sketch",
+      """SELECT l_returnflag,
+        |  round(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.50) AS DOUBLE), 6) AS p50_exact,
+        |  round(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.90) AS DOUBLE), 6) AS p90_exact,
+        |  TRUE AS p50_ok, TRUE AS p90_ok,
+        |  TRUE AS p50_rolled_ok, TRUE AS p90_rolled_ok
+        |FROM lineitem GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val price = col("l_extendedprice").cast("double")
+      val direct = Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          call_function("graft_kll_sketch", price).as("sk"),
+          percentile(price, lit(0.5)).as("p50e"),
+          percentile(price, lit(0.9)).as("p90e"))
+      val rolled = Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(call_function("graft_kll_sketch", price).as("psk"))
+        .groupBy("l_returnflag")
+        .agg(call_function("graft_kll_merge", col("psk")).as("rsk"))
+      def ok(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+        abs(est - exact) <= abs(exact) * lit(0.05)
+      def q(sk: org.apache.spark.sql.Column, p: Double) =
+        call_function("graft_kll_quantile", sk, lit(p))
+      direct.join(rolled, "l_returnflag")
+        .select(
+          col("l_returnflag"),
+          round(col("p50e"), 6).as("p50_exact"),
+          round(col("p90e"), 6).as("p90_exact"),
+          ok(q(col("sk"), 0.5), col("p50e")).as("p50_ok"),
+          ok(q(col("sk"), 0.9), col("p90e")).as("p90_ok"),
+          ok(q(col("rsk"), 0.5), col("p50e")).as("p50_rolled_ok"),
+          ok(q(col("rsk"), 0.9), col("p90e")).as("p90_rolled_ok"))
     })
 }
