@@ -54,6 +54,16 @@ object Bench {
       if (ts.exists(_ < 0)) (name, -1.0, -1.0)
       else (name, medianOf(ts), ts.min)
     }
+    // documented spread: per-query (max−min)/median across passes — the
+    // machine-load noise floor a reader needs before calling a delta a
+    // regression (r03 vs r04 swung 5× per query on identical code)
+    val spreads = names.flatMap { name =>
+      val ts = samples.map(_.toMap.apply(name))
+      val med = medianOf(ts)
+      if (ts.exists(_ < 0) || med <= 0) None else Some((ts.max - ts.min) / med)
+    }
+    val spreadMed = if (spreads.isEmpty) -1.0 else medianOf(spreads) * 100
+    val spreadMax = if (spreads.isEmpty) -1.0 else spreads.max * 100
     def jsonMap(vals: Seq[(String, Double)]) =
       vals.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jsonMap(results.map(r => (r._1, r._2)))
@@ -71,6 +81,7 @@ object Bench {
     val median = if (sortedTimes.isEmpty) -1.0 else sortedTimes(sortedTimes.size / 2)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""queries_min":$qsMin,"passes":$passes,""" +
+      s""""spread_med_pct":$spreadMed,"spread_max_pct":$spreadMax,""" +
       s""""gold_sec":$gold,"median_sec":$median,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -293,6 +293,55 @@ object CurationQueries {
           round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("mean_logprob"))
     },
 
+    // ---- Bigram LM log-probability per document: the next step up from
+    // q65's unigram score (fluency, not just token rarity — the classic
+    // cheap LM-quality gate before perplexity filtering). P(w2|w1) =
+    // count(w1,w2) / count(w1·), per-doc mean ln P over its bigrams.
+    // Bigrams come from ONE lead() window over (doc_id, pos) — no
+    // token-table self-join; counts are two hash aggregates (the n-gram
+    // count table IS the training artifact at 100 TB). Determinism recipe
+    // as q65: per-bigram ln rounded to 9 decimals, summed as DECIMAL.
+    Q(
+      "q78_bigram_logprob",
+      s"""WITH toksl AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents),
+         |pairs AS (
+         |  SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(range(1, len(tk)),
+         |        i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS bg
+         |    FROM toksl WHERE len(tk) >= 2)),
+         |c2 AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM pairs GROUP BY 1, 2),
+         |c1 AS (
+         |  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST(round(ln(CAST(c2 AS DOUBLE) / c1), 9) AS DECIMAL(18,9)) AS lp
+         |  FROM pairs JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_bigram_logprob
+         |FROM scored GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val pairs = Tables.documents(spark, dir)
+        .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
+        .withColumnRenamed("col", "w1")
+        .withColumn("w2", lead(col("w1"), 1).over(w))
+        .filter(col("w2").isNotNull)
+        .select("doc_id", "w1", "w2")
+        .cache() // three consumers: c2, c1 (via c2), and the scoring join
+      val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+      pairs.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .withColumn("lp",
+          round(log(col("c2").cast("double") / col("c1")), 9).cast(DecimalType(18, 9)))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+            .as("mean_bigram_logprob"))
+    },
+
     // ---- Fuzzy matching battery: edit distance against a
     // deterministically-dirtied variant (translate 0→O, the classic OCR
     // confusion) plus neighbor distance within a blocked window — the
