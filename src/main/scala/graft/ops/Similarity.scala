@@ -158,23 +158,58 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
-  /** Embedding-cosine near-dup pairs within LSH buckets (the dedup use of
-    * similarity search): pairs in the same bucket with cosine ≥ threshold. */
-  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nbits: Int, dim: Int): DataFrame = {
-    // buckets + norms computed once per vector, cached for both join sides
-    val v = df.select(col(idCol), toDouble(col(vecCol)).as("dv"))
+  /** Bucketed (id, dv, bucket, nrm) side table for the near-dup joins. */
+  private def bucketed(df: DataFrame, idCol: String, vecCol: String,
+      nbits: Int, dim: Int): DataFrame =
+    df.select(col(idCol), toDouble(col(vecCol)).as("dv"))
       .withColumn("bucket", lshBucket(col("dv"), nbits, dim))
       .withColumn("nrm", sqrt(dot(col("dv"), col("dv"))))
       .cache()
+
+  /** Embedding-cosine near-dup pairs within LSH buckets (the dedup use of
+    * similarity search): pairs in the same bucket with cosine ≥ threshold.
+    * Buckets + norms are computed once per vector and cached for both join
+    * sides; the (tail-sized) result is materialized and the cache released
+    * before returning — same lifetime contract as graft.ops.Dedup. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nbits: Int, dim: Int): DataFrame = {
+    val v = bucketed(df, idCol, vecCol, nbits, dim)
     val a = v.select(col("bucket"), col(idCol).as("id_a"),
       col("dv").as("va"), col("nrm").as("na"))
     val b = v.select(col("bucket"), col(idCol).as("id_b"),
       col("dv").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("bucket"))
+    val out = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+      .localCheckpoint()
+    v.unpersist()
+    out
+  }
+
+  /** Incremental embedding near-dup: a NEW batch of vectors deduplicated
+    * AGAINST the standing corpus — the continuous-ingest shape mirroring
+    * Dedup.nearDupPairsAgainst: the bucket join is corpus × batch, never
+    * a corpus self-join per batch (the corpus side's buckets/norms would
+    * be a pre-materialized index table in production — computed once per
+    * vector ever). Returns (corpus_id, batch_id, cos) at cosine ≥
+    * threshold. */
+  def cosineNearDupAgainst(corpus: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String,
+      threshold: Double, nbits: Int, dim: Int): DataFrame = {
+    val c = bucketed(corpus, idCol, vecCol, nbits, dim)
+    val b = bucketed(batch, idCol, vecCol, nbits, dim)
+    val out = c.select(col("bucket"), col(idCol).as("corpus_id"),
+        col("dv").as("va"), col("nrm").as("na"))
+      .join(b.select(col("bucket"), col(idCol).as("batch_id"),
+        col("dv").as("vb"), col("nrm").as("nb")), Seq("bucket"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("corpus_id", "batch_id", "cos")
+      .localCheckpoint()
+    c.unpersist()
+    b.unpersist()
+    out
   }
 }

@@ -394,5 +394,44 @@ object StatefulQueries {
         .cosineNearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
           threshold = 0.4, nbits = 4, dim = 64)
         .withColumn("cos", round(col("cos"), 6))
+    },
+
+    // ---- Incremental embedding near-dup: every 5th vector re-ingested
+    // under a shifted id as the NEW batch, deduplicated AGAINST the
+    // standing corpus via the corpus×batch bucket join — the embedding
+    // mirror of q71's continuous-ingest shape (no corpus self-join per
+    // batch). The re-ingested vectors surface as exact cos=1 hits plus
+    // the genuine near-dup tail.
+    Q(
+      "q79_incremental_embedding_dedup", {
+        def dotSql(a: String, b: String) =
+          s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> $a[i]*$b[i])), (a, x) -> a + x)"
+        val bucketSql = (0 until 4).map { bit =>
+          val proj = s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(dv, (x, i) ->
+               |        x * CASE WHEN (($bit*64 + (i-1)) * $Mult) % $P % 2 = 0
+               |            THEN 1.0 ELSE -1.0 END)), (a, x) -> a + x)""".stripMargin
+          s"(CASE WHEN $proj > 0 THEN ${1L << bit} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH v AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+           |  FROM embeddings),
+           |vb AS (
+           |  SELECT vec_id + 100000 AS vec_id, dv FROM v WHERE vec_id % 5 = 0),
+           |c AS (SELECT vec_id, dv, $bucketSql AS bucket FROM v),
+           |b AS (SELECT vec_id, dv, $bucketSql AS bucket FROM vb)
+           |SELECT corpus_id, batch_id, round(cos, 6) AS cos FROM (
+           |  SELECT x.vec_id AS corpus_id, y.vec_id AS batch_id,
+           |    ${dotSql("x.dv", "y.dv")}
+           |      / (sqrt(${dotSql("x.dv", "x.dv")}) * sqrt(${dotSql("y.dv", "y.dv")})) AS cos
+           |  FROM c x JOIN b y ON x.bucket = y.bucket)
+           |WHERE cos >= 0.4""".stripMargin
+      }) { (spark, dir) =>
+      val corpus = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      val batch = corpus.filter(col("vec_id") % 5 === 0)
+        .withColumn("vec_id", col("vec_id") + 100000)
+      Similarity
+        .cosineNearDupAgainst(corpus, batch, "vec_id", "embedding",
+          threshold = 0.4, nbits = 4, dim = 64)
+        .withColumn("cos", round(col("cos"), 6))
     })
 }

@@ -194,6 +194,43 @@ class StreamsSpec extends SparkSuite {
     assert(spark.read.parquet(out.toString).count() == 3)
   }
 
+  test("streaming sketch cube: per-batch KLL sketches merged incrementally match global") {
+    // continuous cube maintenance — the production shape for the
+    // re-aggregatable sketch family: each micro-batch is sketched once,
+    // merged with the standing materialized sketch, and overwritten;
+    // the raw stream is never rescanned. The final rolled-up quantile
+    // must sit inside the sketch's rank-error bound of the whole-stream
+    // exact quantiles.
+    val target = tmp("sketch-cube"); val cp = tmp("cp")
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Double]
+    val q = ms.toDF().toDF("v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val bsk = batch.agg(call_function("graft_kll_sketch", col("v")).as("sk"))
+        val merged =
+          if (graft.Meta.tableExists(spark, target.toString))
+            spark.read.parquet(target.toString).unionByName(bsk)
+              .agg(call_function("graft_kll_merge", col("sk")).as("sk"))
+          else bsk
+        merged.localCheckpoint(true).write.mode("overwrite").parquet(target.toString)
+      }
+      .option("checkpointLocation", cp.toString)
+      .start()
+    try {
+      Seq(1 to 1000, 1001 to 2000, 2001 to 3000).foreach { r =>
+        ms.addData(r.map(_.toDouble))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val row = spark.read.parquet(target.toString)
+      .select(
+        call_function("graft_kll_quantile", col("sk"), lit(0.5d)).as("p50"),
+        call_function("graft_kll_quantile", col("sk"), lit(0.99d)).as("p99"))
+      .head()
+    assert(math.abs(row.getDouble(0) - 1500.0) <= 60.0, s"p50=${row.getDouble(0)}")
+    assert(math.abs(row.getDouble(1) - 2970.0) <= 60.0, s"p99=${row.getDouble(1)}")
+  }
+
   test("console tee + multi-query monitoring (K5/T6)") {
     val in = tmp("stream-in"); val valid = tmp("valid"); val dlq = tmp("dlq"); val cp = tmp("cp")
     writeInput(in, "b.json", Seq(line(1, """{"k": 1}""")))
