@@ -10,19 +10,36 @@ import org.apache.spark.sql.SparkSession
   * shapes run later). Queries are timed in sorted-name order so numbers
   * are comparable round over round.
   *
-  * Each query is timed over `SPARK_GRAFT_BENCH_PASSES` (default 3) full
-  * sweeps and reports its per-query MEDIAN (plus min): two consecutive
-  * driver rounds measured identical code apart by up to 5.5× per query
-  * under machine-load variance, so single-pass numbers were unusable for
-  * regression detection. Sweeps interleave queries (pass 1 runs all
-  * queries, then pass 2, …) so a transient load spike taxes different
-  * queries in different passes instead of all samples of one query.
+  * Noise discipline (this machine's load spread defeated two rounds of
+  * regression reading):
+  *   - every query gets `SPARK_GRAFT_BENCH_PASSES` (default 3) full
+  *     interleaved sweeps; queries whose observed min is < 1 s get
+  *     `SPARK_GRAFT_BENCH_EXTRA` (default 2) additional samples — cheap
+  *     queries are the ones a transient spike distorts the most, and the
+  *     extra samples cost almost nothing;
+  *   - the cross-round comparison statistic is the per-query MIN, not the
+  *     median: min-of-N is load-robust (load only ever adds time), so a
+  *     min-vs-min delta > 15% is signal where a median-vs-median delta
+  *     at a 50% documented spread floor was not;
+  *   - the comparison source is the COMMITTED `bench/baseline_min.json`
+  *     (not the driver's BENCH_r{N}.json, whose `tail` truncates to
+  *     2000 chars and loses the per-query maps), refreshed deliberately
+  *     per round;
+  *   - the full-precision result also lands in `bench/last_run.json`, so
+  *     the one-line stdout contract can never truncate data away again.
+  *
+  * Output-line key order puts the big per-query maps FIRST and the
+  * scalar summary + delta report LAST, so a tail-truncated capture still
+  * carries the verdict-relevant fields.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
+    val extra = math.max(0, sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "2").toInt)
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+      "bench/baseline_min.json")
     val spark = Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries
@@ -42,14 +59,26 @@ object Bench {
       // a failed query reports -1 so a regression can't masquerade as a speedup
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    val samples: Seq[Seq[(String, Double)]] =
+    // base sweeps interleave queries (pass 1 runs all queries, then pass
+    // 2, …) so a transient load spike taxes different queries in
+    // different passes instead of all samples of one query
+    val base: Seq[Seq[(String, Double)]] =
       (1 to passes).map(_ => names.map(n => n -> timeOnce(n)))
+    val samples = scala.collection.mutable.Map[String, Vector[Double]](
+      names.map(n => n -> base.map(_.toMap.apply(n)).toVector): _*)
+    // extra sweeps: sub-second queries only (still interleaved)
+    val cheap = names.filter { n =>
+      val ts = samples(n); !ts.exists(_ < 0) && ts.min < 1.0
+    }
+    (1 to extra).foreach { _ =>
+      cheap.foreach(n => samples(n) = samples(n) :+ timeOnce(n))
+    }
     def medianOf(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val results = names.map { name =>
-      val ts = samples.map(_.toMap.apply(name))
+      val ts = samples(name)
       // any failed pass marks the query failed — never average over a crash
       if (ts.exists(_ < 0)) (name, -1.0, -1.0)
       else (name, medianOf(ts), ts.min)
@@ -58,14 +87,40 @@ object Bench {
     // machine-load noise floor a reader needs before calling a delta a
     // regression (r03 vs r04 swung 5× per query on identical code)
     val spreads = names.flatMap { name =>
-      val ts = samples.map(_.toMap.apply(name))
+      val ts = samples(name)
       val med = medianOf(ts)
       if (ts.exists(_ < 0) || med <= 0) None else Some((ts.max - ts.min) / med)
     }
     val spreadMed = if (spreads.isEmpty) -1.0 else medianOf(spreads) * 100
     val spreadMax = if (spreads.isEmpty) -1.0 else spreads.max * 100
+
+    // ---- min-vs-min delta against the committed baseline ----
+    val baseline: Map[String, Double] = {
+      val f = new java.io.File(baselinePath)
+      if (!f.exists()) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        // flat {"qname":sec,...} pairs inside the file's queries_min map
+        val sec = txt.indexOf("\"queries_min\"")
+        val body = if (sec >= 0) txt.substring(sec) else txt
+        "\"(q[A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.]+)".r
+          .findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    val deltas: Seq[(String, Double)] = results.flatMap { case (n, _, mn) =>
+      baseline.get(n).collect {
+        case prev if prev > 0 && mn > 0 => n -> ((mn / prev - 1.0) * 100)
+      }
+    }
+    // the report stays compact: only |delta| > 15% (the decision
+    // threshold) goes to stdout; the full vector is in bench/last_run.json
+    val regressions = deltas.filter(_._2 > 15.0).sortBy(-_._2)
+    val improved = deltas.filter(_._2 < -15.0).sortBy(_._2)
+
+    def r4(v: Double) = math.rint(v * 10000) / 10000
     def jsonMap(vals: Seq[(String, Double)]) =
-      vals.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      vals.map { case (k, v) => s"\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
     val qs = jsonMap(results.map(r => (r._1, r._2)))
     val qsMin = jsonMap(results.map(r => (r._1, r._3)))
     val total = results.map(_._2).sum
@@ -73,16 +128,36 @@ object Bench {
     // gold_sec = the three dbt-gold models — the only workload the
     // reference publishes a number for (BASELINE.md: 40.65 s) — and the
     // per-query median, since `total` scales with registered-query count
-    // (75 queries here vs the reference's 3-model build)
+    // (79 queries here vs the reference's 3-model build)
     val gold = results.collect {
       case (n, v, _) if n.startsWith("q01") || n.startsWith("q02") || n.startsWith("q03") => v
     }.sum
     val sortedTimes = results.map(_._2).filter(_ >= 0).sorted
     val median = if (sortedTimes.isEmpty) -1.0 else sortedTimes(sortedTimes.size / 2)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""queries_min":$qsMin,"passes":$passes,""" +
-      s""""spread_med_pct":$spreadMed,"spread_max_pct":$spreadMax,""" +
-      s""""gold_sec":$gold,"median_sec":$median,"n_queries":${results.size},"sf":"$sfDir"}""")
+    val deltaReport =
+      if (baseline.isEmpty) s""""baseline":"none (${baselinePath} absent)""""
+      else s""""baseline":"$baselinePath","baseline_n":${deltas.size},""" +
+        s""""regressions_min_pct":${jsonMap(regressions)},""" +
+        s""""improved_min_pct":${jsonMap(improved)}"""
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""queries_min":$qsMin,"passes":$passes,"extra_passes":$extra,""" +
+        s""""spread_med_pct":${r4(spreadMed)},"spread_max_pct":${r4(spreadMax)},""" +
+        s""""gold_sec":${r4(gold)},"median_sec":${r4(median)},""" +
+        s""""n_queries":${results.size},"sf":"$sfDir",$deltaReport}"""
+    // full-precision copy that no tail-truncation can lose
+    try {
+      val dir = java.nio.file.Paths.get("bench")
+      java.nio.file.Files.createDirectories(dir)
+      val full = new StringBuilder()
+      full ++= s"""{"sf":"$sfDir","passes":$passes,"extra_passes":$extra,"""
+      full ++= s""""queries_median":${results.map(r => s"\"${r._1}\":${r._2}").mkString("{", ",", "}")},"""
+      full ++= s""""queries_min":${results.map(r => s"\"${r._1}\":${r._3}").mkString("{", ",", "}")},"""
+      full ++= s""""delta_min_pct_vs_baseline":${deltas.map { case (k, v) => s"\"$k\":${r4(v)}" }.mkString("{", ",", "}")}}"""
+      java.nio.file.Files.write(dir.resolve("last_run.json"),
+        full.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable => System.err.println(s"[bench] file dump failed: $e") }
+    println(line)
     spark.stop()
   }
 }

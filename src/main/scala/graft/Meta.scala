@@ -136,6 +136,42 @@ object Meta {
         .sorted
     }
 
+    /** Claim the next commit id by writing the manifest aside (under a
+      * writer-unique staging name — two racers must never share one) and
+      * renaming it to `_commit=<id>` with fail-if-exists semantics. Plain
+      * `FileSystem.rename` is NOT that: on the local filesystem it maps
+      * to POSIX rename(2), which silently REPLACES an existing
+      * destination file — a lost race would overwrite the winner's
+      * manifest. `FileContext` with `Options.Rename.NONE` refuses an
+      * existing destination on every Hadoop filesystem (atomically on
+      * HDFS; object stores without atomic rename need an external
+      * commit-claim service, same caveat as any log-structured lake
+      * format). Returns the claimed id; a lost race throws and removes
+      * only this writer's staging file. */
+    private def commitManifest(spark: SparkSession, root: String,
+        versions: Seq[(String, Long)]): Long = {
+      val (f, _) = fs(spark, root)
+      val id = commits(spark, root).lastOption.getOrElse(0L) + 1
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$root/_commit_staging_${id}_${java.util.UUID.randomUUID}")
+      val out = f.create(tmp, true)
+      try out.write(versions.map { case (n, v) => s"$n\t$v" }.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val dst = new org.apache.hadoop.fs.Path(s"$root/_commit=$id")
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        f.getUri, spark.sparkContext.hadoopConfiguration)
+      try fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+      catch {
+        case e: java.io.IOException =>
+          f.delete(tmp, false)
+          throw new java.io.IOException(
+            s"commit $id already claimed by a concurrent writer; " +
+              "staged version dirs left as debris (re-run to publish)", e)
+      }
+      id
+    }
+
     /** Publish every (tableName → df) as one atomic commit; returns the
       * commit id. Tables live at `root/<name>` with the usual `v=` layout. */
     def publishAll(root: String, tables: Seq[(String, DataFrame)]): Long = {
@@ -147,21 +183,39 @@ object Meta {
       val spark = tables.head._2.sparkSession
       // stage: each table's next version dir, not yet referenced anywhere
       val staged = tables.map { case (name, df) => name -> write(df, s"$root/$name") }
-      // commit: write the manifest aside, then one atomic rename
+      commitManifest(spark, root, staged)
+    }
+
+    /** Compact one table of the newest commit THROUGH the manifest: the
+      * committed version's files are rewritten (row-proportional file
+      * count, as [[graft.ops.Scale.compact]]) into a NEW staged `v=` dir,
+      * then a new manifest commits the whole set with only this table's
+      * version advanced. No readable path is ever renamed or deleted, so
+      * a reader resolving the old manifest keeps its files and a reader
+      * resolving the new one gets the rewrite — never neither. This is
+      * the live-table compaction path (the reference's Delta OPTIMIZE,
+      * which commits through the log); `Scale.compact`'s in-place swap
+      * remains for raw non-versioned dirs in a quiesced window. Old
+      * versions are reclaimed later by retention vacuum, exactly like
+      * snapshots. Returns (commitId, filesBefore, filesAfter). */
+    def compactTable(spark: SparkSession, root: String, table: String,
+        targetRowsPerFile: Long): (Long, Int, Int) = {
+      val current = committedVersions(spark, root).getOrElse(
+        throw new IllegalArgumentException(s"no commits at $root"))
+      val v = current.getOrElse(table,
+        throw new IllegalArgumentException(s"table $table not in commit: $current"))
+      val src = s"$root/$table/v=$v"
       val (f, _) = fs(spark, root)
-      val id = commits(spark, root).lastOption.getOrElse(0L) + 1
-      val tmp = new org.apache.hadoop.fs.Path(s"$root/_commit_staging_$id")
-      val out = f.create(tmp, true)
-      try out.write(staged.map { case (n, v) => s"$n\t$v" }.mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      if (!f.rename(tmp, new org.apache.hadoop.fs.Path(s"$root/_commit=$id"))) {
-        f.delete(tmp, false)
-        throw new java.io.IOException(
-          s"publishAll: commit $id already claimed by a concurrent writer; " +
-            "staged version dirs left as debris (re-run to publish)")
-      }
-      id
+      def parquetFiles(p: String): Int =
+        f.listStatus(new org.apache.hadoop.fs.Path(p))
+          .count(_.getPath.getName.endsWith(".parquet"))
+      val df = spark.read.parquet(src)
+      val files = math.max(1,
+        math.ceil(df.count().toDouble / targetRowsPerFile).toInt)
+      val newV = write(df.repartition(files), s"$root/$table")
+      val id = commitManifest(spark, root,
+        (current.updated(table, newV)).toSeq.sortBy(_._1))
+      (id, parquetFiles(src), parquetFiles(s"$root/$table/v=$newV"))
     }
 
     /** The (table → version) set of `commit` (default: newest commit);
@@ -187,6 +241,50 @@ object Meta {
             name -> v.toLong
           }.toMap
       }
+    }
+
+    /** Reclaim unreferenced storage under the manifest layout: drop all
+      * but the newest `keepCommits` manifests, then delete every version
+      * dir no retained manifest references — vacuumed snapshots,
+      * torn-publish debris, and lost-race staged dirs alike. The min-age
+      * guard (same mitigation as Delta VACUUM's retention window) keeps
+      * a version dir a CONCURRENT in-flight publishAll just staged but
+      * has not yet committed: fresh dirs are never deleted, so gc is
+      * safe to run alongside writers as long as a stage→commit never
+      * takes `minAgeMs`. Readers of retained commits are unaffected;
+      * a reader pinned to a dropped commit fails explicitly. Returns
+      * (droppedCommitIds, deletedVersionDirs). */
+    def gc(spark: SparkSession, root: String, keepCommits: Int,
+        minAgeMs: Long = 3600000L): (Seq[Long], Seq[String]) = {
+      require(keepCommits >= 1, "gc must retain at least the newest commit")
+      val all = commits(spark, root)
+      val dead = all.dropRight(keepCommits)
+      val keep = all.takeRight(keepCommits)
+      val (f, rootPath) = fs(spark, root)
+      val live: Set[(String, Long)] = keep.flatMap { c =>
+        committedVersions(spark, root, Some(c)).get.toSeq
+      }.toSet
+      dead.foreach(c =>
+        f.delete(new org.apache.hadoop.fs.Path(s"$root/_commit=$c"), false))
+      val cutoff = System.currentTimeMillis() - minAgeMs
+      val deleted =
+        if (!f.exists(rootPath)) Seq.empty[String]
+        else f.listStatus(rootPath).toSeq
+          .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+          .flatMap { t =>
+            val table = t.getPath.getName
+            versions(spark, s"$root/$table")
+              .filterNot(v => live.contains(table -> v))
+              .filter { v =>
+                val p = new org.apache.hadoop.fs.Path(s"$root/$table/v=$v")
+                f.getFileStatus(p).getModificationTime <= cutoff
+              }
+              .map { v =>
+                f.delete(new org.apache.hadoop.fs.Path(s"$root/$table/v=$v"), true)
+                s"$table/v=$v"
+              }
+          }
+      (dead, deleted)
     }
 
     /** Read `table` at the committed version set — never a staged (torn)

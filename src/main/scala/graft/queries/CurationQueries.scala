@@ -121,7 +121,7 @@ object CurationQueries {
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events WHERE event_type = 'purchase' GROUP BY 1""".stripMargin) {
       (spark, dir) =>
-        val out = java.nio.file.Files.createTempDirectory("graft-q52").toString
+        val out = graft.Tmp.dir("graft-q52").toString
         // repartition on the partition column first (same discipline as
         // Scale.writeBucketed): each event_type lands in one task → one
         // file per partition value, instead of tasks × values small files
@@ -301,6 +301,12 @@ object CurationQueries {
     // token-table self-join; counts are two hash aggregates (the n-gram
     // count table IS the training artifact at 100 TB). Determinism recipe
     // as q65: per-bigram ln rounded to 9 decimals, summed as DECIMAL.
+    // Storage contract: the per-occurrence pair frame (the largest
+    // intermediate in the registry — one row per corpus token) is NEVER
+    // cached; only the small distinct-bigram count table c2 is pinned
+    // (localCheckpoint), since it alone is read twice (c1 derivation +
+    // scoring join). The pair stream is scanned twice instead — two
+    // cheap passes beat holding O(corpus tokens) in executor storage.
     Q(
       "q78_bigram_logprob",
       s"""WITH toksl AS (
@@ -329,8 +335,8 @@ object CurationQueries {
         .withColumn("w2", lead(col("w1"), 1).over(w))
         .filter(col("w2").isNotNull)
         .select("doc_id", "w1", "w2")
-        .cache() // three consumers: c2, c1 (via c2), and the scoring join
       val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        .localCheckpoint() // materialize once; c1 + scoring join both read it
       val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
       pairs.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
         .withColumn("lp",

@@ -89,7 +89,7 @@ object PipelineQueries {
         |  CAST(sum(CASE WHEN event_id % 7 <> 0 THEN event_id END) AS BIGINT) AS sum_valid_k,
         |  CAST(count(CASE WHEN event_id % 7 = 0 THEN 1 END) AS BIGINT) AS n_dlq
         |FROM events""".stripMargin) { (spark, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft-stream-q18")
+      val root = graft.Tmp.dir("graft-stream-q18")
       root.toFile.deleteOnExit()
       val (in, valid, dlq, cp) =
         (s"$root/in", s"$root/valid", s"$root/dlq", s"$root/cp")

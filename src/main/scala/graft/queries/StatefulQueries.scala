@@ -38,7 +38,7 @@ object StatefulQueries {
         |FROM events GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
       // the fixture is a single parquet file; the file stream source wants
       // a directory — stage a symlink to it in a temp dir
-      val streamDir = java.nio.file.Files.createTempDirectory("graft-q31-in")
+      val streamDir = graft.Tmp.dir("graft-q31-in")
       streamDir.toFile.deleteOnExit()
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events.parquet"),
@@ -138,7 +138,7 @@ object StatefulQueries {
       }) { (spark, dir) =>
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import graft.streaming.Streams
-      val root = java.nio.file.Files.createTempDirectory("graft-q37")
+      val root = graft.Tmp.dir("graft-q37")
       root.toFile.deleteOnExit()
       val (target, cp) = (s"$root/scd2", s"$root/cp")
       val c = Tables.customer(spark, dir)
@@ -228,7 +228,7 @@ object StatefulQueries {
         |  SELECT event_id, value AS flag_value FROM e WHERE event_id % 10 = 0)
         |SELECT e.event_id, e.user_id, e.ts, e.value, f.flag_value
         |FROM e JOIN f USING (event_id)""".stripMargin) { (spark, dir) =>
-      val streamDir = java.nio.file.Files.createTempDirectory("graft-q45-in")
+      val streamDir = graft.Tmp.dir("graft-q45-in")
       streamDir.toFile.deleteOnExit()
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events.parquet"),
@@ -265,7 +265,7 @@ object StatefulQueries {
     Q(
       "q46_stream_dedup",
       "SELECT DISTINCT user_id, event_type FROM events") { (spark, dir) =>
-      val streamDir = java.nio.file.Files.createTempDirectory("graft-q46-in")
+      val streamDir = graft.Tmp.dir("graft-q46-in")
       streamDir.toFile.deleteOnExit()
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events.parquet"),
@@ -297,7 +297,7 @@ object StatefulQueries {
         |  CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1""".stripMargin) { (spark, dir) =>
-      val streamDir = java.nio.file.Files.createTempDirectory("graft-q59-in")
+      val streamDir = graft.Tmp.dir("graft-q59-in")
       streamDir.toFile.deleteOnExit()
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events.parquet"),
@@ -344,7 +344,7 @@ object StatefulQueries {
         |SELECT user_id, min(ts) AS session_start,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, session_id""".stripMargin) { (spark, dir) =>
-      val streamDir = java.nio.file.Files.createTempDirectory("graft-q61-in")
+      val streamDir = graft.Tmp.dir("graft-q61-in")
       streamDir.toFile.deleteOnExit()
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events.parquet"),

@@ -85,6 +85,120 @@ class MetaSpec extends SparkSuite {
     }
   }
 
+  test("publishAll: two RACING committers — one wins, the loser throws, " +
+      "manifests stay well-formed, readCommitted resolves the winner") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    // each writer's staging task blocks on a shared in-JVM barrier, so
+    // BOTH writers are provably mid-staging together — both then list an
+    // empty commit log and race for the same commit id. A bounded retry
+    // absorbs residual scheduler skew (a serialized outcome ids 1,2 is a
+    // LEGAL linearization, just not the one under test).
+    def attempt(): (String, Seq[scala.util.Try[Long]]) = {
+      val root = Files.createTempDirectory("meta-race").toString
+      MetaSpecRaceGate.latch = new java.util.concurrent.CountDownLatch(2)
+      def slowDf = spark.range(1)
+        .map { (x: java.lang.Long) =>
+          MetaSpecRaceGate.latch.countDown()
+          MetaSpecRaceGate.latch.await(30, java.util.concurrent.TimeUnit.SECONDS)
+          x.longValue
+        }(org.apache.spark.sql.Encoders.scalaLong)
+        .toDF("x")
+      val fs = Seq("a", "b").map { t =>
+        Future(scala.util.Try(Meta.Versioned.publishAll(root, Seq(t -> slowDf))))
+      }
+      (root, Await.result(Future.sequence(fs), 120.seconds))
+    }
+    val (root, results) = Iterator.continually(attempt())
+      .take(10)
+      .find { case (_, rs) => rs.exists(_.isFailure) }
+      .getOrElse(fail("10 attempts never collided — barrier is not forcing the race"))
+    val (wins, losses) = results.partition(_.isSuccess)
+    assert(wins.size == 1 && losses.size == 1,
+      s"expected exactly one winner, got: $results")
+    assert(wins.head.get == 1L)
+    // the loser's failure names the claim conflict, not some other error
+    val err = losses.head.failed.get
+    assert(err.isInstanceOf[java.io.IOException] &&
+      err.getMessage.contains("claimed by a concurrent writer"), s"wrong error: $err")
+    // exactly one well-formed manifest; it resolves the WINNER's table only
+    val winner = if (results.head.isSuccess) "a" else "b"
+    val loser = if (winner == "a") "b" else "a"
+    assert(Meta.Versioned.committedVersions(spark, root)
+      .contains(Map(winner -> 1L)))
+    assert(Meta.Versioned.readCommitted(spark, root, winner).count() == 1)
+    // the loser's staged version dir is invisible debris, not a table
+    intercept[IllegalArgumentException] {
+      Meta.Versioned.readCommitted(spark, root, loser)
+    }
+    // no staging files survived either outcome
+    val leftovers = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("_commit_staging"))
+    assert(leftovers.isEmpty, s"staging debris: ${leftovers.toSeq}")
+  }
+
+  test("compactTable: commits through the manifest — a reader holding the " +
+      "old commit observes old files, a new reader the rewrite, never neither") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("meta-compact").toString
+    val n = 1000
+    val c1 = Meta.Versioned.publishAll(root, Seq(
+      "t" -> (1 to n).toDF("x").repartition(8),
+      "other" -> Seq(1, 2).toDF("y")))
+    assert(c1 == 1L)
+    // a reader resolves the pre-compaction commit and HOLDS its frame
+    val oldReader = Meta.Versioned.readCommitted(spark, root, "t")
+    val oldDir = new java.io.File(s"$root/t/v=1")
+    assert(oldDir.exists())
+    val (c2, before, after) =
+      Meta.Versioned.compactTable(spark, root, "t", targetRowsPerFile = 1000000L)
+    assert(c2 == 2L && before == 8 && after == 1,
+      s"commit $c2, files $before -> $after")
+    // the old reader's files were never renamed or deleted — its frame
+    // still evaluates mid-maintenance (Scale.compact's documented swap
+    // window cannot happen in this layout)
+    assert(oldDir.exists())
+    assert(oldReader.count() == n)
+    assert(Meta.Versioned.readCommitted(spark, root, "t", commit = Some(1L))
+      .count() == n)
+    // the new commit resolves the rewrite, losslessly, and carries the
+    // untouched sibling table's version forward
+    assert(Meta.Versioned.readCommitted(spark, root, "t").count() == n)
+    assert(Meta.Versioned.committedVersions(spark, root)
+      .contains(Map("t" -> 2L, "other" -> 1L)))
+    assert(Meta.Versioned.readCommitted(spark, root, "other").count() == 2)
+  }
+
+  test("Versioned.gc: reclaims dropped commits, torn-publish debris and " +
+      "lost-race staging — but never a fresh dir inside the min-age guard") {
+    val root = Files.createTempDirectory("meta-gc").toString
+    (1 to 3).foreach { i =>
+      Meta.Versioned.publishAll(root, Seq(
+        "t" -> (1 to i).toDF("x"), "u" -> Seq(i).toDF("y")))
+    }
+    // torn publish: staged version, crash before manifest
+    Meta.Versioned.write(Seq(99).toDF("x"), s"$root/t")
+    assert(new java.io.File(s"$root/t/v=4").exists())
+    // min-age guard: with the default window nothing fresh is deletable,
+    // even though commit 1 itself is dropped
+    val (dead1, deleted1) = Meta.Versioned.gc(spark, root, keepCommits = 2)
+    assert(dead1 == Seq(1L) && deleted1.isEmpty, s"$dead1 / $deleted1")
+    assert(new java.io.File(s"$root/t/v=1").exists())
+    // age-expired pass: commit 1's versions and the torn v=4 go, the two
+    // retained commits' versions stay readable
+    val (dead2, deleted2) = Meta.Versioned.gc(spark, root, 2, minAgeMs = 0L)
+    assert(dead2.isEmpty, s"commits dropped twice: $dead2")
+    assert(deleted2.toSet == Set("t/v=1", "t/v=4", "u/v=1"), s"$deleted2")
+    assert(!new java.io.File(s"$root/t/v=4").exists())
+    assert(Meta.Versioned.readCommitted(spark, root, "t").count() == 3)
+    assert(Meta.Versioned.readCommitted(spark, root, "t", commit = Some(2L))
+      .count() == 2)
+    intercept[Exception] {
+      Meta.Versioned.readCommitted(spark, root, "t", commit = Some(1L)).count()
+    }
+  }
+
   test("observed: metrics collected in the same pass as the action") {
     import org.apache.spark.sql.functions._
     val (df, obs) = Meta.observed((1 to 100).toDF("x"), "m",
@@ -92,4 +206,11 @@ class MetaSpec extends SparkSuite {
     df.count() // one action, metrics ride along
     assert(obs.get("n") == 100L && obs.get("sum_x") == 5050L)
   }
+}
+
+/** In-JVM rendezvous for the racing-committers test: both staging tasks
+  * must be running before either may finish (local mode — the closure's
+  * static reference resolves to this singleton). */
+object MetaSpecRaceGate {
+  @volatile var latch: java.util.concurrent.CountDownLatch = _
 }

@@ -176,6 +176,29 @@ class PlansSpec extends SparkSuite {
     }
   }
 
+  test("q72 outer-join battery: ONE full-outer join, no Union (plan pin)") {
+    // the three-join/six-shuffle formulation never showed in wall-clock
+    // (fixed-cost noise floor), so only a plan pin can keep it dead
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Union}
+    val df = SparkEntry.queries("q72_outer_join_battery")(spark, sfDir())
+    val lp = df.queryExecution.optimizedPlan
+    val joins = lp.collect { case j: Join => j }
+    assert(joins.size == 1, s"expected exactly one join:\n$lp")
+    assert(joins.head.joinType.sql == "FULL OUTER",
+      s"expected a full-outer join, got ${joins.head.joinType}:\n$lp")
+    assert(lp.collect { case u: Union => u }.isEmpty,
+      s"union crept back into the key-set report:\n$lp")
+  }
+
+  test("q78 bigram scoring: no O(corpus-tokens) cache in the plan — only " +
+      "the small checkpointed count table is pinned") {
+    val df = SparkEntry.queries("q78_bigram_logprob")(spark, sfDir())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("InMemoryTableScan"),
+      s"per-occurrence pair frame is cached again:\n$p")
+  }
+
   test("deterministic sample gate stays a scan-level pushed filter") {
     // no Exchange anywhere: sampling must not shuffle
     val p = plan(graft.ops.Sample.hashSample(

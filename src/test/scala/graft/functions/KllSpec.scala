@@ -39,6 +39,35 @@ class KllSpec extends SparkSuite {
     }
   }
 
+  test("mixed-k merge: either order stays within the SMALLER k's rank " +
+      "bound and the orders agree within it (KllMergeAgg keeps the smaller k)") {
+    val n = 200000
+    var x = 98765L
+    val vals = Array.fill(n) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (x >>> 11).toDouble / (1L << 53).toDouble
+    }
+    val (va, vb) = vals.splitAt(n / 2)
+    def sk(k: Int, vs: Array[Double]) = {
+      val b = new Kll.Buffer(k); vs.foreach(b.update); b
+    }
+    // the aggregate's merge policy: fold the larger-k sketch INTO the
+    // smaller-k one, so the result's accuracy contract is the smaller k's
+    val order1 = sk(64, va).mergeFrom(sk(256, vb)) // A's half holds k=64
+    val order2 = sk(64, vb).mergeFrom(sk(256, va)) // B's half holds k=64
+    assert(order1.k == 64 && order2.k == 64)
+    assert(order1.n == n && order2.n == n)
+    val sorted = vals.sorted
+    val bound = 0.04 // k=64 ⇒ ~3% observed rank error; 2% was the k=256 pin
+    for (q <- Seq(0.01, 0.1, 0.5, 0.9, 0.99)) {
+      val r1 = sorted.count(_ <= Kll.quantile(Kll.toBytes(order1), q).get).toDouble / n
+      val r2 = sorted.count(_ <= Kll.quantile(Kll.toBytes(order2), q).get).toDouble / n
+      assert(math.abs(r1 - q) <= bound, s"order1 q=$q at rank $r1")
+      assert(math.abs(r2 - q) <= bound, s"order2 q=$q at rank $r2")
+      assert(math.abs(r1 - r2) <= bound, s"orders disagree at q=$q: $r1 vs $r2")
+    }
+  }
+
   test("serialization round-trips the full structure") {
     val buf = new Kll.Buffer(64)
     (1 to 5000).foreach(i => buf.update((i % 97).toDouble))

@@ -231,6 +231,45 @@ class StreamsSpec extends SparkSuite {
     assert(math.abs(row.getDouble(1) - 2970.0) <= 60.0, s"p99=${row.getDouble(1)}")
   }
 
+  test("q45/q37 fixed lifecycle cost: micro-batch COUNTS are the bounded " +
+      "constant, independent of data volume (the ~1-2 s each costs is " +
+      "trigger/checkpoint machinery, not per-row work)") {
+    // pin the REAL registry queries via a listener — wall-clock cannot
+    // distinguish fixed lifecycle cost from per-row regressions, batch
+    // counts can: q45 must drain its whole input in ONE AvailableNow
+    // batch, q37 in exactly its two addData batches
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import scala.collection.mutable.ArrayBuffer
+    val batches = ArrayBuffer[(String, Long)]() // (query name or "", input rows)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        batches.synchronized {
+          batches += ((Option(e.progress.name).getOrElse(""), e.progress.numInputRows))
+        }
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      graft.SparkEntry.queries("q45_stream_stream_join")(spark, sfDir()).count()
+      graft.SparkEntry.queries("q37_stream_scd2_upsert")(spark, sfDir()).count()
+      // listener delivery is async — drain before asserting
+      var waited = 0
+      while (waited < 10000 &&
+          batches.synchronized(batches.count(_._2 > 0)) < 3) {
+        Thread.sleep(100); waited += 100
+      }
+    } finally spark.streams.removeListener(listener)
+    val snap = batches.synchronized(batches.toSeq)
+    val q45 = snap.filter(_._1.startsWith("graft_q45_"))
+    assert(q45.count(_._2 > 0) == 1,
+      s"q45 must drain in one AvailableNow micro-batch, saw: $q45")
+    // q37's foreachBatch query is unnamed; its batches are the remainder
+    val q37 = snap.filterNot(_._1.startsWith("graft_q45_"))
+    assert(q37.count(_._2 > 0) == 2,
+      s"q37 must run exactly its two addData micro-batches, saw: $q37")
+  }
+
   test("console tee + multi-query monitoring (K5/T6)") {
     val in = tmp("stream-in"); val valid = tmp("valid"); val dlq = tmp("dlq"); val cp = tmp("cp")
     writeInput(in, "b.json", Seq(line(1, """{"k": 1}""")))
