@@ -287,6 +287,43 @@ object Meta {
       (dead, deleted)
     }
 
+    /** Change data feed between two commits: the row-level delta a
+      * downstream consumer reads INSTEAD of re-scanning the snapshot
+      * (the reference's Delta CDF surface, jobs/silver reads). Since
+      * parquet snapshots carry no write-time change log, the feed is a
+      * snapshot diff: one full-outer join of the two committed versions
+      * on `keys`, comparing all non-key columns null-safely. Emits
+      * `change_type` ∈ insert / update / delete with the postimage row
+      * (the preimage for deletes); unchanged rows are excluded. Scale:
+      * one key-partitioned shuffle join between the versions — with the
+      * bucketed write layout (`Scale.writeBucketed`) both sides
+      * co-locate and the exchange disappears; a MERGE-time capture would
+      * avoid the join entirely but needs a transaction log. */
+    def changes(spark: SparkSession, root: String, table: String,
+        fromCommit: Long, toCommit: Long, keys: Seq[String]): DataFrame = {
+      import org.apache.spark.sql.functions._
+      val o = readCommitted(spark, root, table, Some(fromCommit))
+      val n = readCommitted(spark, root, table, Some(toCommit))
+      require(o.columns.sorted.sameElements(n.columns.sorted),
+        s"schema drift between commits $fromCommit and $toCommit: " +
+          s"${o.columns.toSeq} vs ${n.columns.toSeq}")
+      require(keys.nonEmpty && keys.forall(o.columns.contains),
+        s"keys $keys not all present in ${o.columns.toSeq}")
+      val nonKeys = o.columns.toSeq.filterNot(keys.contains)
+      val os = o.select(keys.map(col) :+ struct(nonKeys.map(col): _*).as("_old"): _*)
+      val ns = n.select(keys.map(col) :+ struct(nonKeys.map(col): _*).as("_new"): _*)
+      os.join(ns, keys, "full_outer")
+        .withColumn("change_type",
+          when(col("_old").isNull, "insert")
+            .when(col("_new").isNull, "delete")
+            .when(!(col("_old") <=> col("_new")), "update")
+            .otherwise(lit(null)))
+        .filter(col("change_type").isNotNull)
+        .select(keys.map(col) ++
+          nonKeys.map(c => coalesce(col(s"_new.$c"), col(s"_old.$c")).as(c)) :+
+          col("change_type"): _*)
+    }
+
     /** Read `table` at the committed version set — never a staged (torn)
       * write. `commit` pins a historical commit for cross-table time
       * travel. */

@@ -50,6 +50,64 @@ object Scale {
     df.repartition(buckets, col(key)).write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
 
+  /** Z-order clustered write (the OPTIMIZE ZORDER layout op): cluster
+    * rows so parquet per-file min/max statistics prune on ANY of the
+    * clustering columns, not just a lead sort column. Each column is
+    * linearly bucketed to `bitsPerCol` bits between its global min and
+    * max (`width_bucket` — codegen'd, one stats pass), the bucket bits
+    * are interleaved into a Z-address, and the frame is range-partitioned
+    * and sorted by that address: every output file then covers roughly a
+    * (1/numFiles)^(1/d) slice of EACH dimension's range, versus a single
+    * lead-column sort where every non-lead dimension spans the full
+    * range in every file. At 100 TB this is the difference between a
+    * selective filter on a second column skipping most files and
+    * scanning the lake. Linear (not rank) bucketing keeps the map a pure
+    * per-row expression; heavily skewed columns degrade toward fewer
+    * effective bits but never lose correctness — pre-transform (log,
+    * clamp) such columns at the call site.
+    *
+    * Numeric columns only (cast dates/timestamps to epoch first).
+    * Returns the written file count.
+    */
+  def zorderWrite(df: DataFrame, cols: Seq[String], numFiles: Int,
+      out: String, bitsPerCol: Int = 8): Int = {
+    require(cols.nonEmpty && numFiles >= 1 && bitsPerCol >= 1 &&
+      bitsPerCol * cols.size <= 60, s"bad zorder spec: $cols / $bitsPerCol bits")
+    val buckets = 1 << bitsPerCol
+    // one pass for global min/max per clustering column
+    val statCols = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val stats = df.agg(statCols.head, statCols.tail: _*).head()
+    val zkey = cols.zipWithIndex.map { case (c, i) =>
+      // a null/empty stats cell (all-null or empty input) degrades to a
+      // constant column: zero information, zero bits, still correct
+      val degenerate = stats.isNullAt(2 * i) || stats.isNullAt(2 * i + 1) ||
+        stats.getDouble(2 * i + 1) <= stats.getDouble(2 * i)
+      // width_bucket is 1-based and sends v==hi to buckets+1 → clamp to [0, buckets-1]
+      val b =
+        if (degenerate) lit(0L)
+        else least(lit(buckets - 1L),
+          greatest(lit(0L),
+            width_bucket(col(c).cast("double"),
+              lit(stats.getDouble(2 * i)), lit(stats.getDouble(2 * i + 1)),
+              lit(buckets)) - 1))
+      // significance-aligned interleave (Morton): bucket bit j of column
+      // i lands at address bit j*d + (d-1-i), so every column's high
+      // bits sit in the address's high bits
+      (0 until bitsPerCol).map { j =>
+        shiftleft(shiftright(b, j) % 2, j * cols.size + (cols.size - 1 - i))
+      }.reduce(_ + _)
+    }.reduce(_ + _)
+    df.withColumn("_zaddr", zkey)
+      .repartitionByRange(numFiles, col("_zaddr"))
+      .sortWithinPartitions("_zaddr")
+      .drop("_zaddr")
+      .write.mode("overwrite").parquet(out)
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Small-file compaction (the OPTIMIZE maintenance op): rewrite a
     * parquet directory into ~`targetRowsPerFile`-row files. Streaming
     * append sinks and per-trigger commits leave thousands of tiny files;

@@ -655,5 +655,87 @@ object AnalyticsQueries {
           ok(q(col("sk"), 0.9), col("p90e")).as("p90_ok"),
           ok(q(col("rsk"), 0.5), col("p50e")).as("p50_rolled_ok"),
           ok(q(col("rsk"), 0.9), col("p90e")).as("p90_rolled_ok"))
+    },
+
+    // ---- Change data feed between two manifest commits (the Delta CDF
+    // read surface): commit 1 = the customer snapshot, commit 2 = the
+    // same table with deletes (key % 13), updates (% 7, +100 balance)
+    // and inserts (key % 17 re-keyed +10M) applied. The feed is the
+    // snapshot diff — one full-outer key join, null-safe column compare,
+    // postimage rows tagged insert/update/delete, unchanged rows absent.
+    // At 100 TB the feed IS the product: downstream consumes the delta,
+    // never the snapshot. The oracle replays the identical v2 definition
+    // and diff join.
+    Q(
+      "q80_change_data_feed",
+      """WITH v1 AS (
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
+        |v2 AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer WHERE c_custkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, c_name, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 17 = 0),
+        |j AS (
+        |  SELECT coalesce(v2.c_custkey, v1.c_custkey) AS c_custkey,
+        |    coalesce(v2.c_name, v1.c_name) AS c_name,
+        |    coalesce(v2.c_acctbal, v1.c_acctbal) AS c_acctbal,
+        |    coalesce(v2.c_mktsegment, v1.c_mktsegment) AS c_mktsegment,
+        |    CASE WHEN v1.c_custkey IS NULL THEN 'insert'
+        |         WHEN v2.c_custkey IS NULL THEN 'delete'
+        |         WHEN NOT (v1.c_name IS NOT DISTINCT FROM v2.c_name
+        |               AND v1.c_acctbal IS NOT DISTINCT FROM v2.c_acctbal
+        |               AND v1.c_mktsegment IS NOT DISTINCT FROM v2.c_mktsegment)
+        |           THEN 'update' END AS change_type
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.c_custkey = v2.c_custkey)
+        |SELECT * FROM j WHERE change_type IS NOT NULL""".stripMargin) {
+      (spark, dir) =>
+        val root = graft.Tmp.dir("graft-q80").toString
+        val c = Tables.customer(spark, dir)
+          .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        val v2 = c.filter(col("c_custkey") % 13 =!= 0)
+          .withColumn("c_acctbal",
+            when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100)
+              .otherwise(col("c_acctbal")))
+          .unionByName(c.filter(col("c_custkey") % 17 === 0)
+            .withColumn("c_custkey", col("c_custkey") + 10000000L))
+        val commit1 = graft.Meta.Versioned.publishAll(root, Seq("customer" -> c))
+        val commit2 = graft.Meta.Versioned.publishAll(root, Seq("customer" -> v2))
+        require(commit1 == 1L && commit2 == 2L,
+          s"unexpected commits: $commit1, $commit2")
+        graft.Meta.Versioned.changes(spark, root, "customer",
+          fromCommit = 1L, toCommit = 2L, keys = Seq("c_custkey"))
+    },
+
+    // ---- Z-order clustered materialization (Scale.zorderWrite — the
+    // OPTIMIZE ZORDER layout): orders rewritten clustered on
+    // (o_custkey, o_totalprice), then scanned with a selective predicate
+    // on BOTH dimensions — the access pattern where a lead-column sort
+    // prunes one dimension and scans the other, but the Morton layout's
+    // per-file min/max stats prune each (quality pinned in ScaleSpec).
+    // The layout is semantics-neutral, so the oracle is the same
+    // filter+aggregate over the raw table.
+    Q(
+      "q81_zorder_scan",
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_totalprice BETWEEN 100000 AND 150000
+        |  AND o_custkey BETWEEN 100 AND 500
+        |GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val out = graft.Tmp.dir("graft-q81").toString
+      val o = Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      graft.ops.Scale.zorderWrite(o,
+        Seq("o_custkey", "o_totalprice"), numFiles = 16, out)
+      spark.read.parquet(out)
+        .filter(col("o_totalprice").between(100000, 150000) &&
+          col("o_custkey").between(100, 500))
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
     })
 }

@@ -404,5 +404,68 @@ object CurationQueries {
         .agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") * 200 > col("n_total"))
         .select("term", "cnt")
+    },
+
+    // ---- Intra-document repetition signals: duplicate-token fraction,
+    // top-token fraction, duplicate-bigram fraction — the Gopher-rule
+    // repetition gates that reject boilerplate/SEO spam before any model
+    // ever scores it. All three are per-doc hash aggregates (token table
+    // → two group-bys; bigrams via the q78 lead() window, no self-join),
+    // so the scan parallelizes per document with no corpus-wide state.
+    Q(
+      "q82_repetition_signals",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS t FROM documents),
+         |tc AS (
+         |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+         |ts AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS nd, CAST(max(c) AS BIGINT) AS mx
+         |  FROM tc GROUP BY 1),
+         |toksl AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |pairs AS (
+         |  SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(range(1, len(tk)),
+         |        i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS bg
+         |    FROM toksl WHERE len(tk) >= 2)),
+         |pc AS (
+         |  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS c
+         |  FROM pairs GROUP BY 1, 2, 3),
+         |ps AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb,
+         |    CAST(count(*) AS BIGINT) AS ndb
+         |  FROM pc GROUP BY 1)
+         |SELECT ts.doc_id, n_tokens,
+         |  round(1 - CAST(nd AS DOUBLE) / n_tokens, 6) AS dup_token_frac,
+         |  round(CAST(mx AS DOUBLE) / n_tokens, 6) AS top_token_frac,
+         |  round(CASE WHEN nb IS NULL THEN 0
+         |             ELSE 1 - CAST(ndb AS DOUBLE) / nb END, 6) AS dup_bigram_frac
+         |FROM ts LEFT JOIN ps ON ts.doc_id = ps.doc_id""".stripMargin) {
+      (spark, dir) =>
+        val docs = Tables.documents(spark, dir)
+        val tc = docs
+          .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        val ts = tc.groupBy("doc_id").agg(
+          sum("c").as("n_tokens"), count(lit(1)).as("nd"), max("c").as("mx"))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val ps = docs
+          .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
+          .withColumnRenamed("col", "w1")
+          .withColumn("w2", lead(col("w1"), 1).over(w))
+          .filter(col("w2").isNotNull)
+          .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(sum("c").as("nb"), count(lit(1)).as("ndb"))
+        ts.join(ps, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"), col("n_tokens"),
+            round(lit(1) - col("nd").cast("double") / col("n_tokens"), 6)
+              .as("dup_token_frac"),
+            round(col("mx").cast("double") / col("n_tokens"), 6)
+              .as("top_token_frac"),
+            round(when(col("nb").isNull, 0.0)
+              .otherwise(lit(1) - col("ndb").cast("double") / col("nb")), 6)
+              .as("dup_bigram_frac"))
     })
 }

@@ -42,6 +42,51 @@ class ScaleSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("zorderWrite: every file covers a narrow slice of BOTH clustering " +
+      "dimensions — a lead-column sort leaves the second dimension unprunable") {
+    val out = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val o = Tables.orders(spark, sfDir()).select("o_orderkey", "o_custkey", "o_totalprice")
+    val n = Scale.zorderWrite(o, Seq("o_custkey", "o_totalprice"), numFiles = 16, out)
+    assert(n == 16, s"expected 16 files, wrote $n")
+    // rows survive the rewrite intact
+    assert(spark.read.parquet(out).count() == o.count())
+    def coverage(dir: String): Seq[(Double, Double)] = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+      val global = o.agg(
+        org.apache.spark.sql.functions.min("o_custkey"),
+        org.apache.spark.sql.functions.max("o_custkey"),
+        org.apache.spark.sql.functions.min("o_totalprice"),
+        org.apache.spark.sql.functions.max("o_totalprice")).head()
+      val (ck0, ck1) = (global.getLong(0).toDouble, global.getLong(1).toDouble)
+      val (tp0, tp1) = (global.getDouble(2), global.getDouble(3))
+      files.map { f =>
+        val s = spark.read.parquet(f).agg(
+          org.apache.spark.sql.functions.min("o_custkey"),
+          org.apache.spark.sql.functions.max("o_custkey"),
+          org.apache.spark.sql.functions.min("o_totalprice"),
+          org.apache.spark.sql.functions.max("o_totalprice")).head()
+        ((s.getLong(1) - s.getLong(0)) / (ck1 - ck0),
+          (s.getDouble(3) - s.getDouble(2)) / (tp1 - tp0))
+      }
+    }
+    val cov = coverage(out)
+    val meanCk = cov.map(_._1).sum / cov.size
+    val meanTp = cov.map(_._2).sum / cov.size
+    // 16 files over 2 dims ⇒ ideal per-file span ≈ 1/4 of each range;
+    // allow slack for bucket quantization, demand real pruning power
+    assert(meanCk <= 0.6 && meanTp <= 0.6,
+      s"z-order not clustering: mean file coverage custkey=$meanCk price=$meanTp")
+    // contrast: the single-sort layout cannot prune the second dimension
+    val sortedOut = java.nio.file.Files.createTempDirectory("graft-sorted").toString
+    o.repartitionByRange(16, org.apache.spark.sql.functions.col("o_custkey"))
+      .sortWithinPartitions("o_custkey").write.mode("overwrite").parquet(sortedOut)
+    val sortedCov = coverage(sortedOut)
+    val sortedTp = sortedCov.map(_._2).sum / sortedCov.size
+    assert(sortedTp >= 0.9,
+      s"fixture degenerate — lead sort already clusters price? $sortedTp")
+  }
+
   test("compact: merges a many-file layout, preserves every row") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
