@@ -467,5 +467,65 @@ object CurationQueries {
             round(when(col("nb").isNull, 0.0)
               .otherwise(lit(1) - col("ndb").cast("double") / col("nb")), 6)
               .as("dup_bigram_frac"))
+    },
+
+    // ---- Per-source cap (domain balancing): keep at most K documents
+    // per source, survivors chosen by a deterministic key hash — the
+    // corpus-mixing step that stops one crawl domain from dominating the
+    // training set. The hash order makes survivorship reproducible
+    // across runs/engines/partitionings, and Spark's InferWindowGroupLimit
+    // prunes each partition to the top-K BEFORE the shuffle (the q04
+    // pattern), so the cap costs one bounded shuffle at any scale.
+    Q(
+      "q83_source_cap",
+      s"""WITH ranked AS (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY (doc_id * $Mult) % $P, doc_id) AS rn
+         |  FROM documents)
+         |SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+         |FROM ranked WHERE rn <= 15""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy("source")
+        .orderBy((col("doc_id") * Mult) % P, col("doc_id"))
+      Tables.documents(spark, dir)
+        .select("doc_id", "source")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 15)
+    },
+
+    // ---- Sequence packing (the pretraining token-stream layout): shard
+    // documents deterministically, order within shard, run a cumulative
+    // token count, and map every document to the context-window sequence
+    // range it lands in (capacity 256, concat-and-split style — a doc
+    // straddling a boundary spans seq start_seq..end_seq). Per-shard
+    // prefix sums are embarrassingly parallel — the global sequential
+    // scan a naive packer needs never happens; shard count scales with
+    // the cluster, not the corpus.
+    Q(
+      "q84_sequence_packing",
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(((doc_id * $Mult) % $P) % 8 AS BIGINT) AS shard,
+         |    CAST(ceil(n_chars / 4.0) AS BIGINT) AS toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, shard, toks,
+         |    sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t)
+         |SELECT doc_id, shard, toks,
+         |  CAST((cum - toks) // 256 AS BIGINT) AS start_seq,
+         |  CAST((cum - 1) // 256 AS BIGINT) AS end_seq
+         |FROM c""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          (((col("doc_id") * Mult) % P) % 8).cast("long").as("shard"),
+          ceil(col("n_chars") / 4.0).cast("long").as("toks"))
+        .withColumn("cum", sum("toks").over(w))
+        .select(col("doc_id"), col("shard"), col("toks"),
+          floor((col("cum") - col("toks")) / 256).cast("long").as("start_seq"),
+          floor((col("cum") - 1) / 256).cast("long").as("end_seq"))
     })
 }

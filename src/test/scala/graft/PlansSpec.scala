@@ -199,6 +199,13 @@ class PlansSpec extends SparkSuite {
       s"per-occurrence pair frame is cached again:\n$p")
   }
 
+  test("q83 per-source cap: WindowGroupLimit prunes to top-K before the shuffle") {
+    val df = SparkEntry.queries("q83_source_cap")(spark, sfDir())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("WindowGroupLimit"), s"cap not pruned map-side:\n$p")
+  }
+
   test("deterministic sample gate stays a scan-level pushed filter") {
     // no Exchange anywhere: sampling must not shuffle
     val p = plan(graft.ops.Sample.hashSample(
