@@ -701,8 +701,12 @@ object AnalyticsQueries {
               .otherwise(col("c_acctbal")))
           .unionByName(c.filter(col("c_custkey") % 17 === 0)
             .withColumn("c_custkey", col("c_custkey") + 10000000L))
-        val commit1 = graft.Meta.Versioned.publishAll(root, Seq("customer" -> c))
-        val commit2 = graft.Meta.Versioned.publishAll(root, Seq("customer" -> v2))
+        // fixture publishes: 4 files each, not 32 shuffle-width micro-files
+        // (the write is scaffolding — the operator under test is the diff)
+        val commit1 =
+          graft.Meta.Versioned.publishAll(root, Seq("customer" -> c.repartition(4)))
+        val commit2 =
+          graft.Meta.Versioned.publishAll(root, Seq("customer" -> v2.repartition(4)))
         require(commit1 == 1L && commit2 == 2L,
           s"unexpected commits: $commit1, $commit2")
         graft.Meta.Versioned.changes(spark, root, "customer",

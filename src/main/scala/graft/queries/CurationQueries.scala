@@ -527,5 +527,51 @@ object CurationQueries {
         .select(col("doc_id"), col("shard"), col("toks"),
           floor((col("cum") - col("toks")) / 256).cast("long").as("start_seq"),
           floor((col("cum") - 1) / 256).cast("long").as("end_seq"))
+    },
+
+    // ---- Embedding outlier gate: cosine of every vector to its OWN
+    // label centroid (q55's centroid layout), flagging vectors far from
+    // their class — mislabeled / off-distribution sample detection in
+    // embedding space. Centroid = (label, dim) hash aggregate; scoring =
+    // one broadcast join on (label, dim) + per-vector DECIMAL-exact dot
+    // and norms, so nothing ever collects a label's vectors into one
+    // task. Determinism: centroids rounded at 6dp both engines, all
+    // sums DECIMAL, the outlier boolean compares the ROUNDED cosine.
+    Q(
+      "q85_embedding_outliers",
+      """WITH expd AS (
+        |  SELECT vec_id, label, CAST(i - 1 AS INT) AS pos,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, range(1, 65) t(i)),
+        |cent AS (
+        |  SELECT label, pos,
+        |    round(CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / count(*), 6) AS c
+        |  FROM expd GROUP BY 1, 2),
+        |j AS (
+        |  SELECT vec_id, expd.label,
+        |    CAST(sum(CAST(v * c AS DECIMAL(27,10))) AS DOUBLE) AS dot,
+        |    CAST(sum(CAST(v * v AS DECIMAL(27,10))) AS DOUBLE) AS nv,
+        |    CAST(sum(CAST(c * c AS DECIMAL(27,10))) AS DOUBLE) AS nc
+        |  FROM expd JOIN cent USING (label, pos) GROUP BY 1, 2)
+        |SELECT vec_id, label,
+        |  round(dot / (sqrt(nv) * sqrt(nc)), 6) AS centroid_cos,
+        |  round(dot / (sqrt(nv) * sqrt(nc)), 6) < 0.1 AS outlier
+        |FROM j""".stripMargin) { (spark, dir) =>
+      val expd = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"), col("pos").cast("int").as("pos"),
+          col("col").cast("double").as("v"))
+      val cent = expd.groupBy("label", "pos")
+        .agg(round(sum(col("v").cast(DecimalType(27, 10))).cast("double")
+          / count(lit(1)), 6).as("c"))
+      val cos = round(col("dot") / (sqrt(col("nv")) * sqrt(col("nc"))), 6)
+      expd.join(broadcast(cent), Seq("label", "pos"))
+        .groupBy("vec_id", "label")
+        .agg(
+          sum((col("v") * col("c")).cast(DecimalType(27, 10))).cast("double").as("dot"),
+          sum((col("v") * col("v")).cast(DecimalType(27, 10))).cast("double").as("nv"),
+          sum((col("c") * col("c")).cast(DecimalType(27, 10))).cast("double").as("nc"))
+        .select(col("vec_id"), col("label"),
+          cos.as("centroid_cos"), (cos < 0.1).as("outlier"))
     })
 }

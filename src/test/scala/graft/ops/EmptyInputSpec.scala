@@ -58,6 +58,29 @@ class EmptyInputSpec extends SparkSuite {
     assert(counts.collect().forall(r => r.getLong(r.length - 1) == 0L))
   }
 
+  test("zorderWrite on empty and constant-column frames degrades cleanly") {
+    val out1 = java.nio.file.Files.createTempDirectory("graft-z-empty").toString
+    val empty = Seq.empty[(Long, Double)].toDF("k", "v")
+    // empty input: stats are null → degenerate zero-bit address, no throw
+    Scale.zorderWrite(empty, Seq("k", "v"), numFiles = 2, out1)
+    assert(spark.read.parquet(out1).count() == 0)
+    // constant columns carry zero clustering information but full data
+    val out2 = java.nio.file.Files.createTempDirectory("graft-z-const").toString
+    val const = (1 to 100).map(i => (7L, 1.5)).toDF("k", "v")
+    Scale.zorderWrite(const, Seq("k", "v"), numFiles = 2, out2)
+    assert(spark.read.parquet(out2).count() == 100)
+  }
+
+  test("Versioned.changes between identical commits is an empty feed") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdf-empty").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    graft.Meta.Versioned.publishAll(root, Seq("t" -> df))
+    graft.Meta.Versioned.publishAll(root, Seq("t" -> df))
+    val feed = graft.Meta.Versioned.changes(spark, root, "t", 1L, 2L, Seq("id"))
+    assert(feed.columns.toSeq == Seq("id", "v", "change_type"))
+    assert(feed.isEmpty)
+  }
+
   test("sketch aggregates on empty input: HLL 0, sketch [], topk []") {
     val empty = Seq.empty[Long].toDF("v")
     assert(empty.agg(call_function("graft_hll_distinct", col("v")))
