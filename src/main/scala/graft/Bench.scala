@@ -102,8 +102,13 @@ object Bench {
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8)
         // flat {"qname":sec,...} pairs inside the file's queries_min map
+        // ONLY — the region is bounded at the map's closing brace, since
+        // sibling q-keyed maps after it (e.g. a delta report) would
+        // otherwise overwrite every time with garbage
         val sec = txt.indexOf("\"queries_min\"")
-        val body = if (sec >= 0) txt.substring(sec) else txt
+        val from = if (sec >= 0) txt.indexOf('{', sec) else -1
+        val to = if (from >= 0) txt.indexOf('}', from) else -1
+        val body = if (to > from) txt.substring(from, to + 1) else txt
         "\"(q[A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.]+)".r
           .findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
@@ -128,17 +133,21 @@ object Bench {
     // gold_sec = the three dbt-gold models — the only workload the
     // reference publishes a number for (BASELINE.md: 40.65 s) — and the
     // per-query median, since `total` scales with registered-query count
-    // (79 queries here vs the reference's 3-model build)
+    // (n_queries in this output vs the reference's 3-model build)
     val gold = results.collect {
       case (n, v, _) if n.startsWith("q01") || n.startsWith("q02") || n.startsWith("q03") => v
     }.sum
     val sortedTimes = results.map(_._2).filter(_ >= 0).sorted
     val median = if (sortedTimes.isEmpty) -1.0 else sortedTimes(sortedTimes.size / 2)
+    // outright failures must be visible in the tail-surviving section,
+    // not only inside the truncation-prone per-query maps
+    val failed = results.collect { case (n, _, mn) if mn < 0 => s"\"$n\"" }
     val deltaReport =
-      if (baseline.isEmpty) s""""baseline":"none (${baselinePath} absent)""""
-      else s""""baseline":"$baselinePath","baseline_n":${deltas.size},""" +
-        s""""regressions_min_pct":${jsonMap(regressions)},""" +
-        s""""improved_min_pct":${jsonMap(improved)}"""
+      s""""failed":${failed.mkString("[", ",", "]")},""" + (
+        if (baseline.isEmpty) s""""baseline":"none (${baselinePath} absent)""""
+        else s""""baseline":"$baselinePath","baseline_n":${deltas.size},""" +
+          s""""regressions_min_pct":${jsonMap(regressions)},""" +
+          s""""improved_min_pct":${jsonMap(improved)}""")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""queries_min":$qsMin,"passes":$passes,"extra_passes":$extra,""" +

@@ -163,11 +163,16 @@ object Meta {
         f.getUri, spark.sparkContext.hadoopConfiguration)
       try fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
       catch {
-        case e: java.io.IOException =>
+        // only the fail-if-exists signal means a lost race; any other IO
+        // failure (ENOSPC, permissions, wedged FS) must surface as itself
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
           f.delete(tmp, false)
           throw new java.io.IOException(
             s"commit $id already claimed by a concurrent writer; " +
               "staged version dirs left as debris (re-run to publish)", e)
+        case e: java.io.IOException =>
+          f.delete(tmp, false)
+          throw e
       }
       id
     }
@@ -279,9 +284,12 @@ object Meta {
                 val p = new org.apache.hadoop.fs.Path(s"$root/$table/v=$v")
                 f.getFileStatus(p).getModificationTime <= cutoff
               }
-              .map { v =>
-                f.delete(new org.apache.hadoop.fs.Path(s"$root/$table/v=$v"), true)
-                s"$table/v=$v"
+              .flatMap { v =>
+                // report only what was ACTUALLY removed — a false delete
+                // (open handle, permissions) must not read as reclaimed
+                if (f.delete(new org.apache.hadoop.fs.Path(s"$root/$table/v=$v"), true))
+                  Some(s"$table/v=$v")
+                else None
               }
           }
       (dead, deleted)
@@ -319,8 +327,12 @@ object Meta {
             .when(!(col("_old") <=> col("_new")), "update")
             .otherwise(lit(null)))
         .filter(col("change_type").isNotNull)
+        // postimage row = the NEW side whenever it exists (per-ROW branch
+        // on _new, never per-column coalesce: an update that nulls a
+        // column out must emit NULL, not resurrect the old value)
         .select(keys.map(col) ++
-          nonKeys.map(c => coalesce(col(s"_new.$c"), col(s"_old.$c")).as(c)) :+
+          nonKeys.map(c => when(col("_new").isNotNull, col(s"_new.$c"))
+            .otherwise(col(s"_old.$c")).as(c)) :+
           col("change_type"): _*)
     }
 

@@ -71,8 +71,11 @@ object Scale {
     */
   def zorderWrite(df: DataFrame, cols: Seq[String], numFiles: Int,
       out: String, bitsPerCol: Int = 8): Int = {
+    // bitsPerCol capped at 20: far past useful clustering resolution and
+    // safely inside Int shift range (1 << 31 would silently wrap)
     require(cols.nonEmpty && numFiles >= 1 && bitsPerCol >= 1 &&
-      bitsPerCol * cols.size <= 60, s"bad zorder spec: $cols / $bitsPerCol bits")
+      bitsPerCol <= 20 && bitsPerCol * cols.size <= 60,
+      s"bad zorder spec: $cols / $bitsPerCol bits")
     val buckets = 1 << bitsPerCol
     // one pass for global min/max per clustering column
     val statCols = cols.flatMap(c =>

@@ -680,9 +680,9 @@ object AnalyticsQueries {
         |  FROM customer WHERE c_custkey % 17 = 0),
         |j AS (
         |  SELECT coalesce(v2.c_custkey, v1.c_custkey) AS c_custkey,
-        |    coalesce(v2.c_name, v1.c_name) AS c_name,
-        |    coalesce(v2.c_acctbal, v1.c_acctbal) AS c_acctbal,
-        |    coalesce(v2.c_mktsegment, v1.c_mktsegment) AS c_mktsegment,
+        |    CASE WHEN v2.c_custkey IS NOT NULL THEN v2.c_name ELSE v1.c_name END AS c_name,
+        |    CASE WHEN v2.c_custkey IS NOT NULL THEN v2.c_acctbal ELSE v1.c_acctbal END AS c_acctbal,
+        |    CASE WHEN v2.c_custkey IS NOT NULL THEN v2.c_mktsegment ELSE v1.c_mktsegment END AS c_mktsegment,
         |    CASE WHEN v1.c_custkey IS NULL THEN 'insert'
         |         WHEN v2.c_custkey IS NULL THEN 'delete'
         |         WHEN NOT (v1.c_name IS NOT DISTINCT FROM v2.c_name

@@ -90,7 +90,6 @@ object PipelineQueries {
         |  CAST(count(CASE WHEN event_id % 7 = 0 THEN 1 END) AS BIGINT) AS n_dlq
         |FROM events""".stripMargin) { (spark, dir) =>
       val root = graft.Tmp.dir("graft-stream-q18")
-      root.toFile.deleteOnExit()
       val (in, valid, dlq, cp) =
         (s"$root/in", s"$root/valid", s"$root/dlq", s"$root/cp")
       // producer side: events → JSON-lines input files, 1-in-7 corrupted

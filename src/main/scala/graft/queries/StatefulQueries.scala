@@ -39,7 +39,6 @@ object StatefulQueries {
       // the fixture is a single parquet file; the file stream source wants
       // a directory — stage a symlink to it in a temp dir
       val streamDir = graft.Tmp.dir("graft-q31-in")
-      streamDir.toFile.deleteOnExit()
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))
@@ -139,7 +138,6 @@ object StatefulQueries {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import graft.streaming.Streams
       val root = graft.Tmp.dir("graft-q37")
-      root.toFile.deleteOnExit()
       val (target, cp) = (s"$root/scd2", s"$root/cp")
       val c = Tables.customer(spark, dir)
       Merge.asScd2(c, "2024-01-01 00:00:00").write.parquet(target)
@@ -229,7 +227,6 @@ object StatefulQueries {
         |SELECT e.event_id, e.user_id, e.ts, e.value, f.flag_value
         |FROM e JOIN f USING (event_id)""".stripMargin) { (spark, dir) =>
       val streamDir = graft.Tmp.dir("graft-q45-in")
-      streamDir.toFile.deleteOnExit()
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))
@@ -266,7 +263,6 @@ object StatefulQueries {
       "q46_stream_dedup",
       "SELECT DISTINCT user_id, event_type FROM events") { (spark, dir) =>
       val streamDir = graft.Tmp.dir("graft-q46-in")
-      streamDir.toFile.deleteOnExit()
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))
@@ -298,7 +294,6 @@ object StatefulQueries {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1""".stripMargin) { (spark, dir) =>
       val streamDir = graft.Tmp.dir("graft-q59-in")
-      streamDir.toFile.deleteOnExit()
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))
@@ -345,7 +340,6 @@ object StatefulQueries {
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, session_id""".stripMargin) { (spark, dir) =>
       val streamDir = graft.Tmp.dir("graft-q61-in")
-      streamDir.toFile.deleteOnExit()
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))

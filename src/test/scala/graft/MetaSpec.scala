@@ -203,19 +203,21 @@ class MetaSpec extends SparkSuite {
       "excludes unchanged rows, compares null-safely, rejects schema drift") {
     val root = Files.createTempDirectory("meta-cdf").toString
     val v1 = Seq(1L -> Some("a"), 2L -> Some("b"), 3L -> None,
-      4L -> Some("d"), 6L -> None).toDF("id", "v")
+      4L -> Some("d"), 6L -> None, 7L -> Some("g")).toDF("id", "v")
     val v2 = Seq(1L -> Some("a"), 2L -> Some("B"), 3L -> Some("c"),
-      5L -> Some("e"), 6L -> None).toDF("id", "v")
+      5L -> Some("e"), 6L -> None, 7L -> None).toDF("id", "v")
     assert(Meta.Versioned.publishAll(root, Seq("t" -> v1)) == 1L)
     assert(Meta.Versioned.publishAll(root, Seq("t" -> v2)) == 2L)
     val feed = Meta.Versioned.changes(spark, root, "t", 1L, 2L, Seq("id"))
-      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+      .collect().map(r => r.getLong(0) -> (Option(r.getString(1)), r.getString(2))).toMap
     assert(feed == Map(
-      2L -> ("B", "update"),   // value changed → postimage
-      3L -> ("c", "update"),   // null → value is an update, not an insert
-      4L -> ("d", "delete"),   // preimage carried for the delete
-      5L -> ("e", "insert")),
-      s"got $feed")            // 1 (identical) and 6 (null==null) absent
+      2L -> (Some("B"), "update"), // value changed → postimage
+      3L -> (Some("c"), "update"), // null → value is an update, not an insert
+      4L -> (Some("d"), "delete"), // preimage carried for the delete
+      5L -> (Some("e"), "insert"),
+      7L -> (None, "update")),     // value → NULL keeps the NULL postimage,
+      s"got $feed")                // never resurrects the old value
+    // 1 (identical) and 6 (null==null) absent
     // schema drift between commits is an error, not a silent mis-diff
     assert(Meta.Versioned.publishAll(root,
       Seq("t" -> Seq((7L, 1.0)).toDF("id", "w"))) == 3L)

@@ -12,8 +12,8 @@ class RegistrySpec extends AnyFunSuite {
 
   /** Queries deliberately NOT oracle-checked (non-SQL-expressible
     * semantics), each pinned by a spec class that must keep existing.
-    * Empty today — 79/79 queries carry oracles; additions here need the
-    * named suite to compile. */
+    * Empty today — every registered query carries an oracle; additions
+    * here need the named suite to compile. */
   private val specPinned: Map[String, String] = Map.empty
 
   test("every registered query has a DuckDB oracle or a named spec pin") {
