@@ -336,6 +336,22 @@ object Meta {
           col("change_type"): _*)
     }
 
+    /** Apply a change feed (the output of [[changes]]) to a replica of
+      * the old snapshot: drop every touched key, add back the non-delete
+      * postimage rows. One left-anti join + union — the consumer-side
+      * mirror maintenance step, costing the feed's size rather than a
+      * snapshot rescan. `applyChanges(v1, changes(v1→v2)) == v2` exactly
+      * (pinned as a randomized property in MetaSpec). */
+    def applyChanges(target: DataFrame, feed: DataFrame,
+        keys: Seq[String]): DataFrame = {
+      import org.apache.spark.sql.functions.col
+      require(feed.columns.contains("change_type"),
+        s"not a change feed: ${feed.columns.toSeq}")
+      val touched = feed.select(keys.map(col): _*).distinct()
+      val upserts = feed.filter(col("change_type") =!= "delete").drop("change_type")
+      target.join(touched, keys, "left_anti").unionByName(upserts)
+    }
+
     /** Read `table` at the committed version set — never a staged (torn)
       * write. `commit` pins a historical commit for cross-table time
       * travel. */

@@ -741,5 +741,46 @@ object AnalyticsQueries {
         .agg(
           count(lit(1)).as("n"),
           sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+    },
+
+    // ---- CDF replication round-trip: the consumer side of q80 — a
+    // replica of commit 1 maintained purely from the change feed
+    // (Versioned.applyChanges: anti-join the touched keys, union the
+    // postimages) must equal the commit-2 table exactly. The oracle is
+    // the independent v2 definition, so any feed defect (wrong tag,
+    // resurrected column, missed key) breaks the hash compare. This is
+    // the downstream cost model at 100 TB: the replica pays |delta|,
+    // never a snapshot rescan.
+    Q(
+      "q86_cdf_replication",
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+        |       ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer WHERE c_custkey % 13 <> 0
+        |UNION ALL
+        |SELECT c_custkey + 10000000 AS c_custkey, c_name,
+        |  CASE WHEN (c_custkey + 10000000) % 7 = 0 THEN c_acctbal + 100
+        |       ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer WHERE c_custkey % 17 = 0""".stripMargin) { (spark, dir) =>
+      val root = graft.Tmp.dir("graft-q86").toString
+      val c = Tables.customer(spark, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      // v2 applies the update rule AFTER re-keying the inserts, so the
+      // oracle can express the whole v2 as one pure SELECT over customer
+      val upd = when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100)
+        .otherwise(col("c_acctbal"))
+      val v2 = c.filter(col("c_custkey") % 13 =!= 0)
+        .unionByName(c.filter(col("c_custkey") % 17 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 10000000L))
+        .withColumn("c_acctbal", upd)
+      graft.Meta.Versioned.publishAll(root, Seq("customer" -> c.repartition(4)))
+      graft.Meta.Versioned.publishAll(root, Seq("customer" -> v2.repartition(4)))
+      val feed = graft.Meta.Versioned.changes(spark, root, "customer",
+        fromCommit = 1L, toCommit = 2L, keys = Seq("c_custkey"))
+      graft.Meta.Versioned.applyChanges(
+        graft.Meta.Versioned.readCommitted(spark, root, "customer", Some(1L)),
+        feed, keys = Seq("c_custkey"))
     })
 }

@@ -170,6 +170,35 @@ class MetaSpec extends SparkSuite {
     assert(Meta.Versioned.readCommitted(spark, root, "other").count() == 2)
   }
 
+  test("Versioned.changes PROPERTY: applying the feed to the old snapshot " +
+      "reconstructs the new one exactly (randomized tables with nulls)") {
+    val rnd = new scala.util.Random(20260812L)
+    for (round <- 1 to 3) {
+      val root = Files.createTempDirectory(s"meta-cdf-prop$round").toString
+      def randTable(): Seq[(Long, Option[String], Option[Double])] =
+        (0L to 30L).filter(_ => rnd.nextDouble() < 0.7).map { id =>
+          (id,
+            if (rnd.nextDouble() < 0.3) None else Some(s"s${rnd.nextInt(4)}"),
+            if (rnd.nextDouble() < 0.3) None else Some(rnd.nextInt(5).toDouble))
+        }
+      val (r1, r2) = (randTable(), randTable())
+      val v1 = r1.toDF("id", "a", "b")
+      val v2 = r2.toDF("id", "a", "b")
+      Meta.Versioned.publishAll(root, Seq("t" -> v1))
+      Meta.Versioned.publishAll(root, Seq("t" -> v2))
+      val feed = Meta.Versioned.changes(spark, root, "t", 1L, 2L, Seq("id"))
+      val applied = Meta.Versioned.applyChanges(v1, feed, Seq("id"))
+        .collect()
+        .map(r => (r.getLong(0),
+          Option(r.getString(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        .toSet
+      assert(applied == r2.toSet,
+        s"round $round: applied feed != target\n" +
+          s"feed=${feed.collect().toSeq}\napplied=$applied\ntarget=${r2.toSet}")
+    }
+  }
+
   test("Versioned.gc: reclaims dropped commits, torn-publish debris and " +
       "lost-race staging — but never a fresh dir inside the min-age guard") {
     val root = Files.createTempDirectory("meta-gc").toString
