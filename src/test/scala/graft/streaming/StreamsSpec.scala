@@ -270,6 +270,40 @@ class StreamsSpec extends SparkSuite {
       s"q37 must run exactly its two addData micro-batches, saw: $q37")
   }
 
+  test("streaming CDF mirror: change-feed batches applied via foreachBatch " +
+      "converge the replica to the source, including deletes") {
+    // the streaming consumer side of Versioned.changes/applyChanges: each
+    // micro-batch of change rows is applied to the standing parquet
+    // mirror; after the stream drains, the mirror equals the final
+    // source state — replica maintenance pays per-batch deltas only
+    val target = tmp("cdf-mirror")
+    val cp = tmp("cdf-cp")
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val ms = MemoryStream[(Long, String, String)] // id, v, change_type
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.mode("overwrite").parquet(target.toString)
+    val q = ms.toDF().toDF("id", "v", "change_type").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val cur = spark.read.parquet(target.toString)
+        graft.Meta.Versioned.applyChanges(cur, batch, Seq("id"))
+          .localCheckpoint(true) // materialize before overwriting the source
+          .write.mode("overwrite").parquet(target.toString)
+      }
+      .outputMode("update")
+      .option("checkpointLocation", cp.toString)
+      .start()
+    try {
+      ms.addData((2L, "B", "update"), (4L, "d", "insert"))
+      q.processAllAvailable()
+      ms.addData((1L, "a", "delete"), (4L, "D", "update"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fin = spark.read.parquet(target.toString).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fin == Map(2L -> "B", 3L -> "c", 4L -> "D"), s"got $fin")
+  }
+
   test("console tee + multi-query monitoring (K5/T6)") {
     val in = tmp("stream-in"); val valid = tmp("valid"); val dlq = tmp("dlq"); val cp = tmp("cp")
     writeInput(in, "b.json", Seq(line(1, """{"k": 1}""")))
