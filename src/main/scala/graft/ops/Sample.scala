@@ -40,4 +40,40 @@ object Sample {
     }
     df.filter(hashGate(col(key)) < rate)
   }
+
+  /** Take the best-scoring rows until a global weight budget is spent
+    * ("fill the token budget with the highest-quality documents") —
+    * WITHOUT the single-partition global window a naive cumulative sum
+    * plans. Distributed two-phase prefix sum:
+    *   1. range-partition + sort by (score desc, id) — the global order;
+    *   2. one tiny aggregate of per-partition weight totals (one row per
+    *      partition) is prefixed on the driver and broadcast back;
+    *   3. each partition filters on offset + within-partition running
+    *      weight ≤ budget.
+    * The result is the exact prefix of the global order (a row is kept
+    * iff its inclusive running weight fits), independent of partition
+    * boundaries — range bounds shift which partition holds a row, never
+    * its global prefix sum. `id` must be unique (the total-order
+    * tiebreak). */
+  def takeByBudget(df: DataFrame, scoreCol: String, idCol: String,
+      weightCol: String, budget: Long, partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ordered = df
+      .repartitionByRange(partitions, col(scoreCol).desc, col(idCol))
+      .withColumn("_pid", spark_partition_id())
+    val offsets = ordered.groupBy("_pid")
+      .agg(sum(col(weightCol).cast("long")).as("_w"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .scanLeft((Int.MinValue, 0L)) { case ((_, acc), (pid, w)) => (pid, acc + w) }
+      .sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }.toSeq
+    val offDf = ordered.sparkSession
+      .createDataFrame(offsets).toDF("_pid", "_offset")
+    val w = Window.partitionBy("_pid")
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered.join(broadcast(offDf), "_pid")
+      .withColumn("_cum", col("_offset") + sum(col(weightCol).cast("long")).over(w))
+      .filter(col("_cum") <= budget)
+      .drop("_pid", "_offset", "_cum")
+  }
 }

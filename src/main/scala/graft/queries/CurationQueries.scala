@@ -573,5 +573,77 @@ object CurationQueries {
           sum((col("c") * col("c")).cast(DecimalType(27, 10))).cast("double").as("nc"))
         .select(col("vec_id"), col("label"),
           cos.as("centroid_cos"), (cos < 0.1).as("outlier"))
+    },
+
+    // ---- Quality-priority survivorship: q49's near-dup clusters, but
+    // the canonical doc per cluster is the HIGHEST-QUALITY member
+    // (longest text, id tiebreak), not the minimum id — the decision
+    // rule production dedup actually ships (keep the best copy, drop the
+    // rest). Same component fixpoint; survivor selection is one window
+    // over the component key, and Spark's rank pushdown prunes it.
+    Q(
+      "q87_cluster_survivors",
+      s"""WITH RECURSIVE ${LlmQueries.simhashCtes},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b USING (band, band_key)
+         |  WHERE a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.sim, b.sim)) <= 3),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT DISTINCT src AS id, src AS comp FROM edges
+         |  UNION
+         |  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+         |cmp AS (
+         |  SELECT id, min(comp) AS component FROM reach GROUP BY id),
+         |tagged AS (
+         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, d.n_chars
+         |  FROM documents d LEFT JOIN cmp c ON c.id = d.doc_id)
+         |SELECT doc_id, component,
+         |  row_number() OVER (PARTITION BY component
+         |    ORDER BY n_chars DESC, doc_id) = 1 AS keep
+         |FROM tagged""".stripMargin) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+        bands = 4, maxHamming = 3)
+      val tagged = Components
+        .resolveClusters(docs, "doc_id", pairs, "id_a", "id_b")
+        .drop("keep")
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+      val w = Window.partitionBy("component")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      tagged
+        .withColumn("keep", row_number().over(w) === 1)
+        .select("doc_id", "component", "keep")
+    },
+
+    // ---- Token-budget corpus selection: fill a global token budget
+    // with the best documents (quality proxy: length, id tiebreak) —
+    // the final assembly step of a curated training set. The naive plan
+    // is a single-partition global running sum; Sample.takeByBudget runs
+    // a distributed two-phase prefix sum instead (range-partition by the
+    // order, driver-prefix the per-partition totals, broadcast offsets
+    // back), so the selection scales with partitions. Result is the
+    // exact global-order prefix, partition-boundary-independent.
+    Q(
+      "q88_token_budget",
+      """WITH t AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(ceil(n_chars / 4.0) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_chars,
+        |    sum(toks) OVER (ORDER BY n_chars DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, n_chars FROM c WHERE cum <= 20000""".stripMargin) {
+      (spark, dir) =>
+        val t = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            ceil(col("n_chars") / 4.0).cast("long").as("toks"))
+        Sample.takeByBudget(t, "n_chars", "doc_id", "toks", budget = 20000L)
+          .select("doc_id", "source", "n_chars")
     })
 }
