@@ -347,9 +347,13 @@ object Meta {
       import org.apache.spark.sql.functions.col
       require(feed.columns.contains("change_type"),
         s"not a change feed: ${feed.columns.toSeq}")
-      val touched = feed.select(keys.map(col): _*).distinct()
+      val touched = feed.select(keys.map(col): _*).distinct().alias("_k")
       val upserts = feed.filter(col("change_type") =!= "delete").drop("change_type")
-      target.join(touched, keys, "left_anti").unionByName(upserts)
+      // NULL-SAFE anti join: changes() tags a null-key row as
+      // delete+insert (nulls never equi-join), so the apply side must
+      // drop null-key target rows too — plain equality would keep them
+      val cond = keys.map(c => col(s"_t.$c") <=> col(s"_k.$c")).reduce(_ && _)
+      target.alias("_t").join(touched, cond, "left_anti").unionByName(upserts)
     }
 
     /** Read `table` at the committed version set — never a staged (torn)

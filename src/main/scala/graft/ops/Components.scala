@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Connected components over a pair relation — the step that turns
@@ -128,17 +128,40 @@ object Components {
   }
 
   /** Full dedup resolution over a document table: every row keyed to its
-    * cluster representative (min id of its near-dup component; itself if
-    * unpaired), plus the keep/drop verdict — `keep` iff the row IS the
-    * representative. One left join against the component map. */
+    * cluster representative, plus the keep/drop verdict. The survivor
+    * decision rule is a parameter so every caller shares ONE definition:
+    *   - `survivorOrder` empty (default): keep the MINIMUM id — pure
+    *     column compare against the component label, no window at all;
+    *   - `survivorOrder` non-empty: (column, ascending) pairs — keep the
+    *     first row of the component under that ordering (id appended as
+    *     the deterministic tiebreak): "keep the best copy", one
+    *     rank-pruned window over the component key. Named columns (not
+    *     arbitrary expressions) so the join can be pruned to exactly the
+    *     referenced fields. */
   def resolveClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
-      srcCol: String, dstCol: String): DataFrame = {
+      srcCol: String, dstCol: String,
+      survivorOrder: Seq[(String, Boolean)] = Seq.empty): DataFrame = {
     val comp = connectedComponents(pairs, srcCol, dstCol)
       .withColumnRenamed("id", idCol)
-    docs.select(col(idCol))
+    // prune to the id + the ordering columns BEFORE the join: the
+    // document table carries full text — shuffling it through the
+    // component join would dominate the whole resolution
+    val needed = (idCol +: survivorOrder.map(_._1)).distinct
+    val tagged = docs.select(needed.map(col): _*)
       .join(comp, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("comp"), col(idCol)).as("component"),
-        (coalesce(col("comp"), col(idCol)) === col(idCol)).as("keep"))
+      .withColumn("component", coalesce(col("comp"), col(idCol)))
+    if (survivorOrder.isEmpty)
+      tagged.select(col(idCol), col("component"),
+        (col("component") === col(idCol)).as("keep"))
+    else {
+      val order = survivorOrder.map { case (c, asc) =>
+        if (asc) col(c).asc else col(c).desc
+      } :+ col(idCol).asc
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("component").orderBy(order: _*)
+      tagged
+        .withColumn("keep", row_number().over(w) === 1)
+        .select(col(idCol), col("component"), col("keep"))
+    }
   }
 }

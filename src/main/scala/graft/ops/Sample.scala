@@ -58,11 +58,25 @@ object Sample {
   def takeByBudget(df: DataFrame, scoreCol: String, idCol: String,
       weightCol: String, budget: Long, partitions: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // weights must be integral: a silent cast of fractional weights to
+    // long would truncate them all toward zero and void the accounting
+    val wType = df.schema(weightCol).dataType
+    require(Seq("tinyint", "smallint", "int", "bigint").contains(wType.simpleString),
+      s"takeByBudget needs an integral weight column, got $weightCol: $wType")
+    // NULL weight = weightless row (kept if its position fits): coalesce
+    // BEFORE summing, or the running sum goes null and drops rows silently
+    val wcol = coalesce(col(weightCol).cast("long"), lit(0L))
+    // materialize the partitioning ONCE: range bounds come from a sample
+    // that is re-drawn per execution, so running the offsets job and the
+    // final join against two separate executions could assign boundary
+    // rows to DIFFERENT pids and apply the wrong offsets. The checkpoint
+    // also makes this one scan+shuffle instead of two.
     val ordered = df
       .repartitionByRange(partitions, col(scoreCol).desc, col(idCol))
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     val offsets = ordered.groupBy("_pid")
-      .agg(sum(col(weightCol).cast("long")).as("_w"))
+      .agg(sum(wcol).as("_w"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
       .scanLeft((Int.MinValue, 0L)) { case ((_, acc), (pid, w)) => (pid, acc + w) }
       .sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }.toSeq
@@ -72,7 +86,7 @@ object Sample {
       .orderBy(col(scoreCol).desc, col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ordered.join(broadcast(offDf), "_pid")
-      .withColumn("_cum", col("_offset") + sum(col(weightCol).cast("long")).over(w))
+      .withColumn("_cum", col("_offset") + sum(wcol).over(w))
       .filter(col("_cum") <= budget)
       .drop("_pid", "_offset", "_cum")
   }

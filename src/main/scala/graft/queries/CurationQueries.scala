@@ -608,15 +608,8 @@ object CurationQueries {
       val docs = Tables.documents(spark, dir)
       val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
         bands = 4, maxHamming = 3)
-      val tagged = Components
-        .resolveClusters(docs, "doc_id", pairs, "id_a", "id_b")
-        .drop("keep")
-        .join(docs.select("doc_id", "n_chars"), "doc_id")
-      val w = Window.partitionBy("component")
-        .orderBy(col("n_chars").desc, col("doc_id"))
-      tagged
-        .withColumn("keep", row_number().over(w) === 1)
-        .select("doc_id", "component", "keep")
+      Components.resolveClusters(docs, "doc_id", pairs, "id_a", "id_b",
+        survivorOrder = Seq("n_chars" -> false))
     },
 
     // ---- Token-budget corpus selection: fill a global token budget

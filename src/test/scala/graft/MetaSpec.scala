@@ -175,8 +175,12 @@ class MetaSpec extends SparkSuite {
     val rnd = new scala.util.Random(20260812L)
     for (round <- 1 to 3) {
       val root = Files.createTempDirectory(s"meta-cdf-prop$round").toString
-      def randTable(): Seq[(Long, Option[String], Option[Double])] =
-        (0L to 30L).filter(_ => rnd.nextDouble() < 0.7).map { id =>
+      // a NULL key appears in roughly half the rounds on each side: the
+      // feed must tag it delete+insert (nulls never equi-join) and the
+      // apply side must still reconstruct exactly
+      def randTable(): Seq[(Option[Long], Option[String], Option[Double])] =
+        ((0L to 30L).filter(_ => rnd.nextDouble() < 0.7).map(Some(_)) ++
+          (if (rnd.nextDouble() < 0.5) Seq(None) else Nil)).map { id =>
           (id,
             if (rnd.nextDouble() < 0.3) None else Some(s"s${rnd.nextInt(4)}"),
             if (rnd.nextDouble() < 0.3) None else Some(rnd.nextInt(5).toDouble))
@@ -189,7 +193,7 @@ class MetaSpec extends SparkSuite {
       val feed = Meta.Versioned.changes(spark, root, "t", 1L, 2L, Seq("id"))
       val applied = Meta.Versioned.applyChanges(v1, feed, Seq("id"))
         .collect()
-        .map(r => (r.getLong(0),
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
           Option(r.getString(1)),
           if (r.isNullAt(2)) None else Some(r.getDouble(2))))
         .toSet
