@@ -206,6 +206,23 @@ class PlansSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"), s"cap not pruned map-side:\n$p")
   }
 
+  test("q85 embedding outliers: centroid scoring join is broadcast, the " +
+      "exploded vector stream is never shuffled for it") {
+    val df = SparkEntry.queries("q85_embedding_outliers")(spark, sfDir())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), s"centroids must broadcast:\n$p")
+  }
+
+  test("q88 token budget: partition offsets join by broadcast — no extra " +
+      "exchange after the range partitioning") {
+    val df = SparkEntry.queries("q88_token_budget")(spark, sfDir())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), s"offsets must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"offsets join must not shuffle:\n$p")
+  }
+
   test("deterministic sample gate stays a scan-level pushed filter") {
     // no Exchange anywhere: sampling must not shuffle
     val p = plan(graft.ops.Sample.hashSample(
