@@ -33,6 +33,20 @@ import org.apache.spark.sql.SparkSession
   * carries the verdict-relevant fields.
   */
 object Bench {
+  /** Extract the per-query seconds from a baseline file's `queries_min`
+    * map ONLY — bounded at that map's closing brace, because sibling
+    * q-keyed maps later in the file (a delta report, medians) would
+    * otherwise overwrite every entry with garbage. Exposed for the spec
+    * that pins exactly that confusion. */
+  def parseBaseline(txt: String): Map[String, Double] = {
+    val sec = txt.indexOf("\"queries_min\"")
+    val from = if (sec >= 0) txt.indexOf('{', sec) else -1
+    val to = if (from >= 0) txt.indexOf('}', from) else -1
+    val body = if (to > from) txt.substring(from, to + 1) else txt
+    "\"(q[A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.]+)".r
+      .findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -98,20 +112,9 @@ object Bench {
     val baseline: Map[String, Double] = {
       val f = new java.io.File(baselinePath)
       if (!f.exists()) Map.empty
-      else {
-        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
-          java.nio.charset.StandardCharsets.UTF_8)
-        // flat {"qname":sec,...} pairs inside the file's queries_min map
-        // ONLY — the region is bounded at the map's closing brace, since
-        // sibling q-keyed maps after it (e.g. a delta report) would
-        // otherwise overwrite every time with garbage
-        val sec = txt.indexOf("\"queries_min\"")
-        val from = if (sec >= 0) txt.indexOf('{', sec) else -1
-        val to = if (from >= 0) txt.indexOf('}', from) else -1
-        val body = if (to > from) txt.substring(from, to + 1) else txt
-        "\"(q[A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.]+)".r
-          .findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
+      else parseBaseline(new String(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8))
     }
     val deltas: Seq[(String, Double)] = results.flatMap { case (n, _, mn) =>
       baseline.get(n).collect {
