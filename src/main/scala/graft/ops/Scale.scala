@@ -61,21 +61,29 @@ object Scale {
     * lead-column sort where every non-lead dimension spans the full
     * range in every file. At 100 TB this is the difference between a
     * selective filter on a second column skipping most files and
-    * scanning the lake. Linear (not rank) bucketing keeps the map a pure
-    * per-row expression; heavily skewed columns degrade toward fewer
-    * effective bits but never lose correctness — pre-transform (log,
-    * clamp) such columns at the call site.
+    * scanning the lake. Bucketing is a pure per-row expression either
+    * way:
+    *   - linear (default): `width_bucket` between the global min and
+    *     max — heavily skewed columns degrade toward fewer effective
+    *     bits (most rows share a bucket) but never lose correctness;
+    *   - `rankBuckets = true`: equi-DEPTH buckets from approxQuantile
+    *     boundaries (indicator-sum ladder over broadcast literals,
+    *     codegen'd) — every bucket holds ~equal rows regardless of the
+    *     distribution, the right choice for zipfian columns. Capped at
+    *     6 bits/col (63 boundary literals per column).
     *
     * Numeric columns only (cast dates/timestamps to epoch first).
     * Returns the written file count.
     */
   def zorderWrite(df: DataFrame, cols: Seq[String], numFiles: Int,
-      out: String, bitsPerCol: Int = 8): Int = {
+      out: String, bitsPerCol: Int = 8, rankBuckets: Boolean = false): Int = {
     // bitsPerCol capped at 20: far past useful clustering resolution and
     // safely inside Int shift range (1 << 31 would silently wrap)
     require(cols.nonEmpty && numFiles >= 1 && bitsPerCol >= 1 &&
       bitsPerCol <= 20 && bitsPerCol * cols.size <= 60,
       s"bad zorder spec: $cols / $bitsPerCol bits")
+    require(!rankBuckets || bitsPerCol <= 6,
+      s"rank bucketing supports at most 6 bits/col, got $bitsPerCol")
     val buckets = 1 << bitsPerCol
     // one pass for global min/max per clustering column
     val statCols = cols.flatMap(c =>
@@ -89,6 +97,15 @@ object Scale {
       // width_bucket is 1-based and sends v==hi to buckets+1 → clamp to [0, buckets-1]
       val b =
         if (degenerate) lit(0L)
+        else if (rankBuckets) {
+          // bucket = #(quantile boundaries strictly below v): an
+          // indicator-sum ladder over buckets-1 approximate boundaries
+          val bounds = df.stat.approxQuantile(c,
+            (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+          bounds.toSeq.map(bd =>
+            when(col(c).cast("double") > lit(bd), 1L).otherwise(0L))
+            .reduce(_ + _)
+        }
         else least(lit(buckets - 1L),
           greatest(lit(0L),
             width_bucket(col(c).cast("double"),

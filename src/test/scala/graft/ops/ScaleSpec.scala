@@ -87,6 +87,41 @@ class ScaleSpec extends SparkSuite {
       s"fixture degenerate — lead sort already clusters price? $sortedTp")
   }
 
+  test("zorderWrite rankBuckets: equi-depth clustering holds on a zipfian " +
+      "column where linear bucketing collapses") {
+    import spark.implicits._
+    // heavy exponential skew: linear min/max buckets put ~all rows in the
+    // bottom buckets, so files span huge RANK ranges of the skewed dim
+    val rows = (1 to 4000).map { i =>
+      (i.toLong, math.exp((i % 997) / 120.0), (i % 500).toDouble)
+    }
+    val df = rows.toDF("id", "skewed", "uniform")
+    val sortedSkew = rows.map(_._2).sorted
+    def rankSpan(dir: String): Double = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+      val spans = files.map { f =>
+        val s = spark.read.parquet(f).agg(
+          org.apache.spark.sql.functions.min("skewed"),
+          org.apache.spark.sql.functions.max("skewed")).head()
+        def rank(v: Double) = sortedSkew.count(_ <= v).toDouble / sortedSkew.size
+        rank(s.getDouble(1)) - rank(s.getDouble(0))
+      }
+      spans.sum / spans.size
+    }
+    val linOut = java.nio.file.Files.createTempDirectory("graft-z-lin").toString
+    val rnkOut = java.nio.file.Files.createTempDirectory("graft-z-rnk").toString
+    Scale.zorderWrite(df, Seq("skewed", "uniform"), 16, linOut, bitsPerCol = 6)
+    Scale.zorderWrite(df, Seq("skewed", "uniform"), 16, rnkOut,
+      bitsPerCol = 6, rankBuckets = true)
+    assert(spark.read.parquet(rnkOut).count() == 4000)
+    val (lin, rnk) = (rankSpan(linOut), rankSpan(rnkOut))
+    // equi-depth files cover a narrow quantile slice; linear files cannot
+    assert(rnk <= 0.6, s"rank-bucketed span too wide: $rnk")
+    assert(rnk < lin / 1.5,
+      s"rank bucketing should beat linear on skew: rank=$rnk linear=$lin")
+  }
+
   test("compact: merges a many-file layout, preserves every row") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
