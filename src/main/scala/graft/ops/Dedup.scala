@@ -222,6 +222,65 @@ object Dedup {
   /** Exact n-gram Jaccard over *blocked* candidate pairs: all pairs
     * within a blocking key (e.g. source) — the classic bounded-quadratic
     * fallback when a metadata key already localizes duplicates. */
+  /** Benchmark decontamination: per-corpus-document overlap with the
+    * n-gram shingle set of a (small) benchmark/eval corpus — the
+    * "13-gram overlap" pass every published LLM pretraining pipeline
+    * runs before training. Returns only contaminated docs
+    * (`n_overlap` ≥ 1) with their distinct-shingle count and the
+    * contamination ratio.
+    *
+    * Scale shape: benchmark suites are tiny next to a 100 TB corpus, so
+    * the distinct benchmark shingle-hash set is BROADCAST (plan-pinned
+    * in PlansSpec) — the corpus side is one scan + explode + partial
+    * aggregate on `idCol`; the corpus is never shuffled on the shingle
+    * key and there is no corpus self-join. */
+  def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame = {
+    // one compiled kernel call per doc (sorted DISTINCT mod-P hashes) —
+    // the interpreted tokens→shingles→distinct HOF chain here measured
+    // ~10× slower at sf0.1 (and collapse re-evaluates it per reference)
+    def hashes(df: DataFrame): DataFrame =
+      withShingleHashes(df.select(col(idCol), col(textCol)), textCol, shingleN)
+        .where(size(col("hv")) > 0)
+        .select(col(idCol), size(col("hv")).cast("long").as("n_shingles"),
+          explode(col("hv")).as("h"))
+    val benchHashes = hashes(bench).select("h").distinct()
+    hashes(corpus)
+      .join(broadcast(benchHashes), "h")
+      .groupBy(col(idCol), col("n_shingles"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .withColumn("contamination",
+        round(col("n_overlap").cast("double") / col("n_shingles"), 6))
+  }
+
+  /** Cross-document boilerplate signal: for every document, the count
+    * and fraction of its distinct n-gram shingles that occur in at least
+    * `minDf` documents corpus-wide (the RefinedWeb "duplicated n-gram
+    * across documents" gate — template headers/footers/SEO spam score
+    * high, original prose low).
+    *
+    * Scale shape: distinct (doc, shingle-hash) pairs → ONE shuffle on
+    * the hash for a whole-partition window count (= document frequency,
+    * since pairs are distinct) → one hash aggregate back to the doc.
+    * No join, no second pass over the corpus, nothing cached: the
+    * doc-frequency never materializes as a standalone table. */
+  def crossDocShingleStats(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, minDf: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the kernel emits each doc's hashes already DISTINCT, so the pair
+    // frame needs no dedup shuffle of its own — the window's hash
+    // partitioning is the only exchange before the per-doc aggregate
+    val pairs = withShingleHashes(df.select(col(idCol), col(textCol)), textCol, shingleN)
+      .select(col(idCol), explode(col("hv")).as("h"))
+    val docFreq = count(lit(1)).over(Window.partitionBy("h"))
+    pairs.withColumn("df", docFreq)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        round(col("n_boiler").cast("double") / col("n_shingles"), 6))
+  }
+
   def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, shingleN: Int, threshold: Double): DataFrame = {
     // hash sets computed once, cached, reused by both join sides

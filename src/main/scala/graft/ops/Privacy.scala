@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII detection and redaction for training-corpus governance: a
+  * rule-driven regex scrubber in the same ADT-interpreter style as the
+  * DQ rule engine (Quality/RuleYaml). The reference pipeline has no
+  * privacy layer — this extends the engine toward the compliance pass a
+  * 100 TB training-set build runs before anything ships to a trainer.
+  *
+  * Everything compiles to codegen'd `regexp_count` / `regexp_replace`
+  * expressions — no UDFs, per-row work O(len · rules), no shuffle at
+  * all: detection and rewrite are scan-level projections, so the pass
+  * pipelines with whatever filter/write follows it. Patterns stick to
+  * the regex subset Java (Spark) and RE2 (DuckDB oracle) agree on:
+  * character classes, bounded counts, no backrefs/lookaround.
+  */
+object Privacy {
+
+  /** One redaction rule: leftmost-non-overlapping matches of `pattern`
+    * are counted and rewritten to `replacement`. `name` keys the count
+    * column (`n_<name>s`). */
+  final case class Rule(name: String, pattern: String, replacement: String)
+
+  /** Email addresses (simplified RFC shape, lowercase input). */
+  val Email: Rule =
+    Rule("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>")
+
+  /** Dashed phone numbers in the 2-3-3-4 digit-group shape. */
+  val Phone: Rule =
+    Rule("phone", "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>")
+
+  /** Long digit runs (account / national-id lookalikes). Apply AFTER
+    * Phone — rule order is part of the contract, later rules see
+    * earlier rules' replacements. */
+  val DigitRun: Rule = Rule("digit_run", "[0-9]{6,}", "<ID>")
+
+  def matchCount(text: Column, rule: Rule): Column =
+    regexp_count(text, lit(rule.pattern))
+
+  /** Apply all rules in order; each rule rewrites the previous rule's
+    * output, so overlapping patterns resolve by list position. */
+  def redact(text: Column, rules: Seq[Rule]): Column =
+    rules.foldLeft(text)((c, r) => regexp_replace(c, r.pattern, r.replacement))
+
+  /** Scan `textCol` for every rule: appends one `n_<name>s` count per
+    * rule (counted on the ORIGINAL text, so counts are independent of
+    * rule order) and `redacted` with all rules applied in order. */
+  def scan(df: DataFrame, textCol: String, rules: Seq[Rule]): DataFrame = {
+    val counted = rules.foldLeft(df) { (acc, r) =>
+      acc.withColumn(s"n_${r.name}s", matchCount(col(textCol), r).cast("long"))
+    }
+    counted.withColumn("redacted", redact(col(textCol), rules))
+  }
+
+  /** k-anonymity / l-diversity audit: one row per quasi-identifier
+    * combination with its population `n`, the distinct count of the
+    * sensitive attribute `n_sensitive`, and the two release gates —
+    * `k_anonymous` (every individual hides among ≥ k records) and
+    * `l_diverse` (the group doesn't give the sensitive value away by
+    * uniformity). One hash aggregate over the QID key; output is
+    * O(|QID combinations|), not O(rows). */
+  def kAnonymityAudit(df: DataFrame, qids: Seq[String], sensitive: Column,
+      k: Int, l: Int): DataFrame =
+    df.groupBy(qids.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(sensitive).as("n_sensitive"))
+      .withColumn("k_anonymous", col("n") >= k)
+      .withColumn("l_diverse", col("n_sensitive") >= l)
+
+  /** Suppression pass: rows whose QID combination has fewer than `k`
+    * members get every QID column masked (generalization to `mask`),
+    * everything else passes through. Group size comes from a
+    * whole-partition window over the QID key — ONE shuffle, no audit
+    * join back, no second scan. QID columns come back as strings (the
+    * mask sentinel must inhabit the type). */
+  def suppress(df: DataFrame, qids: Seq[String], k: Int,
+      mask: String = "*"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = count(lit(1)).over(Window.partitionBy(qids.map(col): _*))
+    qids.foldLeft(df.withColumn("_qid_n", n)) { (acc, q) =>
+      acc.withColumn(q,
+        when(col("_qid_n") < k, lit(mask)).otherwise(col(q).cast("string")))
+    }.drop("_qid_n")
+  }
+}

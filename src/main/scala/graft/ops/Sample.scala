@@ -41,6 +41,24 @@ object Sample {
     df.filter(hashGate(col(key)) < rate)
   }
 
+  /** Deterministic train/val/test assignment: the hash gate mapped
+    * through cumulative percentage thresholds. `splits` lists
+    * (name, upperPctExclusive) in ascending threshold order; rows at or
+    * above the last threshold get `rest`. Pure scan-level projection —
+    * no shuffle, no RNG — so the SAME row lands in the SAME split on
+    * every run, engine, and partitioning: the property that keeps a
+    * 100 TB corpus's eval set from leaking into train across rebuilds. */
+  def assignSplit(df: DataFrame, key: String,
+      splits: Seq[(String, Int)], rest: String): DataFrame = {
+    require(splits.map(_._2) == splits.map(_._2).sorted,
+      s"split thresholds must ascend: $splits")
+    val gate = hashGate(col(key))
+    val split = splits.foldRight(lit(rest): Column) { case ((name, upper), other) =>
+      when(gate < upper, lit(name)).otherwise(other)
+    }
+    df.withColumn("bucket", gate).withColumn("split", split)
+  }
+
   /** Take the best-scoring rows until a global weight budget is spent
     * ("fill the token budget with the highest-quality documents") —
     * WITHOUT the single-partition global window a naive cumulative sum

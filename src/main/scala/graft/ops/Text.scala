@@ -90,6 +90,17 @@ object Text {
     best._1
   }
 
+  /** 1-based start offsets of sliding context-window chunks over a
+    * token array: 1, 1+stride, 1+2·stride, … while ≤ the token count
+    * (the final chunk may be short; with stride < chunkLen consecutive
+    * chunks overlap by chunkLen − stride tokens). Empty input → no
+    * chunks (guarded: Spark's sequence(1, 0, s) would throw, not return
+    * empty). Pure per-row array math — chunking a corpus is a
+    * shuffle-free narrow explode. */
+  def chunkStarts(toks: Column, stride: Int): Column =
+    when(size(toks) === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), size(toks), lit(stride)))
+
   /** Stopword ratio across all lists (any-language hit rate). */
   def stopwordRatio(toks: Column): Column = {
     val all = StopWords.flatMap(_._2).distinct

@@ -638,5 +638,72 @@ object CurationQueries {
             ceil(col("n_chars") / 4.0).cast("long").as("toks"))
         Sample.takeByBudget(t, "n_chars", "doc_id", "toks", budget = 20000L)
           .select("doc_id", "source", "n_chars")
+    },
+
+    // ---- Cross-document boilerplate: fraction of each doc's distinct
+    // 3-gram shingles occurring in ≥ 3 docs corpus-wide (RefinedWeb's
+    // duplicated-n-gram gate — the corpus-level complement of q82's
+    // intra-doc repetition). One shuffle on the shingle hash (window
+    // count = doc frequency over distinct pairs), one aggregate back to
+    // the doc — no join, no cached intermediate, no second corpus pass.
+    Q(
+      "q93_boilerplate",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) < 3 THEN []
+        |    ELSE list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END AS s
+        |  FROM toks),
+        |ex AS (SELECT doc_id, unnest(s) AS x FROM sh WHERE len(s) > 0),
+        |pairs AS (SELECT DISTINCT doc_id,
+        |  CAST(concat('0x', substr(md5(x),1,8)) AS BIGINT) % 2147483647 AS h FROM ex),
+        |wdf AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS df FROM pairs)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  round(CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS boiler_frac
+        |FROM wdf GROUP BY doc_id""".stripMargin) {
+      (spark, dir) =>
+        Dedup.crossDocShingleStats(Tables.documents(spark, dir),
+          "doc_id", "text", shingleN = 3, minDf = 3)
+    },
+
+    // ---- Temperature-based mixture reweighting: per-source token
+    // shares p, resampled shares q ∝ p^0.5 (the multilingual-corpus
+    // balancing rule — rare sources up-weighted, dominant ones damped),
+    // and the resulting sampling-rate multiplier q/p. One tiny
+    // per-source aggregate + a broadcast singleton total — at 100 TB the
+    // corpus is scanned once and reduced map-side; the mixture math runs
+    // on the |sources|-row result. sqrt shares are rounded then summed
+    // as DECIMAL so the normalizer is merge-order-exact.
+    Q(
+      "q94_mixture_weights",
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |s AS (SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(38,6)) AS sq FROM per),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+        |  CAST(sum(sq) AS DECIMAL(38,6)) AS ts FROM s)
+        |SELECT source, n_docs, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / tt, 6) AS p_share,
+        |  round(CAST(sq AS DOUBLE) / CAST(ts AS DOUBLE), 6) AS q_share,
+        |  round((CAST(sq AS DOUBLE) / CAST(ts AS DOUBLE)) / (CAST(n_tokens AS DOUBLE) / tt), 6) AS rate_mult
+        |FROM s, tot""".stripMargin) {
+      (spark, dir) =>
+        val per = Tables.documents(spark, dir)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(Text.tokenCount(col("text")).cast("long")).as("n_tokens"))
+          .withColumn("sq",
+            round(sqrt(col("n_tokens").cast("double")), 6).cast(DecimalType(38, 6)))
+        val tot = per.agg(sum(col("n_tokens")).as("tt"),
+          sum(col("sq")).cast(DecimalType(38, 6)).as("ts"))
+        val q = col("sq").cast("double") / col("ts").cast("double")
+        val p = col("n_tokens").cast("double") / col("tt")
+        per.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            round(p, 6).as("p_share"), round(q, 6).as("q_share"),
+            round(q / p, 6).as("rate_mult"))
     })
 }

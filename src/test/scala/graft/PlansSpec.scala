@@ -229,4 +229,37 @@ class PlansSpec extends SparkSuite {
       Tables.documents(spark, sfDir()), "doc_id", 25))
     assert(!p.contains("Exchange"), s"sampling introduced a shuffle:\n$p")
   }
+
+  test("q89 decontamination: benchmark shingle set broadcasts; the corpus " +
+      "is never shuffle-joined on the shingle key") {
+    val df = SparkEntry.queries("q89_decontamination")(spark, sfDir())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled on shingle key:\n$p")
+  }
+
+  test("governance scan passes stay shuffle-free: PII redaction, split " +
+      "assignment, chunk explode plan zero exchanges") {
+    Seq("q90_pii_redaction", "q91_train_split", "q92_chunking").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sfDir()))
+      assert(!p.contains("Exchange"), s"$q introduced a shuffle:\n$p")
+    }
+  }
+
+  test("q93 boilerplate: doc frequency via window, no join back — " +
+      "no Join node anywhere in the plan") {
+    val p = plan(SparkEntry.queries("q93_boilerplate")(spark, sfDir()))
+    assert(!p.contains("Join"), s"doc-frequency must not join back:\n$p")
+    assert(p.contains("Window"), s"expected the window df count:\n$p")
+  }
+
+  test("q94 mixture weights: the corpus-total normalizer joins by broadcast") {
+    val df = SparkEntry.queries("q94_mixture_weights")(spark, sfDir())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"singleton total must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"mixture math shuffled:\n$p")
+  }
 }

@@ -1,0 +1,131 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Governance-layer operators: PII redaction rules, benchmark
+  * decontamination, deterministic split assignment, and context-window
+  * chunking. Oracle parity is pinned by q89–q92; here the unit
+  * contracts: rule ordering, exact overlap accounting, threshold
+  * semantics, and chunk coverage/overlap arithmetic. */
+class GovernanceSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("Privacy.scan: counts on original text, rules applied in order") {
+    val df = Seq(
+      (1L, "mail a.b@x.org or 12-345-678-9012 now"),
+      (2L, "no pii here"),
+      (3L, "two mails a@x.io b@y.de one run 1234567")).toDF("id", "text")
+    val out = Privacy.scan(df, "text",
+      Seq(Privacy.Email, Privacy.Phone, Privacy.DigitRun))
+      .select("id", "n_emails", "n_phones", "n_digit_runs", "redacted")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 1L, 1L, 0L, "mail <EMAIL> or <PHONE> now")))
+    assert(out(1) == ((2L, 0L, 0L, 0L, "no pii here")))
+    assert(out(2) == ((3L, 2L, 0L, 1L, "two mails <EMAIL> <EMAIL> one run <ID>")))
+  }
+
+  test("Privacy rule order: DigitRun after Phone must not eat phone digits") {
+    val df = Seq((1L, "12-345-678-9012")).toDF("id", "text")
+    val r = Privacy.scan(df, "text", Seq(Privacy.Phone, Privacy.DigitRun))
+      .select("redacted").as[String].head()
+    assert(r == "<PHONE>")
+  }
+
+  test("Dedup.contamination: exact overlap counts and ratio") {
+    // bench doc shares exactly two 2-gram shingles ("a b", "b c") with
+    // doc 10; doc 20 shares none; doc 30 is too short for shingles.
+    val bench = Seq((1L, "a b c x")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "a b c q r"), // shingles: "a b","b c","c q","q r" → 2 of 4 hit
+      (20L, "u v w z"),
+      (30L, "solo")).toDF("doc_id", "text")
+    val out = Dedup.contamination(corpus, bench, "doc_id", "text", shingleN = 2)
+      .select("doc_id", "n_shingles", "n_overlap", "contamination")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((10L, 4L, 2L, 0.5)))
+  }
+
+  test("assignSplit: thresholds map buckets exactly; unsorted splits rejected") {
+    val df = (0L to 9999L).toDF("id")
+    val out = Sample.assignSplit(df, "id", Seq("train" -> 80, "val" -> 90), "test")
+    val bad = out.filter(
+      (col("bucket") < 80 && col("split") =!= "train") ||
+        (col("bucket") >= 80 && col("bucket") < 90 && col("split") =!= "val") ||
+        (col("bucket") >= 90 && col("split") =!= "test")).count()
+    assert(bad == 0L)
+    // hash gate is uniform-ish: each split non-empty and ordered by size
+    val sizes = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(sizes("train") > sizes("val") && sizes("train") > sizes("test"))
+    assert(sizes.values.sum == 10000L)
+    intercept[IllegalArgumentException] {
+      Sample.assignSplit(df, "id", Seq("a" -> 90, "b" -> 80), "c")
+    }
+  }
+
+  test("assignSplit is deterministic across partitionings") {
+    val df = (0L to 999L).toDF("id")
+    val a = Sample.assignSplit(df.repartition(1), "id", Seq("t" -> 50), "r")
+      .select("id", "split").as[(Long, String)].collect().toSet
+    val b = Sample.assignSplit(df.repartition(13), "id", Seq("t" -> 50), "r")
+      .select("id", "split").as[(Long, String)].collect().toSet
+    assert(a == b)
+  }
+
+  test("Privacy.suppress: small QID groups masked, large pass through") {
+    // group (1,"a") has 3 members, (2,"b") has 1
+    val df = Seq((1, "a", 10.0), (1, "a", 11.0), (1, "a", 12.0), (2, "b", 13.0))
+      .toDF("nation", "segment", "bal")
+    val out = Privacy.suppress(df, Seq("nation", "segment"), k = 2)
+      .select("nation", "segment", "bal")
+      .as[(String, String, Double)].collect().sortBy(_._3)
+    assert(out.take(3).forall(r => r._1 == "1" && r._2 == "a"))
+    assert(out(3) == (("*", "*", 13.0)))
+  }
+
+  test("kAnonymityAudit: exact counts, diversity, and gate booleans") {
+    val df = Seq(
+      (1, "a", 100.0), (1, "a", 200.0), (1, "a", 1200.0),
+      (2, "b", 100.0), (2, "b", 150.0)).toDF("nation", "segment", "bal")
+    val out = Privacy.kAnonymityAudit(df, Seq("nation", "segment"),
+      floor(col("bal") / 1000), k = 3, l = 2)
+      .select("nation", "segment", "n", "n_sensitive", "k_anonymous", "l_diverse")
+      .as[(Int, String, Long, Long, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(out(0) == ((1, "a", 3L, 2L, true, true)))   // bands 0 and 1
+    assert(out(1) == ((2, "b", 2L, 1L, false, false))) // one band, too small
+  }
+
+  test("crossDocShingleStats: doc frequency over distinct shingles, exact fractions") {
+    // shingle "a b" appears in docs 1,2,3 (df=3); every other shingle df<=2.
+    val df = Seq(
+      (1L, "a b x y"),   // shingles: "a b","b x","x y"
+      (2L, "a b z"),     // "a b","b z"
+      (3L, "q a b"),     // "q a","a b"
+      (4L, "u v")).toDF("doc_id", "text") // too short for 2-grams? no — n=2: "u v"
+    val out = Dedup.crossDocShingleStats(df, "doc_id", "text", shingleN = 2, minDf = 3)
+      .select("doc_id", "n_shingles", "n_boiler", "boiler_frac")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 3L, 1L, 0.333333), (2L, 2L, 1L, 0.5),
+      (3L, 2L, 1L, 0.5), (4L, 1L, 0L, 0.0)))
+  }
+
+  test("chunkStarts: stride arithmetic, final short chunk, empty input") {
+    val df = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens
+      (2L, "a b"), // one short chunk
+      (3L, "")).toDF("doc_id", "text")
+    val out = df
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        posexplode(Text.chunkStarts(col("t"), stride = 30)).as(Seq("pos", "start")))
+      .select(col("doc_id"), col("pos"), col("start"),
+        size(slice(col("t"), col("start"), lit(40))).as("n_tokens"))
+      .as[(Long, Int, Int, Int)].collect().toSeq.sorted
+    // doc 1: starts 1,31,61,91 — sizes 40,40,40,10 (covers all 100, 10-overlap)
+    assert(out.filter(_._1 == 1L) == Seq(
+      (1L, 0, 1, 40), (1L, 1, 31, 40), (1L, 2, 61, 40), (1L, 3, 91, 10)))
+    assert(out.filter(_._1 == 2L) == Seq((2L, 0, 1, 2)))
+    assert(!out.exists(_._1 == 3L))
+  }
+}
