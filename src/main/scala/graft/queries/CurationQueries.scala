@@ -705,5 +705,85 @@ object CurationQueries {
           .select(col("source"), col("n_docs"), col("n_tokens"),
             round(p, 6).as("p_share"), round(q, 6).as("q_share"),
             round(q / p, 6).as("rate_mult"))
+    },
+
+    // ---- ANN recall@k eval harness: the LSH index (q27's exact
+    // parameters) measured against brute-force ground truth (q26's) on a
+    // query sample — the recall/latency tradeoff is unmanaged without
+    // this number. Per query point: |ANN top-k ∩ exact top-k| / k. At
+    // 100 TB the exact side runs on a SAMPLED query set only (the
+    // standard eval protocol); the index side is the production path.
+    // The oracle replays BOTH sides in SQL (deterministic hyperplanes),
+    // so recall itself — not just the inputs — is cross-engine-checked.
+    Q(
+      "q98_ann_recall", {
+        val nbits = 4; val tables = 4; val kk = 10
+        def dotSql(a: String, b: String) = LlmQueries.foldSumSql(
+          s"list_transform(range(1, 65), i -> $a[i]*$b[i])", "CAST(0 AS DOUBLE)")
+        def bucketSql(t: Int) = (0 until nbits).map { bit =>
+          val g = t * nbits + bit
+          val proj = LlmQueries.foldSumSql(
+            s"""list_transform(dv, (x, i) ->
+               |        x * CASE WHEN (($g*64 + (i-1)) * $Mult) % $P % 2 = 0
+               |            THEN 1.0 ELSE -1.0 END)""".stripMargin,
+            "CAST(0 AS DOUBLE)")
+          s"(CASE WHEN $proj > 0 THEN ${1L << bit} ELSE 0 END)"
+        }.mkString(" + ")
+        val banded = (0 until tables).map(t =>
+          s"SELECT vec_id, $t AS tbl, ${bucketSql(t)} AS bucket FROM v")
+          .mkString("\n  UNION ALL ")
+        s"""WITH v AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+           |  FROM embeddings),
+           |ex AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |      ${dotSql("q.dv", "c.dv")}
+           |        / (sqrt(${dotSql("q.dv", "q.dv")}) * sqrt(${dotSql("c.dv", "c.dv")})) DESC,
+           |      c.vec_id) AS rn
+           |  FROM v q, v c WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+           |ek AS (SELECT query_id, neighbor_id FROM ex WHERE rn <= $kk),
+           |banded AS (
+           |  $banded),
+           |cand AS (
+           |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           |  FROM banded q JOIN banded c
+           |    ON q.tbl = c.tbl AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 20),
+           |scored AS (
+           |  SELECT query_id, neighbor_id,
+           |    ${dotSql("vq.dv", "vc.dv")}
+           |      / (sqrt(${dotSql("vq.dv", "vq.dv")}) * sqrt(${dotSql("vc.dv", "vc.dv")})) AS cos
+           |  FROM cand
+           |  JOIN v vq ON vq.vec_id = query_id
+           |  JOIN v vc ON vc.vec_id = neighbor_id),
+           |ak AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           |    FROM scored) WHERE rn <= $kk)
+           |SELECT e.query_id,
+           |  CAST(count(*) AS BIGINT) AS n_exact,
+           |  CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           |  round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6) AS recall
+           |FROM ek e LEFT JOIN ak a
+           |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+           |GROUP BY e.query_id""".stripMargin
+      }) { (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+      val qs = e.filter(col("vec_id") < 20)
+      val exact = Similarity
+        .topKBruteForce(e, qs, "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id")
+      val ann = Similarity
+        .topKBucketed(e, qs, "vec_id", "embedding",
+          k = 10, nbits = 4, dim = 64, tables = 4)
+        .select("query_id", "neighbor_id").withColumn("hit", lit(1L))
+      exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("n_exact"), 6))
     })
 }

@@ -159,6 +159,100 @@ object GovernanceQueries {
             Text.strHash32(concat_ws(" ", chunk)).as("chunk_hash"))
     },
 
+    // ---- Corpus data card: the per-source profile a dataset release
+    // ships (docs, tokens, language spread, median length, distinct
+    // fingerprints) — exact values plus the mergeable-sketch estimates
+    // (HLL NDV, KLL median) that a 100 TB build would publish instead,
+    // each pinned within 5% of its exact twin (the q48/q77 bounds-boolean
+    // contract; all hashes deterministic, so the booleans are stable).
+    // ONE aggregation pass produces the whole card.
+    Q(
+      "q96_data_card",
+      """WITH toks AS (
+        |  SELECT source, lang, n_chars, text,
+        |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS n_toks
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  round(CAST(quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS DOUBLE), 6) AS p50_chars,
+        |  CAST(count(DISTINCT CAST(concat('0x', substr(md5(text),1,8)) AS BIGINT)) AS BIGINT) AS ndv_exact,
+        |  TRUE AS ndv_ok, TRUE AS p50_ok
+        |FROM toks GROUP BY source""".stripMargin) {
+      (spark, dir) =>
+        val fp = Text.strHash32(col("text"))
+        val card = Tables.documents(spark, dir)
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(Text.tokenCount(col("text")).cast("long")).as("n_tokens"),
+            countDistinct(col("lang")).as("n_langs"),
+            round(percentile(col("n_chars").cast("double"), lit(0.5)), 6).as("p50_chars"),
+            countDistinct(fp).as("ndv_exact"),
+            call_function("graft_hll_distinct", fp).as("ndv_est"),
+            call_function("graft_kll_sketch", col("n_chars").cast("double")).as("sk"))
+        def within(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+          abs(est - exact).cast("double") <= abs(exact) * lit(0.05)
+        card.select(
+          col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+          col("p50_chars"), col("ndv_exact"),
+          within(col("ndv_est"), col("ndv_exact")).as("ndv_ok"),
+          within(call_function("graft_kll_quantile", col("sk"), lit(0.5)),
+            col("p50_chars")).as("p50_ok"))
+    },
+
+    // ---- Streaming decontamination: new corpus docs arrive as a stream
+    // and are checked per micro-batch against the STATIC broadcast
+    // benchmark shingle set (the continuous-ingest form of q89 — the
+    // gate runs before anything lands in the training corpus). Each
+    // doc's rows live inside one micro-batch, so per-batch contamination
+    // equals the batch result for ANY batching — the oracle is q89's,
+    // verbatim. Stream side carries zero state; the sink accumulates.
+    Q(
+      "q97_stream_decontamination",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) < 3 THEN []
+        |    ELSE list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END AS s
+        |  FROM toks),
+        |ex AS (SELECT doc_id, unnest(s) AS x FROM sh WHERE len(s) > 0),
+        |pairs AS (SELECT DISTINCT doc_id,
+        |  CAST(concat('0x', substr(md5(x),1,8)) AS BIGINT) % 2147483647 AS h FROM ex),
+        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM pairs GROUP BY doc_id),
+        |bench AS (SELECT DISTINCT h FROM pairs WHERE doc_id % 97 = 0),
+        |corpus AS (SELECT * FROM pairs WHERE doc_id % 97 <> 0)
+        |SELECT c.doc_id, n.n_shingles, CAST(count(*) AS BIGINT) AS n_overlap,
+        |  round(CAST(count(*) AS DOUBLE) / n.n_shingles, 6) AS contamination
+        |FROM corpus c JOIN bench USING (h) JOIN n ON n.doc_id = c.doc_id
+        |GROUP BY c.doc_id, n.n_shingles""".stripMargin) {
+      (spark, dir) =>
+        import org.apache.spark.sql.streaming.Trigger
+        val docsSchema = Tables.documents(spark, dir).schema
+        val bench = Tables.documents(spark, dir).filter(col("doc_id") % 97 === 0)
+        val streamDir = graft.Tmp.dir("graft-q97-in")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("documents.parquet"),
+          java.nio.file.Paths.get(s"$dir/documents.parquet"))
+        val outDir = graft.Tmp.dir("graft-q97-out").toString
+        val src = spark.readStream.schema(docsSchema).parquet(streamDir.toString)
+        graft.streaming.Streams.withShufflePartitions(spark, 4) {
+          val q = src.writeStream.trigger(Trigger.AvailableNow())
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              Dedup.contamination(
+                batch.filter(col("doc_id") % 97 =!= 0), bench,
+                "doc_id", "text", shingleN = 3)
+                .write.mode("append").parquet(outDir)
+            }
+            .option("checkpointLocation", graft.Tmp.dir("graft-q97-ck").toString)
+            .start()
+          q.awaitTermination()
+        }
+        spark.read.parquet(outDir)
+    },
+
     // ---- k-anonymity / l-diversity audit: per quasi-identifier group
     // (nation, market segment) the population, the diversity of the
     // sensitive attribute (account-balance band), and the two release
