@@ -43,9 +43,18 @@ object Bench {
     val from = if (sec >= 0) txt.indexOf('{', sec) else -1
     val to = if (from >= 0) txt.indexOf('}', from) else -1
     val body = if (to > from) txt.substring(from, to + 1) else txt
-    "\"(q[A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.]+)".r
+    "\"(q[A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.]+(?:[eE][-+]?[0-9]+)?)".r
       .findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
+
+  /** Fixed-point JSON number — `Double.toString` flips to scientific
+    * notation below 1e-3 ("1.0E-4"), which a naive number regex reads
+    * as 1.0; every second-valued field goes through this. Locale.ROOT
+    * pins the '.' decimal separator regardless of JVM locale. */
+  def fmt4(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+  def fmt6(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -126,9 +135,8 @@ object Bench {
     val regressions = deltas.filter(_._2 > 15.0).sortBy(-_._2)
     val improved = deltas.filter(_._2 < -15.0).sortBy(_._2)
 
-    def r4(v: Double) = math.rint(v * 10000) / 10000
     def jsonMap(vals: Seq[(String, Double)]) =
-      vals.map { case (k, v) => s"\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
+      vals.map { case (k, v) => s"\"" + k + "\":" + fmt4(v) }.mkString("{", ",", "}")
     val qs = jsonMap(results.map(r => (r._1, r._2)))
     val qsMin = jsonMap(results.map(r => (r._1, r._3)))
     val total = results.map(_._2).sum
@@ -152,10 +160,10 @@ object Bench {
           s""""regressions_min_pct":${jsonMap(regressions)},""" +
           s""""improved_min_pct":${jsonMap(improved)}""")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":${fmt4(total)},"unit":"sec","queries":$qs,""" +
         s""""queries_min":$qsMin,"passes":$passes,"extra_passes":$extra,""" +
-        s""""spread_med_pct":${r4(spreadMed)},"spread_max_pct":${r4(spreadMax)},""" +
-        s""""gold_sec":${r4(gold)},"median_sec":${r4(median)},""" +
+        s""""spread_med_pct":${fmt4(spreadMed)},"spread_max_pct":${fmt4(spreadMax)},""" +
+        s""""gold_sec":${fmt4(gold)},"median_sec":${fmt4(median)},""" +
         s""""n_queries":${results.size},"sf":"$sfDir",$deltaReport}"""
     // full-precision copy that no tail-truncation can lose
     try {
@@ -163,9 +171,9 @@ object Bench {
       java.nio.file.Files.createDirectories(dir)
       val full = new StringBuilder()
       full ++= s"""{"sf":"$sfDir","passes":$passes,"extra_passes":$extra,"""
-      full ++= s""""queries_median":${results.map(r => s"\"${r._1}\":${r._2}").mkString("{", ",", "}")},"""
-      full ++= s""""queries_min":${results.map(r => s"\"${r._1}\":${r._3}").mkString("{", ",", "}")},"""
-      full ++= s""""delta_min_pct_vs_baseline":${deltas.map { case (k, v) => s"\"$k\":${r4(v)}" }.mkString("{", ",", "}")}}"""
+      full ++= s""""queries_median":${results.map(r => s"\"${r._1}\":${fmt6(r._2)}").mkString("{", ",", "}")},"""
+      full ++= s""""queries_min":${results.map(r => s"\"${r._1}\":${fmt6(r._3)}").mkString("{", ",", "}")},"""
+      full ++= s""""delta_min_pct_vs_baseline":${deltas.map { case (k, v) => s"\"$k\":${fmt4(v)}" }.mkString("{", ",", "}")}}"""
       java.nio.file.Files.write(dir.resolve("last_run.json"),
         full.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"[bench] file dump failed: $e") }

@@ -68,6 +68,14 @@ object Meta {
     * snapshot, so concurrent readers of version n are isolated from the
     * n+1 write — the same immutability contract a transaction log gives,
     * minus cross-table atomicity. */
+  /** A manifest commit lost its claim race: another writer committed
+    * between this writer's read of the chain and its rename-if-absent.
+    * Retryable by construction — re-read the newest commit and redo the
+    * work on top of it (same contract as a lake format's
+    * ConcurrentModificationException). */
+  final class CommitConflictException(msg: String, cause: Throwable)
+    extends java.io.IOException(msg, cause)
+
   object Versioned {
     // STRICTLY v=<digits> — maintenance debris (e.g. Scale.compact's
     // sibling `v=1_compacting` / `v=1_old` work dirs) must be invisible
@@ -146,12 +154,20 @@ object Meta {
       * existing destination on every Hadoop filesystem (atomically on
       * HDFS; object stores without atomic rename need an external
       * commit-claim service, same caveat as any log-structured lake
-      * format). Returns the claimed id; a lost race throws and removes
-      * only this writer's staging file. */
-    private def commitManifest(spark: SparkSession, root: String,
-        versions: Seq[(String, Long)]): Long = {
+      * format). Returns the claimed id; a lost race throws
+      * [[CommitConflictException]] and removes only this writer's
+      * staging file.
+      *
+      * `claim` pins the id instead of recomputing latest+1 at commit
+      * time. A read-modify-write caller (compaction) MUST pass the id
+      * it read plus one: recomputing here would let a concurrent commit
+      * land in between without ever colliding, and the stale rewrite
+      * would silently revert it. With the pin, any intervening commit
+      * makes the rename-if-absent CAS fail — a retryable conflict. */
+    private[graft] def commitManifest(spark: SparkSession, root: String,
+        versions: Seq[(String, Long)], claim: Option[Long] = None): Long = {
       val (f, _) = fs(spark, root)
-      val id = commits(spark, root).lastOption.getOrElse(0L) + 1
+      val id = claim.getOrElse(commits(spark, root).lastOption.getOrElse(0L) + 1)
       val tmp = new org.apache.hadoop.fs.Path(
         s"$root/_commit_staging_${id}_${java.util.UUID.randomUUID}")
       val out = f.create(tmp, true)
@@ -167,7 +183,7 @@ object Meta {
         // failure (ENOSPC, permissions, wedged FS) must surface as itself
         case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
           f.delete(tmp, false)
-          throw new java.io.IOException(
+          throw new CommitConflictException(
             s"commit $id already claimed by a concurrent writer; " +
               "staged version dirs left as debris (re-run to publish)", e)
         case e: java.io.IOException =>
@@ -202,11 +218,29 @@ object Meta {
       * which commits through the log); `Scale.compact`'s in-place swap
       * remains for raw non-versioned dirs in a quiesced window. Old
       * versions are reclaimed later by retention vacuum, exactly like
-      * snapshots. Returns (commitId, filesBefore, filesAfter). */
+      * snapshots. Returns (commitId, filesBefore, filesAfter).
+      *
+      * Read-modify-write safety: the base commit id is captured when
+      * the versions map is read, and the new manifest claims exactly
+      * baseId+1. A commit landing in between therefore fails the CAS
+      * with a [[CommitConflictException]] instead of being silently
+      * reverted by a stale republish — retry by re-running (the next
+      * attempt reads the fresh chain; the orphaned rewrite dir is
+      * reclaimed by [[gc]]). */
     def compactTable(spark: SparkSession, root: String, table: String,
         targetRowsPerFile: Long): (Long, Int, Int) = {
-      val current = committedVersions(spark, root).getOrElse(
+      val baseId = commits(spark, root).lastOption.getOrElse(
         throw new IllegalArgumentException(s"no commits at $root"))
+      compactTableFrom(spark, root, table, targetRowsPerFile, baseId)
+    }
+
+    /** The RMW core with the base commit pinned by the caller — the
+      * seam the conflict spec drives (publish between read and commit,
+      * deterministically). Production entry is [[compactTable]]. */
+    private[graft] def compactTableFrom(spark: SparkSession, root: String,
+        table: String, targetRowsPerFile: Long, baseId: Long): (Long, Int, Int) = {
+      val current = committedVersions(spark, root, Some(baseId)).getOrElse(
+        throw new IllegalArgumentException(s"no commit $baseId at $root"))
       val v = current.getOrElse(table,
         throw new IllegalArgumentException(s"table $table not in commit: $current"))
       val src = s"$root/$table/v=$v"
@@ -219,7 +253,8 @@ object Meta {
         math.ceil(df.count().toDouble / targetRowsPerFile).toInt)
       val newV = write(df.repartition(files), s"$root/$table")
       val id = commitManifest(spark, root,
-        (current.updated(table, newV)).toSeq.sortBy(_._1))
+        (current.updated(table, newV)).toSeq.sortBy(_._1),
+        claim = Some(baseId + 1))
       (id, parquetFiles(src), parquetFiles(s"$root/$table/v=$newV"))
     }
 
@@ -282,7 +317,19 @@ object Meta {
               .filterNot(v => live.contains(table -> v))
               .filter { v =>
                 val p = new org.apache.hadoop.fs.Path(s"$root/$table/v=$v")
-                f.getFileStatus(p).getModificationTime <= cutoff
+                // age = the NEWEST timestamp visible under the dir. On
+                // object stores "directories" are synthetic and their
+                // mtime is meaningless (often 0 → everything looks
+                // ancient), but the contained objects carry real
+                // timestamps — so an in-flight stage's fresh files keep
+                // protecting it there too. Empty dir: fall back to the
+                // dir status (local/HDFS give a real mtime; a 0 on an
+                // object store only widens deletion to an empty husk).
+                val contained = f.listStatus(p).map(_.getModificationTime)
+                val newest =
+                  if (contained.nonEmpty) contained.max
+                  else f.getFileStatus(p).getModificationTime
+                newest <= cutoff
               }
               .flatMap { v =>
                 // report only what was ACTUALLY removed — a false delete

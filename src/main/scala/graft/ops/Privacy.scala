@@ -48,6 +48,12 @@ object Privacy {
     * rule (counted on the ORIGINAL text, so counts are independent of
     * rule order) and `redacted` with all rules applied in order. */
   def scan(df: DataFrame, textCol: String, rules: Seq[Rule]): DataFrame = {
+    // withColumn silently replaces same-named columns — refuse rather
+    // than destroy caller data (rule names drive the output names, so a
+    // collision is a caller bug worth a loud message)
+    (rules.map(r => s"n_${r.name}s") :+ "redacted").foreach(c =>
+      require(!df.columns.contains(c),
+        s"Privacy.scan writes column '$c' but the input already has one"))
     val counted = rules.foldLeft(df) { (acc, r) =>
       acc.withColumn(s"n_${r.name}s", matchCount(col(textCol), r).cast("long"))
     }

@@ -52,6 +52,12 @@ object Sample {
       splits: Seq[(String, Int)], rest: String): DataFrame = {
     require(splits.map(_._2) == splits.map(_._2).sorted,
       s"split thresholds must ascend: $splits")
+    // withColumn REPLACES a same-named column silently — refuse rather
+    // than destroy caller data (same defensive contract as takeByBudget's
+    // weight-type require)
+    Seq("bucket", "split").foreach(c =>
+      require(!df.columns.contains(c),
+        s"assignSplit writes column '$c' but the input already has one"))
     val gate = hashGate(col(key))
     val split = splits.foldRight(lit(rest): Column) { case ((name, upper), other) =>
       when(gate < upper, lit(name)).otherwise(other)

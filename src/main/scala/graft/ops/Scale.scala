@@ -85,24 +85,40 @@ object Scale {
     require(!rankBuckets || bitsPerCol <= 6,
       s"rank bucketing supports at most 6 bits/col, got $bitsPerCol")
     val buckets = 1 << bitsPerCol
-    // one pass for global min/max per clustering column
-    val statCols = cols.flatMap(c =>
-      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
-    val stats = df.agg(statCols.head, statCols.tail: _*).head()
+    // ONE stats pass either way. rankBuckets: a single multi-column
+    // approxQuantile call (one job) yields every column's boundary
+    // ladder — per-column calls inside the zkey loop would each rescan
+    // the corpus, d extra full passes at the scale this op targets —
+    // and the min/max aggregate is skipped entirely (the quantile
+    // output also answers the degenerate check: all-null → empty
+    // boundary array, constant → all boundaries equal). Linear mode
+    // keeps the one min/max aggregate.
+    val rankBounds: Array[Array[Double]] =
+      if (rankBuckets)
+        df.stat.approxQuantile(cols.toArray,
+          (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+      else null
+    val stats =
+      if (rankBuckets) null
+      else {
+        val statCols = cols.flatMap(c =>
+          Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+        df.agg(statCols.head, statCols.tail: _*).head()
+      }
     val zkey = cols.zipWithIndex.map { case (c, i) =>
       // a null/empty stats cell (all-null or empty input) degrades to a
       // constant column: zero information, zero bits, still correct
-      val degenerate = stats.isNullAt(2 * i) || stats.isNullAt(2 * i + 1) ||
-        stats.getDouble(2 * i + 1) <= stats.getDouble(2 * i)
+      val degenerate =
+        if (rankBuckets) rankBounds(i).isEmpty || rankBounds(i).distinct.length <= 1
+        else stats.isNullAt(2 * i) || stats.isNullAt(2 * i + 1) ||
+          stats.getDouble(2 * i + 1) <= stats.getDouble(2 * i)
       // width_bucket is 1-based and sends v==hi to buckets+1 → clamp to [0, buckets-1]
       val b =
         if (degenerate) lit(0L)
         else if (rankBuckets) {
           // bucket = #(quantile boundaries strictly below v): an
           // indicator-sum ladder over buckets-1 approximate boundaries
-          val bounds = df.stat.approxQuantile(c,
-            (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
-          bounds.toSeq.map(bd =>
+          rankBounds(i).toSeq.map(bd =>
             when(col(c).cast("double") > lit(bd), 1L).otherwise(0L))
             .reduce(_ + _)
         }

@@ -29,4 +29,18 @@ class BenchSpec extends AnyFunSuite {
   test("parseBaseline without a queries_min section falls back to flat pairs") {
     assert(Bench.parseBaseline("""{"q03_x":1.5}""") == Map("q03_x" -> 1.5))
   }
+
+  test("sub-millisecond times survive the emit→parse round trip") {
+    // Double.toString(1e-4) is "1.0E-4"; the old emitter + number regex
+    // silently read that back as 1.0 — a 10000x phantom regression
+    assert(Bench.fmt4(0.0001) == "0.0001")
+    assert(Bench.fmt6(0.0000015) == "0.000002")
+    assert(Bench.fmt4(-1.0) == "-1.0000")
+    val txt = s"""{"queries_min":{"q50_x":${Bench.fmt6(0.0001)},"q51_y":1.25}}"""
+    assert(Bench.parseBaseline(txt) == Map("q50_x" -> 0.0001, "q51_y" -> 1.25))
+    // and a LEGACY baseline that already carries scientific notation
+    // parses to the true value rather than the mantissa
+    assert(Bench.parseBaseline("""{"queries_min":{"q52_z":1.0E-4}}""") ==
+      Map("q52_z" -> 0.0001))
+  }
 }

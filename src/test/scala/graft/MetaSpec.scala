@@ -170,6 +170,31 @@ class MetaSpec extends SparkSuite {
     assert(Meta.Versioned.readCommitted(spark, root, "other").count() == 2)
   }
 
+  test("compactTable conflict: a commit landing between the read and the " +
+      "claim throws CommitConflictException instead of silently reverting it") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("meta-compact-race").toString
+    Meta.Versioned.publishAll(root, Seq("t" -> (1 to 100).toDF("x").repartition(4)))
+    // the compactor reads base commit 1 ... then a concurrent writer
+    // lands commit 2 (t advances to v=2, 200 rows) before it commits
+    val baseId = 1L
+    val c2 = Meta.Versioned.publishAll(root, Seq("t" -> (1 to 200).toDF("x")))
+    assert(c2 == 2L)
+    // the stale RMW must fail the baseId+1 CAS — before the fix it
+    // recomputed latest+1=3 at commit time and re-published v=1
+    val err = intercept[Meta.CommitConflictException] {
+      Meta.Versioned.compactTableFrom(spark, root, "t", 1000000L, baseId)
+    }
+    assert(err.getMessage.contains("claimed by a concurrent writer"))
+    // the concurrent writer's commit is intact and still resolves
+    assert(Meta.Versioned.committedVersions(spark, root).contains(Map("t" -> 2L)))
+    assert(Meta.Versioned.readCommitted(spark, root, "t").count() == 200)
+    // retrying from the fresh chain succeeds and compacts the NEW version
+    val (c3, _, after) = Meta.Versioned.compactTable(spark, root, "t", 1000000L)
+    assert(c3 == 3L && after == 1)
+    assert(Meta.Versioned.readCommitted(spark, root, "t").count() == 200)
+  }
+
   test("Versioned.changes PROPERTY: applying the feed to the old snapshot " +
       "reconstructs the new one exactly (randomized tables with nulls)") {
     val rnd = new scala.util.Random(20260812L)

@@ -61,6 +61,14 @@ class GovernanceSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Sample.assignSplit(df, "id", Seq("a" -> 90, "b" -> 80), "c")
     }
+    // output names that would silently clobber caller columns are refused
+    intercept[IllegalArgumentException] {
+      Sample.assignSplit(df.withColumn("split", lit("x")), "id", Seq("a" -> 80), "b")
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.scan(Seq(("a@b.co", 1L)).toDF("text", "n_emails"), "text",
+        Seq(Privacy.Email))
+    }
   }
 
   test("assignSplit is deterministic across partitionings") {
