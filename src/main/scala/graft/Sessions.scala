@@ -77,6 +77,20 @@ object Sessions {
     ext.injectFunction((FunctionIdentifier("graft_kll_quantile"),
       info("graft_kll_quantile", classOf[KllQuantile]),
       (e: Seq[Expression]) => KllQuantile(e.head, e(1))))
+    ext.injectFunction((FunctionIdentifier("graft_cm_sketch"),
+      info("graft_cm_sketch", classOf[CmSketch]),
+      (e: Seq[Expression]) => CmSketch(e.head,
+        if (e.length > 1) intArg(e(1), "graft_cm_sketch") else 2048,
+        if (e.length > 2) intArg(e(2), "graft_cm_sketch") else 4)))
+    ext.injectFunction((FunctionIdentifier("graft_cm_merge"),
+      info("graft_cm_merge", classOf[CmMergeAgg]),
+      (e: Seq[Expression]) => CmMergeAgg(e.head)))
+    ext.injectFunction((FunctionIdentifier("graft_cm_estimate"),
+      info("graft_cm_estimate", classOf[CmEstimate]),
+      (e: Seq[Expression]) => CmEstimate(e.head, e(1))))
+    ext.injectFunction((FunctionIdentifier("graft_cm_total"),
+      info("graft_cm_total", classOf[CmTotal]),
+      (e: Seq[Expression]) => CmTotal(e.head)))
     ext.injectFunction((FunctionIdentifier("graft_freq_sketch"),
       info("graft_freq_sketch", classOf[FreqSketch]),
       (e: Seq[Expression]) => FreqSketch(e.head, intArg(e(1), "graft_freq_sketch"))))

@@ -378,6 +378,47 @@ object CurationQueries {
     // the candidates (broadcast filter, no full-domain aggregate) and
     // applies the real threshold freq·200 > n. Output is exact and
     // merge-order-independent — only the pruning is approximate.
+    // ---- L81 Count–Min point-frequency sketch: the d×w counter grid
+    // answers "how often does term X occur" from fixed-size mergeable
+    // state — no GROUP BY over the unbounded term domain. The exact
+    // top-30 terms carry the values the oracle checks; the sketch's
+    // contract rides as booleans: estimates never undercount (one-sided
+    // by construction), stay within the classic e/w·N bound, and the
+    // per-shard rollup merged back is BIT-identical to the direct
+    // sketch (elementwise addition — the merge-order determinism
+    // Misra–Gries candidates cannot give). Both sketch frames are
+    // broadcast singletons; lookups are distributed scalar probes.
+    Q(
+      "q99_cm_frequency",
+      s"""WITH toks AS (
+         |  SELECT unnest($toksSql) AS term FROM documents),
+         |cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_cnt
+         |        FROM toks GROUP BY term)
+         |SELECT term, exact_cnt, TRUE AS lower_ok, TRUE AS upper_ok,
+         |  TRUE AS rolled_matches_direct
+         |FROM cnt ORDER BY exact_cnt DESC, term LIMIT 30""".stripMargin) {
+      (spark, dir) =>
+        val toks = Tables.documents(spark, dir)
+          .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+        val direct = toks
+          .agg(call_function("graft_cm_sketch", col("term")).as("sk"))
+        val rolled = toks
+          .groupBy(pmod(col("doc_id"), lit(16)).as("shard"))
+          .agg(call_function("graft_cm_sketch", col("term")).as("sk"))
+          .agg(call_function("graft_cm_merge", col("sk")).as("skr"))
+        val top = toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("term")).limit(30)
+        val est = call_function("graft_cm_estimate", col("sk"), col("term"))
+        val estR = call_function("graft_cm_estimate", col("skr"), col("term"))
+        val bound = ceil(lit(math.E / 2048.0) *
+          call_function("graft_cm_total", col("sk"))).cast("long")
+        top.crossJoin(broadcast(direct)).crossJoin(broadcast(rolled))
+          .select(col("term"), col("exact_cnt"),
+            (est >= col("exact_cnt")).as("lower_ok"),
+            (est <= col("exact_cnt") + bound).as("upper_ok"),
+            (estR === est).as("rolled_matches_direct"))
+    },
+
     Q(
       "q53_heavy_hitters",
       s"""WITH toks AS (
