@@ -355,7 +355,8 @@ object Meta {
       * co-locate and the exchange disappears; a MERGE-time capture would
       * avoid the join entirely but needs a transaction log. */
     def changes(spark: SparkSession, root: String, table: String,
-        fromCommit: Long, toCommit: Long, keys: Seq[String]): DataFrame = {
+        fromCommit: Long, toCommit: Long, keys: Seq[String],
+        preimages: Boolean = false): DataFrame = {
       import org.apache.spark.sql.functions._
       val o = readCommitted(spark, root, table, Some(fromCommit))
       val n = readCommitted(spark, root, table, Some(toCommit))
@@ -367,20 +368,42 @@ object Meta {
       val nonKeys = o.columns.toSeq.filterNot(keys.contains)
       val os = o.select(keys.map(col) :+ struct(nonKeys.map(col): _*).as("_old"): _*)
       val ns = n.select(keys.map(col) :+ struct(nonKeys.map(col): _*).as("_new"): _*)
-      os.join(ns, keys, "full_outer")
-        .withColumn("change_type",
-          when(col("_old").isNull, "insert")
-            .when(col("_new").isNull, "delete")
-            .when(!(col("_old") <=> col("_new")), "update")
-            .otherwise(lit(null)))
-        .filter(col("change_type").isNotNull)
-        // postimage row = the NEW side whenever it exists (per-ROW branch
-        // on _new, never per-column coalesce: an update that nulls a
-        // column out must emit NULL, not resurrect the old value)
-        .select(keys.map(col) ++
-          nonKeys.map(c => when(col("_new").isNotNull, col(s"_new.$c"))
-            .otherwise(col(s"_old.$c")).as(c)) :+
-          col("change_type"): _*)
+      val joined = os.join(ns, keys, "full_outer")
+      if (!preimages)
+        joined
+          .withColumn("change_type",
+            when(col("_old").isNull, "insert")
+              .when(col("_new").isNull, "delete")
+              .when(!(col("_old") <=> col("_new")), "update")
+              .otherwise(lit(null)))
+          .filter(col("change_type").isNotNull)
+          // postimage row = the NEW side whenever it exists (per-ROW branch
+          // on _new, never per-column coalesce: an update that nulls a
+          // column out must emit NULL, not resurrect the old value)
+          .select(keys.map(col) ++
+            nonKeys.map(c => when(col("_new").isNotNull, col(s"_new.$c"))
+              .otherwise(col(s"_old.$c")).as(c)) :+
+            col("change_type"): _*)
+      else {
+        // Delta CDF's 4-value surface: updates emit BOTH images, which is
+        // what downstream incremental-view maintenance needs (a sum can't
+        // be maintained without subtracting the preimage). One explode per
+        // joined row — unchanged rows map to NULL and explode drops them,
+        // so the tagged fan-out costs no second join or union re-scan.
+        val tagged = explode(
+          when(col("_old").isNull,
+            array(struct(lit("insert").as("t"), col("_new").as("img"))))
+          .when(col("_new").isNull,
+            array(struct(lit("delete").as("t"), col("_old").as("img"))))
+          .when(!(col("_old") <=> col("_new")),
+            array(struct(lit("update_preimage").as("t"), col("_old").as("img")),
+              struct(lit("update_postimage").as("t"), col("_new").as("img")))))
+        joined
+          .select(keys.map(col) :+ tagged.as("_ch"): _*)
+          .select(keys.map(col) ++
+            nonKeys.map(c => col(s"_ch.img.$c").as(c)) :+
+            col("_ch.t").as("change_type"): _*)
+      }
     }
 
     /** Apply a change feed (the output of [[changes]]) to a replica of

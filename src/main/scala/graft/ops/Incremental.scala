@@ -28,4 +28,76 @@ object Incremental {
     val row = slice.agg(max(col(tsCol)).cast("timestamp").as("wm")).first()
     Option(row.getTimestamp(0))
   }
+
+  /** Incremental materialized-view maintenance for a grouped
+    * count + sum: fold a change feed (the 4-value preimage surface of
+    * [[graft.Meta.Versioned.changes]] — insert / delete /
+    * update_preimage / update_postimage) into the previous aggregate
+    * WITHOUT rescanning the snapshot. count and sum form an abelian
+    * group, so the maintained result is exactly `delta + old`:
+    * additions count +1/+value, removals −1/−value, an update is one
+    * removal plus one addition. Groups whose count reaches zero are
+    * dropped (they no longer exist in the direct aggregate).
+    *
+    * Scale shape: the snapshot is NEVER read — cost is one hash
+    * aggregate over the feed (|delta| rows) plus one key join against
+    * the standing aggregate (|groups| rows, usually broadcast-small).
+    * At 100 TB with a daily 0.1% churn this is the difference between
+    * re-aggregating 100 TB and touching ~100 GB. Sums run in DECIMAL so
+    * partial-agg merge order and the old+delta fold stay exact — the
+    * maintained table must be bit-equal to the direct aggregate, not
+    * merely close, or drift compounds across maintenance cycles.
+    *
+    * `oldAgg` columns: groupCols ++ (cnt: BIGINT, total: DECIMAL(38,2)).
+    * Returns the same shape. Seed an empty aggregate by passing the
+    * direct aggregate of the base version ([[aggSumCount]]). */
+  def maintainSumCount(oldAgg: DataFrame, feed: DataFrame,
+      groupCols: Seq[String], valueCol: String): DataFrame = {
+    val adds = Seq("insert", "update_postimage")
+    val drops = Seq("delete", "update_preimage")
+    require(groupCols.nonEmpty, "maintainSumCount needs group columns")
+    Seq("cnt", "total").foreach(c =>
+      require(oldAgg.columns.contains(c), s"oldAgg lacks aggregate column '$c'"))
+    val sign = when(col("change_type").isin(adds: _*), 1L)
+      .when(col("change_type").isin(drops: _*), -1L)
+    val value = col(valueCol).cast(org.apache.spark.sql.types.DecimalType(38, 2))
+    val delta = feed
+      .select(groupCols.map(col) :+ sign.as("_s") :+ value.as("_v"): _*)
+      // an unexpected change_type must fail the maintenance, not
+      // silently contribute zero and let the view drift
+      .withColumn("_s", coalesce(col("_s"),
+        raise_error(lit("maintainSumCount: unknown change_type in feed"))))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("_s")).as("_dcnt"), sum(col("_s") * col("_v")).as("_dtotal"))
+    // NULL is a legal group key (groupBy groups it), so the merge join
+    // must be null-SAFE — a plain equi-join would split a null-keyed
+    // group into two output rows. Side presence is read off cnt/_dcnt
+    // (non-null on every genuine row of their frame), never off the
+    // keys, which may be legitimately null on a present side.
+    val o = oldAgg.alias("o")
+    val d = delta.alias("d")
+    val on = groupCols.map(c => col(s"o.$c") <=> col(s"d.$c")).reduce(_ && _)
+    val zero = lit(java.math.BigDecimal.ZERO)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 2))
+    o.join(d, on, "full_outer")
+      .select(groupCols.map(c =>
+        when(col("o.cnt").isNotNull, col(s"o.$c"))
+          .otherwise(col(s"d.$c")).as(c)) :+
+        (coalesce(col("o.cnt"), lit(0L)) + coalesce(col("d._dcnt"), lit(0L))).as("cnt") :+
+        (coalesce(col("o.total"), zero) + coalesce(col("d._dtotal"), zero)).as("total"): _*)
+      .filter(col("cnt") > 0)
+      .select(groupCols.map(col) :+ col("cnt") :+
+        col("total").cast(org.apache.spark.sql.types.DecimalType(38, 2)): _*)
+  }
+
+  /** The direct (full-scan) form of the maintained aggregate — the seed
+    * for [[maintainSumCount]] and the equivalence oracle in its spec. */
+  def aggSumCount(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(38, 2)))
+          .as("total"))
+      .select(groupCols.map(col) :+ col("cnt") :+
+        col("total").cast(org.apache.spark.sql.types.DecimalType(38, 2)): _*)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.Incremental
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -782,5 +783,42 @@ object AnalyticsQueries {
       graft.Meta.Versioned.applyChanges(
         graft.Meta.Versioned.readCommitted(spark, root, "customer", Some(1L)),
         feed, keys = Seq("c_custkey"))
+    },
+
+    // ---- L83 incremental materialized-view maintenance: the standing
+    // per-customer (cnt, total) aggregate is folded forward from the
+    // v1→v2 change feed (4-value preimage surface) — the snapshot is
+    // never re-aggregated; cost is |delta| + |groups|, not |table|.
+    // The ORACLE is the direct aggregate of v2, so a hash match IS the
+    // proof that incremental maintenance equals recomputation, cross-
+    // engine and to the last DECIMAL cent. Churn between the fixture
+    // versions covers all three change kinds: %7 rows are missing from
+    // v1 (inserts), %11 rows are missing from v2 (deletes), and %13
+    // rows carry +50 in v1 only (updates whose preimage must be
+    // subtracted).
+    Q(
+      "q100_incremental_agg",
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 11 <> 0
+        |GROUP BY o_custkey""".stripMargin) { (spark, dir) =>
+      val root = graft.Tmp.dir("graft-q100").toString
+      val o = Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val v1 = o.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 50)
+            .otherwise(col("o_totalprice")))
+      val v2 = o.filter(col("o_orderkey") % 11 =!= 0)
+      graft.Meta.Versioned.publishAll(root, Seq("orders" -> v1.repartition(4)))
+      graft.Meta.Versioned.publishAll(root, Seq("orders" -> v2.repartition(4)))
+      val feed = graft.Meta.Versioned.changes(spark, root, "orders",
+        fromCommit = 1L, toCommit = 2L, keys = Seq("o_orderkey"),
+        preimages = true)
+      val seed = Incremental.aggSumCount(
+        graft.Meta.Versioned.readCommitted(spark, root, "orders", Some(1L)),
+        Seq("o_custkey"), "o_totalprice")
+      Incremental.maintainSumCount(seed, feed, Seq("o_custkey"), "o_totalprice")
+        .select(col("o_custkey"), col("cnt"), col("total").cast("double"))
     })
 }
