@@ -77,6 +77,9 @@ object Sessions {
     ext.injectFunction((FunctionIdentifier("graft_kll_quantile"),
       info("graft_kll_quantile", classOf[KllQuantile]),
       (e: Seq[Expression]) => KllQuantile(e.head, e(1))))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains", classOf[BloomContains]),
+      (e: Seq[Expression]) => BloomContains(e.head, e(1))))
     ext.injectFunction((FunctionIdentifier("graft_cm_sketch"),
       info("graft_cm_sketch", classOf[CmSketch]),
       (e: Seq[Expression]) => CmSketch(e.head,

@@ -253,6 +253,47 @@ object Dedup {
         round(col("n_overlap").cast("double") / col("n_shingles"), 6))
   }
 
+  /** [[contamination]] with a Bloom prefilter — the scale path when the
+    * benchmark shingle set is LARGE (a full eval-suite union at 1e8–1e9
+    * n-grams): a broadcast-join hash relation of that set costs
+    * ~150+ bits/element of executor memory and a hash-table probe per
+    * corpus shingle; the Bloom costs `bitsPerItem` (default 10, FP
+    * ≈ 0.8%) and its probe runs as k bit-tests INSIDE the scan's
+    * generated code, so the overwhelmingly-negative corpus majority
+    * dies before a single join-input row materializes (the explicit
+    * form of Spark's InjectRuntimeFilter). Bloom FPs are then removed
+    * by the exact confirm join — which now sees only the ~0.8% + true
+    * survivors — so the output is IDENTICAL to [[contamination]], and
+    * q101's oracle (the same exact SQL as q89's) proves it.
+    *
+    * `n_shingles` still counts each doc's FULL distinct-shingle set:
+    * the count is captured per row before the prefilter drops
+    * non-candidate shingle rows, so the contamination ratio's
+    * denominator is unaffected by the pruning. */
+  def contaminationBloom(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, bitsPerItem: Int = 10): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, lit}
+    def hashes(df: DataFrame): DataFrame =
+      withShingleHashes(df.select(col(idCol), col(textCol)), textCol, shingleN)
+        .where(size(col("hv")) > 0)
+        .select(col(idCol), size(col("hv")).cast("long").as("n_shingles"),
+          explode(col("hv")).as("h"))
+    val benchHashes = hashes(bench).select("h").distinct()
+    // the bench set comes to the driver ONCE to become bits — the same
+    // locality a broadcast build side needs, at a fraction of the bytes
+    val benchSet: Array[Long] = benchHashes
+      .collect().map(_.getLong(0))
+    val bloom = graft.functions.Bloom.build(
+      benchSet.iterator, benchSet.length.toLong, bitsPerItem)
+    hashes(corpus)
+      .where(call_function("graft_bloom_contains", lit(bloom), col("h")))
+      .join(broadcast(benchHashes), "h")
+      .groupBy(col(idCol), col("n_shingles"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .withColumn("contamination",
+        round(col("n_overlap").cast("double") / col("n_shingles"), 6))
+  }
+
   /** Cross-document boilerplate signal: for every document, the count
     * and fraction of its distinct n-gram shingles that occur in at least
     * `minDf` documents corpus-wide (the RefinedWeb "duplicated n-gram

@@ -60,6 +60,41 @@ object GovernanceQueries {
           "doc_id", "text", shingleN = 3)
     },
 
+    // ---- L82 Bloom-prefiltered decontamination: same contract as q89
+    // (the oracle SQL is the SAME exact query — the Bloom is pure
+    // pruning), but the benchmark set rides as ~10 bits/element of
+    // filter instead of a broadcast-join hash relation, and the probe
+    // runs inside the scan's generated code so non-candidate corpus
+    // shingles die before the join sees a row. The confirm join removes
+    // the Bloom's false positives; a hash-match against q89's oracle is
+    // the proof that the prefilter dropped nothing it shouldn't.
+    Q(
+      "q101_bloom_decontamination",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) < 3 THEN []
+        |    ELSE list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END AS s
+        |  FROM toks),
+        |ex AS (SELECT doc_id, unnest(s) AS x FROM sh WHERE len(s) > 0),
+        |pairs AS (SELECT DISTINCT doc_id,
+        |  CAST(concat('0x', substr(md5(x),1,8)) AS BIGINT) % 2147483647 AS h FROM ex),
+        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM pairs GROUP BY doc_id),
+        |bench AS (SELECT DISTINCT h FROM pairs WHERE doc_id % 97 = 0),
+        |corpus AS (SELECT * FROM pairs WHERE doc_id % 97 <> 0)
+        |SELECT c.doc_id, n.n_shingles, CAST(count(*) AS BIGINT) AS n_overlap,
+        |  round(CAST(count(*) AS DOUBLE) / n.n_shingles, 6) AS contamination
+        |FROM corpus c JOIN bench USING (h) JOIN n ON n.doc_id = c.doc_id
+        |GROUP BY c.doc_id, n.n_shingles""".stripMargin) {
+      (spark, dir) =>
+        val docs = Tables.documents(spark, dir)
+        Dedup.contaminationBloom(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", shingleN = 3)
+    },
+
     // ---- PII redaction: rule-driven regex scrub (Privacy.scan) over a
     // contact-note column synthesized from fixture columns (the fixture
     // text has no PII shapes; the note is derived from customer alone,

@@ -239,6 +239,23 @@ class PlansSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled on shingle key:\n$p")
   }
 
+  test("q101 bloom decontamination: the probe filters BENEATH the confirm " +
+      "join, and the corpus is still never shuffle-joined") {
+    val df = SparkEntry.queries("q101_bloom_decontamination")(spark, sfDir())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(p.contains("graft_bloom_contains"),
+      s"bloom prefilter missing from the executed plan:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"confirm join shape regressed:\n$p")
+    // the probe must sit in a Filter below the join, not above it —
+    // prefilters that run after the join prune nothing
+    val joinAt = p.indexOf("BroadcastHashJoin")
+    val probeAt = p.indexOf("graft_bloom_contains")
+    assert(probeAt > joinAt,
+      s"bloom probe printed above the join (runs after it):\n$p")
+  }
+
   test("governance scan passes stay shuffle-free: PII redaction, split " +
       "assignment, chunk explode plan zero exchanges") {
     Seq("q90_pii_redaction", "q91_train_split", "q92_chunking").foreach { q =>

@@ -71,6 +71,32 @@ class GovernanceSpec extends SparkSuite {
     }
   }
 
+  test("Bloom: zero false negatives, FP rate near spec, prefilter changes nothing") {
+    val rnd = new scala.util.Random(7L)
+    val members = Array.fill(20000)(rnd.nextLong())
+    val bloom = graft.functions.Bloom.build(
+      members.iterator, members.length.toLong, bitsPerItem = 10)
+    // one-sided: EVERY member answers true
+    assert(members.forall(h => graft.functions.Bloom.contains(bloom, h)))
+    // non-members answer true at ~0.8%; allow generous slack
+    val fps = Iterator.fill(20000)(rnd.nextLong())
+      .filterNot(members.contains)
+      .count(h => graft.functions.Bloom.contains(bloom, h))
+    assert(fps < 20000 * 0.03, s"fp rate too high: $fps / 20000")
+    // operator equality: bloom-prefiltered contamination == plain
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma zeta eta"),
+      (3L, "theta iota kappa lambda mu"),
+      (97L, "alpha beta gamma delta nu")).toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") =!= 97L)
+    val bench = docs.filter(col("doc_id") === 97L)
+    val plain = Dedup.contamination(corpus, bench, "doc_id", "text", 3)
+    val pre = Dedup.contaminationBloom(corpus, bench, "doc_id", "text", 3)
+    assert(pre.exceptAll(plain).isEmpty && plain.exceptAll(pre).isEmpty)
+    assert(plain.count() > 0) // the fixture actually exercises overlap
+  }
+
   test("assignSplit is deterministic across partitionings") {
     val df = (0L to 999L).toDF("id")
     val a = Sample.assignSplit(df.repartition(1), "id", Seq("t" -> 50), "r")
