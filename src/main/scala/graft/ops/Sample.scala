@@ -65,6 +65,44 @@ object Sample {
     df.withColumn("bucket", gate).withColumn("split", split)
   }
 
+  /** Deterministic per-epoch training-order shuffle + shard layout.
+    * Every epoch needs the corpus in a different random-looking order,
+    * and every worker needs a contiguous slice it can stream
+    * sequentially — but `orderBy(rand())` is neither reproducible nor
+    * resumable. Here the order is a pure hash permutation of the key,
+    * re-keyed by epoch:
+    *
+    *   h = ((key·Mult mod P) + epoch) · Mult  mod P
+    *
+    * (bijective on [0, P) for every epoch — P prime, gcd(Mult, P)=1 —
+    * so no two keys collide and no row is lost or doubled), and the
+    * shard is the RANGE bucket floor(h·shards / P), so concatenating
+    * shard 0..n−1, each in `pos` order, replays exactly the global
+    * h-order: shard files are both the unit of worker parallelism and
+    * a resumable cursor into the epoch's permutation.
+    *
+    * Scale shape: one shuffle on the shard key for the per-shard
+    * `row_number` — the same partitioning the subsequent sharded write
+    * needs (`repartitionByRange` on h), so the sort is not an extra
+    * cost. No global window, no single-partition stage, no RNG state.
+    * Returns the input plus (shard BIGINT, pos BIGINT). */
+  def epochShuffle(df: DataFrame, key: String, epoch: Int,
+      shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shards >= 1 && epoch >= 0, s"bad epochShuffle spec: $epoch/$shards")
+    Seq("shard", "pos").foreach(c =>
+      require(!df.columns.contains(c),
+        s"epochShuffle writes column '$c' but the input already has one"))
+    val h = pmod((pmod(col(key).cast("long") * Mult, lit(P)) + epoch) * Mult, lit(P))
+    // h·shards ≤ 2^31·shards — exact in Double to 2^53, so the floored
+    // quotient is identical on every engine
+    val shard = floor(h * shards / lit(P.toDouble)).cast("long")
+    df.withColumn("shard", shard)
+      .withColumn("pos",
+        row_number().over(
+          Window.partitionBy(col("shard")).orderBy(h, col(key))).cast("long") - 1)
+  }
+
   /** Take the best-scoring rows until a global weight budget is spent
     * ("fill the token budget with the highest-quality documents") —
     * WITHOUT the single-partition global window a naive cumulative sum

@@ -165,6 +165,31 @@ object GovernanceQueries {
           "doc_id", Seq("train" -> 80, "val" -> 90), rest = "test")
     },
 
+    // ---- L84 deterministic epoch shuffle: every training epoch gets a
+    // fresh hash permutation of the corpus (bijective mod-P multiply,
+    // re-keyed by epoch) laid out as range-bucketed shards — shard-major
+    // concatenation replays the exact global order, so the layout is
+    // simultaneously the worker partitioning and a resumable cursor.
+    // One shuffle (the per-shard row_number), no RNG, no global window;
+    // the oracle replays the identical integer arithmetic.
+    Q(
+      "q102_epoch_shuffle",
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ((((doc_id * $Mult) % $P) + 3) * $Mult) % $P AS hh
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(floor(hh * 8 / $P.0) AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY CAST(floor(hh * 8 / $P.0) AS BIGINT)
+         |    ORDER BY hh, doc_id) - 1 AS BIGINT) AS pos
+         |FROM h""".stripMargin) {
+      (spark, dir) =>
+        Sample.epochShuffle(
+          Tables.documents(spark, dir).select("doc_id"),
+          "doc_id", epoch = 3, shards = 8)
+    },
+
     // ---- Context-window chunking: sliding 40-token windows at stride
     // 30 (10-token overlap), final chunk short. One narrow explode per
     // doc — no shuffle; at 100 TB chunking pipelines with the scan and

@@ -40,6 +40,40 @@ class SampleSpec extends SparkSuite {
     assert(run(4, 10000L).size == 200)
   }
 
+  test("epochShuffle: a true permutation, shard-major order == global " +
+      "h-order, epochs decorrelate, partition-count-invariant") {
+    val df = (0L until 1000L).toDF("doc_id")
+    val out = Sample.epochShuffle(df, "doc_id", epoch = 2, shards = 8)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect()
+    // permutation: every row present once, (shard, pos) unique, pos dense
+    assert(out.length == 1000)
+    assert(out.map(r => (r._2, r._3)).distinct.length == 1000)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(0L until rows.length))
+    }
+    // shard-major concatenation replays the global hash order
+    val concat = out.sortBy(r => (r._2, r._3)).map(_._1).toSeq
+    def h(k: Long, e: Long) =
+      ((k * Text.Mult % Text.P) + e) * Text.Mult % Text.P
+    assert(concat == (0L until 1000L).sortBy(k => (h(k, 2), k)))
+    // a different epoch is a different permutation of the same rows
+    val e3 = Sample.epochShuffle(df, "doc_id", epoch = 3, shards = 8)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect()
+      .sortBy(r => (r._2, r._3)).map(_._1).toSeq
+    assert(e3.toSet == concat.toSet && e3 != concat)
+    // determinism across physical partitionings
+    val repart = Sample.epochShuffle(df.repartition(13), "doc_id", 2, 8)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(repart == out.toSet)
+    // output-name collisions are refused
+    intercept[IllegalArgumentException] {
+      Sample.epochShuffle(df.withColumn("pos", lit(1)), "doc_id", 0, 4)
+    }
+  }
+
   test("takeByBudget: empty input yields an empty, correctly-schemed frame") {
     val empty = Seq.empty[(Long, Double, Long)].toDF("id", "score", "w")
     val out = Sample.takeByBudget(empty, "score", "id", "w", 100L)
