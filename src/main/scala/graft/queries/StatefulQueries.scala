@@ -427,5 +427,74 @@ object StatefulQueries {
         .cosineNearDupAgainst(corpus, batch, "vec_id", "embedding",
           threshold = 0.4, nbits = 4, dim = 64)
         .withColumn("cos", round(col("cos"), 6))
+    },
+
+    // ---- L85 STREAMING incremental-view maintenance: the L83 fold run
+    // continuously — each micro-batch of the change feed folds into the
+    // standing (cnt, total) aggregate via foreachBatch, written as a new
+    // snapshot version per batch (the maintenance history is a version
+    // chain, never an in-place overwrite). count/sum form an abelian
+    // group, so ANY batching of the feed — here two deterministic
+    // halves, even splitting an update's pre/post images across
+    // batches — folds to the same final table; the oracle is the direct
+    // aggregate of v2, same contract as q100. Per-batch cost is
+    // |micro-batch| + |groups|; the orders snapshot is never rescanned.
+    Q(
+      "q103_stream_incremental_agg",
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 11 <> 0
+        |GROUP BY o_custkey""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.Streams
+      import graft.ops.Incremental
+      val root = graft.Tmp.dir("graft-q103").toString
+      val aggPath = s"$root/agg"
+      val o = Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val v1 = o.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 50)
+            .otherwise(col("o_totalprice")))
+      val v2 = o.filter(col("o_orderkey") % 11 =!= 0)
+      graft.Meta.Versioned.publishAll(root, Seq("orders" -> v1.repartition(4)))
+      graft.Meta.Versioned.publishAll(root, Seq("orders" -> v2.repartition(4)))
+      // seed: direct aggregate of v1 as snapshot version 1
+      graft.Meta.Versioned.write(
+        Incremental.aggSumCount(v1, Seq("o_custkey"), "o_totalprice"), aggPath)
+      implicit val ctx = spark.sqlContext
+      import spark.implicits._
+      val feedRows = graft.Meta.Versioned.changes(spark, root, "orders",
+        1L, 2L, Seq("o_orderkey"), preimages = true)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("change_type"))
+        .as[(Long, Long, Double, String)]
+        .collect().toSeq
+      val ms = MemoryStream[(Long, Long, Double, String)]
+      val src = ms.toDF()
+        .toDF("o_orderkey", "o_custkey", "o_totalprice", "change_type")
+      Streams.withShufflePartitions(spark, 4) {
+        val q = src.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val standing = graft.Meta.Versioned.read(spark, aggPath)
+            graft.Meta.Versioned.write(
+              Incremental.maintainSumCount(standing, batch,
+                Seq("o_custkey"), "o_totalprice"), aggPath)
+            ()
+          }
+          .outputMode("update")
+          .option("checkpointLocation", s"$root/cp")
+          .start()
+        try {
+          // two deterministic halves — update pre/post images of one key
+          // may land in DIFFERENT batches; the abelian fold absorbs it
+          ms.addData(feedRows.filter(_._1 % 2 == 0))
+          q.processAllAvailable()
+          ms.addData(feedRows.filter(_._1 % 2 != 0))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      graft.Meta.Versioned.read(spark, aggPath)
+        .select(col("o_custkey"), col("cnt"), col("total").cast("double"))
     })
 }
