@@ -128,28 +128,88 @@ object Sample {
     // NULL weight = weightless row (kept if its position fits): coalesce
     // BEFORE summing, or the running sum goes null and drops rows silently
     val wcol = coalesce(col(weightCol).cast("long"), lit(0L))
+    runningWeight(df, Seq(col(scoreCol).desc, col(idCol)), wcol, partitions)._1
+      .filter(col("_cum") <= budget)
+      .drop("_pid", "_cum")
+  }
+
+  /** Distributed inclusive prefix sum of `wcol` in the total order given
+    * by `order` — the two-phase scheme takeByBudget documents (range-
+    * partition + sort; one tiny per-partition-totals aggregate prefixed
+    * on the driver and broadcast back; per-partition window adds the
+    * offset). No single-partition global window at any point. Returns
+    * (input + `_pid` + `_cum` columns, total weight). */
+  private def runningWeight(df: DataFrame, order: Seq[Column], wcol: Column,
+      partitions: Int): (DataFrame, Long) = {
+    import org.apache.spark.sql.expressions.Window
     // materialize the partitioning ONCE: range bounds come from a sample
     // that is re-drawn per execution, so running the offsets job and the
     // final join against two separate executions could assign boundary
     // rows to DIFFERENT pids and apply the wrong offsets. The checkpoint
     // also makes this one scan+shuffle instead of two.
     val ordered = df
-      .repartitionByRange(partitions, col(scoreCol).desc, col(idCol))
+      .repartitionByRange(partitions, order: _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint()
-    val offsets = ordered.groupBy("_pid")
+    val parts = ordered.groupBy("_pid")
       .agg(sum(wcol).as("_w"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = parts
       .scanLeft((Int.MinValue, 0L)) { case ((_, acc), (pid, w)) => (pid, acc + w) }
       .sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }.toSeq
     val offDf = ordered.sparkSession
       .createDataFrame(offsets).toDF("_pid", "_offset")
     val w = Window.partitionBy("_pid")
-      .orderBy(col(scoreCol).desc, col(idCol))
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ordered.join(broadcast(offDf), "_pid")
+    val cum = ordered.join(broadcast(offDf), "_pid")
       .withColumn("_cum", col("_offset") + sum(wcol).over(w))
-      .filter(col("_cum") <= budget)
-      .drop("_pid", "_offset", "_cum")
+      .drop("_offset")
+    (cum, parts.map(_._2).sum)
+  }
+
+  /** Systematic probability-proportional-to-size sampling: lay every
+    * row's weight end-to-end along [0, W] in the deterministic hash
+    * order of `key` (the randomization systematic sampling needs), then
+    * take the rows whose weight interval contains a multiple of W/n —
+    * every row selected with probability (and multiplicity) n·w/W, and
+    * the draw is EXACT INTEGER ARITHMETIC end to end: no RNG, no
+    * floating point, so any engine reproduces the identical sample
+    * (contrast A-ES priority sampling, whose u^(1/w) keys cross-engine
+    * only to libm's last ulp). Rows heavier than W/n are picked with
+    * multiplicity > 1 (`n_picks`), the standard PPS-with-replacement
+    * accounting; Σ n_picks == n exactly.
+    *
+    * Scale shape: one range-partitioned sort + the takeByBudget prefix
+    * machinery (driver-prefixed per-partition totals, broadcast back) —
+    * no global window. Caveat: cum·n must fit a signed 64-bit product
+    * (W·n < 2^63), checked up front. */
+  def systematicPps(df: DataFrame, key: String, weightCol: String,
+      n: Long, partitions: Int = 32): DataFrame = {
+    require(n >= 1, s"sample size must be >= 1, got $n")
+    val wType = df.schema(weightCol).dataType
+    require(Seq("tinyint", "smallint", "int", "bigint").contains(wType.simpleString),
+      s"systematicPps needs an integral weight column, got $weightCol: $wType")
+    Seq("_w", "n_picks").foreach(c =>
+      require(!df.columns.contains(c),
+        s"systematicPps writes column '$c' but the input already has one"))
+    // a negative weight breaks the monotone weight line — fail the job,
+    // never mis-sample
+    val wcol = when(col(weightCol) < 0,
+        raise_error(lit(s"systematicPps: negative weight in $weightCol")))
+      .otherwise(coalesce(col(weightCol).cast("long"), lit(0L)))
+    val h = pmod(col(key).cast("long") * Mult, lit(P))
+    val withW = df.withColumn("_w", wcol)
+    val (cum, total) = runningWeight(withW, Seq(h, col(key)), col("_w"), partitions)
+    if (total == 0L)
+      return cum.drop("_pid", "_cum", "_w").limit(0).withColumn("n_picks", lit(0L))
+    require(n <= Long.MaxValue / total,
+      s"W*n = $total*$n overflows 64-bit systematic grid")
+    cum
+      .withColumn("n_picks",
+        expr(s"(_cum * ${n}L) DIV ${total}L") -
+          expr(s"((_cum - _w) * ${n}L) DIV ${total}L"))
+      .filter(col("n_picks") >= 1)
+      .drop("_pid", "_cum", "_w")
   }
 }

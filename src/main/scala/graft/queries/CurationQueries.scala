@@ -681,6 +681,35 @@ object CurationQueries {
           .select("doc_id", "source", "n_chars")
     },
 
+    // ---- L86 systematic PPS sampling: rows win slots in proportion to
+    // their size (n_chars) by laying weights end-to-end in deterministic
+    // hash order and taking every W/n-th point — EXACT integer
+    // arithmetic, so the oracle replays the identical draw (an A-ES
+    // u^(1/w) key would only match to libm's last ulp). Heavy rows carry
+    // multiplicity; Σ n_picks == n by construction. Distributed via the
+    // takeByBudget prefix machinery — no global window, no RNG.
+    Q(
+      "q104_systematic_pps",
+      s"""WITH w AS (
+         |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         |    (doc_id * $Mult) % $P AS h
+         |  FROM documents),
+         |t AS (SELECT sum(w) AS tw FROM w),
+         |c AS (
+         |  SELECT doc_id, w,
+         |    sum(w) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM w)
+         |SELECT doc_id,
+         |  CAST((cum * 100) // tw - ((cum - w) * 100) // tw AS BIGINT) AS n_picks
+         |FROM c, t
+         |WHERE (cum * 100) // tw - ((cum - w) * 100) // tw >= 1""".stripMargin) {
+      (spark, dir) =>
+        Sample.systematicPps(
+          Tables.documents(spark, dir).select("doc_id", "n_chars"),
+          "doc_id", "n_chars", n = 100L)
+          .select("doc_id", "n_picks")
+    },
+
     // ---- Cross-document boilerplate: fraction of each doc's distinct
     // 3-gram shingles occurring in ≥ 3 docs corpus-wide (RefinedWeb's
     // duplicated-n-gram gate — the corpus-level complement of q82's

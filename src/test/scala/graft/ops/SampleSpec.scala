@@ -74,6 +74,34 @@ class SampleSpec extends SparkSuite {
     }
   }
 
+  test("systematicPps: sum of picks == n exactly, heavy rows carry " +
+      "multiplicity, zero weights never picked, partition-invariant") {
+    val df = (1L to 300L).map { i =>
+      // one dominant row (w=5000 > W/n), a zero-weight row, varied rest
+      val w = if (i == 7L) 5000L else if (i == 8L) 0L else (i % 17) + 1L
+      (i, w)
+    }.toDF("id", "w")
+    val out = Sample.systematicPps(df, "id", "w", n = 50L)
+      .select("id", "n_picks").as[(Long, Long)].collect().toMap
+    assert(out.values.sum == 50L, s"picks must total n: $out")
+    val totalW = 5000L + (1L to 300L).filter(i => i != 7 && i != 8)
+      .map(i => (i % 17) + 1L).sum
+    // the dominant row's multiplicity ~ n*w/W, never less than floor-1
+    assert(out(7L) >= 50L * 5000L / totalW - 1, s"heavy row underpicked: ${out.get(7L)}")
+    assert(!out.contains(8L), "zero-weight row must never be picked")
+    // identical draw at any physical partitioning / partitions arg
+    val re = Sample.systematicPps(df.repartition(13), "id", "w", 50L, partitions = 5)
+      .select("id", "n_picks").as[(Long, Long)].collect().toMap
+    assert(re == out)
+    // negative weights fail the job rather than mis-sample
+    intercept[Exception] {
+      Sample.systematicPps(Seq((1L, -2L)).toDF("id", "w"), "id", "w", 10L).collect()
+    }
+    // empty input: empty result, schema intact
+    val empty = Sample.systematicPps(df.limit(0), "id", "w", 10L)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "w", "n_picks"))
+  }
+
   test("takeByBudget: empty input yields an empty, correctly-schemed frame") {
     val empty = Seq.empty[(Long, Double, Long)].toDF("id", "score", "w")
     val out = Sample.takeByBudget(empty, "score", "id", "w", 100L)
