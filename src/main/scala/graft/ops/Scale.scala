@@ -25,6 +25,41 @@ object Scale {
     *   prefer passing a cheap hash of stable columns. ANY assignment
     *   yields the same join result; the salt only splits shuffle
     *   partitions. */
+  /** Skew profile of a join/agg key — the diagnostic that decides
+    * WHETHER to salt and BY HOW MUCH before a 100 TB shuffle, instead
+    * of discovering the skew from a straggling task. ONE map-combined
+    * shuffle builds the per-key count table (partials are
+    * NDV-sized, never row-sized); everything else derives from it
+    * without touching the input again: totals/NDV from a tiny
+    * re-aggregate, the top-K heavy keys via TakeOrdered (map-side
+    * bounded heap — the full count table never collects anywhere), and
+    * an HLL NDV twin bounds-pinned against the exact NDV so the
+    * scan-only sketch variant is trusted where even one key-shuffle is
+    * too dear. Per heavy key: exact count, share of the table, and the
+    * suggested salt fan-out ceil(cnt·parts/N) — the bucket count that
+    * levels that key back to the average partition (integer
+    * arithmetic, oracle-replayable). */
+  def skewProfile(df: DataFrame, key: String, topK: Int,
+      parts: Int = 32): DataFrame = {
+    require(topK >= 1 && parts >= 1, s"bad skewProfile spec: $topK/$parts")
+    val k = col(key)
+    val keyCounts = df.groupBy(k).agg(count(lit(1)).as("cnt"))
+    val stats = keyCounts.agg(
+      sum(col("cnt")).as("n_total"),
+      count(lit(1)).as("ndv"),
+      call_function("graft_hll_distinct", k.cast("long")).as("hll"))
+    keyCounts
+      .orderBy(col("cnt").desc, k)
+      .limit(topK)
+      .crossJoin(broadcast(stats))
+      .select(k, col("cnt"),
+        round(lit(100.0) * col("cnt") / col("n_total"), 6).as("share_pct"),
+        expr(s"(cnt * ${parts}L + n_total - 1L) DIV n_total").as("salt"),
+        col("ndv"),
+        (abs(col("hll") - col("ndv")).cast("double") <= col("ndv") * lit(0.05))
+          .as("hll_ok"))
+  }
+
   def saltedEquiJoin(large: DataFrame, small: DataFrame, key: String,
       salts: Int, saltBy: Option[Column] = None): DataFrame = {
     val salt = saltBy.getOrElse(pmod(monotonically_increasing_id(), lit(salts.toLong)))

@@ -785,6 +785,31 @@ object AnalyticsQueries {
         feed, keys = Seq("c_custkey"))
     },
 
+    // ---- L87 skew profile: the pre-shuffle diagnostic — exact per-key
+    // counts from ONE map-combined shuffle, top-K heavy keys via
+    // TakeOrdered, share-of-table and the ceil(cnt·parts/N) salt
+    // fan-out each key needs, plus an HLL NDV twin bounds-pinned
+    // against the exact NDV (the scan-only variant for when even one
+    // key shuffle is too dear). All integer/round(6) arithmetic — the
+    // oracle replays the exact profile.
+    Q(
+      "q105_skew_profile",
+      """WITH c AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY o_custkey),
+        |s AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS ndv FROM c)
+        |SELECT o_custkey, cnt,
+        |  round(100.0 * cnt / n, 6) AS share_pct,
+        |  CAST((cnt * 32 + n - 1) // n AS BIGINT) AS salt,
+        |  ndv, TRUE AS hll_ok
+        |FROM c, s ORDER BY cnt DESC, o_custkey LIMIT 10""".stripMargin) {
+      (spark, dir) =>
+        graft.ops.Scale.skewProfile(
+          Tables.orders(spark, dir), "o_custkey", topK = 10, parts = 32)
+    },
+
     // ---- L83 incremental materialized-view maintenance: the standing
     // per-customer (cnt, total) aggregate is folded forward from the
     // v1→v2 change feed (4-value preimage surface) — the snapshot is

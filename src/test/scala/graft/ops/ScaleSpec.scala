@@ -122,6 +122,28 @@ class ScaleSpec extends SparkSuite {
       s"rank bucketing should beat linear on skew: rank=$rnk linear=$lin")
   }
 
+  test("skewProfile: dominant key gets a leveling salt, uniform keys salt 1, " +
+      "HLL twin inside its bound") {
+    import spark.implicits._
+    // key 999 holds half the table; 1000 uniform keys hold the rest
+    val df = ((1 to 10000).map(_ => 999L) ++
+      (1 to 10000).map(i => (i % 1000).toLong)).toDF("k")
+    val out = Scale.skewProfile(df, "k", topK = 5, parts = 32)
+      .collect()
+    assert(out.length == 5)
+    val top = out.head
+    assert(top.getLong(0) == 999L)
+    // 999 appears 10000 (+10 from the uniform tail: 999 % 1000) times
+    assert(top.getLong(1) == 10010L)
+    // its salt levels it back to ~N/parts-sized slices: ceil(cnt*32/N)
+    assert(top.getLong(3) == (10010L * 32 + 20000 - 1) / 20000)
+    assert(top.getLong(3) >= 16L)
+    // the uniform runners-up need no salting
+    out.tail.foreach(r => assert(r.getLong(3) == 1L, s"over-salted: $r"))
+    // exact NDV carried through; HLL twin within its pinned bound
+    assert(out.forall(r => r.getLong(4) == 1000L && r.getBoolean(5)))
+  }
+
   test("compact: merges a many-file layout, preserves every row") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
