@@ -91,6 +91,9 @@ object Sessions {
     ext.injectFunction((FunctionIdentifier("graft_cm_estimate"),
       info("graft_cm_estimate", classOf[CmEstimate]),
       (e: Seq[Expression]) => CmEstimate(e.head, e(1))))
+    ext.injectFunction((FunctionIdentifier("graft_cm_join_size"),
+      info("graft_cm_join_size", classOf[CmJoinSize]),
+      (e: Seq[Expression]) => CmJoinSize(e.head, e(1))))
     ext.injectFunction((FunctionIdentifier("graft_cm_total"),
       info("graft_cm_total", classOf[CmTotal]),
       (e: Seq[Expression]) => CmTotal(e.head)))

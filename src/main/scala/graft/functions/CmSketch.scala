@@ -262,6 +262,49 @@ case class CmEstimate(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_cm_join_size(a, b)` → BIGINT estimated equi-join output size
+  * Σ_k f_a(k)·f_b(k) as the MIN over rows of the counter-grid inner
+  * product (Cormode & Muthukrishnan §4.2, the AGMS-style join-size
+  * estimate). One-sided like the point estimate — collisions only add,
+  * so estimate ≥ true size always, and ≤ true + (e/w)·N_a·N_b with
+  * probability ≥ 1 − e^−d. Lets a planner size an exchange or pick a
+  * broadcast/salt strategy from two table sketches WITHOUT running the
+  * join. Shapes must match (same d×w). */
+case class CmJoinSize(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (BINARY, BINARY), got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_cm_join_size"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val ba = a.asInstanceOf[Array[Byte]]
+    val bb = b.asInstanceOf[Array[Byte]]
+    if (ba.isEmpty || bb.isEmpty) 0L
+    else {
+      val x = Cm.fromBytes(ba)
+      val y = Cm.fromBytes(bb)
+      require(x.d == y.d && x.w == y.w,
+        s"cannot estimate join size across shapes: ${x.d}x${x.w} vs ${y.d}x${y.w}")
+      var best = Long.MaxValue
+      var r = 0
+      while (r < x.d) {
+        var acc = 0L
+        var j = 0
+        while (j < x.w) { acc += x.cells(r * x.w + j) * y.cells(r * x.w + j); j += 1 }
+        if (acc < best) best = acc
+        r += 1
+      }
+      best
+    }
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmJoinSize =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_cm_total(sketch)` → BIGINT rows sketched (the N in the ε·N
   * error bound — lets a query state its own accuracy contract). */
 case class CmTotal(child: Expression)

@@ -810,6 +810,42 @@ object AnalyticsQueries {
           Tables.orders(spark, dir), "o_custkey", topK = 10, parts = 32)
     },
 
+    // ---- L88 join-size estimation from table sketches: |A ⋈ B| =
+    // Σ_k f_a(k)·f_b(k) estimated as the min-over-rows inner product of
+    // two Count–Min grids — the planner sizes the exchange / picks
+    // broadcast-vs-salt WITHOUT running the join (two table scans that
+    // an ingest pipeline has already paid, 2 MB of sketch each). The
+    // estimate is one-sided (collisions only add) and bounded by
+    // (e/w)·N_a·N_b; both contracts ride as oracle booleans next to the
+    // exact join count.
+    Q(
+      "q106_join_size_estimate",
+      """SELECT CAST(count(*) AS BIGINT) AS exact_join_rows,
+        |  TRUE AS lower_ok, TRUE AS upper_ok
+        |FROM orders a
+        |JOIN (SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0) b
+        |  ON a.o_custkey = b.o_custkey""".stripMargin) { (spark, dir) =>
+      val w = 65536
+      val a = Tables.orders(spark, dir)
+        .select(col("o_custkey").cast("string").as("k"))
+      val b = Tables.orders(spark, dir)
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_custkey").cast("string").as("k"))
+      val skA = a.agg(
+        call_function("graft_cm_sketch", col("k"), lit(w), lit(4)).as("ska"))
+      val skB = b.agg(
+        call_function("graft_cm_sketch", col("k"), lit(w), lit(4)).as("skb"))
+      val exact = a.join(b, "k").agg(count(lit(1)).as("exact_join_rows"))
+      val est = call_function("graft_cm_join_size", col("ska"), col("skb"))
+      val bound = ceil(lit(math.E / w) *
+        call_function("graft_cm_total", col("ska")) *
+        call_function("graft_cm_total", col("skb"))).cast("long")
+      exact.crossJoin(broadcast(skA)).crossJoin(broadcast(skB))
+        .select(col("exact_join_rows"),
+          (est >= col("exact_join_rows")).as("lower_ok"),
+          (est <= col("exact_join_rows") + bound).as("upper_ok"))
+    },
+
     // ---- L83 incremental materialized-view maintenance: the standing
     // per-customer (cnt, total) aggregate is folded forward from the
     // v1→v2 change feed (4-value preimage surface) — the snapshot is

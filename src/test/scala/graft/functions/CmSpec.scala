@@ -70,6 +70,26 @@ class CmSpec extends SparkSuite {
     assert(row.getLong(0) == 0L && row.getLong(1) == 0L)
   }
 
+  test("join-size inner product: >= true size, near-exact when sparse, " +
+      "shape-checked") {
+    // A: t_i × i for i in 1..20; B: t_i × (21-i) → true Σ fa·fb known
+    val a = (1 to 20).flatMap(i => Seq.fill(i)(s"t_$i")).toDF("term")
+    val b = (1 to 20).flatMap(i => Seq.fill(21 - i)(s"t_$i")).toDF("term")
+    val trueSize = (1 to 20).map(i => i.toLong * (21 - i)).sum
+    val row = a.agg(call_function("graft_cm_sketch", col("term")).as("ska"))
+      .crossJoin(b.agg(call_function("graft_cm_sketch", col("term")).as("skb")))
+      .select(call_function("graft_cm_join_size", col("ska"), col("skb")))
+      .head()
+    val est = row.getLong(0)
+    // one-sided, and with 20 terms in 4x2048 cells effectively exact
+    assert(est >= trueSize && est <= trueSize + 10, s"est=$est true=$trueSize")
+    val mism = a.agg(
+        call_function("graft_cm_sketch", col("term"), lit(1024), lit(4)).as("ska"))
+      .crossJoin(b.agg(call_function("graft_cm_sketch", col("term")).as("skb")))
+      .select(call_function("graft_cm_join_size", col("ska"), col("skb")))
+    intercept[Exception] { mism.collect() }
+  }
+
   test("differently-shaped sketches refuse to merge") {
     val a = new Cm.Buffer(4, 2048)
     val b = new Cm.Buffer(4, 1024)
