@@ -17,6 +17,38 @@ object Meta {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** Order-independent bucketed content checksum — the anti-entropy
+    * primitive for comparing two 100 TB replicas WITHOUT sorting or
+    * shipping either: each row hashes to a 32-bit value (md5-derived,
+    * [[graft.ops.Text.strHash32]] — any engine reproduces it), rows
+    * bucket by hash mod `buckets`, and each bucket aggregates (count,
+    * Σhash). Sum is commutative, so partitioning, file layout, and row
+    * order cannot change a bucket's checksum; replicas compare B tiny
+    * rows, and only a DIVERGED bucket needs a row-level diff (the
+    * [[Versioned.changes]] feed scoped to that hash range). Σhash runs
+    * in DECIMAL(38,0): ~1e12 rows × 2^32 overflows a long, and the
+    * checksum must be exact, not approximately exact.
+    *
+    * Caveats: columns are checksummed through their STRING casts —
+    * restrict to types whose rendering both engines share (integers,
+    * strings, dates; NOT doubles); NULL renders as a \\u0001 sentinel
+    * distinct from the empty string (concat_ws would silently drop
+    * nulls and alias ("a", NULL) with ("a")). */
+  def tableChecksum(df: DataFrame, cols: Seq[String],
+      buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty && buckets >= 1,
+      s"bad checksum spec: $cols / $buckets")
+    val rendered = cols.map(c =>
+      coalesce(col(c).cast("string"), lit("\u0001")))
+    val h = graft.ops.Text.strHash32(concat_ws("|", rendered: _*))
+    df.select(pmod(h, lit(buckets.toLong)).as("bucket"), h.as("_h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(col("_h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("checksum"))
+  }
+
   /** M1: does a readable table exist at `path`? True iff the directory
     * exists and contains at least one parquet part file at any depth
     * (partitioned tables nest part files under key=value directories;

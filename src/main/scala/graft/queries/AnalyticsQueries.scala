@@ -810,6 +810,59 @@ object AnalyticsQueries {
           Tables.orders(spark, dir), "o_custkey", topK = 10, parts = 32)
     },
 
+    // ---- L89 equi-depth histogram (CBO-grade stats collection): 8
+    // equal-population buckets of n_chars per source via ntile over the
+    // (n_chars, doc_id) total order — the boundary set a cost-based
+    // optimizer stores and the equi-depth twin of q81's z-order rank
+    // path. ntile is pure integer row arithmetic (SQL-standard early-
+    // bucket-ceil split), so the histogram is exact and engine-
+    // identical. One shuffle (the per-source window); no driver stats.
+    Q(
+      "q107_equidepth_histogram",
+      """SELECT source, bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(n_chars) AS BIGINT) AS lo, CAST(max(n_chars) AS BIGINT) AS hi
+        |FROM (
+        |  SELECT source, n_chars,
+        |    ntile(8) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS bucket
+        |  FROM documents)
+        |GROUP BY source, bucket""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(spark, dir)
+        .select(col("source"), col("n_chars"),
+          ntile(8).over(Window.partitionBy("source")
+            .orderBy(col("n_chars"), col("doc_id"))).as("bucket"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n"),
+          min("n_chars").cast("long").as("lo"),
+          max("n_chars").cast("long").as("hi"))
+    },
+
+    // ---- L90 anti-entropy table checksum: order-independent bucketed
+    // (count, Σhash) over md5-derived row hashes — two replicas compare
+    // 64 tiny rows instead of sorting/shipping 100 TB, and only a
+    // diverged bucket needs a row-level diff. Σ runs in DECIMAL(38,0)
+    // (1e12 rows × 2^32 overflows a long); emitted as DOUBLE here
+    // (exact at fixture magnitude). The oracle recomputes the identical
+    // md5 arithmetic, proving the checksum is engine-portable — the
+    // property that makes it an integrity check rather than a hash of
+    // one engine's internals.
+    Q(
+      "q108_table_checksum",
+      """WITH h AS (
+        |  SELECT CAST(concat('0x', substr(md5(concat_ws('|',
+        |      coalesce(CAST(c_custkey AS VARCHAR), chr(1)),
+        |      coalesce(c_name, chr(1)),
+        |      coalesce(c_mktsegment, chr(1)))), 1, 8)) AS BIGINT) AS rh
+        |  FROM customer)
+        |SELECT rh % 64 AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(rh) AS DOUBLE) AS checksum
+        |FROM h GROUP BY rh % 64""".stripMargin) { (spark, dir) =>
+      graft.Meta.tableChecksum(
+        Tables.customer(spark, dir),
+        Seq("c_custkey", "c_name", "c_mktsegment"), buckets = 64)
+        .select(col("bucket"), col("n"), col("checksum").cast("double"))
+    },
+
     // ---- L88 join-size estimation from table sketches: |A ⋈ B| =
     // Σ_k f_a(k)·f_b(k) estimated as the min-over-rows inner product of
     // two Count–Min grids — the planner sizes the exchange / picks

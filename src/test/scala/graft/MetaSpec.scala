@@ -170,6 +170,36 @@ class MetaSpec extends SparkSuite {
     assert(Meta.Versioned.readCommitted(spark, root, "other").count() == 2)
   }
 
+  test("tableChecksum: layout-invariant, and a single-row divergence is " +
+      "localized to exactly one bucket") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1L to 5000L).map(i => (i, s"name_$i", s"seg_${i % 5}"))
+      .toDF("k", "name", "seg")
+    def sums(d: org.apache.spark.sql.DataFrame) =
+      Meta.tableChecksum(d, Seq("k", "name", "seg"), buckets = 32)
+        .select(col("bucket"), col("n"), col("checksum").cast("double"))
+        .as[(Long, Long, Double)].collect()
+        .map { case (b, n, c) => b -> (n, c) }.toMap
+    val base = sums(df)
+    // row order and physical partitioning cannot move the checksum
+    assert(sums(df.repartition(17).orderBy(desc("name"))) == base)
+    // nulls are distinct from empty strings
+    val withNull = df.withColumn("seg",
+      when(col("k") === 1L, lit(null: String)).otherwise(col("seg")))
+    val withEmpty = df.withColumn("seg",
+      when(col("k") === 1L, lit("")).otherwise(col("seg")))
+    assert(sums(withNull) != sums(withEmpty))
+    // corrupt ONE row -> only the buckets holding its old/new hash differ
+    val corrupted = df.withColumn("name",
+      when(col("k") === 2500L, lit("name_2500_CORRUPT")).otherwise(col("name")))
+    val diff = sums(corrupted)
+    val changed = base.keySet.union(diff.keySet)
+      .filter(b => base.get(b) != diff.get(b))
+    assert(changed.nonEmpty && changed.size <= 2,
+      s"divergence must localize to <= 2 buckets, got $changed")
+  }
+
   test("compactTable conflict: a commit landing between the read and the " +
       "claim throws CommitConflictException instead of silently reverting it") {
     import spark.implicits._
