@@ -388,12 +388,21 @@ object Meta {
       * avoid the join entirely but needs a transaction log. */
     def changes(spark: SparkSession, root: String, table: String,
         fromCommit: Long, toCommit: Long, keys: Seq[String],
+        preimages: Boolean = false): DataFrame =
+      snapshotDiff(
+        readCommitted(spark, root, table, Some(fromCommit)),
+        readCommitted(spark, root, table, Some(toCommit)),
+        keys, preimages)
+
+    /** The diff engine beneath [[changes]], usable on ANY two same-
+      * schema frames (staged versions, cross-cluster replicas, a
+      * pre-publish dry run) — the commit chain is just one source of
+      * inputs. */
+    def snapshotDiff(o: DataFrame, n: DataFrame, keys: Seq[String],
         preimages: Boolean = false): DataFrame = {
       import org.apache.spark.sql.functions._
-      val o = readCommitted(spark, root, table, Some(fromCommit))
-      val n = readCommitted(spark, root, table, Some(toCommit))
       require(o.columns.sorted.sameElements(n.columns.sorted),
-        s"schema drift between commits $fromCommit and $toCommit: " +
+        s"schema drift between snapshots: " +
           s"${o.columns.toSeq} vs ${n.columns.toSeq}")
       require(keys.nonEmpty && keys.forall(o.columns.contains),
         s"keys $keys not all present in ${o.columns.toSeq}")

@@ -457,15 +457,16 @@ object StatefulQueries {
           when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 50)
             .otherwise(col("o_totalprice")))
       val v2 = o.filter(col("o_orderkey") % 11 =!= 0)
-      graft.Meta.Versioned.publishAll(root, Seq("orders" -> v1.repartition(4)))
-      graft.Meta.Versioned.publishAll(root, Seq("orders" -> v2.repartition(4)))
-      // seed: direct aggregate of v1 as snapshot version 1
+      // seed: direct aggregate of v1 as snapshot version 1. The feed
+      // diffs the two frames directly (snapshotDiff — q100 covers the
+      // committed-chain path); only the MAINTAINED aggregate needs the
+      // version-chain machinery here.
       graft.Meta.Versioned.write(
         Incremental.aggSumCount(v1, Seq("o_custkey"), "o_totalprice"), aggPath)
       implicit val ctx = spark.sqlContext
       import spark.implicits._
-      val feedRows = graft.Meta.Versioned.changes(spark, root, "orders",
-        1L, 2L, Seq("o_orderkey"), preimages = true)
+      val feedRows = graft.Meta.Versioned
+        .snapshotDiff(v1, v2, Seq("o_orderkey"), preimages = true)
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_totalprice"), col("change_type"))
         .as[(Long, Long, Double, String)]
