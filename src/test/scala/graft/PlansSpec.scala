@@ -256,6 +256,44 @@ class PlansSpec extends SparkSuite {
       s"bloom probe printed above the join (runs after it):\n$p")
   }
 
+  test("round-7 shapes: no single-partition stage in the distributed " +
+      "orders (q102 window, q104 prefix sum, q107 histogram)") {
+    // global singleton AGGREGATES legitimately reduce to one partition;
+    // what must never appear is a single-partition WINDOW/SORT over row
+    // data — the 100 TB non-starter these ops were built to avoid
+    Seq("q102_epoch_shuffle", "q104_systematic_pps",
+        "q107_equidepth_histogram").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir())
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val windowed = p.linesIterator.filter(l => l.contains("Window")).mkString("\n")
+      assert(!windowed.contains("windowspecdefinition()"),
+        s"$q has an unpartitioned window:\n$p")
+      // every Sort in the plan is within-partition (global=false) or
+      // feeds TakeOrdered — never a global single-partition sort
+      assert(!p.contains("Sort [") || !p.contains("global=true") ||
+        p.contains("TakeOrdered"),
+        s"$q sorts globally:\n$p")
+    }
+  }
+
+  test("q105 skew profile: heavy keys via TakeOrdered (bounded heap), the " +
+      "key-count exchange reused, no sort-merge join") {
+    val df = SparkEntry.queries("q105_skew_profile")(spark, sfDir())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K must be a bounded heap, not a global sort:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"profile must not shuffle-join:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"the per-key count exchange should be computed once and reused:\n$p")
+  }
+
+  test("q108 checksum: pure aggregation — no join anywhere") {
+    val p = plan(SparkEntry.queries("q108_table_checksum")(spark, sfDir()))
+    assert(!p.contains("Join"), s"checksum must not join:\n$p")
+  }
+
   test("governance scan passes stay shuffle-free: PII redaction, split " +
       "assignment, chunk explode plan zero exchanges") {
     Seq("q90_pii_redaction", "q91_train_split", "q92_chunking").foreach { q =>
