@@ -91,4 +91,29 @@ class EmptyInputSpec extends SparkSuite {
     assert(empty.agg(call_function("graft_topk", col("v"), col("v"), lit(3)))
       .head().getSeq[Long](0).isEmpty)
   }
+
+  test("round-7 operators on empty input: profile, shuffle, checksum, " +
+      "bloom pass, and the view-maintenance fold") {
+    val noKeys = Seq.empty[(Long, Long)].toDF("k", "w")
+    assert(Scale.skewProfile(noKeys, "k", topK = 5).count() == 0)
+    assert(Sample.epochShuffle(noKeys, "k", epoch = 1, shards = 4).count() == 0)
+    assert(graft.Meta.tableChecksum(noKeys, Seq("k", "w")).count() == 0)
+    // empty BENCHMARK: nothing can be contaminated, degenerate bloom or not
+    assert(Dedup.contaminationBloom(
+      Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      noDocs.select("doc_id", "text"), "doc_id", "text", 3).count() == 0)
+    // empty FEED: the maintained aggregate is exactly the old aggregate
+    val oldAgg = Incremental.aggSumCount(
+      Seq((1L, 2.0), (1L, 3.0), (2L, 4.0)).toDF("g", "v"), Seq("g"), "v")
+    val noFeed = Seq.empty[(Long, Double, String)].toDF("g", "v", "change_type")
+    val kept = Incremental.maintainSumCount(oldAgg, noFeed, Seq("g"), "v")
+    assert(kept.exceptAll(oldAgg).isEmpty && oldAgg.exceptAll(kept).isEmpty)
+    // empty OLD aggregate: the fold bootstraps from inserts alone
+    val noAgg = oldAgg.limit(0)
+    val feed = Seq((7L, 5.0, "insert")).toDF("g", "v", "change_type")
+    val boot = Incremental.maintainSumCount(noAgg, feed, Seq("g"), "v")
+      .select(col("g"), col("cnt"), col("total").cast("double"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(boot == Seq((7L, 1L, 5.0)))
+  }
 }
