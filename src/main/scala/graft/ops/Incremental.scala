@@ -100,4 +100,62 @@ object Incremental {
           .as("total"))
       .select(groupCols.map(col) :+ col("cnt") :+
         col("total").cast(org.apache.spark.sql.types.DecimalType(38, 2)): _*)
+
+  private val S1 = org.apache.spark.sql.types.DecimalType(38, 2)
+  private val S2 = org.apache.spark.sql.types.DecimalType(38, 4)
+  private val V = org.apache.spark.sql.types.DecimalType(20, 2)
+
+  /** [[maintainSumCount]] generalized to the second moment: the
+    * maintained state is (cnt, Σv, Σv²) per group — every downstream
+    * statistic a profile needs (mean, variance, stddev) derives from
+    * the power sums, and power sums are just MORE abelian sums, so the
+    * identical old+delta fold maintains them exactly. DECIMAL
+    * throughout (q74's exact-moments discipline): variance must not
+    * drift across a thousand maintenance cycles. */
+  def maintainMoments(oldAgg: DataFrame, feed: DataFrame,
+      groupCols: Seq[String], valueCol: String): DataFrame = {
+    val adds = Seq("insert", "update_postimage")
+    val drops = Seq("delete", "update_preimage")
+    require(groupCols.nonEmpty, "maintainMoments needs group columns")
+    Seq("cnt", "s1", "s2").foreach(c =>
+      require(oldAgg.columns.contains(c), s"oldAgg lacks aggregate column '$c'"))
+    val sign = when(col("change_type").isin(adds: _*), 1L)
+      .when(col("change_type").isin(drops: _*), -1L)
+    val v = col(valueCol).cast(V)
+    val delta = feed
+      .select(groupCols.map(col) :+ sign.as("_s") :+ v.as("_v"): _*)
+      .withColumn("_s", coalesce(col("_s"),
+        raise_error(lit("maintainMoments: unknown change_type in feed"))))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("_s")).as("_dcnt"),
+        sum(col("_s") * col("_v")).as("_ds1"),
+        sum(col("_s") * col("_v") * col("_v")).as("_ds2"))
+    val o = oldAgg.alias("o")
+    val d = delta.alias("d")
+    val on = groupCols.map(c => col(s"o.$c") <=> col(s"d.$c")).reduce(_ && _)
+    def zero(t: org.apache.spark.sql.types.DecimalType) =
+      lit(java.math.BigDecimal.ZERO).cast(t)
+    o.join(d, on, "full_outer")
+      .select(groupCols.map(c =>
+        when(col("o.cnt").isNotNull, col(s"o.$c"))
+          .otherwise(col(s"d.$c")).as(c)) :+
+        (coalesce(col("o.cnt"), lit(0L)) + coalesce(col("d._dcnt"), lit(0L))).as("cnt") :+
+        (coalesce(col("o.s1"), zero(S1)) + coalesce(col("d._ds1"), zero(S1))).as("s1") :+
+        (coalesce(col("o.s2"), zero(S2)) + coalesce(col("d._ds2"), zero(S2))).as("s2"): _*)
+      .filter(col("cnt") > 0)
+      .select(groupCols.map(col) :+ col("cnt") :+
+        col("s1").cast(S1) :+ col("s2").cast(S2): _*)
+  }
+
+  /** Direct power sums — seed and equivalence oracle for
+    * [[maintainMoments]]. */
+  def aggMoments(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast(V)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sum(v).as("s1"), sum(v * v).as("s2"))
+      .select(groupCols.map(col) :+ col("cnt") :+
+        col("s1").cast(S1) :+ col("s2").cast(S2): _*)
+  }
 }

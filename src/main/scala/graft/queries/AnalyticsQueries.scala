@@ -934,5 +934,47 @@ object AnalyticsQueries {
         Seq("o_custkey"), "o_totalprice")
       Incremental.maintainSumCount(seed, feed, Seq("o_custkey"), "o_totalprice")
         .select(col("o_custkey"), col("cnt"), col("total").cast("double"))
+    },
+
+    // ---- L91 incremental MOMENTS maintenance: the L83 fold extended to
+    // power sums (cnt, Σv, Σv²) — mean and variance of every group stay
+    // maintainable from the same abelian old+delta merge, in exact
+    // DECIMAL so a thousand maintenance cycles cannot drift the
+    // variance. Oracle = direct moments of v2 (q74's derivation
+    // discipline: identical float expression trees over exact power
+    // sums, round 6, variance guarded for singleton groups).
+    Q(
+      "q109_incremental_moments",
+      """WITH s AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))
+        |           * CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS s2
+        |  FROM orders WHERE o_orderkey % 11 <> 0
+        |  GROUP BY o_custkey)
+        |SELECT o_custkey, cnt,
+        |  round(s1 / cnt, 6) AS mean_price,
+        |  CASE WHEN cnt > 1
+        |       THEN round((s2 - s1 * s1 / cnt) / (cnt - 1), 6) END AS var_price
+        |FROM s""".stripMargin) { (spark, dir) =>
+      val o = Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val v1 = o.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 50)
+            .otherwise(col("o_totalprice")))
+      val v2 = o.filter(col("o_orderkey") % 11 =!= 0)
+      val feed = graft.Meta.Versioned
+        .snapshotDiff(v1, v2, Seq("o_orderkey"), preimages = true)
+      val seed = Incremental.aggMoments(v1, Seq("o_custkey"), "o_totalprice")
+      val m = Incremental.maintainMoments(seed, feed,
+        Seq("o_custkey"), "o_totalprice")
+      val s1 = col("s1").cast("double")
+      val s2 = col("s2").cast("double")
+      m.select(col("o_custkey"), col("cnt"),
+        round(s1 / col("cnt"), 6).as("mean_price"),
+        when(col("cnt") > 1,
+          round((s2 - s1 * s1 / col("cnt")) / (col("cnt") - 1), 6))
+          .as("var_price"))
     })
 }

@@ -90,6 +90,13 @@ class IncrementalAggSpec extends SparkSuite {
         direct.exceptAll(maintained).isEmpty,
         s"round $round drifted:\n maintained=${maintained.collect().toSeq}\n " +
           s"direct=${direct.collect().toSeq}")
+      // and the power-sum fold: maintained moments == direct moments
+      val mm = Incremental.maintainMoments(
+        Incremental.aggMoments(v1, Seq("g"), "v"), feed, Seq("g"), "v")
+      val dm = Incremental.aggMoments(v2, Seq("g"), "v")
+      assert(mm.exceptAll(dm).isEmpty && dm.exceptAll(mm).isEmpty,
+        s"round $round moments drifted:\n maintained=${mm.collect().toSeq}\n " +
+          s"direct=${dm.collect().toSeq}")
     }
   }
 }
