@@ -33,14 +33,20 @@ object Meta {
     * restrict to types whose rendering both engines share (integers,
     * strings, dates; NOT doubles); NULL renders as a \\u0001 sentinel
     * distinct from the empty string (concat_ws would silently drop
-    * nulls and alias ("a", NULL) with ("a")). */
+    * nulls and alias ("a", NULL) with ("a")). Each rendering is
+    * LENGTH-PREFIXED ("3:abc") before joining — a bare separator would
+    * alias ("a|b","c") with ("a","b|c") and let genuinely divergent
+    * replicas checksum equal; len:value framing decodes uniquely, so
+    * no cross-column aliasing exists at all. */
   def tableChecksum(df: DataFrame, cols: Seq[String],
       buckets: Int = 64): DataFrame = {
     import org.apache.spark.sql.functions._
     require(cols.nonEmpty && buckets >= 1,
       s"bad checksum spec: $cols / $buckets")
-    val rendered = cols.map(c =>
-      coalesce(col(c).cast("string"), lit("\u0001")))
+    val rendered = cols.map { c =>
+      val s = coalesce(col(c).cast("string"), lit("\u0001"))
+      concat(length(s).cast("string"), lit(":"), s)
+    }
     val h = graft.ops.Text.strHash32(concat_ws("|", rendered: _*))
     df.select(pmod(h, lit(buckets.toLong)).as("bucket"), h.as("_h"))
       .groupBy("bucket")

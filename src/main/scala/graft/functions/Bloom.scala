@@ -28,6 +28,11 @@ object Bloom {
     require(nItems >= 0 && bitsPerItem >= 4 && bitsPerItem <= 24,
       s"bad bloom spec: $nItems items at $bitsPerItem bits")
     val m = math.max(64L, nItems * bitsPerItem)
+    // a JVM byte array caps at ~2^31 — fail with a sizing message, not a
+    // wrapped-negative allocation (2^31 bytes ≈ 1.7e9 items at 10 bits)
+    require(m / 8 + 4 <= Int.MaxValue.toLong,
+      s"bloom of $nItems items x $bitsPerItem bits exceeds a single array; " +
+        "shard the filter or lower bitsPerItem")
     val nBytes = ((m + 7) / 8).toInt
     val k = math.min(15, math.max(1, math.round(bitsPerItem * math.log(2.0)).toInt))
     val out = new Array[Byte](4 + nBytes)

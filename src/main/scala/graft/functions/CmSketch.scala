@@ -120,9 +120,15 @@ object Cm {
   def fromBytes(bytes: Array[Byte]): Buffer = {
     require(bytes.length >= 16, s"malformed CM sketch: ${bytes.length} bytes")
     val bb = ByteBuffer.wrap(bytes)
-    val buf = new Buffer(bb.getInt, bb.getInt)
-    require(bytes.length == 16 + 8 * buf.cells.length,
-      s"malformed CM sketch: ${bytes.length} bytes for ${buf.d}x${buf.w}")
+    val d = bb.getInt
+    val w = bb.getInt
+    // validate the untrusted header BEFORE allocating d·w cells: a
+    // corrupt header must die here with a real message, not overflow
+    // the Int product past the length check (d=w=65536 → d*w == 0) and
+    // crash mid-query, or allocate gigabytes
+    require(d > 0 && w > 0 && bytes.length == 16 + 8L * d * w,
+      s"malformed CM sketch: ${bytes.length} bytes for ${d}x$w")
+    val buf = new Buffer(d, w)
     buf.n = bb.getLong
     var i = 0
     while (i < buf.cells.length) { buf.cells(i) = bb.getLong; i += 1 }
@@ -288,13 +294,23 @@ case class CmJoinSize(left: Expression, right: Expression)
       val y = Cm.fromBytes(bb)
       require(x.d == y.d && x.w == y.w,
         s"cannot estimate join size across shapes: ${x.d}x${x.w} vs ${y.d}x${y.w}")
+      // saturating arithmetic: at ~1e10-row tables a row's inner product
+      // can pass Long.MaxValue (N_a·N_b ~ 1e20) — the planner must read
+      // "huge join", never a wrapped-negative "tiny join" that picks a
+      // catastrophic broadcast
       var best = Long.MaxValue
       var r = 0
       while (r < x.d) {
         var acc = 0L
         var j = 0
-        while (j < x.w) { acc += x.cells(r * x.w + j) * y.cells(r * x.w + j); j += 1 }
-        if (acc < best) best = acc
+        var saturated = false
+        while (j < x.w && !saturated) {
+          try acc = Math.addExact(acc,
+            Math.multiplyExact(x.cells(r * x.w + j), y.cells(r * x.w + j)))
+          catch { case _: ArithmeticException => saturated = true }
+          j += 1
+        }
+        if (!saturated && acc < best) best = acc
         r += 1
       }
       best

@@ -278,11 +278,17 @@ object Dedup {
         .where(size(col("hv")) > 0)
         .select(col(idCol), size(col("hv")).cast("long").as("n_shingles"),
           explode(col("hv")).as("h"))
-    val benchHashes = hashes(bench).select("h").distinct()
     // the bench set comes to the driver ONCE to become bits — the same
-    // locality a broadcast build side needs, at a fraction of the bytes
-    val benchSet: Array[Long] = benchHashes
+    // locality a broadcast build side needs, at a fraction of the bytes.
+    // The confirm join's frame is then REBUILT from the collected array
+    // (localized, one partition): re-referencing the uncached bench
+    // pipeline would re-execute the whole tokenize+shingle+distinct job
+    // a second time for the broadcast build.
+    val benchSet: Array[Long] = hashes(bench).select("h").distinct()
       .collect().map(_.getLong(0))
+    val spark = corpus.sparkSession
+    val benchHashes = spark.createDataset(benchSet.toSeq)(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("h")
     val bloom = graft.functions.Bloom.build(
       benchSet.iterator, benchSet.length.toLong, bitsPerItem)
     hashes(corpus)

@@ -48,15 +48,22 @@ object Incremental {
     * maintained table must be bit-equal to the direct aggregate, not
     * merely close, or drift compounds across maintenance cycles.
     *
-    * `oldAgg` columns: groupCols ++ (cnt: BIGINT, total: DECIMAL(38,2)).
-    * Returns the same shape. Seed an empty aggregate by passing the
-    * direct aggregate of the base version ([[aggSumCount]]). */
+    * `oldAgg` columns: groupCols ++ (cnt: BIGINT, cntv: BIGINT,
+    * total: DECIMAL(38,2)). Returns the same shape. Seed an empty
+    * aggregate by passing the direct aggregate of the base version
+    * ([[aggSumCount]]).
+    *
+    * `cntv` (non-NULL value count) is part of the maintained state
+    * because SQL's sum is NULL over an all-NULL group, not 0 — without
+    * it a fold could not tell "sums to zero" from "no values at all"
+    * and would emit 0.00 where the direct aggregate says NULL, breaking
+    * the exact-equality contract. */
   def maintainSumCount(oldAgg: DataFrame, feed: DataFrame,
       groupCols: Seq[String], valueCol: String): DataFrame = {
     val adds = Seq("insert", "update_postimage")
     val drops = Seq("delete", "update_preimage")
     require(groupCols.nonEmpty, "maintainSumCount needs group columns")
-    Seq("cnt", "total").foreach(c =>
+    Seq("cnt", "cntv", "total").foreach(c =>
       require(oldAgg.columns.contains(c), s"oldAgg lacks aggregate column '$c'"))
     val sign = when(col("change_type").isin(adds: _*), 1L)
       .when(col("change_type").isin(drops: _*), -1L)
@@ -68,7 +75,9 @@ object Incremental {
       .withColumn("_s", coalesce(col("_s"),
         raise_error(lit("maintainSumCount: unknown change_type in feed"))))
       .groupBy(groupCols.map(col): _*)
-      .agg(sum(col("_s")).as("_dcnt"), sum(col("_s") * col("_v")).as("_dtotal"))
+      .agg(sum(col("_s")).as("_dcnt"),
+        sum(col("_s") * when(col("_v").isNotNull, 1L).otherwise(0L)).as("_dcntv"),
+        sum(col("_s") * col("_v")).as("_dtotal"))
     // NULL is a legal group key (groupBy groups it), so the merge join
     // must be null-SAFE — a plain equi-join would split a null-keyed
     // group into two output rows. Side presence is read off cnt/_dcnt
@@ -84,10 +93,12 @@ object Incremental {
         when(col("o.cnt").isNotNull, col(s"o.$c"))
           .otherwise(col(s"d.$c")).as(c)) :+
         (coalesce(col("o.cnt"), lit(0L)) + coalesce(col("d._dcnt"), lit(0L))).as("cnt") :+
+        (coalesce(col("o.cntv"), lit(0L)) + coalesce(col("d._dcntv"), lit(0L))).as("cntv") :+
         (coalesce(col("o.total"), zero) + coalesce(col("d._dtotal"), zero)).as("total"): _*)
       .filter(col("cnt") > 0)
-      .select(groupCols.map(col) :+ col("cnt") :+
-        col("total").cast(org.apache.spark.sql.types.DecimalType(38, 2)): _*)
+      .select(groupCols.map(col) :+ col("cnt") :+ col("cntv") :+
+        when(col("cntv") === 0L, lit(null)).otherwise(col("total"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("total"): _*)
   }
 
   /** The direct (full-scan) form of the maintained aggregate — the seed
@@ -96,9 +107,10 @@ object Incremental {
       valueCol: String): DataFrame =
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"),
+        count(col(valueCol)).as("cntv"),
         sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(38, 2)))
           .as("total"))
-      .select(groupCols.map(col) :+ col("cnt") :+
+      .select(groupCols.map(col) :+ col("cnt") :+ col("cntv") :+
         col("total").cast(org.apache.spark.sql.types.DecimalType(38, 2)): _*)
 
   private val S1 = org.apache.spark.sql.types.DecimalType(38, 2)
@@ -117,7 +129,7 @@ object Incremental {
     val adds = Seq("insert", "update_postimage")
     val drops = Seq("delete", "update_preimage")
     require(groupCols.nonEmpty, "maintainMoments needs group columns")
-    Seq("cnt", "s1", "s2").foreach(c =>
+    Seq("cnt", "cntv", "s1", "s2").foreach(c =>
       require(oldAgg.columns.contains(c), s"oldAgg lacks aggregate column '$c'"))
     val sign = when(col("change_type").isin(adds: _*), 1L)
       .when(col("change_type").isin(drops: _*), -1L)
@@ -128,6 +140,7 @@ object Incremental {
         raise_error(lit("maintainMoments: unknown change_type in feed"))))
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("_s")).as("_dcnt"),
+        sum(col("_s") * when(col("_v").isNotNull, 1L).otherwise(0L)).as("_dcntv"),
         sum(col("_s") * col("_v")).as("_ds1"),
         sum(col("_s") * col("_v") * col("_v")).as("_ds2"))
     val o = oldAgg.alias("o")
@@ -135,16 +148,20 @@ object Incremental {
     val on = groupCols.map(c => col(s"o.$c") <=> col(s"d.$c")).reduce(_ && _)
     def zero(t: org.apache.spark.sql.types.DecimalType) =
       lit(java.math.BigDecimal.ZERO).cast(t)
+    // cntv gates the sums back to SQL NULL semantics, same as
+    // maintainSumCount: an all-NULL-value group sums to NULL, not 0
     o.join(d, on, "full_outer")
       .select(groupCols.map(c =>
         when(col("o.cnt").isNotNull, col(s"o.$c"))
           .otherwise(col(s"d.$c")).as(c)) :+
         (coalesce(col("o.cnt"), lit(0L)) + coalesce(col("d._dcnt"), lit(0L))).as("cnt") :+
+        (coalesce(col("o.cntv"), lit(0L)) + coalesce(col("d._dcntv"), lit(0L))).as("cntv") :+
         (coalesce(col("o.s1"), zero(S1)) + coalesce(col("d._ds1"), zero(S1))).as("s1") :+
         (coalesce(col("o.s2"), zero(S2)) + coalesce(col("d._ds2"), zero(S2))).as("s2"): _*)
       .filter(col("cnt") > 0)
-      .select(groupCols.map(col) :+ col("cnt") :+
-        col("s1").cast(S1) :+ col("s2").cast(S2): _*)
+      .select(groupCols.map(col) :+ col("cnt") :+ col("cntv") :+
+        when(col("cntv") === 0L, lit(null)).otherwise(col("s1")).cast(S1).as("s1") :+
+        when(col("cntv") === 0L, lit(null)).otherwise(col("s2")).cast(S2).as("s2"): _*)
   }
 
   /** Direct power sums — seed and equivalence oracle for
@@ -154,8 +171,9 @@ object Incremental {
     val v = col(valueCol).cast(V)
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"),
+        count(col(valueCol)).as("cntv"),
         sum(v).as("s1"), sum(v * v).as("s2"))
-      .select(groupCols.map(col) :+ col("cnt") :+
+      .select(groupCols.map(col) :+ col("cnt") :+ col("cntv") :+
         col("s1").cast(S1) :+ col("s2").cast(S2): _*)
   }
 }

@@ -75,7 +75,9 @@ object Sample {
     *   h = ((key·Mult mod P) + epoch) · Mult  mod P
     *
     * (bijective on [0, P) for every epoch — P prime, gcd(Mult, P)=1 —
-    * so no two keys collide and no row is lost or doubled), and the
+    * so no two keys collide and no row is lost or doubled; keys ≥ P
+    * alias with key mod P in EVERY epoch — same caveat as [[hashGate]]:
+    * pre-fold wider key domains through a 64-bit hash first), and the
     * shard is the RANGE bucket floor(h·shards / P), so concatenating
     * shard 0..n−1, each in `pos` order, replays exactly the global
     * h-order: shard files are both the unit of worker parallelism and

@@ -44,10 +44,13 @@ object Scale {
     require(topK >= 1 && parts >= 1, s"bad skewProfile spec: $topK/$parts")
     val k = col(key)
     val keyCounts = df.groupBy(k).agg(count(lit(1)).as("cnt"))
+    // xxhash64 first: the HLL aggregate hashes LONGS, and casting a
+    // STRING join key to long would null every row (hll≈0, hll_ok
+    // always false); hashing keeps distinctness for any key type
     val stats = keyCounts.agg(
       sum(col("cnt")).as("n_total"),
       count(lit(1)).as("ndv"),
-      call_function("graft_hll_distinct", k.cast("long")).as("hll"))
+      call_function("graft_hll_distinct", xxhash64(k)).as("hll"))
     keyCounts
       .orderBy(col("cnt").desc, k)
       .limit(topK)

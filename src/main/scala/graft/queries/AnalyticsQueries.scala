@@ -848,12 +848,18 @@ object AnalyticsQueries {
     // one engine's internals.
     Q(
       "q108_table_checksum",
-      """WITH h AS (
+      """WITH r AS (
+        |  SELECT
+        |    coalesce(CAST(c_custkey AS VARCHAR), chr(1)) AS r1,
+        |    coalesce(c_name, chr(1)) AS r2,
+        |    coalesce(c_mktsegment, chr(1)) AS r3
+        |  FROM customer),
+        |h AS (
         |  SELECT CAST(concat('0x', substr(md5(concat_ws('|',
-        |      coalesce(CAST(c_custkey AS VARCHAR), chr(1)),
-        |      coalesce(c_name, chr(1)),
-        |      coalesce(c_mktsegment, chr(1)))), 1, 8)) AS BIGINT) AS rh
-        |  FROM customer)
+        |      concat(CAST(length(r1) AS VARCHAR), ':', r1),
+        |      concat(CAST(length(r2) AS VARCHAR), ':', r2),
+        |      concat(CAST(length(r3) AS VARCHAR), ':', r3))), 1, 8)) AS BIGINT) AS rh
+        |  FROM r)
         |SELECT rh % 64 AS bucket, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(rh) AS DOUBLE) AS checksum
         |FROM h GROUP BY rh % 64""".stripMargin) { (spark, dir) =>

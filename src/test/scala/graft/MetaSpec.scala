@@ -190,6 +190,14 @@ class MetaSpec extends SparkSuite {
     val withEmpty = df.withColumn("seg",
       when(col("k") === 1L, lit("")).otherwise(col("seg")))
     assert(sums(withNull) != sums(withEmpty))
+    // framing: values containing the separator must not alias across
+    // column boundaries — ("a|b","c") vs ("a","b|c") diverge
+    def cks(d: org.apache.spark.sql.DataFrame) =
+      Meta.tableChecksum(d, Seq("x", "y"), 32)
+        .select(col("bucket"), col("checksum").cast("double"))
+        .as[(Long, Double)].collect().toMap
+    assert(cks(Seq(("a|b", "c")).toDF("x", "y")) !=
+      cks(Seq(("a", "b|c")).toDF("x", "y")))
     // corrupt ONE row -> only the buckets holding its old/new hash differ
     val corrupted = df.withColumn("name",
       when(col("k") === 2500L, lit("name_2500_CORRUPT")).otherwise(col("name")))

@@ -90,6 +90,20 @@ class CmSpec extends SparkSuite {
     intercept[Exception] { mism.collect() }
   }
 
+  test("corrupt headers die in fromBytes with a real message, not later") {
+    // d=w=65536 overflows d*w to 0 in Int — the length check must be
+    // done in Long and reject this BEFORE allocating anything
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putInt(65536); bb.putInt(65536); bb.putLong(0L)
+    val ex = intercept[IllegalArgumentException] { Cm.fromBytes(bb.array()) }
+    assert(ex.getMessage.contains("malformed CM sketch"))
+    intercept[IllegalArgumentException] {
+      val neg = java.nio.ByteBuffer.allocate(16)
+      neg.putInt(-4); neg.putInt(2048); neg.putLong(0L)
+      Cm.fromBytes(neg.array())
+    }
+  }
+
   test("differently-shaped sketches refuse to merge") {
     val a = new Cm.Buffer(4, 2048)
     val b = new Cm.Buffer(4, 1024)

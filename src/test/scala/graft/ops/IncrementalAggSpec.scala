@@ -65,9 +65,13 @@ class IncrementalAggSpec extends SparkSuite {
     for (round <- 1 to 3) {
       val root = Files.createTempDirectory(s"ivm-$round").toString
       def rows(n: Int) = (1 to n).map { i =>
-        (i.toLong,
-          if (rnd.nextInt(10) == 0) None else Some(s"g${rnd.nextInt(7)}"),
-          if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(1000) / 4.0))
+        val g = if (rnd.nextInt(10) == 0) None else Some(s"g${rnd.nextInt(7)}")
+        // g0 is the ALL-NULL-value group: its sum must stay SQL NULL
+        // (not 0.00) through every fold — the case a plain coalesce
+        // fold silently corrupts
+        val v = if (g.contains("g0") || rnd.nextInt(10) == 0) None
+          else Some(rnd.nextInt(1000) / 4.0)
+        (i.toLong, g, v)
       }
       val v1r = rows(400)
       // churn: drop ~10%, update ~20% of values, insert fresh keys

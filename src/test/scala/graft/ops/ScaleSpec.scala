@@ -142,6 +142,13 @@ class ScaleSpec extends SparkSuite {
     out.tail.foreach(r => assert(r.getLong(3) == 1L, s"over-salted: $r"))
     // exact NDV carried through; HLL twin within its pinned bound
     assert(out.forall(r => r.getLong(4) == 1000L && r.getBoolean(5)))
+    // STRING keys: the HLL twin must hash the key, not cast-to-long it
+    // into all-NULLs (which would report hll_ok=false on every row)
+    val s = Scale.skewProfile(
+      (1 to 3000).map(i => s"key_${i % 500}").toDF("k"), "k", topK = 3)
+      .collect()
+    assert(s.forall(r => r.getLong(4) == 500L && r.getBoolean(5)),
+      s"string-key HLL twin broken: ${s.toSeq}")
   }
 
   test("compact: merges a many-file layout, preserves every row") {
