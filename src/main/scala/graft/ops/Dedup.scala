@@ -348,4 +348,109 @@ object Dedup {
     hv.unpersist()
     out
   }
+
+  /** EXACT-threshold Jaccard similarity self-join via prefix filtering
+    * (Bayardo et al. 2007 "Scaling Up All Pairs Similarity Search";
+    * Xiao et al. 2008 PPJoin): every pair of docs with shingle-set
+    * Jaccard ≥ t, with NO false negatives — the exact complement to the
+    * probabilistic MinHash/SimHash candidate generators.
+    *
+    * Prefix-filter lemma: order every set by one global canonical order
+    * (here: ascending document frequency — rarest first — then hash);
+    * J(A,B) ≥ t forces |A∩B| ≥ ⌈t·|A|⌉ and ≥ ⌈t·|B|⌉, so the pair must
+    * share an element inside each side's first |S| − ⌈t·|S|⌉ + 1
+    * elements. Candidates = docs sharing a PREFIX element; with the
+    * rarest-first order each prefix hash is carried by few docs, so the
+    * candidate join is bucket-shaped (like LSH bands) rather than
+    * quadratic — there is no all-pairs stage at any corpus size.
+    *
+    * Plan: one shuffle for document frequencies, one explode+self-join
+    * on prefix hash, verify on bucket collisions only via the sorted
+    * two-pointer intersect kernel. The signature cache is released
+    * after the (near-dup-tail-sized) result materializes, matching the
+    * Dedup release contract. Integer prefix arithmetic
+    * (⌈t·s⌉ = (num·s + den − 1) div den) keeps the cut engine-exact. */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"bad threshold $tNum/$tDen")
+    val hv = withShingleHashes(df.select(col(idCol), col(textCol)), textCol, shingleN)
+      .filter(size(col("hv")) > 0)
+      .select(col(idCol), col("hv"))
+      .cache()
+    // global canonical order: (df asc, hash asc); df via one explode+agg
+    val dfreq = hv.select(explode(col("hv")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("hdf"))
+    // per-doc prefix of length s − ⌈t·s⌉ + 1 in that order
+    val prefixLen = (size(col("hv"))
+      - expr(s"(($tNum * size(hv)) + ${tDen - 1}) DIV $tDen") + 1).cast("int")
+    val prefixes = hv.select(col(idCol), explode(col("hv")).as("h"), prefixLen.as("plen"))
+      .join(dfreq, "h")
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("hdf"), col("h"))))
+      .filter(col("_rk") <= col("plen"))
+      .select(col(idCol), col("h"))
+    val cand = prefixes.select(col(idCol).as("id_a"), col("h"))
+      .join(prefixes.select(col(idCol).as("id_b"), col("h")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val threshold = tNum.toDouble / tDen
+    val out = jaccardJoin(cand, hv, hv, idCol, "id_a", "id_b", threshold)
+      .localCheckpoint()
+    hv.unpersist()
+    out
+  }
+
+  /** Sub-document duplicated-span REMOVAL (the rewrite counterpart of
+    * [[crossDocShingleStats]]'s signal — Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" removes repeated spans,
+    * not whole documents): any word n-gram occurring in ≥ minDf distinct
+    * documents is boilerplate, every token covered by such an n-gram is
+    * dropped, and the document is re-emitted as the remaining tokens in
+    * order. Returns (id, clean_text, n_tokens, n_removed).
+    *
+    * minDf is a Column so callers can scale the gate with corpus size
+    * (e.g. greatest(5, ⌈N/200⌉) — a fixed count is boilerplate at 500
+    * docs but normal prose at 5M).
+    *
+    * Scale shape: shingle doc-frequency is one map-combined shuffle;
+    * the boilerplate set (df ≥ minDf — tiny by construction) broadcasts
+    * back onto the shingle stream to mark covered token positions; the
+    * rebuild is one aggregate per doc. Per-doc state is bounded by the
+    * doc's own token count — the same bound any rewrite holds. */
+  def stripDupSpans(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, minDf: Column): DataFrame = {
+    val toks = df.select(col(idCol),
+      Text.tokens(col(textCol)).as("t"))
+    // (id, spos, shingle string), spos 1-based start token position
+    val sh = toks.select(col(idCol),
+        posexplode(Text.shingles(col("t"), shingleN)))
+      .select(col(idCol), (col("pos") + 1).as("spos"), col("col").as("s"))
+    val boiler = sh.groupBy("s")
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("s")
+    // covered token positions: every [spos, spos+n−1] of a boilerplate
+    // occurrence, exploded + distinct (bounded by boilerplate volume)
+    val covered = sh.join(broadcast(boiler), "s")
+      .select(col(idCol),
+        explode(sequence(col("spos"), col("spos") + (shingleN - 1))).as("p"))
+      .distinct()
+    // left_anti keeps only uncovered tokens; rebuild per doc in order
+    val keptToks = toks.select(col(idCol), posexplode(col("t")))
+      .select(col(idCol), (col("pos") + 1).as("p"), col("col").as("tok"))
+      .join(covered, Seq(idCol, "p"), "left_anti")
+    val rebuilt = keptToks.groupBy(idCol)
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          e => e("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol), Text.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

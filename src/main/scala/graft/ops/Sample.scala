@@ -170,6 +170,63 @@ object Sample {
     (cum, parts.map(_._2).sum)
   }
 
+  /** Priority sampling (Duffield, Lund & Thorup 2007, "Priority
+    * sampling for estimation of arbitrary subset sums"): each row gets
+    * priority q = w / u with u a per-key uniform in (0, 1], the n rows
+    * of highest priority are kept, and each kept row carries the
+    * estimator weight ŵ = max(w, τ) where τ is the (n+1)-th priority —
+    * E[Σ_{kept ∩ S} ŵ] = Σ_S w for EVERY subset S, with near-optimal
+    * variance among n-row sketches. The sample a 100 TB curation
+    * pipeline keeps when it must answer arbitrary "how many tokens does
+    * slice X hold?" questions later from n rows.
+    *
+    * Unlike A-ES weighted reservoirs (u^(1/w) — libm pow, cross-engine
+    * only to the last ulp), the priority needs ONE IEEE division, so any
+    * engine reproduces the draw bit-for-bit: u = (hash(key)+1) / P from
+    * the shared multiplicative hash — deterministic, re-runnable,
+    * engine-portable (same caveat as [[hashGate]]: keys must be < ~3.4e9
+    * or pre-folded).
+    *
+    * Scale shape: the top-(n+1) select is a bounded-heap TakeOrdered
+    * (map-side k-pruning, no global sort); the τ/rank pass then runs on
+    * that ≤ n+1-row localCheckpoint — the only window in the plan is
+    * over the bounded frame. Returns the n kept rows plus (priority,
+    * est_weight). */
+  def prioritySample(df: DataFrame, key: String, weightCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"sample size must be >= 1, got $n")
+    Seq("priority", "est_weight").foreach(c =>
+      require(!df.columns.contains(c),
+        s"prioritySample writes column '$c' but the input already has one"))
+    val wType = df.schema(weightCol).dataType
+    require(Seq("tinyint", "smallint", "int", "bigint").contains(wType.simpleString),
+      s"prioritySample needs an integral weight column, got $weightCol: $wType")
+    val u = (pmod(col(key).cast("long") * Mult, lit(P)) + 1).cast("double") / P
+    val w = when(col(weightCol) < 0,
+        raise_error(lit(s"prioritySample: negative weight in $weightCol")))
+      .otherwise(coalesce(col(weightCol).cast("long"), lit(0L)))
+    // top n+1 by priority: bounded heap, then everything below is local
+    val top = df
+      .withColumn("priority", w.cast("double") / u)
+      .orderBy(col("priority").desc, col(key))
+      .limit(n + 1)
+      .localCheckpoint()
+    // τ = the (n+1)-th priority; 0 when the input has ≤ n rows (then the
+    // sample is exhaustive and ŵ = w exactly — the estimator is exact)
+    val stats = top.agg(
+      count(lit(1)).as("_cnt"), min(col("priority")).as("_minp"))
+    val ranked = top.withColumn("_rank",
+      row_number().over(Window.orderBy(col("priority").desc, col(key))))
+    ranked
+      .crossJoin(broadcast(stats))
+      .filter(col("_rank") <= n)
+      .withColumn("est_weight",
+        greatest(col(weightCol).cast("double"),
+          when(col("_cnt") === n + 1, col("_minp")).otherwise(lit(0.0))))
+      .drop("_rank", "_cnt", "_minp")
+  }
+
   /** Systematic probability-proportional-to-size sampling: lay every
     * row's weight end-to-end along [0, W] in the deterministic hash
     * order of `key` (the randomization systematic sampling needs), then

@@ -212,4 +212,76 @@ object Similarity {
     b.unpersist()
     out
   }
+
+  /** Distributed Lloyd's k-means over an embedding column — the trainer
+    * for [[topKIvf]]'s coarse quantizer (which documents "swap in k-means
+    * output in production"; this is that output). DETERMINISTIC end to
+    * end: init = the k lowest-id vectors (no RNG seed to disagree on),
+    * every distance is the sequential-fold dot kernel, and centroid
+    * updates sum components as DECIMAL(30,12) — exact and order-free, so
+    * partial-aggregation shape cannot perturb the means. (Scale 12 makes
+    * the decimal cast provably tie-free for float32 inputs: a rounding
+    * tie needs value = odd/(2¹³·5¹²), impossible for a 24-bit mantissa.)
+    *
+    * Scale shape (the MLlib pattern): centroids are k·d doubles living on
+    * the driver between iterations — each iteration plans ONE corpus scan
+    * whose assignment is a pure projection against centroid literals
+    * (argmin over k inline dot products, no crossJoin, no n·k shuffle)
+    * followed by ONE map-combined aggregate of k·d cells. Per-iteration
+    * driver traffic is k·d decimals, independent of corpus size. Empty
+    * clusters keep their previous centroid.
+    *
+    * Returns (assignments (input + `cluster` INT), centroids
+    * Seq[(cluster, components)] after `iters` iterations). */
+  def kmeansLloyd(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): (DataFrame, Seq[(Int, Seq[Double])]) = {
+    require(k >= 1 && iters >= 1, s"bad kmeans spec: k=$k iters=$iters")
+    require(!df.columns.contains("cluster"),
+      "kmeansLloyd writes column 'cluster' but the input already has one")
+    val vecs = df.select(col(idCol), toDouble(col(vecCol)).as("dv"))
+      .withColumn("vn2", dot(col("dv"), col("dv")))
+      .cache()
+    // init: k lowest ids — TakeOrdered bounded heap, k·d doubles collected
+    val init: Seq[(Int, Seq[Double])] = vecs
+      .orderBy(col(idCol)).limit(k)
+      .select(col("dv")).collect()
+      .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](0) }.toSeq
+    require(init.size == k, s"kmeans needs >= $k vectors, got ${init.size}")
+
+    // argmin over k inline distances: d2_c = (vn2 + |c|²) − 2·(dv·c);
+    // ties broken by cluster id via lexicographic struct min
+    def assignExpr(cents: Seq[(Int, Seq[Double])]): Column =
+      array_min(array(cents.map { case (c, cv) =>
+        val cn2 = cv.foldLeft(0.0)((acc, x) => acc + x * x)
+        struct(
+          (col("vn2") + lit(cn2) - lit(2.0) * dot(col("dv"), typedLit(cv))).as("d2"),
+          lit(c).as("c"))
+      }: _*)).getField("c")
+
+    val finalCents = (1 to iters).foldLeft(init) { (cents, _) =>
+      val sums = vecs
+        .select(assignExpr(cents).as("cluster"), posexplode(col("dv")))
+        .groupBy("cluster", "pos")
+        .agg(sum(col("col").cast("decimal(30,12)")).as("sd"),
+          count(lit(1)).as("cnt"))
+        .collect()
+        .groupBy(_.getInt(0))
+      cents.map { case (c, old) =>
+        c -> sums.get(c).fold(old) { rows =>
+          // BigDecimal.doubleValue is the correctly-rounded cast both
+          // engines apply; the division is one IEEE op
+          rows.sortBy(_.getInt(1))
+            .map(r => r.getDecimal(2).doubleValue() / r.getLong(3)).toSeq
+        }
+      }
+    }
+    // training is done (every collect above ran from the cache); release
+    // it NOW so no corpus-sized cache outlives the call — the returned
+    // assignment frame replans one clean uncached scan when evaluated
+    vecs.unpersist()
+    val assigned = df.join(
+      vecs.select(col(idCol), assignExpr(finalCents).cast("int").as("cluster")),
+      idCol)
+    (assigned, finalCents)
+  }
 }

@@ -855,5 +855,181 @@ object CurationQueries {
           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
         .withColumn("recall",
           round(col("n_hit").cast("double") / col("n_exact"), 6))
+    },
+
+    // ---- Corpus-overlap set algebra from KMV sketches (L92): pairwise
+    // Jaccard / union-size estimates between per-source shingle sets,
+    // from one 8 KiB bottom-k sketch per source — the way to answer
+    // "how much do these two 100 TB corpora overlap?" without a
+    // distinct-join of their shingle streams. Union size via the
+    // inclusion-exclusion identity U = (|A|+|B|)/(1+J) (I = J·U). The
+    // exact twin (distinct string shingles, a shingle-keyed join — the
+    // verification harness, not the production path) rides along so the
+    // oracle pins BOTH the exact values and the sketch error bounds as
+    // booleans; everything is deterministic (fixed splitmix64 hash), so
+    // green here is green on every run/partitioning.
+    Q(
+      "q110_corpus_overlap", {
+        s"""WITH toks AS (
+           |  SELECT doc_id, source, $toksSql AS t FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT source, unnest(CASE WHEN len(t) < 3 THEN []
+           |    ELSE list_transform(range(1, len(t)-1),
+           |           i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END) AS s
+           |  FROM toks),
+           |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+           |px AS (
+           |  SELECT a.source AS source_a, b.source AS source_b,
+           |    CAST(count(*) AS BIGINT) AS inter
+           |  FROM sh a JOIN sh b USING (s) WHERE a.source < b.source
+           |  GROUP BY 1, 2)
+           |SELECT source_a, source_b,
+           |  x.n + y.n - inter AS exact_union,
+           |  round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS exact_jaccard,
+           |  TRUE AS jaccard_ok, TRUE AS union_ok
+           |FROM px JOIN sz x ON source_a = x.source JOIN sz y ON source_b = y.source""".stripMargin
+      }) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      // exact twin over shingle STRINGS (one distinct + one shingle-keyed join)
+      val sh = docs.select(col("source"),
+          explode(Text.shingles(Text.tokens(col("text")), 3)).as("s"))
+        .distinct()
+      val sz = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("source").as("source_a"), col("s"))
+        .join(sh.select(col("source").as("source_b"), col("s")), "s")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("inter"))
+      val exact = inter
+        .join(sz.select(col("source").as("source_a"), col("n").as("na")), "source_a")
+        .join(sz.select(col("source").as("source_b"), col("n").as("nb")), "source_b")
+        .select(col("source_a"), col("source_b"),
+          (col("na") + col("nb") - col("inter")).as("exact_union"),
+          (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+            .as("exact_j"))
+      // production path: one KMV sketch per source, pairwise sketch algebra
+      val sk = Dedup.withShingleHashes(docs.select(col("source"), col("text")), "text", 3)
+        .select(col("source"), explode(col("hv")).as("h"))
+        .groupBy("source")
+        .agg(call_function("graft_kmv_sketch", col("h"), lit(1024)).as("sk"))
+        .withColumn("est_n", call_function("graft_kmv_estimate", col("sk")))
+      val pairs = sk.select(col("source").as("source_a"),
+          col("sk").as("sk_a"), col("est_n").as("est_na"))
+        .join(broadcast(sk.select(col("source").as("source_b"),
+          col("sk").as("sk_b"), col("est_n").as("est_nb"))),
+          col("source_a") < col("source_b"))
+        .withColumn("est_j", call_function("graft_kmv_jaccard", col("sk_a"), col("sk_b")))
+        .withColumn("est_union",
+          (col("est_na") + col("est_nb")).cast("double") / (lit(1.0) + col("est_j")))
+      pairs.join(exact, Seq("source_a", "source_b"))
+        .select(col("source_a"), col("source_b"),
+          col("exact_union"),
+          round(col("exact_j"), 6).as("exact_jaccard"),
+          (abs(col("est_j") - col("exact_j")) <= 0.05).as("jaccard_ok"),
+          (abs(col("est_union") - col("exact_union"))
+            <= col("exact_union") * 0.10).as("union_ok"))
+    },
+
+    // ---- Sub-document duplicated-span REMOVAL (L93): word 3-grams in
+    // ≥ max(5, ⌈N/200⌉) distinct docs are boilerplate; covered tokens are
+    // dropped and the doc re-emitted (Lee et al. 2022 span dedup — the
+    // rewrite q93's signal only scores). Oracle replays the rewrite with
+    // string_agg; the corpus-relative gate keeps "boilerplate" meaning
+    // boilerplate at any corpus size.
+    Q(
+      "q111_span_dedup", {
+        s"""WITH nd AS (
+           |  SELECT greatest(5, (count(*) + 199) // 200) AS min_df FROM documents),
+           |toks AS (
+           |  SELECT doc_id, $toksSql AS t FROM documents),
+           |shp AS (
+           |  SELECT doc_id, i AS spos, concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
+           |  FROM toks, unnest(CASE WHEN len(t) < 3 THEN [] ELSE range(1, len(t)-1) END) u(i)),
+           |boiler AS (
+           |  SELECT s FROM shp, nd GROUP BY s, min_df
+           |  HAVING count(DISTINCT doc_id) >= min_df),
+           |covered AS (
+           |  SELECT DISTINCT doc_id, spos + o AS p
+           |  FROM shp JOIN boiler USING (s), unnest([0, 1, 2]) v(o)),
+           |toklist AS (
+           |  SELECT doc_id, i AS p, t[i] AS tok
+           |  FROM toks, unnest(CASE WHEN len(t) = 0 THEN [] ELSE range(1, len(t)+1) END) u(i)),
+           |kept AS (
+           |  SELECT k.doc_id,
+           |    string_agg(k.tok, ' ' ORDER BY k.p) AS clean_text,
+           |    CAST(count(*) AS BIGINT) AS n_kept
+           |  FROM toklist k LEFT JOIN covered c ON k.doc_id = c.doc_id AND k.p = c.p
+           |  WHERE c.doc_id IS NULL GROUP BY 1)
+           |SELECT d.doc_id,
+           |  coalesce(k.clean_text, '') AS clean_text,
+           |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+           |  CAST(len($toksSql) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+           |FROM documents d LEFT JOIN kept k USING (doc_id)""".stripMargin
+      }) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val minDf = math.max(5L, (docs.count() + 199L) / 200L)
+      Dedup.stripDupSpans(docs, "doc_id", "text", shingleN = 3, minDf = lit(minDf))
+    },
+
+    // ---- Priority sampling (L94, Duffield–Lund–Thorup): n-row sample
+    // answering arbitrary subset-sum queries unbiasedly via ŵ = max(w, τ).
+    // One IEEE division per row (no libm), deterministic hash uniform —
+    // the oracle replays the draw bit-for-bit, τ and all.
+    Q(
+      "q112_priority_sample", {
+        s"""WITH pri AS (
+           |  SELECT doc_id, n_chars,
+           |    CAST(n_chars AS DOUBLE) /
+           |      (CAST(((doc_id * $Mult) % $P) + 1 AS DOUBLE) / $P) AS pr
+           |  FROM documents),
+           |ranked AS (
+           |  SELECT doc_id, n_chars, pr,
+           |    row_number() OVER (ORDER BY pr DESC, doc_id) AS rn
+           |  FROM pri),
+           |tau AS (
+           |  SELECT coalesce((SELECT pr FROM ranked WHERE rn = 51), 0.0) AS t)
+           |SELECT doc_id, n_chars,
+           |  round(pr, 6) AS priority,
+           |  round(greatest(CAST(n_chars AS DOUBLE), t), 6) AS est_weight
+           |FROM ranked, tau WHERE rn <= 50""".stripMargin
+      }) { (spark, dir) =>
+      Sample.prioritySample(
+          Tables.documents(spark, dir).select("doc_id", "n_chars"),
+          "doc_id", "n_chars", n = 50)
+        .select(col("doc_id"), col("n_chars"),
+          round(col("priority"), 6).as("priority"),
+          round(col("est_weight"), 6).as("est_weight"))
+    },
+
+    // ---- EXACT-threshold Jaccard similarity self-join via prefix
+    // filtering (L96, AllPairs/PPJoin): every doc pair with shingle-set
+    // Jaccard ≥ 0.8, NO false negatives — the exact complement of the
+    // MinHash/SimHash candidate generators. The oracle brute-forces all
+    // pairs over the SAME mod-P shingle hashes (kernel == md5 pipeline,
+    // pinned in KernelEquivalenceSpec), so a single missed pair fails
+    // the row-count match — the no-false-negative guarantee is what's
+    // being cross-checked.
+    Q(
+      "q114_jaccard_join", {
+        s"""WITH toks AS (
+           |  SELECT doc_id, $toksSql AS t FROM documents),
+           |shs AS (
+           |  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN []
+           |    ELSE list_transform(range(1, len(t)-1),
+           |           i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END) AS s
+           |  FROM toks),
+           |sh AS (SELECT DISTINCT doc_id, ${LlmQueries.strHashSql("s")} AS h FROM shs),
+           |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+           |px AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           |  FROM sh a JOIN sh b USING (h) WHERE a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b,
+           |  round(CAST(inter AS DOUBLE) / (x.n + y.n - inter), 6) AS jaccard
+           |FROM px JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+           |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8""".stripMargin
+      }) { (spark, dir) =>
+      Dedup.prefixJaccardPairs(Tables.documents(spark, dir),
+          "doc_id", "text", shingleN = 3, tNum = 4, tDen = 5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     })
 }
