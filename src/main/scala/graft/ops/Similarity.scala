@@ -250,17 +250,18 @@ object Similarity {
 
     // argmin over k inline distances: d2_c = (vn2 + |c|²) − 2·(dv·c);
     // ties broken by cluster id via lexicographic struct min
-    def assignExpr(cents: Seq[(Int, Seq[Double])]): Column =
+    def assignExpr(cents: Seq[(Int, Seq[Double])], dv: Column, vn2: Column): Column =
       array_min(array(cents.map { case (c, cv) =>
         val cn2 = cv.foldLeft(0.0)((acc, x) => acc + x * x)
         struct(
-          (col("vn2") + lit(cn2) - lit(2.0) * dot(col("dv"), typedLit(cv))).as("d2"),
+          (vn2 + lit(cn2) - lit(2.0) * dot(dv, typedLit(cv))).as("d2"),
           lit(c).as("c"))
       }: _*)).getField("c")
 
     val finalCents = (1 to iters).foldLeft(init) { (cents, _) =>
       val sums = vecs
-        .select(assignExpr(cents).as("cluster"), posexplode(col("dv")))
+        .select(assignExpr(cents, col("dv"), col("vn2")).as("cluster"),
+          posexplode(col("dv")))
         .groupBy("cluster", "pos")
         .agg(sum(col("col").cast("decimal(30,12)")).as("sd"),
           count(lit(1)).as("cnt"))
@@ -277,11 +278,11 @@ object Similarity {
     }
     // training is done (every collect above ran from the cache); release
     // it NOW so no corpus-sized cache outlives the call — the returned
-    // assignment frame replans one clean uncached scan when evaluated
+    // assignment is a pure projection over one clean uncached scan
     vecs.unpersist()
-    val assigned = df.join(
-      vecs.select(col(idCol), assignExpr(finalCents).cast("int").as("cluster")),
-      idCol)
+    val dv = toDouble(col(vecCol))
+    val assigned = df.withColumn("cluster",
+      assignExpr(finalCents, dv, dot(dv, dv)).cast("int"))
     (assigned, finalCents)
   }
 }

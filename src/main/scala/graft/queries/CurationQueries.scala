@@ -1000,6 +1000,71 @@ object CurationQueries {
           round(col("est_weight"), 6).as("est_weight"))
     },
 
+    // ---- Distributed k-means training (L95, Lloyd's algorithm) — the
+    // coarse-quantizer trainer for q36's IVF index (topKIvf documents
+    // "swap in k-means output in production"). Deterministic end to end:
+    // init = k lowest vec_ids, sequential-fold dots, DECIMAL(30,12)
+    // component sums (tie-free for float32 inputs), so the oracle can
+    // replay BOTH Lloyd iterations move for move — a cross-engine-exact
+    // iterative ML training loop. Output: per-cluster membership count
+    // and centroid norm after 2 iterations.
+    Q(
+      "q113_kmeans_train", {
+        def dotSql(a: String, b: String) =
+          LlmQueries.foldSumSql(
+            s"list_transform(range(1, 65), i -> $a[i]*$b[i])", "CAST(0 AS DOUBLE)")
+        def assignSql(name: String, cents: String) =
+          s"""$name AS (
+             |  SELECT vec_id, cluster FROM (
+             |    SELECT vn.vec_id, c.cluster,
+             |      row_number() OVER (PARTITION BY vn.vec_id
+             |        ORDER BY vn.vn2 + ${dotSql("c.cv", "c.cv")}
+             |          - 2.0 * ${dotSql("vn.dv", "c.cv")}, c.cluster) AS rn
+             |    FROM vn, $cents c) x WHERE rn = 1)""".stripMargin
+        def updateSql(sums: String, assign: String, prev: String, next: String) =
+          s"""$sums AS (
+             |  SELECT a.cluster, i,
+             |    CAST(sum(CAST(vn.dv[i] AS DECIMAL(30,12))) AS DOUBLE)
+             |      / count(*) AS m
+             |  FROM $assign a JOIN vn USING (vec_id),
+             |    unnest(range(1, 65)) u(i)
+             |  GROUP BY 1, 2),
+             |$next AS (
+             |  SELECT p.cluster, coalesce(n.cv, p.cv) AS cv
+             |  FROM $prev p LEFT JOIN (
+             |    SELECT cluster, list(m ORDER BY i) AS cv FROM $sums GROUP BY 1) n
+             |  USING (cluster))""".stripMargin
+        s"""WITH v AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+           |  FROM embeddings),
+           |vn AS (SELECT vec_id, dv, ${dotSql("dv", "dv")} AS vn2 FROM v),
+           |c0 AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, dv AS cv
+           |  FROM v ORDER BY vec_id LIMIT 4),
+           |${assignSql("a1", "c0")},
+           |${updateSql("s1", "a1", "c0", "c1")},
+           |${assignSql("a2", "c1")},
+           |${updateSql("s2", "a2", "c1", "c2")},
+           |${assignSql("a3", "c2")},
+           |cnt AS (
+           |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+           |  FROM a3 GROUP BY 1)
+           |SELECT CAST(c2.cluster AS INT) AS cluster,
+           |  coalesce(cnt.n_members, 0) AS n_members,
+           |  round(sqrt(${dotSql("c2.cv", "c2.cv")}), 6) AS cnorm
+           |FROM c2 LEFT JOIN cnt USING (cluster)""".stripMargin
+      }) { (spark, dir) =>
+      import spark.implicits._
+      val (assigned, cents) = Similarity.kmeansLloyd(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", k = 4, iters = 2)
+      val centDf = cents.toDF("cluster", "cv")
+      val counts = assigned.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+      centDf.join(counts, Seq("cluster"), "left")
+        .select(col("cluster"),
+          coalesce(col("n_members"), lit(0L)).as("n_members"),
+          round(sqrt(Similarity.dot(col("cv"), col("cv"))), 6).as("cnorm"))
+    },
+
     // ---- EXACT-threshold Jaccard similarity self-join via prefix
     // filtering (L96, AllPairs/PPJoin): every doc pair with shingle-set
     // Jaccard ≥ 0.8, NO false negatives — the exact complement of the

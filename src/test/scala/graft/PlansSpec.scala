@@ -317,4 +317,55 @@ class PlansSpec extends SparkSuite {
       s"singleton total must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"mixture math shuffled:\n$p")
   }
+
+  test("q112 priority sample: top-(n+1) is a bounded-heap TakeOrdered, " +
+      "never a global row sort") {
+    val df = SparkEntry.queries("q112_priority_sample")(spark, sfDir())
+    df.collect()
+    // the TakeOrdered runs inside the localCheckpoint that feeds the
+    // final (bounded, ≤ n+1-row) ranking frame — probe the op directly
+    val top = Tables.documents(spark, sfDir())
+      .withColumn("priority", col("n_chars").cast("double"))
+      .orderBy(col("priority").desc, col("doc_id")).limit(51)
+    assert(plan(top).contains("TakeOrderedAndProject"),
+      s"top-(n+1) must plan as a bounded heap:\n${plan(top)}")
+    // and the full query never global-sorts row data
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(!(p.contains("Sort [") && p.contains("global=true")),
+      s"q112 sorts globally:\n$p")
+  }
+
+  test("q113 kmeans: assignment is a scan-level projection — no join, no " +
+      "cartesian anywhere in training; the count-centroid join broadcasts") {
+    // training aggregate: one scan → project(argmin literal) → hash agg
+    val (assigned, _) = graft.ops.Similarity.kmeansLloyd(
+      Tables.embeddings(spark, sfDir()), "vec_id", "embedding", k = 4, iters = 1)
+    val pa = plan(assigned.groupBy("cluster").count())
+    assert(!pa.contains("Join"), s"assignment must not join:\n$pa")
+    assert(pa.contains("HashAggregate"), s"expected hash aggregate:\n$pa")
+    val df = SparkEntry.queries("q113_kmeans_train")(spark, sfDir())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"q113 must not shuffle-join or cartesian:\n$p")
+  }
+
+  test("q114 prefix-filter join and q110 sketch algebra: candidate " +
+      "generation is bucket-keyed — no cartesian product anywhere") {
+    Seq("q114_jaccard_join", "q110_corpus_overlap").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir())
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+      assert(!p.contains("CartesianProduct"), s"$q went quadratic:\n$p")
+    }
+  }
+
+  test("q111 span dedup: the boilerplate set joins by broadcast onto the " +
+      "shingle stream") {
+    val df = SparkEntry.queries("q111_span_dedup")(spark, sfDir())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), s"boilerplate set must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q111 went quadratic:\n$p")
+  }
 }

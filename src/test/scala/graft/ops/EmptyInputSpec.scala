@@ -116,4 +116,19 @@ class EmptyInputSpec extends SparkSuite {
       .as[(Long, Long, Double)].collect().toSeq
     assert(boot == Seq((7L, 1L, 5.0)))
   }
+
+  test("round-7b operators on empty input: span strip, prefix join, " +
+      "priority sample; kmeans refuses an under-populated corpus") {
+    assert(Dedup.stripDupSpans(noDocs, "doc_id", "text", 3, lit(5)).isEmpty)
+    assert(Dedup.prefixJaccardPairs(noDocs, "doc_id", "text", 3, 4, 5).isEmpty)
+    val noW = Seq.empty[(Long, Long)].toDF("id", "w")
+    val ps = Sample.prioritySample(noW, "id", "w", n = 10)
+    assert(ps.isEmpty &&
+      ps.columns.toSeq == Seq("id", "w", "priority", "est_weight"))
+    // k-means cannot seed k centroids from an empty frame: loud require,
+    // not a silent degenerate model
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansLloyd(noVecs, "vec_id", "embedding", k = 2, iters = 1)
+    }
+  }
 }

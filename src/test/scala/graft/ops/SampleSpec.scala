@@ -102,6 +102,42 @@ class SampleSpec extends SparkSuite {
     assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "w", "n_picks"))
   }
 
+  test("prioritySample: exact replay of the priority draw, estimator " +
+      "weights max(w, tau), partition-invariant, small inputs exhaustive") {
+    val df = (1L to 300L).map(i => (i, (i % 23) + 1L)).toDF("id", "w")
+    val out = Sample.prioritySample(df, "id", "w", n = 40)
+      .select(col("id"), col("priority"), col("est_weight"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    // scala replay of the exact same arithmetic
+    def pri(id: Long, w: Long): Double =
+      w.toDouble / (((id * Text.Mult % Text.P) + 1).toDouble / Text.P)
+    val all = (1L to 300L).map(i => (i, (i % 23) + 1L))
+      .map { case (id, w) => (id, w, pri(id, w)) }
+      .sortBy { case (id, _, p) => (-p, id) }
+    val tau = all(40)._3
+    val expected = all.take(40)
+      .map { case (id, w, p) => (id, p, math.max(w.toDouble, tau)) }
+      .sortBy(_._1)
+    assert(out.toSeq == expected)
+    // partition invariance
+    val re = Sample.prioritySample(df.repartition(13), "id", "w", 40)
+      .select(col("id"), col("priority"), col("est_weight"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(re.toSeq == expected)
+    // input smaller than n: exhaustive, tau = 0, est_weight == w exactly
+    val small = Sample.prioritySample(df.limit(5), "id", "w", n = 40)
+      .select(col("w").cast("double"), col("est_weight"))
+      .as[(Double, Double)].collect()
+    assert(small.length == 5 && small.forall { case (w, e) => w == e })
+    // refusals: output-column collision, negative weight
+    intercept[IllegalArgumentException] {
+      Sample.prioritySample(df.withColumn("priority", lit(1)), "id", "w", 10)
+    }
+    intercept[Exception] {
+      Sample.prioritySample(Seq((1L, -2L)).toDF("id", "w"), "id", "w", 10).collect()
+    }
+  }
+
   test("takeByBudget: empty input yields an empty, correctly-schemed frame") {
     val empty = Seq.empty[(Long, Double, Long)].toDF("id", "score", "w")
     val out = Sample.takeByBudget(empty, "score", "id", "w", 100L)

@@ -59,6 +59,50 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("kmeansLloyd: separates two planted blobs, deterministic across " +
+      "partitionings, empty clusters carry their centroid forward") {
+    // two tight blobs far apart; ids interleaved so the init (lowest two
+    // ids) seeds one centroid in each blob
+    val pts = (0 until 40).map { i =>
+      val blob = i % 2
+      val base = if (blob == 0) 10.0f else -10.0f
+      (i.toLong, Seq(base + (i % 5) * 0.01f, base - (i % 3) * 0.01f, 0.0f, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val (assigned, cents) = Similarity.kmeansLloyd(pts, "vec_id", "embedding",
+      k = 2, iters = 3)
+    val byCluster = assigned.select("vec_id", "cluster")
+      .as[(Long, Int)].collect().groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    assert(byCluster(0) == (0 until 40 by 2).map(_.toLong).toSet)
+    assert(byCluster(1) == (1 until 40 by 2).map(_.toLong).toSet)
+    // centroid of blob 0 ≈ (10ish, 10ish, 0, 1)
+    val c0 = cents.toMap.apply(0)
+    assert(math.abs(c0(0) - 10.0) < 0.1 && math.abs(c0(3) - 1.0) < 1e-9)
+    // identical training at a different physical partitioning
+    val (_, cents2) = Similarity.kmeansLloyd(pts.repartition(7), "vec_id",
+      "embedding", k = 2, iters = 3)
+    assert(cents2 == cents)
+    // duplicate init vectors: every point ties to cluster 0 (lower id
+    // wins), cluster 1 starves and must carry its init centroid forward
+    val twin = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val (ta, tc) = Similarity.kmeansLloyd(twin, "vec_id", "embedding", k = 2, iters = 1)
+    val tm = tc.toMap
+    assert(tm(1) == Seq(1.0, 0.0), "starved cluster must keep its init centroid")
+    assert(math.abs(tm(0)(1) - 0.1 / 3) < 1e-6) // trained: mean of all three
+    // final assignment under the trained pair splits the twin from the odd one
+    val asg = ta.select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    assert(asg == Map(0L -> 1, 1L -> 1, 2L -> 0))
+    // refusals: k larger than the corpus, column collision
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansLloyd(twin, "vec_id", "embedding", k = 9, iters = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansLloyd(twin.withColumn("cluster", lit(1)),
+        "vec_id", "embedding", k = 2, iters = 1)
+    }
+  }
+
   test("cosineNearDupPairs: finds planted near-identical embedding") {
     val withDup = vecs.unionByName(Seq((9L, Seq(0.99f, 0.05f, 0f, 0f))).toDF("vec_id", "embedding"))
     val pairs = Similarity.cosineNearDupPairs(withDup, "vec_id", "embedding",

@@ -90,4 +90,61 @@ class TextDedupSpec extends SparkSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
     assert(pairs == Seq((1L, 2L))) // doc 3 identical but in another block
   }
+
+  test("prefixJaccardPairs: exactly the brute-force pair set — no false " +
+      "negatives, no extras — at any partitioning") {
+    // 80 mostly-random docs + planted near-dup pairs at varied overlap
+    val docs = (1 to 80).map { i =>
+      val base = (1 to 30).map(j => s"w${i}_$j")
+      val text = i % 4 match {
+        case 0 => base.mkString(" ") // unique
+        case 1 => (1 to 30).map(j => s"w${i - 1}_$j").mkString(" ") // dup of i-1
+        case 2 => ((1 to 27).map(j => s"w${i}_$j") ++ Seq("x", "y", "z")).mkString(" ")
+        case _ => base.mkString(" ")
+      }
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    def bruteForce(tNum: Int, tDen: Int): Set[(Long, Long)] = {
+      val sets = Dedup.withShingleHashes(docs, "text", 3)
+        .select(col("doc_id"), col("hv")).as[(Long, Seq[Long])]
+        .collect().toMap
+      (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a < b
+        inter = sa.toSet.intersect(sb.toSet).size
+        if inter.toDouble / (sa.size + sb.size - inter) >= tNum.toDouble / tDen
+      } yield (a, b)).toSet
+    }
+    for ((tn, td) <- Seq((4, 5), (3, 5), (1, 2))) {
+      val got = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, tn, td)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == bruteForce(tn, td), s"threshold $tn/$td")
+    }
+    val repart = Dedup
+      .prefixJaccardPairs(docs.repartition(7), "doc_id", "text", 3, 4, 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(repart == bruteForce(4, 5))
+  }
+
+  test("stripDupSpans: covered tokens removed, order kept, short and " +
+      "clean docs untouched") {
+    val boiler = "subscribe to our newsletter"
+    val df = Seq(
+      (1L, s"alpha beta $boiler gamma delta"),
+      (2L, s"$boiler epsilon zeta eta theta"),
+      (3L, s"iota kappa lambda $boiler"),
+      (4L, "mu nu xi omicron pi rho"), // clean
+      (5L, "ab cd")) // shorter than the shingle width
+      .toDF("doc_id", "text")
+    val out = Dedup.stripDupSpans(df, "doc_id", "text", 3, lit(3))
+      .select("doc_id", "clean_text", "n_tokens", "n_removed")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "alpha beta gamma delta", 8L, 4L)))
+    assert(out(1) == ((2L, "epsilon zeta eta theta", 8L, 4L)))
+    assert(out(2) == ((3L, "iota kappa lambda", 7L, 4L)))
+    assert(out(3) == ((4L, "mu nu xi omicron pi rho", 6L, 0L)))
+    assert(out(4) == ((5L, "ab cd", 2L, 0L)))
+    // below the df gate nothing is boilerplate
+    val none = Dedup.stripDupSpans(df, "doc_id", "text", 3, lit(4))
+    assert(none.filter(col("n_removed") > 0).isEmpty)
+  }
 }
