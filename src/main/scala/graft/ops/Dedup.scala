@@ -415,9 +415,11 @@ object Dedup {
     *
     * Scale shape: shingle doc-frequency is one map-combined shuffle;
     * the boilerplate set (df ≥ minDf — tiny by construction) broadcasts
-    * back onto the shingle stream to mark covered token positions; the
-    * rebuild is one aggregate per doc. Per-doc state is bounded by the
-    * doc's own token count — the same bound any rewrite holds. */
+    * back onto the shingle stream to mark covered token positions,
+    * which aggregate to ONE SORTED ARRAY PER AFFECTED DOC (rows bounded
+    * by boilerplate volume, not corpus size); the rewrite itself is a
+    * per-row array filter over the re-tokenized doc — the corpus token
+    * stream is never shuffled. */
   def stripDupSpans(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, minDf: Column): DataFrame = {
     val toks = df.select(col(idCol),
@@ -430,27 +432,20 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df") >= minDf)
       .select("s")
-    // covered token positions: every [spos, spos+n−1] of a boilerplate
-    // occurrence, exploded + distinct (bounded by boilerplate volume)
+    // per-AFFECTED-doc covered token positions: every [spos, spos+n−1]
+    // of a boilerplate occurrence, one sorted distinct array per doc
     val covered = sh.join(broadcast(boiler), "s")
       .select(col(idCol),
         explode(sequence(col("spos"), col("spos") + (shingleN - 1))).as("p"))
-      .distinct()
-    // left_anti keeps only uncovered tokens; rebuild per doc in order
-    val keptToks = toks.select(col(idCol), posexplode(col("t")))
-      .select(col(idCol), (col("pos") + 1).as("p"), col("col").as("tok"))
-      .join(covered, Seq(idCol, "p"), "left_anti")
-    val rebuilt = keptToks.groupBy(idCol)
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col("p"), col("tok")))),
-          e => e("tok")), " ").as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    df.select(col(idCol), Text.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-      .join(rebuilt, Seq(idCol), "left")
+      .groupBy(idCol)
+      .agg(array_sort(collect_set(col("p"))).as("cps"))
+    toks.join(covered, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        array_join(
+          filter(col("t"), (_, i) =>
+            col("cps").isNull || !array_contains(col("cps"), i + 1)),
+          " ").as("clean_text"),
+        size(col("t")).cast("long").as("n_tokens"),
+        coalesce(size(col("cps")), lit(0)).cast("long").as("n_removed"))
   }
 }

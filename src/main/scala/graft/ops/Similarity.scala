@@ -128,9 +128,27 @@ object Similarity {
     * against a corpus scan — no shuffle of the corpus beyond the final
     * per-query ranking. */
   def topKIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, centroids: Int, nprobe: Int): DataFrame = {
-    val cent = corpus.filter(col(idCol) < centroids)
-      .select(col(idCol).as("cid"), toDouble(col(vecCol)).as("cv"))
+      vecCol: String, k: Int, centroids: Int, nprobe: Int): DataFrame =
+    topKIvfWith(corpus, queries, idCol, vecCol, k, nprobe,
+      corpus.filter(col(idCol) < centroids)
+        .select(col(idCol).as("cid"), toDouble(col(vecCol)).as("cv")))
+
+  /** [[topKIvf]] with TRAINED centroids (the production wiring its doc
+    * promises): cells come from [[kmeansLloyd]] output instead of the
+    * first-C stand-in. Same plan shape — the centroid set broadcasts,
+    * the corpus is never shuffled for assignment. */
+  def topKIvfTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cents: Seq[(Int, Seq[Double])],
+      nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    topKIvfWith(corpus, queries, idCol, vecCol, k, nprobe,
+      cents.toDF("cid", "cv").select(col("cid").cast("long").as("cid"), col("cv")))
+  }
+
+  private def topKIvfWith(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int, centSet: DataFrame): DataFrame = {
+    val cent = centSet
       .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
     def cells(df: DataFrame, id: String, v: String, nrm: String, keep: Int) = {
       val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cid"))

@@ -19,6 +19,56 @@ object CurationQueries {
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
+  /** 64-dim sequential-fold dot product (DuckDB dialect) — the oracle
+    * twin of the graft_dot_product kernel. */
+  private[queries] def dot64Sql(a: String, b: String) =
+    LlmQueries.foldSumSql(
+      s"list_transform(range(1, 65), i -> $a[i]*$b[i])", "CAST(0 AS DOUBLE)")
+
+  /** Euclidean argmin assignment CTE (kmeans): nearest of `cents` per
+    * vector from the `vn` CTE, ties to the lower cluster id. */
+  private[queries] def kmeansAssignSql(name: String, cents: String) =
+    s"""$name AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT vn.vec_id, c.cluster,
+       |      row_number() OVER (PARTITION BY vn.vec_id
+       |        ORDER BY vn.vn2 + ${dot64Sql("c.cv", "c.cv")}
+       |          - 2.0 * ${dot64Sql("vn.dv", "c.cv")}, c.cluster) AS rn
+       |    FROM vn, $cents c) x WHERE rn = 1)""".stripMargin
+
+  /** Centroid-update CTE pair (kmeans): DECIMAL(30,12) component means
+    * of `assign`'s clusters; empty clusters keep `prev`'s centroid. */
+  private[queries] def kmeansUpdateSql(sums: String, assign: String,
+      prev: String, next: String) =
+    s"""$sums AS (
+       |  SELECT a.cluster, i,
+       |    CAST(sum(CAST(vn.dv[i] AS DECIMAL(30,12))) AS DOUBLE)
+       |      / count(*) AS m
+       |  FROM $assign a JOIN vn USING (vec_id),
+       |    unnest(range(1, 65)) u(i)
+       |  GROUP BY 1, 2),
+       |$next AS (
+       |  SELECT p.cluster, coalesce(n.cv, p.cv) AS cv
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT cluster, list(m ORDER BY i) AS cv FROM $sums GROUP BY 1) n
+       |  USING (cluster))""".stripMargin
+
+  /** The full deterministic 2-iteration k=4 training chain (v, vn, c0 …
+    * c2) shared by q113 (reports the model) and q116 (uses it as the
+    * IVF coarse quantizer). */
+  private[queries] val kmeansCtes: String =
+    s"""v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+       |  FROM embeddings),
+       |vn AS (SELECT vec_id, dv, ${dot64Sql("dv", "dv")} AS vn2 FROM v),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, dv AS cv
+       |  FROM v ORDER BY vec_id LIMIT 4),
+       |${kmeansAssignSql("a1", "c0")},
+       |${kmeansUpdateSql("s1", "a1", "c0", "c1")},
+       |${kmeansAssignSql("a2", "c1")},
+       |${kmeansUpdateSql("s2", "a2", "c1", "c2")}""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- Near-dup clusters: SimHash pairs (the q28 edge list) → minimum
@@ -1010,48 +1060,14 @@ object CurationQueries {
     // and centroid norm after 2 iterations.
     Q(
       "q113_kmeans_train", {
-        def dotSql(a: String, b: String) =
-          LlmQueries.foldSumSql(
-            s"list_transform(range(1, 65), i -> $a[i]*$b[i])", "CAST(0 AS DOUBLE)")
-        def assignSql(name: String, cents: String) =
-          s"""$name AS (
-             |  SELECT vec_id, cluster FROM (
-             |    SELECT vn.vec_id, c.cluster,
-             |      row_number() OVER (PARTITION BY vn.vec_id
-             |        ORDER BY vn.vn2 + ${dotSql("c.cv", "c.cv")}
-             |          - 2.0 * ${dotSql("vn.dv", "c.cv")}, c.cluster) AS rn
-             |    FROM vn, $cents c) x WHERE rn = 1)""".stripMargin
-        def updateSql(sums: String, assign: String, prev: String, next: String) =
-          s"""$sums AS (
-             |  SELECT a.cluster, i,
-             |    CAST(sum(CAST(vn.dv[i] AS DECIMAL(30,12))) AS DOUBLE)
-             |      / count(*) AS m
-             |  FROM $assign a JOIN vn USING (vec_id),
-             |    unnest(range(1, 65)) u(i)
-             |  GROUP BY 1, 2),
-             |$next AS (
-             |  SELECT p.cluster, coalesce(n.cv, p.cv) AS cv
-             |  FROM $prev p LEFT JOIN (
-             |    SELECT cluster, list(m ORDER BY i) AS cv FROM $sums GROUP BY 1) n
-             |  USING (cluster))""".stripMargin
-        s"""WITH v AS (
-           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
-           |  FROM embeddings),
-           |vn AS (SELECT vec_id, dv, ${dotSql("dv", "dv")} AS vn2 FROM v),
-           |c0 AS (
-           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, dv AS cv
-           |  FROM v ORDER BY vec_id LIMIT 4),
-           |${assignSql("a1", "c0")},
-           |${updateSql("s1", "a1", "c0", "c1")},
-           |${assignSql("a2", "c1")},
-           |${updateSql("s2", "a2", "c1", "c2")},
-           |${assignSql("a3", "c2")},
+        s"""WITH $kmeansCtes,
+           |${kmeansAssignSql("a3", "c2")},
            |cnt AS (
            |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
            |  FROM a3 GROUP BY 1)
            |SELECT CAST(c2.cluster AS INT) AS cluster,
            |  coalesce(cnt.n_members, 0) AS n_members,
-           |  round(sqrt(${dotSql("c2.cv", "c2.cv")}), 6) AS cnorm
+           |  round(sqrt(${dot64Sql("c2.cv", "c2.cv")}), 6) AS cnorm
            |FROM c2 LEFT JOIN cnt USING (cluster)""".stripMargin
       }) { (spark, dir) =>
       import spark.implicits._
@@ -1096,5 +1112,72 @@ object CurationQueries {
       Dedup.prefixJaccardPairs(Tables.documents(spark, dir),
           "doc_id", "text", shingleN = 3, tNum = 4, tDen = 5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    },
+
+    // ---- IVF ANN with TRAINED centroids (L98): q113's k-means output
+    // wired in as the coarse quantizer (q36 uses a first-C stand-in and
+    // documents "swap in k-means output in production" — this is that
+    // swap), recall@5 measured against brute force per query. The
+    // oracle replays the ENTIRE chain — training, cell assignment,
+    // probing, scoring, ranking, recall — so the measured recall itself
+    // is cross-engine-checked end to end.
+    Q(
+      "q116_trained_ivf", {
+        def cellSql(name: String, filter: String, keep: Int) =
+          s"""$name AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT vn.vec_id, c.cid,
+             |      row_number() OVER (PARTITION BY vn.vec_id
+             |        ORDER BY ${dot64Sql("vn.dv", "c.cv")}
+             |          / (sqrt(vn.vn2) * c.cn) DESC, c.cid) AS rn
+             |    FROM vn, cc c$filter) x WHERE rn <= $keep)""".stripMargin
+        s"""WITH $kmeansCtes,
+           |cc AS (SELECT cluster AS cid, cv,
+           |  sqrt(${dot64Sql("cv", "cv")}) AS cn FROM c2),
+           |${cellSql("ca", "", 1)},
+           |${cellSql("qa", " WHERE vn.vec_id < 10", 2)},
+           |scored AS (
+           |  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+           |    ${dot64Sql("qv.dv", "nv.dv")} / (sqrt(qv.vn2) * sqrt(nv.vn2)) AS cos
+           |  FROM qa JOIN vn qv ON qa.vec_id = qv.vec_id
+           |    JOIN ca ON qa.cid = ca.cid
+           |    JOIN vn nv ON ca.vec_id = nv.vec_id
+           |  WHERE ca.vec_id <> qa.vec_id),
+           |ak AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM scored) y WHERE rn <= 5),
+           |es AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    ${dot64Sql("q.dv", "c.dv")} / (sqrt(q.vn2) * sqrt(c.vn2)) AS cos
+           |  FROM vn q, vn c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+           |ek AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM es) z WHERE rn <= 5)
+           |SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+           |  CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           |  round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6) AS recall
+           |FROM ek e LEFT JOIN ak a
+           |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+           |GROUP BY e.query_id""".stripMargin
+      }) { (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+      val (_, cents) = Similarity.kmeansLloyd(e, "vec_id", "embedding",
+        k = 4, iters = 2)
+      val qs = e.filter(col("vec_id") < 10)
+      val exact = Similarity.topKBruteForce(e, qs, "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id")
+      val ann = Similarity
+        .topKIvfTrained(e, qs, "vec_id", "embedding", 5, cents, nprobe = 2)
+        .select("query_id", "neighbor_id").withColumn("hit", lit(1L))
+      exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("n_exact"), 6))
     })
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Merge, Sessionize, Similarity, Text}
+import graft.ops.{Dedup, Merge, Sessionize, Similarity, Text}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -497,5 +497,89 @@ object StatefulQueries {
       }
       graft.Meta.Versioned.read(spark, aggPath)
         .select(col("o_custkey"), col("cnt"), col("total").cast("double"))
+    },
+
+    // ---- Streaming SKETCH maintenance (L97): per-micro-batch KMV
+    // sketches of the shingle stream folded into a standing per-source
+    // sketch table through foreachBatch + versioned snapshots — the
+    // sketch twin of q103's sum fold, with a strictly STRONGER delivery
+    // guarantee: bottom-k union is idempotent as well as abelian, so
+    // even at-least-once replay of a whole batch cannot corrupt the
+    // standing sketch (a replayed delta would double q103's sums; here
+    // it is absorbed — pinned in StatefulStreamsSpec). The query replays
+    // one batch deliberately; the streamed estimate must still EQUAL the
+    // one-shot direct sketch bit for bit (bottom-k of a union is
+    // order- and multiplicity-invariant), which the rolled_matches
+    // boolean pins. Oracle: exact per-source NDV + bound booleans.
+    Q(
+      "q115_stream_sketch_maintenance",
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS t
+         |  FROM documents),
+         |shs AS (
+         |  SELECT doc_id, source, unnest(CASE WHEN len(t) < 3 THEN []
+         |    ELSE list_transform(range(1, len(t)-1), i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END) AS s
+         |  FROM toks),
+         |sh AS (SELECT DISTINCT source,
+         |  CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT) % 2147483647 AS h FROM shs)
+         |SELECT source, CAST(count(*) AS BIGINT) AS exact_ndv,
+         |  TRUE AS est_ok, TRUE AS rolled_matches
+         |FROM sh GROUP BY source""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.Streams
+      val root = graft.Tmp.dir("graft-q115").toString
+      val skPath = s"$root/sketches"
+      val docs = Tables.documents(spark, dir).select("doc_id", "source", "text")
+      def sketchOf(df: org.apache.spark.sql.DataFrame) =
+        Dedup.withShingleHashes(df, "text", 3)
+          .select(col("source"), explode(col("hv")).as("h"))
+          .groupBy("source")
+          .agg(call_function("graft_kmv_sketch", col("h"), lit(1024)).as("sk"))
+      // seed: an empty standing table (schema only) as snapshot v1
+      graft.Meta.Versioned.write(sketchOf(docs.limit(0)), skPath)
+      implicit val ctx = spark.sqlContext
+      import spark.implicits._
+      val rows = docs.as[(Long, String, String)].collect().toSeq
+      val ms = MemoryStream[(Long, String, String)]
+      val src = ms.toDF().toDF("doc_id", "source", "text")
+      Streams.withShufflePartitions(spark, 4) {
+        val q = src.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val standing = graft.Meta.Versioned.read(spark, skPath)
+            val merged = standing.unionByName(sketchOf(batch))
+              .groupBy("source")
+              .agg(call_function("graft_kmv_merge", col("sk")).as("sk"))
+            graft.Meta.Versioned.write(merged, skPath)
+            ()
+          }
+          .outputMode("update")
+          .option("checkpointLocation", s"$root/cp")
+          .start()
+        try {
+          val half = rows.filter(_._1 % 2 == 0)
+          ms.addData(half)
+          q.processAllAvailable()
+          // at-least-once: the SAME half replayed — idempotent fold
+          ms.addData(half)
+          q.processAllAvailable()
+          ms.addData(rows.filter(_._1 % 2 != 0))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      val streamed = graft.Meta.Versioned.read(spark, skPath)
+        .select(col("source"),
+          call_function("graft_kmv_estimate", col("sk")).as("est_stream"))
+      val direct = sketchOf(docs)
+        .select(col("source"),
+          call_function("graft_kmv_estimate", col("sk")).as("est_direct"))
+      val exact = Dedup.withShingleHashes(docs, "text", 3)
+        .select(col("source"), explode(col("hv")).as("h"))
+        .groupBy("source")
+        .agg(countDistinct(col("h")).as("exact_ndv"))
+      exact.join(streamed, "source").join(direct, "source")
+        .select(col("source"), col("exact_ndv"),
+          (abs(col("est_stream") - col("exact_ndv"))
+            <= col("exact_ndv") * 0.10).as("est_ok"),
+          (col("est_stream") === col("est_direct")).as("rolled_matches"))
     })
 }

@@ -350,9 +350,9 @@ class PlansSpec extends SparkSuite {
       s"q113 must not shuffle-join or cartesian:\n$p")
   }
 
-  test("q114 prefix-filter join and q110 sketch algebra: candidate " +
-      "generation is bucket-keyed — no cartesian product anywhere") {
-    Seq("q114_jaccard_join", "q110_corpus_overlap").foreach { q =>
+  test("q114 prefix-filter join, q110 sketch algebra, q116 trained IVF: " +
+      "candidate generation is bucket/cell-keyed — no cartesian product") {
+    Seq("q114_jaccard_join", "q110_corpus_overlap", "q116_trained_ivf").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sfDir())
       df.collect()
       val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)

@@ -39,6 +39,24 @@ class KmvSpec extends SparkSuite {
     assert(rolled == one)
   }
 
+  test("merge is IDEMPOTENT: re-merging the same sketch is absorbed — " +
+      "the at-least-once streaming-fold guarantee (q115)") {
+    val df = (1L to 30000L).map(v => v % 9000).toDF("v")
+    val sk = df.agg(call_function("graft_kmv_sketch", col("v")).as("sk"))
+    // once vs the same sketch three times: bit-identical union
+    val once = sk.select(col("sk"))
+    val thrice = once.unionAll(once).unionAll(once)
+    def est(frame: org.apache.spark.sql.DataFrame) = frame
+      .agg(call_function("graft_kmv_merge", col("sk")).as("m"))
+      .select(call_function("graft_kmv_estimate", col("m"))).head().getLong(0)
+    assert(est(thrice) == est(once))
+    val bytesOnce = once
+      .agg(call_function("graft_kmv_merge", col("sk"))).head().getAs[Array[Byte]](0)
+    val bytesThrice = thrice
+      .agg(call_function("graft_kmv_merge", col("sk"))).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(bytesOnce, bytesThrice))
+  }
+
   test("Jaccard between sketches tracks true overlap") {
     // A = [1, 60k], B = [40k+1, 100k] → |∩|=20k, |∪|=100k, J=0.2
     val a = (1L to 60000L).toDF("v")
