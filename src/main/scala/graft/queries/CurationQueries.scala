@@ -940,10 +940,16 @@ object CurationQueries {
            |FROM px JOIN sz x ON source_a = x.source JOIN sz y ON source_b = y.source""".stripMargin
       }) { (spark, dir) =>
       val docs = Tables.documents(spark, dir)
-      // exact twin over shingle STRINGS (one distinct + one shingle-keyed join)
+      // exact twin over shingle STRINGS (one distinct + one shingle-keyed
+      // join). Cached: sz, both join sides, and the final join read it —
+      // uncached, the regex-tokenize pipeline re-ran ~5x and made this
+      // the slowest query in the registry (5.7 s -> the cache is
+      // released after the 190-row result materializes, per the Dedup
+      // lifetime contract)
       val sh = docs.select(col("source"),
           explode(Text.shingles(Text.tokens(col("text")), 3)).as("s"))
         .distinct()
+        .cache()
       val sz = sh.groupBy("source").agg(count(lit(1)).as("n"))
       val inter = sh.select(col("source").as("source_a"), col("s"))
         .join(sh.select(col("source").as("source_b"), col("s")), "s")
@@ -956,12 +962,15 @@ object CurationQueries {
           (col("na") + col("nb") - col("inter")).as("exact_union"),
           (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
             .as("exact_j"))
-      // production path: one KMV sketch per source, pairwise sketch algebra
+      // production path: one KMV sketch per source, pairwise sketch
+      // algebra; the 20-row sketch table materializes eagerly so both
+      // pair sides and the broadcast read it without re-scanning
       val sk = Dedup.withShingleHashes(docs.select(col("source"), col("text")), "text", 3)
         .select(col("source"), explode(col("hv")).as("h"))
         .groupBy("source")
         .agg(call_function("graft_kmv_sketch", col("h"), lit(1024)).as("sk"))
         .withColumn("est_n", call_function("graft_kmv_estimate", col("sk")))
+        .localCheckpoint()
       val pairs = sk.select(col("source").as("source_a"),
           col("sk").as("sk_a"), col("est_n").as("est_na"))
         .join(broadcast(sk.select(col("source").as("source_b"),
@@ -970,13 +979,16 @@ object CurationQueries {
         .withColumn("est_j", call_function("graft_kmv_jaccard", col("sk_a"), col("sk_b")))
         .withColumn("est_union",
           (col("est_na") + col("est_nb")).cast("double") / (lit(1.0) + col("est_j")))
-      pairs.join(exact, Seq("source_a", "source_b"))
+      val out = pairs.join(exact, Seq("source_a", "source_b"))
         .select(col("source_a"), col("source_b"),
           col("exact_union"),
           round(col("exact_j"), 6).as("exact_jaccard"),
           (abs(col("est_j") - col("exact_j")) <= 0.05).as("jaccard_ok"),
           (abs(col("est_union") - col("exact_union"))
             <= col("exact_union") * 0.10).as("union_ok"))
+        .localCheckpoint()
+      sh.unpersist()
+      out
     },
 
     // ---- Sub-document duplicated-span REMOVAL (L93): word 3-grams in

@@ -506,7 +506,8 @@ object StatefulQueries {
     // guarantee: bottom-k union is idempotent as well as abelian, so
     // even at-least-once replay of a whole batch cannot corrupt the
     // standing sketch (a replayed delta would double q103's sums; here
-    // it is absorbed — pinned in StatefulStreamsSpec). The query replays
+    // it is absorbed — byte-level merge idempotence pinned in KmvSpec).
+    // The query replays
     // one batch deliberately; the streamed estimate must still EQUAL the
     // one-shot direct sketch bit for bit (bottom-k of a union is
     // order- and multiplicity-invariant), which the rolled_matches
