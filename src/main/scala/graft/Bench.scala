@@ -132,8 +132,21 @@ object Bench {
     }
     // the report stays compact: only |delta| > 15% (the decision
     // threshold) goes to stdout; the full vector is in bench/last_run.json
-    val regressions = deltas.filter(_._2 > 15.0).sortBy(-_._2)
-    val improved = deltas.filter(_._2 < -15.0).sortBy(_._2)
+    //
+    // Deltas are reported twice: RAW, and NORMALIZED by the run's median
+    // delta. Two same-code runs can sit at a uniform ±25% offset from
+    // each other (different VM instance between rounds, different
+    // registry size / pass count heating the JVM differently), which
+    // floods the raw report with phantom regressions while real per-
+    // query changes drown. A uniform shift moves the median with it, so
+    // dividing it out isolates the per-query signal: rel = (1+δ)/(1+δ̃)−1.
+    val deltaMed =
+      if (deltas.isEmpty) 0.0 else medianOf(deltas.map(_._2))
+    val relDeltas = deltas.map { case (n, d) =>
+      n -> (((1.0 + d / 100) / (1.0 + deltaMed / 100) - 1.0) * 100)
+    }
+    val regressions = relDeltas.filter(_._2 > 15.0).sortBy(-_._2)
+    val improved = relDeltas.filter(_._2 < -15.0).sortBy(_._2)
 
     def jsonMap(vals: Seq[(String, Double)]) =
       vals.map { case (k, v) => s"\"" + k + "\":" + fmt4(v) }.mkString("{", ",", "}")
@@ -157,8 +170,9 @@ object Bench {
       s""""failed":${failed.mkString("[", ",", "]")},""" + (
         if (baseline.isEmpty) s""""baseline":"none (${baselinePath} absent)""""
         else s""""baseline":"$baselinePath","baseline_n":${deltas.size},""" +
-          s""""regressions_min_pct":${jsonMap(regressions)},""" +
-          s""""improved_min_pct":${jsonMap(improved)}""")
+          s""""delta_med_pct":${fmt4(deltaMed)},""" +
+          s""""regressions_rel_pct":${jsonMap(regressions)},""" +
+          s""""improved_rel_pct":${jsonMap(improved)}""")
     val line =
       s"""{"metric":"total","value":${fmt4(total)},"unit":"sec","queries":$qs,""" +
         s""""queries_min":$qsMin,"passes":$passes,"extra_passes":$extra,""" +
@@ -173,7 +187,9 @@ object Bench {
       full ++= s"""{"sf":"$sfDir","passes":$passes,"extra_passes":$extra,"""
       full ++= s""""queries_median":${results.map(r => s"\"${r._1}\":${fmt6(r._2)}").mkString("{", ",", "}")},"""
       full ++= s""""queries_min":${results.map(r => s"\"${r._1}\":${fmt6(r._3)}").mkString("{", ",", "}")},"""
-      full ++= s""""delta_min_pct_vs_baseline":${deltas.map { case (k, v) => s"\"$k\":${fmt4(v)}" }.mkString("{", ",", "}")}}"""
+      full ++= s""""delta_min_pct_vs_baseline":${deltas.map { case (k, v) => s"\"$k\":${fmt4(v)}" }.mkString("{", ",", "}")},"""
+      full ++= s""""delta_med_pct":${fmt4(deltaMed)},"""
+      full ++= s""""delta_rel_pct":${relDeltas.map { case (k, v) => s"\"$k\":${fmt4(v)}" }.mkString("{", ",", "}")}}"""
       java.nio.file.Files.write(dir.resolve("last_run.json"),
         full.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"[bench] file dump failed: $e") }

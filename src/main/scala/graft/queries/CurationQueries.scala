@@ -922,16 +922,17 @@ object CurationQueries {
       "q110_corpus_overlap", {
         s"""WITH toks AS (
            |  SELECT doc_id, source, $toksSql AS t FROM documents),
-           |sh AS (
-           |  SELECT DISTINCT source, unnest(CASE WHEN len(t) < 3 THEN []
+           |shs AS (
+           |  SELECT source, unnest(CASE WHEN len(t) < 3 THEN []
            |    ELSE list_transform(range(1, len(t)-1),
            |           i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END) AS s
            |  FROM toks),
+           |sh AS (SELECT DISTINCT source, ${LlmQueries.strHashSql("s")} AS h FROM shs),
            |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
            |px AS (
            |  SELECT a.source AS source_a, b.source AS source_b,
            |    CAST(count(*) AS BIGINT) AS inter
-           |  FROM sh a JOIN sh b USING (s) WHERE a.source < b.source
+           |  FROM sh a JOIN sh b USING (h) WHERE a.source < b.source
            |  GROUP BY 1, 2)
            |SELECT source_a, source_b,
            |  x.n + y.n - inter AS exact_union,
@@ -940,19 +941,22 @@ object CurationQueries {
            |FROM px JOIN sz x ON source_a = x.source JOIN sz y ON source_b = y.source""".stripMargin
       }) { (spark, dir) =>
       val docs = Tables.documents(spark, dir)
-      // exact twin over shingle STRINGS (one distinct + one shingle-keyed
-      // join). Cached: sz, both join sides, and the final join read it —
-      // uncached, the regex-tokenize pipeline re-ran ~5x and made this
-      // the slowest query in the registry (5.7 s -> the cache is
-      // released after the 190-row result materializes, per the Dedup
-      // lifetime contract)
-      val sh = docs.select(col("source"),
-          explode(Text.shingles(Text.tokens(col("text")), 3)).as("s"))
+      // ONE pipeline feeds everything: the compiled ShingleHashes kernel
+      // (the interpreted Text.shingles string chain cost 4.7 s alone at
+      // sf0.1) → distinct (source, hash) → cached, read by the exact
+      // sizes, both sides of the exact intersection join, AND the KMV
+      // sketch build (bottom-k is set-semantics, so sketching the
+      // distinct frame is identical to sketching the raw stream). The
+      // oracle replays the same md5-prefix mod-P hash, so exact values
+      // match hash for hash. Cache released after the 190-row result
+      // materializes, per the Dedup lifetime contract.
+      val sh = Dedup.withShingleHashes(docs.select(col("source"), col("text")), "text", 3)
+        .select(col("source"), explode(col("hv")).as("h"))
         .distinct()
         .cache()
       val sz = sh.groupBy("source").agg(count(lit(1)).as("n"))
-      val inter = sh.select(col("source").as("source_a"), col("s"))
-        .join(sh.select(col("source").as("source_b"), col("s")), "s")
+      val inter = sh.select(col("source").as("source_a"), col("h"))
+        .join(sh.select(col("source").as("source_b"), col("h")), "h")
         .filter(col("source_a") < col("source_b"))
         .groupBy("source_a", "source_b").agg(count(lit(1)).as("inter"))
       val exact = inter
@@ -965,8 +969,7 @@ object CurationQueries {
       // production path: one KMV sketch per source, pairwise sketch
       // algebra; the 20-row sketch table materializes eagerly so both
       // pair sides and the broadcast read it without re-scanning
-      val sk = Dedup.withShingleHashes(docs.select(col("source"), col("text")), "text", 3)
-        .select(col("source"), explode(col("hv")).as("h"))
+      val sk = sh
         .groupBy("source")
         .agg(call_function("graft_kmv_sketch", col("h"), lit(1024)).as("sk"))
         .withColumn("est_n", call_function("graft_kmv_estimate", col("sk")))
