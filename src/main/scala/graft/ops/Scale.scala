@@ -237,4 +237,57 @@ object Scale {
     fs.delete(dead, true)
     (before, parquetFiles(table))
   }
+
+  /** Result of a stats-pruned scan: the data frame plus the pruning
+    * evidence (how many files the stats admitted vs the layout total). */
+  final case class SkipScan(df: DataFrame, filesKept: Int, filesTotal: Int)
+
+  /** Z-order write + per-FILE min/max column statistics — the Delta-
+    * style data-skipping layout: `root/data/` holds the clustered
+    * parquet, `root/stats/` one tiny row per file with each clustering
+    * column's [min, max]. The z-order makes ranges per file NARROW, so
+    * the stats actually exclude files; stats are computed in one
+    * read-back aggregate grouped by `input_file_name()` (file count
+    * rows — metadata-sized). Numeric columns only, like [[zorderWrite]].
+    * Returns the written file count. */
+  def writeWithStats(df: DataFrame, cols: Seq[String], numFiles: Int,
+      root: String, rankBuckets: Boolean = false): Int = {
+    val n = zorderWrite(df, cols, numFiles, s"$root/data",
+      rankBuckets = rankBuckets)
+    val statCols = cols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"min_$c"),
+      max(col(c)).cast("double").as(s"max_$c")))
+    df.sparkSession.read.parquet(s"$root/data")
+      .groupBy(input_file_name().as("file"))
+      .agg(statCols.head, statCols.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/stats")
+    n
+  }
+
+  /** Stats-pruned scan over a [[writeWithStats]] layout: a file is read
+    * only if EVERY (col, lo, hi) bound intersects its [min, max] — the
+    * reader-side half of data skipping. The file list is resolved from
+    * the stats table on the driver (file-count-sized, the same scale as
+    * any manifest replay); the returned frame scans ONLY the admitted
+    * files, which the caller can verify via `df.inputFiles`. The bounds
+    * only prune — the caller still applies its real predicate, so a
+    * conservative stats miss costs I/O, never correctness. Files whose
+    * stats are NULL (all-null column) are skipped: no row in them can
+    * match a range predicate. */
+  def skippingScan(spark: org.apache.spark.sql.SparkSession, root: String,
+      bounds: Seq[(String, Double, Double)]): SkipScan = {
+    require(bounds.nonEmpty, "skippingScan needs at least one bound")
+    val stats = spark.read.parquet(s"$root/stats")
+    val admit = bounds.map { case (c, lo, hi) =>
+      col(s"min_$c") <= hi && col(s"max_$c") >= lo
+    }.reduce(_ && _)
+    val total = stats.count().toInt
+    val kept = stats.filter(admit).select("file")
+      .collect().map(_.getString(0))
+    val df =
+      if (kept.isEmpty) spark.read.parquet(s"$root/data").limit(0)
+      else spark.read.parquet(kept.toSeq: _*)
+    SkipScan(df, kept.length, total)
+  }
 }

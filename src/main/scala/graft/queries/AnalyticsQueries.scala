@@ -982,5 +982,41 @@ object AnalyticsQueries {
         when(col("cnt") > 1,
           round((s2 - s1 * s1 / col("cnt")) / (col("cnt") - 1), 6))
           .as("var_price"))
+    },
+
+    // ---- File-level min/max DATA SKIPPING (L99): q81's z-order layout
+    // plus the piece that makes clustering pay at read time — a per-file
+    // [min, max] stats table written at publish, and a reader that
+    // admits only files whose ranges intersect the predicate (the Delta
+    // data-skipping shape: stats resolve on the driver at manifest
+    // scale, the scan plans ONLY admitted files). Bounds merely prune;
+    // the real predicate still applies, so a stats miss costs I/O,
+    // never correctness. skipped_files pins that pruning actually
+    // happened (deterministic layout → deterministic file set); the agg
+    // equality pins that it lost nothing.
+    Q(
+      "q117_data_skipping",
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  TRUE AS skipped_files
+        |FROM orders
+        |WHERE o_totalprice BETWEEN 100000 AND 150000
+        |  AND o_custkey BETWEEN 100 AND 500
+        |GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val root = graft.Tmp.dir("graft-q117").toString
+      val o = Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      graft.ops.Scale.writeWithStats(o,
+        Seq("o_custkey", "o_totalprice"), numFiles = 16, root)
+      val scan = graft.ops.Scale.skippingScan(spark, root,
+        Seq(("o_totalprice", 100000.0, 150000.0), ("o_custkey", 100.0, 500.0)))
+      scan.df
+        .filter(col("o_totalprice").between(100000, 150000) &&
+          col("o_custkey").between(100, 500))
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+        .withColumn("skipped_files", lit(scan.filesKept < scan.filesTotal))
     })
 }

@@ -161,4 +161,31 @@ class ScaleSpec extends SparkSuite {
     val after = spark.read.parquet(dir).as[Long].collect().sorted.toSeq
     assert(after == before)
   }
+
+  test("data skipping: pruned scan loses no matching row, reads only the " +
+      "admitted files, and an impossible bound reads none") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-skip").toString
+    val o = Tables.orders(spark, sfDir())
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val n = Scale.writeWithStats(o, Seq("o_custkey", "o_totalprice"),
+      numFiles = 16, root)
+    assert(n == 16)
+    val bounds = Seq(("o_custkey", 100.0, 400.0), ("o_totalprice", 50000.0, 120000.0))
+    val scan = Scale.skippingScan(spark, root, bounds)
+    // pruning actually happened, and the frame reads exactly the admitted files
+    assert(scan.filesTotal == 16 && scan.filesKept < 16 && scan.filesKept > 0,
+      s"kept ${scan.filesKept}/${scan.filesTotal}")
+    assert(scan.df.inputFiles.length == scan.filesKept)
+    // correctness: pruned scan + predicate == full scan + predicate
+    def pred(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("o_custkey").between(100, 400) &&
+        col("o_totalprice").between(50000, 120000))
+      .select("o_orderkey").as[Long].collect().sorted.toSeq
+    assert(pred(scan.df) == pred(spark.read.parquet(s"$root/data")))
+    // a bound outside every file's range admits nothing, schema intact
+    val none = Scale.skippingScan(spark, root, Seq(("o_custkey", -9e9, -8e9)))
+    assert(none.filesKept == 0 && none.df.isEmpty &&
+      none.df.columns.toSeq == Seq("o_orderkey", "o_custkey", "o_totalprice"))
+  }
 }
