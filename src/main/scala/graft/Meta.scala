@@ -473,6 +473,73 @@ object Meta {
       target.alias("_t").join(touched, cond, "left_anti").unionByName(upserts)
     }
 
+    /** Compose two consecutive PREIMAGE change feeds (the 4-value
+      * output of [[changes]]/[[snapshotDiff]] with `preimages = true`)
+      * into the single feed spanning both: the checkpoint-compaction
+      * step a CDC consumer runs so replaying history costs one squashed
+      * feed instead of every intermediate one. Exact algebra, pinned in
+      * MetaSpec: compose(diff(v1,v2), diff(v2,v3)) == diff(v1,v3),
+      * including the cancellation cases (insert then delete nets to
+      * nothing; update back to the original value nets to nothing).
+      *
+      * Per key each feed condenses to (old?, new?) — delete/update_pre
+      * carry the old image, insert/update_post the new — then the
+      * composed old is the FIRST feed's (a key untouched by it kept its
+      * v1 state, which equals the second feed's preimage), the composed
+      * new the SECOND's. Scale: one map-combined condense per feed +
+      * one key-partitioned full-outer join, all feed-sized — the
+      * snapshots are never read. Keys must be NON-NULL (a null-key row
+      * diffs as delete+insert per row, which per-key condensation
+      * cannot represent) — violations raise rather than mis-compose. */
+    def composeFeeds(ab: DataFrame, bc: DataFrame,
+        keys: Seq[String]): DataFrame = {
+      import org.apache.spark.sql.functions._
+      require(ab.columns.sorted.sameElements(bc.columns.sorted),
+        s"feed schema drift: ${ab.columns.toSeq} vs ${bc.columns.toSeq}")
+      Seq(ab, bc).foreach(f => require(f.columns.contains("change_type"),
+        s"not a change feed: ${f.columns.toSeq}"))
+      val nonKeys = ab.columns.toSeq
+        .filterNot(keys.contains).filterNot(_ == "change_type")
+      def condense(f: DataFrame, tag: String) = {
+        val img = struct(nonKeys.map(col): _*)
+        // null keys never equi-join, so snapshotDiff tags them as
+        // delete+insert PER ROW — per-key condensation would silently
+        // collapse them into a fabricated update. Fail loudly instead.
+        val guarded = f.filter(
+          when(keys.map(col(_).isNull).reduce(_ || _),
+            raise_error(lit("composeFeeds: null key in feed — null-key " +
+              "rows do not compose; filter or key-fill them first")))
+          .otherwise(lit(true)))
+        guarded.groupBy(keys.map(col): _*)
+          .agg(
+            first(when(col("change_type")
+              .isin("delete", "update_preimage"), img), ignoreNulls = true)
+              .as(s"_old$tag"),
+            first(when(col("change_type")
+              .isin("insert", "update_postimage"), img), ignoreNulls = true)
+              .as(s"_new$tag"),
+            lit(true).as(s"_in$tag"))
+      }
+      val joined = condense(ab, "A").join(condense(bc, "B"), keys, "full_outer")
+      val oldImg = when(col("_inA").isNotNull, col("_oldA")).otherwise(col("_oldB"))
+      val newImg = when(col("_inB").isNotNull, col("_newB")).otherwise(col("_newA"))
+      // same 4-value emission shape as snapshotDiff: unchanged (or fully
+      // cancelled) keys map to NULL and the explode drops them
+      val tagged = explode(
+        when(oldImg.isNull && newImg.isNotNull,
+          array(struct(lit("insert").as("t"), newImg.as("img"))))
+        .when(oldImg.isNotNull && newImg.isNull,
+          array(struct(lit("delete").as("t"), oldImg.as("img"))))
+        .when(oldImg.isNotNull && newImg.isNotNull && !(oldImg <=> newImg),
+          array(struct(lit("update_preimage").as("t"), oldImg.as("img")),
+            struct(lit("update_postimage").as("t"), newImg.as("img")))))
+      joined
+        .select(keys.map(col) :+ tagged.as("_ch"): _*)
+        .select(keys.map(col) ++
+          nonKeys.map(c => col(s"_ch.img.$c").as(c)) :+
+          col("_ch.t").as("change_type"): _*)
+    }
+
     /** Read `table` at the committed version set — never a staged (torn)
       * write. `commit` pins a historical commit for cross-table time
       * travel. */

@@ -942,6 +942,60 @@ object AnalyticsQueries {
         .select(col("o_custkey"), col("cnt"), col("total").cast("double"))
     },
 
+    // ---- Change-feed COMPOSITION (L100): squash consecutive CDC feeds
+    // into the single feed spanning both — the checkpoint compaction a
+    // consumer runs so replaying history costs one feed, not every
+    // intermediate one. compose(diff(v1,v2), diff(v2,v3)) must equal
+    // diff(v1,v3) EXACTLY, and the oracle IS that direct diff — so the
+    // cancellation algebra is cross-engine-checked: %13 keys get +50 in
+    // v1, revert in v2, +50 again in v3 (net: unchanged, must NOT
+    // appear), %17 keys net a real update, %7/%5 membership drives
+    // inserts/deletes.
+    Q(
+      "q118_feed_compose",
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 50
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |v3 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 50
+        |         WHEN o_orderkey % 17 = 0 THEN o_totalprice + 25
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 <> 0)
+        |SELECT a.o_orderkey, a.o_custkey, a.o_totalprice,
+        |  'delete' AS change_type
+        |FROM v1 a LEFT JOIN v3 b USING (o_orderkey) WHERE b.o_custkey IS NULL
+        |UNION ALL
+        |SELECT b.o_orderkey, b.o_custkey, b.o_totalprice, 'insert'
+        |FROM v3 b LEFT JOIN v1 a USING (o_orderkey) WHERE a.o_custkey IS NULL
+        |UNION ALL
+        |SELECT a.o_orderkey, a.o_custkey, a.o_totalprice, 'update_preimage'
+        |FROM v1 a JOIN v3 b USING (o_orderkey) WHERE a.o_totalprice <> b.o_totalprice
+        |UNION ALL
+        |SELECT b.o_orderkey, b.o_custkey, b.o_totalprice, 'update_postimage'
+        |FROM v1 a JOIN v3 b USING (o_orderkey)
+        |WHERE a.o_totalprice <> b.o_totalprice""".stripMargin) { (spark, dir) =>
+      val o = Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val v1 = o.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 50)
+            .otherwise(col("o_totalprice")))
+      val v2 = o.filter(col("o_orderkey") % 11 =!= 0)
+      val v3 = o.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 50)
+            .when(col("o_orderkey") % 17 === 0, col("o_totalprice") + 25)
+            .otherwise(col("o_totalprice")))
+      val f12 = graft.Meta.Versioned
+        .snapshotDiff(v1, v2, Seq("o_orderkey"), preimages = true)
+      val f23 = graft.Meta.Versioned
+        .snapshotDiff(v2, v3, Seq("o_orderkey"), preimages = true)
+      graft.Meta.Versioned.composeFeeds(f12, f23, Seq("o_orderkey"))
+    },
+
     // ---- L91 incremental MOMENTS maintenance: the L83 fold extended to
     // power sums (cnt, Σv, Σv²) — mean and variance of every group stay
     // maintainable from the same abelian old+delta merge, in exact

@@ -266,6 +266,45 @@ class MetaSpec extends SparkSuite {
     }
   }
 
+  test("composeFeeds PROPERTY: compose(d12, d23) == d13 and the compose " +
+      "chain is associative (randomized version chains); null keys raise") {
+    import org.apache.spark.sql.DataFrame
+    val rnd = new scala.util.Random(118L)
+    def randTable(): Seq[(Long, Option[String], Option[Double])] =
+      (0L to 25L).filter(_ => rnd.nextDouble() < 0.7).map { id =>
+        (id,
+          if (rnd.nextDouble() < 0.3) None else Some(s"s${rnd.nextInt(3)}"),
+          if (rnd.nextDouble() < 0.3) None else Some(rnd.nextInt(4).toDouble))
+      }
+    def rows(df: DataFrame): Set[(Long, Option[String], Option[Double], String)] =
+      df.collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getString(3))).toSet
+    def diff(a: DataFrame, b: DataFrame) =
+      Meta.Versioned.snapshotDiff(a, b, Seq("id"), preimages = true)
+    for (round <- 1 to 3) {
+      val Seq(v1, v2, v3, v4) =
+        Seq.fill(4)(randTable()).map(_.toDF("id", "a", "b"))
+      val composed = Meta.Versioned.composeFeeds(
+        diff(v1, v2), diff(v2, v3), Seq("id"))
+      assert(rows(composed) == rows(diff(v1, v3)), s"round $round: d12∘d23 != d13")
+      // associativity: (d12∘d23)∘d34 spans v1→v4
+      val chain = Meta.Versioned.composeFeeds(composed, diff(v3, v4), Seq("id"))
+      assert(rows(chain) == rows(diff(v1, v4)), s"round $round: chain != d14")
+    }
+    // cancellation: insert-then-delete nets to NOTHING
+    val e = Seq.empty[(Long, Option[String], Option[Double])].toDF("id", "a", "b")
+    val one = Seq((1L, Option("x"), Option(1.0))).toDF("id", "a", "b")
+    assert(Meta.Versioned.composeFeeds(diff(e, one), diff(one, e), Seq("id")).isEmpty)
+    // null keys refuse loudly rather than mis-compose
+    val withNull = Seq((Option.empty[Long], Option("x"), Option(1.0)))
+      .toDF("id", "a", "b")
+    intercept[Exception] {
+      Meta.Versioned.composeFeeds(
+        diff(e, withNull), diff(withNull, e), Seq("id")).collect()
+    }
+  }
+
   test("Versioned.gc: reclaims dropped commits, torn-publish debris and " +
       "lost-race staging — but never a fresh dir inside the min-age guard") {
     val root = Files.createTempDirectory("meta-gc").toString
