@@ -164,4 +164,49 @@ object Components {
         .select(col(idCol), col("component"), col("keep"))
     }
   }
+
+  /** INCREMENTAL connected components: fold a NEW batch of edges into an
+    * existing min-label labeling without re-running the fixpoint over
+    * the historical edge set — the continuous-ingest shape for dedup
+    * clusters (the cluster twin of Dedup.nearDupPairsAgainst's pair
+    * stream). Exactness contract (pinned in ComponentsSpec): if `labels`
+    * is the min-label CC of edge set E, the result is the min-label CC
+    * of E ∪ newPairs — each existing label is already the minimum id of
+    * its cluster, so running CC on the LABEL graph (each new edge mapped
+    * to its endpoints' current labels) and re-mapping yields the global
+    * minimum exactly.
+    *
+    * Scale shape: two label lookups (key-keyed joins of the batch
+    * against the standing labeling — in production an indexed table),
+    * then the fixpoint runs on the TOUCHED-COMPONENT graph, whose size
+    * is bounded by the batch, never the corpus; the final remap is one
+    * broadcast-sized join against the merge table (merges ≤ new edges).
+    * Returns the updated full labeling (id, comp) — rows for every
+    * previously-labeled id plus any id newly seen in the batch. */
+  def incrementalComponents(labels: DataFrame, newPairs: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    require(labels.columns.toSeq == Seq("id", "comp"),
+      s"expected a (id, comp) labeling, got ${labels.columns.toSeq}")
+    // label-graph edges: each new edge between its endpoints' components
+    val src = newPairs.select(col(srcCol).as("_a"), col(dstCol).as("_b"))
+      .join(labels.withColumnRenamed("id", "_a").withColumnRenamed("comp", "_ca"),
+        Seq("_a"), "left")
+      .join(labels.withColumnRenamed("id", "_b").withColumnRenamed("comp", "_cb"),
+        Seq("_b"), "left")
+      .select(coalesce(col("_ca"), col("_a")).as("csrc"),
+        coalesce(col("_cb"), col("_b")).as("cdst"))
+      .filter(col("csrc") =!= col("cdst"))
+    // fixpoint over the touched-component graph only
+    val merged = connectedComponents(src, "csrc", "cdst")
+      .withColumnRenamed("id", "_oldc").withColumnRenamed("comp", "_newc")
+    // the standing labeling plus singletons for ids first seen now
+    val newIds = newPairs.select(col(srcCol).as("id"))
+      .unionByName(newPairs.select(col(dstCol).as("id")))
+      .distinct()
+      .join(labels, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    labels.unionByName(newIds)
+      .join(broadcast(merged), col("comp") === col("_oldc"), "left")
+      .select(col("id"), coalesce(col("_newc"), col("comp")).as("comp"))
+  }
 }

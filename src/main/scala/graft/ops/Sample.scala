@@ -227,6 +227,39 @@ object Sample {
       .drop("_rank", "_cnt", "_minp")
   }
 
+  /** Per-GROUP priority sampling: [[prioritySample]] run independently
+    * inside every stratum in ONE pass — n rows per group, each with the
+    * group-local τ and estimator weight, so every stratum of a 100 TB
+    * corpus gets its own subset-sum sketch without a per-stratum job.
+    * One shuffle on the group key; the rank and the τ extraction share
+    * the same window partitioning (no second exchange). Groups with
+    * ≤ n rows are exhaustive (τ = 0, ŵ = w — exact). */
+  def prioritySampleByGroup(df: DataFrame, key: String, weightCol: String,
+      groupCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"sample size must be >= 1, got $n")
+    Seq("priority", "est_weight").foreach(c =>
+      require(!df.columns.contains(c),
+        s"prioritySampleByGroup writes column '$c' but the input already has one"))
+    val wType = df.schema(weightCol).dataType
+    require(Seq("tinyint", "smallint", "int", "bigint").contains(wType.simpleString),
+      s"prioritySampleByGroup needs an integral weight column, got $weightCol: $wType")
+    val u = (pmod(col(key).cast("long") * Mult, lit(P)) + 1).cast("double") / P
+    val w = when(col(weightCol) < 0,
+        raise_error(lit(s"prioritySampleByGroup: negative weight in $weightCol")))
+      .otherwise(coalesce(col(weightCol).cast("long"), lit(0L)))
+    val byGroup = Window.partitionBy(col(groupCol))
+    val ranked = byGroup.orderBy(col("priority").desc, col(key))
+    df.withColumn("priority", w.cast("double") / u)
+      .withColumn("_rn", row_number().over(ranked))
+      .withColumn("est_weight",
+        greatest(col(weightCol).cast("double"),
+          coalesce(max(when(col("_rn") === n + 1, col("priority"))).over(byGroup),
+            lit(0.0))))
+      .filter(col("_rn") <= n)
+      .drop("_rn")
+  }
+
   /** Systematic probability-proportional-to-size sampling: lay every
     * row's weight end-to-end along [0, W] in the deterministic hash
     * order of `key` (the randomization systematic sampling needs), then

@@ -1096,6 +1096,39 @@ object CurationQueries {
           round(sqrt(Similarity.dot(col("cv"), col("cv"))), 6).as("cnorm"))
     },
 
+    // ---- Per-GROUP priority sampling (L102): q112's subset-sum sketch
+    // run independently inside every source in one pass — per-stratum n
+    // and per-stratum τ, so each slice of the corpus gets its own
+    // unbiased estimator without a per-stratum job. The rank and the τ
+    // extraction share one window partitioning; the oracle replays the
+    // group-local draw exactly.
+    Q(
+      "q120_group_priority_sample", {
+        s"""WITH pri AS (
+           |  SELECT doc_id, source, n_chars,
+           |    CAST(n_chars AS DOUBLE) /
+           |      (CAST(((doc_id * $Mult) % $P) + 1 AS DOUBLE) / $P) AS pr
+           |  FROM documents),
+           |ranked AS (
+           |  SELECT doc_id, source, n_chars, pr,
+           |    row_number() OVER (PARTITION BY source ORDER BY pr DESC, doc_id) AS rn
+           |  FROM pri),
+           |tau AS (
+           |  SELECT source, coalesce(max(CASE WHEN rn = 6 THEN pr END), 0.0) AS t
+           |  FROM ranked GROUP BY source)
+           |SELECT doc_id, source, n_chars,
+           |  round(pr, 6) AS priority,
+           |  round(greatest(CAST(n_chars AS DOUBLE), t), 6) AS est_weight
+           |FROM ranked JOIN tau USING (source) WHERE rn <= 5""".stripMargin
+      }) { (spark, dir) =>
+      Sample.prioritySampleByGroup(
+          Tables.documents(spark, dir).select("doc_id", "source", "n_chars"),
+          "doc_id", "n_chars", "source", n = 5)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(col("priority"), 6).as("priority"),
+          round(col("est_weight"), 6).as("est_weight"))
+    },
+
     // ---- EXACT-threshold Jaccard similarity self-join via prefix
     // filtering (L96, AllPairs/PPJoin): every doc pair with shingle-set
     // Jaccard ≥ 0.8, NO false negatives — the exact complement of the
@@ -1127,6 +1160,52 @@ object CurationQueries {
       Dedup.prefixJaccardPairs(Tables.documents(spark, dir),
           "doc_id", "text", shingleN = 3, tNum = 4, tDen = 5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    },
+
+    // ---- INCREMENTAL near-dup clusters (L101): q49's resolution run as
+    // continuous ingest — the standing labeling absorbs a NEW batch of
+    // pair edges by running the fixpoint on the TOUCHED-COMPONENT graph
+    // (bounded by the batch), never re-walking the historical edge set.
+    // The oracle is q49's full recompute over ALL pairs, so the
+    // incremental fold must land on the identical min-label clustering
+    // — the exactness contract, cross-engine-checked.
+    Q(
+      "q119_incremental_components",
+      s"""WITH RECURSIVE ${LlmQueries.simhashCtes},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b USING (band, band_key)
+         |  WHERE a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.sim, b.sim)) <= 3),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT DISTINCT src AS id, src AS comp FROM edges
+         |  UNION
+         |  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+         |cmp AS (
+         |  SELECT id, min(comp) AS component FROM reach GROUP BY id)
+         |SELECT d.doc_id,
+         |  coalesce(c.component, d.doc_id) AS component,
+         |  coalesce(c.component, d.doc_id) = d.doc_id AS keep
+         |FROM documents d LEFT JOIN cmp c ON c.id = d.doc_id""".stripMargin) {
+      (spark, dir) =>
+        val docs = Tables.documents(spark, dir)
+        val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+          bands = 4, maxHamming = 3)
+          .localCheckpoint() // split twice below — compute the candidates once
+        val old = pairs.filter((col("id_a") + col("id_b")) % 3 =!= 0)
+        val batch = pairs.filter((col("id_a") + col("id_b")) % 3 === 0)
+        val standing = Components.connectedComponents(old, "id_a", "id_b")
+        val updated = Components
+          .incrementalComponents(standing, batch, "id_a", "id_b")
+          .withColumnRenamed("id", "doc_id")
+        docs.select(col("doc_id"))
+          .join(updated, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("comp"), col("doc_id")).as("component"),
+            (coalesce(col("comp"), col("doc_id")) === col("doc_id")).as("keep"))
     },
 
     // ---- IVF ANN with TRAINED centroids (L98): q113's k-means output

@@ -23,4 +23,31 @@ class ComponentsSpec extends SparkSuite {
     assert(comp.forall(_.getLong(1) == 0L),
       "every path vertex must label to the min vertex id 0")
   }
+
+  test("incrementalComponents PROPERTY: fold(CC(old), batch) == CC(old ∪ " +
+      "batch) on randomized splits; new ids absorbed; empty batch no-op") {
+    val rnd = new scala.util.Random(119L)
+    def labelMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (round <- 1 to 3) {
+      // random sparse graph over ~40 vertices, random 60/40 edge split —
+      // the batch may bridge, extend, or introduce brand-new components
+      val all = (for {
+        _ <- 1 to 50
+        a = rnd.nextInt(40).toLong; b = rnd.nextInt(40).toLong if a != b
+      } yield (math.min(a, b), math.max(a, b))).distinct
+      val (old, batch) = all.partition(_ => rnd.nextDouble() < 0.6)
+      val standing = Components.connectedComponents(
+        old.toDF("id_a", "id_b"), "id_a", "id_b")
+      val inc = Components.incrementalComponents(
+        standing, batch.toDF("id_a", "id_b"), "id_a", "id_b")
+      val full = Components.connectedComponents(
+        all.toDF("id_a", "id_b"), "id_a", "id_b")
+      assert(labelMap(inc) == labelMap(full), s"round $round: fold != full CC")
+      // empty batch: the labeling comes back unchanged
+      val noop = Components.incrementalComponents(standing,
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b")
+      assert(labelMap(noop) == labelMap(standing), s"round $round: no-op drifted")
+    }
+  }
 }

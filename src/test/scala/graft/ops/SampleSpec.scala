@@ -138,6 +138,28 @@ class SampleSpec extends SparkSuite {
     }
   }
 
+  test("prioritySampleByGroup: group-local draw replayed exactly, " +
+      "small groups exhaustive with est == w") {
+    // group 'a': 100 rows (sampled), group 'b': 3 rows (exhaustive)
+    val df = ((1L to 100L).map(i => (i, "a", (i % 19) + 1L)) ++
+      (101L to 103L).map(i => (i, "b", 7L))).toDF("id", "g", "w")
+    val out = Sample.prioritySampleByGroup(df, "id", "w", "g", n = 10)
+      .select(col("id"), col("g"), col("priority"), col("est_weight"))
+      .as[(Long, String, Double, Double)].collect()
+    def pri(id: Long, w: Long): Double =
+      w.toDouble / (((id * Text.Mult % Text.P) + 1).toDouble / Text.P)
+    val a = (1L to 100L).map(i => (i, (i % 19) + 1L))
+      .map { case (id, w) => (id, w, pri(id, w)) }
+      .sortBy { case (id, _, p) => (-p, id) }
+    val tauA = a(10)._3
+    val expectA = a.take(10)
+      .map { case (id, w, p) => (id, "a", p, math.max(w.toDouble, tauA)) }
+    assert(out.filter(_._2 == "a").sortBy(_._1).toSeq == expectA.sortBy(_._1))
+    // group b is exhaustive: all 3 rows, tau = 0, est == w exactly
+    val b = out.filter(_._2 == "b")
+    assert(b.length == 3 && b.forall(_._4 == 7.0))
+  }
+
   test("takeByBudget: empty input yields an empty, correctly-schemed frame") {
     val empty = Seq.empty[(Long, Double, Long)].toDF("id", "score", "w")
     val out = Sample.takeByBudget(empty, "score", "id", "w", 100L)
