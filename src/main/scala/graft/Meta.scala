@@ -189,12 +189,19 @@ object Meta {
       * to POSIX rename(2), which silently REPLACES an existing
       * destination file — a lost race would overwrite the winner's
       * manifest. `FileContext` with `Options.Rename.NONE` refuses an
-      * existing destination on every Hadoop filesystem (atomically on
-      * HDFS; object stores without atomic rename need an external
-      * commit-claim service, same caveat as any log-structured lake
-      * format). Returns the claimed id; a lost race throws
-      * [[CommitConflictException]] and removes only this writer's
-      * staging file.
+      * existing destination — atomically on HDFS (namenode-serialized);
+      * object stores without atomic rename need an external commit-claim
+      * service, same caveat as any log-structured lake format. On the
+      * LOCAL filesystem, though, Hadoop implements fail-if-exists as an
+      * exists() check followed by plain rename(2) — a TOCTOU window in
+      * which two racers can both pass the check and silently replace
+      * each other (observed once as a flaky ChecksumException: the two
+      * racers' data/crc sidecar renames interleaved). Local claims
+      * therefore go through `Files.createLink` instead: hard-link
+      * creation is kernel-atomic fail-if-exists, so exactly one racer
+      * ever materializes `_commit=<id>`. Returns the claimed id; a lost
+      * race throws [[CommitConflictException]] and removes only this
+      * writer's staging file.
       *
       * `claim` pins the id instead of recomputing latest+1 at commit
       * time. A read-modify-write caller (compaction) MUST pass the id
@@ -213,20 +220,34 @@ object Meta {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       val dst = new org.apache.hadoop.fs.Path(s"$root/_commit=$id")
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        f.getUri, spark.sparkContext.hadoopConfiguration)
-      try fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
-      catch {
-        // only the fail-if-exists signal means a lost race; any other IO
-        // failure (ENOSPC, permissions, wedged FS) must surface as itself
-        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          f.delete(tmp, false)
-          throw new CommitConflictException(
-            s"commit $id already claimed by a concurrent writer; " +
-              "staged version dirs left as debris (re-run to publish)", e)
-        case e: java.io.IOException =>
-          f.delete(tmp, false)
-          throw e
+      def lostRace(e: Throwable): Nothing = {
+        f.delete(tmp, false)
+        throw new CommitConflictException(
+          s"commit $id already claimed by a concurrent writer; " +
+            "staged version dirs left as debris (re-run to publish)", e)
+      }
+      if (f.getUri.getScheme == "file") {
+        // kernel-atomic claim: link(2) fails with EEXIST, no TOCTOU
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          f.delete(tmp, false) // drop the staging name; the link remains
+        } catch {
+          case e: java.nio.file.FileAlreadyExistsException => lostRace(e)
+        }
+      } else {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          f.getUri, spark.sparkContext.hadoopConfiguration)
+        try fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+        catch {
+          // only the fail-if-exists signal means a lost race; any other
+          // IO failure (ENOSPC, permissions, wedged FS) surfaces as itself
+          case e: org.apache.hadoop.fs.FileAlreadyExistsException => lostRace(e)
+          case e: java.io.IOException =>
+            f.delete(tmp, false)
+            throw e
+        }
       }
       id
     }
