@@ -582,5 +582,92 @@ object StatefulQueries {
           (abs(col("est_stream") - col("exact_ndv"))
             <= col("exact_ndv") * 0.10).as("est_ok"),
           (col("est_stream") === col("est_direct")).as("rolled_matches"))
+    },
+
+    // ---- Streaming HEAVY HITTERS (L103): q53 run as continuous ingest.
+    // Candidates: per-micro-batch Misra–Gries sketches, unioned — the
+    // superset guarantee COMPOSES across batches by pigeonhole (a term
+    // with global share > 1/200 must exceed that share in at least one
+    // batch, else the sum of its batch counts could not reach N/200),
+    // so no heavy hitter can be missed regardless of batching. Counts:
+    // per-batch Count–Min sketches folded into a standing sketch —
+    // CM merge is elementwise addition, so the streamed sketch is BIT-
+    // identical to the one-shot build (streamed_matches_direct pins
+    // it). Exact recount over the tiny candidate set verifies, same as
+    // the batch query; the oracle is q53's plus the CM bound booleans.
+    Q(
+      "q121_stream_heavy_hitters",
+      s"""WITH toks AS (
+         |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+         |  FROM documents),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks)
+         |SELECT term, CAST(count(*) AS BIGINT) AS cnt,
+         |  TRUE AS lower_ok, TRUE AS upper_ok, TRUE AS streamed_matches_direct
+         |FROM toks, tot
+         |GROUP BY term, n_total
+         |HAVING count(*) * 200 > n_total""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.Streams
+      val root = graft.Tmp.dir("graft-q121").toString
+      val cmPath = s"$root/cm"; val candPath = s"$root/cands"
+      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      def toksOf(df: org.apache.spark.sql.DataFrame) =
+        df.select(explode(Text.tokens(col("text"))).as("term"))
+      def cmOf(df: org.apache.spark.sql.DataFrame) =
+        toksOf(df).agg(call_function("graft_cm_sketch", col("term")).as("sk"))
+      def candsOf(df: org.apache.spark.sql.DataFrame) =
+        toksOf(df)
+          .agg(call_function("graft_freq_sketch", col("term"), lit(400)).as("c"))
+          .select(explode(col("c")).as("term"))
+      graft.Meta.Versioned.write(cmOf(docs.limit(0)), cmPath)
+      graft.Meta.Versioned.write(candsOf(docs.limit(0)), candPath)
+      implicit val ctx = spark.sqlContext
+      import spark.implicits._
+      val rows = docs.as[(Long, String)].collect().toSeq
+      val ms = MemoryStream[(Long, String)]
+      val src = ms.toDF().toDF("doc_id", "text")
+      Streams.withShufflePartitions(spark, 4) {
+        val q = src.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            graft.Meta.Versioned.write(
+              graft.Meta.Versioned.read(spark, cmPath).unionByName(cmOf(batch))
+                .agg(call_function("graft_cm_merge", col("sk")).as("sk")),
+              cmPath)
+            graft.Meta.Versioned.write(
+              graft.Meta.Versioned.read(spark, candPath)
+                .unionByName(candsOf(batch)).distinct(),
+              candPath)
+            ()
+          }
+          .outputMode("update")
+          .option("checkpointLocation", s"$root/cp")
+          .start()
+        try {
+          ms.addData(rows.filter(_._1 % 2 == 0))
+          q.processAllAvailable()
+          ms.addData(rows.filter(_._1 % 2 != 0))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      val toks = toksOf(docs)
+      val cands = graft.Meta.Versioned.read(spark, candPath)
+      val streamedCm = graft.Meta.Versioned.read(spark, cmPath)
+        .select(col("sk").as("sk_s"))
+      val directCm = cmOf(docs).select(col("sk").as("sk_d"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      val est = call_function("graft_cm_estimate", col("sk_s"), col("term"))
+      val estD = call_function("graft_cm_estimate", col("sk_d"), col("term"))
+      val bound = ceil(lit(math.E / 2048.0) *
+        call_function("graft_cm_total", col("sk_s"))).cast("long")
+      toks.join(broadcast(cands), Seq("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") * 200 > col("n_total"))
+        .crossJoin(broadcast(streamedCm))
+        .crossJoin(broadcast(directCm))
+        .select(col("term"), col("cnt"),
+          (est >= col("cnt")).as("lower_ok"),
+          (est <= col("cnt") + bound).as("upper_ok"),
+          (est === estD).as("streamed_matches_direct"))
     })
 }
