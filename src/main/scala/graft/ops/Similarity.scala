@@ -231,6 +231,41 @@ object Similarity {
     out
   }
 
+  /** Scalar (int8) quantization trainer: per-dimension global [min, max]
+    * over the corpus in ONE aggregate (posexplode → d groups; the
+    * quantizer parameters are 2·d doubles, collected to the driver —
+    * the same codebook-on-driver shape as [[kmeansLloyd]]). */
+  def sqTrain(df: DataFrame, vecCol: String): (Seq[Double], Seq[Double]) = {
+    val rows = df.select(posexplode(toDouble(col(vecCol))))
+      .groupBy("pos")
+      .agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+      .collect().sortBy(_.getInt(0))
+    (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
+  }
+
+  /** Encode a float vector into int8-range codes against trained
+    * per-dimension bounds: code_i = round((x_i − mn_i)/(mx_i − mn_i)·255)
+    * — 4× smaller than float32, engine-exact arithmetic (round half away
+    * from zero in both engines; a degenerate dimension encodes 0).
+    * Pure scan-level projection against codebook literals. */
+  def sqEncode(v: Column, mins: Seq[Double], maxs: Seq[Double]): Column =
+    transform(toDouble(v), (x, i) => {
+      val mn = element_at(typedLit(mins), i + 1)
+      val mx = element_at(typedLit(maxs), i + 1)
+      when(mx === mn, lit(0))
+        .otherwise(round((x - mn) / (mx - mn) * 255.0).cast("int"))
+    })
+
+  /** Decode int8-range codes back to the reconstruction
+    * x̂_i = mn_i + code_i·(mx_i − mn_i)/255 — the approximate vector all
+    * quantized distance math runs on. */
+  def sqDecode(code: Column, mins: Seq[Double], maxs: Seq[Double]): Column =
+    transform(code, (c, i) => {
+      val mn = element_at(typedLit(mins), i + 1)
+      val mx = element_at(typedLit(maxs), i + 1)
+      mn + (c.cast("double") * (mx - mn)) / 255.0
+    })
+
   /** Distributed Lloyd's k-means over an embedding column — the trainer
     * for [[topKIvf]]'s coarse quantizer (which documents "swap in k-means
     * output in production"; this is that output). DETERMINISTIC end to

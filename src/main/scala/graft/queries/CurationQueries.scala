@@ -1162,6 +1162,77 @@ object CurationQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     },
 
+    // ---- Scalar (int8) QUANTIZATION for embeddings (L104): per-
+    // dimension global [min,max] codebook (one aggregate, 2·d doubles on
+    // the driver — the kmeans codebook shape), encode = scan-level
+    // projection to 4×-smaller codes, search runs on the decoded
+    // reconstruction, recall@5 measured against full-precision brute
+    // force. The oracle replays train → encode → decode → score → rank
+    // → recall, so the quantization loss itself is cross-engine-checked
+    // ((x−mn) ≥ 0 by construction keeps round() divergence-free).
+    Q(
+      "q122_scalar_quantization", {
+        s"""WITH v AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+           |  FROM embeddings),
+           |st AS (
+           |  SELECT i, min(dv[i]) AS mn, max(dv[i]) AS mx
+           |  FROM v, unnest(range(1, 65)) u(i) GROUP BY i),
+           |cb AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx
+           |       FROM st),
+           |dq AS (
+           |  SELECT vec_id, list_transform(range(1, 65), i ->
+           |    cb.mn[i] + ((CASE WHEN cb.mx[i] = cb.mn[i] THEN 0
+           |      ELSE CAST(round((dv[i] - cb.mn[i]) / (cb.mx[i] - cb.mn[i]) * 255.0) AS INT)
+           |      END) * (cb.mx[i] - cb.mn[i])) / 255.0) AS qv
+           |  FROM v, cb),
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    ${dot64Sql("q.qv", "c.qv")}
+           |      / (sqrt(${dot64Sql("q.qv", "q.qv")}) * sqrt(${dot64Sql("c.qv", "c.qv")})) AS cos
+           |  FROM dq q, dq c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+           |ak AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM scored) y WHERE rn <= 5),
+           |es AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    ${dot64Sql("q.dv", "c.dv")}
+           |      / (sqrt(${dot64Sql("q.dv", "q.dv")}) * sqrt(${dot64Sql("c.dv", "c.dv")})) AS cos
+           |  FROM v q, v c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+           |ek AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM es) z WHERE rn <= 5)
+           |SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+           |  CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+           |  round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6) AS recall
+           |FROM ek e LEFT JOIN ak a
+           |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+           |GROUP BY e.query_id""".stripMargin
+      }) { (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+      val (mins, maxs) = Similarity.sqTrain(e, "embedding")
+      val deq = e.select(col("vec_id"),
+        Similarity.sqDecode(
+          Similarity.sqEncode(col("embedding"), mins, maxs), mins, maxs)
+          .as("embedding"))
+      val qs = deq.filter(col("vec_id") < 10)
+      val ann = Similarity.topKBruteForce(deq, qs, "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id").withColumn("hit", lit(1L))
+      val exact = Similarity
+        .topKBruteForce(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id")
+      exact.join(ann, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("n_exact"), 6))
+    },
+
     // ---- INCREMENTAL near-dup clusters (L101): q49's resolution run as
     // continuous ingest — the standing labeling absorbs a NEW batch of
     // pair edges by running the fixpoint on the TOUCHED-COMPONENT graph

@@ -103,6 +103,32 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("scalar quantization: codes in [0,255], reconstruction within half " +
+      "a step per dimension, degenerate dimensions exact") {
+    val vs = Seq(
+      (0L, Seq(-1.0f, 0.25f, 7.0f, 3.0f)),
+      (1L, Seq(1.0f, 0.75f, 7.0f, -3.0f)),
+      (2L, Seq(0.5f, 0.5f, 7.0f, 0.0f))).toDF("vec_id", "embedding")
+    val (mins, maxs) = Similarity.sqTrain(vs, "embedding")
+    assert(mins == Seq(-1.0, 0.25, 7.0, -3.0) && maxs == Seq(1.0, 0.75, 7.0, 3.0))
+    val out = vs.select(col("vec_id"),
+        col("embedding"),
+        Similarity.sqEncode(col("embedding"), mins, maxs).as("code"),
+        Similarity.sqDecode(
+          Similarity.sqEncode(col("embedding"), mins, maxs), mins, maxs).as("dec"))
+      .as[(Long, Seq[Float], Seq[Int], Seq[Double])].collect()
+    out.foreach { case (_, orig, code, dec) =>
+      assert(code.forall(c => c >= 0 && c <= 255), s"code range: $code")
+      orig.zip(dec).zipWithIndex.foreach { case ((x, xd), i) =>
+        val halfStep = (maxs(i) - mins(i)) / 255.0 / 2.0
+        assert(math.abs(x.toDouble - xd) <= halfStep + 1e-12,
+          s"dim $i: $x decoded to $xd (half-step $halfStep)")
+      }
+    }
+    // the degenerate constant dimension reconstructs exactly
+    assert(out.forall(_._4(2) == 7.0))
+  }
+
   test("cosineNearDupPairs: finds planted near-identical embedding") {
     val withDup = vecs.unionByName(Seq((9L, Seq(0.99f, 0.05f, 0f, 0f))).toDF("vec_id", "embedding"))
     val pairs = Similarity.cosineNearDupPairs(withDup, "vec_id", "embedding",
