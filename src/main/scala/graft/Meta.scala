@@ -226,17 +226,7 @@ object Meta {
           s"commit $id already claimed by a concurrent writer; " +
             "staged version dirs left as debris (re-run to publish)", e)
       }
-      if (f.getUri.getScheme == "file") {
-        // kernel-atomic claim: link(2) fails with EEXIST, no TOCTOU
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(dst.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          f.delete(tmp, false) // drop the staging name; the link remains
-        } catch {
-          case e: java.nio.file.FileAlreadyExistsException => lostRace(e)
-        }
-      } else {
+      def renameClaim(): Unit = {
         val fc = org.apache.hadoop.fs.FileContext.getFileContext(
           f.getUri, spark.sparkContext.hadoopConfiguration)
         try fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
@@ -249,6 +239,24 @@ object Meta {
             throw e
         }
       }
+      if (f.getUri.getScheme == "file") {
+        // kernel-atomic claim: link(2) fails with EEXIST, no TOCTOU
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          f.delete(tmp, false) // drop the staging name; the link remains
+        } catch {
+          case e: java.nio.file.FileAlreadyExistsException => lostRace(e)
+          case _: UnsupportedOperationException =>
+            // local mounts without hard links (VFAT/SMB/…): fall back to
+            // the rename claim rather than refusing to commit at all
+            renameClaim()
+          case e: java.io.IOException =>
+            f.delete(tmp, false) // never leak the staging file
+            throw e
+        }
+      } else renameClaim()
       id
     }
 
@@ -526,10 +534,20 @@ object Meta {
         // null keys never equi-join, so snapshotDiff tags them as
         // delete+insert PER ROW — per-key condensation would silently
         // collapse them into a fabricated update. Fail loudly instead.
+        // Same for the change-type vocabulary: a 3-value feed
+        // (preimages=false tags updates as plain 'update') matches
+        // NEITHER condense branch and its updates would vanish — refuse
+        // anything but the 4-value surface rather than drop changes.
         val guarded = f.filter(
           when(keys.map(col(_).isNull).reduce(_ || _),
             raise_error(lit("composeFeeds: null key in feed — null-key " +
               "rows do not compose; filter or key-fill them first")))
+          .when(!col("change_type").isin(
+              "insert", "delete", "update_preimage", "update_postimage"),
+            raise_error(concat(lit("composeFeeds: change_type '"),
+              col("change_type"),
+              lit("' is not the 4-value preimage vocabulary — " +
+                "build feeds with preimages = true"))))
           .otherwise(lit(true)))
         guarded.groupBy(keys.map(col): _*)
           .agg(

@@ -247,13 +247,17 @@ object Similarity {
     * per-dimension bounds: code_i = round((x_i − mn_i)/(mx_i − mn_i)·255)
     * — 4× smaller than float32, engine-exact arithmetic (round half away
     * from zero in both engines; a degenerate dimension encodes 0).
-    * Pure scan-level projection against codebook literals. */
+    * Codes CLAMP to [0, 255]: a vector outside the trained bounds
+    * (new ingest against an older codebook) saturates instead of
+    * wrapping when stored as a byte. Pure scan-level projection against
+    * codebook literals. */
   def sqEncode(v: Column, mins: Seq[Double], maxs: Seq[Double]): Column =
     transform(toDouble(v), (x, i) => {
       val mn = element_at(typedLit(mins), i + 1)
       val mx = element_at(typedLit(maxs), i + 1)
       when(mx === mn, lit(0))
-        .otherwise(round((x - mn) / (mx - mn) * 255.0).cast("int"))
+        .otherwise(least(lit(255),
+          greatest(lit(0), round((x - mn) / (mx - mn) * 255.0).cast("int"))))
     })
 
   /** Decode int8-range codes back to the reconstruction

@@ -913,11 +913,15 @@ object CurationQueries {
     // "how much do these two 100 TB corpora overlap?" without a
     // distinct-join of their shingle streams. Union size via the
     // inclusion-exclusion identity U = (|A|+|B|)/(1+J) (I = J·U). The
-    // exact twin (distinct string shingles, a shingle-keyed join — the
-    // verification harness, not the production path) rides along so the
-    // oracle pins BOTH the exact values and the sketch error bounds as
-    // booleans; everything is deterministic (fixed splitmix64 hash), so
-    // green here is green on every run/partitioning.
+    // exact twin (a shingle-keyed join — the verification harness, not
+    // the production path) rides along so the oracle pins BOTH the
+    // exact values and the sketch error bounds as booleans; everything
+    // is deterministic (fixed splitmix64 hash), so green here is green
+    // on every run/partitioning. Set elements are the mod-P (2³¹−1)
+    // shingle hashes, identical in both engines — "exact" means exact
+    // over that domain: expected collision shrinkage is ~n²/2³² relative
+    // (≈0.1% at 10M distinct shingles), far inside the 5%/10% sketch
+    // bounds being validated.
     Q(
       "q110_corpus_overlap", {
         s"""WITH toks AS (

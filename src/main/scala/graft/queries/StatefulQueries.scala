@@ -570,18 +570,26 @@ object StatefulQueries {
       val streamed = graft.Meta.Versioned.read(spark, skPath)
         .select(col("source"),
           call_function("graft_kmv_estimate", col("sk")).as("est_stream"))
-      val direct = sketchOf(docs)
+      // one shared hash stream feeds BOTH the exact NDV and the direct
+      // sketch (bottom-k is set-semantics — q110's argument), instead of
+      // running the shingle kernel over the corpus twice
+      val hashes = Dedup.withShingleHashes(docs, "text", 3)
+        .select(col("source"), explode(col("hv")).as("h"))
+        .cache()
+      val direct = hashes.groupBy("source")
+        .agg(call_function("graft_kmv_sketch", col("h"), lit(1024)).as("sk"))
         .select(col("source"),
           call_function("graft_kmv_estimate", col("sk")).as("est_direct"))
-      val exact = Dedup.withShingleHashes(docs, "text", 3)
-        .select(col("source"), explode(col("hv")).as("h"))
-        .groupBy("source")
+      val exact = hashes.groupBy("source")
         .agg(countDistinct(col("h")).as("exact_ndv"))
-      exact.join(streamed, "source").join(direct, "source")
+      val out = exact.join(streamed, "source").join(direct, "source")
         .select(col("source"), col("exact_ndv"),
           (abs(col("est_stream") - col("exact_ndv"))
             <= col("exact_ndv") * 0.10).as("est_ok"),
           (col("est_stream") === col("est_direct")).as("rolled_matches"))
+        .localCheckpoint()
+      hashes.unpersist()
+      out
     },
 
     // ---- Streaming HEAVY HITTERS (L103): q53 run as continuous ingest.
@@ -649,22 +657,22 @@ object StatefulQueries {
           q.processAllAvailable()
         } finally q.stop()
       }
-      val toks = toksOf(docs)
       val cands = graft.Meta.Versioned.read(spark, candPath)
       val streamedCm = graft.Meta.Versioned.read(spark, cmPath)
         .select(col("sk").as("sk_s"))
       val directCm = cmOf(docs).select(col("sk").as("sk_d"))
-      val total = toks.agg(count(lit(1)).as("n_total"))
       val est = call_function("graft_cm_estimate", col("sk_s"), col("term"))
       val estD = call_function("graft_cm_estimate", col("sk_d"), col("term"))
-      val bound = ceil(lit(math.E / 2048.0) *
-        call_function("graft_cm_total", col("sk_s"))).cast("long")
-      toks.join(broadcast(cands), Seq("term"))
+      val nTotal = call_function("graft_cm_total", col("sk_s"))
+      val bound = ceil(lit(math.E / 2048.0) * nTotal).cast("long")
+      // the heavy-hitter gate reads N from the standing sketch: CM total
+      // is the EXACT stream length (merge is addition over disjoint
+      // batches), so the corpus is tokenized once, for the recount only
+      toksOf(docs).join(broadcast(cands), Seq("term"))
         .groupBy("term").agg(count(lit(1)).as("cnt"))
-        .crossJoin(broadcast(total))
-        .filter(col("cnt") * 200 > col("n_total"))
         .crossJoin(broadcast(streamedCm))
         .crossJoin(broadcast(directCm))
+        .filter(col("cnt") * 200 > nTotal)
         .select(col("term"), col("cnt"),
           (est >= col("cnt")).as("lower_ok"),
           (est <= col("cnt") + bound).as("upper_ok"),

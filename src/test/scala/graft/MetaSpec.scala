@@ -303,6 +303,15 @@ class MetaSpec extends SparkSuite {
       Meta.Versioned.composeFeeds(
         diff(e, withNull), diff(withNull, e), Seq("id")).collect()
     }
+    // a 3-value feed (preimages = false — updates tagged plain 'update')
+    // refuses loudly: silently composing it would DROP every update
+    val v1p = Seq((1L, Option("x"), Option(1.0))).toDF("id", "a", "b")
+    val v2p = Seq((1L, Option("y"), Option(1.0))).toDF("id", "a", "b")
+    val threeValue = Meta.Versioned.snapshotDiff(v1p, v2p, Seq("id"))
+    intercept[Exception] {
+      Meta.Versioned.composeFeeds(
+        threeValue, diff(v2p, v2p), Seq("id")).collect()
+    }
   }
 
   test("Versioned.gc: reclaims dropped commits, torn-publish debris and " +

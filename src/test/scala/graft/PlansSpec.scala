@@ -350,14 +350,31 @@ class PlansSpec extends SparkSuite {
       s"q113 must not shuffle-join or cartesian:\n$p")
   }
 
-  test("q114 prefix-filter join, q110 sketch algebra, q116 trained IVF: " +
-      "candidate generation is bucket/cell-keyed — no cartesian product") {
-    Seq("q114_jaccard_join", "q110_corpus_overlap", "q116_trained_ivf").foreach { q =>
+  test("q114 prefix-filter join and q116 trained IVF: candidate " +
+      "generation is bucket/cell-keyed — no cartesian product") {
+    Seq("q114_jaccard_join", "q116_trained_ivf").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sfDir())
       df.collect()
       val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
       assert(!p.contains("CartesianProduct"), s"$q went quadratic:\n$p")
     }
+  }
+
+  test("q110 overlap shape: the exact-twin intersection joins on the " +
+      "shingle hash, never a cartesian (probed pre-checkpoint — the query " +
+      "returns a materialized frame whose plan is just the RDD scan)") {
+    val docs = Tables.documents(spark, sfDir())
+    val sh = graft.ops.Dedup
+      .withShingleHashes(docs.select(col("source"), col("text")), "text", 3)
+      .select(col("source"), explode(col("hv")).as("h"))
+      .distinct()
+    val inter = sh.select(col("source").as("source_a"), col("h"))
+      .join(sh.select(col("source").as("source_b"), col("h")), "h")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("inter"))
+    inter.collect()
+    val p = inter.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), s"q110's twin went quadratic:\n$p")
   }
 
   test("q111 span dedup: the boilerplate set joins by broadcast onto the " +

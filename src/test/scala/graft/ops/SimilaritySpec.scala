@@ -127,6 +127,13 @@ class SimilaritySpec extends SparkSuite {
     }
     // the degenerate constant dimension reconstructs exactly
     assert(out.forall(_._4(2) == 7.0))
+    // out-of-bounds encode (new ingest vs an older codebook) SATURATES
+    // instead of wrapping: above max → 255, below min → 0
+    val oob = Seq((9L, Seq(5.0f, -1.0f, 7.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .select(Similarity.sqEncode(col("embedding"), mins, maxs).as("code"))
+      .as[Seq[Int]].head()
+    assert(oob(0) == 255 && oob(1) == 0)
   }
 
   test("cosineNearDupPairs: finds planted near-identical embedding") {
