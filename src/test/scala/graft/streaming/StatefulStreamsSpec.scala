@@ -77,6 +77,62 @@ class StatefulStreamsSpec extends SparkSuite {
     assert(second == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("sketch-fold restart: the standing KMV table resumes from the " +
+      "checkpoint — streamed across a kill/restart equals one-shot, bit " +
+      "for bit (the q115 production resume contract)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sketch-restart")
+    root.toFile.deleteOnExit()
+    val in = root.resolve("in"); val cp = root.resolve("cp").toString
+    val skPath = root.resolve("sk").toString
+    java.nio.file.Files.createDirectories(in)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    def writeFile(name: String, vs: Seq[Long]): Unit =
+      java.nio.file.Files.write(in.resolve(name),
+        vs.map(v => s"""{"v":$v}""").mkString("\n").getBytes)
+    def sketchOf(df: org.apache.spark.sql.DataFrame) =
+      df.agg(call_function("graft_kmv_sketch", col("v"), lit(256)).as("sk"))
+    graft.Meta.Versioned.write(
+      sketchOf(spark.range(0).selectExpr("id AS v").filter(lit(false))), skPath)
+    def runOnce(): Unit =
+      Streams.withShufflePartitions(spark, 4) {
+        val q = spark.readStream.schema(schema).json(in.toString)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            graft.Meta.Versioned.write(
+              graft.Meta.Versioned.read(spark, skPath)
+                .unionByName(sketchOf(batch))
+                .agg(call_function("graft_kmv_merge", col("sk")).as("sk")),
+              skPath)
+            ()
+          }
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    val half1 = (1L to 500L) ++ (1L to 100L) // dups on purpose
+    val half2 = (300L to 800L)
+    writeFile("f1.json", half1)
+    runOnce() // first incarnation dies here (query stopped)
+    writeFile("f2.json", half2)
+    runOnce() // restarted from the checkpoint: must NOT re-fold file 1
+    val streamed = graft.Meta.Versioned.read(spark, skPath)
+      .select(call_function("graft_kmv_estimate", col("sk")))
+      .head().getLong(0)
+    val direct = sketchOf((half1 ++ half2).toDF("v"))
+      .select(call_function("graft_kmv_estimate", col("sk")))
+      .head().getLong(0)
+    assert(streamed == direct,
+      s"streamed-across-restart $streamed != one-shot $direct")
+    // the ESTIMATE can't witness a replay (bottom-k is idempotent), but
+    // the version chain can: seed + exactly one commit per micro-batch.
+    // A restart that re-read file 1 would commit a fourth version.
+    assert(graft.Meta.Versioned.latestVersion(spark, skPath).contains(3L),
+      s"expected versions seed+2, got ${graft.Meta.Versioned.latestVersion(spark, skPath)}")
+  }
+
   test("observe metrics ride along streaming micro-batches (T6 observability)") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Long]
