@@ -827,6 +827,59 @@ object CurationQueries {
             round(q / p, 6).as("rate_mult"))
     },
 
+    // ---- Mixture resampling MATERIALIZATION (L105): q94 computes the
+    // temperature rates; this applies them — per-source keep rates
+    // pct_s = min(100, ⌊rate_mult·50⌋) driven through the deterministic
+    // hash gate, so the resampled corpus is reproducible across runs,
+    // partitionings, and engines (no RNG). Scale shape: the weights are
+    // a |sources|-row broadcast onto the corpus scan; the gate is a
+    // per-row predicate; only the per-source SUMMARY shuffles. The
+    // oracle replays weights → rates → gate → counts end to end.
+    Q(
+      "q123_mixture_resample",
+      s"""WITH per AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |s AS (SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(38,6)) AS sq FROM per),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+         |  CAST(sum(sq) AS DECIMAL(38,6)) AS ts FROM s),
+         |rates AS (
+         |  SELECT source, n_docs,
+         |    CAST(least(100, floor(round(
+         |      (CAST(sq AS DOUBLE) / CAST(ts AS DOUBLE))
+         |        / (CAST(n_tokens AS DOUBLE) / tt), 6) * 50)) AS INT) AS pct
+         |  FROM s, tot),
+         |kept AS (
+         |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM documents d JOIN rates r USING (source)
+         |  WHERE ((d.doc_id * ${Mult}) % ${P}) % 100 < r.pct
+         |  GROUP BY d.source)
+         |SELECT r.source, r.n_docs, r.pct, coalesce(k.n_kept, 0) AS n_kept
+         |FROM rates r LEFT JOIN kept k USING (source)""".stripMargin) {
+      (spark, dir) =>
+        val docs = Tables.documents(spark, dir)
+        val per = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(Text.tokenCount(col("text")).cast("long")).as("n_tokens"))
+          .withColumn("sq",
+            round(sqrt(col("n_tokens").cast("double")), 6).cast(DecimalType(38, 6)))
+        val tot = per.agg(sum(col("n_tokens")).as("tt"),
+          sum(col("sq")).cast(DecimalType(38, 6)).as("ts"))
+        val rateMult = round(
+          (col("sq").cast("double") / col("ts").cast("double"))
+            / (col("n_tokens").cast("double") / col("tt")), 6)
+        val rates = per.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"),
+            least(lit(100), floor(rateMult * 50)).cast("int").as("pct"))
+        val kept = docs.join(broadcast(rates.select("source", "pct")), "source")
+          .filter(Sample.hashGate(col("doc_id")) < col("pct"))
+          .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        rates.join(kept, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("pct"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    },
+
     // ---- ANN recall@k eval harness: the LSH index (q27's exact
     // parameters) measured against brute-force ground truth (q26's) on a
     // query sample — the recall/latency tradeoff is unmanaged without
