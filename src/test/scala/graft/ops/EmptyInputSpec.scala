@@ -131,4 +131,23 @@ class EmptyInputSpec extends SparkSuite {
       Similarity.kmeansLloyd(noVecs, "vec_id", "embedding", k = 2, iters = 1)
     }
   }
+
+  test("round-7c bootstrap shapes: incremental components from an empty " +
+      "labeling, feed composition with an empty side") {
+    // first-ever batch: empty standing labels — the fold IS a fresh CC
+    val emptyLabels = Seq.empty[(Long, Long)].toDF("id", "comp")
+    val batch = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val boot = Components.incrementalComponents(emptyLabels, batch, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(boot == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    // the empty feed is composition's identity element, both sides
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val v2 = Seq((1L, "a"), (2L, "c"), (3L, "d")).toDF("id", "v")
+    val f = graft.Meta.Versioned.snapshotDiff(v1, v2, Seq("id"), preimages = true)
+    val noFeed = f.limit(0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows(graft.Meta.Versioned.composeFeeds(f, noFeed, Seq("id"))) == rows(f))
+    assert(rows(graft.Meta.Versioned.composeFeeds(noFeed, f, Seq("id"))) == rows(f))
+  }
 }
