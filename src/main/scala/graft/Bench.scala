@@ -66,7 +66,14 @@ object Bench {
     val spark = Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries
-    val names = queries.keys.toSeq.sorted
+    // SPARK_GRAFT_BENCH_ONLY=q27_...,q46_... restricts the sweep — the
+    // adjudication loop for a suspect regression (more passes on few
+    // queries under controlled load) without paying a full registry pass
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    val names = queries.keys.toSeq.sorted.filter(n => only.forall(_(n)))
+    require(names.nonEmpty, "SPARK_GRAFT_BENCH_ONLY matched no queries")
     // Warmup: scan + join + agg + window + JSON codegen paths, untimed.
     Seq("q01_gold_attrition_monthly", "q04_latest_order_per_customer",
       "q11_debezium_roundtrip").foreach { n =>
@@ -166,13 +173,25 @@ object Bench {
     // outright failures must be visible in the tail-surviving section,
     // not only inside the truncation-prone per-query maps
     val failed = results.collect { case (n, _, mn) if mn < 0 => s"\"$n\"" }
+    // a uniform REAL regression (a shared kernel, a session config) moves
+    // the median itself, so normalization alone would erase it and the
+    // stdout report would read as "slower box". When the shift exceeds
+    // the decision threshold, emit the RAW over-threshold list alongside
+    // the normalized one so stdout alone cannot misclassify a uniform
+    // slowdown as environment noise (full vector: bench/last_run.json).
+    val rawRegressions = deltas.filter(_._2 > 15.0).sortBy(-_._2)
+    val shiftReport =
+      if (deltaMed.abs <= 15.0) ""
+      else s""","uniform_shift":"|delta_med_pct| > 15 — env shift OR a """ +
+        s"""shared-code slowdown; inspect raw_regressions_pct",""" +
+        s""""raw_regressions_pct":${jsonMap(rawRegressions)}"""
     val deltaReport =
       s""""failed":${failed.mkString("[", ",", "]")},""" + (
         if (baseline.isEmpty) s""""baseline":"none (${baselinePath} absent)""""
         else s""""baseline":"$baselinePath","baseline_n":${deltas.size},""" +
           s""""delta_med_pct":${fmt4(deltaMed)},""" +
           s""""regressions_rel_pct":${jsonMap(regressions)},""" +
-          s""""improved_rel_pct":${jsonMap(improved)}""")
+          s""""improved_rel_pct":${jsonMap(improved)}""" + shiftReport)
     val line =
       s"""{"metric":"total","value":${fmt4(total)},"unit":"sec","queries":$qs,""" +
         s""""queries_min":$qsMin,"passes":$passes,"extra_passes":$extra,""" +

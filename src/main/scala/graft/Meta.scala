@@ -136,6 +136,78 @@ object Meta {
       next
     }
 
+    // ------- exactly-once streaming folds (the Delta `txn` pattern) -------
+    //
+    // foreachBatch is AT-LEAST-once: Spark retries a batch whose function
+    // threw after a partial write, so a non-idempotent fold (a sum, a
+    // moments update) applied with plain [[write]] would double the
+    // replayed delta. Delta solves this with a `txn` action (appId +
+    // monotonically increasing version) committed atomically WITH the
+    // data; [[writeOnce]] replays that shape on the `v=` chain: the
+    // snapshot is staged with a `_txn_<appId>_<batchId>` marker file
+    // inside it and published by one directory rename, so the marker
+    // becomes visible atomically with the data, and a replayed batch
+    // (same appId, batchId ≤ the newest recorded) is detected and
+    // skipped. Underscore-prefixed files are invisible to parquet scans
+    // — but ONLY while the name contains no '=': Spark's hidden-path
+    // filter keeps `_`-names with '=' (they look like partition dirs),
+    // so the marker must never use '=' and appId must not contain '_'
+    // (it would make the name parse ambiguous).
+
+    private val TxnFile = "^_txn_([A-Za-z0-9.-]+)_(\\d+)$".r
+
+    /** Newest recorded batchId for `appId` across retained versions, or
+      * None. Scans version dirs newest-first (driver-side listing at
+      * manifest scale — O(versions), no data read). */
+    def lastTxn(spark: SparkSession, path: String, appId: String): Option[Long] = {
+      val (f, _) = fs(spark, path)
+      versions(spark, path).reverseIterator.flatMap { v =>
+        f.listStatus(new org.apache.hadoop.fs.Path(s"$path/v=$v")).toSeq
+          .map(_.getPath.getName)
+          .collectFirst { case TxnFile(a, b) if a == appId => b.toLong }
+      }.nextOption()
+    }
+
+    /** Exactly-once [[write]] for streaming foreachBatch folds: applies
+      * `df` as the next version tagged (appId, batchId), or no-ops when
+      * that batch was already applied (an at-least-once replay). Returns
+      * Some(version) when applied, None when skipped.
+      *
+      * Crash windows: failure before the publish rename leaves only an
+      * unreferenced staging dir (debris — the retry re-applies from the
+      * unchanged standing table); failure after it finds the marker and
+      * skips. One writer per (path, appId) — concurrent folds of the
+      * same table need the manifest CAS layer, not this. Retention
+      * caveat (same as Delta's): [[vacuum]] must keep at least the
+      * newest marker-bearing version while the stream can still retry. */
+    def writeOnce(df: DataFrame, path: String, appId: String,
+        batchId: Long): Option[Long] = {
+      require(TxnFile.pattern.matcher(s"_txn_${appId}_0").matches,
+        s"appId '$appId' must match [A-Za-z0-9.-]+ (no underscores)")
+      val spark = df.sparkSession
+      if (lastTxn(spark, path, appId).exists(_ >= batchId)) None
+      else {
+        val next = versions(spark, path).lastOption.getOrElse(0L) + 1
+        val (f, _) = fs(spark, path)
+        // staging name deliberately fails the strict ^v=\d+$ surface
+        // regex, so readers never see the half-written snapshot
+        val staging = new org.apache.hadoop.fs.Path(
+          s"$path/v=${next}_staging_${java.util.UUID.randomUUID}")
+        df.write.mode("errorifexists").parquet(staging.toString)
+        f.create(new org.apache.hadoop.fs.Path(staging, s"_txn_${appId}_$batchId"),
+          true).close()
+        val dst = new org.apache.hadoop.fs.Path(s"$path/v=$next")
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          f.getUri, spark.sparkContext.hadoopConfiguration)
+        try fc.rename(staging, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+        catch { case e: java.io.IOException =>
+          f.delete(staging, true)
+          throw e
+        }
+        Some(next)
+      }
+    }
+
     /** Latest version number, if any snapshot exists. */
     def latestVersion(spark: SparkSession, path: String): Option[Long] =
       versions(spark, path).lastOption
@@ -241,21 +313,35 @@ object Meta {
       }
       if (f.getUri.getScheme == "file") {
         // kernel-atomic claim: link(2) fails with EEXIST, no TOCTOU
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(dst.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          f.delete(tmp, false) // drop the staging name; the link remains
-        } catch {
-          case e: java.nio.file.FileAlreadyExistsException => lostRace(e)
-          case _: UnsupportedOperationException =>
-            // local mounts without hard links (VFAT/SMB/…): fall back to
-            // the rename claim rather than refusing to commit at all
-            renameClaim()
-          case e: java.io.IOException =>
-            f.delete(tmp, false) // never leak the staging file
-            throw e
-        }
+        val linked =
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(dst.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            true
+          } catch {
+            case e: java.nio.file.FileAlreadyExistsException => lostRace(e)
+            case _: UnsupportedOperationException =>
+              // local mounts without hard links (VFAT/SMB/…): fall back to
+              // the rename claim rather than refusing to commit at all
+              renameClaim()
+              false
+            case e: java.io.IOException =>
+              f.delete(tmp, false) // never leak the staging file
+              throw e
+          }
+        // once the link exists the commit IS published — a failure
+        // cleaning up the staging name must not surface as a failed
+        // commit (the caller would retry, claim a fresh id, and publish
+        // the same version set twice). The leftover staging file is
+        // ordinary gc-able debris.
+        if (linked)
+          try f.delete(tmp, false)
+          catch { case e: java.io.IOException =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"commit $id published but staging file $tmp not removed " +
+                s"(gc-able debris): $e")
+          }
       } else renameClaim()
       id
     }
@@ -542,10 +628,14 @@ object Meta {
           when(keys.map(col(_).isNull).reduce(_ || _),
             raise_error(lit("composeFeeds: null key in feed — null-key " +
               "rows do not compose; filter or key-fill them first")))
-          .when(!col("change_type").isin(
+          // NULL change_type must hit the explicit isNull branch: the
+          // negated isin alone evaluates to NULL (not true) on NULL, so
+          // a null-tagged row would slip past the raise_error and be
+          // silently dropped by the condensation instead of refusing
+          .when(col("change_type").isNull || !col("change_type").isin(
               "insert", "delete", "update_preimage", "update_postimage"),
             raise_error(concat(lit("composeFeeds: change_type '"),
-              col("change_type"),
+              coalesce(col("change_type"), lit("NULL")),
               lit("' is not the 4-value preimage vocabulary — " +
                 "build feeds with preimages = true"))))
           .otherwise(lit(true)))

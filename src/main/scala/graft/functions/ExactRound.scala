@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Tie-safe presentation rounding for oracle-compared results.
+  *
+  * The rounding discipline (round-8, after the q109 hash mismatch):
+  *
+  * `round(double, s)` is NOT portable across engines. Spark rounds the
+  * exact decimal expansion of the double (BigDecimal HALF_UP); DuckDB
+  * scales the binary double by 10^s and nearbyints it. When the scaled
+  * value lands within the FP multiply's error (~|x·10^s|·2^-53) of a
+  * .5 boundary the two paths disagree — a per-row probability that is
+  * negligible for a handful of small-magnitude values (q74: 12 values
+  * near 1e2) but material once thousands of large-magnitude values are
+  * emitted (q109: ~3 000 values near 1e11 → window ~2e-5 each).
+  *
+  * Rules for any value that crosses the oracle comparison boundary:
+  *
+  *  1. If the quantity derives from exact DECIMAL sums, never leave
+  *     decimal space: round with [[roundRatio]] — pure integer
+  *     arithmetic, bit-identical on any engine (DuckDB side uses
+  *     HUGEINT `//`, see the q109 oracle).
+  *  2. Choose the presentation scale s so that |value|·10^s < 2^53.
+  *     The driver's comparison converts decimals to float64; below
+  *     2^53 that conversion is uniquely (correctly) rounded on both
+  *     engines, above it the engines' int→double paths may differ in
+  *     the last ulp.
+  *  3. Transcendental-derived doubles (ln, cosine) cannot be made
+  *     exact; keep magnitudes small, round at a scale whose window
+  *     (|x·10^s|·2^-53 per value · rows) is quantifiably negligible,
+  *     and absorb per-element flips in a DECIMAL sum before the final
+  *     presentation round (the q65/q78 logprob recipe: a scale-9
+  *     per-token flip moves the per-doc mean by ~1e-11).
+  *  4. Pure integer derivations (ntile, counts, `//`) need none of
+  *     this — they are exact by construction (q107).
+  */
+object ExactRound {
+
+  private val I = DecimalType(38, 0)
+
+  /** Exact floor(num/den) for non-negative integer-valued DECIMAL(38,0)
+    * columns. Spark's decimal `/` rounds HALF_UP at the result scale,
+    * so `floor(num/den)` alone can flip when the true quotient sits
+    * within the rounding error of an integer; subtracting the remainder
+    * first makes the division exact at any scale. */
+  def floorDiv(num: Column, den: Column): Column =
+    ((num - num % den) / den).cast(I)
+
+  /** round-half-up(num/den) at `scale`, computed wholly in integer
+    * space: floor((2·num·10^scale + den) / (2·den)), presented as
+    * DECIMAL(38, scale). Requires num ≥ 0, den > 0 (all uses are
+    * counts and power sums). The DuckDB mirror is
+    * `((2*num*POW + den) // (2*den)) * CAST(10^-scale AS DECIMAL)`
+    * over HUGEINT. */
+  def roundRatio(num: Column, den: Column, scale: Int): Column = {
+    val pow = lit(java.math.BigDecimal.TEN.pow(scale)).cast(I)
+    val n = num.cast(I)
+    val d = den.cast(I)
+    val q = floorDiv(n * lit(2) * pow + d, d * lit(2))
+    (q.cast(DecimalType(38, scale)) / pow).cast(DecimalType(38, scale))
+  }
+}

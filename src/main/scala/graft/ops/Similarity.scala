@@ -240,6 +240,14 @@ object Similarity {
       .groupBy("pos")
       .agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
       .collect().sortBy(_.getInt(0))
+    // refuse loudly, matching the kmeansLloyd bootstrap contract pinned
+    // in EmptyInputSpec: an empty (or all-null-vector) corpus would
+    // otherwise return empty codebooks and sqEncode would silently emit
+    // null codes via element_at on empty literal arrays
+    require(rows.nonEmpty,
+      s"sqTrain: no vectors to train on (empty corpus or all-null '$vecCol')")
+    require(rows.forall(r => !r.isNullAt(1) && !r.isNullAt(2)),
+      s"sqTrain: null bounds in '$vecCol' (null vector components)")
     (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
   }
 
@@ -251,7 +259,8 @@ object Similarity {
     * (new ingest against an older codebook) saturates instead of
     * wrapping when stored as a byte. Pure scan-level projection against
     * codebook literals. */
-  def sqEncode(v: Column, mins: Seq[Double], maxs: Seq[Double]): Column =
+  def sqEncode(v: Column, mins: Seq[Double], maxs: Seq[Double]): Column = {
+    requireCodebook(mins, maxs, "sqEncode")
     transform(toDouble(v), (x, i) => {
       val mn = element_at(typedLit(mins), i + 1)
       val mx = element_at(typedLit(maxs), i + 1)
@@ -259,16 +268,28 @@ object Similarity {
         .otherwise(least(lit(255),
           greatest(lit(0), round((x - mn) / (mx - mn) * 255.0).cast("int"))))
     })
+  }
 
   /** Decode int8-range codes back to the reconstruction
     * x̂_i = mn_i + code_i·(mx_i − mn_i)/255 — the approximate vector all
     * quantized distance math runs on. */
-  def sqDecode(code: Column, mins: Seq[Double], maxs: Seq[Double]): Column =
+  def sqDecode(code: Column, mins: Seq[Double], maxs: Seq[Double]): Column = {
+    requireCodebook(mins, maxs, "sqDecode")
     transform(code, (c, i) => {
       val mn = element_at(typedLit(mins), i + 1)
       val mx = element_at(typedLit(maxs), i + 1)
       mn + (c.cast("double") * (mx - mn)) / 255.0
     })
+  }
+
+  /** Shared degenerate-codebook refusal for [[sqEncode]]/[[sqDecode]]. */
+  private def requireCodebook(mins: Seq[Double], maxs: Seq[Double],
+      who: String): Unit = {
+    require(mins.nonEmpty && maxs.nonEmpty,
+      s"$who: empty codebook (train on a non-empty corpus first)")
+    require(mins.length == maxs.length,
+      s"$who: codebook length mismatch (${mins.length} mins, ${maxs.length} maxs)")
+  }
 
   /** Distributed Lloyd's k-means over an embedding column — the trainer
     * for [[topKIvf]]'s coarse quantizer (which documents "swap in k-means

@@ -490,6 +490,12 @@ object AnalyticsQueries {
     // exact decimals and assembling the moments in one fixed double
     // expression at the end makes variance/stddev/correlation exactly
     // reproducible. Identical assembly trees both engines; round(6).
+    // Rounding-class audit (round 8, graft.functions.ExactRound rule 3):
+    // round(double, 6) here is tie-safe in practice — 3 groups × 6
+    // measures of ≤1e4 magnitude give a per-run divergence window of
+    // ~1e-11; sqrt/corr are transcendental so integer-space rounding
+    // cannot apply. q109 (1 499 groups × 1e11 variances, window ~2e-5
+    // per row) is the member of this class that needed ExactRound.
     Q(
       "q74_exact_moments",
       """WITH s AS (
@@ -1000,22 +1006,31 @@ object AnalyticsQueries {
     // power sums (cnt, Σv, Σv²) — mean and variance of every group stay
     // maintainable from the same abelian old+delta merge, in exact
     // DECIMAL so a thousand maintenance cycles cannot drift the
-    // variance. Oracle = direct moments of v2 (q74's derivation
-    // discipline: identical float expression trees over exact power
-    // sums, round 6, variance guarded for singleton groups).
+    // variance. Presentation follows graft.functions.ExactRound (round
+    // 8): q74's round(double, 6) recipe diverges between engines on
+    // .5-boundary scaled values, and with ~1 500 groups of 1e11-scale
+    // variances the tie window (~2e-5/row) is no longer luck-sized —
+    // this query's round-7 hash mismatch. mean and var are therefore
+    // rounded half-up wholly in integer space on BOTH engines (Spark:
+    // DECIMAL(38,0) remainder arithmetic; DuckDB: HUGEINT `//`), with
+    // scales chosen so |value|·10^scale < 2^53 (mean 6dp, var 2dp) and
+    // the driver's decimal→float64 conversion stays uniquely rounded.
     Q(
       "q109_incremental_moments",
       """WITH s AS (
         |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt,
-        |    CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS s1,
-        |    CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))
-        |           * CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS s2
-        |  FROM orders WHERE o_orderkey % 11 <> 0
+        |    sum(pc) AS s1c, sum(pc * pc) AS s2c4
+        |  FROM (SELECT o_custkey,
+        |          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS pc
+        |        FROM orders WHERE o_orderkey % 11 <> 0) t
         |  GROUP BY o_custkey)
         |SELECT o_custkey, cnt,
-        |  round(s1 / cnt, 6) AS mean_price,
-        |  CASE WHEN cnt > 1
-        |       THEN round((s2 - s1 * s1 / cnt) / (cnt - 1), 6) END AS var_price
+        |  ((2 * s1c * 1000000 + cnt * 100) // (2 * cnt * 100))
+        |    * CAST(0.000001 AS DECIMAL(7,6)) AS mean_price,
+        |  CASE WHEN cnt > 1 THEN
+        |    ((2 * (s2c4 * cnt - s1c * s1c) * 100 + cnt * (cnt - 1) * 10000)
+        |      // (2 * cnt * (cnt - 1) * 10000))
+        |      * CAST(0.01 AS DECIMAL(3,2)) END AS var_price
         |FROM s""".stripMargin) { (spark, dir) =>
       val o = Tables.orders(spark, dir)
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -1029,12 +1044,15 @@ object AnalyticsQueries {
       val seed = Incremental.aggMoments(v1, Seq("o_custkey"), "o_totalprice")
       val m = Incremental.maintainMoments(seed, feed,
         Seq("o_custkey"), "o_totalprice")
-      val s1 = col("s1").cast("double")
-      val s2 = col("s2").cast("double")
+      val s1c = col("s1") * 100    // Σv in cents — integer-valued, exact
+      val s2c4 = col("s2") * 10000 // Σv² in 1e-4 dollars² — integer-valued
+      val n = s2c4 * col("cnt") - s1c * s1c // ≥ 0 (Cauchy–Schwarz), exact
       m.select(col("o_custkey"), col("cnt"),
-        round(s1 / col("cnt"), 6).as("mean_price"),
+        graft.functions.ExactRound.roundRatio(s1c, col("cnt") * 100, 6)
+          .as("mean_price"),
         when(col("cnt") > 1,
-          round((s2 - s1 * s1 / col("cnt")) / (col("cnt") - 1), 6))
+          graft.functions.ExactRound.roundRatio(
+            n, col("cnt") * (col("cnt") - 1) * 10000, 2))
           .as("var_price"))
     },
 

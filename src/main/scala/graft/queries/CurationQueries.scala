@@ -628,6 +628,12 @@ object CurationQueries {
     // and norms, so nothing ever collects a label's vectors into one
     // task. Determinism: centroids rounded at 6dp both engines, all
     // sums DECIMAL, the outlier boolean compares the ROUNDED cosine.
+    // Rounding-class audit (round 8, ExactRound rule 3): cosines are
+    // |x| ≤ 1, so the round(double, 6) tie window is ~2e-10/row ×
+    // ~1.1k rounded values ≈ 2e-7/run; the float→DECIMAL(27,10) input
+    // casts add ~7e-3/run of 1e-10-sized sum perturbations that the
+    // 6dp presentation round absorbs. Quantifiably negligible — unlike
+    // q109's 1e11-magnitude variances, which moved to integer space.
     Q(
       "q85_embedding_outliers",
       """WITH expd AS (

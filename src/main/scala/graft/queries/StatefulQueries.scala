@@ -439,6 +439,13 @@ object StatefulQueries {
     // batches — folds to the same final table; the oracle is the direct
     // aggregate of v2, same contract as q100. Per-batch cost is
     // |micro-batch| + |groups|; the orders snapshot is never rescanned.
+    // Delivery (round 8): foreachBatch is at-least-once and a sum fold
+    // is NOT idempotent, so each fold commits through Versioned
+    // .writeOnce — the Delta `txn` pattern, batchId recorded atomically
+    // with the snapshot — and the query itself REPLAYS its final batch
+    // under the original batchId after the stream stops; the oracle
+    // only matches because the replay no-ops (q115 pins the idempotent
+    // sketch twin; this pins the non-idempotent one).
     Q(
       "q103_stream_incremental_agg",
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt,
@@ -474,15 +481,18 @@ object StatefulQueries {
       val ms = MemoryStream[(Long, Long, Double, String)]
       val src = ms.toDF()
         .toDF("o_orderkey", "o_custkey", "o_totalprice", "change_type")
+      @volatile var lastBid = -1L
+      val fold = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {
+        if (bid > lastBid) lastBid = bid
+        val standing = graft.Meta.Versioned.read(spark, aggPath)
+        graft.Meta.Versioned.writeOnce(
+          Incremental.maintainSumCount(standing, batch,
+            Seq("o_custkey"), "o_totalprice"), aggPath, "q103", bid)
+        ()
+      }
       Streams.withShufflePartitions(spark, 4) {
         val q = src.writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            val standing = graft.Meta.Versioned.read(spark, aggPath)
-            graft.Meta.Versioned.write(
-              Incremental.maintainSumCount(standing, batch,
-                Seq("o_custkey"), "o_totalprice"), aggPath)
-            ()
-          }
+          .foreachBatch(fold)
           .outputMode("update")
           .option("checkpointLocation", s"$root/cp")
           .start()
@@ -495,6 +505,12 @@ object StatefulQueries {
           q.processAllAvailable()
         } finally q.stop()
       }
+      // at-least-once replay: re-apply the second half under its original
+      // batchId — the txn marker must make the non-idempotent sum fold a
+      // no-op, or the doubled deltas break the oracle match below
+      val replay = feedRows.filter(_._1 % 2 != 0)
+        .toDF("o_orderkey", "o_custkey", "o_totalprice", "change_type")
+      fold(replay, lastBid)
       graft.Meta.Versioned.read(spark, aggPath)
         .select(col("o_custkey"), col("cnt"), col("total").cast("double"))
     },
@@ -502,11 +518,12 @@ object StatefulQueries {
     // ---- Streaming SKETCH maintenance (L97): per-micro-batch KMV
     // sketches of the shingle stream folded into a standing per-source
     // sketch table through foreachBatch + versioned snapshots — the
-    // sketch twin of q103's sum fold, with a strictly STRONGER delivery
-    // guarantee: bottom-k union is idempotent as well as abelian, so
-    // even at-least-once replay of a whole batch cannot corrupt the
-    // standing sketch (a replayed delta would double q103's sums; here
-    // it is absorbed — byte-level merge idempotence pinned in KmvSpec).
+    // sketch twin of q103's sum fold, with an ALGEBRAIC replay shield
+    // rather than a transactional one: bottom-k union is idempotent as
+    // well as abelian, so at-least-once replay of a whole batch is
+    // absorbed by the math itself (byte-level merge idempotence pinned
+    // in KmvSpec), where q103's non-idempotent sums need writeOnce's
+    // txn markers. Both delivery shapes are now exactly-once.
     // The query replays
     // one batch deliberately; the streamed estimate must still EQUAL the
     // one-shot direct sketch bit for bit (bottom-k of a union is
@@ -636,15 +653,20 @@ object StatefulQueries {
       val src = ms.toDF().toDF("doc_id", "text")
       Streams.withShufflePartitions(spark, 4) {
         val q = src.writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            graft.Meta.Versioned.write(
+          // CM merge is elementwise ADDITION — a replayed batch would
+          // double its counts — so both folds commit through writeOnce
+          // (txn markers, round 8). The two tables are separate commit
+          // points: a crash between them replays the batch, the cm fold
+          // no-ops on its marker, and only the missing cands fold runs.
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            graft.Meta.Versioned.writeOnce(
               graft.Meta.Versioned.read(spark, cmPath).unionByName(cmOf(batch))
                 .agg(call_function("graft_cm_merge", col("sk")).as("sk")),
-              cmPath)
-            graft.Meta.Versioned.write(
+              cmPath, "q121", bid)
+            graft.Meta.Versioned.writeOnce(
               graft.Meta.Versioned.read(spark, candPath)
                 .unionByName(candsOf(batch)).distinct(),
-              candPath)
+              candPath, "q121", bid)
             ()
           }
           .outputMode("update")

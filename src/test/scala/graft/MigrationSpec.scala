@@ -152,4 +152,34 @@ class MigrationSpec extends SparkSuite {
         Option[org.apache.spark.sql.Column]) => DataFrame)
     assert(pins.nonEmpty)
   }
+
+  test("incremental-view/maintenance layer (q100-q123 guide table): " +
+      "txn folds, feed compose, moments maintenance") {
+    // Delta `txn` analogue: idempotent fold commit, replay no-ops
+    val p = Files.createTempDirectory("mig-txn").toString + "/t"
+    val df = Seq((1L, 10.0)).toDF("k", "v")
+    assert(graft.Meta.Versioned.writeOnce(df, p, "mig", 0L).contains(1L))
+    assert(graft.Meta.Versioned.writeOnce(df, p, "mig", 0L).isEmpty)
+    assert(graft.Meta.Versioned.lastTxn(spark, p, "mig").contains(0L))
+    // CDF analogue: snapshotDiff feed → maintainMoments == direct rebuild
+    val v1 = Seq((1L, 1L, 10.0), (2L, 1L, 5.0), (3L, 2L, 2.0))
+      .toDF("id", "k", "v")
+    val v2 = Seq((1L, 1L, 12.0), (3L, 2L, 2.0), (4L, 2L, 7.0))
+      .toDF("id", "k", "v")
+    val feed = graft.Meta.Versioned.snapshotDiff(v1, v2, Seq("id"), preimages = true)
+    val maintained = Incremental.maintainMoments(
+      Incremental.aggMoments(v1, Seq("k"), "v"), feed, Seq("k"), "v")
+      .collect().map(_.toString).sorted
+    val direct = Incremental.aggMoments(v2, Seq("k"), "v")
+      .collect().map(_.toString).sorted
+    assert(maintained.sameElements(direct))
+    // feed-composition analogue (CDF over a commit range): A→B ∘ B→C = A→C
+    val v3 = Seq((1L, 1L, 12.0), (4L, 2L, 9.0)).toDF("id", "k", "v")
+    val composed = graft.Meta.Versioned.composeFeeds(
+      feed, graft.Meta.Versioned.snapshotDiff(v2, v3, Seq("id"), preimages = true),
+      Seq("id")).collect().map(_.toString).sorted
+    val oneHop = graft.Meta.Versioned.snapshotDiff(v1, v3, Seq("id"), preimages = true)
+      .collect().map(_.toString).sorted
+    assert(composed.sameElements(oneHop))
+  }
 }

@@ -60,4 +60,23 @@ object ComponentsProps extends Properties("connectedComponents") {
         fast == expected && dist == expected
       }
     }
+
+  property("gate boundary: smallGraphEdges = E picks the driver path, " +
+      "E - 1 the distributed one — identical labels on the same graph") =
+    Prop.forAll(genEdges) { edges =>
+      edges.isEmpty || {
+        val df = edges.toDF("id_a", "id_b")
+        // E as the gate compares it: the symmetrized DISTINCT edge count
+        val e = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+          .distinct.size.toLong
+        val expected = model(edges)
+        val atGate = Components
+          .connectedComponents(df, "id_a", "id_b", smallGraphEdges = e)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val justOver = Components
+          .connectedComponents(df, "id_a", "id_b", smallGraphEdges = e - 1)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        atGate == expected && justOver == expected && atGate == justOver
+      }
+    }
 }

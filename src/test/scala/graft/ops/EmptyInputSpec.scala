@@ -39,6 +39,21 @@ class EmptyInputSpec extends SparkSuite {
       .topKBucketed(noVecs, noVecs, "vec_id", "embedding", 3, 2, 4, 2).isEmpty)
   }
 
+  test("scalar quantization refuses degenerate codebooks loudly") {
+    // an empty corpus must REFUSE (kmeansLloyd's bootstrap contract),
+    // not return empty codebooks that sqEncode turns into null codes
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.sqTrain(noVecs, "embedding"))
+    assert(e1.getMessage.contains("sqTrain"))
+    val nullVecs = Seq((1L, null.asInstanceOf[Seq[Double]], "x"))
+      .toDF("vec_id", "embedding", "label")
+    intercept[IllegalArgumentException](Similarity.sqTrain(nullVecs, "embedding"))
+    intercept[IllegalArgumentException](
+      Similarity.sqEncode(col("embedding"), Seq.empty, Seq.empty))
+    intercept[IllegalArgumentException](
+      Similarity.sqDecode(col("code"), Seq(0.0), Seq(1.0, 2.0)))
+  }
+
   test("merge family: empty source is a no-op, empty target bootstraps") {
     val target = Seq((1L, "a")).toDF("k", "v")
     val empty = target.limit(0)

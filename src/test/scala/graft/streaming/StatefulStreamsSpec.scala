@@ -133,6 +133,97 @@ class StatefulStreamsSpec extends SparkSuite {
       s"expected versions seed+2, got ${graft.Meta.Versioned.latestVersion(spark, skPath)}")
   }
 
+  test("writeOnce makes a replayed non-idempotent moments fold exactly-once " +
+      "(the q103/q121 at-least-once window): streamed over a RANDOMIZED " +
+      "batching, with one batch replayed, equals the direct aggregate") {
+    import graft.ops.Incremental
+    val root = java.nio.file.Files.createTempDirectory("graft-writeonce")
+    root.toFile.deleteOnExit()
+    val aggPath = root.resolve("agg").toString
+    val cp = root.resolve("cp").toString
+    val o = graft.Tables.orders(spark, sfDir())
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val v1 = o.filter(col("o_orderkey") % 7 =!= 0)
+    val v2 = o.filter(col("o_orderkey") % 11 =!= 0)
+    graft.Meta.Versioned.write(
+      Incremental.aggMoments(v1, Seq("o_custkey"), "o_totalprice"), aggPath)
+    val feedRows = graft.Meta.Versioned
+      .snapshotDiff(v1, v2, Seq("o_orderkey"), preimages = true)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "change_type")
+      .as[(Long, Long, Double, String)].collect().toSeq
+    // randomized batching: any split must fold to the same table (the
+    // abelian contract), and the txn marker must absorb the replays
+    val rnd = new scala.util.Random(42)
+    val batches = feedRows.groupBy(_ => rnd.nextInt(5)).toSeq
+      .sortBy(_._1).map(_._2)
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Double, String)]
+    val src = ms.toDF()
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "change_type")
+    @volatile var lastBid = -1L
+    val fold = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {
+      if (bid > lastBid) lastBid = bid
+      graft.Meta.Versioned.writeOnce(
+        Incremental.maintainMoments(
+          graft.Meta.Versioned.read(spark, aggPath), batch,
+          Seq("o_custkey"), "o_totalprice"),
+        aggPath, "moments", bid)
+      ()
+    }
+    Streams.withShufflePartitions(spark, 4) {
+      val q = src.writeStream
+        .foreachBatch(fold)
+        .outputMode("update")
+        .option("checkpointLocation", cp)
+        .start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+    }
+    val applied = graft.Meta.Versioned.latestVersion(spark, aggPath).get
+    // replay the LAST batch under its own batchId (what a mid-write
+    // retry does) and an OLDER one (the >= guard): both must no-op
+    fold(batches.last
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "change_type"), lastBid)
+    fold(batches.head
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "change_type"), 0L)
+    assert(graft.Meta.Versioned.latestVersion(spark, aggPath).contains(applied),
+      "replayed batches must not commit new versions")
+    val got = graft.Meta.Versioned.read(spark, aggPath)
+      .collect().map(_.toString).sorted
+    val want = Incremental.aggMoments(v2, Seq("o_custkey"), "o_totalprice")
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(want),
+      s"maintained-under-replay != direct: ${got.take(3).mkString} vs ${want.take(3).mkString}")
+    // and the guard actually recorded the stream's last batch
+    assert(graft.Meta.Versioned.lastTxn(spark, aggPath, "moments")
+      .contains(lastBid))
+  }
+
+  test("writeOnce crash window: a staging dir left by a pre-publish failure " +
+      "is invisible to readers and does not block the retry") {
+    val root = java.nio.file.Files.createTempDirectory("graft-writeonce-crash")
+    root.toFile.deleteOnExit()
+    val p = root.resolve("t").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    graft.Meta.Versioned.write(df, p)
+    // simulate a writer that died between parquet write and publish:
+    // a staged dir with data + marker, never renamed to v=2
+    val staged = new java.io.File(s"$p/v=2_staging_deadbeef")
+    df.write.parquet(staged.toString)
+    java.nio.file.Files.createFile(staged.toPath.resolve("_txn_app_7"))
+    assert(graft.Meta.Versioned.latestVersion(spark, p).contains(1L),
+      "staged dir must not surface as a version")
+    assert(graft.Meta.Versioned.lastTxn(spark, p, "app").isEmpty,
+      "a marker in an unpublished staging dir must not count as applied")
+    // the retry of batch 7 must still apply
+    assert(graft.Meta.Versioned.writeOnce(df, p, "app", 7L).contains(2L))
+    assert(graft.Meta.Versioned.lastTxn(spark, p, "app").contains(7L))
+    // and a second attempt of the same batch no-ops
+    assert(graft.Meta.Versioned.writeOnce(df, p, "app", 7L).isEmpty)
+    assert(graft.Meta.Versioned.read(spark, p).count() == 2L)
+  }
+
   test("observe metrics ride along streaming micro-batches (T6 observability)") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Long]
