@@ -609,6 +609,97 @@ object StatefulQueries {
       out
     },
 
+    // ---- STREAMING moments maintenance: q109's power-sum fold run as
+    // continuous ingest — the production shape of a standing data-card
+    // (per-group mean/variance maintained from the change feed, never a
+    // rescan). Composes the round-8 pieces end to end: maintainMoments
+    // per micro-batch, committed exactly-once through writeOnce (the
+    // final batch is REPLAYED in-query under its original batchId — a
+    // doubled Σv² would corrupt the variance, so the oracle match IS
+    // the exactly-once proof), and the mean/var presentation goes
+    // through ExactRound's integer-space rounding, same contract and
+    // same HUGEINT oracle shape as q109.
+    Q(
+      "q124_stream_moments",
+      """WITH s AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt,
+        |    sum(pc) AS s1c, sum(pc * pc) AS s2c4
+        |  FROM (SELECT o_custkey,
+        |          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS pc
+        |        FROM orders WHERE o_orderkey % 11 <> 0) t
+        |  GROUP BY o_custkey)
+        |SELECT o_custkey, cnt,
+        |  ((2 * s1c * 1000000 + cnt * 100) // (2 * cnt * 100))
+        |    * CAST(0.000001 AS DECIMAL(7,6)) AS mean_price,
+        |  CASE WHEN cnt > 1 THEN
+        |    ((2 * (s2c4 * cnt - s1c * s1c) * 100 + cnt * (cnt - 1) * 10000)
+        |      // (2 * cnt * (cnt - 1) * 10000))
+        |      * CAST(0.01 AS DECIMAL(3,2)) END AS var_price
+        |FROM s""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.Streams
+      import graft.ops.Incremental
+      val root = graft.Tmp.dir("graft-q124").toString
+      val aggPath = s"$root/agg"
+      val o = Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val v1 = o.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 50)
+            .otherwise(col("o_totalprice")))
+      val v2 = o.filter(col("o_orderkey") % 11 =!= 0)
+      graft.Meta.Versioned.write(
+        Incremental.aggMoments(v1, Seq("o_custkey"), "o_totalprice"), aggPath)
+      implicit val ctx = spark.sqlContext
+      import spark.implicits._
+      val feedRows = graft.Meta.Versioned
+        .snapshotDiff(v1, v2, Seq("o_orderkey"), preimages = true)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("change_type"))
+        .as[(Long, Long, Double, String)]
+        .collect().toSeq
+      val ms = MemoryStream[(Long, Long, Double, String)]
+      val src = ms.toDF()
+        .toDF("o_orderkey", "o_custkey", "o_totalprice", "change_type")
+      @volatile var lastBid = -1L
+      val fold = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {
+        if (bid > lastBid) lastBid = bid
+        graft.Meta.Versioned.writeOnce(
+          Incremental.maintainMoments(
+            graft.Meta.Versioned.read(spark, aggPath), batch,
+            Seq("o_custkey"), "o_totalprice"), aggPath, "q124", bid)
+        ()
+      }
+      Streams.withShufflePartitions(spark, 4) {
+        val q = src.writeStream
+          .foreachBatch(fold)
+          .outputMode("update")
+          .option("checkpointLocation", s"$root/cp")
+          .start()
+        try {
+          ms.addData(feedRows.filter(_._1 % 2 == 0))
+          q.processAllAvailable()
+          ms.addData(feedRows.filter(_._1 % 2 != 0))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      // at-least-once replay of the final batch: Σv² doubling would be
+      // visible in var_price, so the oracle match pins exactly-once
+      fold(feedRows.filter(_._1 % 2 != 0)
+        .toDF("o_orderkey", "o_custkey", "o_totalprice", "change_type"), lastBid)
+      val m = graft.Meta.Versioned.read(spark, aggPath)
+      val s1c = col("s1") * 100
+      val s2c4 = col("s2") * 10000
+      val n = s2c4 * col("cnt") - s1c * s1c
+      m.select(col("o_custkey"), col("cnt"),
+        graft.functions.ExactRound.roundRatio(s1c, col("cnt") * 100, 6)
+          .as("mean_price"),
+        when(col("cnt") > 1,
+          graft.functions.ExactRound.roundRatio(
+            n, col("cnt") * (col("cnt") - 1) * 10000, 2))
+          .as("var_price"))
+    },
+
     // ---- Streaming HEAVY HITTERS (L103): q53 run as continuous ingest.
     // Candidates: per-micro-batch Misra–Gries sketches, unioned — the
     // superset guarantee COMPOSES across batches by pigeonhole (a term
