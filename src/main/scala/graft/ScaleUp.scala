@@ -50,8 +50,21 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     def load(t: String) = spark.read.parquet(s"$src/$t.parquet")
-    def save(t: String)(df: DataFrame): Unit =
-      df.write.mode("errorifexists").parquet(s"$dst/$t.parquet")
+    // one plain FILE per table, exactly the driver fixture's layout —
+    // the streaming queries symlink `<table>.parquet` as a single file
+    // into their source dir, and a directory there is silently invisible
+    // to the file-stream source (it only recurses partition dirs)
+    def save(t: String)(df: DataFrame): Unit = {
+      val tmp = s"$dst/_tmp_$t"
+      df.coalesce(1).write.mode("errorifexists").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      require(part.length == 1, s"$t: expected one part file, got ${part.length}")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
+      java.nio.file.Files.move(part.head.toPath,
+        java.nio.file.Paths.get(s"$dst/$t.parquet"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
 
     // fixed dims: shared by every replica
     Seq("region", "nation").foreach(t => save(t)(load(t)))
@@ -83,11 +96,19 @@ object ScaleUp {
     save("events")(shifted(events, "event_id" -> eBase, "user_id" -> uBase))
 
     // documents: key shift + per-replica deterministic token permutation
-    // (replica 0 keeps the verbatim text)
+    // AND a ~10% token salt (replica 0 keeps the verbatim text). The
+    // permutation decorrelates ORDER-sensitive features (shingles); the
+    // salt decorrelates order-INSENSITIVE ones (token-multiset simhash,
+    // which is permutation-invariant — without it every replica shares
+    // its original's exact fingerprint and near-dup candidate pairs grow
+    // quadratically in the factor, a fixture artifact q119 surfaced).
     val toks = split(col("text"), "\\s+")
+    val salted = transform(toks, t =>
+      when(pmod(xxhash64(t, col("doc_id"), col("_r")), lit(10)) === 0,
+        concat(t, lit("x"), col("_r"))).otherwise(t))
     val permuted = concat_ws(" ",
       transform(
-        array_sort(transform(toks,
+        array_sort(transform(salted,
           t => struct(xxhash64(t, col("doc_id"), col("_r")).as("h"), t.as("t")))),
         s => s.getField("t")))
     save("documents")(
