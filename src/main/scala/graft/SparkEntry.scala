@@ -12,7 +12,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     HrQueries.all ++ PipelineQueries.all ++ LlmQueries.all ++
       StatefulQueries.all ++ TemporalQueries.all ++ AnalyticsQueries.all ++
-      CurationQueries.all ++ GovernanceQueries.all
+      CurationQueries.all ++ GovernanceQueries.all ++ LinkageQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

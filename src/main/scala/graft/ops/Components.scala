@@ -209,4 +209,39 @@ object Components {
       .join(broadcast(merged), col("comp") === col("_oldc"), "left")
       .select(col("id"), coalesce(col("_newc"), col("comp")).as("comp"))
   }
+
+  /** Fixed-iteration PageRank in scaled-integer arithmetic: link analysis
+    * over an edge relation (e.g. the near-dup graph, or a bipartite
+    * interaction graph), used to pick authoritative canonical documents
+    * or weight sources by connectivity.
+    *
+    * Ranks are BIGINTs scaled by 1e9 and every step is integer-exact —
+    * contribution = rank `div` outdegree (floor), damping = (85·Σ) `div`
+    * 100 — so the result is bit-identical across engines, partitionings
+    * and merge orders (a float PageRank is not: FP addition does not
+    * commute with Spark's nondeterministic partial-agg order). Each
+    * iteration is one co-partitioned join (edges ⋈ ranks on src) plus
+    * one hash aggregate on dst — the Pregel shape, linear per iteration
+    * at any scale, no driver-side data. Callers pass a SYMMETRIC edge
+    * list (or otherwise every node reachable) so the node set is stable
+    * across iterations; dangling mass is dropped, matching the
+    * simplified formulation (Page et al., 1999, eq. 2).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint() // computed once, reused every iteration
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    var rank = deg.select(col("src"), lit(1000000000L).as("pr"))
+    for (_ <- 1 to iters) {
+      rank = e.join(rank.join(deg, "src"), "src")
+        .select(col("dst"), expr("pr div outdeg").as("c"))
+        .groupBy("dst")
+        .agg(expr("CAST(150000000 + (85 * sum(c)) div 100 AS BIGINT)").as("pr"))
+        .withColumnRenamed("dst", "src")
+    }
+    rank.select(col("src").as("node_id"), col("pr"))
+  }
 }

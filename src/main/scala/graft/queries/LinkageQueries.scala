@@ -1,0 +1,187 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.ExactRound
+import graft.ops.{Components, Linkage}
+import org.apache.spark.sql.functions._
+
+/** Identity-and-structure layer: cross-table entity resolution, link
+  * analysis over interaction graphs, and corpus drift monitoring between
+  * versions — the observability operators a continuously-rebuilt 100 TB
+  * training set needs on top of curation (builder brief). Every operator
+  * is oracle-checked end to end; every numeric presentation follows the
+  * ExactRound integer-space discipline so results are bit-identical
+  * across engines.
+  */
+object LinkageQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Blocked RECORD LINKAGE (Fellegi–Sunter shape): resolve a
+    // deterministically-corrupted twin of `customer` (keys re-minted,
+    // last name char leet-mangled) back to the clean table. Blocking =
+    // equi-join on (nation, name-minus-last-char) — a key the corruption
+    // model cannot touch, so candidates stay linear (no cross join; the
+    // spec measures blocking recall = 1 against ground truth). Scoring =
+    // weighted field agreements (edit distance ≤ 1 on name, segment
+    // equality, exact balance), match at score ≥ 5. Every term is
+    // integer-valued — no rounding surface at the oracle boundary.
+    Q(
+      "q125_record_linkage",
+      """WITH cl AS (
+        |  SELECT c_custkey AS a_key, c_name AS a_name, c_nationkey AS nk,
+        |    c_mktsegment AS a_seg, c_acctbal AS a_bal,
+        |    substr(c_name, 1, length(c_name)-1) AS blk
+        |  FROM customer),
+        |dr AS (
+        |  SELECT c_custkey + 9000000 AS b_key,
+        |    substr(c_name, 1, length(c_name)-1) ||
+        |      translate(substr(c_name, length(c_name), 1),
+        |                '0123456789', 'OIZEASGTBP') AS b_name,
+        |    c_nationkey AS nk, c_mktsegment AS b_seg, c_acctbal AS b_bal,
+        |    substr(c_name, 1, length(c_name)-1) AS blk
+        |  FROM customer),
+        |cand AS (
+        |  SELECT a_key, b_key,
+        |    CAST(levenshtein(a_name, b_name) AS INT) AS lev_name,
+        |    CAST(CASE WHEN a_seg = b_seg THEN 1 ELSE 0 END AS INT) AS seg_agree,
+        |    CAST(CASE WHEN a_bal = b_bal THEN 1 ELSE 0 END AS INT) AS bal_agree
+        |  FROM cl JOIN dr USING (blk, nk))
+        |SELECT a_key, b_key, lev_name, seg_agree, bal_agree,
+        |  CAST(3 * (CASE WHEN lev_name <= 1 THEN 1 ELSE 0 END)
+        |    + seg_agree + 2 * bal_agree AS INT) AS score
+        |FROM cand
+        |WHERE 3 * (CASE WHEN lev_name <= 1 THEN 1 ELSE 0 END)
+        |    + seg_agree + 2 * bal_agree >= 5""".stripMargin) { (spark, dir) =>
+      val c = Tables.customer(spark, dir)
+      val blk = expr("substring(c_name, 1, length(c_name)-1)")
+      val clean = c.select(
+        col("c_custkey").as("a_key"), col("c_name").as("a_name"),
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("a_seg"),
+        col("c_acctbal").as("a_bal"), blk.as("blk"))
+      val dirty = c.select(
+        (col("c_custkey") + 9000000L).as("b_key"),
+        concat(blk, translate(
+          col("c_name").substr(length(col("c_name")), lit(1)),
+          "0123456789", "OIZEASGTBP")).as("b_name"),
+        col("c_nationkey").as("nk"), col("c_mktsegment").as("b_seg"),
+        col("c_acctbal").as("b_bal"), blk.as("blk"))
+      Linkage.blockAndScore(clean, dirty, Seq("blk", "nk"), Seq(
+          (levenshtein(col("a_name"), col("b_name")) <= 1, 3),
+          (col("a_seg") === col("b_seg"), 1),
+          (col("a_bal") === col("b_bal"), 2)),
+          threshold = 5)
+        .select(col("a_key"), col("b_key"),
+          levenshtein(col("a_name"), col("b_name")).cast("int").as("lev_name"),
+          (col("a_seg") === col("b_seg")).cast("int").as("seg_agree"),
+          (col("a_bal") === col("b_bal")).cast("int").as("bal_agree"),
+          col("score"))
+    },
+
+    // ---- PAGERANK over the customer↔supplier interaction graph (edges
+    // from orders ⋈ lineitem, symmetric), 3 iterations in scaled-integer
+    // arithmetic — see Components.pageRank for why integer: a float rank
+    // is merge-order-nondeterministic under partial aggregation. Each
+    // iteration is the Pregel join+agg shape; the oracle unrolls the
+    // identical three iterations over HUGEINT floor division.
+    Q(
+      "q126_pagerank",
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+        |        FROM e GROUP BY src),
+        |r0 AS (SELECT src, CAST(1000000000 AS BIGINT) AS pr FROM deg),
+        |r1 AS (SELECT e.dst AS src,
+        |    CAST(150000000 + (85 * sum(r.pr // d.outdeg)) // 100 AS BIGINT) AS pr
+        |  FROM e JOIN r0 r ON e.src = r.src JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS src,
+        |    CAST(150000000 + (85 * sum(r.pr // d.outdeg)) // 100 AS BIGINT) AS pr
+        |  FROM e JOIN r1 r ON e.src = r.src JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS src,
+        |    CAST(150000000 + (85 * sum(r.pr // d.outdeg)) // 100 AS BIGINT) AS pr
+        |  FROM e JOIN r2 r ON e.src = r.src JOIN deg d ON e.src = d.src
+        |  GROUP BY e.dst)
+        |SELECT src AS node_id, pr FROM r3""".stripMargin) { (spark, dir) =>
+      val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+      val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      val e0 = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 10000000L).as("dst"))
+        .distinct()
+      // symmetric; custkey/suppkey id ranges are disjoint so no dedup needed
+      val e = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      Components.pageRank(e, "src", "dst", iters = 3)
+    },
+
+    // ---- CORPUS DRIFT MONITOR: compare two corpus versions (deterministic
+    // overlapping subsets standing in for yesterday's and today's build)
+    // per (lang, source) cell — document counts, corpus share, mean doc
+    // length. The observability pass a recurring corpus build runs to
+    // catch a source silently changing mix or length profile. One
+    // aggregate per version + a broadcast scalar join for the totals
+    // (never a single-partition window); shares/means presented via
+    // ExactRound integer-space rounding, drift as exact decimal
+    // subtraction — no float crosses the oracle boundary.
+    Q(
+      "q127_corpus_drift",
+      """WITH v1 AS (SELECT lang, source, n_chars FROM documents WHERE doc_id % 10 <> 0),
+        |v2 AS (SELECT lang, source, n_chars FROM documents WHERE doc_id % 7 <> 0),
+        |a AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_v1,
+        |        CAST(sum(n_chars) AS BIGINT) AS chars_v1
+        |      FROM v1 GROUP BY lang, source),
+        |b AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_v2,
+        |        CAST(sum(n_chars) AS BIGINT) AS chars_v2
+        |      FROM v2 GROUP BY lang, source),
+        |t AS (SELECT (SELECT count(*) FROM v1) AS t1, (SELECT count(*) FROM v2) AS t2),
+        |j AS (SELECT coalesce(a.lang, b.lang) AS lang,
+        |        coalesce(a.source, b.source) AS source,
+        |        coalesce(n_v1, 0) AS n_v1, coalesce(n_v2, 0) AS n_v2,
+        |        coalesce(chars_v1, 0) AS chars_v1, coalesce(chars_v2, 0) AS chars_v2
+        |      FROM a FULL OUTER JOIN b ON a.lang = b.lang AND a.source = b.source)
+        |SELECT lang, source, n_v1, n_v2,
+        |  CASE WHEN n_v1 > 0 THEN
+        |    ((2 * chars_v1 * 1000000 + n_v1) // (2 * n_v1))
+        |      * CAST(0.000001 AS DECIMAL(7,6)) END AS mean_chars_v1,
+        |  CASE WHEN n_v2 > 0 THEN
+        |    ((2 * chars_v2 * 1000000 + n_v2) // (2 * n_v2))
+        |      * CAST(0.000001 AS DECIMAL(7,6)) END AS mean_chars_v2,
+        |  ((2 * n_v1 * 1000000 + t1) // (2 * t1))
+        |    * CAST(0.000001 AS DECIMAL(7,6)) AS share_v1,
+        |  ((2 * n_v2 * 1000000 + t2) // (2 * t2))
+        |    * CAST(0.000001 AS DECIMAL(7,6)) AS share_v2,
+        |  ((2 * n_v2 * 1000000 + t2) // (2 * t2))
+        |    * CAST(0.000001 AS DECIMAL(7,6))
+        |  - ((2 * n_v1 * 1000000 + t1) // (2 * t1))
+        |    * CAST(0.000001 AS DECIMAL(7,6)) AS share_drift
+        |FROM j CROSS JOIN t""".stripMargin) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val v1 = docs.filter(col("doc_id") % 10 =!= 0)
+      val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+      def cell(v: org.apache.spark.sql.DataFrame, n: String, ch: String) =
+        v.groupBy("lang", "source")
+          .agg(count(lit(1)).as(n), sum("n_chars").as(ch))
+      val t1 = v1.agg(count(lit(1)).as("t1"))
+      val t2 = v2.agg(count(lit(1)).as("t2"))
+      val j = cell(v1, "n_v1", "chars_v1")
+        .join(cell(v2, "n_v2", "chars_v2"), Seq("lang", "source"), "full_outer")
+        .na.fill(0L, Seq("n_v1", "n_v2", "chars_v1", "chars_v2"))
+        .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+      val share1 = ExactRound.roundRatio(col("n_v1"), col("t1"), 6)
+      val share2 = ExactRound.roundRatio(col("n_v2"), col("t2"), 6)
+      j.select(col("lang"), col("source"), col("n_v1"), col("n_v2"),
+        when(col("n_v1") > 0,
+          ExactRound.roundRatio(col("chars_v1"), col("n_v1"), 6))
+          .as("mean_chars_v1"),
+        when(col("n_v2") > 0,
+          ExactRound.roundRatio(col("chars_v2"), col("n_v2"), 6))
+          .as("mean_chars_v2"),
+        share1.as("share_v1"),
+        share2.as("share_v2"),
+        (share2 - share1).as("share_drift"))
+    }
+  )
+}

@@ -385,4 +385,22 @@ class PlansSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), s"boilerplate set must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"q111 went quadratic:\n$p")
   }
+
+  test("q125 record linkage: candidates come from the blocking equi-join, " +
+      "never a cartesian; edit distance scores only blocked pairs") {
+    val df = SparkEntry.queries("q125_record_linkage")(spark, sfDir())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"linkage went quadratic:\n$p")
+  }
+
+  test("q127 corpus drift: version totals join as broadcast scalars, " +
+      "no single-partition window") {
+    val df = SparkEntry.queries("q127_corpus_drift")(spark, sfDir())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastNestedLoopJoin"), s"totals must broadcast:\n$p")
+    assert(!p.contains("Window"), s"drift must not use a window:\n$p")
+  }
 }

@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Record linkage, PageRank and corpus-drift invariants beyond what the
+  * DuckDB oracles pin (q125–q127): linkage ground-truth recall, rank
+  * conservation/determinism, and drift-share accounting.
+  */
+class LinkageSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("blockAndScore: blocking recall 1.0 against ground truth; " +
+      "candidates stay linear (no cross join)") {
+    val q = graft.SparkEntry.queries("q125_record_linkage")
+    val out = q(spark, sfDir()).cache()
+    val n = graft.Tables.customer(spark, sfDir()).count()
+    // every dirty twin must link back to its clean original...
+    val truePairs = out.filter(col("b_key") === col("a_key") + 9000000L).count()
+    assert(truePairs == n, s"linkage missed ${n - truePairs} true pairs")
+    // ...and every reported match must score as a full agreement or a
+    // name+balance coincidence — never a name-only block neighbor
+    assert(out.filter(col("score") < 5).isEmpty)
+    out.unpersist()
+  }
+
+  test("blockAndScore: threshold excludes partial agreements") {
+    val left = Seq((1L, "alice", "A", 10.0), (2L, "bob", "B", 20.0))
+      .toDF("a_key", "a_name", "blk", "a_bal")
+    val right = Seq((11L, "alice", "A", 10.0), (12L, "bobby", "B", 99.0))
+      .toDF("b_key", "b_name", "blk", "b_bal")
+    val m = Linkage.blockAndScore(left, right, Seq("blk"), Seq(
+      (levenshtein(col("a_name"), col("b_name")) <= 1, 3),
+      (col("a_bal") === col("b_bal"), 2)), threshold = 5)
+    // (1,11): lev 0 + bal equal = 5 → match; (2,12): lev 2, bal differ → 0
+    assert(m.select("a_key", "b_key").as[(Long, Long)].collect().toSet ==
+      Set((1L, 11L)))
+  }
+
+  test("pageRank: node set stable, floor(rank) ≥ base, total mass " +
+      "conserved up to floor loss, and bit-deterministic across runs") {
+    // two triangles bridged by one edge + an isolated symmetric pair
+    val half = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (4L, 6L), (10L, 11L))
+    val e = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val r1 = Components.pageRank(e, "src", "dst", iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 10L, 11L))
+    assert(r1.values.forall(_ >= 150000000L), "rank below damping base")
+    val total = r1.values.sum
+    val ideal = r1.size * 1000000000L
+    assert(total <= ideal && total > ideal - r1.size * 200L,
+      s"mass not conserved: $total vs $ideal")
+    // the isolated 2-cycle fixpoints at exactly 1.0 (scaled):
+    // 0.15 + 0.85 * 1.0 = 1.0, integer-exact at every iteration
+    assert(r1(10L) == 1000000000L && r1(11L) == 1000000000L)
+    // bridge vertices (3,4) outrank their triangle peers
+    assert(r1(3L) > r1(2L) && r1(4L) > r1(5L))
+    val r2 = Components.pageRank(e, "src", "dst", iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == r2, "integer PageRank must be bit-deterministic")
+  }
+
+  test("corpus drift: shares sum to 1 within the rounding budget and " +
+      "versions reconcile with direct counts") {
+    val out = graft.SparkEntry.queries("q127_corpus_drift")(spark, sfDir())
+      .cache()
+    val docs = graft.Tables.documents(spark, sfDir())
+    val t1 = docs.filter(col("doc_id") % 10 =!= 0).count()
+    val t2 = docs.filter(col("doc_id") % 7 =!= 0).count()
+    val agg = out.agg(
+      sum("n_v1"), sum("n_v2"), sum("share_v1"), sum("share_v2"),
+      sum("share_drift"), count(lit(1))).head()
+    assert(agg.getLong(0) == t1 && agg.getLong(1) == t2,
+      "per-cell counts must partition each version exactly")
+    val cells = agg.getLong(5)
+    // each share is half-up-rounded at 1e-6 → per-cell error ≤ 5e-7
+    val tol = BigDecimal(cells) * BigDecimal("0.0000005")
+    assert((BigDecimal(agg.getDecimal(2)) - 1).abs <= tol, "share_v1 sum")
+    assert((BigDecimal(agg.getDecimal(3)) - 1).abs <= tol, "share_v2 sum")
+    assert(BigDecimal(agg.getDecimal(4)).abs <= tol * 2, "drift must net ~0")
+    out.unpersist()
+  }
+}
