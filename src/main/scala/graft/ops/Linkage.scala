@@ -40,4 +40,20 @@ object Linkage {
     cand.withColumn("score", score.cast("int"))
       .filter(col("score") >= threshold)
   }
+
+  /** Exact inclusion-dependency check (FK discovery): one row —
+    * (n_distinct, n_missing) — for how much of `a`'s `aCol` domain is
+    * contained in `b`'s `bCol`. Distinct-then-anti-join, one shuffle per
+    * side on the key; at 100 TB run the KMV containment ESTIMATE first
+    * (q110's machinery — one scan, mergeable state, all columns at once)
+    * and exact-confirm only the plausible inclusions, the same
+    * estimate-then-confirm shape as Bloom decontamination (q101). */
+  def containment(a: DataFrame, aCol: String, b: DataFrame,
+      bCol: String): DataFrame = {
+    val da = a.select(col(aCol).cast("long").as("_k")).distinct()
+    val db = b.select(col(bCol).cast("long").as("_k")).distinct()
+    val missing = da.join(db, Seq("_k"), "left_anti")
+    da.agg(count(lit(1)).as("n_distinct"))
+      .crossJoin(missing.agg(count(lit(1)).as("n_missing")))
+  }
 }

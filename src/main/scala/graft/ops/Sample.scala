@@ -135,6 +135,26 @@ object Sample {
       .drop("_pid", "_cum")
   }
 
+  /** Exact global rank + percentile of every row in the total order
+    * given by `order` (quantile normalization / percentile feature
+    * scaling, the transform a quality-score column gets before
+    * thresholding across heterogeneous sources). Reuses the two-phase
+    * prefix-sum machinery with unit weights — range-partition + sort,
+    * driver-prefixed per-partition counts, per-partition window — so
+    * there is NO single-partition global window at any scale. Appends
+    * `rnk` (1-based BIGINT row number in the total order — callers pass
+    * a unique tiebreak column last) and `pct` = rnk/N half-up at 1e-6,
+    * rounded in integer space ([[graft.functions.ExactRound]]) so the
+    * percentile is bit-identical on any engine. */
+  def quantileNormalize(df: DataFrame, order: Seq[Column],
+      partitions: Int = 32): DataFrame = {
+    val (cum, total) = runningWeight(df, order, lit(1L), partitions)
+    cum.withColumn("rnk", col("_cum"))
+      .withColumn("pct",
+        graft.functions.ExactRound.roundRatio(col("rnk"), lit(total), 6))
+      .drop("_pid", "_cum")
+  }
+
   /** Distributed inclusive prefix sum of `wcol` in the total order given
     * by `order` — the two-phase scheme takeByBudget documents (range-
     * partition + sort; one tiny per-partition-totals aggregate prefixed

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.ExactRound
-import graft.ops.{Components, Linkage}
+import graft.ops.{Components, Linkage, Sample}
 import org.apache.spark.sql.functions._
 
 /** Identity-and-structure layer: cross-table entity resolution, link
@@ -182,6 +182,100 @@ object LinkageQueries {
         share1.as("share_v1"),
         share2.as("share_v2"),
         (share2 - share1).as("share_drift"))
+    },
+
+    // ---- INCLUSION-DEPENDENCY DISCOVERY: exact containment of one
+    // column's domain in another's, over a candidate catalog of key
+    // pairs — the FK/schema-discovery pass a data catalog runs over
+    // landed feeds (the reference trusts its warehouse DDL; a 100 TB
+    // lake must discover constraints). Distinct + anti-join per pair;
+    // at scale, the KMV containment estimate (q110's sketch machinery)
+    // prunes the candidate pairs first and only plausible inclusions
+    // get the exact confirm — the q101 estimate-then-confirm shape.
+    // The catalog deliberately includes a NON-inclusion (customers
+    // without orders) so the detector's negative path is oracle-checked.
+    Q(
+      "q128_inclusion_deps", {
+        def pair(dep: String, a: String, ac: String, b: String, bc: String) =
+          s"""SELECT '$dep' AS dep, n_distinct, n_missing,
+             |  ((2 * (n_distinct - n_missing) * 1000000 + n_distinct)
+             |    // (2 * n_distinct))
+             |    * CAST(0.000001 AS DECIMAL(7,6)) AS containment,
+             |  n_missing = 0 AS is_inclusion
+             |FROM (SELECT
+             |  (SELECT CAST(count(DISTINCT $ac) AS BIGINT) FROM $a) AS n_distinct,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM
+             |    (SELECT DISTINCT $ac FROM $a
+             |     EXCEPT SELECT DISTINCT $bc FROM $b) x) AS n_missing) s""".stripMargin
+        Seq(
+          pair("orders.o_custkey<customer.c_custkey",
+            "orders", "o_custkey", "customer", "c_custkey"),
+          pair("lineitem.l_orderkey<orders.o_orderkey",
+            "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          pair("lineitem.l_suppkey<supplier.s_suppkey",
+            "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+          pair("lineitem.l_partkey<part.p_partkey",
+            "lineitem", "l_partkey", "part", "p_partkey"),
+          pair("customer.c_nationkey<nation.n_nationkey",
+            "customer", "c_nationkey", "nation", "n_nationkey"),
+          pair("customer.c_custkey<orders.o_custkey",
+            "customer", "c_custkey", "orders", "o_custkey"))
+          .mkString("\nUNION ALL\n")
+      }) { (spark, dir) =>
+      val catalog: Seq[(String, org.apache.spark.sql.DataFrame, String,
+          org.apache.spark.sql.DataFrame, String)] = Seq(
+        ("orders.o_custkey<customer.c_custkey",
+          Tables.orders(spark, dir), "o_custkey",
+          Tables.customer(spark, dir), "c_custkey"),
+        ("lineitem.l_orderkey<orders.o_orderkey",
+          Tables.lineitem(spark, dir), "l_orderkey",
+          Tables.orders(spark, dir), "o_orderkey"),
+        ("lineitem.l_suppkey<supplier.s_suppkey",
+          Tables.lineitem(spark, dir), "l_suppkey",
+          Tables.supplier(spark, dir), "s_suppkey"),
+        ("lineitem.l_partkey<part.p_partkey",
+          Tables.lineitem(spark, dir), "l_partkey",
+          Tables.part(spark, dir), "p_partkey"),
+        ("customer.c_nationkey<nation.n_nationkey",
+          Tables.customer(spark, dir), "c_nationkey",
+          Tables.nation(spark, dir), "n_nationkey"),
+        ("customer.c_custkey<orders.o_custkey",
+          Tables.customer(spark, dir), "c_custkey",
+          Tables.orders(spark, dir), "o_custkey"))
+      catalog.map { case (dep, a, ac, b, bc) =>
+        Linkage.containment(a, ac, b, bc)
+          .select(lit(dep).as("dep"), col("n_distinct"), col("n_missing"),
+            ExactRound.roundRatio(col("n_distinct") - col("n_missing"),
+              col("n_distinct"), 6).as("containment"),
+            (col("n_missing") === 0L).as("is_inclusion"))
+      }.reduce(_ unionByName _)
+    },
+
+    // ---- QUANTILE NORMALIZATION: exact global percentile of every
+    // order's total price — the transform a per-source quality score
+    // gets before cross-source thresholding ("keep the global top 10%",
+    // not "top 10% of each source's own scale"). The global rank comes
+    // from the two-phase prefix-sum machinery (range-partition + sort,
+    // driver-prefixed per-partition counts — NO single-partition
+    // window; Sample.quantileNormalize), and the percentile is rounded
+    // in integer space. The oracle is DuckDB's row_number over the
+    // same total order.
+    Q(
+      "q129_quantile_normalize",
+      """WITH r AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+        |      AS BIGINT) AS rnk,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n
+        |  FROM orders)
+        |SELECT o_orderkey, rnk,
+        |  ((2 * rnk * 1000000 + n) // (2 * n))
+        |    * CAST(0.000001 AS DECIMAL(7,6)) AS pct
+        |FROM r""".stripMargin) { (spark, dir) =>
+      Sample.quantileNormalize(
+          Tables.orders(spark, dir).select("o_orderkey", "o_totalprice"),
+          Seq(col("o_totalprice"), col("o_orderkey")))
+        .select("o_orderkey", "rnk", "pct")
     }
   )
 }

@@ -61,6 +61,37 @@ class LinkageSpec extends SparkSuite {
     assert(r1 == r2, "integer PageRank must be bit-deterministic")
   }
 
+  test("containment: exact inclusion and non-inclusion on known domains") {
+    val a = Seq(1L, 2L, 2L, 3L).toDF("k")
+    val b = Seq(1L, 2L, 3L, 4L).toDF("j")
+    val in = Linkage.containment(a, "k", b, "j").head()
+    assert((in.getLong(0), in.getLong(1)) == ((3L, 0L)), "full inclusion")
+    val out = Linkage.containment(b, "j", a, "k").head()
+    assert((out.getLong(0), out.getLong(1)) == ((4L, 1L)), "4 missing 1")
+  }
+
+  test("quantileNormalize: matches a single-window row_number and is " +
+      "independent of the partition count") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 500).map(i => ((i * 7919) % 101, i.toLong))
+      .toDF("score", "id")
+    def ranks(parts: Int): Map[Long, (Long, java.math.BigDecimal)] =
+      Sample.quantileNormalize(df, Seq(col("score"), col("id")), parts)
+        .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getDecimal(3))).toMap
+    val expect = df.withColumn("rnk",
+        row_number().over(Window.orderBy(col("score"), col("id"))).cast("long"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val got = ranks(32)
+    assert(got.view.mapValues(_._1).toMap == expect,
+      "distributed rank must equal the single-window row_number")
+    // partition boundaries shift which partition holds a row, never its
+    // global prefix sum — 1, 7 and 32 partitions must agree bit for bit
+    assert(ranks(1) == got && ranks(7) == got)
+    // percentile of the max row is exactly 1
+    val maxId = expect.maxBy(_._2)._1
+    assert(got(maxId)._2 == new java.math.BigDecimal("1.000000"))
+  }
+
   test("corpus drift: shares sum to 1 within the rounding budget and " +
       "versions reconcile with direct counts") {
     val out = graft.SparkEntry.queries("q127_corpus_drift")(spark, sfDir())
