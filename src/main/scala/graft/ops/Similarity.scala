@@ -60,6 +60,34 @@ object Similarity {
     when(pmod((lit(bit.toLong * dim) + d) * Mult, lit(P)) % 2 === 0, lit(1.0))
       .otherwise(lit(-1.0))
 
+  /** Deterministic Rademacher (±1) projection planes for a
+    * Johnson–Lindenstrauss dimensionality reduction (Achlioptas 2003,
+    * "Database-friendly random projections": ±1 entries preserve
+    * pairwise distances like Gaussians do). Same det-hash family as
+    * [[planeSign]] so any engine reproduces the planes exactly;
+    * `family` offsets past the LSH tables' plane ids (g ≤ tables·nbits)
+    * so the two never share a plane. */
+  def rademacherPlanes(outDim: Int, dim: Int,
+      family: Int = 1000): Seq[Array[Double]] =
+    (0 until outDim).map { j =>
+      (0 until dim).map { i =>
+        val h = java.lang.Math.floorMod(
+          ((family + j).toLong * dim + i) * Text.Mult, Text.P)
+        if (h % 2 == 0) 1.0 else -1.0
+      }.toArray
+    }
+
+  /** JL-project a double vector onto `outDim` Rademacher planes: one
+    * compiled dot per output dimension against a plane LITERAL — a
+    * scan-level projection (no shuffle, no join), the 4–8× shrink an
+    * embedding column gets before brute-force scoring at scale. Fold
+    * order is index order on both engines, so projected coordinates are
+    * bit-identical cross-engine. */
+  def randomProjection(dv: Column, outDim: Int, dim: Int,
+      family: Int = 1000): Column =
+    array(rademacherPlanes(outDim, dim, family)
+      .map(p => dot(dv, typedLit(p))): _*)
+
   /** All `tables` random-hyperplane LSH bucket ids (nbits bits each) of a
     * double vector in ONE compiled pass (graft.functions.LshBuckets) —
     * bucket of table t at array index t+1 (1-based element_at). Tables use

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.ExactRound
-import graft.ops.{Components, Linkage, Sample}
+import graft.ops.{Components, Linkage, Sample, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Identity-and-structure layer: cross-table entity resolution, link
@@ -276,6 +276,132 @@ object LinkageQueries {
           Tables.orders(spark, dir).select("o_orderkey", "o_totalprice"),
           Seq(col("o_totalprice"), col("o_orderkey")))
         .select("o_orderkey", "rnk", "pct")
+    },
+
+    // ---- JL RANDOM PROJECTION with exact RERANK (Achlioptas ±1
+    // planes): shrink the 64-d embedding to 16-d with a scan-level
+    // projection, SHORTLIST top-50 per query in the cheap space, then
+    // exact-rerank only the shortlist in full precision — the
+    // production two-stage retrieval shape (full-space work drops from
+    // |corpus| to 50 per query). Planes come from the SAME det-hash
+    // family as the LSH hyperplanes (disjoint ids), projection is one
+    // compiled dot per output dim against a plane literal, fold order
+    // is index order on both engines — so the oracle replays
+    // projection, shortlist, rerank, recall AND the JL
+    // distance-preservation diagnostic (Σ|cosΔ| over the shortlist,
+    // per-pair rounding absorbed in a DECIMAL sum — the q65 recipe)
+    // bit for bit. The fixture's embeddings are near-isotropic (every
+    // margin tiny — the adversarial case for any sketch), so the
+    // measured recall@5 ≈ 0.26 vs 0.01 for a random shortlist; the
+    // measurement, not a pretty number, is the contract.
+    Q(
+      "q130_random_projection", {
+        def dotSql(n: Int)(a: String, b: String) = LlmQueries.foldSumSql(
+          s"list_transform(range(1, ${n + 1}), i -> $a[i]*$b[i])",
+          "CAST(0 AS DOUBLE)")
+        def projSql(j: Int) = LlmQueries.foldSumSql(
+          s"""list_transform(range(1, 65), i -> dv[i] *
+             |      (CASE WHEN ((${1000 + j}*64 + (i-1)) * ${graft.ops.Text.Mult})
+             |         % ${graft.ops.Text.P} % 2 = 0
+             |       THEN 1.0 ELSE -1.0 END))""".stripMargin,
+          "CAST(0 AS DOUBLE)")
+        s"""WITH v AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+           |  FROM embeddings),
+           |p AS (SELECT vec_id,
+           |  [${(0 until 16).map(projSql).mkString(",\n   ")}] AS pv
+           |  FROM v),
+           |aps AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    ${dotSql(16)("q.pv", "c.pv")}
+           |      / (sqrt(${dotSql(16)("q.pv", "q.pv")})
+           |         * sqrt(${dotSql(16)("c.pv", "c.pv")})) AS cos_p
+           |  FROM p q, p c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+           |shortl AS (SELECT query_id, neighbor_id, cos_p FROM (
+           |  SELECT query_id, neighbor_id, cos_p,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos_p DESC, neighbor_id) AS rn
+           |  FROM aps) y WHERE rn <= 50),
+           |rr AS (
+           |  SELECT s.query_id, s.neighbor_id, s.cos_p,
+           |    ${dotSql(64)("q.dv", "c.dv")}
+           |      / (sqrt(${dotSql(64)("q.dv", "q.dv")})
+           |         * sqrt(${dotSql(64)("c.dv", "c.dv")})) AS cos_f
+           |  FROM shortl s JOIN v q ON q.vec_id = s.query_id
+           |    JOIN v c ON c.vec_id = s.neighbor_id),
+           |t5 AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos_f DESC, neighbor_id) AS rn
+           |  FROM rr) z WHERE rn <= 5),
+           |es AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    ${dotSql(64)("q.dv", "c.dv")}
+           |      / (sqrt(${dotSql(64)("q.dv", "q.dv")})
+           |         * sqrt(${dotSql(64)("c.dv", "c.dv")})) AS cos
+           |  FROM v q, v c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+           |ek AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos DESC, neighbor_id) AS rn
+           |  FROM es) w WHERE rn <= 5),
+           |err AS (SELECT query_id,
+           |    sum(CAST(round(abs(cos_p - cos_f), 9) AS DECIMAL(12,9)))
+           |      AS sum_abs_err
+           |  FROM rr GROUP BY query_id)
+           |SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+           |  CAST(count(t.neighbor_id) AS BIGINT) AS n_hit,
+           |  ((2 * CAST(count(t.neighbor_id) AS BIGINT) * 1000000 + count(*))
+           |    // (2 * count(*)))
+           |    * CAST(0.000001 AS DECIMAL(7,6)) AS recall,
+           |  any_value(err.sum_abs_err) AS sum_abs_err
+           |FROM ek e LEFT JOIN t5 t
+           |  ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+           |JOIN err ON err.query_id = e.query_id
+           |GROUP BY e.query_id""".stripMargin
+      }) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val e = Tables.embeddings(spark, dir)
+      val proj = e.select(col("vec_id"),
+        Similarity.randomProjection(
+          Similarity.toDouble(col("embedding")), 16, 64).as("pv"))
+      val short = Similarity
+        .topKBruteForce(proj, proj.filter(col("vec_id") < 10), "vec_id", "pv", 50)
+        .select(col("query_id"), col("neighbor_id"), col("cos").as("cos_p"))
+      // rerank: full-precision cosine over the 50-pair shortlist only —
+      // the shortlist is tiny (|q|·50), so both vector joins broadcast it
+      val dvs = e.select(col("vec_id"),
+          Similarity.toDouble(col("embedding")).as("dv"))
+        .withColumn("nrm", sqrt(Similarity.dot(col("dv"), col("dv"))))
+      val rr = short
+        .join(dvs.select(col("vec_id").as("query_id"), col("dv").as("qv"),
+          col("nrm").as("qn")), "query_id")
+        .join(dvs.select(col("vec_id").as("neighbor_id"), col("dv").as("nv"),
+          col("nrm").as("nn")), "neighbor_id")
+        .withColumn("cos_f",
+          Similarity.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+        .select("query_id", "neighbor_id", "cos_p", "cos_f")
+        .localCheckpoint() // split below into top-5 and the error sum
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_f").desc, col("neighbor_id"))
+      val t5 = rr.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("query_id", "neighbor_id").withColumn("hit", lit(1L))
+      val err = rr.groupBy("query_id")
+        .agg(sum(round(abs(col("cos_p") - col("cos_f")), 9)
+          .cast(DecimalType(12, 9))).as("sum_abs_err"))
+      val exact = Similarity
+        .topKBruteForce(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id")
+      exact.join(t5, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall",
+          ExactRound.roundRatio(col("n_hit"), col("n_exact"), 6))
+        .join(err, "query_id")
+        .select("query_id", "n_exact", "n_hit", "recall", "sum_abs_err")
     }
   )
 }

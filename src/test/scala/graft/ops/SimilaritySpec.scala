@@ -143,4 +143,28 @@ class SimilaritySpec extends SparkSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 9L)) || pairs.contains((1L, 9L)))
   }
+
+  test("rademacherPlanes/randomProjection: ±1 deterministic planes; the " +
+      "compiled projection equals the manual left fold bit for bit") {
+    val planes = Similarity.rademacherPlanes(16, 64)
+    assert(planes.length == 16 &&
+      planes.forall(p => p.length == 64 && p.forall(x => x == 1.0 || x == -1.0)))
+    assert(planes.map(_.toSeq) == Similarity.rademacherPlanes(16, 64).map(_.toSeq),
+      "planes must be deterministic")
+    // roughly balanced signs (a degenerate all-ones plane would make the
+    // projection a plain sum, not a JL embedding)
+    planes.foreach { p =>
+      val pos = p.count(_ == 1.0)
+      assert(pos >= 16 && pos <= 48, s"unbalanced plane: $pos of 64 positive")
+    }
+    val v = (0 until 64).map(i => ((i * 31) % 11).toDouble - 5.0)
+    val got = Seq(Tuple1(v)).toDF("dv")
+      .select(Similarity.randomProjection(col("dv"), 16, 64).as("pv"))
+      .as[Seq[Double]].head()
+    // scala foldLeft matches the kernel's index-order sequential fold
+    val manual = planes.map(p => p.zip(v).foldLeft(0.0) {
+      case (acc, (s, x)) => acc + s * x
+    })
+    assert(got == manual.toSeq, "projection must equal the manual fold exactly")
+  }
 }
