@@ -402,6 +402,113 @@ object LinkageQueries {
           ExactRound.roundRatio(col("n_hit"), col("n_exact"), 6))
         .join(err, "query_id")
         .select("query_id", "n_exact", "n_hit", "recall", "sum_abs_err")
+    },
+
+    // ---- COLLOCATION MINING: top-30 co-occurring token pairs with
+    // exact lift — the phrase/entity-structure pass that finds terms
+    // systematically appearing together (boilerplate templates, multi-
+    // word entities) across the corpus. Per-doc token sets are capped
+    // deterministically (distinct, length ≥ 4, sorted, first 15), so
+    // pair expansion is ≤ C(15,2) per doc — LINEAR in the corpus, and
+    // generated by a scan-level HOF (flatten∘transform over the sorted
+    // list), not a self-join: zero shuffles before the pair count.
+    // Marginals join back (AQE broadcasts the small vocab side);
+    // top-30 is a TakeOrdered heap with a total-order tiebreak; lift
+    // = N·c_ab / (c_a·c_b) rounds in integer space.
+    Q(
+      "q131_collocations",
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_sort(list_distinct(list_filter(${LlmQueries.toksSql},
+         |      t -> length(t) >= 4)))[1:15] AS lst
+         |  FROM documents),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |tok AS (SELECT doc_id, unnest(lst) AS t FROM toks),
+         |marg AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t FROM tok GROUP BY t),
+         |pairs AS (
+         |  SELECT a.doc_id, a.t AS tok_a, b.t AS tok_b
+         |  FROM tok a JOIN tok b USING (doc_id) WHERE a.t < b.t),
+         |pc AS (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n_ab
+         |       FROM pairs GROUP BY tok_a, tok_b)
+         |SELECT tok_a, tok_b, n_ab, ma.n_t AS n_a, mb.n_t AS n_b,
+         |  ((2 * n.n_docs * n_ab * 1000000 + ma.n_t * mb.n_t)
+         |    // (2 * ma.n_t * mb.n_t))
+         |    * CAST(0.000001 AS DECIMAL(18,6)) AS lift
+         |FROM pc JOIN marg ma ON ma.t = tok_a JOIN marg mb ON mb.t = tok_b
+         |CROSS JOIN n
+         |ORDER BY n_ab DESC, tok_a, tok_b LIMIT 30""".stripMargin) {
+      (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val lst = slice(array_sort(array_distinct(
+        filter(graft.ops.Text.tokens(col("text")),
+          t => length(t) >= 4))), 1, 15)
+      val toks = docs.select(col("doc_id"), lst.as("lst"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val tok = toks.select(col("doc_id"), explode(col("lst")).as("t"))
+      val marg = tok.groupBy("t").agg(count(lit(1)).as("n_t"))
+      // scan-level pair expansion over the sorted capped list — the HOF
+      // replaces the oracle's per-doc self-join with zero shuffles
+      val pairs = toks.select(explode(expr(
+        "flatten(transform(lst, (x, i) -> " +
+          "transform(slice(lst, i + 2, size(lst)), " +
+          "y -> struct(x AS a, y AS b))))")).as("p"))
+        .select(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
+      val pc = pairs.groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_ab"))
+      pc.join(marg.select(col("t").as("tok_a"), col("n_t").as("n_a")), "tok_a")
+        .join(marg.select(col("t").as("tok_b"), col("n_t").as("n_b")), "tok_b")
+        .crossJoin(broadcast(n))
+        .select(col("tok_a"), col("tok_b"), col("n_ab"), col("n_a"), col("n_b"),
+          ExactRound.roundRatio(col("n_docs") * col("n_ab"),
+            col("n_a") * col("n_b"), 6).as("lift"))
+        .orderBy(col("n_ab").desc, col("tok_a"), col("tok_b"))
+        .limit(30)
+    },
+
+    // ---- QUANTILE CALIBRATION (quantile mapping): align one source's
+    // score distribution onto another's by exact rank arithmetic — the
+    // cross-source normalization that makes per-source quality scores
+    // comparable before a global threshold (a 'de' doc's length is
+    // mapped to the 'en' length at the same percentile). Ranks on both
+    // sides come from the no-single-partition prefix-sum machinery;
+    // target rank = ⌈rnk_b·n_a/n_b⌉ in pure integer arithmetic; the
+    // calibrated value is A's order statistic at that rank (one equi-
+    // join on rank). Everything is integer-exact — no rounding surface.
+    Q(
+      "q132_quantile_calibration",
+      """WITH a AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rnk,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |     WHERE lang = 'en') AS n
+        |  FROM documents WHERE lang = 'en'),
+        |b AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rnk,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |     WHERE lang = 'de') AS n
+        |  FROM documents WHERE lang = 'de')
+        |SELECT b.doc_id, b.n_chars, b.rnk AS rnk_b,
+        |  (b.rnk * a0.n + b.n - 1) // b.n AS target_rnk,
+        |  a.n_chars AS calibrated_chars
+        |FROM b
+        |CROSS JOIN (SELECT any_value(n) AS n FROM a) a0
+        |JOIN a ON a.rnk = (b.rnk * a0.n + b.n - 1) // b.n""".stripMargin) {
+      (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      def ranked(lang: String) = Sample.quantileNormalize(
+        docs.filter(col("lang") === lang).select("doc_id", "n_chars"),
+        Seq(col("n_chars"), col("doc_id")))
+      val a = ranked("en").select(col("rnk").as("rnk_a"),
+        col("n_chars").as("calibrated_chars"))
+      val b = ranked("de").select(col("doc_id"), col("n_chars"), col("rnk"))
+      val nA = a.agg(count(lit(1)).as("n_a"))
+      val nB = b.agg(count(lit(1)).as("n_b"))
+      b.crossJoin(broadcast(nA)).crossJoin(broadcast(nB))
+        .withColumn("target_rnk",
+          expr("(rnk * n_a + n_b - 1) div n_b"))
+        .join(a, col("target_rnk") === col("rnk_a"))
+        .select(col("doc_id"), col("n_chars"), col("rnk").as("rnk_b"),
+          col("target_rnk"), col("calibrated_chars"))
     }
   )
 }

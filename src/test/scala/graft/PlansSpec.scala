@@ -395,6 +395,15 @@ class PlansSpec extends SparkSuite {
       s"linkage went quadratic:\n$p")
   }
 
+  test("q131 collocations: top-30 plans as a TakeOrdered heap and the " +
+      "pair expansion never goes quadratic") {
+    val df = SparkEntry.queries("q131_collocations")(spark, sfDir())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k heap:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q131 went quadratic:\n$p")
+  }
+
   test("q127 corpus drift: version totals join as broadcast scalars, " +
       "no single-partition window") {
     val df = SparkEntry.queries("q127_corpus_drift")(spark, sfDir())

@@ -92,6 +92,45 @@ class LinkageSpec extends SparkSuite {
     assert(got(maxId)._2 == new java.math.BigDecimal("1.000000"))
   }
 
+  test("collocations: HOF pair expansion equals the per-doc self-join, " +
+      "and lift is symmetric in its marginals") {
+    val docs = graft.Tables.documents(spark, sfDir())
+    val lst = slice(array_sort(array_distinct(
+      filter(graft.ops.Text.tokens(col("text")), t => length(t) >= 4))), 1, 15)
+    val toks = docs.select(col("doc_id"), lst.as("lst"))
+    val viaHof = toks.select(explode(expr(
+      "flatten(transform(lst, (x, i) -> " +
+        "transform(slice(lst, i + 2, size(lst)), y -> struct(x AS a, y AS b))))"
+      )).as("p"))
+      .select(col("p.a"), col("p.b")).as[(String, String)].collect().sorted
+    val tok = toks.select(col("doc_id"), explode(col("lst")).as("t"))
+    val viaJoin = tok.as("x").join(tok.as("y"), "doc_id")
+      .filter(col("x.t") < col("y.t"))
+      .select(col("x.t"), col("y.t")).as[(String, String)].collect().sorted
+    assert(viaHof.toSeq == viaJoin.toSeq,
+      "scan-level pair expansion must equal the self-join pair set")
+    // every emitted pair respects the sorted-list invariant a < b
+    assert(viaHof.forall { case (a, b) => a < b })
+  }
+
+  test("quantile calibration: monotone in rank, endpoints map to " +
+      "endpoints, every target rank is a valid A order statistic") {
+    val out = graft.SparkEntry.queries("q132_quantile_calibration")(spark, sfDir())
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(out.nonEmpty)
+    val docs = graft.Tables.documents(spark, sfDir())
+    val nA = docs.filter(col("lang") === "en").count()
+    val nB = docs.filter(col("lang") === "de").count()
+    assert(out.length == nB, "every B doc must calibrate")
+    // target rank is monotone in source rank and hits both endpoints
+    assert(out.zip(out.tail).forall { case ((_, t1, c1), (_, t2, c2)) =>
+      t1 <= t2 && c1 <= c2 }, "calibration must be monotone")
+    assert(out.last._2 == nA, "max of B must map to max of A")
+    assert(out.head._2 == (nA + nB - 1) / nB, "min of B maps to ceil(nA/nB)")
+    assert(out.forall { case (_, t, _) => t >= 1 && t <= nA })
+  }
+
   test("corpus drift: shares sum to 1 within the rounding budget and " +
       "versions reconcile with direct counts") {
     val out = graft.SparkEntry.queries("q127_corpus_drift")(spark, sfDir())
