@@ -15,6 +15,41 @@ import org.apache.spark.sql.functions._
   */
 object LinkageQueries {
 
+  /** q127 oracle — also the oracle for q133 (the STREAMED
+    * maintenance of the same drift table must land on identical
+    * values; sharing the string makes that exactness literal). */
+  private[queries] val driftSql: String =
+    """WITH v1 AS (SELECT lang, source, n_chars FROM documents WHERE doc_id % 10 <> 0),
+          |v2 AS (SELECT lang, source, n_chars FROM documents WHERE doc_id % 7 <> 0),
+          |a AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_v1,
+          |        CAST(sum(n_chars) AS BIGINT) AS chars_v1
+          |      FROM v1 GROUP BY lang, source),
+          |b AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_v2,
+          |        CAST(sum(n_chars) AS BIGINT) AS chars_v2
+          |      FROM v2 GROUP BY lang, source),
+          |t AS (SELECT (SELECT count(*) FROM v1) AS t1, (SELECT count(*) FROM v2) AS t2),
+          |j AS (SELECT coalesce(a.lang, b.lang) AS lang,
+          |        coalesce(a.source, b.source) AS source,
+          |        coalesce(n_v1, 0) AS n_v1, coalesce(n_v2, 0) AS n_v2,
+          |        coalesce(chars_v1, 0) AS chars_v1, coalesce(chars_v2, 0) AS chars_v2
+          |      FROM a FULL OUTER JOIN b ON a.lang = b.lang AND a.source = b.source)
+          |SELECT lang, source, n_v1, n_v2,
+          |  CASE WHEN n_v1 > 0 THEN
+          |    ((2 * chars_v1 * 1000000 + n_v1) // (2 * n_v1))
+          |      * CAST(0.000001 AS DECIMAL(7,6)) END AS mean_chars_v1,
+          |  CASE WHEN n_v2 > 0 THEN
+          |    ((2 * chars_v2 * 1000000 + n_v2) // (2 * n_v2))
+          |      * CAST(0.000001 AS DECIMAL(7,6)) END AS mean_chars_v2,
+          |  ((2 * n_v1 * 1000000 + t1) // (2 * t1))
+          |    * CAST(0.000001 AS DECIMAL(7,6)) AS share_v1,
+          |  ((2 * n_v2 * 1000000 + t2) // (2 * t2))
+          |    * CAST(0.000001 AS DECIMAL(7,6)) AS share_v2,
+          |  ((2 * n_v2 * 1000000 + t2) // (2 * t2))
+          |    * CAST(0.000001 AS DECIMAL(7,6))
+          |  - ((2 * n_v1 * 1000000 + t1) // (2 * t1))
+          |    * CAST(0.000001 AS DECIMAL(7,6)) AS share_drift
+          |FROM j CROSS JOIN t""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- Blocked RECORD LINKAGE (Fellegi–Sunter shape): resolve a
@@ -128,36 +163,7 @@ object LinkageQueries {
     // subtraction — no float crosses the oracle boundary.
     Q(
       "q127_corpus_drift",
-      """WITH v1 AS (SELECT lang, source, n_chars FROM documents WHERE doc_id % 10 <> 0),
-        |v2 AS (SELECT lang, source, n_chars FROM documents WHERE doc_id % 7 <> 0),
-        |a AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_v1,
-        |        CAST(sum(n_chars) AS BIGINT) AS chars_v1
-        |      FROM v1 GROUP BY lang, source),
-        |b AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_v2,
-        |        CAST(sum(n_chars) AS BIGINT) AS chars_v2
-        |      FROM v2 GROUP BY lang, source),
-        |t AS (SELECT (SELECT count(*) FROM v1) AS t1, (SELECT count(*) FROM v2) AS t2),
-        |j AS (SELECT coalesce(a.lang, b.lang) AS lang,
-        |        coalesce(a.source, b.source) AS source,
-        |        coalesce(n_v1, 0) AS n_v1, coalesce(n_v2, 0) AS n_v2,
-        |        coalesce(chars_v1, 0) AS chars_v1, coalesce(chars_v2, 0) AS chars_v2
-        |      FROM a FULL OUTER JOIN b ON a.lang = b.lang AND a.source = b.source)
-        |SELECT lang, source, n_v1, n_v2,
-        |  CASE WHEN n_v1 > 0 THEN
-        |    ((2 * chars_v1 * 1000000 + n_v1) // (2 * n_v1))
-        |      * CAST(0.000001 AS DECIMAL(7,6)) END AS mean_chars_v1,
-        |  CASE WHEN n_v2 > 0 THEN
-        |    ((2 * chars_v2 * 1000000 + n_v2) // (2 * n_v2))
-        |      * CAST(0.000001 AS DECIMAL(7,6)) END AS mean_chars_v2,
-        |  ((2 * n_v1 * 1000000 + t1) // (2 * t1))
-        |    * CAST(0.000001 AS DECIMAL(7,6)) AS share_v1,
-        |  ((2 * n_v2 * 1000000 + t2) // (2 * t2))
-        |    * CAST(0.000001 AS DECIMAL(7,6)) AS share_v2,
-        |  ((2 * n_v2 * 1000000 + t2) // (2 * t2))
-        |    * CAST(0.000001 AS DECIMAL(7,6))
-        |  - ((2 * n_v1 * 1000000 + t1) // (2 * t1))
-        |    * CAST(0.000001 AS DECIMAL(7,6)) AS share_drift
-        |FROM j CROSS JOIN t""".stripMargin) { (spark, dir) =>
+      driftSql) { (spark, dir) =>
       val docs = Tables.documents(spark, dir)
       val v1 = docs.filter(col("doc_id") % 10 =!= 0)
       val v2 = docs.filter(col("doc_id") % 7 =!= 0)

@@ -700,6 +700,89 @@ object StatefulQueries {
           .as("var_price"))
     },
 
+    // ---- STREAMED DRIFT MAINTENANCE: q127's per-(lang, source) drift
+    // table maintained from the v1→v2 change feed instead of recomputed
+    // — the standing data-observability dashboard shape. The per-cell
+    // (cnt, Σ n_chars) fold is Incremental.maintainSumCount through
+    // foreachBatch with Versioned.writeOnce (batchId txn markers, the
+    // exactly-once contract), the final batch is replayed in-query as
+    // the proof, and the presentation joins the maintained table
+    // against the direct v1 aggregate. The oracle IS q127's SQL — the
+    // streamed maintenance must land on the recompute's exact values.
+    Q(
+      "q133_stream_drift",
+      LinkageQueries.driftSql) { (spark, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.Streams
+      import graft.ops.Incremental
+      val root = graft.Tmp.dir("graft-q133").toString
+      val aggPath = s"$root/agg"
+      val docs = Tables.documents(spark, dir)
+        .select("doc_id", "lang", "source", "n_chars")
+      val v1 = docs.filter(col("doc_id") % 10 =!= 0)
+      val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+      graft.Meta.Versioned.write(
+        Incremental.aggSumCount(v1, Seq("lang", "source"), "n_chars"), aggPath)
+      implicit val ctx = spark.sqlContext
+      import spark.implicits._
+      val feedRows = graft.Meta.Versioned
+        .snapshotDiff(v1, v2, Seq("doc_id"), preimages = true)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("change_type"))
+        .as[(Long, String, String, Long, String)]
+        .collect().toSeq
+      val ms = MemoryStream[(Long, String, String, Long, String)]
+      val src = ms.toDF()
+        .toDF("doc_id", "lang", "source", "n_chars", "change_type")
+      @volatile var lastBid = -1L
+      val fold = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {
+        if (bid > lastBid) lastBid = bid
+        graft.Meta.Versioned.writeOnce(
+          Incremental.maintainSumCount(
+            graft.Meta.Versioned.read(spark, aggPath), batch,
+            Seq("lang", "source"), "n_chars"), aggPath, "q133", bid)
+        ()
+      }
+      Streams.withShufflePartitions(spark, 4) {
+        val q = src.writeStream
+          .foreachBatch(fold)
+          .outputMode("update")
+          .option("checkpointLocation", s"$root/cp")
+          .start()
+        try {
+          ms.addData(feedRows.filter(_._1 % 2 == 0))
+          q.processAllAvailable()
+          ms.addData(feedRows.filter(_._1 % 2 != 0))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      // at-least-once replay of the final batch: a double-applied delta
+      // would shift n_v2/chars_v2 in every touched cell — the oracle
+      // match against the direct recompute pins exactly-once
+      fold(feedRows.filter(_._1 % 2 != 0)
+        .toDF("doc_id", "lang", "source", "n_chars", "change_type"), lastBid)
+      val maintained = graft.Meta.Versioned.read(spark, aggPath)
+        .select(col("lang"), col("source"), col("cnt").as("n_v2"),
+          col("total").cast("long").as("chars_v2"))
+      val a = v1.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_v1"), sum("n_chars").as("chars_v1"))
+      val t1 = v1.agg(count(lit(1)).as("t1"))
+      val t2 = maintained.agg(sum("n_v2").cast("long").as("t2"))
+      val j = a.join(maintained, Seq("lang", "source"), "full_outer")
+        .na.fill(0L, Seq("n_v1", "n_v2", "chars_v1", "chars_v2"))
+        .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+      val share1 = graft.functions.ExactRound.roundRatio(col("n_v1"), col("t1"), 6)
+      val share2 = graft.functions.ExactRound.roundRatio(col("n_v2"), col("t2"), 6)
+      j.select(col("lang"), col("source"), col("n_v1"), col("n_v2"),
+        when(col("n_v1") > 0, graft.functions.ExactRound
+          .roundRatio(col("chars_v1"), col("n_v1"), 6)).as("mean_chars_v1"),
+        when(col("n_v2") > 0, graft.functions.ExactRound
+          .roundRatio(col("chars_v2"), col("n_v2"), 6)).as("mean_chars_v2"),
+        share1.as("share_v1"),
+        share2.as("share_v2"),
+        (share2 - share1).as("share_drift"))
+    },
+
     // ---- Streaming HEAVY HITTERS (L103): q53 run as continuous ingest.
     // Candidates: per-micro-batch Misra–Gries sketches, unioned — the
     // superset guarantee COMPOSES across batches by pigeonhole (a term
