@@ -515,6 +515,49 @@ object LinkageQueries {
         .join(a, col("target_rnk") === col("rnk_a"))
         .select(col("doc_id"), col("n_chars"), col("rnk").as("rnk_b"),
           col("target_rnk"), col("calibrated_chars"))
+    },
+
+    // ---- DETERMINISTIC NEGATIVE SAMPLING: k pseudo-random negative
+    // partners per document for contrastive training pairs — WITHOUT a
+    // cross join, an RNG, or a shuffle of the corpus against itself.
+    // Each doc's partners sit at rank offsets derived from the shared
+    // det-hash family (offset ∈ [1, N-1] so a partner can never be the
+    // doc itself), and partners resolve through ONE equi-join on rank.
+    // Ranks come from the no-single-partition prefix-sum machinery;
+    // everything is integer arithmetic — reproducible across runs,
+    // partitionings and engines, and re-runnable per epoch by folding
+    // the epoch into the hash (the q102 epoch-shuffle recipe).
+    Q(
+      "q134_negative_sampling",
+      s"""WITH r AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) - 1 AS rnk,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT r.doc_id, j.j,
+         |    (r.rnk + 1 + ((r.doc_id * 31 + j.j) * ${graft.ops.Text.Mult})
+         |       % ${graft.ops.Text.P} % (r.n - 1)) % r.n AS p_rnk
+         |  FROM r CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) j)
+         |SELECT p.doc_id, CAST(p.j AS BIGINT) AS neg_ix,
+         |  r2.doc_id AS neg_doc_id
+         |FROM pairs p JOIN r r2 ON r2.rnk = p.p_rnk""".stripMargin) {
+      (spark, dir) =>
+      val docs = Tables.documents(spark, dir).select("doc_id")
+      val r = Sample.quantileNormalize(docs, Seq(col("doc_id")))
+        .select(col("doc_id"), (col("rnk") - 1).as("rnk"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val pairs = r.crossJoin(broadcast(n))
+        .select(col("doc_id"), col("rnk"), col("n"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("neg_ix"))
+        .withColumn("p_rnk",
+          pmod(col("rnk") + 1 +
+            pmod(pmod((col("doc_id") * 31 + col("neg_ix")) *
+              graft.ops.Text.Mult, lit(graft.ops.Text.P)), col("n") - 1),
+            col("n")))
+      pairs.join(r.select(col("rnk").as("p_rnk"), col("doc_id").as("neg_doc_id")),
+          "p_rnk")
+        .select("doc_id", "neg_ix", "neg_doc_id")
     }
   )
 }

@@ -131,6 +131,20 @@ class LinkageSpec extends SparkSuite {
     assert(out.forall { case (_, t, _) => t >= 1 && t <= nA })
   }
 
+  test("negative sampling: no self-pairs, exactly 3 distinct-rank " +
+      "partners per doc, bit-deterministic across runs") {
+    val q = graft.SparkEntry.queries("q134_negative_sampling")
+    val out = q(spark, sfDir()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = graft.Tables.documents(spark, sfDir()).count()
+    assert(out.length == n * 3, "every doc gets exactly k=3 partners")
+    assert(out.forall { case (d, _, p) => d != p }, "self-pair leaked")
+    assert(out.groupBy(_._1).forall(_._2.map(_._2).toSet == Set(1L, 2L, 3L)))
+    val again = q(spark, sfDir()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sorted.toSeq == again.sorted.toSeq, "sampling must be deterministic")
+  }
+
   test("corpus drift: shares sum to 1 within the rounding budget and " +
       "versions reconcile with direct counts") {
     val out = graft.SparkEntry.queries("q127_corpus_drift")(spark, sfDir())
