@@ -87,7 +87,12 @@ object ScaleUp {
       out.drop("_r")
     }
 
-    save("customer")(shifted(customer, "c_custkey" -> cBase))
+    // c_name is key-derived in the fixture (Customer#%09d) — re-mint it
+    // from the shifted key, or every replica shares its original's name
+    // verbatim and name-blocked joins (record linkage) go quadratic in
+    // the replication factor (the q125 twin of the SimHash salt below)
+    save("customer")(shifted(customer, "c_custkey" -> cBase)
+      .withColumn("c_name", format_string("Customer#%09d", col("c_custkey"))))
     save("supplier")(shifted(supplier, "s_suppkey" -> sBase))
     save("part")(shifted(part, "p_partkey" -> pBase))
     save("orders")(shifted(orders, "o_orderkey" -> oBase, "o_custkey" -> cBase))
