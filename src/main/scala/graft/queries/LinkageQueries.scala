@@ -558,6 +558,159 @@ object LinkageQueries {
       pairs.join(r.select(col("rnk").as("p_rnk"), col("doc_id").as("neg_doc_id")),
           "p_rnk")
         .select("doc_id", "neg_ix", "neg_doc_id")
+    },
+
+    // ---- WINSORIZED GROUP STATS: per-language mean doc length with the
+    // tails clipped at the exact p5/p95 order statistics — the robust
+    // profile a data card wants when a handful of giant documents
+    // dominate a plain mean. Order statistics come from a PER-GROUP
+    // window (partitioned by lang — shuffled on the group key, never a
+    // single partition); at 100 TB group sizes outgrow a sort-within-
+    // group and the KLL sketch quantiles (q77) supply approximate
+    // bounds — this operator is the exact twin for when they don't.
+    // Bounds join back broadcast; all presentation integer-space.
+    Q(
+      "q135_winsorized_stats",
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS rnk,
+        |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT lang, any_value(n) AS n,
+        |    max(CASE WHEN rnk = (5 * n + 99) // 100 THEN n_chars END) AS lo,
+        |    max(CASE WHEN rnk = (95 * n + 99) // 100 THEN n_chars END) AS hi,
+        |    CAST(sum(n_chars) AS BIGINT) AS s_raw
+        |  FROM r GROUP BY lang),
+        |c AS (
+        |  SELECT d.lang, b.n, b.lo, b.hi, b.s_raw,
+        |    CAST(sum(least(greatest(d.n_chars, b.lo), b.hi)) AS BIGINT) AS s_w
+        |  FROM documents d JOIN b ON d.lang = b.lang
+        |  GROUP BY d.lang, b.n, b.lo, b.hi, b.s_raw)
+        |SELECT lang, n, lo, hi,
+        |  ((2 * s_raw * 1000000 + n) // (2 * n))
+        |    * CAST(0.000001 AS DECIMAL(7,6)) AS mean_raw,
+        |  ((2 * s_w * 1000000 + n) // (2 * n))
+        |    * CAST(0.000001 AS DECIMAL(7,6)) AS mean_winsor
+        |FROM c""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(spark, dir).select("doc_id", "lang", "n_chars")
+      val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+      val r = docs
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy("lang")).cast("long"))
+      val b = r.groupBy("lang").agg(
+        first(col("n")).as("n"),
+        max(when(col("rnk") === expr("(5 * n + 99) div 100"), col("n_chars")))
+          .as("lo"),
+        max(when(col("rnk") === expr("(95 * n + 99) div 100"), col("n_chars")))
+          .as("hi"),
+        sum("n_chars").as("s_raw"))
+      val c = docs.join(broadcast(b), "lang")
+        .groupBy("lang", "n", "lo", "hi", "s_raw")
+        .agg(sum(least(greatest(col("n_chars"), col("lo")), col("hi")))
+          .as("s_w"))
+      c.select(col("lang"), col("n"), col("lo"), col("hi"),
+        ExactRound.roundRatio(col("s_raw"), col("n"), 6).as("mean_raw"),
+        ExactRound.roundRatio(col("s_w"), col("n"), 6).as("mean_winsor"))
+    },
+
+    // ---- EVENT FUNNEL: per-user progression through the ordered stage
+    // chain signup → view → click → purchase, each stage's timestamp
+    // strictly after the previous stage's — the behavioral-analytics
+    // query a product warehouse runs daily. Four chained min-aggregates
+    // + equi-joins, all keyed on user_id (co-partitioned after the
+    // first shuffle, exchange reuse does the rest); timestamps cross
+    // the oracle boundary via the q32 CAST-to-micros idiom.
+    Q(
+      "q136_event_funnel",
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |t1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'view' AND e.ts > t1.t1 GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
+        |       JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > t2.t2 GROUP BY e.user_id),
+        |t4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM e
+        |       JOIN t3 ON e.user_id = t3.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > t3.t3 GROUP BY e.user_id)
+        |SELECT u.user_id, t1.t1, t2.t2, t3.t3, t4.t4,
+        |  CAST(CASE WHEN t4.user_id IS NOT NULL THEN 4
+        |            WHEN t3.user_id IS NOT NULL THEN 3
+        |            WHEN t2.user_id IS NOT NULL THEN 2
+        |            WHEN t1.user_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+        |    AS reached
+        |FROM (SELECT DISTINCT user_id FROM e) u
+        |LEFT JOIN t1 ON u.user_id = t1.user_id
+        |LEFT JOIN t2 ON u.user_id = t2.user_id
+        |LEFT JOIN t3 ON u.user_id = t3.user_id
+        |LEFT JOIN t4 ON u.user_id = t4.user_id""".stripMargin) { (spark, dir) =>
+      val e = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+      val t1 = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      def stage(prev: org.apache.spark.sql.DataFrame, prevCol: String,
+          typ: String, out: String) =
+        e.filter(col("event_type") === typ)
+          .join(prev.select("user_id", prevCol), "user_id")
+          .filter(col("ts") > col(prevCol))
+          .groupBy("user_id").agg(min("ts").as(out))
+      val t2 = stage(t1, "t1", "view", "t2")
+      val t3 = stage(t2, "t2", "click", "t3")
+      val t4 = stage(t3, "t3", "purchase", "t4")
+      e.select("user_id").distinct()
+        .join(t1, Seq("user_id"), "left")
+        .join(t2, Seq("user_id"), "left")
+        .join(t3, Seq("user_id"), "left")
+        .join(t4, Seq("user_id"), "left")
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"), col("t4"),
+          when(col("t4").isNotNull, 4).when(col("t3").isNotNull, 3)
+            .when(col("t2").isNotNull, 2).when(col("t1").isNotNull, 1)
+            .otherwise(0).cast("int").as("reached"))
+    },
+
+    // ---- COHORT RETENTION: users grouped by first-seen week, per-week
+    // activity rate relative to the cohort — the other half of the
+    // behavioral pair with q136. Week truncation is Monday-start on
+    // both engines; the week index k is pure integer day arithmetic;
+    // rates round in integer space. One aggregate for cohorts, one
+    // distinct for activity — both keyed on user_id/cohort, linear.
+    Q(
+      "q137_cohort_retention",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |first AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |          FROM e GROUP BY user_id),
+        |act AS (SELECT DISTINCT e.user_id, f.cohort_week,
+        |    date_diff('day', f.cohort_week, date_trunc('week', e.ts)) // 7 AS k
+        |  FROM e JOIN first f ON e.user_id = f.user_id),
+        |cs AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+        |       FROM first GROUP BY cohort_week)
+        |SELECT a.cohort_week, CAST(a.k AS BIGINT) AS k,
+        |  CAST(count(*) AS BIGINT) AS n_active, cs.n_cohort,
+        |  ((2 * count(*) * 1000000 + cs.n_cohort) // (2 * cs.n_cohort))
+        |    * CAST(0.000001 AS DECIMAL(7,6)) AS retention
+        |FROM act a JOIN cs ON a.cohort_week = cs.cohort_week
+        |GROUP BY a.cohort_week, a.k, cs.n_cohort""".stripMargin) {
+      (spark, dir) =>
+      val e = Tables.events(spark, dir).select("user_id", "ts")
+      val first = e.groupBy("user_id")
+        .agg(date_trunc("week", min("ts")).as("cohort_week"))
+      val act = e.join(first, "user_id")
+        .select(col("user_id"), col("cohort_week"),
+          expr("datediff(date_trunc('week', ts), cohort_week) div 7")
+            .cast("long").as("k"))
+        .distinct()
+      val cs = first.groupBy("cohort_week").agg(count(lit(1)).as("n_cohort"))
+      act.join(cs, "cohort_week")
+        .groupBy("cohort_week", "k", "n_cohort")
+        .agg(count(lit(1)).as("n_active"))
+        .select(col("cohort_week"), col("k"), col("n_active"), col("n_cohort"),
+          ExactRound.roundRatio(col("n_active"), col("n_cohort"), 6)
+            .as("retention"))
     }
   )
 }

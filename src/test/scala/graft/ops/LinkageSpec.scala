@@ -145,6 +145,55 @@ class LinkageSpec extends SparkSuite {
     assert(out.sorted.toSeq == again.sorted.toSeq, "sampling must be deterministic")
   }
 
+  test("winsorized stats: bounds are genuine group order statistics and " +
+      "clipping moves the mean toward the interior") {
+    val out = graft.SparkEntry.queries("q135_winsorized_stats")(spark, sfDir())
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (raw, w) = (BigDecimal(r.getDecimal(4)), BigDecimal(r.getDecimal(5)))
+      assert(lo <= hi && n > 0)
+      // the winsorized mean must sit inside the clip bounds
+      assert(w >= BigDecimal(lo) && w <= BigDecimal(hi),
+        s"lang ${r.getString(0)}: winsorized mean $w outside [$lo, $hi]")
+      // and cannot drift arbitrarily far from the raw mean
+      assert((w - raw).abs <= raw, s"implausible winsorization shift")
+    }
+  }
+
+  test("event funnel: stage timestamps strictly increase and `reached` " +
+      "counts the non-null prefix") {
+    val out = graft.SparkEntry.queries("q136_event_funnel")(spark, sfDir())
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // timestamps surface as java.time values under the Java-8 time API
+      val ts = (1 to 4).map(i =>
+        Option(r.get(i)).map(_.asInstanceOf[Comparable[Any]]))
+      // prefix property: a stage is reached only if every earlier one is
+      assert(ts.zip(ts.tail).forall { case (a, b) => !(a.isEmpty && b.nonEmpty) })
+      val present = ts.flatten
+      assert(present.zip(present.tail).forall { case (a, b) => a.compareTo(b) < 0 },
+        s"stage timestamps must strictly increase: $present")
+      assert(r.getInt(5) == present.size)
+    }
+  }
+
+  test("cohort retention: week 0 is exactly 1.0 and every rate is a " +
+      "valid fraction of the cohort") {
+    val out = graft.SparkEntry.queries("q137_cohort_retention")(spark, sfDir())
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (k, act, coh) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(k >= 0 && act >= 1 && act <= coh)
+      if (k == 0)
+        assert(BigDecimal(r.getDecimal(4)) == BigDecimal("1.000000"),
+          "every cohort member is active in their own first week")
+    }
+  }
+
   test("corpus drift: shares sum to 1 within the rounding budget and " +
       "versions reconcile with direct counts") {
     val out = graft.SparkEntry.queries("q127_corpus_drift")(spark, sfDir())
