@@ -5,11 +5,15 @@ import graft.functions.ExactRound
 import graft.ops.{Components, Linkage, Sample, Similarity}
 import org.apache.spark.sql.functions._
 
-/** Identity-and-structure layer: cross-table entity resolution, link
-  * analysis over interaction graphs, and corpus drift monitoring between
-  * versions — the observability operators a continuously-rebuilt 100 TB
-  * training set needs on top of curation (builder brief). Every operator
-  * is oracle-checked end to end; every numeric presentation follows the
+/** Identity, structure and observability layer (round 8): cross-table
+  * entity resolution and FK discovery, link analysis over interaction
+  * graphs, corpus drift monitoring, distribution alignment (quantile
+  * normalize/calibrate), two-stage retrieval (JL projection + rerank),
+  * collocation mining, deterministic negative sampling, robust
+  * (winsorized) profiling, and behavioral analytics (funnel, cohort
+  * retention) — the operators a continuously-rebuilt 100 TB training
+  * set needs on top of curation (builder brief). Every operator is
+  * oracle-checked end to end; every numeric presentation follows the
   * ExactRound integer-space discipline so results are bit-identical
   * across engines.
   */
