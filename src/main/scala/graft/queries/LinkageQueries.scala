@@ -715,6 +715,97 @@ object LinkageQueries {
         .select(col("cohort_week"), col("k"), col("n_active"), col("n_cohort"),
           ExactRound.roundRatio(col("n_active"), col("n_cohort"), 6)
             .as("retention"))
+    },
+
+    // ---- TIME-TO-CONVERT DECILES: the exact decile distribution of
+    // signup→purchase latency over users completing q136's full funnel
+    // chain — all interval arithmetic in integer microseconds (the
+    // epoch_us idiom), deciles as EXACT order statistics via the
+    // prefix-sum rank machinery (no single-partition window), selected
+    // with pure integer ceil arithmetic. 9 rows out, all BIGINT.
+    Q(
+      "q138_time_to_convert",
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |t1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'view' AND e.ts > t1.t1 GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
+        |       JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > t2.t2 GROUP BY e.user_id),
+        |t4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM e
+        |       JOIN t3 ON e.user_id = t3.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > t3.t3 GROUP BY e.user_id),
+        |conv AS (SELECT t1.user_id,
+        |    epoch_us(t4.t4) - epoch_us(t1.t1) AS delta_us
+        |  FROM t1 JOIN t4 ON t1.user_id = t4.user_id),
+        |r AS (SELECT user_id, delta_us,
+        |    CAST(row_number() OVER (ORDER BY delta_us, user_id) AS BIGINT) AS rnk,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM conv) AS n FROM conv),
+        |d AS (SELECT unnest(range(1, 10)) AS decile)
+        |SELECT CAST(d.decile AS BIGINT) AS decile, r.delta_us, r.n
+        |FROM d JOIN r ON r.rnk = (d.decile * r.n + 9) // 10""".stripMargin) {
+      (spark, dir) =>
+      val e = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+      val t1 = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      def stage(prev: org.apache.spark.sql.DataFrame, prevCol: String,
+          typ: String, out: String) =
+        e.filter(col("event_type") === typ)
+          .join(prev.select("user_id", prevCol), "user_id")
+          .filter(col("ts") > col(prevCol))
+          .groupBy("user_id").agg(min("ts").as(out))
+      val t4 = stage(stage(stage(t1, "t1", "view", "t2"),
+        "t2", "click", "t3"), "t3", "purchase", "t4")
+      val conv = t1.join(t4, "user_id")
+        .select(col("user_id"),
+          (expr("unix_micros(CAST(t4 AS TIMESTAMP))") -
+            expr("unix_micros(CAST(t1 AS TIMESTAMP))")).as("delta_us"))
+      val r = Sample.quantileNormalize(conv,
+        Seq(col("delta_us"), col("user_id")))
+      val n = conv.agg(count(lit(1)).as("n"))
+      spark.range(1, 10).select(col("id").as("decile"))
+        .crossJoin(broadcast(n))
+        .join(r, col("rnk") === expr("(decile * n + 9) div 10"))
+        .select(col("decile"), col("delta_us"), col("n"))
+    },
+
+    // ---- ROLLING ACTIVE USERS (7-day WAU per day): distinct users in
+    // the trailing 7-day window of every day — computed WITHOUT a range
+    // join or a window: each (user, day) activity explodes to the ≤ 7
+    // window-end days it contributes to (a scan-level constant-factor
+    // explode), then one distinct + one count per end day. Linear at
+    // any scale; day bounds join as broadcast scalars.
+    Q(
+      "q139_rolling_active_users",
+      """WITH e AS (SELECT DISTINCT user_id,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+        |b AS (SELECT date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS d0,
+        |             date_trunc('day', max(CAST(ts AS TIMESTAMP))) AS d1
+        |      FROM events),
+        |x AS (SELECT DISTINCT e.user_id,
+        |    e.day + to_days(CAST(i.i AS INT)) AS end_day
+        |  FROM e CROSS JOIN (SELECT unnest(range(0, 7)) AS i) i),
+        |w AS (SELECT end_day, CAST(count(*) AS BIGINT) AS wau
+        |      FROM x GROUP BY end_day)
+        |SELECT w.end_day, w.wau FROM w, b
+        |WHERE w.end_day BETWEEN b.d0 AND b.d1""".stripMargin) { (spark, dir) =>
+      val ev = Tables.events(spark, dir)
+      val e = ev.select(col("user_id"),
+        date_trunc("day", col("ts")).as("day")).distinct()
+      val b = ev.agg(date_trunc("day", min("ts")).as("d0"),
+        date_trunc("day", max("ts")).as("d1"))
+      val x = e.select(col("user_id"), col("day"),
+          explode(sequence(lit(0), lit(6))).as("i"))
+        .select(col("user_id"),
+          expr("day + make_dt_interval(i, 0, 0, 0)").as("end_day"))
+        .distinct()
+      x.groupBy("end_day").agg(count(lit(1)).as("wau"))
+        .crossJoin(broadcast(b))
+        .filter(col("end_day").between(col("d0"), col("d1")))
+        .select("end_day", "wau")
     }
   )
 }

@@ -194,6 +194,33 @@ class LinkageSpec extends SparkSuite {
     }
   }
 
+  test("time-to-convert: deciles are nondecreasing, positive, and the " +
+      "ninth sits at the exact ceil(9n/10) order statistic") {
+    val out = graft.SparkEntry.queries("q138_time_to_convert")(spark, sfDir())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == (1L to 9L))
+    assert(out.forall(_._2 > 0), "funnel deltas must be positive")
+    assert(out.map(_._2).zip(out.map(_._2).tail).forall { case (a, b) => a <= b },
+      "deciles must be nondecreasing")
+    assert(out.map(_._3).distinct.size == 1)
+  }
+
+  test("rolling active users: every day's WAU is >= that day's DAU and " +
+      "<= the all-time distinct user count") {
+    val out = graft.SparkEntry.queries("q139_rolling_active_users")(spark, sfDir())
+      .collect().map(r => r.get(0).asInstanceOf[Comparable[Any]] -> r.getLong(1)).toMap
+    val ev = graft.Tables.events(spark, sfDir())
+    val users = ev.select("user_id").distinct().count()
+    val dau = ev.select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct().groupBy("d").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0).asInstanceOf[Comparable[Any]] -> r.getLong(1)).toMap
+    assert(out.nonEmpty && out.values.forall(w => w >= 1 && w <= users))
+    dau.foreach { case (d, n) =>
+      out.get(d).foreach(w => assert(w >= n, s"day $d: WAU $w < DAU $n"))
+    }
+  }
+
   test("corpus drift: shares sum to 1 within the rounding budget and " +
       "versions reconcile with direct counts") {
     val out = graft.SparkEntry.queries("q127_corpus_drift")(spark, sfDir())
