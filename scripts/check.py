@@ -5,8 +5,21 @@ Usage: python3 scripts/check.py <verify_out_dir> <sf_dir> [query ...]
 
 Reads each <out>/<name> parquet (written by graft.Verify), runs the
 matching oracle SQL from <out>/oracle_sql.json in DuckDB over the fixture
-parquet tables, sorts columns by name and rows by all columns, and
-compares values (exact, with float diff reporting).
+parquet tables, and compares BOTH the arrow-level result types and the
+values (exact — no float tolerance).
+
+Hardened after round 8: the driver's hasher does not normalize DECIMAL
+(or mismatched temporal types) across engines, while this gate's old
+float()-coercion silently passed them — 10 driver-red queries were
+locally "green". Rules now enforced (see functions/ExactRound.scala):
+
+ 1. NO DECIMAL column may reach the comparison boundary, on either
+    engine. (DuckDB HUGEINT exports as decimal128(38,0) — also banned;
+    cast to BIGINT/DOUBLE in the oracle SQL.)
+ 2. Both engines must present the same type FAMILY per column
+    (int / float / string / bool / date / timestamp) — in particular
+    timestamp-vs-date fails.
+ 3. Value comparison is exact: floats must be bit-identical.
 """
 import json
 import math
@@ -14,9 +27,48 @@ import sys
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def family(t: pa.DataType) -> str:
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{family(t.value_type)}>"
+    return str(t)
+
+
+def type_errors(name: str, got: pa.Table, exp: pa.Table):
+    errs = []
+    gt = {f.name: f.type for f in got.schema}
+    xt = {f.name: f.type for f in exp.schema}
+    for c in sorted(set(gt) | set(xt)):
+        gf = family(gt[c]) if c in gt else "<missing>"
+        xf = family(xt[c]) if c in xt else "<missing>"
+        if gf == "decimal" or xf == "decimal":
+            errs.append(f"column {c}: DECIMAL at oracle boundary "
+                        f"(spark={gt.get(c)}, oracle={xt.get(c)}) — "
+                        f"cast to DOUBLE/BIGINT on both engines")
+        elif gf != xf:
+            errs.append(f"column {c}: type family mismatch "
+                        f"spark={gf} ({gt.get(c)}) vs oracle={xf} ({xt.get(c)})")
+    return errs
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -43,7 +95,7 @@ def cell_eq(a, b):
             return str(a) == str(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
-        return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+        return fa == fb  # exact: the driver hash-compares, no tolerance
     return str(a) == str(b)
 
 
@@ -61,18 +113,23 @@ def main():
             continue
         sql = oracle[name]
         try:
-            got = pd.read_parquet(f"{out_dir}/{name}")
+            got_t = pq.read_table(f"{out_dir}/{name}")
         except Exception as e:
             print(f"FAIL {name}: no spark output ({e})")
             n_fail += 1
             continue
         try:
-            exp = con.sql(sql).df()
+            exp_t = con.sql(sql).arrow()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
             continue
-        g, x = canon(got), canon(exp)
+        terrs = type_errors(name, got_t, exp_t)
+        if terrs:
+            print(f"FAIL {name}: " + "; ".join(terrs))
+            n_fail += 1
+            continue
+        g, x = canon(got_t.to_pandas()), canon(exp_t.to_pandas())
         if list(g.columns) != list(x.columns):
             print(f"FAIL {name}: columns {list(g.columns)} != {list(x.columns)}")
             n_fail += 1
@@ -95,15 +152,7 @@ def main():
             print(f"FAIL {name}: {len(bad)}+ diffs, e.g. {bad[:3]}")
             n_fail += 1
         else:
-            # exactness check: flag any float that is not bit-identical
-            fuzzy = 0
-            for c in g.columns:
-                for gv, xv in zip(g[c].tolist(), x[c].tolist()):
-                    if isinstance(gv, float) and isinstance(xv, float):
-                        if not (gv == xv or (math.isnan(gv) and math.isnan(xv))):
-                            fuzzy += 1
-            tag = f" ({fuzzy} non-bit-identical floats)" if fuzzy else ""
-            print(f"PASS {name}: {len(g)} rows x {len(g.columns)} cols{tag}")
+            print(f"PASS {name}: {len(g)} rows x {len(g.columns)} cols")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_skip} skip ==")
     sys.exit(1 if n_fail else 0)

@@ -198,7 +198,12 @@ object Bench {
         s""""spread_med_pct":${fmt4(spreadMed)},"spread_max_pct":${fmt4(spreadMax)},""" +
         s""""gold_sec":${fmt4(gold)},"median_sec":${fmt4(median)},""" +
         s""""n_queries":${results.size},"sf":"$sfDir",$deltaReport}"""
-    // full-precision copy that no tail-truncation can lose
+    // full-precision copy that no tail-truncation can lose. A
+    // SPARK_GRAFT_BENCH_ONLY-restricted sweep writes to a separate file
+    // so a partial vector can never overwrite the committed full-
+    // registry record (round-9 advice).
+    val lastRunFile =
+      if (only.isDefined) "last_run_partial.json" else "last_run.json"
     try {
       val dir = java.nio.file.Paths.get("bench")
       java.nio.file.Files.createDirectories(dir)
@@ -209,7 +214,7 @@ object Bench {
       full ++= s""""delta_min_pct_vs_baseline":${deltas.map { case (k, v) => s"\"$k\":${fmt4(v)}" }.mkString("{", ",", "}")},"""
       full ++= s""""delta_med_pct":${fmt4(deltaMed)},"""
       full ++= s""""delta_rel_pct":${relDeltas.map { case (k, v) => s"\"$k\":${fmt4(v)}" }.mkString("{", ",", "}")}}"""
-      java.nio.file.Files.write(dir.resolve("last_run.json"),
+      java.nio.file.Files.write(dir.resolve(lastRunFile),
         full.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"[bench] file dump failed: $e") }
     println(line)

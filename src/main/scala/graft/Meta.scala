@@ -219,12 +219,28 @@ object Meta {
       spark.read.parquet(s"$path/v=$v")
     }
 
-    /** Drop all but the newest `keep` snapshots (VACUUM). */
+    /** Drop all but the newest `keep` snapshots (VACUUM). Also reclaims
+      * pre-publish crash debris: a [[writeOnce]] that died before its
+      * rename leaves a `v=N_staging_<uuid>` dir with full parquet data.
+      * Any staging dir whose N is ≤ the latest PUBLISHED version is
+      * provably dead (writeOnce only publishes latest+1, so that N has
+      * either published from a different staging dir or been skipped) —
+      * delete it. A staging dir with N = latest+1 may be an in-flight
+      * write and is left alone; it becomes dead — and collectable on
+      * the next vacuum — as soon as any later write publishes. */
+    private val StagingDir = "^v=(\\d+)_staging_.*$".r
     def vacuum(spark: SparkSession, path: String, keep: Int): Seq[Long] = {
       val all = versions(spark, path)
       val dead = all.dropRight(keep)
-      val (f, _) = fs(spark, path)
+      val (f, p) = fs(spark, path)
       dead.foreach(v => f.delete(new org.apache.hadoop.fs.Path(s"$path/v=$v"), true))
+      val latest = all.lastOption.getOrElse(-1L)
+      if (f.exists(p)) f.listStatus(p).toSeq.map(_.getPath).foreach { sp =>
+        sp.getName match {
+          case StagingDir(n) if n.toLong <= latest => f.delete(sp, true)
+          case _ => ()
+        }
+      }
       dead
     }
 

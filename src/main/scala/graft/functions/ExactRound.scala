@@ -36,6 +36,17 @@ import org.apache.spark.sql.types.DecimalType
   *     per-token flip moves the per-doc mean by ~1e-11).
   *  4. Pure integer derivations (ntile, counts, `//`) need none of
   *     this — they are exact by construction (q107).
+  *  5. NEVER emit DECIMAL — or a mismatched temporal type — at the
+  *     oracle comparison boundary (round-9, after the 10 round-8 hash
+  *     failures): the driver's hasher does not normalize DECIMAL
+  *     across engines (Spark presents DECIMAL(38,s), DuckDB infers
+  *     DECIMAL(26..38,s) — bit-identical values, mismatched hash).
+  *     Boundary columns must be BIGINT / DOUBLE / VARCHAR / BOOLEAN /
+  *     matched DATE: cast [[roundRatio]] results to DOUBLE on BOTH
+  *     engines (exact by rule 2 while |v|·10^s < 2^53) or emit the
+  *     scaled integer as BIGINT; cast Spark `date_trunc` (timestamp)
+  *     to DATE where the oracle emits DATE. `scripts/check.py`
+  *     enforces this at the arrow-type level.
   */
 object ExactRound {
 

@@ -235,12 +235,19 @@ object Components {
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
     var rank = deg.select(col("src"), lit(1000000000L).as("pr"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       rank = e.join(rank.join(deg, "src"), "src")
         .select(col("dst"), expr("pr div outdeg").as("c"))
         .groupBy("dst")
         .agg(expr("CAST(150000000 + (85 * sum(c)) div 100 AS BIGINT)").as("pr"))
         .withColumnRenamed("dst", "src")
+      // Truncate the join lineage every few iterations: without this a
+      // deep run (iters=20) carries a 20-join plan into the final
+      // action — Catalyst re-analysis cost grows superlinearly and a
+      // lost executor would recompute every prior iteration. Cadence 5
+      // keeps at most a 5-deep tail at the (small) cost of
+      // materializing the |nodes|-sized rank table a few times.
+      if (i % 5 == 0 && i < iters) rank = rank.localCheckpoint()
     }
     rank.select(col("src").as("node_id"), col("pr"))
   }

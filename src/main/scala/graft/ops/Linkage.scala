@@ -50,8 +50,26 @@ object Linkage {
     * estimate-then-confirm shape as Bloom decontamination (q101). */
   def containment(a: DataFrame, aCol: String, b: DataFrame,
       bCol: String): DataFrame = {
-    val da = a.select(col(aCol).cast("long").as("_k")).distinct()
-    val db = b.select(col(bCol).cast("long").as("_k")).distinct()
+    // Compare in the columns' NATIVE types (round-9 advice): the old
+    // unconditional cast-to-long silently nulled string keys on both
+    // sides and reported a bogus containment over a single NULL key.
+    // Integral pairs widen to long (lossless); any other type pair must
+    // match exactly or we fail loudly instead of comparing across an
+    // implicit cast. NULL keys are excluded, matching SQL DISTINCT/IN
+    // semantics.
+    import org.apache.spark.sql.types._
+    val ta = a.schema(aCol).dataType
+    val tb = b.schema(bCol).dataType
+    def integral(t: DataType) = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def key(c: Column) =
+      (if (integral(ta)) c.cast("long") else c).as("_k")
+    require(ta == tb || (integral(ta) && integral(tb)),
+      s"containment: key types must match, got $aCol: $ta vs $bCol: $tb")
+    val da = a.select(key(col(aCol))).filter(col("_k").isNotNull).distinct()
+    val db = b.select(key(col(bCol))).filter(col("_k").isNotNull).distinct()
     val missing = da.join(db, Seq("_k"), "left_anti")
     da.agg(count(lit(1)).as("n_distinct"))
       .crossJoin(missing.agg(count(lit(1)).as("n_missing")))

@@ -1025,12 +1025,12 @@ object AnalyticsQueries {
         |        FROM orders WHERE o_orderkey % 11 <> 0) t
         |  GROUP BY o_custkey)
         |SELECT o_custkey, cnt,
-        |  ((2 * s1c * 1000000 + cnt * 100) // (2 * cnt * 100))
-        |    * CAST(0.000001 AS DECIMAL(7,6)) AS mean_price,
-        |  CASE WHEN cnt > 1 THEN
+        |  CAST(((2 * s1c * 1000000 + cnt * 100) // (2 * cnt * 100))
+        |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS mean_price,
+        |  CAST(CASE WHEN cnt > 1 THEN
         |    ((2 * (s2c4 * cnt - s1c * s1c) * 100 + cnt * (cnt - 1) * 10000)
         |      // (2 * cnt * (cnt - 1) * 10000))
-        |      * CAST(0.01 AS DECIMAL(3,2)) END AS var_price
+        |      * CAST(0.01 AS DECIMAL(3,2)) END AS DOUBLE) AS var_price
         |FROM s""".stripMargin) { (spark, dir) =>
       val o = Tables.orders(spark, dir)
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -1047,13 +1047,16 @@ object AnalyticsQueries {
       val s1c = col("s1") * 100    // Σv in cents — integer-valued, exact
       val s2c4 = col("s2") * 10000 // Σv² in 1e-4 dollars² — integer-valued
       val n = s2c4 * col("cnt") - s1c * s1c // ≥ 0 (Cauchy–Schwarz), exact
+      // Presented as DOUBLE on both engines (round-9): the driver's
+      // hasher does not normalize DECIMAL across engines; the cast is
+      // exact by ExactRound rule 2 (|v|·10^s < 2^53).
       m.select(col("o_custkey"), col("cnt"),
         graft.functions.ExactRound.roundRatio(s1c, col("cnt") * 100, 6)
-          .as("mean_price"),
+          .cast("double").as("mean_price"),
         when(col("cnt") > 1,
           graft.functions.ExactRound.roundRatio(
             n, col("cnt") * (col("cnt") - 1) * 10000, 2))
-          .as("var_price"))
+          .cast("double").as("var_price"))
     },
 
     // ---- File-level min/max DATA SKIPPING (L99): q81's z-order layout

@@ -277,7 +277,10 @@ object HrQueries {
       val o = Tables.orders(spark, dir)
       val delay = datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
+        // DATE at the boundary: Spark date_trunc returns a timestamp
+        // where DuckDB's returns DATE (round-9 gate hardening).
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+          .as("order_month"))
         .agg(
           count(lit(1)).as("n_items"),
           min(delay).as("min_delay"),

@@ -38,20 +38,20 @@ object LinkageQueries {
           |        coalesce(chars_v1, 0) AS chars_v1, coalesce(chars_v2, 0) AS chars_v2
           |      FROM a FULL OUTER JOIN b ON a.lang = b.lang AND a.source = b.source)
           |SELECT lang, source, n_v1, n_v2,
-          |  CASE WHEN n_v1 > 0 THEN
+          |  CAST(CASE WHEN n_v1 > 0 THEN
           |    ((2 * chars_v1 * 1000000 + n_v1) // (2 * n_v1))
-          |      * CAST(0.000001 AS DECIMAL(7,6)) END AS mean_chars_v1,
-          |  CASE WHEN n_v2 > 0 THEN
+          |      * CAST(0.000001 AS DECIMAL(7,6)) END AS DOUBLE) AS mean_chars_v1,
+          |  CAST(CASE WHEN n_v2 > 0 THEN
           |    ((2 * chars_v2 * 1000000 + n_v2) // (2 * n_v2))
-          |      * CAST(0.000001 AS DECIMAL(7,6)) END AS mean_chars_v2,
-          |  ((2 * n_v1 * 1000000 + t1) // (2 * t1))
-          |    * CAST(0.000001 AS DECIMAL(7,6)) AS share_v1,
-          |  ((2 * n_v2 * 1000000 + t2) // (2 * t2))
-          |    * CAST(0.000001 AS DECIMAL(7,6)) AS share_v2,
-          |  ((2 * n_v2 * 1000000 + t2) // (2 * t2))
+          |      * CAST(0.000001 AS DECIMAL(7,6)) END AS DOUBLE) AS mean_chars_v2,
+          |  CAST(((2 * n_v1 * 1000000 + t1) // (2 * t1))
+          |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS share_v1,
+          |  CAST(((2 * n_v2 * 1000000 + t2) // (2 * t2))
+          |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS share_v2,
+          |  CAST(((2 * n_v2 * 1000000 + t2) // (2 * t2))
           |    * CAST(0.000001 AS DECIMAL(7,6))
           |  - ((2 * n_v1 * 1000000 + t1) // (2 * t1))
-          |    * CAST(0.000001 AS DECIMAL(7,6)) AS share_drift
+          |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS share_drift
           |FROM j CROSS JOIN t""".stripMargin
 
   val all: Seq[Q] = Seq(
@@ -182,16 +182,19 @@ object LinkageQueries {
         .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
       val share1 = ExactRound.roundRatio(col("n_v1"), col("t1"), 6)
       val share2 = ExactRound.roundRatio(col("n_v2"), col("t2"), 6)
+      // DOUBLE at the boundary (round-9): exact decimal→double under
+      // ExactRound rule 2; the drift difference stays in decimal space
+      // and only the final value is converted.
       j.select(col("lang"), col("source"), col("n_v1"), col("n_v2"),
         when(col("n_v1") > 0,
           ExactRound.roundRatio(col("chars_v1"), col("n_v1"), 6))
-          .as("mean_chars_v1"),
+          .cast("double").as("mean_chars_v1"),
         when(col("n_v2") > 0,
           ExactRound.roundRatio(col("chars_v2"), col("n_v2"), 6))
-          .as("mean_chars_v2"),
-        share1.as("share_v1"),
-        share2.as("share_v2"),
-        (share2 - share1).as("share_drift"))
+          .cast("double").as("mean_chars_v2"),
+        share1.cast("double").as("share_v1"),
+        share2.cast("double").as("share_v2"),
+        (share2 - share1).cast("double").as("share_drift"))
     },
 
     // ---- INCLUSION-DEPENDENCY DISCOVERY: exact containment of one
@@ -208,9 +211,9 @@ object LinkageQueries {
       "q128_inclusion_deps", {
         def pair(dep: String, a: String, ac: String, b: String, bc: String) =
           s"""SELECT '$dep' AS dep, n_distinct, n_missing,
-             |  ((2 * (n_distinct - n_missing) * 1000000 + n_distinct)
+             |  CAST(((2 * (n_distinct - n_missing) * 1000000 + n_distinct)
              |    // (2 * n_distinct))
-             |    * CAST(0.000001 AS DECIMAL(7,6)) AS containment,
+             |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS containment,
              |  n_missing = 0 AS is_inclusion
              |FROM (SELECT
              |  (SELECT CAST(count(DISTINCT $ac) AS BIGINT) FROM $a) AS n_distinct,
@@ -256,7 +259,7 @@ object LinkageQueries {
         Linkage.containment(a, ac, b, bc)
           .select(lit(dep).as("dep"), col("n_distinct"), col("n_missing"),
             ExactRound.roundRatio(col("n_distinct") - col("n_missing"),
-              col("n_distinct"), 6).as("containment"),
+              col("n_distinct"), 6).cast("double").as("containment"),
             (col("n_missing") === 0L).as("is_inclusion"))
       }.reduce(_ unionByName _)
     },
@@ -279,13 +282,13 @@ object LinkageQueries {
         |    (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n
         |  FROM orders)
         |SELECT o_orderkey, rnk,
-        |  ((2 * rnk * 1000000 + n) // (2 * n))
-        |    * CAST(0.000001 AS DECIMAL(7,6)) AS pct
+        |  CAST(((2 * rnk * 1000000 + n) // (2 * n))
+        |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS pct
         |FROM r""".stripMargin) { (spark, dir) =>
       Sample.quantileNormalize(
           Tables.orders(spark, dir).select("o_orderkey", "o_totalprice"),
           Seq(col("o_totalprice"), col("o_orderkey")))
-        .select("o_orderkey", "rnk", "pct")
+        .select(col("o_orderkey"), col("rnk"), col("pct").cast("double").as("pct"))
     },
 
     // ---- JL RANDOM PROJECTION with exact RERANK (Achlioptas ±1
@@ -361,10 +364,10 @@ object LinkageQueries {
            |  FROM rr GROUP BY query_id)
            |SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
            |  CAST(count(t.neighbor_id) AS BIGINT) AS n_hit,
-           |  ((2 * CAST(count(t.neighbor_id) AS BIGINT) * 1000000 + count(*))
+           |  CAST(((2 * CAST(count(t.neighbor_id) AS BIGINT) * 1000000 + count(*))
            |    // (2 * count(*)))
-           |    * CAST(0.000001 AS DECIMAL(7,6)) AS recall,
-           |  any_value(err.sum_abs_err) AS sum_abs_err
+           |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS recall,
+           |  CAST(round(any_value(err.sum_abs_err), 6) AS DOUBLE) AS sum_abs_err
            |FROM ek e LEFT JOIN t5 t
            |  ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
            |JOIN err ON err.query_id = e.query_id
@@ -398,9 +401,16 @@ object LinkageQueries {
       val t5 = rr.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select("query_id", "neighbor_id").withColumn("hit", lit(1L))
+      // per-pair scale-9 rounds absorbed in the DECIMAL sum, then the
+      // final presentation rounds COARSER (6dp, round-9 advice): a
+      // Spark/DuckDB tie flip at scale 9 moves the sum by 1e-9, which
+      // the 6dp decimal-space round absorbs (both engines round
+      // decimals half-away-from-zero, exactly). DOUBLE at the boundary.
       val err = rr.groupBy("query_id")
         .agg(sum(round(abs(col("cos_p") - col("cos_f")), 9)
-          .cast(DecimalType(12, 9))).as("sum_abs_err"))
+          .cast(DecimalType(12, 9))).as("s9"))
+        .select(col("query_id"),
+          round(col("s9"), 6).cast("double").as("sum_abs_err"))
       val exact = Similarity
         .topKBruteForce(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
         .select("query_id", "neighbor_id")
@@ -409,7 +419,8 @@ object LinkageQueries {
         .agg(count(lit(1)).as("n_exact"),
           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
         .withColumn("recall",
-          ExactRound.roundRatio(col("n_hit"), col("n_exact"), 6))
+          ExactRound.roundRatio(col("n_hit"), col("n_exact"), 6)
+            .cast("double"))
         .join(err, "query_id")
         .select("query_id", "n_exact", "n_hit", "recall", "sum_abs_err")
     },
@@ -441,9 +452,9 @@ object LinkageQueries {
          |pc AS (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n_ab
          |       FROM pairs GROUP BY tok_a, tok_b)
          |SELECT tok_a, tok_b, n_ab, ma.n_t AS n_a, mb.n_t AS n_b,
-         |  ((2 * n.n_docs * n_ab * 1000000 + ma.n_t * mb.n_t)
+         |  CAST(((2 * n.n_docs * n_ab * 1000000 + ma.n_t * mb.n_t)
          |    // (2 * ma.n_t * mb.n_t))
-         |    * CAST(0.000001 AS DECIMAL(18,6)) AS lift
+         |    * CAST(0.000001 AS DECIMAL(18,6)) AS DOUBLE) AS lift
          |FROM pc JOIN marg ma ON ma.t = tok_a JOIN marg mb ON mb.t = tok_b
          |CROSS JOIN n
          |ORDER BY n_ab DESC, tok_a, tok_b LIMIT 30""".stripMargin) {
@@ -469,7 +480,7 @@ object LinkageQueries {
         .crossJoin(broadcast(n))
         .select(col("tok_a"), col("tok_b"), col("n_ab"), col("n_a"), col("n_b"),
           ExactRound.roundRatio(col("n_docs") * col("n_ab"),
-            col("n_a") * col("n_b"), 6).as("lift"))
+            col("n_a") * col("n_b"), 6).cast("double").as("lift"))
         .orderBy(col("n_ab").desc, col("tok_a"), col("tok_b"))
         .limit(30)
     },
@@ -593,10 +604,10 @@ object LinkageQueries {
         |  FROM documents d JOIN b ON d.lang = b.lang
         |  GROUP BY d.lang, b.n, b.lo, b.hi, b.s_raw)
         |SELECT lang, n, lo, hi,
-        |  ((2 * s_raw * 1000000 + n) // (2 * n))
-        |    * CAST(0.000001 AS DECIMAL(7,6)) AS mean_raw,
-        |  ((2 * s_w * 1000000 + n) // (2 * n))
-        |    * CAST(0.000001 AS DECIMAL(7,6)) AS mean_winsor
+        |  CAST(((2 * s_raw * 1000000 + n) // (2 * n))
+        |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS mean_raw,
+        |  CAST(((2 * s_w * 1000000 + n) // (2 * n))
+        |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS mean_winsor
         |FROM c""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(spark, dir).select("doc_id", "lang", "n_chars")
@@ -617,8 +628,10 @@ object LinkageQueries {
         .agg(sum(least(greatest(col("n_chars"), col("lo")), col("hi")))
           .as("s_w"))
       c.select(col("lang"), col("n"), col("lo"), col("hi"),
-        ExactRound.roundRatio(col("s_raw"), col("n"), 6).as("mean_raw"),
-        ExactRound.roundRatio(col("s_w"), col("n"), 6).as("mean_winsor"))
+        ExactRound.roundRatio(col("s_raw"), col("n"), 6)
+          .cast("double").as("mean_raw"),
+        ExactRound.roundRatio(col("s_w"), col("n"), 6)
+          .cast("double").as("mean_winsor"))
     },
 
     // ---- EVENT FUNNEL: per-user progression through the ordered stage
@@ -695,14 +708,16 @@ object LinkageQueries {
         |       FROM first GROUP BY cohort_week)
         |SELECT a.cohort_week, CAST(a.k AS BIGINT) AS k,
         |  CAST(count(*) AS BIGINT) AS n_active, cs.n_cohort,
-        |  ((2 * count(*) * 1000000 + cs.n_cohort) // (2 * cs.n_cohort))
-        |    * CAST(0.000001 AS DECIMAL(7,6)) AS retention
+        |  CAST(((2 * count(*) * 1000000 + cs.n_cohort) // (2 * cs.n_cohort))
+        |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS retention
         |FROM act a JOIN cs ON a.cohort_week = cs.cohort_week
         |GROUP BY a.cohort_week, a.k, cs.n_cohort""".stripMargin) {
       (spark, dir) =>
       val e = Tables.events(spark, dir).select("user_id", "ts")
+      // DATE at the boundary (round-9): Spark date_trunc returns a
+      // timestamp where DuckDB's returns DATE — cast so the types match.
       val first = e.groupBy("user_id")
-        .agg(date_trunc("week", min("ts")).as("cohort_week"))
+        .agg(date_trunc("week", min("ts")).cast("date").as("cohort_week"))
       val act = e.join(first, "user_id")
         .select(col("user_id"), col("cohort_week"),
           expr("datediff(date_trunc('week', ts), cohort_week) div 7")
@@ -714,7 +729,7 @@ object LinkageQueries {
         .agg(count(lit(1)).as("n_active"))
         .select(col("cohort_week"), col("k"), col("n_active"), col("n_cohort"),
           ExactRound.roundRatio(col("n_active"), col("n_cohort"), 6)
-            .as("retention"))
+            .cast("double").as("retention"))
     },
 
     // ---- TIME-TO-CONVERT DECILES: the exact decile distribution of

@@ -629,12 +629,12 @@ object StatefulQueries {
         |        FROM orders WHERE o_orderkey % 11 <> 0) t
         |  GROUP BY o_custkey)
         |SELECT o_custkey, cnt,
-        |  ((2 * s1c * 1000000 + cnt * 100) // (2 * cnt * 100))
-        |    * CAST(0.000001 AS DECIMAL(7,6)) AS mean_price,
-        |  CASE WHEN cnt > 1 THEN
+        |  CAST(((2 * s1c * 1000000 + cnt * 100) // (2 * cnt * 100))
+        |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS mean_price,
+        |  CAST(CASE WHEN cnt > 1 THEN
         |    ((2 * (s2c4 * cnt - s1c * s1c) * 100 + cnt * (cnt - 1) * 10000)
         |      // (2 * cnt * (cnt - 1) * 10000))
-        |      * CAST(0.01 AS DECIMAL(3,2)) END AS var_price
+        |      * CAST(0.01 AS DECIMAL(3,2)) END AS DOUBLE) AS var_price
         |FROM s""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import graft.streaming.Streams
@@ -691,13 +691,16 @@ object StatefulQueries {
       val s1c = col("s1") * 100
       val s2c4 = col("s2") * 10000
       val n = s2c4 * col("cnt") - s1c * s1c
+      // Presented as DOUBLE on both engines (round-9): the driver's
+      // hasher does not normalize DECIMAL across engines; the cast is
+      // exact by ExactRound rule 2 (|v|·10^s < 2^53).
       m.select(col("o_custkey"), col("cnt"),
         graft.functions.ExactRound.roundRatio(s1c, col("cnt") * 100, 6)
-          .as("mean_price"),
+          .cast("double").as("mean_price"),
         when(col("cnt") > 1,
           graft.functions.ExactRound.roundRatio(
             n, col("cnt") * (col("cnt") - 1) * 10000, 2))
-          .as("var_price"))
+          .cast("double").as("var_price"))
     },
 
     // ---- STREAMED DRIFT MAINTENANCE: q127's per-(lang, source) drift
@@ -773,14 +776,17 @@ object StatefulQueries {
         .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
       val share1 = graft.functions.ExactRound.roundRatio(col("n_v1"), col("t1"), 6)
       val share2 = graft.functions.ExactRound.roundRatio(col("n_v2"), col("t2"), 6)
+      // DOUBLE at the boundary (round-9), mirroring q127 exactly.
       j.select(col("lang"), col("source"), col("n_v1"), col("n_v2"),
         when(col("n_v1") > 0, graft.functions.ExactRound
-          .roundRatio(col("chars_v1"), col("n_v1"), 6)).as("mean_chars_v1"),
+          .roundRatio(col("chars_v1"), col("n_v1"), 6))
+          .cast("double").as("mean_chars_v1"),
         when(col("n_v2") > 0, graft.functions.ExactRound
-          .roundRatio(col("chars_v2"), col("n_v2"), 6)).as("mean_chars_v2"),
-        share1.as("share_v1"),
-        share2.as("share_v2"),
-        (share2 - share1).as("share_drift"))
+          .roundRatio(col("chars_v2"), col("n_v2"), 6))
+          .cast("double").as("mean_chars_v2"),
+        share1.cast("double").as("share_v1"),
+        share2.cast("double").as("share_v2"),
+        (share2 - share1).cast("double").as("share_drift"))
     },
 
     // ---- Streaming HEAVY HITTERS (L103): q53 run as continuous ingest.

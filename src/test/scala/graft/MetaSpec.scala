@@ -51,6 +51,32 @@ class MetaSpec extends SparkSuite {
     intercept[Exception] { Meta.Versioned.read(spark, dir, Some(1L)).count() }
   }
 
+  test("Versioned.vacuum: reclaims dead writeOnce staging debris, " +
+      "leaves a possibly-in-flight staging dir alone") {
+    val dir = Files.createTempDirectory("meta-stag").toString + "/t"
+    Meta.Versioned.write(Seq(1).toDF("x"), dir)  // v=1
+    Meta.Versioned.write(Seq(2).toDF("x"), dir)  // v=2
+    val root = new java.io.File(dir)
+    // crash debris from a writeOnce that died pre-rename at v=2 (dead:
+    // v=2 has since published) and one at v=3 (may be in flight)
+    def mkStaging(v: Long): java.io.File = {
+      val d = new java.io.File(root, s"v=${v}_staging_deadbeef$v")
+      assert(d.mkdirs()); new java.io.File(d, "part-0.parquet").createNewFile()
+      d
+    }
+    val dead = mkStaging(2L)
+    val inflight = mkStaging(3L)
+    Meta.Versioned.vacuum(spark, dir, keep = 10)
+    assert(!dead.exists(), "v<=latest staging debris must be reclaimed")
+    assert(inflight.exists(), "v=latest+1 staging dir may be in flight")
+    // readers still resolve only strict v=N dirs
+    assert(Meta.Versioned.latestVersion(spark, dir).contains(2L))
+    // once v=3 publishes, the old in-flight dir is dead and collectable
+    Meta.Versioned.write(Seq(3).toDF("x"), dir)
+    Meta.Versioned.vacuum(spark, dir, keep = 10)
+    assert(!inflight.exists(), "published-over staging debris must go")
+  }
+
   test("Versioned.publishAll: readers never observe a torn multi-table publish") {
     val root = Files.createTempDirectory("meta-multi").toString
     val c1 = Meta.Versioned.publishAll(root, Seq(

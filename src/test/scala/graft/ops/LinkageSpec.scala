@@ -70,6 +70,40 @@ class LinkageSpec extends SparkSuite {
     assert((out.getLong(0), out.getLong(1)) == ((4L, 1L)), "4 missing 1")
   }
 
+  test("containment: native-type string keys compare correctly, mixed " +
+      "int widths widen, and incompatible key types fail loudly") {
+    // round-9 advice: the old cast-to-long nulled string keys on both
+    // sides and reported containment over a single NULL key
+    val sa = Seq("x", "y", "y").toDF("k")
+    val sb = Seq("x", "z").toDF("j")
+    val r = Linkage.containment(sa, "k", sb, "j").head()
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 1L)), "y not contained")
+    val ia = Seq(1, 2).toDF("k")          // int32
+    val lb = Seq(1L, 2L, 3L).toDF("j")    // int64
+    val w = Linkage.containment(ia, "k", lb, "j").head()
+    assert((w.getLong(0), w.getLong(1)) == ((2L, 0L)), "widened inclusion")
+    intercept[IllegalArgumentException] {
+      Linkage.containment(sa, "k", lb, "j")
+    }
+  }
+
+  test("pageRank: iters=20 (checkpoint-cadence path) stays integer-exact " +
+      "and deterministic") {
+    val half = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (4L, 6L), (10L, 11L))
+    val e = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val r1 = Components.pageRank(e, "src", "dst", iters = 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the isolated 2-cycle fixpoints at exactly 1.0 at EVERY iteration —
+    // any lineage/replay corruption across the cadence boundary would
+    // break this exact invariant
+    assert(r1(10L) == 1000000000L && r1(11L) == 1000000000L)
+    assert(r1.keySet.size == 8 && r1.values.forall(_ >= 150000000L))
+    val r2 = Components.pageRank(e, "src", "dst", iters = 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == r2, "deep run must stay bit-deterministic")
+  }
+
   test("quantileNormalize: matches a single-window row_number and is " +
       "independent of the partition count") {
     import org.apache.spark.sql.expressions.Window
@@ -152,7 +186,7 @@ class LinkageSpec extends SparkSuite {
     assert(out.nonEmpty)
     out.foreach { r =>
       val (n, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3))
-      val (raw, w) = (BigDecimal(r.getDecimal(4)), BigDecimal(r.getDecimal(5)))
+      val (raw, w) = (BigDecimal(r.getDouble(4)), BigDecimal(r.getDouble(5)))
       assert(lo <= hi && n > 0)
       // the winsorized mean must sit inside the clip bounds
       assert(w >= BigDecimal(lo) && w <= BigDecimal(hi),
@@ -189,7 +223,7 @@ class LinkageSpec extends SparkSuite {
       val (k, act, coh) = (r.getLong(1), r.getLong(2), r.getLong(3))
       assert(k >= 0 && act >= 1 && act <= coh)
       if (k == 0)
-        assert(BigDecimal(r.getDecimal(4)) == BigDecimal("1.000000"),
+        assert(r.getDouble(4) == 1.0,
           "every cohort member is active in their own first week")
     }
   }
@@ -235,10 +269,11 @@ class LinkageSpec extends SparkSuite {
       "per-cell counts must partition each version exactly")
     val cells = agg.getLong(5)
     // each share is half-up-rounded at 1e-6 → per-cell error ≤ 5e-7
+    // (plus a vanishing double-sum term — boundary is DOUBLE since r9)
     val tol = BigDecimal(cells) * BigDecimal("0.0000005")
-    assert((BigDecimal(agg.getDecimal(2)) - 1).abs <= tol, "share_v1 sum")
-    assert((BigDecimal(agg.getDecimal(3)) - 1).abs <= tol, "share_v2 sum")
-    assert(BigDecimal(agg.getDecimal(4)).abs <= tol * 2, "drift must net ~0")
+    assert((BigDecimal(agg.getDouble(2)) - 1).abs <= tol, "share_v1 sum")
+    assert((BigDecimal(agg.getDouble(3)) - 1).abs <= tol, "share_v2 sum")
+    assert(BigDecimal(agg.getDouble(4)).abs <= tol * 2, "drift must net ~0")
     out.unpersist()
   }
 }
