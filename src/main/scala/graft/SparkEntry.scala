@@ -12,7 +12,8 @@ object SparkEntry {
   def registry: Seq[Q] =
     HrQueries.all ++ PipelineQueries.all ++ LlmQueries.all ++
       StatefulQueries.all ++ TemporalQueries.all ++ AnalyticsQueries.all ++
-      CurationQueries.all ++ GovernanceQueries.all ++ LinkageQueries.all
+      CurationQueries.all ++ GovernanceQueries.all ++ LinkageQueries.all ++
+      CorpusStatsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

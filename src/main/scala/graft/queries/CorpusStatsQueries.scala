@@ -1,0 +1,304 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.ExactRound
+import graft.ops.{Components, Dedup, Sample, Text}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Corpus-profile operators (round 9, L121–L124): the analyses a corpus
+  * build runs AFTER dedup/curation to understand what it produced —
+  * vocabulary coverage, near-dup cluster quality, duplicate-graph
+  * structure, and embedding-space drift between corpus versions.
+  *
+  * The reference pipeline ends at warehouse marts; these extend the
+  * engine's observability surface the way q127/q78 (drift, data card)
+  * do, over the same documents/embeddings fixtures. Exactness follows
+  * `graft.functions.ExactRound` rule 5: every ratio crosses the oracle
+  * boundary as DOUBLE, every count as BIGINT.
+  */
+object CorpusStatsQueries {
+
+  /** Vocab sizes for the coverage curve — spaced to bracket the fixture
+    * vocabulary (the SQL literal and the Spark stack() share this). */
+  private val VocabSizes = Seq(100, 1000, 5000, 20000)
+
+  val all: Seq[Q] = Seq(
+
+    // ---- VOCABULARY COVERAGE / OOV curve (L121): what fraction of all
+    // token occurrences the top-k vocabulary covers, for a ladder of
+    // vocab sizes — the tokenizer-budget analysis run before training a
+    // BPE/WordPiece vocab (coverage at k ≈ how often a rank-k vocab
+    // falls back to bytes). Term counts are one hash aggregate; the
+    // global frequency rank comes from the L94 prefix-sum machinery
+    // (range-partition on (cnt DESC, term) — NO single-partition
+    // window); the curve is ONE conditional aggregate over the ranked
+    // vocab, stacked to a row per vocab size. Coverage/OOV round in
+    // integer space and cross as DOUBLE.
+    Q(
+      "q140_vocab_coverage", {
+        val condSums = VocabSizes.map(k =>
+          s"CAST(sum(CASE WHEN rnk <= $k THEN cnt ELSE 0 END) AS BIGINT) AS c$k")
+          .mkString(",\n        |    ")
+        val cases = VocabSizes.map(k => s"WHEN $k THEN c$k").mkString(" ")
+        val values = VocabSizes.map(k => s"($k)").mkString(",")
+        s"""WITH toks AS (SELECT ${LlmQueries.toksSql} AS t FROM documents),
+        |tok AS (SELECT unnest(t) AS term FROM toks),
+        |tc AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM tok GROUP BY term),
+        |r AS (SELECT cnt,
+        |        CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT)
+        |          AS rnk
+        |      FROM tc),
+        |a AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_terms,
+        |    $condSums
+        |  FROM r)
+        |SELECT CAST(k.vocab_size AS BIGINT) AS vocab_size,
+        |  CASE k.vocab_size $cases END AS covered_tokens,
+        |  total_tokens, n_terms,
+        |  CAST(((2 * (CASE k.vocab_size $cases END) * 1000000 + total_tokens)
+        |    // (2 * total_tokens))
+        |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS coverage,
+        |  CAST(((2 * (total_tokens - (CASE k.vocab_size $cases END)) * 1000000
+        |      + total_tokens) // (2 * total_tokens))
+        |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS oov_rate
+        |FROM a CROSS JOIN (VALUES $values) k(vocab_size)""".stripMargin
+      }) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val tc = docs
+        .select(explode(Text.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      val ranked = Sample.quantileNormalize(
+        tc, Seq(col("cnt").desc, col("term")))
+      val aggs = Seq(
+        sum("cnt").as("total_tokens"),
+        count(lit(1)).as("n_terms")) ++ VocabSizes.map(k =>
+        sum(when(col("rnk") <= k, col("cnt")).otherwise(0L)).as(s"c$k"))
+      val a = ranked.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = VocabSizes
+        .map(k => s"${k}L, c$k").mkString(", ")
+      a.select(
+          expr(s"stack(${VocabSizes.size}, $stackArgs)" +
+            " as (vocab_size, covered_tokens)"),
+          col("total_tokens"), col("n_terms"))
+        .select(col("vocab_size"), col("covered_tokens"),
+          col("total_tokens"), col("n_terms"),
+          ExactRound.roundRatio(col("covered_tokens"), col("total_tokens"), 6)
+            .cast("double").as("coverage"),
+          ExactRound.roundRatio(col("total_tokens") - col("covered_tokens"),
+            col("total_tokens"), 6).cast("double").as("oov_rate"))
+    },
+
+    // ---- NEAR-DUP CLUSTER COHESION (L122): per-cluster quality of the
+    // SimHash duplicate graph — size, in-cluster edge count, mean pair
+    // Hamming distance, edge density vs the C(size,2) clique bound. The
+    // audit a dedup pipeline runs before trusting "keep one per
+    // cluster": a sprawling low-density cluster is transitive-closure
+    // glue (template chains), not a clique of true dups, and its
+    // survivors need review. Pairs and components reuse the L3/L25
+    // machinery (banded bucket join, never all-pairs); the per-cluster
+    // stats are two hash aggregates joined on the component label;
+    // top-20 by size is a bounded TakeOrdered heap.
+    Q(
+      "q141_cluster_cohesion",
+      s"""WITH RECURSIVE ${LlmQueries.simhashCtes},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    bit_count(xor(a.sim, b.sim)) AS ham
+         |  FROM banded a JOIN banded b USING (band, band_key)
+         |  WHERE a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.sim, b.sim)) <= 3),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT DISTINCT src AS id, src AS comp FROM edges
+         |  UNION
+         |  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+         |cmp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+         |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS n_docs
+         |       FROM cmp GROUP BY component),
+         |es AS (SELECT c.component, CAST(count(*) AS BIGINT) AS n_edges,
+         |    CAST(sum(p.ham) AS BIGINT) AS ham_sum
+         |  FROM pairs p JOIN cmp c ON c.id = p.id_a
+         |  GROUP BY c.component)
+         |SELECT sz.component AS cluster, sz.n_docs, es.n_edges,
+         |  CAST(((2 * es.ham_sum * 1000000 + es.n_edges) // (2 * es.n_edges))
+         |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS mean_hamming,
+         |  CAST(((2 * 2 * es.n_edges * 1000000 + sz.n_docs * (sz.n_docs - 1))
+         |    // (2 * sz.n_docs * (sz.n_docs - 1)))
+         |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS density
+         |FROM sz JOIN es ON es.component = sz.component
+         |WHERE sz.n_docs >= 3
+         |ORDER BY sz.n_docs DESC, cluster LIMIT 20""".stripMargin) {
+      (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+        bands = 4, maxHamming = 3)
+      val comp = Components.connectedComponents(pairs, "id_a", "id_b")
+      val sz = comp.groupBy("comp").agg(count(lit(1)).as("n_docs"))
+      // an edge's endpoints share a component by construction — one
+      // label join on id_a suffices
+      val es = pairs
+        .join(comp.select(col("id").as("id_a"), col("comp")), "id_a")
+        .groupBy("comp")
+        .agg(count(lit(1)).as("n_edges"), sum("hamming").as("ham_sum"))
+      sz.join(es, "comp")
+        .filter(col("n_docs") >= 3)
+        .select(col("comp").as("cluster"), col("n_docs"), col("n_edges"),
+          ExactRound.roundRatio(col("ham_sum"), col("n_edges"), 6)
+            .cast("double").as("mean_hamming"),
+          ExactRound.roundRatio(col("n_edges") * 2,
+            col("n_docs") * (col("n_docs") - 1), 6)
+            .cast("double").as("density"))
+        .orderBy(col("n_docs").desc, col("cluster"))
+        .limit(20)
+    },
+
+    // ---- TRIANGLE COUNT + clustering coefficient (L123): global
+    // structure of the duplicate graph — triangles, wedges, and the
+    // global clustering coefficient 3·Δ/W that separates clique-like
+    // duplication (true near-dup sets, gcc → 1) from chain-like
+    // transitive glue (template drift, gcc → 0). Spark counts each
+    // triangle once via DEGREE-ORDERED orientation (u→v iff
+    // (deg,id)(u) < (deg,id)(v)): every triangle has exactly one acyclic
+    // representation a→b→c with a→c, and out-degrees are bounded by
+    // O(√m) under this orientation — the standard bound that keeps the
+    // two wedge joins linear-ish on skewed (hub-heavy) graphs where a
+    // naive id-ordered orientation fans out quadratically at the hubs.
+    // The oracle counts the same triangles with the id-ordered self-join
+    // (a<b<c) — identical count, quadratic only at DuckDB's tiny scale.
+    // Wedges = Σ_v C(deg_v, 2) is one aggregate over degrees.
+    Q(
+      "q142_triangle_stats",
+      s"""WITH RECURSIVE ${LlmQueries.simhashCtes},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b USING (band, band_key)
+         |  WHERE a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.sim, b.sim)) <= 3),
+         |deg AS (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT id_a AS id FROM pairs
+         |    UNION ALL SELECT id_b FROM pairs) x GROUP BY id),
+         |tri AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_tri
+         |  FROM pairs p1
+         |  JOIN pairs p2 ON p2.id_a = p1.id_b
+         |  JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |    CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+         |  FROM deg),
+         |e AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs)
+         |SELECT n_nodes, n_edges, n_tri AS n_triangles, n_wedges,
+         |  CAST(CASE WHEN n_wedges > 0 THEN
+         |    ((2 * 3 * n_tri * 1000000 + n_wedges) // (2 * n_wedges))
+         |      * CAST(0.000001 AS DECIMAL(7,6)) END AS DOUBLE)
+         |    AS clustering_coef
+         |FROM agg CROSS JOIN tri CROSS JOIN e""".stripMargin) {
+      (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+          bands = 4, maxHamming = 3)
+        .select("id_a", "id_b")
+        .localCheckpoint() // feeds degrees AND both orientations below
+      val deg = pairs.select(col("id_a").as("id"))
+        .unionByName(pairs.select(col("id_b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      // degree-ordered orientation: src = lexicographically smaller
+      // (deg, id) endpoint — bounds out-degree by O(√m) on hub graphs
+      val withDeg = pairs
+        .join(deg.select(col("id").as("id_a"), col("d").as("da")), "id_a")
+        .join(deg.select(col("id").as("id_b"), col("d").as("db")), "id_b")
+      val aFirst = (col("da") < col("db")) ||
+        (col("da") === col("db") && col("id_a") < col("id_b"))
+      val oriented = withDeg.select(
+          when(aFirst, col("id_a")).otherwise(col("id_b")).as("src"),
+          when(aFirst, col("id_b")).otherwise(col("id_a")).as("dst"))
+        .localCheckpoint() // three-way self-join below
+      val wedges2 = oriented.select(col("src").as("a"), col("dst").as("b"))
+        .join(oriented.select(col("src").as("b"), col("dst").as("c")), "b")
+      val nTri = wedges2
+        .join(oriented.select(col("src").as("a"), col("dst").as("c")),
+          Seq("a", "c"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val degAgg = deg.agg(
+        count(lit(1)).as("n_nodes"),
+        sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+      val nEdges = pairs.agg(count(lit(1)).as("n_edges"))
+      degAgg.crossJoin(broadcast(nTri)).crossJoin(broadcast(nEdges))
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+          col("n_wedges"),
+          when(col("n_wedges") > 0,
+            ExactRound.roundRatio(col("n_triangles") * 3, col("n_wedges"), 6))
+            .cast("double").as("clustering_coef"))
+    },
+
+    // ---- EMBEDDING CENTROID DRIFT (L124): the embedding-space twin of
+    // q127's count/length drift — per-label centroid of two corpus
+    // versions, compared by cosine. Catches a re-embed or upstream
+    // filter silently moving a label's mass even when counts hold
+    // steady. Centroids are the q55 layout ((label, dim) hash agg,
+    // DECIMAL-exact sums, mean rounded at 6dp both engines); the
+    // cosine runs on the ROUNDED means with per-dim products absorbed
+    // into DECIMAL sums (the q67 recipe), so the drift number is
+    // engine-exact. Everything is keyed on (label, dim) — linear, no
+    // vector ever collected.
+    Q(
+      "q143_centroid_drift", {
+        def cSql(name: String, filt: String) =
+          s"""$name AS (
+             |  SELECT label, i,
+             |    round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
+             |        AS DECIMAL(27,10))) AS DOUBLE) / count(*), 6) AS m,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM embeddings, range(1, 65) t(i)
+             |  WHERE $filt GROUP BY label, i)""".stripMargin
+        s"""WITH ${cSql("c1", "vec_id % 10 <> 0")},
+           |${cSql("c2", "vec_id % 7 <> 0")},
+           |d AS (
+           |  SELECT c1.label,
+           |    CAST(sum(CAST(c1.m * c2.m AS DECIMAL(27,10))) AS DOUBLE) AS dot,
+           |    CAST(sum(CAST(c1.m * c1.m AS DECIMAL(27,10))) AS DOUBLE) AS n1,
+           |    CAST(sum(CAST(c2.m * c2.m AS DECIMAL(27,10))) AS DOUBLE) AS n2,
+           |    CAST(any_value(c1.n) AS BIGINT) AS n_v1,
+           |    CAST(any_value(c2.n) AS BIGINT) AS n_v2
+           |  FROM c1 JOIN c2 USING (label, i) GROUP BY c1.label)
+           |SELECT label, n_v1, n_v2,
+           |  round(dot / (sqrt(n1) * sqrt(n2)), 6) AS centroid_cos,
+           |  round(dot / (sqrt(n1) * sqrt(n2)), 6) < 1.0 AS drifted
+           |FROM d""".stripMargin
+      }) { (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+      def centroid(filt: org.apache.spark.sql.Column) = e.filter(filt)
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos").as("i"))
+        .agg(
+          round(sum(col("col").cast("double").cast(DecimalType(27, 10)))
+            .cast("double") / count(lit(1)), 6).as("m"),
+          count(lit(1)).as("n"))
+      val c1 = centroid(col("vec_id") % 10 =!= 0)
+        .select(col("label"), col("i"), col("m").as("m1"), col("n").as("n_v1"))
+      val c2 = centroid(col("vec_id") % 7 =!= 0)
+        .select(col("label"), col("i"), col("m").as("m2"), col("n").as("n_v2"))
+      c1.join(c2, Seq("label", "i"))
+        .groupBy("label")
+        .agg(
+          sum((col("m1") * col("m2")).cast(DecimalType(27, 10)))
+            .cast("double").as("dot"),
+          sum((col("m1") * col("m1")).cast(DecimalType(27, 10)))
+            .cast("double").as("n1"),
+          sum((col("m2") * col("m2")).cast(DecimalType(27, 10)))
+            .cast("double").as("n2"),
+          first(col("n_v1")).as("n_v1"),
+          first(col("n_v2")).as("n_v2"))
+        .select(col("label"), col("n_v1"), col("n_v2"),
+          round(col("dot") / (sqrt(col("n1")) * sqrt(col("n2"))), 6)
+            .as("centroid_cos"),
+          (round(col("dot") / (sqrt(col("n1")) * sqrt(col("n2"))), 6) < 1.0)
+            .as("drifted"))
+    }
+  )
+}

@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-9 corpus-profile operators (L121–L124)
+  * beyond what the DuckDB oracles pin: curve monotonicity, graph-theory
+  * identities cross-checked against brute force, and drift
+  * self-consistency.
+  */
+class CorpusStatsSpec extends SparkSuite {
+
+  test("vocab coverage: monotone in vocab size, coverage+oov ≈ 1, " +
+      "and the counts reconcile with a direct token count") {
+    val out = graft.SparkEntry.queries("q140_vocab_coverage")(spark, sfDir())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(100L, 1000L, 5000L, 20000L))
+    // coverage is a nondecreasing curve; covered tokens never exceed total
+    assert(out.zip(out.tail).forall { case (a, b) =>
+      a._2 <= b._2 && a._5 <= b._5 })
+    assert(out.forall(r => r._2 <= r._3 && r._5 >= 0 && r._5 <= 1))
+    // each row rounds coverage and oov independently — they meet at 1
+    // within one rounding step
+    assert(out.forall(r => math.abs(r._5 + r._6 - 1.0) <= 2e-6))
+    // a vocab size >= the whole vocabulary covers everything
+    out.filter(r => r._1 >= r._4).foreach(r => assert(r._2 == r._3))
+    val total = graft.Tables.documents(spark, sfDir())
+      .select(explode(graft.ops.Text.tokens(col("text"))).as("t"))
+      .count()
+    assert(out.head._3 == total, "total_tokens must equal the corpus count")
+  }
+
+  test("cluster cohesion: density in (0,1], mean hamming within the " +
+      "pair threshold, edges within the clique bound") {
+    val out = graft.SparkEntry.queries("q141_cluster_cohesion")(spark, sfDir())
+      .collect()
+    assert(out.nonEmpty, "fixture corpus has near-dup clusters of size >= 3")
+    out.foreach { r =>
+      val (n, e) = (r.getLong(1), r.getLong(2))
+      val (ham, dens) = (r.getDouble(3), r.getDouble(4))
+      assert(n >= 3 && e >= n - 1, "component must be connected")
+      assert(e <= n * (n - 1) / 2, "edges cannot exceed the clique bound")
+      assert(ham >= 0 && ham <= 3.0, "pairs were filtered at hamming <= 3")
+      assert(dens > 0 && dens <= 1.000001)
+    }
+    // ordered by size desc
+    val sizes = out.map(_.getLong(1)).toSeq
+    assert(sizes == sizes.sortBy(-_))
+  }
+
+  test("triangle stats: degree-ordered count equals brute force over " +
+      "the collected pair set, wedge identity holds") {
+    val r = graft.SparkEntry.queries("q142_triangle_stats")(spark, sfDir())
+      .head()
+    val (nodes, edges, tri, wedges) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val pairs = graft.ops.Dedup
+      .simhashPairs(graft.Tables.documents(spark, sfDir()), "doc_id", "text",
+        bands = 4, maxHamming = 3)
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val adj = pairs.flatMap(p => Seq(p, p.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(nodes == adj.size && edges == pairs.length)
+    val bruteTri = pairs.iterator.map { case (a, b) =>
+      (adj(a) & adj(b)).size }.sum / 3L  // each triangle seen via 3 edges
+    assert(tri == bruteTri, s"triangle count $tri != brute force $bruteTri")
+    val bruteWedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    assert(wedges == bruteWedges)
+    if (wedges > 0) {
+      val gcc = r.getDouble(4)
+      assert(gcc >= 0 && gcc <= 1.000001 &&
+        math.abs(gcc - 3.0 * tri / wedges) < 1e-5)
+    }
+  }
+
+  test("centroid drift: cosine is a valid similarity, version counts " +
+      "reconcile, and identical versions read as undrifted") {
+    val out = graft.SparkEntry.queries("q143_centroid_drift")(spark, sfDir())
+      .collect()
+    val e = graft.Tables.embeddings(spark, sfDir())
+    val labels = e.select("label").distinct().count()
+    assert(out.length == labels, "every label must be profiled")
+    out.foreach { r =>
+      val cos = r.getDouble(3)
+      assert(cos >= -1.000001 && cos <= 1.000001)
+      assert(r.getBoolean(4) == (cos < 1.0), "drifted derives from cos")
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+    }
+    val n1 = e.filter(col("vec_id") % 10 =!= 0).groupBy("label").count()
+      .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    out.foreach(r => assert(r.getLong(1) == n1(r.getInt(0)),
+      "n_v1 must match the direct per-label count"))
+  }
+}
