@@ -180,40 +180,85 @@ object Dedup {
   def simhash(tokenHashes: Column): Column =
     call_function("graft_simhash", tokenHashes, lit(SimHashBits))
 
-  /** SimHash near-dup pairs: band the fingerprint into `bands` nibble
-    * groups; docs sharing any band are candidates; keep Hamming ≤ maxHamming.
-    * Same banded-join shape as MinHash-LSH (pigeonhole: ≤ maxHamming bit
-    * flips cannot touch all bands when maxHamming < bands). */
+  /** SimHash near-dup pairs: candidates from an equality join on banded
+    * fingerprint keys, kept at Hamming ≤ maxHamming.
+    *
+    * TWO-LEVEL pigeonhole banding (round 9): a template-heavy corpus
+    * concentrates fingerprints — at the sf1 probe ONE 8-bit band bucket
+    * held 9 250 docs and the one-level band join probed 167.6 M
+    * collision rows for 2.26 M surviving pairs (74× overhead,
+    * `tools/ProbeCollisions`). The candidate key is therefore refined a
+    * second pigeonhole level: ≤ maxHamming flips leave ≥ 1 of `bands`
+    * bands intact (level 1), and within a pair's intact band the
+    * complementary `SimHashBits − bitsPerBand` bits still carry ALL the
+    * flips, so ≥ 1 of `bands` equal slices of those bits is also intact
+    * (level 2) — every true pair still shares a composite
+    * (band, sub, band_key, sub_key) key (recall exactly preserved, both
+    * pigeonholes need maxHamming < bands), while a collision now has to
+    * agree on 8+6 = 14 bits instead of 8 (sf1: 59.7 M probes, 2.8×
+    * less).
+    *
+    * FIRST-MATCH-WINS instead of dropDuplicates: a near-identical pair
+    * shares up to bands² composite keys, and deduplicating those
+    * multiplicity rows was a pair-keyed shuffle that GREW with dup
+    * density (the opposite of what a dedup pipeline wants). Both
+    * fingerprints ride through the join, so each row can decide
+    * locally whether its (band, sub) is the lexicographically FIRST
+    * matching key for this pair and drop itself otherwise — exactly one
+    * emission per pair, zero post-join shuffle, all inside one
+    * codegen'd filter. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, maxHamming: Int = 3): DataFrame = {
     val bitsPerBand = SimHashBits / bands
+    val compBits = SimHashBits - bitsPerBand
+    val subBits = compBits / bands
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands, got $maxHamming >= $bands")
     // fingerprints computed once and cached — both sides of the band
-    // join and the hamming lookup reuse them
+    // join reuse them
     val hashed = df
       .withColumn("th", call_function("graft_token_hashes", col(textCol)))
       .filter(size(col("th")) > 0)
       .withColumn("sim", simhash(col("th")))
       .select(col(idCol), col("sim"))
       .cache()
-    val banded = hashed.select(col(idCol), col("sim"), posexplode(
-      array((0 until bands).map(b =>
-        shiftright(col("sim"), b * bitsPerBand) % (1 << bitsPerBand)): _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_key")
-    val a = banded.select(col("band"), col("band_key"),
+    // complementary bits of band b: the fingerprint with band b excised
+    def comp(sim: Column, b: Int): Column =
+      shiftright(sim, (b + 1) * bitsPerBand) * (1L << (b * bitsPerBand)) +
+        sim % (1L << (b * bitsPerBand))
+    // composite key (band b, sub s): pos = b * bands + s
+    val keys = for (b <- 0 until bands; s <- 0 until bands) yield
+      struct(
+        (shiftright(col("sim"), b * bitsPerBand) % (1 << bitsPerBand))
+          .as("bk"),
+        (shiftright(comp(col("sim"), b), s * subBits) % (1 << subBits))
+          .as("sk"))
+    val banded = hashed
+      .select(col(idCol), col("sim"), posexplode(array(keys: _*)))
+      .select(col(idCol), col("sim"), col("pos"),
+        col("col.bk").as("bk"), col("col.sk").as("sk"))
+    val a = banded.select(col("pos"), col("bk"), col("sk"),
       col(idCol).as("id_a"), col("sim").as("sim_a"))
-    val b = banded.select(col("band"), col("band_key"),
+    val b = banded.select(col("pos"), col("bk"), col("sk"),
       col(idCol).as("id_b"), col("sim").as("sim_b"))
-    val out = a.join(b, Seq("band", "band_key"))
+    // per-pair XOR decides band/sub agreement for every composite key —
+    // the join guarantees key `pos` matches; keep the row only when no
+    // lexicographically earlier key does
+    val diff = col("sim_a").bitwiseXOR(col("sim_b"))
+    def keyMatches(k: Int): Column = {
+      val (bb, ss) = (k / bands, k % bands)
+      (shiftright(diff, bb * bitsPerBand) % (1 << bitsPerBand) === 0) &&
+        (shiftright(comp(diff, bb), ss * subBits) % (1 << subBits) === 0)
+    }
+    val firstMatch = (1 until bands * bands).foldLeft(
+      when(col("pos") === 0, lit(true))) { (acc, k) =>
+      acc.when(col("pos") === k,
+        !(0 until k).map(keyMatches).reduce(_ || _))
+    }
+    val out = a.join(b, Seq("pos", "bk", "sk"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      // Hamming is deterministic per pair, so filtering BEFORE the
-      // dedup shuffle is equivalent — and shuffles only the matching
-      // pairs instead of every band collision (the collision set grows
-      // with corpus size; the match set is the tiny near-dup tail)
-      .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b")
+      .filter(bit_count(diff) <= maxHamming && firstMatch)
+      .select(col("id_a"), col("id_b"), bit_count(diff).as("hamming"))
       .localCheckpoint()
     hashed.unpersist()
     out
