@@ -61,7 +61,7 @@ def type_errors(name: str, got: pa.Table, exp: pa.Table):
     for c in sorted(set(gt) | set(xt)):
         gf = family(gt[c]) if c in gt else "<missing>"
         xf = family(xt[c]) if c in xt else "<missing>"
-        if gf == "decimal" or xf == "decimal":
+        if "decimal" in gf or "decimal" in xf:
             errs.append(f"column {c}: DECIMAL at oracle boundary "
                         f"(spark={gt.get(c)}, oracle={xt.get(c)}) — "
                         f"cast to DOUBLE/BIGINT on both engines")

@@ -227,17 +227,32 @@ object Meta {
       * either published from a different staging dir or been skipped) —
       * delete it. A staging dir with N = latest+1 may be an in-flight
       * write and is left alone; it becomes dead — and collectable on
-      * the next vacuum — as soon as any later write publishes. */
+      * the next vacuum — as soon as any later write publishes.
+      *
+      * "Dead" is about OUTCOME, not quiescence: a still-running
+      * writeOnce whose target N was published first by a faster writer
+      * is doomed either way (its rename would refuse the existing
+      * `v=N`), but deleting its staging dir mid-write turns that clean
+      * rename refusal into task IO errors, and its own error-path
+      * cleanup then deletes an already-deleted path. `stagingGraceMs`
+      * keeps the doomed writer's failure mode clean: staging dirs
+      * modified within the grace window are skipped this cycle and
+      * collected by any later vacuum (Delta's VACUUM has the same
+      * recent-file retention check, for the same reason). */
     private val StagingDir = "^v=(\\d+)_staging_.*$".r
-    def vacuum(spark: SparkSession, path: String, keep: Int): Seq[Long] = {
+    def vacuum(spark: SparkSession, path: String, keep: Int,
+        stagingGraceMs: Long = 10 * 60 * 1000L): Seq[Long] = {
       val all = versions(spark, path)
       val dead = all.dropRight(keep)
       val (f, p) = fs(spark, path)
       dead.foreach(v => f.delete(new org.apache.hadoop.fs.Path(s"$path/v=$v"), true))
       val latest = all.lastOption.getOrElse(-1L)
-      if (f.exists(p)) f.listStatus(p).toSeq.map(_.getPath).foreach { sp =>
-        sp.getName match {
-          case StagingDir(n) if n.toLong <= latest => f.delete(sp, true)
+      val cutoff = System.currentTimeMillis() - stagingGraceMs
+      if (f.exists(p)) f.listStatus(p).toSeq.foreach { st =>
+        st.getPath.getName match {
+          case StagingDir(n) if n.toLong <= latest &&
+              st.getModificationTime < cutoff =>
+            f.delete(st.getPath, true)
           case _ => ()
         }
       }

@@ -73,4 +73,34 @@ object ExactRound {
     val q = floorDiv(n * lit(2) * pow + d, d * lit(2))
     (q.cast(DecimalType(38, scale)) / pow).cast(DecimalType(38, scale))
   }
+
+  /** round-half-away-from-zero(num/den) at `scale` for a SIGNED decimal
+    * `num` of scale `numScale` and a positive integer `den` — the signed
+    * sibling of [[roundRatio]] for means of signed DECIMAL sums (e.g.
+    * embedding centroids). Integer-space exact: num is scaled to the
+    * integer num·10^numScale (a (36−numScale,numScale)×10^numScale
+    * product, exact while |num| < 10^(36−2·numScale)), the half-up
+    * quotient is taken on |·| and the sign reapplied — half-away ties
+    * match Spark decimal HALF_UP and DuckDB decimal rounding on both
+    * signs. DuckDB mirror (HUGEINT s10 = num·10^numScale, d =
+    * den·10^(numScale−scale)):
+    * `CASE WHEN s10 < 0 THEN -((2*(-s10) + d) // (2*d))
+    *       ELSE (2*s10 + d) // (2*d) END * CAST(10^-scale AS DECIMAL)`.
+    * Requires scale ≤ numScale ≤ 14 (precision budget of the
+    * integer-scaling product). */
+  def roundRatioSigned(num: Column, numScale: Int, den: Column,
+      scale: Int): Column = {
+    require(scale <= numScale && numScale <= 14,
+      s"need scale <= numScale <= 14, got scale=$scale numScale=$numScale")
+    val toInt = lit(java.math.BigDecimal.TEN.pow(numScale))
+      .cast(DecimalType(numScale + 1, 0))
+    val nInt = (num.cast(DecimalType(36 - numScale, numScale)) * toInt).cast(I)
+    val dInt = den.cast(I) *
+      lit(java.math.BigDecimal.TEN.pow(numScale - scale)).cast(I)
+    val q = floorDiv(abs(nInt) * lit(2) + dInt, dInt * lit(2))
+    val signed = when(nInt < 0, -q).otherwise(q)
+    (signed.cast(DecimalType(38, scale)) /
+      lit(java.math.BigDecimal.TEN.pow(scale)).cast(I))
+      .cast(DecimalType(38, scale))
+  }
 }

@@ -241,28 +241,44 @@ object CorpusStatsQueries {
     // versions, compared by cosine. Catches a re-embed or upstream
     // filter silently moving a label's mass even when counts hold
     // steady. Centroids are the q55 layout ((label, dim) hash agg,
-    // DECIMAL-exact sums, mean rounded at 6dp both engines); the
-    // cosine runs on the ROUNDED means with per-dim products absorbed
-    // into DECIMAL sums (the q67 recipe), so the drift number is
-    // engine-exact. Everything is keyed on (label, dim) — linear, no
-    // vector ever collected.
+    // DECIMAL-exact sums); the per-(label,dim) MEAN rounds in INTEGER
+    // space (`ExactRound.roundRatioSigned` over the scaled DECIMAL sum
+    // — round(double,6) after double division is engine-specific at
+    // ties, the round-8 q109 class), products of the rounded means are
+    // exact DECIMAL(·,12) sums, and only the final cosine (a
+    // transcendental, ExactRound rule 3) is presented in double.
+    // Everything is keyed on (label, dim) — linear, no vector ever
+    // collected.
     Q(
       "q143_centroid_drift", {
+        // per-version centroid: s10 = Σ elem·10^10 (HUGEINT, exact),
+        // mean = half-away(s10 / (n·10^4)) presented as DECIMAL(12,6) —
+        // the documented DuckDB mirror of roundRatioSigned
         def cSql(name: String, filt: String) =
-          s"""$name AS (
+          s"""${name}s AS (
              |  SELECT label, i,
-             |    round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
-             |        AS DECIMAL(27,10))) AS DOUBLE) / count(*), 6) AS m,
+             |    CAST(sum(CAST(CAST(CAST(embedding[i] AS DOUBLE)
+             |        AS DECIMAL(27,10))
+             |      * CAST(10000000000 AS DECIMAL(11,0)) AS HUGEINT))
+             |      AS HUGEINT) AS s10,
+             |    CAST(count(*) AS HUGEINT) * 10000 AS d,
              |    CAST(count(*) AS BIGINT) AS n
              |  FROM embeddings, range(1, 65) t(i)
-             |  WHERE $filt GROUP BY label, i)""".stripMargin
+             |  WHERE $filt GROUP BY label, i),
+             |$name AS (
+             |  SELECT label, i, n,
+             |    CAST(CAST(CASE WHEN s10 < 0
+             |          THEN -((2 * (-s10) + d) // (2 * d))
+             |          ELSE (2 * s10 + d) // (2 * d) END AS DECIMAL(12,0))
+             |      * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6)) AS m
+             |  FROM ${name}s)""".stripMargin
         s"""WITH ${cSql("c1", "vec_id % 10 <> 0")},
            |${cSql("c2", "vec_id % 7 <> 0")},
            |d AS (
            |  SELECT c1.label,
-           |    CAST(sum(CAST(c1.m * c2.m AS DECIMAL(27,10))) AS DOUBLE) AS dot,
-           |    CAST(sum(CAST(c1.m * c1.m AS DECIMAL(27,10))) AS DOUBLE) AS n1,
-           |    CAST(sum(CAST(c2.m * c2.m AS DECIMAL(27,10))) AS DOUBLE) AS n2,
+           |    CAST(sum(CAST(c1.m * c2.m AS DECIMAL(27,12))) AS DOUBLE) AS dot,
+           |    CAST(sum(CAST(c1.m * c1.m AS DECIMAL(27,12))) AS DOUBLE) AS n1,
+           |    CAST(sum(CAST(c2.m * c2.m AS DECIMAL(27,12))) AS DOUBLE) AS n2,
            |    CAST(any_value(c1.n) AS BIGINT) AS n_v1,
            |    CAST(any_value(c2.n) AS BIGINT) AS n_v2
            |  FROM c1 JOIN c2 USING (label, i) GROUP BY c1.label)
@@ -276,8 +292,10 @@ object CorpusStatsQueries {
         .select(col("label"), posexplode(col("embedding")))
         .groupBy(col("label"), col("pos").as("i"))
         .agg(
-          round(sum(col("col").cast("double").cast(DecimalType(27, 10)))
-            .cast("double") / count(lit(1)), 6).as("m"),
+          ExactRound.roundRatioSigned(
+              sum(col("col").cast("double").cast(DecimalType(27, 10))),
+              10, count(lit(1)), 6)
+            .cast(DecimalType(12, 6)).as("m"),
           count(lit(1)).as("n"))
       val c1 = centroid(col("vec_id") % 10 =!= 0)
         .select(col("label"), col("i"), col("m").as("m1"), col("n").as("n_v1"))
@@ -286,11 +304,11 @@ object CorpusStatsQueries {
       c1.join(c2, Seq("label", "i"))
         .groupBy("label")
         .agg(
-          sum((col("m1") * col("m2")).cast(DecimalType(27, 10)))
+          sum((col("m1") * col("m2")).cast(DecimalType(27, 12)))
             .cast("double").as("dot"),
-          sum((col("m1") * col("m1")).cast(DecimalType(27, 10)))
+          sum((col("m1") * col("m1")).cast(DecimalType(27, 12)))
             .cast("double").as("n1"),
-          sum((col("m2") * col("m2")).cast(DecimalType(27, 10)))
+          sum((col("m2") * col("m2")).cast(DecimalType(27, 12)))
             .cast("double").as("n2"),
           first(col("n_v1")).as("n_v1"),
           first(col("n_v2")).as("n_v2"))

@@ -66,14 +66,19 @@ class MetaSpec extends SparkSuite {
     }
     val dead = mkStaging(2L)
     val inflight = mkStaging(3L)
+    // default grace window: even a provably-dead staging dir modified
+    // just now is skipped, so a doomed-but-running writer fails at its
+    // publish rename instead of on a vanished staging path
     Meta.Versioned.vacuum(spark, dir, keep = 10)
+    assert(dead.exists(), "fresh staging dirs sit out the grace window")
+    Meta.Versioned.vacuum(spark, dir, keep = 10, stagingGraceMs = 0L)
     assert(!dead.exists(), "v<=latest staging debris must be reclaimed")
     assert(inflight.exists(), "v=latest+1 staging dir may be in flight")
     // readers still resolve only strict v=N dirs
     assert(Meta.Versioned.latestVersion(spark, dir).contains(2L))
     // once v=3 publishes, the old in-flight dir is dead and collectable
     Meta.Versioned.write(Seq(3).toDF("x"), dir)
-    Meta.Versioned.vacuum(spark, dir, keep = 10)
+    Meta.Versioned.vacuum(spark, dir, keep = 10, stagingGraceMs = 0L)
     assert(!inflight.exists(), "published-over staging debris must go")
   }
 

@@ -68,6 +68,35 @@ class ExactRoundSpec extends SparkSuite {
     }
   }
 
+  test("roundRatioSigned == BigDecimal HALF_UP on signed means incl. ties") {
+    // the q143 shape: num is a signed DECIMAL(·,10) sum, den a count;
+    // HALF_UP (= half-away-from-zero) must hold on BOTH signs, and the
+    // constructed ties must not depend on double rounding
+    val numScale = 10
+    val cases = Seq(
+      ("0.0000005000", 1L, 6),   // +tie      -> 0.000001
+      ("-0.0000005000", 1L, 6),  // -tie      -> -0.000001
+      ("1.0000015000", 1L, 6),   // +tie at 6 -> 1.000002
+      ("-1.0000015000", 1L, 6),  // -tie      -> -1.000002
+      ("2.5000000000", 2L, 6),   // 1.25 exact
+      ("-7.7777777777", 3L, 6),  // repeating, negative
+      ("123.4567891234", 7L, 6), // arbitrary
+      ("0.0000000000", 5L, 6)    // zero
+    )
+    val df = spark.createDataFrame(cases.map { case (n, d, _) => (n, d) })
+      .toDF("n", "d")
+      .select(ExactRound.roundRatioSigned(
+        col("n").cast(DecimalType(27, numScale)), numScale,
+        col("d"), 6).as("r"))
+    df.collect().map(_.getDecimal(0)).zip(cases).foreach {
+      case (got, (n, d, s)) =>
+        val want = new JBD(n).divide(
+          new JBD(d), s, RoundingMode.HALF_UP).setScale(s)
+        assert(got.compareTo(want) == 0,
+          s"$n/$d at scale $s: got $got, want $want")
+    }
+  }
+
   test("floorDiv is exact floor for non-negative operands") {
     val cases = Seq((BigInt(7), BigInt(2)), (BigInt(0), BigInt(5)),
       (BigInt(10).pow(24) + 1, BigInt(3)), (BigInt(999999), BigInt(1000000)))
