@@ -183,32 +183,44 @@ object Dedup {
   /** SimHash near-dup pairs: candidates from an equality join on banded
     * fingerprint keys, kept at Hamming ≤ maxHamming.
     *
-    * TWO-LEVEL pigeonhole banding (round 9): a template-heavy corpus
-    * concentrates fingerprints — at the sf1 probe ONE 8-bit band bucket
-    * held 9 250 docs and the one-level band join probed 167.6 M
+    * ADAPTIVE two-level pigeonhole banding (round 10): a template-heavy
+    * corpus concentrates fingerprints — at the sf1 probe ONE 8-bit band
+    * bucket held 9 250 docs and the one-level band join probed 167.6 M
     * collision rows for 2.26 M surviving pairs (74× overhead,
-    * `tools/ProbeCollisions`). The candidate key is therefore refined a
-    * second pigeonhole level: ≤ maxHamming flips leave ≥ 1 of `bands`
-    * bands intact (level 1), and within a pair's intact band the
-    * complementary `SimHashBits − bitsPerBand` bits still carry ALL the
-    * flips, so ≥ 1 of `bands` equal slices of those bits is also intact
-    * (level 2) — every true pair still shares a composite
-    * (band, sub, band_key, sub_key) key (recall exactly preserved, both
-    * pigeonholes need maxHamming < bands), while a collision now has to
-    * agree on 8+6 = 14 bits instead of 8 (sf1: 59.7 M probes, 2.8×
-    * less).
+    * `tools/ProbeCollisions`). But the second pigeonhole level is not
+    * free either: exploding bands² composite keys per doc cost the whole
+    * SimHash family 1.6–2.7× at sf0.1 (BENCH_r09 vs the one-level
+    * round-8 baseline), where buckets are small and the wider shuffle
+    * buys nothing. So the level is applied PER BUCKET, where it pays:
+    * the level-1 key universe is only bands·2^bitsPerBand (1024 at the
+    * defaults), so bucket sizes are one broadcast-sized aggregate — the
+    * measure-then-pick move — and
     *
-    * FIRST-MATCH-WINS instead of dropDuplicates: a near-identical pair
-    * shares up to bands² composite keys, and deduplicating those
-    * multiplicity rows was a pair-keyed shuffle that GREW with dup
-    * density (the opposite of what a dedup pipeline wants). Both
-    * fingerprints ride through the join, so each row can decide
-    * locally whether its (band, sub) is the lexicographically FIRST
-    * matching key for this pair and drop itself otherwise — exactly one
-    * emission per pair, zero post-join shuffle, all inside one
-    * codegen'd filter. */
+    *  - buckets ≤ `refineBucketOver` join directly on (band, band_key)
+    *    — the one-level plan, linear shuffle, bounded probe cost;
+    *  - oversized buckets refine with the second pigeonhole: ≤
+    *    maxHamming flips leave ≥ 1 of `bands` bands intact (level 1),
+    *    and within the intact band the complementary bits still carry
+    *    ALL the flips, so ≥ 1 of `bands` slices of them is also intact
+    *    (level 2) — a collision must now agree on 8+6 = 14 bits instead
+    *    of 8 (sf1 hot buckets: 2.8× fewer probes). At 100 TB every
+    *    bucket of the 1024-key universe is hot, so the whole corpus
+    *    takes the refined path — exactly the asymptote that needs it.
+    *
+    * Recall is exact on both paths (both pigeonholes need
+    * maxHamming < bands), and each true pair is emitted EXACTLY ONCE
+    * across both paths: first-match-wins keyed on the pair's
+    * fingerprints alone — the emission key is the lexicographically
+    * first intact (band, sub) composite, a function of sim_a XOR sim_b,
+    * independent of which bucket path carries the row. The first intact
+    * band b* decides the path (its bucket is either refined or not, and
+    * both endpoints agree on that), so the small join emits only at
+    * b* and the refined join only at (b*, first intact sub) — no
+    * pair-keyed dedup shuffle anywhere, the dup-density-proportional
+    * cost a dedup pipeline must not have. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+      bands: Int = 4, maxHamming: Int = 3,
+      refineBucketOver: Int = 4096): DataFrame = {
     val bitsPerBand = SimHashBits / bands
     val compBits = SimHashBits - bitsPerBand
     val subBits = compBits / bands
@@ -222,44 +234,79 @@ object Dedup {
       .withColumn("sim", simhash(col("th")))
       .select(col(idCol), col("sim"))
       .cache()
+    def bandKey(sim: Column, b: Int): Column =
+      shiftright(sim, b * bitsPerBand) % (1 << bitsPerBand)
     // complementary bits of band b: the fingerprint with band b excised
     def comp(sim: Column, b: Int): Column =
       shiftright(sim, (b + 1) * bitsPerBand) * (1L << (b * bitsPerBand)) +
         sim % (1L << (b * bitsPerBand))
-    // composite key (band b, sub s): pos = b * bands + s
+    def subKey(sim: Column, b: Int, s: Int): Column =
+      shiftright(comp(sim, b), s * subBits) % (1 << subBits)
+
+    // level-1 rows; bucket sizes over the ≤ bands·2^bitsPerBand key
+    // universe decide each bucket's path
+    val l1 = hashed
+      .select(col(idCol), col("sim"),
+        posexplode(array((0 until bands).map(b => bandKey(col("sim"), b)): _*)))
+      .select(col(idCol), col("sim"), col("pos").as("band"), col("col").as("bk"))
+    val big = l1.groupBy("band", "bk").agg(count(lit(1)).as("n"))
+      .filter(col("n") > refineBucketOver)
+      .select("band", "bk")
+
+    // per-pair XOR decides band/sub agreement — the emission key, a
+    // pure function of the two fingerprints
+    val diff = col("sim_a").bitwiseXOR(col("sim_b"))
+    def bandMatches(b: Int): Column =
+      shiftright(diff, b * bitsPerBand) % (1 << bitsPerBand) === 0
+    def keyMatches(k: Int): Column = {
+      val (bb, ss) = (k / bands, k % bands)
+      bandMatches(bb) &&
+        (shiftright(comp(diff, bb), ss * subBits) % (1 << subBits) === 0)
+    }
+
+    // path 1: small buckets, direct level-1 join; emit iff this row's
+    // band is the pair's FIRST intact band
+    val small = l1.join(broadcast(big), Seq("band", "bk"), "left_anti")
+    val sa = small.select(col("band"), col("bk"),
+      col(idCol).as("id_a"), col("sim").as("sim_a"))
+    val sb = small.select(col("band"), col("bk"),
+      col(idCol).as("id_b"), col("sim").as("sim_b"))
+    val firstBand = (1 until bands).foldLeft(
+      when(col("band") === 0, lit(true))) { (acc, b) =>
+      acc.when(col("band") === b, !(0 until b).map(bandMatches).reduce(_ || _))
+    }
+    val smallPairs = sa.join(sb, Seq("band", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(bit_count(diff) <= maxHamming && firstBand)
+      .select(col("id_a"), col("id_b"), bit_count(diff).as("hamming"))
+
+    // path 2: oversized buckets, composite (band, sub) keys — the
+    // explode is map-side and the broadcast semi-join drops non-hot
+    // rows before any shuffle; emit iff this row's composite is the
+    // pair's lexicographically first intact one (its band is then b*,
+    // so the two paths never both emit)
     val keys = for (b <- 0 until bands; s <- 0 until bands) yield
-      struct(
-        (shiftright(col("sim"), b * bitsPerBand) % (1 << bitsPerBand))
-          .as("bk"),
-        (shiftright(comp(col("sim"), b), s * subBits) % (1 << subBits))
-          .as("sk"))
-    val banded = hashed
+      struct(bandKey(col("sim"), b).as("bk"), subKey(col("sim"), b, s).as("sk"))
+    val l2 = hashed
       .select(col(idCol), col("sim"), posexplode(array(keys: _*)))
       .select(col(idCol), col("sim"), col("pos"),
         col("col.bk").as("bk"), col("col.sk").as("sk"))
-    val a = banded.select(col("pos"), col("bk"), col("sk"),
+      .withColumn("band", expr(s"pos div $bands").cast("int"))
+      .join(broadcast(big), Seq("band", "bk"))
+    val ba = l2.select(col("pos"), col("bk"), col("sk"),
       col(idCol).as("id_a"), col("sim").as("sim_a"))
-    val b = banded.select(col("pos"), col("bk"), col("sk"),
+    val bb = l2.select(col("pos"), col("bk"), col("sk"),
       col(idCol).as("id_b"), col("sim").as("sim_b"))
-    // per-pair XOR decides band/sub agreement for every composite key —
-    // the join guarantees key `pos` matches; keep the row only when no
-    // lexicographically earlier key does
-    val diff = col("sim_a").bitwiseXOR(col("sim_b"))
-    def keyMatches(k: Int): Column = {
-      val (bb, ss) = (k / bands, k % bands)
-      (shiftright(diff, bb * bitsPerBand) % (1 << bitsPerBand) === 0) &&
-        (shiftright(comp(diff, bb), ss * subBits) % (1 << subBits) === 0)
-    }
-    val firstMatch = (1 until bands * bands).foldLeft(
+    val firstComposite = (1 until bands * bands).foldLeft(
       when(col("pos") === 0, lit(true))) { (acc, k) =>
-      acc.when(col("pos") === k,
-        !(0 until k).map(keyMatches).reduce(_ || _))
+      acc.when(col("pos") === k, !(0 until k).map(keyMatches).reduce(_ || _))
     }
-    val out = a.join(b, Seq("pos", "bk", "sk"))
+    val bigPairs = ba.join(bb, Seq("pos", "bk", "sk"))
       .filter(col("id_a") < col("id_b"))
-      .filter(bit_count(diff) <= maxHamming && firstMatch)
+      .filter(bit_count(diff) <= maxHamming && firstComposite)
       .select(col("id_a"), col("id_b"), bit_count(diff).as("hamming"))
-      .localCheckpoint()
+
+    val out = smallPairs.unionByName(bigPairs).localCheckpoint()
     hashed.unpersist()
     out
   }

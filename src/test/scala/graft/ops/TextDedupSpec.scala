@@ -82,6 +82,34 @@ class TextDedupSpec extends SparkSuite {
     assert(pairs.map(p => (p._1, p._2)).contains((1L, 2L)))
   }
 
+  test("simhashPairs: adaptive bucket refinement emits the identical " +
+      "pair set once per pair on every path split") {
+    // a template-heavy corpus: clusters of near-identical docs (hot
+    // buckets) plus unique docs (cold buckets), so intermediate
+    // thresholds genuinely split pairs across the two paths
+    val docs = (1 to 120).map { i =>
+      val cluster = i % 10
+      val toks =
+        if (cluster < 4) (1 to 50).map(j => s"t${cluster}_$j") :+ s"salt$i"
+        else (1 to 50).map(j => s"u${i}_$j")
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    def pairSet(refineOver: Int): Seq[(Long, Long, Int)] =
+      Dedup.simhashPairs(docs, "doc_id", "text", refineBucketOver = refineOver)
+        .select("id_a", "id_b", "hamming").as[(Long, Long, Int)]
+        .collect().toSeq.sorted
+    val allRefined = pairSet(0)        // every bucket takes level 2
+    val allDirect = pairSet(1000000)   // every bucket stays level 1
+    val mixed4 = pairSet(4)            // hot clusters refined, rest direct
+    val mixed12 = pairSet(12)
+    assert(allRefined.nonEmpty, "fixture must produce near-dup pairs")
+    assert(allDirect == allRefined, "one-level vs two-level pair sets differ")
+    assert(mixed4 == allRefined, "mixed path (4) pair set differs")
+    assert(mixed12 == allRefined, "mixed path (12) pair set differs")
+    // exactly-once: no pair may be emitted by both paths
+    assert(allRefined.map(p => (p._1, p._2)).distinct.size == allRefined.size)
+  }
+
   test("blockedJaccardPairs: pairs only within a block") {
     val df = Seq(
       (1L, "a b c d e", "s1"), (2L, "a b c d e", "s1"),
