@@ -1,0 +1,280 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.ExactRound
+import graft.ops.{Components, Dedup, Similarity}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Data-SELECTION operators (round 10, L125–L128): the published
+  * curation passes that decide WHICH examples a training run keeps or
+  * upweights — semantic dedup over embedding clusters (SemDeDup, Abbas
+  * et al. 2023), hashed importance weights between a target and the raw
+  * corpus (DSIR, Xie et al. 2023), hard-negative mining for contrastive
+  * training, and duplicate-cluster-balanced sampling weights.
+  *
+  * The reference pipeline ends at warehouse marts; these extend the
+  * engine's curation surface over the same documents/embeddings
+  * fixtures. Exactness follows `graft.functions.ExactRound`: counts
+  * cross the oracle boundary as BIGINT, exact ratios round in integer
+  * space, and transcendental-derived doubles (ln, cosine) follow the
+  * q65 absorb-or-present-rounded recipe.
+  */
+object SelectionQueries {
+  import CurationQueries.{dot64Sql, kmeansAssignSql, kmeansCtes}
+
+  /** SemDeDup keep/drop threshold, tuned to the fixture's cosine range
+    * (same-cluster p99 ≈ 0.3 — the fixture's embeddings are not
+    * near-dup-dense, so the gate sits at the diversity tail exactly
+    * like the paper's ε on deduplicated corpora). */
+  private val SemDedupTau = 0.3
+
+  /** DSIR hashed-feature bucket count. 256 keeps the bucket-weight
+    * table broadcast-sized at ANY corpus scale — the point of hashed
+    * importance weights (the feature space never grows with the
+    * vocabulary). */
+  private val DsirBuckets = 256
+
+  /** The "target distribution" slice for q145: two sources stand in
+    * for the curated high-quality corpus DSIR reweights toward. */
+  private val DsirTarget = Seq("src0", "src1")
+
+  val all: Seq[Q] = Seq(
+
+    // ---- SEMANTIC DEDUP over embedding clusters (L125, SemDeDup):
+    // k-means partitions the embedding space (the q113 trained chain,
+    // k scales with corpus size so clusters stay bounded — SemDeDup's
+    // own design), then WITHIN each cluster any pair above the cosine
+    // gate drops the member FARTHER from the centroid (ties to the
+    // higher id) — keeping the per-cluster diversity extremes, exactly
+    // the paper's rule. The pairwise stage is cluster-local (join keyed
+    // on the cluster id, never corpus-quadratic); centroids ride in by
+    // broadcast. The oracle replays training, assignment, and the
+    // pairwise verdict end to end — the keep set itself is
+    // cross-engine-checked.
+    Q(
+      "q144_semantic_dedup",
+      s"""WITH $kmeansCtes,
+         |${kmeansAssignSql("a3", "c2")},
+         |cn AS (SELECT cluster, cv, ${dot64Sql("cv", "cv")} AS cn2 FROM c2),
+         |m AS (
+         |  SELECT a3.vec_id, a3.cluster, vn.dv, vn.vn2,
+         |    ${dot64Sql("vn.dv", "cn.cv")} / (sqrt(vn.vn2) * sqrt(cn.cn2))
+         |      AS ccos
+         |  FROM a3 JOIN vn USING (vec_id) JOIN cn ON cn.cluster = a3.cluster),
+         |dropped AS (
+         |  SELECT DISTINCT x.vec_id
+         |  FROM m x JOIN m y ON y.cluster = x.cluster AND y.vec_id <> x.vec_id
+         |  WHERE ${dot64Sql("x.dv", "y.dv")} / (sqrt(x.vn2) * sqrt(y.vn2))
+         |      >= $SemDedupTau
+         |    AND (y.ccos < x.ccos OR (y.ccos = x.ccos AND y.vec_id < x.vec_id)))
+         |SELECT m.vec_id, CAST(m.cluster AS BIGINT) AS cluster,
+         |  round(m.ccos, 6) AS centroid_cos,
+         |  d.vec_id IS NULL AS kept
+         |FROM m LEFT JOIN dropped d ON d.vec_id = m.vec_id""".stripMargin) {
+      (spark, dir) =>
+      import spark.implicits._
+      val e = Tables.embeddings(spark, dir)
+      val (assigned, cents) =
+        Similarity.kmeansLloyd(e, "vec_id", "embedding", k = 4, iters = 2)
+      val centDf = cents.toDF("cluster", "cv")
+      val m = assigned
+        .select(col("vec_id"), col("cluster"),
+          Similarity.toDouble(col("embedding")).as("dv"))
+        .withColumn("vn2", Similarity.dot(col("dv"), col("dv")))
+        .join(broadcast(centDf), "cluster")
+        .withColumn("ccos", Similarity.dot(col("dv"), col("cv")) /
+          (sqrt(col("vn2")) * sqrt(Similarity.dot(col("cv"), col("cv")))))
+        .select("cluster", "vec_id", "dv", "vn2", "ccos")
+        .localCheckpoint() // feeds both sides of the cluster-local join
+      val xs = m.select(col("cluster"), col("vec_id").as("x_id"),
+        col("dv").as("x_dv"), col("vn2").as("x_n2"), col("ccos").as("x_ccos"))
+      val ys = m.select(col("cluster"), col("vec_id").as("y_id"),
+        col("dv").as("y_dv"), col("vn2").as("y_n2"), col("ccos").as("y_ccos"))
+      val dropped = xs.join(ys, "cluster")
+        .filter(col("x_id") =!= col("y_id"))
+        .filter(Similarity.dot(col("x_dv"), col("y_dv")) /
+          (sqrt(col("x_n2")) * sqrt(col("y_n2"))) >= SemDedupTau)
+        .filter(col("y_ccos") < col("x_ccos") ||
+          (col("y_ccos") === col("x_ccos") && col("y_id") < col("x_id")))
+        .select(col("x_id").as("vec_id")).distinct()
+      m.join(dropped.withColumn("_d", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          round(col("ccos"), 6).as("centroid_cos"),
+          col("_d").isNull.as("kept"))
+    },
+
+    // ---- HASHED IMPORTANCE WEIGHTS (L126, DSIR): per-document
+    // log-importance of the raw corpus under a target distribution,
+    // over hashed unigram buckets — the published recipe for
+    // reweighting web text toward a curated slice without training a
+    // model. Bucket b gets w(b) = ln of the Laplace-smoothed
+    // target/raw frequency ratio; a doc scores Σ n_b·w(b). The bucket
+    // table is DsirBuckets rows at ANY corpus size (broadcast), the
+    // corpus side is one explode + two hash aggregates — linear, no
+    // joins on the corpus axis. Exactness: the q65 logprob recipe —
+    // each bucket's ln rounds at scale 9 into DECIMAL (per-bucket
+    // last-ulp ln() flips move a doc score by ≤ 1e-9·n_b), the per-doc
+    // sum is exact DECIMAL, presented as DOUBLE (unique under 2^53).
+    Q(
+      "q145_importance_weights", {
+        val tgt = DsirTarget.map(s => s"'$s'").mkString(", ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, source, ${LlmQueries.toksSql} AS t FROM documents),
+           |thc AS (
+           |  SELECT doc_id, source,
+           |    list_transform(t,
+           |      x -> CAST(concat('0x', substr(md5(x),1,8)) AS BIGINT)) AS th
+           |  FROM toks WHERE len(t) > 0),
+           |tb AS (
+           |  SELECT doc_id, source, u.h % $DsirBuckets AS b
+           |  FROM thc, unnest(thc.th) AS u(h)),
+           |rc AS (SELECT b, CAST(count(*) AS BIGINT) AS rcnt FROM tb GROUP BY b),
+           |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS tcnt
+           |       FROM tb WHERE source IN ($tgt) GROUP BY b),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS rtot,
+           |    CAST(count(*) FILTER (WHERE source IN ($tgt)) AS BIGINT) AS ttot
+           |  FROM tb),
+           |w AS (SELECT rc.b,
+           |    CAST(round(ln(
+           |      ((coalesce(tc.tcnt, 0) + 1.0) * (tot.rtot + $DsirBuckets)) /
+           |      ((rc.rcnt + 1.0) * (tot.ttot + $DsirBuckets))), 9)
+           |      AS DECIMAL(13,9)) AS w9
+           |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot),
+           |d AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n
+           |      FROM tb GROUP BY doc_id, b)
+           |SELECT d.doc_id, CAST(sum(d.n) AS BIGINT) AS n_tokens,
+           |  CAST(sum(CAST(d.n AS DECIMAL(10,0)) * w.w9) AS DOUBLE)
+           |    AS log_weight
+           |FROM d JOIN w USING (b) GROUP BY d.doc_id""".stripMargin
+      }) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val tb = docs
+        .withColumn("th", call_function("graft_token_hashes", col("text")))
+        .filter(size(col("th")) > 0)
+        .select(col("doc_id"), col("source"), explode(col("th")).as("h"))
+        .select(col("doc_id"), col("source"),
+          (col("h") % DsirBuckets).as("b"))
+        .cache() // feeds three aggregates; bucket-count-sized outputs
+      val isTgt = col("source").isin(DsirTarget: _*)
+      val rc = tb.groupBy("b").agg(count(lit(1)).as("rcnt"))
+      val tc = tb.filter(isTgt).groupBy("b").agg(count(lit(1)).as("tcnt"))
+      val tot = tb.agg(count(lit(1)).as("rtot"),
+        sum(when(isTgt, 1L).otherwise(0L)).as("ttot"))
+      val w = rc.join(tc, Seq("b"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("w9", round(log(
+          ((coalesce(col("tcnt"), lit(0L)) + lit(1.0d)) *
+            (col("rtot") + lit(DsirBuckets.toLong))) /
+          ((col("rcnt") + lit(1.0d)) *
+            (col("ttot") + lit(DsirBuckets.toLong)))), 9)
+          .cast(DecimalType(13, 9)))
+        .select("b", "w9")
+      val d = tb.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      val out = d.join(broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(sum("n").as("n_tokens"),
+          sum(col("n") * col("w9")).cast("double").as("log_weight"))
+        .localCheckpoint() // materialize before releasing the token cache
+      tb.unpersist()
+      out
+    },
+
+    // ---- HARD-NEGATIVE MINING (L127): for each query vector, the
+    // top-k most-similar vectors with a DIFFERENT label — the standard
+    // contrastive-training pass (random negatives are easy; the
+    // near-miss negatives carry the gradient). Same brute-force
+    // broadcast shape as q26 (the small query set rides to every
+    // corpus partition; at scale the corpus side swaps to the q116 IVF
+    // probe, same contract) with the label predicate INSIDE the join —
+    // same-label rows never materialize. Ranking is a per-query
+    // bounded window; cosine presents rounded per ExactRound rule 3.
+    Q(
+      "q146_hard_negatives",
+      s"""WITH v AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+         |  FROM embeddings),
+         |vn AS (SELECT vec_id, label, dv, ${dot64Sql("dv", "dv")} AS n2 FROM v),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, q.label AS query_label,
+         |    c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         |    ${dot64Sql("q.dv", "c.dv")} / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+         |  FROM vn q, vn c WHERE q.vec_id < 10 AND c.label <> q.label),
+         |ranked AS (
+         |  SELECT query_id, query_label, neighbor_id, neighbor_label, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT query_id, query_label, CAST(rn AS INT) AS rank,
+         |  neighbor_id, neighbor_label, round(cos, 6) AS cos
+         |FROM ranked WHERE rn <= 5""".stripMargin) { (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+      val c = e.select(col("vec_id").as("neighbor_id"),
+          col("label").as("neighbor_label"),
+          Similarity.toDouble(col("embedding")).as("nv"))
+        .withColumn("nn", sqrt(Similarity.dot(col("nv"), col("nv"))))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+          Similarity.toDouble(col("embedding")).as("qv"))
+        .withColumn("qn", sqrt(Similarity.dot(col("qv"), col("qv"))))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      c.join(broadcast(q), col("neighbor_label") =!= col("query_label"))
+        .withColumn("cos",
+          Similarity.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("query_label"), col("rank"),
+          col("neighbor_id"), col("neighbor_label"),
+          round(col("cos"), 6).as("cos"))
+    },
+
+    // ---- CLUSTER-BALANCED SAMPLING WEIGHTS (L128): every near-dup
+    // cluster contributes EQUAL sampling mass — each member weighs
+    // 1/|cluster| — so template mega-clusters stop dominating a
+    // uniform sample (the dedup-aware counterpart of L76's temperature
+    // reweighting; singletons keep weight 1). Composes the L3 pair
+    // generator and L25 components with one size aggregate and one
+    // label join; the weight rounds in integer space
+    // (ExactRound.roundRatio) and crosses as DOUBLE.
+    Q(
+      "q147_cluster_balanced_weights",
+      s"""WITH RECURSIVE ${LlmQueries.simhashCtes},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b USING (band, band_key)
+         |  WHERE a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.sim, b.sim)) <= 3),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT DISTINCT src AS id, src AS comp FROM edges
+         |  UNION
+         |  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+         |cmp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+         |lab AS (
+         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN cmp c ON c.id = d.doc_id),
+         |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS csize
+         |       FROM lab GROUP BY component)
+         |SELECT lab.doc_id, lab.component, sz.csize,
+         |  CAST(((2 * 1000000 + sz.csize) // (2 * sz.csize))
+         |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS weight
+         |FROM lab JOIN sz USING (component)""".stripMargin) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+        bands = 4, maxHamming = 3)
+      val lab = Components
+        .resolveClusters(docs, "doc_id", pairs, "id_a", "id_b")
+        .select(col("doc_id"), col("component"))
+      val sz = lab.groupBy("component").agg(count(lit(1)).as("csize"))
+      lab.join(sz, "component")
+        .select(col("doc_id"), col("component"), col("csize"),
+          ExactRound.roundRatio(lit(1L), col("csize"), 6)
+            .cast("double").as("weight"))
+    }
+  )
+}
