@@ -45,7 +45,7 @@ object Components {
     * round, one job per round, and each round's plan is 3 small
     * co-partitioned joins regardless of how many rounds preceded it. */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25, smallGraphEdges: Long = 1000000L): DataFrame = {
+      maxIter: Int = 25, smallGraphEdges: Long = 4000000L): DataFrame = {
     val spark = pairs.sparkSession
     // Materialize the edge list BEFORE narrowing the shuffle width:
     // `pairs` is typically a corpus-scale candidate join (SimHash bands
@@ -62,7 +62,12 @@ object Components {
     // of a huge corpus, and a driver union-find beats a multi-round
     // distributed fixpoint by the whole per-round scheduling cost. The
     // count is a metadata-cheap scan of the materialized checkpoint;
-    // same min-label output either way (pinned by CurationSpec).
+    // same min-label output either way (pinned by CurationSpec). The
+    // 4M-edge gate is ~64 MB of long pairs — well inside any driver
+    // budget, and the union-find itself is ~1 s there, vs 5+ scheduled
+    // rounds of 3 joins each on the distributed path (round-10 sf1
+    // probe: the 2.26 M-edge near-dup graph sat just above the old 1M
+    // gate and paid ~10 s of fixpoint for a 1.5 s driver fold).
     if (edges.count() <= smallGraphEdges) return driverUnionFind(edges)
     // the label/edge tables are the near-dup tail, tiny relative to the
     // corpus; a cluster run sizes this to edge volume, not corpus width

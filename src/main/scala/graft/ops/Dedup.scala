@@ -254,14 +254,27 @@ object Dedup {
       .select("band", "bk")
 
     // per-pair XOR decides band/sub agreement — the emission key, a
-    // pure function of the two fingerprints
+    // pure function of the two fingerprints. The first intact indices
+    // are computed as ONE nested-when index expression each (≤ bands +
+    // bands² bit tests per probe row) instead of the O(bands⁴)
+    // every-earlier-key disjunction chain the round-9 code evaluated
+    // per row — the band join's probe volume is the hot loop, and the
+    // chain's per-probe cost was most of the two-level slowdown.
     val diff = col("sim_a").bitwiseXOR(col("sim_b"))
     def bandMatches(b: Int): Column =
       shiftright(diff, b * bitsPerBand) % (1 << bitsPerBand) === 0
-    def keyMatches(k: Int): Column = {
-      val (bb, ss) = (k / bands, k % bands)
-      bandMatches(bb) &&
-        (shiftright(comp(diff, bb), ss * subBits) % (1 << subBits) === 0)
+    def subMatches(b: Int, s: Int): Column =
+      shiftright(comp(diff, b), s * subBits) % (1 << subBits) === 0
+    // first intact band (the join guarantees one exists on a kept row)
+    val bandIdx = (0 until bands).foldRight(lit(bands): Column) { (b, acc) =>
+      when(bandMatches(b), lit(b)).otherwise(acc)
+    }
+    // first intact sub-slice WITHIN that band (pigeonhole: exists)
+    val subIdx = (0 until bands).foldRight(lit(0): Column) { (b, acc) =>
+      when(bandIdx === b,
+        (0 until bands).foldRight(lit(bands): Column) { (s, a2) =>
+          when(subMatches(b, s), lit(s)).otherwise(a2)
+        }).otherwise(acc)
     }
 
     // path 1: small buckets, direct level-1 join; emit iff this row's
@@ -271,13 +284,9 @@ object Dedup {
       col(idCol).as("id_a"), col("sim").as("sim_a"))
     val sb = small.select(col("band"), col("bk"),
       col(idCol).as("id_b"), col("sim").as("sim_b"))
-    val firstBand = (1 until bands).foldLeft(
-      when(col("band") === 0, lit(true))) { (acc, b) =>
-      acc.when(col("band") === b, !(0 until b).map(bandMatches).reduce(_ || _))
-    }
     val smallPairs = sa.join(sb, Seq("band", "bk"))
       .filter(col("id_a") < col("id_b"))
-      .filter(bit_count(diff) <= maxHamming && firstBand)
+      .filter(bit_count(diff) <= maxHamming && col("band") === bandIdx)
       .select(col("id_a"), col("id_b"), bit_count(diff).as("hamming"))
 
     // path 2: oversized buckets, composite (band, sub) keys — the
@@ -297,13 +306,10 @@ object Dedup {
       col(idCol).as("id_a"), col("sim").as("sim_a"))
     val bb = l2.select(col("pos"), col("bk"), col("sk"),
       col(idCol).as("id_b"), col("sim").as("sim_b"))
-    val firstComposite = (1 until bands * bands).foldLeft(
-      when(col("pos") === 0, lit(true))) { (acc, k) =>
-      acc.when(col("pos") === k, !(0 until k).map(keyMatches).reduce(_ || _))
-    }
     val bigPairs = ba.join(bb, Seq("pos", "bk", "sk"))
       .filter(col("id_a") < col("id_b"))
-      .filter(bit_count(diff) <= maxHamming && firstComposite)
+      .filter(bit_count(diff) <= maxHamming &&
+        col("pos") === bandIdx * bands + subIdx)
       .select(col("id_a"), col("id_b"), bit_count(diff).as("hamming"))
 
     val out = smallPairs.unionByName(bigPairs).localCheckpoint()
