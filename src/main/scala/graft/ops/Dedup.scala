@@ -499,6 +499,64 @@ object Dedup {
     out
   }
 
+  /** Asymmetric CONTAINMENT self-join via ONE-SIDED prefix filtering:
+    * every ordered pair (a, b), a ≠ b, with
+    * C(a→b) = |S_a ∩ S_b| / |S_a| ≥ tNum/tDen — document a's shingle
+    * set is (near-)subsumed by document b's. The directional complement
+    * of [[prefixJaccardPairs]]: symmetric Jaccard misses a short quote
+    * embedded in a long page (the union term swamps it), while
+    * containment flags exactly the subset/quote/excerpt duplication
+    * Lee et al. 2022 observe dominating web corpora.
+    *
+    * One-sided prefix lemma: C(a→b) ≥ t forces |A∩B| ≥ ⌈t·|A|⌉, so in
+    * ANY global element order A must share one of its first
+    * |A| − ⌈t·|A|⌉ + 1 elements with B — but B's size is unconstrained,
+    * so only the CONTAINEE side can be prefix-pruned; the containER
+    * side posts its full set (an inverted index, linear in corpus
+    * shingle volume). With the rarest-first canonical order each
+    * A-prefix element carries few postings, so the candidate join is
+    * bucket-shaped. Verification = exact two-pointer intersect on
+    * candidates only; the cut inter·tDen ≥ tNum·|A| is pure integer —
+    * engine-exact. Presentation ratio rounds in integer space
+    * ([[graft.functions.ExactRound]]). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"bad threshold $tNum/$tDen")
+    val hv = withShingleHashes(df.select(col(idCol), col(textCol)), textCol, shingleN)
+      .filter(size(col("hv")) > 0)
+      .select(col(idCol), col("hv"))
+      .cache()
+    val dfreq = hv.select(explode(col("hv")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("hdf"))
+    val prefixLen = (size(col("hv"))
+      - expr(s"(($tNum * size(hv)) + ${tDen - 1}) DIV $tDen") + 1).cast("int")
+    val prefixes = hv.select(col(idCol), explode(col("hv")).as("h"), prefixLen.as("plen"))
+      .join(dfreq, "h")
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("hdf"), col("h"))))
+      .filter(col("_rk") <= col("plen"))
+      .select(col(idCol).as("id_a"), col("h"))
+    val postings = hv.select(col(idCol).as("id_b"), explode(col("hv")).as("h"))
+    val cand = prefixes.join(postings, Seq("h"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val inter = intersectSize(col("hv_a"), col("hv_b"))
+    val out = cand
+      .join(hv.select(col(idCol).as("id_a"), col("hv").as("hv_a")), Seq("id_a"))
+      .join(hv.select(col(idCol).as("id_b"), col("hv").as("hv_b")), Seq("id_b"))
+      .withColumn("n_a", size(col("hv_a")).cast("long"))
+      .withColumn("inter", inter.cast("long"))
+      .filter(col("inter") * tDen >= col("n_a") * tNum)
+      .withColumn("containment",
+        graft.functions.ExactRound.roundRatio(col("inter"), col("n_a"), 6)
+          .cast("double"))
+      .select("id_a", "id_b", "n_a", "inter", "containment")
+      .localCheckpoint()
+    hv.unpersist()
+    out
+  }
+
   /** Sub-document duplicated-span REMOVAL (the rewrite counterpart of
     * [[crossDocShingleStats]]'s signal — Lee et al. 2022 "Deduplicating
     * Training Data Makes Language Models Better" removes repeated spans,

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.ExactRound
-import graft.ops.{Components, Dedup, Similarity}
+import graft.ops.{Components, Dedup, Sample, Similarity, Text}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -39,6 +39,16 @@ object SelectionQueries {
   /** The "target distribution" slice for q145: two sources stand in
     * for the curated high-quality corpus DSIR reweights toward. */
   private val DsirTarget = Seq("src0", "src1")
+
+  /** q148 epoch token budget. Large enough that every source's exact
+    * quota clears 10^4 (remainder ranking meaningful), small enough
+    * that B·Σtokens stays far inside BIGINT at any fixture scale. */
+  private val ApportionBudget = 1000000L
+
+  /** q150 per-(lang, source)-cell guaranteed minimum and the global
+    * fill budget drawn from the post-floor remainder. */
+  private val CoverageFloor = 3
+  private val CoverageFill = 100
 
   val all: Seq[Q] = Seq(
 
@@ -275,6 +285,143 @@ object SelectionQueries {
         .select(col("doc_id"), col("component"), col("csize"),
           ExactRound.roundRatio(lit(1L), col("csize"), 6)
             .cast("double").as("weight"))
+    },
+
+    // ---- TOKEN-BUDGET APPORTIONMENT (L129, largest remainder): turn
+    // per-source mixture shares into an INTEGER token allocation that
+    // sums to the epoch budget EXACTLY — the materialization step
+    // between q94's mixture weights and a sampler that draws whole
+    // documents (floats leave the budget off by rounding drift;
+    // Hamilton's method guarantees Σ quota = B and every source within
+    // 1 of its real-valued quota). All integer: floor = (B·tok) div
+    // total, remainders compared as integers ((B·tok) mod total — no
+    // fraction ever materializes), deficit = B − Σ floor spread over
+    // the largest remainders with a total-order tiebreak. The
+    // per-source frame is |sources|-sized (bounded at any corpus
+    // scale — the one window runs on that aggregate, never the corpus).
+    Q(
+      "q148_token_apportionment",
+      s"""WITH s AS (
+         |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM s),
+         |q AS (SELECT source, tokens,
+         |    ($ApportionBudget * tokens) // t.total AS floor_quota,
+         |    ($ApportionBudget * tokens) % t.total AS rem
+         |  FROM s, t),
+         |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+         |      FROM q),
+         |d AS (SELECT CAST($ApportionBudget - sum(floor_quota) AS BIGINT)
+         |        AS deficit FROM q)
+         |SELECT source, tokens, CAST(floor_quota AS BIGINT) AS floor_quota,
+         |  CAST(CASE WHEN rk <= d.deficit THEN 1 ELSE 0 END AS BIGINT)
+         |    AS extra,
+         |  CAST(floor_quota + CASE WHEN rk <= d.deficit THEN 1 ELSE 0 END
+         |    AS BIGINT) AS quota
+         |FROM r, d""".stripMargin) { (spark, dir) =>
+      val s = Tables.documents(spark, dir)
+        .groupBy("source").agg(sum("n_chars").as("tokens"))
+        .localCheckpoint() // |sources| rows; feeds three consumers below
+      val t = s.agg(sum("tokens").as("total"))
+      val q = s.crossJoin(broadcast(t))
+        .withColumn("floor_quota",
+          expr(s"($ApportionBudget * tokens) DIV total"))
+        .withColumn("rem", (lit(ApportionBudget) * col("tokens")) % col("total"))
+      val d = q.agg((lit(ApportionBudget) - sum("floor_quota")).as("deficit"))
+      // unpartitioned window over the |sources|-row aggregate only —
+      // bounded at any corpus scale (same contract as prioritySample's
+      // n+1-row rank)
+      q.withColumn("rk",
+          row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+        .crossJoin(broadcast(d))
+        .select(col("source"), col("tokens"), col("floor_quota"),
+          when(col("rk") <= col("deficit"), 1L).otherwise(0L).as("extra"),
+          (col("floor_quota") +
+            when(col("rk") <= col("deficit"), 1L).otherwise(0L)).as("quota"))
+    },
+
+    // ---- CONTAINMENT JOIN (L130, asymmetric Jaccard): every ordered
+    // pair where ≥ 90% of doc a's shingles appear in doc b — the
+    // subset/quote/excerpt duplication symmetric Jaccard misses (a
+    // short doc embedded in a long page: the union term swamps J while
+    // C(a→b) is high). One-sided prefix filter: only the containee
+    // side prunes to its rarest |A| − ⌈t·|A|⌉ + 1 shingles, the
+    // container side posts its full set as an inverted index (B's size
+    // is unconstrained, so B cannot be prefix-pruned — the asymmetry
+    // IS the operator); candidates verify via the exact two-pointer
+    // intersect kernel; the cut inter·10 ≥ |A|·9 is pure integer. The
+    // oracle brute-forces containment over the SAME mod-P hashes, so a
+    // missed pair fails the row count — no false negatives.
+    Q(
+      "q149_containment_join",
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${LlmQueries.toksSql} AS t FROM documents),
+         |shs AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN []
+         |    ELSE list_transform(range(1, len(t)-1),
+         |           i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END) AS s
+         |  FROM toks),
+         |sh AS (SELECT DISTINCT doc_id, ${LlmQueries.strHashSql("s")} AS h
+         |       FROM shs),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |px AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM sh a JOIN sh b USING (h) WHERE a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(x.n AS BIGINT) AS n_a, inter,
+         |  CAST(((2 * inter * 1000000 + x.n) // (2 * x.n))
+         |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS containment
+         |FROM px JOIN sz x ON id_a = x.doc_id
+         |WHERE inter * 10 >= x.n * 9""".stripMargin) { (spark, dir) =>
+      Dedup.containmentPairs(Tables.documents(spark, dir),
+        "doc_id", "text", shingleN = 3, tNum = 9, tDen = 10)
+    },
+
+    // ---- COVERAGE-FLOOR SAMPLING (L131): a sample that GUARANTEES
+    // every (lang, source) cell keeps its min(floor, |cell|) rows
+    // before any global budget applies — uniform/priority sampling
+    // starves rare cells (a 0.1% slice expects 1 row in a 1000-row
+    // draw), and a per-cell quota alone wastes budget on huge cells;
+    // flooring then filling by global deterministic priority does
+    // both. Priorities are the shared multiplicative hash — the draw
+    // replays on any engine/run/partitioning. The cell rank shuffles
+    // on the cell key (never single-partition); the fill rank runs on
+    // the post-floor REMAINDER through the two-phase prefix-sum rank
+    // (range-partition + driver-prefixed offsets), so no global window
+    // exists at any scale.
+    Q(
+      "q150_coverage_floor_sample",
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, source,
+         |    (doc_id * ${Text.Mult}) % ${Text.P} AS pr FROM documents),
+         |cr AS (
+         |  SELECT *, row_number() OVER (PARTITION BY lang, source
+         |    ORDER BY pr, doc_id) AS crk FROM h),
+         |rest AS (
+         |  SELECT *, row_number() OVER (ORDER BY pr, doc_id) AS grk
+         |  FROM cr WHERE crk > $CoverageFloor)
+         |SELECT doc_id, lang, source, 'floor' AS picked_by
+         |FROM cr WHERE crk <= $CoverageFloor
+         |UNION ALL
+         |SELECT doc_id, lang, source, 'fill' AS picked_by
+         |FROM rest WHERE grk <= $CoverageFill""".stripMargin) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir).select("doc_id", "lang", "source")
+        .withColumn("pr",
+          pmod(col("doc_id").cast("long") * Text.Mult, lit(Text.P)))
+      val cellW = Window.partitionBy("lang", "source")
+        .orderBy(col("pr"), col("doc_id"))
+      val ranked = docs.withColumn("crk", row_number().over(cellW))
+      val floor = ranked.filter(col("crk") <= CoverageFloor)
+        .select(col("doc_id"), col("lang"), col("source"),
+          lit("floor").as("picked_by"))
+      val fill = Sample
+        .quantileNormalize(ranked.filter(col("crk") > CoverageFloor),
+          Seq(col("pr"), col("doc_id")))
+        .filter(col("rnk") <= CoverageFill)
+        .select(col("doc_id"), col("lang"), col("source"),
+          lit("fill").as("picked_by"))
+      floor.unionByName(fill)
     }
   )
 }

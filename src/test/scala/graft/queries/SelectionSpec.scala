@@ -99,4 +99,90 @@ class SelectionSpec extends SparkSuite {
     }
     out.filter(_._3 == 1L).foreach(r => assert(r._4 == 1.0))
   }
+
+  test("token apportionment: quotas sum to the budget exactly, every " +
+      "source sits within 1 of its real-valued share, extras are 0/1") {
+    val out = graft.SparkEntry
+      .queries("q148_token_apportionment")(spark, sfDir())
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val budget = 1000000L
+    assert(out.map(_._5).sum == budget, "largest-remainder must hit B exactly")
+    val total = out.map(_._2).sum
+    out.foreach { case (src, tok, fq, extra, quota) =>
+      assert(extra == 0L || extra == 1L)
+      assert(quota == fq + extra)
+      assert(fq == budget * tok / total, s"$src floor quota")
+      // Hamilton: quota is the floor or the floor+1 of the exact share
+      val exact = budget.toDouble * tok / total
+      assert(quota >= math.floor(exact) - 1e-9 && quota <= math.ceil(exact) + 1e-9)
+    }
+    // deterministic: a second run reproduces the draw bit for bit
+    val again = graft.SparkEntry
+      .queries("q148_token_apportionment")(spark, sfDir())
+      .collect().map(r => (r.getString(0), r.getLong(4))).toMap
+    out.foreach(r => assert(again(r._1) == r._5))
+  }
+
+  test("containment join: no false negatives vs brute force, subset " +
+      "pairs score 1.0, and jaccard pairs imply containment pairs") {
+    import graft.ops.Dedup
+    val docs = graft.Tables.documents(spark, sfDir())
+    val out = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleN = 3, tNum = 9, tDen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the same shingle sets: C(a→b) = |A∩B|/|A| >= 0.9
+    val sets = Dedup.withShingleHashes(
+        docs.select(col("doc_id"), col("text")), "text", 3)
+      .filter(size(col("hv")) > 0)
+      .select(col("doc_id"), col("hv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val brute = for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a != b
+      if (sa & sb).size * 10 >= sa.size * 9
+    } yield (a, b)
+    assert(out == brute.toSet, "prefix filter must lose no pair")
+    // a strict-subset doc is contained at exactly 1.0 — build one by
+    // concatenation and re-run on the augmented frame
+    val aug = docs.select(col("doc_id"), col("text")).limit(1)
+      .select(lit(900000L).as("doc_id"),
+        concat_ws(" ", col("text"), lit("zq zr zs zt zu zv")).as("text"))
+      .unionByName(docs.select(col("doc_id"), col("text")))
+    val withSub = Dedup.containmentPairs(aug, "doc_id", "text",
+        shingleN = 3, tNum = 9, tDen = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    val origId = docs.select(col("doc_id")).limit(1).collect()(0).getLong(0)
+    assert(withSub.get((origId, 900000L)).contains(1.0),
+      "original doc must be fully contained in its extension")
+    // J >= t implies C(a→b) >= t (union >= |A|): q114's pairs are a subset
+    val jac = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, tNum = 9, tDen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    jac.foreach { case (a, b) =>
+      assert(out((a, b)) && out((b, a)),
+        s"jaccard>=0.9 pair ($a,$b) missing from containment") }
+  }
+
+  test("coverage-floor sample: every cell keeps min(floor, |cell|) rows, " +
+      "fill budget is exact, floor and fill never overlap") {
+    val out = graft.SparkEntry
+      .queries("q150_coverage_floor_sample")(spark, sfDir())
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val cells = graft.Tables.documents(spark, sfDir())
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val floor = out.filter(_._4 == "floor")
+    val fill = out.filter(_._4 == "fill")
+    // floor guarantee per cell
+    val byCell = floor.groupBy(r => (r._2, r._3)).view.mapValues(_.length)
+    cells.foreach { case (cell, n) =>
+      assert(byCell.getOrElse(cell, 0) == math.min(3L, n).toInt,
+        s"cell $cell floor count") }
+    assert(fill.length == math.min(100L,
+      cells.values.sum - floor.length).toInt, "fill budget exact")
+    assert(floor.map(_._1).toSet.intersect(fill.map(_._1).toSet).isEmpty,
+      "a doc cannot be picked twice")
+    assert(out.map(_._1).distinct.length == out.length)
+  }
 }
