@@ -21,21 +21,49 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events fixture stores `ts` as parquet INT64 TIMESTAMP(NANOS) which
-    * Spark 4 refuses by default (PARQUET_TYPE_ILLEGAL). Read nanos as long
-    * and truncate to microseconds — identical to DuckDB's
-    * `CAST(ts AS TIMESTAMP)` semantics, so oracle comparisons line up.
-    * timestamp_ntz keeps wall-clock (naive) semantics matching DuckDB.
+  /** The events fixture has shipped `ts` two ways across driver rounds:
+    * parquet INT64 TIMESTAMP(NANOS) — which Spark 4 refuses by default
+    * (PARQUET_TYPE_ILLEGAL), so we read nanos as long and truncate to
+    * microseconds — and native TIMESTAMP(MICROS), which Spark reads as
+    * TIMESTAMP_NTZ directly. Detect per-directory from the file footer so
+    * both load identically; either way the result is timestamp_ntz,
+    * keeping wall-clock (naive) semantics matching DuckDB's
+    * `CAST(ts AS TIMESTAMP)`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // Session-build code (Verify/Bench/test harness) sets this conf up
     // front; this defensive set covers driver-owned sessions (e.g. the
     // smoke check) that didn't. Idempotent — the value is always "true".
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.withColumn("ts", eventsTsNtz(eventsTsIsNanosLong(spark, dir)))
   }
+
+  /** True when the events fixture stores ts as INT64 TIMESTAMP(NANOS)
+    * (surfaced as LongType under nanosAsLong). Cached per directory —
+    * streaming queries probe this on every source build.
+    */
+  def eventsTsIsNanosLong(spark: SparkSession, dir: String): Boolean =
+    tsKindCache.computeIfAbsent(dir, { d =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Boolean.box(spark.read.parquet(s"$d/events.parquet")
+        .schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    })
+
+  private val tsKindCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Normalized event-time column (wall-clock NTZ) for either encoding. */
+  def eventsTsNtz(isNanosLong: Boolean): org.apache.spark.sql.Column =
+    if (isNanosLong) timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+    else col("ts").cast("timestamp_ntz")
+
+  /** Same instant as TIMESTAMP (LTZ) — watermarks require it; the session
+    * runs in UTC so the wall-clock values are identical.
+    */
+  def eventsTsLtz(isNanosLong: Boolean): org.apache.spark.sql.Column =
+    if (isNanosLong) timestamp_micros(expr("ts div 1000"))
+    else col("ts").cast("timestamp")
 
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")

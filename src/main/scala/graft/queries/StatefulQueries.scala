@@ -14,9 +14,12 @@ import org.apache.spark.sql.types._
 object StatefulQueries {
   import Text.{Mult, P}
 
-  private val eventsRawSchema = StructType(Seq(
+  // The ts physical type varies by fixture vintage (INT64 TIMESTAMP(NANOS)
+  // read as long vs native TIMESTAMP(MICROS) read as NTZ) — the stream
+  // schema must match the file, so build it per-directory.
+  private def eventsRawSchema(tsIsNanosLong: Boolean) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // parquet INT64 TIMESTAMP(NANOS) as long
+    StructField("ts", if (tsIsNanosLong) LongType else TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -42,9 +45,10 @@ object StatefulQueries {
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val raw = spark.readStream.schema(eventsRawSchema).parquet(streamDir.toString)
-      val ev = raw.withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      val tsLong = Tables.eventsTsIsNanosLong(spark, dir)
+      val raw = spark.readStream.schema(eventsRawSchema(tsLong))
+        .parquet(streamDir.toString)
+      val ev = raw.withColumn("ts", Tables.eventsTsNtz(tsLong))
       val agg = ev
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
         .agg(
@@ -232,8 +236,10 @@ object StatefulQueries {
         java.nio.file.Paths.get(s"$dir/events.parquet"))
       // watermarks require TIMESTAMP (not NTZ); the session runs in UTC so
       // the wall-clock values are identical — cast to NTZ only on output
-      def src = spark.readStream.schema(eventsRawSchema).parquet(streamDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val tsLong45 = Tables.eventsTsIsNanosLong(spark, dir)
+      def src = spark.readStream.schema(eventsRawSchema(tsLong45))
+        .parquet(streamDir.toString)
+        .withColumn("ts", Tables.eventsTsLtz(tsLong45))
       val left = src.select("event_id", "user_id", "ts", "value")
         .withWatermark("ts", "1 day")
       val right = src.filter(col("event_id") % 10 === 0)
@@ -267,8 +273,10 @@ object StatefulQueries {
         streamDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))
       // TIMESTAMP (not NTZ) for the watermark column; it is not emitted
-      val src = spark.readStream.schema(eventsRawSchema).parquet(streamDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val tsLong46 = Tables.eventsTsIsNanosLong(spark, dir)
+      val src = spark.readStream.schema(eventsRawSchema(tsLong46))
+        .parquet(streamDir.toString)
+        .withColumn("ts", Tables.eventsTsLtz(tsLong46))
         .withWatermark("ts", "1 day")
         .dropDuplicates("user_id", "event_type")
         .select("user_id", "event_type")
@@ -299,7 +307,8 @@ object StatefulQueries {
         java.nio.file.Paths.get(s"$dir/events.parquet"))
       val dim = Tables.customer(spark, dir)
         .select(col("c_custkey"), col("c_mktsegment"))
-      val joined = spark.readStream.schema(eventsRawSchema)
+      val joined = spark.readStream
+        .schema(eventsRawSchema(Tables.eventsTsIsNanosLong(spark, dir)))
         .parquet(streamDir.toString)
         .select(col("user_id"), col("value"))
         .join(dim, col("user_id") === col("c_custkey"))
@@ -343,8 +352,10 @@ object StatefulQueries {
       java.nio.file.Files.createSymbolicLink(
         streamDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val src = spark.readStream.schema(eventsRawSchema).parquet(streamDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val tsLong61 = Tables.eventsTsIsNanosLong(spark, dir)
+      val src = spark.readStream.schema(eventsRawSchema(tsLong61))
+        .parquet(streamDir.toString)
+        .withColumn("ts", Tables.eventsTsLtz(tsLong61))
         .withWatermark("ts", "1 day")
       val agg = src
         .groupBy(col("user_id"), session_window(col("ts"), "24 hours").as("w"))
