@@ -1342,6 +1342,48 @@ object CurationQueries {
             (coalesce(col("comp"), col("doc_id")) === col("doc_id")).as("keep"))
     },
 
+    // ---- DEGREE-CAPPED near-dup clustering (L132): the mega-component
+    // guard for continuous dedup. The exact pair set goes quadratic in
+    // bucket populations when one template component spans the corpus
+    // (q119's sf1 probe: 27× pairs for 10× docs); the capped generator
+    // bounds candidates linearly — a pair is checked iff its smaller id
+    // is among its bucket's `cap` smallest — and the cap rule is a pure
+    // function of bucket contents, so the oracle replays rank, Hamming
+    // verify, and the recursive closure bit for bit. Production folds
+    // spill to a periodic full recompute (q49) to absorb capped-away
+    // links; see Dedup.simhashPairsCapped.
+    Q(
+      "q151_degree_capped_dedup",
+      s"""WITH RECURSIVE ${LlmQueries.simhashCtes},
+         |ranked AS (
+         |  SELECT doc_id, sim, band, band_key,
+         |    row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rk
+         |  FROM banded),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM ranked a JOIN banded b USING (band, band_key)
+         |  WHERE a.rk <= 16 AND a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.sim, b.sim)) <= 3),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT DISTINCT src AS id, src AS comp FROM edges
+         |  UNION
+         |  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+         |cmp AS (
+         |  SELECT id, min(comp) AS component FROM reach GROUP BY id)
+         |SELECT d.doc_id,
+         |  coalesce(c.component, d.doc_id) AS component,
+         |  coalesce(c.component, d.doc_id) = d.doc_id AS keep
+         |FROM documents d LEFT JOIN cmp c ON c.id = d.doc_id""".stripMargin) {
+      (spark, dir) =>
+        val docs = Tables.documents(spark, dir)
+        val pairs = Dedup.simhashPairsCapped(docs, "doc_id", "text",
+          bands = 4, maxHamming = 3, cap = 16)
+        Components.resolveClusters(docs, "doc_id", pairs, "id_a", "id_b")
+    },
+
     // ---- IVF ANN with TRAINED centroids (L98): q113's k-means output
     // wired in as the coarse quantizer (q36 uses a first-C stand-in and
     // documents "swap in k-means output in production" — this is that

@@ -377,6 +377,22 @@ class PlansSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), s"q110's twin went quadratic:\n$p")
   }
 
+  test("q151 capped pairs: rank prune is a WindowGroupLimit, candidate " +
+      "join is bucket-keyed — no cartesian (probed pre-checkpoint)") {
+    val docs = Tables.documents(spark, sfDir())
+    val hashed = docs
+      .withColumn("th", call_function("graft_token_hashes", col("text")))
+      .filter(size(col("th")) > 0)
+      .withColumn("sim", graft.ops.Dedup.simhash(col("th")))
+      .select(col("doc_id"), col("sim"))
+    val pairs = graft.ops.Dedup
+      .cappedPairsFrame(hashed, "doc_id", bands = 4, maxHamming = 3, cap = 16)
+    pairs.collect()
+    val p = pairs.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(p.contains("WindowGroupLimit"), s"cap not pruned map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"capped candidates went quadratic:\n$p")
+  }
+
   test("q111 span dedup: the boilerplate set joins by broadcast onto the " +
       "shingle stream") {
     val df = SparkEntry.queries("q111_span_dedup")(spark, sfDir())

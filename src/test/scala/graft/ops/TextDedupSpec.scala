@@ -110,6 +110,44 @@ class TextDedupSpec extends SparkSuite {
     assert(allRefined.map(p => (p._1, p._2)).distinct.size == allRefined.size)
   }
 
+  test("simhashPairsCapped: subset of the exact pair set, equal at a " +
+      "saturating cap, and capped components refine exact components") {
+    // template clusters make hot buckets so the cap genuinely prunes
+    val docs = (1 to 120).map { i =>
+      val cluster = i % 6
+      val toks =
+        if (cluster < 4) (1 to 50).map(j => s"t${cluster}_$j") :+ s"salt$i"
+        else (1 to 50).map(j => s"u${i}_$j")
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "hamming").as[(Long, Long, Int)]
+        .collect().toSet
+    val exact = asSet(Dedup.simhashPairs(docs, "doc_id", "text"))
+    val capped = asSet(Dedup.simhashPairsCapped(docs, "doc_id", "text", cap = 3))
+    val saturated = asSet(
+      Dedup.simhashPairsCapped(docs, "doc_id", "text", cap = 1000))
+    assert(exact.nonEmpty, "fixture must produce near-dup pairs")
+    assert(capped.subsetOf(exact), "capped pairs must be a subset of exact")
+    assert(saturated == exact, "cap beyond every bucket size must equal exact")
+    assert(capped.size < exact.size,
+      "cap=3 on hot template buckets must genuinely prune")
+    // connectivity refinement: every capped component sits inside ONE
+    // exact component (the capped graph never invents a link)
+    def comps(pairs: Set[(Long, Long, Int)]): Map[Long, Long] = {
+      val ps = pairs.toSeq.map(p => (p._1, p._2)).toDF("id_a", "id_b")
+      Components.connectedComponents(ps, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+    }
+    val ce = comps(exact)
+    val cc = comps(capped)
+    val capToExact = cc.groupBy(_._2).map { case (ccomp, members) =>
+      ccomp -> members.keys.map(ce).toSet
+    }
+    assert(capToExact.values.forall(_.size == 1),
+      "a capped component spans two exact components")
+  }
+
   test("blockedJaccardPairs: pairs only within a block") {
     val df = Seq(
       (1L, "a b c d e", "s1"), (2L, "a b c d e", "s1"),
