@@ -966,6 +966,70 @@ object CurationQueries {
           round(col("n_hit").cast("double") / col("n_exact"), 6))
     },
 
+    // ---- TRUNCATED-DIMENSION recall curve (L134): how much retrieval
+    // quality survives keeping only the first d of 64 embedding dims —
+    // the storage/recall trade a matryoshka-style index makes before
+    // committing to a truncated vector layout (d dims cut index bytes
+    // and dot-product work by 64/d). For each d the top-10 by truncated
+    // cosine is compared against the full-dim exact top-10; recall
+    // aggregates over the 20 probe queries. Same broadcast brute-force
+    // shape as q26/q98 (corpus side never shuffles), one pass per
+    // ladder rung; the oracle replays every rung's ranking with
+    // sequential-fold dot products, so the curve itself is
+    // cross-engine-checked.
+    Q(
+      "q153_truncated_recall", {
+        val kk = 10
+        val dims = Seq(8, 16, 32, 64)
+        def dotD(a: String, b: String, d: Int) = LlmQueries.foldSumSql(
+          s"list_transform(range(1, ${d + 1}), i -> $a[i]*$b[i])",
+          "CAST(0 AS DOUBLE)")
+        def exD(d: Int) =
+          s"""ex$d AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |      ${dotD("q.dv", "c.dv", d)}
+             |        / (sqrt(${dotD("q.dv", "q.dv", d)}) * sqrt(${dotD("c.dv", "c.dv", d)})) DESC,
+             |      c.vec_id) AS rn
+             |  FROM v q, v c WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)""".stripMargin
+        val truncUnion = dims.map(d =>
+          s"SELECT CAST($d AS BIGINT) AS dim, query_id, neighbor_id FROM ex$d WHERE rn <= $kk")
+          .mkString("\n  UNION ALL ")
+        s"""WITH v AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+           |  FROM embeddings),
+           |${dims.map(exD).mkString(",\n")},
+           |trunc AS (
+           |  $truncUnion),
+           |fullk AS (SELECT query_id, neighbor_id FROM ex64 WHERE rn <= $kk)
+           |SELECT t.dim,
+           |  CAST(count(*) AS BIGINT) AS n_trunc,
+           |  CAST(count(f.neighbor_id) AS BIGINT) AS n_hit,
+           |  round(CAST(count(f.neighbor_id) AS DOUBLE) / count(*), 6) AS recall
+           |FROM trunc t LEFT JOIN fullk f
+           |  ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+           |GROUP BY t.dim""".stripMargin
+      }) { (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+      val full = Similarity
+        .topKBruteForce(e, e.filter(col("vec_id") < 20), "vec_id",
+          "embedding", k = 10)
+        .select("query_id", "neighbor_id").withColumn("hit", lit(1L))
+      val truncs = Seq(8, 16, 32, 64).map { d =>
+        val ed = e.select(col("vec_id"),
+          slice(col("embedding"), 1, d).as("embedding"))
+        Similarity.topKBruteForce(ed, ed.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 10)
+          .select(lit(d.toLong).as("dim"), col("query_id"), col("neighbor_id"))
+      }.reduce(_ unionByName _)
+      truncs.join(full, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n_trunc"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall",
+          round(col("n_hit").cast("double") / col("n_trunc"), 6))
+    },
+
     // ---- Corpus-overlap set algebra from KMV sketches (L92): pairwise
     // Jaccard / union-size estimates between per-source shingle sets,
     // from one 8 KiB bottom-k sketch per source — the way to answer

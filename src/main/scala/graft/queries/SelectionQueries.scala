@@ -422,6 +422,53 @@ object SelectionQueries {
         .select(col("doc_id"), col("lang"), col("source"),
           lit("fill").as("picked_by"))
       floor.unionByName(fill)
+    },
+
+    // ---- LEAKAGE-SAFE train/val/test split (L133): q91's deterministic
+    // hash split applied at the DUP-CLUSTER granularity. Doc-keyed
+    // splitting puts near-identical copies of one document on both
+    // sides of the train/test boundary — the classic eval-leakage bug
+    // near-dup detection exists to prevent — so the gate keys on the
+    // cluster's min-label component instead and every member moves
+    // atomically. Composes L3 pairs + L25 components with the L83 gate;
+    // one extra broadcast-shaped join over q91's zero-shuffle scan, the
+    // price of leakage safety. Spec pins one-split-per-cluster and that
+    // no near-dup pair crosses splits.
+    Q(
+      "q152_leakage_safe_split",
+      s"""WITH RECURSIVE ${LlmQueries.simhashCtes},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b USING (band, band_key)
+         |  WHERE a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.sim, b.sim)) <= 3),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT DISTINCT src AS id, src AS comp FROM edges
+         |  UNION
+         |  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+         |cmp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+         |labeled AS (
+         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN cmp c ON c.id = d.doc_id)
+         |SELECT doc_id, component,
+         |  CASE WHEN ((component * ${Text.Mult}) % ${Text.P}) % 100 < 80
+         |         THEN 'train'
+         |       WHEN ((component * ${Text.Mult}) % ${Text.P}) % 100 < 90
+         |         THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM labeled""".stripMargin) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+        bands = 4, maxHamming = 3)
+      val comp = Components.resolveClusters(docs, "doc_id", pairs,
+        "id_a", "id_b")
+        .select(col("doc_id"), col("component"))
+      Sample.assignSplit(comp, "component",
+        Seq("train" -> 80, "val" -> 90), rest = "test")
+        .select("doc_id", "component", "split")
     }
   )
 }

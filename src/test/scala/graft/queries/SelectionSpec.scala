@@ -185,4 +185,46 @@ class SelectionSpec extends SparkSuite {
       "a doc cannot be picked twice")
     assert(out.map(_._1).distinct.length == out.length)
   }
+
+  test("leakage-safe split: one split per cluster, no near-dup pair " +
+      "crosses splits, every doc assigned") {
+    val out = graft.SparkEntry
+      .queries("q152_leakage_safe_split")(spark, sfDir())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val docs = graft.Tables.documents(spark, sfDir())
+    assert(out.length == docs.count(), "every doc must get a split")
+    assert(out.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    // the gate keys on the component, so a cluster cannot straddle splits
+    out.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"cluster $c straddles splits")
+    }
+    // direct leakage check on the raw pair stream
+    val split = out.map(r => r._1 -> r._3).toMap
+    val pairs = graft.ops.Dedup
+      .simhashPairs(docs, "doc_id", "text", bands = 4, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)](
+        org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .collect()
+    assert(pairs.nonEmpty, "fixture must produce near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"near-dup pair ($a,$b) crosses splits")
+    }
+  }
+
+  test("truncated recall: full-dim rung is exactly 1.0, every rung a " +
+      "valid fraction over the fixed probe volume") {
+    val rows = graft.SparkEntry
+      .queries("q153_truncated_recall")(spark, sfDir())
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).sorted.toSeq == Seq(8L, 16L, 32L, 64L))
+    rows.foreach { case (dim, nTrunc, nHit, recall) =>
+      assert(nTrunc == 200L, s"dim $dim probe volume")
+      assert(nHit >= 0 && nHit <= nTrunc)
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+    val full = rows.find(_._1 == 64L).get
+    assert(full._3 == 200L && full._4 == 1.0,
+      "truncating to all 64 dims must reproduce the exact top-k")
+  }
 }
