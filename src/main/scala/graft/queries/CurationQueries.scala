@@ -1513,5 +1513,39 @@ object CurationQueries {
           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
         .withColumn("recall",
           round(col("n_hit").cast("double") / col("n_exact"), 6))
+    },
+
+    // ---- RECENCY HALF-LIFE weighting (L136): freshness-weighted
+    // sampling for continuously-refreshed training mixes — each record's
+    // weight halves per 90-day period of age, and the deterministic
+    // keep gate thins each period to its weight (period k keeps
+    // ~100/2^k % of rows, exactly reproducible across engines/runs/
+    // partitionings — no RNG). All arithmetic is engine-exact: age is
+    // integer floor division on datediff, 2^-k is a dyadic double (IEEE
+    // represents it exactly, so the weight column needs no rounding
+    // discipline at all), and the gate compares the integer hash gate
+    // against the exact dyadic 100/2^k. The corpus max date is a
+    // broadcast scalar; everything else is a scan-level projection —
+    // zero shuffles beyond the 1-row aggregate.
+    Q(
+      "q155_recency_weights",
+      s"""WITH mx AS (SELECT max(o_orderdate) AS mxd FROM orders)
+         |SELECT o_orderkey,
+         |  CAST(date_diff('day', o_orderdate, mxd) // 90 AS BIGINT) AS age_periods,
+         |  1.0 / power(2, date_diff('day', o_orderdate, mxd) // 90) AS weight,
+         |  ((o_orderkey * ${Mult}) % ${P}) % 100
+         |    < 100.0 / power(2, date_diff('day', o_orderdate, mxd) // 90) AS kept
+         |FROM orders, mx""".stripMargin) { (spark, dir) =>
+      val o = Tables.orders(spark, dir)
+      val mx = o.agg(max(col("o_orderdate")).as("mxd"))
+      val k = floor(datediff(col("mxd"), col("o_orderdate")) / 90).cast("long")
+      o.select(col("o_orderkey"), col("o_orderdate"))
+        .crossJoin(broadcast(mx))
+        .select(
+          col("o_orderkey"),
+          k.as("age_periods"),
+          (lit(1.0) / pow(lit(2.0), k)).as("weight"),
+          (Sample.hashGate(col("o_orderkey")).cast("double")
+            < lit(100.0) / pow(lit(2.0), k)).as("kept"))
     })
 }

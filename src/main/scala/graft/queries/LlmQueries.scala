@@ -201,6 +201,61 @@ object LlmQueries {
         (size(toks) >= 10 && size(toks) <= 1000).as("quality_keep"))
     },
 
+    // ---- TOKENIZER FERTILITY by language (L135): BPE-ish tokens per
+    // whitespace word, rolled up per predicted language — the
+    // tokenizer-budget check run before fixing a vocab (a language
+    // whose fertility is 2× pays 2× the context window; the standard
+    // reason multilingual vocabs get rebalanced). Composes the L6
+    // language-ID argmax with the L10 token counters in ONE hash
+    // aggregate over the corpus scan — no shuffle beyond the |langs|-row
+    // rollup; counts cross as BIGINT, the ratio rounds in integer space
+    // (ExactRound) and presents DOUBLE.
+    Q(
+      "q154_tokenizer_fertility", {
+        val hits = Text.StopWords.map { case (lang, words) =>
+          lang -> s"len(list_filter(t, w -> w IN (${words.map(w => s"'$w'").mkString(",")})))"
+        }
+        val greatest = s"GREATEST(${hits.map(h => s"${h._1}_hits").mkString(", ")})"
+        val cases = hits.map { case (lang, _) =>
+          s"WHEN ${lang}_hits = $greatest THEN '$lang'"
+        }.mkString(" ")
+        s"""WITH base AS (
+           |  SELECT doc_id, text, $toksSql AS t FROM documents),
+           |h AS (
+           |  SELECT doc_id, text, t,
+           |    ${hits.map { case (l, sql) => s"$sql AS ${l}_hits" }.mkString(",\n    ")}
+           |  FROM base),
+           |lab AS (
+           |  SELECT CASE WHEN $greatest = 0 THEN 'und' $cases END AS predicted_lang,
+           |    CAST(len(t) AS BIGINT) AS w,
+           |    CAST(len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS b
+           |  FROM h)
+           |SELECT predicted_lang,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(w) AS BIGINT) AS n_words,
+           |  CAST(sum(b) AS BIGINT) AS n_bpeish,
+           |  CASE WHEN sum(w) = 0 THEN NULL ELSE
+           |    CAST(((2 * CAST(sum(b) AS HUGEINT) * 1000000 + sum(w))
+           |      // (2 * CAST(sum(w) AS HUGEINT)))
+           |      * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) END AS fertility
+           |FROM lab GROUP BY predicted_lang""".stripMargin
+      }) { (spark, dir) =>
+      val toks = Text.tokens(col("text"))
+      Tables.documents(spark, dir)
+        .select(
+          Text.langId(toks).as("predicted_lang"),
+          size(toks).cast("long").as("w"),
+          Text.bpeishTokenCount(col("text")).cast("long").as("b"))
+        .groupBy("predicted_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("w").as("n_words"),
+          sum("b").as("n_bpeish"))
+        .withColumn("fertility",
+          when(col("n_words") === 0, lit(null).cast("double"))
+            .otherwise(graft.functions.ExactRound
+              .roundRatio(col("n_bpeish"), col("n_words"), 6).cast("double")))
+    },
+
     // ---- Brute-force cosine top-k: 5 query vectors broadcast against
     // the corpus; sequential-fold double math on both engines.
     Q(

@@ -227,4 +227,45 @@ class SelectionSpec extends SparkSuite {
     assert(full._3 == 200L && full._4 == 1.0,
       "truncating to all 64 dims must reproduce the exact top-k")
   }
+
+  test("tokenizer fertility: doc counts reconcile, token totals match a " +
+      "direct count, fertility is >= 1 token per word") {
+    val rows = graft.SparkEntry
+      .queries("q154_tokenizer_fertility")(spark, sfDir())
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4)))
+    val docs = graft.Tables.documents(spark, sfDir())
+    assert(rows.map(_._2).sum == docs.count(), "per-lang docs must cover corpus")
+    val directBpeish = docs
+      .select(graft.ops.Text.bpeishTokenCount(col("text")).cast("long"))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sum
+    assert(rows.map(_._4).sum == directBpeish, "bpeish totals reconcile")
+    rows.foreach { case (lang, _, w, b, fert) =>
+      assert(w > 0 && b >= w, s"$lang: every word yields >= 1 bpeish token")
+      assert(fert >= 1.0, s"$lang fertility < 1")
+    }
+  }
+
+  test("recency weights: weight is exactly 2^-k, period-0 rows always " +
+      "kept, keep gate replays per row") {
+    val rows = graft.SparkEntry
+      .queries("q155_recency_weights")(spark, sfDir())
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty && rows.forall(_._2 >= 0))
+    rows.foreach { case (key, k, w, kept) =>
+      assert(w == math.pow(2.0, -k.toDouble), s"order $key weight not dyadic")
+      val gate = ((key * graft.ops.Text.Mult) % graft.ops.Text.P) % 100
+      assert(kept == (gate < 100.0 / math.pow(2.0, k.toDouble)),
+        s"order $key keep gate mismatch")
+      if (k == 0) assert(kept, s"order $key in the freshest period must be kept")
+    }
+    // the thinning is real: strictly fewer kept in the tail than period 0
+    val byPeriod = rows.groupBy(_._2).view
+      .mapValues(rs => rs.count(_._4).toDouble / rs.length).toMap
+    if (byPeriod.size > 2)
+      assert(byPeriod(byPeriod.keys.max) < byPeriod(0L),
+        "oldest period must keep a smaller fraction than the freshest")
+  }
 }
