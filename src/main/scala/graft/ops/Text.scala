@@ -80,14 +80,24 @@ object Text {
     size(filter(toks, t => t.isInCollection(words)))
 
   /** Language-ID heuristic: argmax of stopword hits with deterministic
-    * tie-break (StopWords order); "und" (undetermined) when no list hits. */
+    * tie-break (StopWords order); "und" (undetermined) when no list hits.
+    *
+    * Shape matters: the obvious foldLeft of `when(s > best, ...)` pairs
+    * embeds every earlier score subtree TWICE per step — an O(2^L)
+    * expression tree whose leaves are interpreted higher-order filters,
+    * re-evaluated at every occurrence (Catalyst shares no common
+    * subtrees). That cost hid behind column pruning until a rollup
+    * actually grouped on the result (q154: 2.4 s for a 5 000-row
+    * aggregate). One struct array scores each language ONCE;
+    * `array_max`'s lexicographic struct order implements
+    * strictly-greater-wins with the (-index) field keeping earlier
+    * languages on ties. */
   def langId(toks: Column): Column = {
-    val scores = StopWords.map { case (lang, words) => lang -> stopwordHits(toks, words) }
-    val best = scores.foldLeft(lit("und") -> lit(0)) { case ((bl, bs), (lang, s)) =>
-      // strictly-greater keeps earlier languages on ties
-      (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    val entries = StopWords.zipWithIndex.map { case ((lang, words), i) =>
+      struct(stopwordHits(toks, words).as("s"), lit(-i).as("ni"), lit(lang).as("lang"))
     }
-    best._1
+    val best = array_max(array(entries: _*))
+    when(best.getField("s") <= 0, lit("und")).otherwise(best.getField("lang"))
   }
 
   /** 1-based start offsets of sliding context-window chunks over a

@@ -317,6 +317,102 @@ object CorpusStatsQueries {
             .as("centroid_cos"),
           (round(col("dot") / (sqrt(col("n1")) * sqrt(col("n2"))), 6) < 1.0)
             .as("drifted"))
+    },
+
+    // ---- NEAR-DUP DEGREE PROFILE (L137): the degree distribution of
+    // the SimHash dup graph in power-of-two buckets — the measurement
+    // that SIZES L132's degree cap (set cap above the mass of the
+    // distribution, let the hub tail spill to full recompute) and the
+    // early-warning for mega-components (a heavy top bucket says the
+    // touched-component bound is about to degenerate). One count per
+    // endpoint over the pair stream, a branch-ladder bucket (pure
+    // integer compares — no float log2 at the oracle boundary), and a
+    // |buckets|-row rollup; linear end to end.
+    Q(
+      "q156_neardup_degree_profile", {
+        val ladder = (30 to 1 by -1).map(k =>
+          s"WHEN degree >= ${1L << k} THEN CAST(${1L << k} AS BIGINT)")
+          .mkString("\n    ")
+        s"""WITH RECURSIVE ${LlmQueries.simhashCtes},
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b USING (band, band_key)
+           |  WHERE a.doc_id < b.doc_id
+           |    AND bit_count(xor(a.sim, b.sim)) <= 3),
+           |deg AS (
+           |  SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+           |    SELECT id_a AS id FROM pairs
+           |    UNION ALL SELECT id_b FROM pairs) e
+           |  GROUP BY id)
+           |SELECT CASE $ladder ELSE CAST(1 AS BIGINT) END AS degree_bucket,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(max(degree) AS BIGINT) AS max_degree
+           |FROM deg GROUP BY 1""".stripMargin
+      }) { (spark, dir) =>
+      val pairs = Dedup.simhashPairs(Tables.documents(spark, dir),
+        "doc_id", "text", bands = 4, maxHamming = 3)
+      val deg = pairs.select(col("id_a").as("id"))
+        .unionByName(pairs.select(col("id_b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+      val bucket = (30 to 1 by -1).map(k => 1L << k)
+        .foldRight(lit(1L): org.apache.spark.sql.Column)((p, acc) =>
+          when(col("degree") >= p, lit(p)).otherwise(acc))
+      deg.groupBy(bucket.as("degree_bucket"))
+        .agg(count(lit(1)).as("n_docs"), max(col("degree")).as("max_degree"))
+    },
+
+    // ---- FIRST-OCCURRENCE NOVELTY (L138): per document, the fraction
+    // of its distinct shingles whose FIRST owner (minimum doc id) is the
+    // document itself — the novelty curve a dedup audit reads to see how
+    // much of each document is new material vs text already present
+    // earlier in the corpus (sub-document duplication that pair-level
+    // near-dup misses; the scan order is the deterministic id order).
+    // Exact global form: one hash agg per shingle hash for the owner,
+    // one co-partitioned join back, one per-doc rollup — every stage
+    // linear and shuffled on a key (shingle hash, then doc id), never
+    // quadratic. At 100 TB the same shape runs with the shingle stream
+    // bucketed on the hash; the sketch alternative (Bloom of seen
+    // shingles) trades exactness for one pass and is deliberately NOT
+    // this operator.
+    Q(
+      "q157_first_occurrence_novelty",
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${LlmQueries.toksSql} AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, ${LlmQueries.shinglesSql} AS s FROM toks),
+         |hvt AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(s, x -> ${LlmQueries.strHashSql("x")})) AS hv
+         |  FROM sh WHERE len(s) > 0),
+         |e AS (
+         |  SELECT doc_id, h FROM hvt, unnest(hv) u(h)),
+         |own AS (
+         |  SELECT h, min(doc_id) AS owner FROM e GROUP BY h),
+         |per AS (
+         |  SELECT e.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_shingles,
+         |    CAST(sum(CASE WHEN o.owner = e.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_novel
+         |  FROM e JOIN own o USING (h) GROUP BY e.doc_id)
+         |SELECT doc_id, n_shingles, n_novel,
+         |  CAST(((2 * CAST(n_novel AS HUGEINT) * 1000000 + n_shingles)
+         |    // (2 * CAST(n_shingles AS HUGEINT)))
+         |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS novelty
+         |FROM per""".stripMargin) { (spark, dir) =>
+      val hv = Dedup.withShingleHashes(
+        Tables.documents(spark, dir).select("doc_id", "text"), "text", 3)
+        .filter(size(col("hv")) > 0)
+        .select(col("doc_id"), col("hv"))
+      val e = hv.select(col("doc_id"), explode(col("hv")).as("h"))
+      val own = e.groupBy("h").agg(min("doc_id").as("owner"))
+      e.join(own, Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          ExactRound.roundRatio(col("n_novel"), col("n_shingles"), 6)
+            .cast("double"))
     }
   )
 }

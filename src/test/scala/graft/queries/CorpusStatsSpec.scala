@@ -94,4 +94,49 @@ class CorpusStatsSpec extends SparkSuite {
     out.foreach(r => assert(r.getLong(1) == n1(r.getInt(0)),
       "n_v1 must match the direct per-label count"))
   }
+
+  test("degree profile: buckets are powers of two bracketing their max, " +
+      "doc counts cover every pair endpoint") {
+    val out = graft.SparkEntry
+      .queries("q156_neardup_degree_profile")(spark, sfDir())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (bucket, nDocs, maxDeg) =>
+      assert(java.lang.Long.bitCount(bucket) == 1, s"bucket $bucket not a power of 2")
+      assert(nDocs > 0)
+      assert(maxDeg >= bucket && (bucket == (1L << 30) || maxDeg < bucket * 2),
+        s"max degree $maxDeg outside [$bucket, ${bucket * 2})")
+    }
+    val docs = graft.Tables.documents(spark, sfDir())
+    val pairs = graft.ops.Dedup
+      .simhashPairs(docs, "doc_id", "text", bands = 4, maxHamming = 3)
+    val endpoints = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id"))).distinct().count()
+    assert(out.map(_._2).sum == endpoints,
+      "bucket doc counts must cover every pair endpoint exactly once")
+  }
+
+  test("first-occurrence novelty: the earliest doc is fully novel, " +
+      "novel counts reconcile with the distinct shingle universe") {
+    val out = graft.SparkEntry
+      .queries("q157_first_occurrence_novelty")(spark, sfDir())
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, nSh, nNov, novelty) =>
+      assert(nSh > 0 && nNov >= 0 && nNov <= nSh, s"doc $id counts")
+      assert(novelty >= 0.0 && novelty <= 1.0, s"doc $id novelty")
+    }
+    val first = out.minBy(_._1)
+    assert(first._2 == first._3 && first._4 == 1.0,
+      "the lowest-id doc owns all of its shingles")
+    // Σ n_novel = |distinct shingle hashes|: every shingle has exactly
+    // one first owner
+    val docs = graft.Tables.documents(spark, sfDir())
+    val universe = graft.ops.Dedup
+      .withShingleHashes(docs.select(col("doc_id"), col("text")), "text", 3)
+      .select(explode(col("hv")).as("h")).distinct().count()
+    assert(out.map(_._3).sum == universe,
+      "novel counts must partition the shingle universe")
+  }
 }
