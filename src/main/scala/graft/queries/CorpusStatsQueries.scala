@@ -413,6 +413,113 @@ object CorpusStatsQueries {
         .withColumn("novelty",
           ExactRound.roundRatio(col("n_novel"), col("n_shingles"), 6)
             .cast("double"))
+    },
+
+    // ---- INCREMENTAL novelty fold (L139): L138 run as continuous
+    // ingest — a NEW batch of documents scored against the STANDING
+    // shingle-ownership table without re-walking the historical corpus
+    // (the q119 fold idiom, applied to ownership instead of
+    // connectivity). min is associative, so folding the standing owner
+    // with the batch's own minimum reproduces the full recompute
+    // EXACTLY — the oracle runs the full-corpus replay restricted to
+    // batch docs, making the fold contract itself the cross-engine
+    // check. Scale shape: the batch's shingle stream joins the standing
+    // table on the shingle hash (key-keyed, in production an indexed
+    // table); nothing touches historical rows beyond that lookup.
+    Q(
+      "q158_incremental_novelty",
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${LlmQueries.toksSql} AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, ${LlmQueries.shinglesSql} AS s FROM toks),
+         |hvt AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(s, x -> ${LlmQueries.strHashSql("x")})) AS hv
+         |  FROM sh WHERE len(s) > 0),
+         |e AS (
+         |  SELECT doc_id, h FROM hvt, unnest(hv) u(h)),
+         |own AS (
+         |  SELECT h, min(doc_id) AS owner FROM e GROUP BY h),
+         |per AS (
+         |  SELECT e.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_shingles,
+         |    CAST(sum(CASE WHEN o.owner = e.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_novel
+         |  FROM e JOIN own o USING (h) GROUP BY e.doc_id)
+         |SELECT doc_id, n_shingles, n_novel,
+         |  CAST(((2 * CAST(n_novel AS HUGEINT) * 1000000 + n_shingles)
+         |    // (2 * CAST(n_shingles AS HUGEINT)))
+         |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS novelty
+         |FROM per WHERE doc_id % 3 = 0""".stripMargin) { (spark, dir) =>
+      val hv = Dedup.withShingleHashes(
+        Tables.documents(spark, dir).select("doc_id", "text"), "text", 3)
+        .filter(size(col("hv")) > 0)
+        .select(col("doc_id"), col("hv"))
+      val e = hv.select(col("doc_id"), explode(col("hv")).as("h"))
+      // the standing ownership table, built once from historical docs
+      val standing = e.filter(col("doc_id") % 3 =!= 0)
+        .groupBy("h").agg(min("doc_id").as("st_owner"))
+        .localCheckpoint()
+      // the batch folds its own per-shingle minimum with the standing
+      // owner: least() of the two minima IS min over the union
+      val batch = e.filter(col("doc_id") % 3 === 0)
+      val batchOwn = batch.groupBy("h").agg(min("doc_id").as("b_owner"))
+      val folded = batchOwn.join(standing, Seq("h"), "left")
+        .select(col("h"),
+          least(coalesce(col("st_owner"), col("b_owner")), col("b_owner"))
+            .as("owner"))
+      batch.join(folded, Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          ExactRound.roundRatio(col("n_novel"), col("n_shingles"), 6)
+            .cast("double"))
+    },
+
+    // ---- CROSS-SOURCE DUPLICATION MATRIX (L140b→q160): near-dup PAIR
+    // counts between source pairs — which sources copy which (mirror
+    // sites, syndication, scraped re-posts). Complements q110's
+    // shingle-SET overlap: q110 measures shared vocabulary mass between
+    // two sources' unions; this counts actual near-identical document
+    // pairs, the unit dedup acts on. Unordered source pair via
+    // least/greatest so the matrix is upper-triangular; the source
+    // lookup is a metadata join on the doc id (broadcast-shaped here; a
+    // co-partitioned id join at corpus scale), then a |sources|²-row
+    // rollup.
+    Q(
+      "q160_cross_source_dup_matrix",
+      s"""WITH ${LlmQueries.simhashCtes},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b USING (band, band_key)
+         |  WHERE a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.sim, b.sim)) <= 3),
+         |lab AS (
+         |  SELECT LEAST(da.source, db.source) AS source_a,
+         |    GREATEST(da.source, db.source) AS source_b
+         |  FROM pairs p
+         |  JOIN documents da ON da.doc_id = p.id_a
+         |  JOIN documents db ON db.doc_id = p.id_b)
+         |SELECT source_a, source_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  source_a = source_b AS within_source
+         |FROM lab GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+        bands = 4, maxHamming = 3)
+      val s = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(broadcast(s.select(col("doc_id").as("id_a"),
+          col("source").as("src_a"))), Seq("id_a"))
+        .join(broadcast(s.select(col("doc_id").as("id_b"),
+          col("source").as("src_b"))), Seq("id_b"))
+        .select(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("within_source", col("source_a") === col("source_b"))
     }
   )
 }

@@ -139,6 +139,91 @@ object LlmQueries {
         shingleN = 3, k = k, bands = bands, threshold = 0.5)
     },
 
+    // ---- MINHASH SIGNATURE-SIZE CALIBRATION (L140): on the LSH
+    // candidate pairs, the k-prefix signature-agreement estimate of
+    // Jaccard next to the exact shingle-set value, for k ∈ {4, 8, 12} —
+    // the sketch-budget measurement (E[agreement/k] = J; error shrinks
+    // ~1/√k, and this query shows the actual error the corpus pays at
+    // each size before choosing signature bytes × corpus rows). Every
+    // emitted value is a rational of small integers (agreements/k,
+    // inter/union) rounded in integer space — engine-exact; candidates
+    // come from the same banded join as q23, never all-pairs.
+    Q(
+      "q159_minhash_calibration", {
+        def mirror(n: String, d: String) =
+          s"CAST(((2 * ($n) * 1000000 + ($d)) // (2 * ($d))) * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE)"
+        def agreeSql(kk: Int) =
+          s"len(list_filter(range(1, ${kk + 1}), i -> sa.sig[i] = sb.sig[i]))"
+        s"""$hvCte,
+           |sigs AS (
+           |  SELECT doc_id, hv, $sigSql AS sig FROM hvt),
+           |banded AS (
+           |  ${(0 until bands).map(b =>
+                s"SELECT doc_id, $b AS band, array_to_string(sig[${b * r + 1}:${b * r + r}], ',') AS band_key FROM sigs")
+                .mkString("\n  UNION ALL ")}),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b USING (band, band_key)
+           |  WHERE a.doc_id < b.doc_id),
+           |m AS (
+           |  SELECT id_a, id_b,
+           |    len(list_intersect(sa.hv, sb.hv)) AS inter,
+           |    len(sa.hv) + len(sb.hv) - len(list_intersect(sa.hv, sb.hv)) AS uni,
+           |    ${agreeSql(4)} AS a4, ${agreeSql(8)} AS a8, ${agreeSql(12)} AS a12
+           |  FROM pairs
+           |  JOIN sigs sa ON sa.doc_id = id_a
+           |  JOIN sigs sb ON sb.doc_id = id_b)
+           |SELECT id_a, id_b,
+           |  ${mirror("inter", "uni")} AS exact_j,
+           |  ${mirror("a4", "4")} AS est_k4,
+           |  ${mirror("a8", "8")} AS est_k8,
+           |  ${mirror("a12", "12")} AS est_k12
+           |FROM m""".stripMargin
+      }) { (spark, dir) =>
+      val sigs = Dedup.withShingleHashes(
+        Tables.documents(spark, dir).select("doc_id", "text"), "text", 3)
+        .filter(size(col("hv")) > 0)
+        .withColumn("sig", Dedup.minhashSignature(col("hv"), k))
+        .select(col("doc_id"), col("hv"), col("sig"))
+        .cache()
+      val bandCols = (0 until bands).map(b =>
+        concat_ws(",", transform(slice(col("sig"), b * r + 1, r),
+          x => x.cast("string"))))
+      val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
+        .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
+      val cand = banded.select(col("band"), col("band_key"), col("doc_id").as("id_a"))
+        .join(banded.select(col("band"), col("band_key"), col("doc_id").as("id_b")),
+          Seq("band", "band_key"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+      def agree(kk: Int) = (1 to kk).map(i =>
+        when(element_at(col("sig_a"), i) === element_at(col("sig_b"), i), 1L)
+          .otherwise(0L)).reduce(_ + _)
+      val inter = Dedup.intersectSize(col("hv_a"), col("hv_b")).cast("long")
+      val out = cand
+        .join(sigs.select(col("doc_id").as("id_a"),
+          col("hv").as("hv_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(sigs.select(col("doc_id").as("id_b"),
+          col("hv").as("hv_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .withColumn("inter", inter)
+        .withColumn("uni",
+          size(col("hv_a")).cast("long") + size(col("hv_b")).cast("long")
+            - col("inter"))
+        .select(col("id_a"), col("id_b"),
+          graft.functions.ExactRound.roundRatio(col("inter"), col("uni"), 6)
+            .cast("double").as("exact_j"),
+          graft.functions.ExactRound.roundRatio(agree(4), lit(4L), 6)
+            .cast("double").as("est_k4"),
+          graft.functions.ExactRound.roundRatio(agree(8), lit(8L), 6)
+            .cast("double").as("est_k8"),
+          graft.functions.ExactRound.roundRatio(agree(12), lit(12L), 6)
+            .cast("double").as("est_k12"))
+        .localCheckpoint()
+      sigs.unpersist()
+      out
+    },
+
     // ---- Text statistics: token counts (whitespace-ish + BPE-ish),
     // mean token length, digit ratio, rolling-hash fingerprint.
     Q(

@@ -139,4 +139,61 @@ class CorpusStatsSpec extends SparkSuite {
     assert(out.map(_._3).sum == universe,
       "novel counts must partition the shingle universe")
   }
+
+  test("incremental novelty: the fold against the standing ownership " +
+      "equals the full recompute restricted to the batch, bit for bit") {
+    val inc = graft.SparkEntry
+      .queries("q158_incremental_novelty")(spark, sfDir())
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+    val full = graft.SparkEntry
+      .queries("q157_first_occurrence_novelty")(spark, sfDir())
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .filter(_._1 % 3 == 0).sorted
+    assert(inc.nonEmpty, "the batch must contain docs with shingles")
+    assert(inc.toSeq == full.toSeq,
+      "fold(standing, batch) must equal CC of the union — the q119 contract")
+  }
+
+  test("minhash calibration: estimates are k-quantized fractions in " +
+      "[0,1], exact J valid, and every q23 near-dup pair is measured") {
+    val rows = graft.SparkEntry
+      .queries("q159_minhash_calibration")(spark, sfDir())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    def quantized(v: Double, k: Int): Boolean =
+      (0 to k).exists(m => math.abs(v - (math.round(m.toDouble / k * 1e6) / 1e6)) < 1e-9)
+    rows.foreach { case (a, b, j, e4, e8, e12) =>
+      assert(a < b)
+      assert(j >= 0.0 && j <= 1.0, s"($a,$b) exact J out of range")
+      assert(quantized(e4, 4) && quantized(e8, 8) && quantized(e12, 12),
+        s"($a,$b) estimate not a k-quantized fraction")
+    }
+    val measured = rows.map(r => (r._1, r._2)).toSet
+    val dups = graft.SparkEntry.queries("q23_minhash_near_dup")(spark, sfDir())
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    dups.foreach(p => assert(measured(p), s"near-dup pair $p not measured"))
+  }
+
+  test("cross-source dup matrix: upper-triangular keys, pair counts " +
+      "partition the pair stream, within flag derives from the key") {
+    val rows = graft.SparkEntry
+      .queries("q160_cross_source_dup_matrix")(spark, sfDir())
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, n, within) =>
+      assert(a <= b, "matrix must be upper-triangular")
+      assert(n > 0)
+      assert(within == (a == b))
+    }
+    assert(rows.map(k => (k._1, k._2)).distinct.length == rows.length)
+    val totalPairs = graft.ops.Dedup.simhashPairs(
+      graft.Tables.documents(spark, sfDir()), "doc_id", "text",
+      bands = 4, maxHamming = 3).count()
+    assert(rows.map(_._3).sum == totalPairs,
+      "matrix cells must partition the pair stream exactly")
+  }
 }
