@@ -661,9 +661,34 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df") >= minDf)
       .select("s")
+    stripSpansOf(toks, sh, idCol, shingleN, boiler)
+  }
+
+  /** Strip every token span matching a shingle from an EXTERNAL bad set
+    * (e.g. a benchmark suite's shingles — surgical decontamination: the
+    * rewrite counterpart of [[contamination]]'s drop verdict, keeping
+    * the document minus the leaked spans). Same span semantics and
+    * output shape as [[stripDupSpans]]; the bad set is broadcast (the
+    * benchmark side is tiny next to a 100 TB corpus — q89's scale
+    * contract), the corpus side stays scan-shaped. */
+  def stripSpans(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, bad: DataFrame): DataFrame = {
+    val toks = df.select(col(idCol),
+      Text.tokens(col(textCol)).as("t"))
+    val sh = toks.select(col(idCol),
+        posexplode(Text.shingles(col("t"), shingleN)))
+      .select(col(idCol), (col("pos") + 1).as("spos"), col("col").as("s"))
+    stripSpansOf(toks, sh, idCol, shingleN, bad.toDF("s"))
+  }
+
+  /** Shared span-removal tail: covered positions from the (id, spos, s)
+    * stream joined against the bad-shingle set, then the order-keeping
+    * token filter. */
+  private def stripSpansOf(toks: DataFrame, sh: DataFrame, idCol: String,
+      shingleN: Int, bad: DataFrame): DataFrame = {
     // per-AFFECTED-doc covered token positions: every [spos, spos+n−1]
-    // of a boilerplate occurrence, one sorted distinct array per doc
-    val covered = sh.join(broadcast(boiler), "s")
+    // of a bad-shingle occurrence, one sorted distinct array per doc
+    val covered = sh.join(broadcast(bad), "s")
       .select(col(idCol),
         explode(sequence(col("spos"), col("spos") + (shingleN - 1))).as("p"))
       .groupBy(idCol)

@@ -1093,5 +1093,66 @@ object AnalyticsQueries {
           count(lit(1)).as("n"),
           sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
         .withColumn("skipped_files", lit(scan.filesKept < scan.filesTotal))
+    },
+
+    // ---- ROBUST (median/MAD) outlier profile (L143): per-group
+    // median, median-absolute-deviation, and the |x−med| > 3·MAD
+    // outlier count — the quality gate that survives the heavy tails
+    // that wreck mean/stddev z-scores on web-scale value columns. Every
+    // emitted number is either an ACTUAL data element (exact order
+    // statistic — no interpolation, so no float summation anywhere) or
+    // an integer count; the only float ops are per-row IEEE subtract/
+    // abs/compare, identical on both engines. Lower median at rank
+    // ⌊(n+1)/2⌋. The per-group rank windows partition on the group key;
+    // at corpus scale the selection swaps to the two-phase
+    // range-partition rank (the q129 machinery) — same contract.
+    Q(
+      "q162_robust_outliers",
+      """WITH v AS (SELECT event_type, event_id, value FROM events),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY value, event_id) AS rk FROM v),
+        |med AS (SELECT r.event_type, r.value AS med
+        |  FROM r JOIN n USING (event_type) WHERE rk = (n + 1) // 2),
+        |d AS (SELECT v.event_type, v.event_id, abs(v.value - m.med) AS dev
+        |  FROM v JOIN med m USING (event_type)),
+        |r2 AS (SELECT *, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY dev, event_id) AS rk FROM d),
+        |mad AS (SELECT r2.event_type, r2.dev AS mad
+        |  FROM r2 JOIN n USING (event_type) WHERE rk = (n + 1) // 2),
+        |agg AS (SELECT d.event_type,
+        |    CAST(sum(CASE WHEN d.dev > 3 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_outliers
+        |  FROM d JOIN mad a USING (event_type) GROUP BY 1)
+        |SELECT g.event_type, n.n, m.med AS median, a.mad, g.n_outliers
+        |FROM agg g
+        |JOIN n USING (event_type)
+        |JOIN med m USING (event_type)
+        |JOIN mad a USING (event_type)""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.events(spark, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+      val n = v.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      val med = v.withColumn("rk", row_number().over(w))
+        .join(broadcast(n), Seq("event_type"))
+        .filter(col("rk") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("value").as("med"))
+      val d = v.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev", abs(col("value") - col("med")))
+      val w2 = Window.partitionBy("event_type").orderBy(col("dev"), col("event_id"))
+      val mad = d.withColumn("rk", row_number().over(w2))
+        .join(broadcast(n), Seq("event_type"))
+        .filter(col("rk") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("dev").as("mad"))
+      d.join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+        .join(broadcast(n), Seq("event_type"))
+        .join(broadcast(med), Seq("event_type"))
+        .join(broadcast(mad), Seq("event_type"))
+        .select(col("event_type"), col("n"), col("med").as("median"),
+          col("mad"), col("n_outliers"))
     })
 }

@@ -333,5 +333,50 @@ object GovernanceQueries {
         Privacy.kAnonymityAudit(Tables.customer(spark, dir),
           Seq("c_nationkey", "c_mktsegment"),
           floor(col("c_acctbal") / 1000), k = 10, l = 3)
+    },
+
+    // ---- SURGICAL span decontamination (L142): strip ONLY the leaked
+    // benchmark n-gram spans from contaminated documents instead of
+    // dropping them (q89 flags, this rewrites — published pipelines do
+    // both: drop at high overlap, strip at incidental overlap, and the
+    // strip keeps the non-leaked 95% of a long document in the corpus).
+    // Same span semantics as q111's boilerplate removal with the bad
+    // set swapped for the benchmark suite's shingles; bench set
+    // broadcast (q89's scale contract), corpus side scan-shaped, the
+    // one shuffle is the per-doc covered-position rollup.
+    Q(
+      "q161_span_decontamination",
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${LlmQueries.toksSql} AS t FROM documents),
+         |shp AS (
+         |  SELECT doc_id, i AS spos, concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
+         |  FROM toks, unnest(CASE WHEN len(t) < 3 THEN [] ELSE range(1, len(t)-1) END) u(i)),
+         |bench AS (SELECT DISTINCT s FROM shp WHERE doc_id % 97 = 0),
+         |covered AS (
+         |  SELECT DISTINCT shp.doc_id, spos + o AS p
+         |  FROM shp JOIN bench USING (s), unnest([0, 1, 2]) v(o)
+         |  WHERE doc_id % 97 <> 0),
+         |toklist AS (
+         |  SELECT doc_id, i AS p, t[i] AS tok
+         |  FROM toks, unnest(CASE WHEN len(t) = 0 THEN [] ELSE range(1, len(t)+1) END) u(i)
+         |  WHERE doc_id % 97 <> 0),
+         |kept AS (
+         |  SELECT k.doc_id,
+         |    string_agg(k.tok, ' ' ORDER BY k.p) AS clean_text,
+         |    CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM toklist k LEFT JOIN covered c ON k.doc_id = c.doc_id AND k.p = c.p
+         |  WHERE c.doc_id IS NULL GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(k.clean_text, '') AS clean_text,
+         |  CAST(len(${LlmQueries.toksSql}) AS BIGINT) AS n_tokens,
+         |  CAST(len(${LlmQueries.toksSql}) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM documents d LEFT JOIN kept k USING (doc_id)
+         |WHERE d.doc_id % 97 <> 0""".stripMargin) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val benchShingles = docs.filter(col("doc_id") % 97 === 0)
+        .select(explode(Text.shingles(Text.tokens(col("text")), 3)).as("s"))
+        .distinct()
+      Dedup.stripSpans(docs.filter(col("doc_id") % 97 =!= 0),
+        "doc_id", "text", 3, benchShingles)
     })
 }

@@ -162,4 +162,31 @@ class GovernanceSpec extends SparkSuite {
     assert(out.filter(_._1 == 2L) == Seq((2L, 0, 1, 2)))
     assert(!out.exists(_._1 == 3L))
   }
+
+  test("span decontamination: bench docs excluded, removal counts " +
+      "reconcile, every flagged doc loses spans, clean docs untouched") {
+    val out = graft.SparkEntry
+      .queries("q161_span_decontamination")(spark, sfDir())
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty && out.forall(_._1 % 97 != 0),
+      "benchmark docs must not appear in the cleaned corpus")
+    out.foreach { case (id, clean, nTok, nRem) =>
+      assert(nRem >= 0 && nRem <= nTok, s"doc $id removal out of range")
+      val keptTokens =
+        if (clean.isEmpty) 0 else clean.split(' ').length
+      assert(keptTokens == nTok - nRem, s"doc $id token accounting")
+    }
+    // q89 flags contaminated docs; each must lose at least one span here
+    val flagged = graft.SparkEntry.queries("q89_decontamination")(spark, sfDir())
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val removedBy = out.map(r => r._1 -> r._4).toMap
+    flagged.foreach(id =>
+      assert(removedBy(id) > 0, s"contaminated doc $id lost no spans"))
+    // docs not flagged by q89 share no 3-gram with the bench set —
+    // their text survives verbatim (token-joined)
+    out.filter(r => !flagged(r._1)).take(50).foreach { case (id, _, _, nRem) =>
+      assert(nRem == 0, s"unflagged doc $id was rewritten")
+    }
+  }
 }

@@ -276,4 +276,28 @@ class LinkageSpec extends SparkSuite {
     assert(BigDecimal(agg.getDouble(4)).abs <= tol * 2, "drift must net ~0")
     out.unpersist()
   }
+
+  test("robust outliers: median and MAD are genuine group order " +
+      "statistics and the outlier count replays row by row") {
+    val rows = graft.SparkEntry.queries("q162_robust_outliers")(spark, sfDir())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val data = graft.Tables.events(spark, sfDir())
+      .select("event_type", "value")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.foreach { case (et, n, med, mad, nOut) =>
+      val vs = data(et)
+      assert(n == vs.length, s"$et count")
+      val sorted = vs.sorted
+      assert(med == sorted((vs.length + 1) / 2 - 1), s"$et median is not " +
+        "the lower-median order statistic")
+      val devs = vs.map(v => math.abs(v - med)).sorted
+      assert(mad == devs((vs.length + 1) / 2 - 1), s"$et MAD order statistic")
+      assert(nOut == vs.count(v => math.abs(v - med) > 3 * mad),
+        s"$et outlier count replay")
+      assert(nOut < n, s"$et cannot flag everything")
+    }
+  }
 }
