@@ -1515,6 +1515,57 @@ object CurationQueries {
           round(col("n_hit").cast("double") / col("n_exact"), 6))
     },
 
+    // ---- LABEL-NOISE detection via k-NN disagreement (L144): for each
+    // probe vector, the fraction of its 10 nearest neighbors (cosine)
+    // carrying a DIFFERENT label — the confident-learning-style QA pass
+    // that surfaces mislabeled examples before they poison a classifier
+    // head (high disagreement + high neighbor confidence ⇒ suspect
+    // label). Same broadcast brute-force ranking as q26/q98 (the corpus
+    // side never shuffles; at scale the probe set rides the L98 IVF
+    // probe instead, same contract); the oracle replays the full
+    // ranking and the disagreement count, so the verdict itself is
+    // cross-engine-checked.
+    Q(
+      "q163_label_noise_knn", {
+        val kk = 10
+        def dotSql(a: String, b: String) = LlmQueries.foldSumSql(
+          s"list_transform(range(1, 65), i -> $a[i]*$b[i])", "CAST(0 AS DOUBLE)")
+        s"""WITH v AS (
+           |  SELECT vec_id, label,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+           |  FROM embeddings),
+           |ranked AS (
+           |  SELECT q.vec_id AS query_id, q.label AS label,
+           |    c.label AS n_label,
+           |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           |      ${dotSql("q.dv", "c.dv")}
+           |        / (sqrt(${dotSql("q.dv", "q.dv")}) * sqrt(${dotSql("c.dv", "c.dv")})) DESC,
+           |      c.vec_id) AS rn
+           |  FROM v q, v c WHERE q.vec_id < 100 AND c.vec_id <> q.vec_id)
+           |SELECT query_id AS vec_id, CAST(label AS INT) AS label,
+           |  CAST(sum(CASE WHEN n_label <> label THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_diff,
+           |  round(CAST(sum(CASE WHEN n_label <> label THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / $kk, 6) AS disagreement
+           |FROM ranked WHERE rn <= $kk
+           |GROUP BY 1, 2""".stripMargin
+      }) { (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+      val labels = e.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label"))
+      Similarity
+        .topKBruteForce(e, e.filter(col("vec_id") < 100), "vec_id",
+          "embedding", k = 10)
+        .join(broadcast(labels), Seq("neighbor_id"))
+        .join(broadcast(e.select(col("vec_id").as("query_id"),
+          col("label"))), Seq("query_id"))
+        .groupBy(col("query_id").as("vec_id"), col("label"))
+        .agg(sum(when(col("n_label") =!= col("label"), 1L).otherwise(0L))
+          .as("n_diff"))
+        .withColumn("disagreement",
+          round(col("n_diff").cast("double") / 10, 6))
+    },
+
     // ---- RECENCY HALF-LIFE weighting (L136): freshness-weighted
     // sampling for continuously-refreshed training mixes — each record's
     // weight halves per 90-day period of age, and the deterministic

@@ -268,4 +268,22 @@ class SelectionSpec extends SparkSuite {
       assert(byPeriod(byPeriod.keys.max) < byPeriod(0L),
         "oldest period must keep a smaller fraction than the freshest")
   }
+
+  test("label-noise knn: every probe scored over exactly k neighbors, " +
+      "disagreement is the k-quantized fraction of n_diff") {
+    val rows = graft.SparkEntry.queries("q163_label_noise_knn")(spark, sfDir())
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val e = graft.Tables.embeddings(spark, sfDir())
+    val probes = e.filter(col("vec_id") < 100).count()
+    assert(rows.length == probes, "every probe vector must be scored")
+    val labelOf = e.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { case (id, label, nDiff, dis) =>
+      assert(label == labelOf(id), s"probe $id label passthrough")
+      assert(nDiff >= 0 && nDiff <= 10, s"probe $id n_diff range")
+      assert(math.abs(dis - math.round(nDiff / 10.0 * 1e6) / 1e6) < 1e-9,
+        s"probe $id disagreement quantization")
+    }
+  }
 }
