@@ -478,6 +478,56 @@ object CorpusStatsQueries {
             .cast("double"))
     },
 
+    // ---- TOKEN-MASS GINI per source (L145): how concentrated each
+    // source's token mass is across its documents — the balance audit
+    // behind per-source length caps (a source whose Gini ≈ 1 is a few
+    // mega-documents wearing a source label; mixture weights computed
+    // on doc counts then misstate its token share). Exact integer
+    // arithmetic end to end: rank docs ascending by token count inside
+    // the source (window on the source key), S = Σ rank·tokens and
+    // T = Σ tokens are BIGINT sums, Gini = (2S − (n+1)T) / (nT) rounds
+    // in integer space — no float summation anywhere. Ties rank
+    // deterministically and cannot change S (equal values commute).
+    Q(
+      "q164_token_gini",
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(${LlmQueries.toksSql}) AS BIGINT) AS ntok
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, ntok,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY ntok, doc_id) AS BIGINT) AS rk
+         |  FROM t),
+         |g AS (
+         |  SELECT source,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(ntok) AS BIGINT) AS total_tokens,
+         |    CAST(sum(rk * ntok) AS BIGINT) AS s
+         |  FROM r GROUP BY source)
+         |SELECT source, n_docs, total_tokens,
+         |  CAST(((2 * (2 * CAST(s AS HUGEINT) - (n_docs + 1) * total_tokens) * 1000000
+         |      + n_docs * CAST(total_tokens AS HUGEINT))
+         |    // (2 * n_docs * CAST(total_tokens AS HUGEINT)))
+         |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS gini
+         |FROM g""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          size(Text.tokens(col("text"))).cast("long").as("ntok"))
+      val w = Window.partitionBy("source").orderBy(col("ntok"), col("doc_id"))
+      t.withColumn("rk", row_number().over(w).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ntok").as("total_tokens"),
+          sum(col("rk") * col("ntok")).as("s"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          ExactRound.roundRatio(
+            lit(2) * col("s") - (col("n_docs") + 1) * col("total_tokens"),
+            col("n_docs") * col("total_tokens"), 6)
+            .cast("double").as("gini"))
+    },
+
     // ---- CROSS-SOURCE DUPLICATION MATRIX (L140b→q160): near-dup PAIR
     // counts between source pairs — which sources copy which (mirror
     // sites, syndication, scraped re-posts). Complements q110's

@@ -196,4 +196,29 @@ class CorpusStatsSpec extends SparkSuite {
     assert(rows.map(_._3).sum == totalPairs,
       "matrix cells must partition the pair stream exactly")
   }
+
+  test("token gini: valid range, counts reconcile, and a brute-force " +
+      "per-source replay matches") {
+    val rows = graft.SparkEntry.queries("q164_token_gini")(spark, sfDir())
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val data = graft.Tables.documents(spark, sfDir())
+      .select(col("source"), col("doc_id"),
+        size(graft.ops.Text.tokens(col("text"))).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { case (src, n, total, gini) =>
+      val docs = data(src)
+      assert(n == docs.length && total == docs.map(_._3).sum, s"$src counts")
+      assert(gini >= 0.0 && gini < 1.0, s"$src gini out of range")
+      val xs = docs.map(_._3).sorted
+      val s = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val num = BigInt(2) * s - BigInt(n + 1) * total
+      val den = BigInt(n) * total
+      val expect = (BigDecimal(num) / BigDecimal(den))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(gini == expect, s"$src gini replay: got $gini want $expect")
+    }
+  }
 }
