@@ -19,6 +19,33 @@ import org.apache.spark.sql.types.DecimalType
   */
 object CorpusStatsQueries {
 
+  /** Shared novelty oracle (q157/q158/q165): first-owner counts over the
+    * full corpus, restricted by `where` at the boundary. */
+  private[queries] def noveltyOracleSql(where: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${LlmQueries.toksSql} AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, ${LlmQueries.shinglesSql} AS s FROM toks),
+       |hvt AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(s, x -> ${LlmQueries.strHashSql("x")})) AS hv
+       |  FROM sh WHERE len(s) > 0),
+       |e AS (
+       |  SELECT doc_id, h FROM hvt, unnest(hv) u(h)),
+       |own AS (
+       |  SELECT h, min(doc_id) AS owner FROM e GROUP BY h),
+       |per AS (
+       |  SELECT e.doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_shingles,
+       |    CAST(sum(CASE WHEN o.owner = e.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_novel
+       |  FROM e JOIN own o USING (h) GROUP BY e.doc_id)
+       |SELECT doc_id, n_shingles, n_novel,
+       |  CAST(((2 * CAST(n_novel AS HUGEINT) * 1000000 + n_shingles)
+       |    // (2 * CAST(n_shingles AS HUGEINT)))
+       |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS novelty
+       |FROM per $where""".stripMargin
+
   /** Vocab sizes for the coverage curve — spaced to bracket the fixture
     * vocabulary (the SQL literal and the Spark stack() share this). */
   private val VocabSizes = Seq(100, 1000, 5000, 20000)
@@ -376,29 +403,7 @@ object CorpusStatsQueries {
     // this operator.
     Q(
       "q157_first_occurrence_novelty",
-      s"""WITH toks AS (
-         |  SELECT doc_id, ${LlmQueries.toksSql} AS t FROM documents),
-         |sh AS (
-         |  SELECT doc_id, ${LlmQueries.shinglesSql} AS s FROM toks),
-         |hvt AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(s, x -> ${LlmQueries.strHashSql("x")})) AS hv
-         |  FROM sh WHERE len(s) > 0),
-         |e AS (
-         |  SELECT doc_id, h FROM hvt, unnest(hv) u(h)),
-         |own AS (
-         |  SELECT h, min(doc_id) AS owner FROM e GROUP BY h),
-         |per AS (
-         |  SELECT e.doc_id,
-         |    CAST(count(*) AS BIGINT) AS n_shingles,
-         |    CAST(sum(CASE WHEN o.owner = e.doc_id THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_novel
-         |  FROM e JOIN own o USING (h) GROUP BY e.doc_id)
-         |SELECT doc_id, n_shingles, n_novel,
-         |  CAST(((2 * CAST(n_novel AS HUGEINT) * 1000000 + n_shingles)
-         |    // (2 * CAST(n_shingles AS HUGEINT)))
-         |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS novelty
-         |FROM per""".stripMargin) { (spark, dir) =>
+      noveltyOracleSql("")) { (spark, dir) =>
       val hv = Dedup.withShingleHashes(
         Tables.documents(spark, dir).select("doc_id", "text"), "text", 3)
         .filter(size(col("hv")) > 0)
@@ -428,29 +433,7 @@ object CorpusStatsQueries {
     // table); nothing touches historical rows beyond that lookup.
     Q(
       "q158_incremental_novelty",
-      s"""WITH toks AS (
-         |  SELECT doc_id, ${LlmQueries.toksSql} AS t FROM documents),
-         |sh AS (
-         |  SELECT doc_id, ${LlmQueries.shinglesSql} AS s FROM toks),
-         |hvt AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(s, x -> ${LlmQueries.strHashSql("x")})) AS hv
-         |  FROM sh WHERE len(s) > 0),
-         |e AS (
-         |  SELECT doc_id, h FROM hvt, unnest(hv) u(h)),
-         |own AS (
-         |  SELECT h, min(doc_id) AS owner FROM e GROUP BY h),
-         |per AS (
-         |  SELECT e.doc_id,
-         |    CAST(count(*) AS BIGINT) AS n_shingles,
-         |    CAST(sum(CASE WHEN o.owner = e.doc_id THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_novel
-         |  FROM e JOIN own o USING (h) GROUP BY e.doc_id)
-         |SELECT doc_id, n_shingles, n_novel,
-         |  CAST(((2 * CAST(n_novel AS HUGEINT) * 1000000 + n_shingles)
-         |    // (2 * CAST(n_shingles AS HUGEINT)))
-         |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS novelty
-         |FROM per WHERE doc_id % 3 = 0""".stripMargin) { (spark, dir) =>
+      noveltyOracleSql("WHERE doc_id % 3 = 0")) { (spark, dir) =>
       val hv = Dedup.withShingleHashes(
         Tables.documents(spark, dir).select("doc_id", "text"), "text", 3)
         .filter(size(col("hv")) > 0)

@@ -800,6 +800,107 @@ object StatefulQueries {
         (share2 - share1).cast("double").as("share_drift"))
     },
 
+    // ---- Streamed NOVELTY fold (L146): q158's incremental novelty as
+    // an actual stream — batch documents arrive in ASCENDING id order
+    // across micro-batches (ingest-by-id, the natural shape for an
+    // append-only corpus), each micro-batch scores its docs against
+    // the standing shingle-ownership table and folds its own minima
+    // back in with exactly-once `writeOnce` per batch id. Ascending
+    // arrival makes per-arrival scoring equal the full-union scoring
+    // (a later doc can never steal ownership from an earlier one —
+    // its id is larger), so the streamed result is BIT-identical to
+    // q158's batch fold and to the full recompute — the oracle is the
+    // same full-corpus replay. State is the ownership table itself:
+    // O(|shingle universe|) rows in a keyed table (in production a
+    // partitioned index), never in executor memory.
+    Q(
+      "q165_stream_novelty",
+      CorpusStatsQueries.noveltyOracleSql("WHERE doc_id % 3 = 0")) {
+      (spark, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.Streams
+      val root = graft.Tmp.dir("graft-q165").toString
+      val ownPath = s"$root/own"
+      val resPath = s"$root/res"
+      val docs = Tables.documents(spark, dir)
+      val hvAll = Dedup.withShingleHashes(
+        docs.select("doc_id", "text"), "text", 3)
+        .filter(size(col("hv")) > 0)
+        .select(col("doc_id"), col("hv"))
+      val standing0 = hvAll.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), explode(col("hv")).as("h"))
+        .groupBy("h").agg(min("doc_id").as("owner"))
+      graft.Meta.Versioned.write(standing0, ownPath)
+      graft.Meta.Versioned.write(
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_shingles",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_novel",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("novelty",
+              org.apache.spark.sql.types.DoubleType)))), resPath)
+      implicit val ctx = spark.sqlContext
+      import spark.implicits._
+      val feed = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val (b1, b2) = feed.splitAt(feed.length / 2)
+      val ms = MemoryStream[(Long, String)]
+      @volatile var lastBid = -1L
+      val fold = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {
+        if (bid > lastBid) lastBid = bid
+        val bsh = Dedup.withShingleHashes(
+          batch.toDF("doc_id", "text"), "text", 3)
+          .filter(size(col("hv")) > 0)
+          .select(col("doc_id"), explode(col("hv")).as("h"))
+          .localCheckpoint()
+        val bOwn = bsh.groupBy("h").agg(min("doc_id").as("b_owner"))
+        val standing = graft.Meta.Versioned.read(spark, ownPath)
+        val folded = bOwn.join(standing, Seq("h"), "left")
+          .select(col("h"),
+            least(coalesce(col("owner"), col("b_owner")), col("b_owner"))
+              .as("owner"))
+          .localCheckpoint()
+        val scored = bsh.join(folded, Seq("h"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .withColumn("novelty",
+            graft.functions.ExactRound
+              .roundRatio(col("n_novel"), col("n_shingles"), 6)
+              .cast("double"))
+        graft.Meta.Versioned.writeOnce(
+          standing.join(bOwn, Seq("h"), "left_anti").unionByName(folded),
+          ownPath, "q165own", bid)
+        graft.Meta.Versioned.writeOnce(
+          graft.Meta.Versioned.read(spark, resPath).unionByName(scored),
+          resPath, "q165res", bid)
+        ()
+      }
+      Streams.withShufflePartitions(spark, 4) {
+        val q = ms.toDF().toDF("doc_id", "text").writeStream
+          .foreachBatch(fold)
+          .outputMode("update")
+          .option("checkpointLocation", s"$root/cp")
+          .start()
+        try {
+          ms.addData(b1)
+          q.processAllAvailable()
+          ms.addData(b2)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      // at-least-once replay of the final batch: writeOnce must make the
+      // double-applied fold a no-op on both tables
+      fold(b2.toSeq.toDF("doc_id", "text"), lastBid)
+      graft.Meta.Versioned.read(spark, resPath)
+    },
+
     // ---- Streaming HEAVY HITTERS (L103): q53 run as continuous ingest.
     // Candidates: per-micro-batch Misra–Gries sketches, unioned — the
     // superset guarantee COMPOSES across batches by pigeonhole (a term

@@ -156,6 +156,21 @@ class CorpusStatsSpec extends SparkSuite {
       "fold(standing, batch) must equal CC of the union — the q119 contract")
   }
 
+  test("streamed novelty: micro-batched ascending-id ingest with a " +
+      "replayed final batch equals the batch fold bit for bit") {
+    val streamed = graft.SparkEntry
+      .queries("q165_stream_novelty")(spark, sfDir())
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+    val batch = graft.SparkEntry
+      .queries("q158_incremental_novelty")(spark, sfDir())
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq,
+      "streamed fold diverged from the one-shot incremental fold")
+  }
+
   test("minhash calibration: estimates are k-quantized fractions in " +
       "[0,1], exact J valid, and every q23 near-dup pair is measured") {
     val rows = graft.SparkEntry
