@@ -511,6 +511,40 @@ object CorpusStatsQueries {
             .cast("double").as("gini"))
     },
 
+    // ---- EXACT-DUP PROVENANCE (L147): per content hash, how many
+    // copies exist, across how many sources, and WHICH document carried
+    // it first (min id = earliest ingest under the append-only id
+    // order) — the attribution index behind "who published first"
+    // licensing/takedown questions and the canonical-copy choice exact
+    // dedup needs. One hash aggregate on md5(text) (identical string
+    // on both engines) + one id-keyed join back for the first carrier's
+    // source; linear, no text ever shuffled beyond its 32-char digest.
+    Q(
+      "q166_exact_dup_provenance",
+      """WITH h AS (
+        |  SELECT doc_id, source, md5(text) AS content_hash FROM documents),
+        |g AS (
+        |  SELECT content_hash,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |    min(doc_id) AS first_doc_id
+        |  FROM h GROUP BY 1)
+        |SELECT g.content_hash, g.n_docs, g.n_sources, g.first_doc_id,
+        |  h.source AS first_source
+        |FROM g JOIN h ON h.doc_id = g.first_doc_id""".stripMargin) {
+      (spark, dir) =>
+      val h = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("content_hash"))
+      val g = h.groupBy("content_hash")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("source").as("n_sources"),
+          min("doc_id").as("first_doc_id"))
+      g.join(h.select(col("doc_id").as("first_doc_id"),
+          col("source").as("first_source")), Seq("first_doc_id"))
+        .select("content_hash", "n_docs", "n_sources", "first_doc_id",
+          "first_source")
+    },
+
     // ---- CROSS-SOURCE DUPLICATION MATRIX (L140b→q160): near-dup PAIR
     // counts between source pairs — which sources copy which (mirror
     // sites, syndication, scraped re-posts). Complements q110's

@@ -212,6 +212,24 @@ class CorpusStatsSpec extends SparkSuite {
       "matrix cells must partition the pair stream exactly")
   }
 
+  test("exact-dup provenance: clusters partition the corpus, the first " +
+      "carrier is the cluster minimum and wears its own source") {
+    val rows = graft.SparkEntry
+      .queries("q166_exact_dup_provenance")(spark, sfDir())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val docs = graft.Tables.documents(spark, sfDir())
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.map(_._2).sum == docs.size,
+      "cluster sizes must partition the corpus")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (hash, n, nSrc, first, firstSrc) =>
+      assert(n >= 1 && nSrc >= 1 && nSrc <= n, s"$hash counts")
+      assert(docs(first) == firstSrc, s"$hash first carrier source")
+    }
+  }
+
   test("token gini: valid range, counts reconcile, and a brute-force " +
       "per-source replay matches") {
     val rows = graft.SparkEntry.queries("q164_token_gini")(spark, sfDir())
