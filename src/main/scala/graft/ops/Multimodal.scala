@@ -70,4 +70,37 @@ object Multimodal {
   def extract(spark: SparkSession, df: DataFrame, idCol: String,
       textCol: String): DataFrame =
     decodeFeatures(asMedia(df, idCol, textCol)).toDF()
+
+  /** One row per SAMPLED frame — the materialized shape a video
+    * pipeline hands to a feature extractor (offset table + per-frame
+    * payload stats). Every `sampleEvery`-th `frameSize`-byte frame,
+    * 0-based frame index and byte offset, final frame may be short.
+    * flatMap-per-partition is the real plumbing (codec init once per
+    * partition, frames streamed — a doc's frames never buffer in one
+    * row); the per-frame checksum is the deterministic decode STUB the
+    * oracle replays byte for byte. */
+  final case class FrameRow(doc_id: Long, frame_idx: Int, offset: Int,
+      n_bytes: Int, frame_checksum: Long)
+
+  def sampleFrames(ds: Dataset[MediaDoc], frameSize: Int = 256,
+      sampleEvery: Int = 4): Dataset[FrameRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { iter =>
+      // real impl: initialize the codec ONCE here, per partition
+      iter.flatMap { m =>
+        val bytes = m.content
+        val n = bytes.length
+        val nFrames = (n + frameSize - 1) / frameSize
+        (0 until nFrames).iterator.filter(_ % sampleEvery == 0).map { i =>
+          val off = i * frameSize
+          val len = math.min(frameSize, n - off)
+          var s = 0L
+          var j = off
+          while (j < off + len) { s = (s + (bytes(j) & 0xff)) % 65536L; j += 1 }
+          FrameRow(m.doc_id, i, off, len, s)
+        }
+      }
+    }
+  }
 }

@@ -474,5 +474,35 @@ object LlmQueries {
       val ascii = Tables.documents(spark, dir)
         .withColumn("text", regexp_replace(col("text"), "[^ -~]", ""))
       Multimodal.extract(spark, ascii, "doc_id", "text")
+    },
+
+    // ---- FRAME-SAMPLE TABLE (L148): q30's frame arithmetic
+    // materialized as the table a video pipeline actually hands to its
+    // feature extractor — one row per SAMPLED frame with the 0-based
+    // frame index, byte offset, (possibly short) frame length, and the
+    // per-frame payload checksum (the deterministic decode stub). The
+    // Spark side is flatMap-per-partition over the binary payload —
+    // codec init once per partition, frames streamed, never buffered
+    // per row — and the oracle replays every frame's byte range.
+    Q(
+      "q167_frame_sample",
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS text FROM documents),
+         |f AS (
+         |  SELECT doc_id, text, i AS frame_idx
+         |  FROM d, unnest(range(0, (length(text) + 255) // 256)) u(i)
+         |  WHERE i % 4 = 0)
+         |SELECT doc_id,
+         |  CAST(frame_idx AS INT) AS frame_idx,
+         |  CAST(frame_idx * 256 AS INT) AS "offset",
+         |  CAST(least(256, length(text) - frame_idx * 256) AS INT) AS n_bytes,
+         |  ${foldSumSql(
+              "list_transform(range(frame_idx*256 + 1, frame_idx*256 + least(256, length(text) - frame_idx*256) + 1), i -> CAST(ascii(substr(text,i,1)) AS BIGINT))",
+              "CAST(0 AS BIGINT)", "(a + x) % 65536")} AS frame_checksum
+         |FROM f""".stripMargin) { (spark, dir) =>
+      val ascii = Tables.documents(spark, dir)
+        .withColumn("text", regexp_replace(col("text"), "[^ -~]", ""))
+      Multimodal.sampleFrames(
+        Multimodal.asMedia(ascii, "doc_id", "text")).toDF()
     })
 }

@@ -23,4 +23,25 @@ class MultimodalSpec extends SparkSuite {
     assert(m.mime == "text/plain")
     assert(new String(m.content) == "abc")
   }
+
+  test("sampleFrames: every 4th frame, short tail, per-frame checksums, " +
+      "empty payload yields no frames") {
+    // 1500 bytes → ceil(1500/256) = 6 frames, sampled 0 and 4;
+    // frame 4 starts at 1024 and is 256 bytes, frame 5 (unsampled) short
+    val df = Seq((1L, "y" * 1500), (2L, "")).toDF("doc_id", "text")
+    val out = Multimodal
+      .sampleFrames(Multimodal.asMedia(df, "doc_id", "text"))
+      .collect().sortBy(f => (f.doc_id, f.frame_idx))
+    assert(out.map(f => (f.doc_id, f.frame_idx)).toSeq == Seq((1L, 0), (1L, 4)))
+    out.foreach { f =>
+      assert(f.offset == f.frame_idx * 256)
+      assert(f.n_bytes == math.min(256, 1500 - f.offset))
+      assert(f.frame_checksum == (f.n_bytes.toLong * 'y') % 65536L)
+    }
+    // frame rows reconcile with decodeFeatures' sampled count
+    val feats = Multimodal
+      .decodeFeatures(Multimodal.asMedia(df, "doc_id", "text"))
+      .collect().map(x => x.doc_id -> x.n_sampled).toMap
+    assert(feats(1L) == 2 && feats(2L) == 0)
+  }
 }
