@@ -511,6 +511,75 @@ object CorpusStatsQueries {
             .cast("double").as("gini"))
     },
 
+    // ---- POST-DEDUP SURVIVAL by source (L149): after near-dup cluster
+    // resolution, what fraction of each source's documents AND tokens
+    // survives keep-one-per-cluster — the number that tells you dedup
+    // just changed your effective source mixture (a template-heavy
+    // source can lose most of its token mass, so pre-dedup mixture
+    // weights silently misallocate the budget; recompute weights on
+    // the SURVIVING token counts). L3 pairs + L25 components + one
+    // metadata join + a |sources|-row rollup; survival ratios round in
+    // integer space and present DOUBLE.
+    Q(
+      "q168_dedup_survival_by_source",
+      s"""WITH RECURSIVE ${LlmQueries.simhashCtes},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b USING (band, band_key)
+         |  WHERE a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.sim, b.sim)) <= 3),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT DISTINCT src AS id, src AS comp FROM edges
+         |  UNION
+         |  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+         |cmp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+         |lab AS (
+         |  SELECT d.doc_id, d.source,
+         |    CAST(len(${LlmQueries.toksSql}) AS BIGINT) AS ntok,
+         |    coalesce(c.component, d.doc_id) = d.doc_id AS keep
+         |  FROM documents d LEFT JOIN cmp c ON c.id = d.doc_id)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN keep THEN ntok ELSE 0 END) AS BIGINT)
+         |    AS n_tokens_kept,
+         |  CAST(((2 * CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
+         |      + count(*)) // (2 * CAST(count(*) AS HUGEINT)))
+         |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS doc_survival,
+         |  CASE WHEN sum(ntok) = 0 THEN NULL ELSE
+         |    CAST(((2 * CAST(sum(CASE WHEN keep THEN ntok ELSE 0 END) AS HUGEINT) * 1000000
+         |        + sum(ntok)) // (2 * CAST(sum(ntok) AS HUGEINT)))
+         |      * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) END AS token_survival
+         |FROM lab GROUP BY source""".stripMargin) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+        bands = 4, maxHamming = 3)
+      val verdicts = Components
+        .resolveClusters(docs, "doc_id", pairs, "id_a", "id_b")
+        .select(col("doc_id"), col("keep"))
+      docs.select(col("doc_id"), col("source"),
+          size(Text.tokens(col("text"))).cast("long").as("ntok"))
+        .join(verdicts, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum("ntok").as("n_tokens"),
+          sum(when(col("keep"), col("ntok")).otherwise(0L))
+            .as("n_tokens_kept"))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          col("n_tokens"), col("n_tokens_kept"),
+          ExactRound.roundRatio(col("n_kept"), col("n_docs"), 6)
+            .cast("double").as("doc_survival"),
+          when(col("n_tokens") === 0, lit(null).cast("double"))
+            .otherwise(ExactRound
+              .roundRatio(col("n_tokens_kept"), col("n_tokens"), 6)
+              .cast("double")).as("token_survival"))
+    },
+
     // ---- EXACT-DUP PROVENANCE (L147): per content hash, how many
     // copies exist, across how many sources, and WHICH document carried
     // it first (min id = earliest ingest under the append-only id

@@ -212,6 +212,29 @@ class CorpusStatsSpec extends SparkSuite {
       "matrix cells must partition the pair stream exactly")
   }
 
+  test("dedup survival: counts reconcile with the corpus and with q49's " +
+      "verdicts, ratios are valid fractions") {
+    val rows = graft.SparkEntry
+      .queries("q168_dedup_survival_by_source")(spark, sfDir())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    val docs = graft.Tables.documents(spark, sfDir())
+    assert(rows.map(_._2).sum == docs.count(), "per-source docs cover corpus")
+    rows.foreach { case (src, n, kept, tok, tokKept, ds, ts) =>
+      assert(kept >= 1 && kept <= n, s"$src kept range")
+      assert(tokKept >= 0 && tokKept <= tok, s"$src token range")
+      assert(ds > 0.0 && ds <= 1.0 && ts >= 0.0 && ts <= 1.0, s"$src ratios")
+    }
+    // total kept must equal the number of cluster survivors (one per
+    // component plus singletons) from the resolution itself
+    val pairs = graft.ops.Dedup.simhashPairs(docs, "doc_id", "text",
+      bands = 4, maxHamming = 3)
+    val keepTotal = graft.ops.Components
+      .resolveClusters(docs, "doc_id", pairs, "id_a", "id_b")
+      .filter(col("keep")).count()
+    assert(rows.map(_._3).sum == keepTotal, "survivor totals reconcile")
+  }
+
   test("exact-dup provenance: clusters partition the corpus, the first " +
       "carrier is the cluster minimum and wears its own source") {
     val rows = graft.SparkEntry
