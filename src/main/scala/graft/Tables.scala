@@ -19,7 +19,75 @@ object Tables {
   /** Generic parquet table scan (reference: jobs/silver/silver_builder.py:93). */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    else {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      assertFixtureSchema(name, df.schema)
+      df
+    }
+
+  /** Expected fixture schemas — the contract the driver's TESTDATA
+    * generator has actually shipped, as Spark reads it. The driver
+    * regenerates the fixtures between rounds and has already flipped an
+    * encoding mid-round (events.ts, round 10, two lost hours); every
+    * load asserts the full schema and fails NAMING the drifted column,
+    * so the next regeneration is a one-line diagnosis instead of a
+    * cryptic downstream analysis error. Columns with several historical
+    * or equivalent encodings list every allowed `simpleString`
+    * (events.ts: INT64 TIMESTAMP(NANOS) read as bigint under
+    * nanosAsLong, native micros read as timestamp_ntz — or timestamp if
+    * the generator ever stamps isAdjustedToUTC). */
+  private val FixtureSchemas: Map[String, Seq[(String, Set[String])]] = {
+    val tsEnc = Set("bigint", "timestamp_ntz", "timestamp")
+    Map(
+      "region" -> Seq("r_regionkey" -> Set("int"), "r_name" -> Set("string")),
+      "nation" -> Seq("n_nationkey" -> Set("int"), "n_name" -> Set("string"),
+        "n_regionkey" -> Set("int")),
+      "customer" -> Seq("c_custkey" -> Set("bigint"), "c_name" -> Set("string"),
+        "c_nationkey" -> Set("int"), "c_acctbal" -> Set("double"),
+        "c_mktsegment" -> Set("string")),
+      "supplier" -> Seq("s_suppkey" -> Set("bigint"), "s_name" -> Set("string"),
+        "s_nationkey" -> Set("int"), "s_acctbal" -> Set("double")),
+      "part" -> Seq("p_partkey" -> Set("bigint"), "p_name" -> Set("string"),
+        "p_brand" -> Set("string"), "p_type" -> Set("string"),
+        "p_size" -> Set("int"), "p_retailprice" -> Set("double")),
+      "orders" -> Seq("o_orderkey" -> Set("bigint"), "o_custkey" -> Set("bigint"),
+        "o_orderstatus" -> Set("string"), "o_totalprice" -> Set("double"),
+        "o_orderdate" -> tsEnc, "o_orderpriority" -> Set("string")),
+      "lineitem" -> Seq("l_orderkey" -> Set("bigint"), "l_partkey" -> Set("bigint"),
+        "l_suppkey" -> Set("bigint"), "l_linenumber" -> Set("int"),
+        "l_quantity" -> Set("double"), "l_extendedprice" -> Set("double"),
+        "l_discount" -> Set("double"), "l_tax" -> Set("double"),
+        "l_returnflag" -> Set("string"), "l_linestatus" -> Set("string"),
+        "l_shipdate" -> tsEnc),
+      "events" -> Seq("event_id" -> Set("bigint"), "ts" -> tsEnc,
+        "user_id" -> Set("bigint"), "event_type" -> Set("string"),
+        "value" -> Set("double"), "props" -> Set("string")),
+      "documents" -> Seq("doc_id" -> Set("bigint"), "text" -> Set("string"),
+        "lang" -> Set("string"), "source" -> Set("string"),
+        "n_chars" -> Set("bigint")),
+      "embeddings" -> Seq("vec_id" -> Set("bigint"),
+        "embedding" -> Set("array<float>"), "label" -> Set("int")))
+  }
+
+  /** Fail fast, naming every drifted/missing/extra column, when a
+    * fixture's as-read schema leaves the contract above. */
+  private[graft] def assertFixtureSchema(
+      name: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+    val expected = FixtureSchemas.getOrElse(name,
+      throw new IllegalStateException(s"no fixture-schema contract for '$name'"))
+    val actual = schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val problems =
+      expected.collect {
+        case (c, _) if !actual.contains(c) => s"$c: MISSING"
+        case (c, ok) if !ok(actual(c)) =>
+          s"$c: expected ${ok.mkString("|")}, found ${actual(c)}"
+      } ++
+        (actual.keySet -- expected.map(_._1)).toSeq.sorted
+          .map(c => s"$c: UNEXPECTED (${actual(c)})")
+    if (problems.nonEmpty) throw new IllegalStateException(
+      s"fixture schema drift in '$name' (driver regenerated TESTDATA? " +
+        s"see Tables.FixtureSchemas): ${problems.mkString("; ")}")
+  }
 
   /** The events fixture has shipped `ts` two ways across driver rounds:
     * parquet INT64 TIMESTAMP(NANOS) — which Spark 4 refuses by default
@@ -36,22 +104,29 @@ object Tables {
     // smoke check) that didn't. Idempotent — the value is always "true".
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
+    assertFixtureSchema("events", raw.schema)
     raw.withColumn("ts", eventsTsNtz(eventsTsIsNanosLong(spark, dir)))
   }
 
   /** True when the events fixture stores ts as INT64 TIMESTAMP(NANOS)
-    * (surfaced as LongType under nanosAsLong). Cached per directory —
-    * streaming queries probe this on every source build.
+    * (surfaced as LongType under nanosAsLong). Cached per (directory,
+    * file mtime, file size) — streaming queries probe this on every
+    * source build, but fixture directories are REGENERATED IN PLACE
+    * between driver rounds (the encoding flipped once already), so a
+    * directory-only key would pin a stale verdict for the JVM lifetime
+    * and build a mismatched stream schema after a regeneration.
     */
-  def eventsTsIsNanosLong(spark: SparkSession, dir: String): Boolean =
-    tsKindCache.computeIfAbsent(dir, { d =>
+  def eventsTsIsNanosLong(spark: SparkSession, dir: String): Boolean = {
+    val f = new java.io.File(s"$dir/events.parquet")
+    tsKindCache.computeIfAbsent((dir, f.lastModified, f.length), { _ =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      Boolean.box(spark.read.parquet(s"$d/events.parquet")
+      Boolean.box(spark.read.parquet(s"$dir/events.parquet")
         .schema("ts").dataType == org.apache.spark.sql.types.LongType)
     })
+  }
 
   private val tsKindCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Boolean]()
 
   /** Normalized event-time column (wall-clock NTZ) for either encoding. */
   def eventsTsNtz(isNanosLong: Boolean): org.apache.spark.sql.Column =

@@ -173,6 +173,12 @@ object Dedup {
     * RAW 32-bit hash (not the mod-P MinHash domain) so bit 31 is live. */
   val SimHashBits = 32
 
+  /** The shared default for [[simhashPairsCapped]]'s per-bucket degree
+    * cap — one constant so every capped consumer (q151/q152/q156/q160/
+    * q168) and its DuckDB oracle replay the SAME bound; q156's degree
+    * profile is the measurement that re-sizes it. */
+  val DefaultDegreeCap = 16
+
   /** SimHash fingerprint over the doc's token-hash multiset: bit j is set
     * iff the sum over tokens of (bit_j(hash)·2 − 1) is positive. Near-dup
     * docs differ in few bits. Compiled single-pass kernel

@@ -97,7 +97,12 @@ object Text {
       struct(stopwordHits(toks, words).as("s"), lit(-i).as("ni"), lit(lang).as("lang"))
     }
     val best = array_max(array(entries: _*))
-    when(best.getField("s") <= 0, lit("und")).otherwise(best.getField("lang"))
+    // null toks → null per-language scores; under sizeOfNull=false the
+    // `s <= 0` test is then NULL and the otherwise-branch would leak
+    // best.lang ('en') where the pre-round-10 foldLeft said 'und'. Gate
+    // on a strictly-positive hit instead so null scores fall to 'und'
+    // regardless of the legacy-config setting.
+    when(best.getField("s") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
   /** 1-based start offsets of sliding context-window chunks over a

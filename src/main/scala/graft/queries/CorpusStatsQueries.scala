@@ -347,24 +347,32 @@ object CorpusStatsQueries {
     },
 
     // ---- NEAR-DUP DEGREE PROFILE (L137): the degree distribution of
-    // the SimHash dup graph in power-of-two buckets — the measurement
-    // that SIZES L132's degree cap (set cap above the mass of the
-    // distribution, let the hub tail spill to full recompute) and the
-    // early-warning for mega-components (a heavy top bucket says the
-    // touched-component bound is about to degenerate). One count per
-    // endpoint over the pair stream, a branch-ladder bucket (pure
-    // integer compares — no float log2 at the oracle boundary), and a
-    // |buckets|-row rollup; linear end to end.
+    // the CAPPED SimHash candidate graph (L132) in power-of-two buckets
+    // — the measurement that SIZES L132's degree cap (a heavy top bucket
+    // at the current cap says raise it / schedule the full-recompute
+    // reconciliation sooner) and the early-warning for mega-components.
+    // The profile deliberately consumes the capped stream, not the exact
+    // one: the capped graph is what the production folds actually ingest
+    // (the exact stream is quadratic in bucket populations on a
+    // template-heavy corpus — the round-10 sf1 probe rode a 27× pair
+    // explosion to 9× wall), and its degree mass IS the cap-sizing
+    // decision input. One count per endpoint over the capped stream, a
+    // branch-ladder bucket (pure integer compares — no float log2 at the
+    // oracle boundary), and a |buckets|-row rollup; linear end to end.
     Q(
       "q156_neardup_degree_profile", {
         val ladder = (30 to 1 by -1).map(k =>
           s"WHEN degree >= ${1L << k} THEN CAST(${1L << k} AS BIGINT)")
           .mkString("\n    ")
         s"""WITH RECURSIVE ${LlmQueries.simhashCtes},
+           |ranked AS (
+           |  SELECT doc_id, sim, band, band_key,
+           |    row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rk
+           |  FROM banded),
            |pairs AS (
            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM banded a JOIN banded b USING (band, band_key)
-           |  WHERE a.doc_id < b.doc_id
+           |  FROM ranked a JOIN banded b USING (band, band_key)
+           |  WHERE a.rk <= ${Dedup.DefaultDegreeCap} AND a.doc_id < b.doc_id
            |    AND bit_count(xor(a.sim, b.sim)) <= 3),
            |deg AS (
            |  SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
@@ -376,8 +384,9 @@ object CorpusStatsQueries {
            |  CAST(max(degree) AS BIGINT) AS max_degree
            |FROM deg GROUP BY 1""".stripMargin
       }) { (spark, dir) =>
-      val pairs = Dedup.simhashPairs(Tables.documents(spark, dir),
-        "doc_id", "text", bands = 4, maxHamming = 3)
+      val pairs = Dedup.simhashPairsCapped(Tables.documents(spark, dir),
+        "doc_id", "text", bands = 4, maxHamming = 3,
+        cap = Dedup.DefaultDegreeCap)
       val deg = pairs.select(col("id_a").as("id"))
         .unionByName(pairs.select(col("id_b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("degree"))
@@ -489,10 +498,11 @@ object CorpusStatsQueries {
          |    CAST(sum(rk * ntok) AS BIGINT) AS s
          |  FROM r GROUP BY source)
          |SELECT source, n_docs, total_tokens,
-         |  CAST(((2 * (2 * CAST(s AS HUGEINT) - (n_docs + 1) * total_tokens) * 1000000
-         |      + n_docs * CAST(total_tokens AS HUGEINT))
-         |    // (2 * n_docs * CAST(total_tokens AS HUGEINT)))
-         |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS gini
+         |  CASE WHEN total_tokens = 0 THEN NULL ELSE
+         |    CAST(((2 * (2 * CAST(s AS HUGEINT) - (n_docs + 1) * total_tokens) * 1000000
+         |        + n_docs * CAST(total_tokens AS HUGEINT))
+         |      // (2 * n_docs * CAST(total_tokens AS HUGEINT)))
+         |      * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) END AS gini
          |FROM g""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
       val t = Tables.documents(spark, dir)
@@ -505,10 +515,14 @@ object CorpusStatsQueries {
           sum("ntok").as("total_tokens"),
           sum(col("rk") * col("ntok")).as("s"))
         .select(col("source"), col("n_docs"), col("total_tokens"),
-          ExactRound.roundRatio(
-            lit(2) * col("s") - (col("n_docs") + 1) * col("total_tokens"),
-            col("n_docs") * col("total_tokens"), 6)
-            .cast("double").as("gini"))
+          // zero-token guard: a source whose docs all tokenize empty
+          // would divide by zero — DuckDB errors where Spark's floorDiv
+          // NULLs, so both engines pin NULL explicitly (q154/q168 idiom)
+          when(col("total_tokens") === 0, lit(null).cast("double"))
+            .otherwise(ExactRound.roundRatio(
+              lit(2) * col("s") - (col("n_docs") + 1) * col("total_tokens"),
+              col("n_docs") * col("total_tokens"), 6)
+              .cast("double")).as("gini"))
     },
 
     // ---- POST-DEDUP SURVIVAL by source (L149): after near-dup cluster
@@ -517,16 +531,24 @@ object CorpusStatsQueries {
     // just changed your effective source mixture (a template-heavy
     // source can lose most of its token mass, so pre-dedup mixture
     // weights silently misallocate the budget; recompute weights on
-    // the SURVIVING token counts). L3 pairs + L25 components + one
-    // metadata join + a |sources|-row rollup; survival ratios round in
-    // integer space and present DOUBLE.
+    // the SURVIVING token counts). Cluster membership comes from the
+    // CAPPED candidate graph (L132) — the clusters the production fold
+    // maintains and the survivor rule acts on (the exact stream is the
+    // periodic-reconciliation input, not the per-build one; round-10
+    // sf1 probe: 27× pairs, 10× wall on the exact stream). L132 capped
+    // pairs + L25 components + one metadata join + a |sources|-row
+    // rollup; survival ratios round in integer space and present DOUBLE.
     Q(
       "q168_dedup_survival_by_source",
       s"""WITH RECURSIVE ${LlmQueries.simhashCtes},
+         |ranked AS (
+         |  SELECT doc_id, sim, band, band_key,
+         |    row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rk
+         |  FROM banded),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b USING (band, band_key)
-         |  WHERE a.doc_id < b.doc_id
+         |  FROM ranked a JOIN banded b USING (band, band_key)
+         |  WHERE a.rk <= ${Dedup.DefaultDegreeCap} AND a.doc_id < b.doc_id
          |    AND bit_count(xor(a.sim, b.sim)) <= 3),
          |edges AS (
          |  SELECT id_a AS src, id_b AS dst FROM pairs
@@ -556,8 +578,8 @@ object CorpusStatsQueries {
          |      * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) END AS token_survival
          |FROM lab GROUP BY source""".stripMargin) { (spark, dir) =>
       val docs = Tables.documents(spark, dir)
-      val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
-        bands = 4, maxHamming = 3)
+      val pairs = Dedup.simhashPairsCapped(docs, "doc_id", "text",
+        bands = 4, maxHamming = 3, cap = Dedup.DefaultDegreeCap)
       val verdicts = Components
         .resolveClusters(docs, "doc_id", pairs, "id_a", "id_b")
         .select(col("doc_id"), col("keep"))
@@ -618,8 +640,14 @@ object CorpusStatsQueries {
     // counts between source pairs — which sources copy which (mirror
     // sites, syndication, scraped re-posts). Complements q110's
     // shingle-SET overlap: q110 measures shared vocabulary mass between
-    // two sources' unions; this counts actual near-identical document
-    // pairs, the unit dedup acts on. Unordered source pair via
+    // two sources' unions; this counts near-identical document pairs,
+    // the unit dedup acts on. The pair source is the CAPPED candidate
+    // stream (L132) — the matrix is a relative copying-intensity
+    // diagnostic, and inside a template mega-component the exact stream
+    // counts the same source-pair relationship quadratically many times
+    // (round-10 sf1 probe: 27× pairs, 11× wall); the capped stream keeps
+    // every bucket's hub links (so every copying source pair still
+    // appears) at linear volume. Unordered source pair via
     // least/greatest so the matrix is upper-triangular; the source
     // lookup is a metadata join on the doc id (broadcast-shaped here; a
     // co-partitioned id join at corpus scale), then a |sources|²-row
@@ -627,10 +655,14 @@ object CorpusStatsQueries {
     Q(
       "q160_cross_source_dup_matrix",
       s"""WITH ${LlmQueries.simhashCtes},
+         |ranked AS (
+         |  SELECT doc_id, sim, band, band_key,
+         |    row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rk
+         |  FROM banded),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b USING (band, band_key)
-         |  WHERE a.doc_id < b.doc_id
+         |  FROM ranked a JOIN banded b USING (band, band_key)
+         |  WHERE a.rk <= ${Dedup.DefaultDegreeCap} AND a.doc_id < b.doc_id
          |    AND bit_count(xor(a.sim, b.sim)) <= 3),
          |lab AS (
          |  SELECT LEAST(da.source, db.source) AS source_a,
@@ -643,8 +675,8 @@ object CorpusStatsQueries {
          |  source_a = source_b AS within_source
          |FROM lab GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
       val docs = Tables.documents(spark, dir)
-      val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
-        bands = 4, maxHamming = 3)
+      val pairs = Dedup.simhashPairsCapped(docs, "doc_id", "text",
+        bands = 4, maxHamming = 3, cap = Dedup.DefaultDegreeCap)
       val s = docs.select(col("doc_id"), col("source"))
       pairs
         .join(broadcast(s.select(col("doc_id").as("id_a"),

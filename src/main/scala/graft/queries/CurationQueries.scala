@@ -1426,7 +1426,7 @@ object CurationQueries {
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM ranked a JOIN banded b USING (band, band_key)
-         |  WHERE a.rk <= 16 AND a.doc_id < b.doc_id
+         |  WHERE a.rk <= ${Dedup.DefaultDegreeCap} AND a.doc_id < b.doc_id
          |    AND bit_count(xor(a.sim, b.sim)) <= 3),
          |edges AS (
          |  SELECT id_a AS src, id_b AS dst FROM pairs
@@ -1444,7 +1444,7 @@ object CurationQueries {
       (spark, dir) =>
         val docs = Tables.documents(spark, dir)
         val pairs = Dedup.simhashPairsCapped(docs, "doc_id", "text",
-          bands = 4, maxHamming = 3, cap = 16)
+          bands = 4, maxHamming = 3, cap = Dedup.DefaultDegreeCap)
         Components.resolveClusters(docs, "doc_id", pairs, "id_a", "id_b")
     },
 

@@ -17,7 +17,11 @@ object StatefulQueries {
   // The ts physical type varies by fixture vintage (INT64 TIMESTAMP(NANOS)
   // read as long vs native TIMESTAMP(MICROS) read as NTZ) — the stream
   // schema must match the file, so build it per-directory.
-  private def eventsRawSchema(tsIsNanosLong: Boolean) = StructType(Seq(
+  /** Explicit read schema for a file-streamed events fixture under either
+    * ts encoding — streaming readers cannot infer schemas, so every
+    * `readStream` over events builds its schema here (callable repo-wide;
+    * the verify skill's streaming gotcha points at this method). */
+  private[graft] def eventsRawSchema(tsIsNanosLong: Boolean): StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", if (tsIsNanosLong) LongType else TimestampNTZType),
     StructField("user_id", LongType),

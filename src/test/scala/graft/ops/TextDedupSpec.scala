@@ -148,6 +148,56 @@ class TextDedupSpec extends SparkSuite {
       "a capped component spans two exact components")
   }
 
+  test("capped folds + periodic full recompute converge to the exact " +
+      "components (the reconciliation simhashPairsCapped's contract " +
+      "promises)") {
+    // Production shape under test (q151/q152 doc comments): per-batch
+    // incremental folds ingest the CAPPED candidate stream (linear),
+    // and a periodic full recompute (the q49 exact pass) is folded in
+    // to absorb capped-away links. The contract: after reconciliation
+    // the standing labels ARE the exact components — because capped ⊆
+    // exact, CC(capped ∪ exact) = CC(exact), and the fold is exact on
+    // whatever edges it consumes (q119's fold == full-recompute pin).
+    val docs = (1 to 120).map { i =>
+      val cluster = i % 6
+      val toks =
+        if (cluster < 4) (1 to 50).map(j => s"t${cluster}_$j") :+ s"salt$i"
+        else (1 to 50).map(j => s"u${i}_$j")
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val capped = Dedup.simhashPairsCapped(docs, "doc_id", "text", cap = 3)
+      .select("id_a", "id_b").localCheckpoint()
+    val exact = Dedup.simhashPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").localCheckpoint()
+    assert(capped.count() < exact.count(),
+      "cap must genuinely prune links, or the reconcile absorbs nothing")
+    // continuous ingest: the capped stream lands as three batches, each
+    // folded into the standing labeling (the q119 idiom, from empty)
+    val standing = (0 until 3).foldLeft(
+      Seq.empty[(Long, Long)].toDF("id", "comp")) { (labels, b) =>
+      val batch = capped.filter((col("id_a") + col("id_b")) % 3 === b)
+      Components.incrementalComponents(labels, batch, "id_a", "id_b")
+        .localCheckpoint()
+    }
+    // sequential capped folds == the one-shot capped closure
+    val oneShot = Components.connectedComponents(capped, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(standing.as[(Long, Long)].collect().toMap == oneShot,
+      "batch-sequence folds must equal the one-shot capped closure")
+    // the periodic reconciliation: fold the exact recompute's pairs in
+    val reconciled = Components
+      .incrementalComponents(standing, exact, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val exactCC = Components.connectedComponents(exact, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(reconciled.keySet == exactCC.keySet,
+      "reconciled labeling must cover exactly the exact graph's vertices")
+    exactCC.foreach { case (id, c) =>
+      assert(reconciled(id) == c,
+        s"doc $id: reconciled label ${reconciled(id)} != exact component $c")
+    }
+  }
+
   test("blockedJaccardPairs: pairs only within a block") {
     val df = Seq(
       (1L, "a b c d e", "s1"), (2L, "a b c d e", "s1"),

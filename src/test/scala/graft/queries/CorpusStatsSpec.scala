@@ -109,7 +109,8 @@ class CorpusStatsSpec extends SparkSuite {
     }
     val docs = graft.Tables.documents(spark, sfDir())
     val pairs = graft.ops.Dedup
-      .simhashPairs(docs, "doc_id", "text", bands = 4, maxHamming = 3)
+      .simhashPairsCapped(docs, "doc_id", "text", bands = 4, maxHamming = 3,
+        cap = graft.ops.Dedup.DefaultDegreeCap)
     val endpoints = pairs.select(col("id_a").as("id"))
       .unionByName(pairs.select(col("id_b").as("id"))).distinct().count()
     assert(out.map(_._2).sum == endpoints,
@@ -205,11 +206,12 @@ class CorpusStatsSpec extends SparkSuite {
       assert(within == (a == b))
     }
     assert(rows.map(k => (k._1, k._2)).distinct.length == rows.length)
-    val totalPairs = graft.ops.Dedup.simhashPairs(
+    val totalPairs = graft.ops.Dedup.simhashPairsCapped(
       graft.Tables.documents(spark, sfDir()), "doc_id", "text",
-      bands = 4, maxHamming = 3).count()
+      bands = 4, maxHamming = 3,
+      cap = graft.ops.Dedup.DefaultDegreeCap).count()
     assert(rows.map(_._3).sum == totalPairs,
-      "matrix cells must partition the pair stream exactly")
+      "matrix cells must partition the (capped) pair stream exactly")
   }
 
   test("dedup survival: counts reconcile with the corpus and with q49's " +
@@ -226,9 +228,10 @@ class CorpusStatsSpec extends SparkSuite {
       assert(ds > 0.0 && ds <= 1.0 && ts >= 0.0 && ts <= 1.0, s"$src ratios")
     }
     // total kept must equal the number of cluster survivors (one per
-    // component plus singletons) from the resolution itself
-    val pairs = graft.ops.Dedup.simhashPairs(docs, "doc_id", "text",
-      bands = 4, maxHamming = 3)
+    // component plus singletons) from the resolution itself, over the
+    // same capped candidate graph the query consumes
+    val pairs = graft.ops.Dedup.simhashPairsCapped(docs, "doc_id", "text",
+      bands = 4, maxHamming = 3, cap = graft.ops.Dedup.DefaultDegreeCap)
     val keepTotal = graft.ops.Components
       .resolveClusters(docs, "doc_id", pairs, "id_a", "id_b")
       .filter(col("keep")).count()
