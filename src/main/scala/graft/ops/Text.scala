@@ -122,4 +122,45 @@ object Text {
     when(size(toks) === 0, lit(0.0))
       .otherwise(stopwordHits(toks, all).cast("double") / size(toks))
   }
+
+  /** Gopher-style document-quality signals (Rae et al. 2021 §A1.1, the
+    * rule set RedPajama/Dolma reimplement): word count, mean word
+    * length, symbol-to-word ratio ('#' / '…'-as-'...'), fraction of
+    * words containing an alphabetic character, and English stopword
+    * hits — each with its published gate, plus the composite keep.
+    *
+    * Every GATE compares integers via cross-multiplication (`sum_len >=
+    * 3·n` rather than `mean >= 3.0`), so a boundary document cannot
+    * flip between engines on a float rounding; the reported ratio
+    * columns are single integer÷integer IEEE divisions (exact same
+    * result in any engine). Pure per-row projection — the corpus gate
+    * is a shuffle-free scan at any scale. Line-shape rules
+    * (bullet-start / ellipsis-end fractions) need line structure the
+    * fixture lacks and are deliberately out of scope here.
+    *
+    * Returns the named signal/gate columns to splat after the id. */
+  def gopherSignals(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val n = size(toks).cast("long")
+    val sumLen = aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
+    val alpha = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val symbols = regexp_count(text, lit("#|\\.\\.\\.")).cast("long")
+    val stopHits = stopwordHits(toks, StopWords.head._2).cast("long")
+    val nonEmpty = n > 0
+    Seq(
+      n.as("n_words"),
+      when(nonEmpty, sumLen.cast("double") / n).as("mean_word_len"),
+      when(nonEmpty, symbols.cast("double") / n).as("symbol_word_ratio"),
+      when(nonEmpty, alpha.cast("double") / n).as("alpha_word_frac"),
+      stopHits.as("stopword_hits"),
+      (n >= 20L && n <= 100000L).as("g_word_count"),
+      (nonEmpty && sumLen >= n * 3 && sumLen <= n * 10).as("g_mean_len"),
+      (nonEmpty && symbols * 10 <= n).as("g_symbol"),
+      (nonEmpty && alpha * 10 >= n * 8).as("g_alpha"),
+      (stopHits >= 2L).as("g_stopword"),
+      (n >= 20L && n <= 100000L && nonEmpty &&
+        sumLen >= n * 3 && sumLen <= n * 10 &&
+        symbols * 10 <= n && alpha * 10 >= n * 8 &&
+        stopHits >= 2L).as("keep"))
+  }
 }

@@ -504,5 +504,45 @@ object LlmQueries {
         .withColumn("text", regexp_replace(col("text"), "[^ -~]", ""))
       Multimodal.sampleFrames(
         Multimodal.asMedia(ascii, "doc_id", "text")).toDF()
+    },
+
+    // ---- GOPHER QUALITY-RULE BATTERY (L150): the published
+    // heuristic-gate set (word-count bounds, mean-word-length bounds,
+    // symbol-to-word ratio, alphabetic-word fraction, stopword
+    // requirement) every large pretraining pipeline runs before any
+    // model-based scoring. Gates compare integers via
+    // cross-multiplication so boundary docs can't flip on float
+    // rounding; the whole battery is a shuffle-free scan projection
+    // (Text.gopherSignals).
+    Q(
+      "q169_gopher_gates",
+      s"""WITH base AS (
+         |  SELECT doc_id, text, $toksSql AS t FROM documents),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CAST(len(t) AS BIGINT) AS n,
+         |    ${foldSumSql("list_transform(t, w -> CAST(length(w) AS BIGINT))", "CAST(0 AS BIGINT)")} AS sum_len,
+         |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS alpha,
+         |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS symbols,
+         |    CAST(len(list_filter(t, w -> w IN (${Text.StopWords.head._2.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS stop_hits
+         |  FROM base)
+         |SELECT doc_id,
+         |  n AS n_words,
+         |  CASE WHEN n > 0 THEN CAST(sum_len AS DOUBLE) / n END AS mean_word_len,
+         |  CASE WHEN n > 0 THEN CAST(symbols AS DOUBLE) / n END AS symbol_word_ratio,
+         |  CASE WHEN n > 0 THEN CAST(alpha AS DOUBLE) / n END AS alpha_word_frac,
+         |  stop_hits AS stopword_hits,
+         |  n >= 20 AND n <= 100000 AS g_word_count,
+         |  n > 0 AND sum_len >= n * 3 AND sum_len <= n * 10 AS g_mean_len,
+         |  n > 0 AND symbols * 10 <= n AS g_symbol,
+         |  n > 0 AND alpha * 10 >= n * 8 AS g_alpha,
+         |  stop_hits >= 2 AS g_stopword,
+         |  n >= 20 AND n <= 100000 AND n > 0
+         |    AND sum_len >= n * 3 AND sum_len <= n * 10
+         |    AND symbols * 10 <= n AND alpha * 10 >= n * 8
+         |    AND stop_hits >= 2 AS keep
+         |FROM sig""".stripMargin) { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id") +: Text.gopherSignals(col("text")): _*)
     })
 }

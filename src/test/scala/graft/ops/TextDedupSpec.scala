@@ -47,6 +47,34 @@ class TextDedupSpec extends SparkSuite {
     assert(ratio > 0.4) // the/and/the/is/in/a of 9 tokens
   }
 
+  test("gopherSignals: gates fire on the documented rule boundaries") {
+    val good = (("the quick brown fox jumps over the lazy dog and " * 3) +
+      "runs far away home again tonight").trim // 36 words, alpha, stopwords
+    val short = "the cat and dog" // 4 words < 20
+    val digits = (1 to 25).map(i => (100 + i).toString).mkString(" ") // no alpha, no stopwords
+    val df = Seq((1L, good), (2L, short), (3L, digits), (4L, "")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id") +: Text.gopherSignals(col("text")): _*)
+      .orderBy("doc_id")
+      .select("doc_id", "n_words", "g_word_count", "g_alpha", "g_stopword", "keep")
+      .as[(Long, Long, Boolean, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(out(0) == ((1L, 36L, true, true, true, true)))
+    assert(out(1) == ((2L, 4L, false, true, true, false)))
+    assert(out(2) == ((3L, 25L, true, false, false, false)))
+    assert(out(3) == ((4L, 0L, false, false, false, false)))
+    // ratio columns are NULL (not 0/NaN) on the empty doc
+    val emptyRatios = df.filter(col("doc_id") === 4)
+      .select(col("doc_id") +: Text.gopherSignals(col("text")): _*)
+      .select("mean_word_len", "symbol_word_ratio", "alpha_word_frac")
+      .collect()(0)
+    assert((0 until 3).forall(emptyRatios.isNullAt))
+    // symbol gate: >10% '#'/'...' occurrences per word rejects
+    val symbolHeavy = ("w " * 20).trim + " # # #" // 20 real words + 3 symbols over 23 tokens
+    val sym = Seq((9L, symbolHeavy)).toDF("doc_id", "text")
+      .select(col("doc_id") +: Text.gopherSignals(col("text")): _*)
+      .select("g_symbol").as[Boolean].head()
+    assert(!sym)
+  }
+
   test("exactDupTag: lowest id is the keeper") {
     val df = Seq((3L, "same"), (1L, "same"), (2L, "other")).toDF("id", "text")
     val out = Dedup.exactDupTag(df, "text", "id")
