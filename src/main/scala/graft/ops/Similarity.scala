@@ -54,6 +54,34 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** Reciprocal-rank-fusion contribution of one ranking position
+    * (Cormack et al. 2009), scaled to an exact INTEGER:
+    * floor(1e9 / (k0 + rank)), 0 for an id absent from the ranking.
+    * Integer contributions make fusion arithmetic engine-exact — no
+    * float sum whose ties could flip the fused order. (The double
+    * division is exact enough to floor correctly: numerator and
+    * denominator are both ≤ 2^53 and the true quotient is ≥ 1/(k0+rank)
+    * away from any integer it doesn't hit exactly.) */
+  def rrfContrib(rank: Column, k0: Int = 60): Column =
+    coalesce(floor(lit(1000000000L) / (lit(k0.toLong) + rank)).cast("long"), lit(0L))
+
+  /** Fuse two rankings by reciprocal rank: full-outer union on id, fused
+    * score = the sum of both integer contributions (absent → 0). Emits
+    * (id, rrf_score, rank_a, rank_b); callers order by (rrf_score desc,
+    * id) and cut top-k. Rankings are expected to be bounded top-N cuts,
+    * so the join is a few-hundred-row reduction regardless of corpus
+    * size. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, rankCol: String,
+      k0: Int = 60): DataFrame =
+    a.select(col(idCol).as("_id_a"), col(rankCol).as("_rn_a")).as("l")
+      .join(b.select(col(idCol).as("_id_b"), col(rankCol).as("_rn_b")).as("r"),
+        col("_id_a") === col("_id_b"), "full")
+      .select(
+        coalesce(col("_id_a"), col("_id_b")).as(idCol),
+        (rrfContrib(col("_rn_a"), k0) + rrfContrib(col("_rn_b"), k0)).as("rrf_score"),
+        col("_rn_a").cast("long").as("rank_a"),
+        col("_rn_b").cast("long").as("rank_b"))
+
   /** Deterministic ±1 hyperplane component for (bit, dim) — same det-hash
     * family as Facts.det so the oracle reproduces the planes exactly. */
   private def planeSign(bit: Int, d: Column, dim: Int): Column =

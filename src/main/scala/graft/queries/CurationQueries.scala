@@ -1598,5 +1598,123 @@ object CurationQueries {
           (lit(1.0) / pow(lit(2.0), k)).as("weight"),
           (Sample.hashGate(col("o_orderkey")).cast("double")
             < lit(100.0) / pow(lit(2.0), k)).as("kept"))
+    },
+
+    // ---- HYBRID RETRIEVAL RANK FUSION (L151): reciprocal-rank fusion
+    // (Cormack et al. 2009) of a lexical BM25 ranking (q54's scoring,
+    // summed over a fixed query-term set) and an embedding-cosine
+    // ranking against a probe vector (vec_id 0; embeddings align with
+    // doc ids) — the retrieval composition behind hybrid search and
+    // retrieval-based training-data selection. RRF contributions are
+    // INTEGER (1e9 div (60 + rank)) so fusion arithmetic is exact in
+    // both engines; per-term BM25 partials are isolated in conditional
+    // aggregates (≤1 element each) and added in literal order, so no
+    // float sum depends on partial-agg merge order. Both top-100 cuts
+    // are orderBy+limit — Spark's TakeOrderedAndProject top-k, never a
+    // global-window shuffle — and every window after them runs on a
+    // bounded ≤100-row frame.
+    Q(
+      "q170_rrf_hybrid", {
+        val terms = Seq("table", "window", "batch")
+        def bmTerm(t: String) =
+          s"""sum(CASE WHEN term = '$t' THEN
+             |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2)
+             |      / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+             |          / (CAST(sum_dl AS DOUBLE) / n_docs)))) END)""".stripMargin
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+           |tf AS (
+           |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           |  FROM toks GROUP BY 1, 2),
+           |dl AS (
+           |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+           |dfx AS (
+           |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+           |stats AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |         CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+           |lex AS (
+           |  SELECT tf.doc_id,
+           |    ${terms.map(t => s"${bmTerm(t)} AS s_$t").mkString(",\n    ")}
+           |  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id), stats
+           |  WHERE term IN (${terms.map(t => s"'$t'").mkString(",")})
+           |  GROUP BY tf.doc_id),
+           |lex_top AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rn
+           |  FROM (SELECT doc_id,
+           |    ${terms.map(t => s"coalesce(s_$t, 0.0)").mkString(" + ")} AS s FROM lex)
+           |  ORDER BY s DESC, doc_id LIMIT 100),
+           |v AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+           |  FROM embeddings),
+           |probe AS (SELECT dv AS pv FROM v WHERE vec_id = 0),
+           |vec_top AS (
+           |  SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rn
+           |  FROM (SELECT vec_id,
+           |      ${dot64Sql("dv", "pv")}
+           |        / (sqrt(${dot64Sql("dv", "dv")}) * sqrt(${dot64Sql("pv", "pv")})) AS cos
+           |    FROM v, probe)
+           |  ORDER BY cos DESC, vec_id LIMIT 100),
+           |fused AS (
+           |  SELECT coalesce(l.doc_id, vt.vec_id) AS doc_id,
+           |    coalesce(1000000000 // (60 + l.rn), 0)
+           |      + coalesce(1000000000 // (60 + vt.rn), 0) AS rrf_score,
+           |    l.rn AS lex_rank, vt.rn AS vec_rank
+           |  FROM lex_top l FULL JOIN vec_top vt ON l.doc_id = vt.vec_id)
+           |SELECT doc_id,
+           |  CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rrf_rank,
+           |  CAST(rrf_score AS BIGINT) AS rrf_score,
+           |  CAST(lex_rank AS BIGINT) AS lex_rank,
+           |  CAST(vec_rank AS BIGINT) AS vec_rank
+           |FROM fused
+           |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin
+      }) { (spark, dir) =>
+      val terms = Seq("table", "window", "batch")
+      val toks = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).cache()
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      val bm25 =
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+            (col("dl").cast("double") / (col("sum_dl").cast("double") / col("n_docs")))))
+      // one conditional sum per query term (each over ≤1 element — tf is
+      // unique per (doc, term)), added in literal order: the total is
+      // independent of Spark's partial-agg merge order.
+      val lexScores = tf.filter(col("term").isin(terms: _*))
+        .join(dfT, "term").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+          sum(when(col("term") === terms.head, bm25)).as(s"s_${terms.head}"),
+          terms.tail.map(t => sum(when(col("term") === t, bm25)).as(s"s_$t")): _*)
+        .select(col("doc_id"),
+          terms.map(t => coalesce(col(s"s_$t"), lit(0.0))).reduce(_ + _).as("s"))
+      val lexTop = lexScores.orderBy(col("s").desc, col("doc_id")).limit(100)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("s").desc, col("doc_id")))) // ≤100-row frame
+        .select(col("doc_id"), col("rn"))
+      val v = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("dv"))
+      val probe = v.filter(col("vec_id") === 0).select(col("dv").as("pv"))
+      val vecTop = v.crossJoin(broadcast(probe))
+        .select(col("vec_id"), Similarity.cosine(col("dv"), col("pv")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(100)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("cos").desc, col("vec_id")))) // ≤100-row frame
+        .select(col("vec_id"), col("rn"))
+      val fused = Similarity.rrfFuse(
+        lexTop.select(col("doc_id"), col("rn")),
+        vecTop.select(col("vec_id").as("doc_id"), col("rn")),
+        "doc_id", "rn")
+        .withColumnRenamed("rank_a", "lex_rank")
+        .withColumnRenamed("rank_b", "vec_rank")
+      fused.orderBy(col("rrf_score").desc, col("doc_id")).limit(20)
+        .withColumn("rrf_rank", row_number().over(
+          Window.orderBy(col("rrf_score").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", "rrf_rank", "rrf_score", "lex_rank", "vec_rank")
     })
 }

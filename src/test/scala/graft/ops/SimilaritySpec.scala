@@ -167,4 +167,20 @@ class SimilaritySpec extends SparkSuite {
     })
     assert(got == manual.toSeq, "projection must equal the manual fold exactly")
   }
+
+  test("rrfFuse: integer contributions, full-outer union, absent side is 0") {
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rn")
+    val vec = Seq((20L, 1), (40L, 2)).toDF("id", "rn")
+    val got = Similarity.rrfFuse(lex, vec, "id", "rn")
+      .orderBy(col("rrf_score").desc, col("id"))
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSeq
+    def c(r: Long) = 1000000000L / (60L + r)
+    // 20 is in both lists: rank 2 lexically, rank 1 in the vector list
+    assert(got.head == ((20L, c(2) + c(1), Some(2L), Some(1L))))
+    assert(got.map(_._1) == Seq(20L, 10L, 40L, 30L))
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(10L) == ((10L, c(1), Some(1L), None)))
+    assert(byId(40L) == ((40L, c(2), None, Some(2L))))
+    assert(byId(30L) == ((30L, c(3), Some(3L), None)))
+  }
 }
