@@ -324,4 +324,50 @@ object Sample {
       .filter(col("n_picks") >= 1)
       .drop("_pid", "_cum", "_w")
   }
+
+  /** Deterministic stride-scheduler interleave (Waldspurger & Weihl
+    * 1995 lottery/stride scheduling, the shape data-loader mixture
+    * samplers implement): every document gets an integer VIRTUAL TIME
+    * `rank_within_source · STRIDE ∕ weight`, and the global training
+    * order is (virtual_time, source, id) ascending — a source of weight
+    * 2w appears twice as often as one of weight w, deterministically,
+    * with no RNG and no epoch-boundary burst (unlike concat+shuffle,
+    * the interleave is stationary from position 0).
+    *
+    * Exactness: weights must divide [[InterleaveStride]] (enforced), so
+    * every virtual time is an exact integer — no rounding anywhere, and
+    * the schedule is a pure function of (id, source, weight) any engine
+    * replays bit for bit. Scale shape: the per-source rank is a keyed
+    * window (bounded by the source partition); consumers take the next
+    * page of the schedule with orderBy+limit — Spark's
+    * TakeOrderedAndProject top-k, never a global-window shuffle.
+    *
+    * Returns (idCol, srcCol, vt); order by (vt, srcCol, idCol) to read
+    * the schedule. */
+  def strideInterleave(df: DataFrame, idCol: String, srcCol: String,
+      weights: Seq[(String, Int)], defaultWeight: Int = 1): DataFrame = {
+    (defaultWeight +: weights.map(_._2)).foreach(w =>
+      require(w >= 1 && InterleaveStride % w == 0,
+        s"weight $w must be a positive divisor of $InterleaveStride"))
+    val wt = weights.foldRight(lit(defaultWeight)) { case ((s, w), acc) =>
+      when(col(srcCol) === s, lit(w)).otherwise(acc)
+    }
+    val rn = row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(srcCol).orderBy(idCol))
+    df.select(col(idCol), col(srcCol))
+      .withColumn("_rn", rn.cast("long"))
+      .withColumn("_w", wt.cast("long"))
+      // exact long arithmetic end to end (_w divides the stride, so the
+      // DIV has remainder 0); never routed through double — rank·stride
+      // can pass 2^53 long before it threatens 64-bit range
+      .withColumn("vt", expr(s"(_rn * ${InterleaveStride}L) DIV _w"))
+      .drop("_rn", "_w")
+  }
+
+  /** Stride constant for [[strideInterleave]]: highly divisible
+    * (2^6·3^2·5^4·7 — every weight ≤ 10 divides it), small enough that
+    * rank·stride stays far inside 64-bit range (~3.6e12 ranks) for any
+    * real corpus. */
+  val InterleaveStride = 2520000L
 }

@@ -1716,5 +1716,43 @@ object CurationQueries {
         .withColumn("rrf_rank", row_number().over(
           Window.orderBy(col("rrf_score").desc, col("doc_id"))).cast("long"))
         .select("doc_id", "rrf_rank", "rrf_score", "lex_rank", "vec_rank")
+    },
+
+    // ---- STRIDE-SCHEDULER MIXTURE INTERLEAVE (L152): the deterministic
+    // data-loader order for a weighted source mixture — every doc gets
+    // an integer virtual time rank·STRIDE/weight and the schedule reads
+    // in (vt, source, id) order, so a weight-4 source appears 4× as
+    // often as a weight-1 source from position 0 on, with no RNG and no
+    // epoch-boundary burst (q84 packs the chosen stream; this chooses
+    // the ORDER the mixture is consumed in). All arithmetic is exact
+    // 64-bit integers (weights divide the stride), the per-source rank
+    // is a keyed window, and the schedule page is an orderBy+limit
+    // top-k — never a global-window shuffle.
+    Q(
+      "q171_stride_interleave",
+      s"""WITH w AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN source IN ('src0','src1','src2','src3') THEN 4
+         |         WHEN source IN ('src4','src5','src6','src7','src8','src9') THEN 2
+         |         ELSE 1 END AS wt,
+         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, source,
+         |    (rn * ${Sample.InterleaveStride}) // wt AS vt FROM w)
+         |SELECT CAST(row_number() OVER (ORDER BY vt, source, doc_id) AS BIGINT)
+         |    AS sched_pos,
+         |  doc_id, source, CAST(vt AS BIGINT) AS vt
+         |FROM s ORDER BY vt, source, doc_id LIMIT 200""".stripMargin) {
+      (spark, dir) =>
+        val sched = Sample.strideInterleave(
+          Tables.documents(spark, dir), "doc_id", "source",
+          weights = (0 to 3).map(i => s"src$i" -> 4) ++
+            (4 to 9).map(i => s"src$i" -> 2),
+          defaultWeight = 1)
+        sched.orderBy(col("vt"), col("source"), col("doc_id")).limit(200)
+          .withColumn("sched_pos", row_number().over(
+            Window.orderBy(col("vt"), col("source"), col("doc_id"))).cast("long"))
+          .select("sched_pos", "doc_id", "source", "vt")
     })
 }

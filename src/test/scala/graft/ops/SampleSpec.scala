@@ -166,4 +166,27 @@ class SampleSpec extends SparkSuite {
     assert(out.columns.toSeq == Seq("id", "score", "w"))
     assert(out.isEmpty)
   }
+
+  test("strideInterleave: weight-2 source takes twice the slots, " +
+      "deterministic exact virtual times, bad weight rejected") {
+    val df = (1L to 6L).map(i => (i, "a")) ++ (11L to 16L).map(i => (i, "b"))
+    val sched = Sample.strideInterleave(
+      df.toDF("id", "src"), "id", "src", Seq("a" -> 2), defaultWeight = 1)
+    val S = Sample.InterleaveStride
+    // a's virtual times: k·S/2; b's: k·S — a fires twice per b slot
+    val got = sched.orderBy(col("vt"), col("src"), col("id"))
+      .as[(Long, String, Long)].collect().toSeq
+    val expected = Seq(
+      (1L, "a", S / 2), (2L, "a", S), (11L, "b", S),
+      (3L, "a", 3 * S / 2), (4L, "a", 2 * S), (12L, "b", 2 * S),
+      (5L, "a", 5 * S / 2), (6L, "a", 3 * S), (13L, "b", 3 * S),
+      (14L, "b", 4 * S), (15L, "b", 5 * S), (16L, "b", 6 * S))
+    assert(got == expected)
+    // ties between sources at equal vt resolve by source name (a < b)
+    assert(got(1) == ((2L, "a", S)) && got(2) == ((11L, "b", S)))
+    // a weight that does not divide the stride is a hard error
+    intercept[IllegalArgumentException] {
+      Sample.strideInterleave(df.toDF("id", "src"), "id", "src", Seq("a" -> 11))
+    }
+  }
 }
