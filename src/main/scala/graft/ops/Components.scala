@@ -256,4 +256,47 @@ object Components {
     }
     rank.select(col("src").as("node_id"), col("pr"))
   }
+
+  /** Deterministic synchronous label propagation (Raghavan et al. 2007
+    * made reproducible): every node starts as its own community; each
+    * iteration relabels a node to its neighbors' MOST FREQUENT label,
+    * ties to the smallest label, isolated nodes keep their own. Unlike
+    * min-label connected components, LPA splits a weakly-bridged
+    * near-dup graph into densely-connected communities — the structure
+    * template-dedup actually wants when one low-Hamming bridge would
+    * otherwise glue two distinct template families into one component.
+    *
+    * Determinism: the classic algorithm breaks frequency ties randomly
+    * and updates asynchronously; here updates are synchronous and the
+    * argmax orders (count DESC, label ASC), so the result is a pure
+    * function of the edge list that any engine replays exactly.
+    *
+    * Scale shape: per iteration one co-partitioned join (edges ⋈ labels
+    * on dst) + one (node, label) hash aggregate + one per-node argmax
+    * (a keyed window whose partitions are bounded by a node's distinct
+    * neighbor-label count) — the Pregel shape, linear per iteration.
+    * `pairs` should come from a bounded generator
+    * ([[graft.ops.Dedup.simhashPairsCapped]]) at corpus scale. */
+  def labelPropagation(nodes: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
+    val e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint() // computed once, reused every iteration
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).cast("long").as("lab"))
+    for (i <- 1 to iters) {
+      val best = e.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("src").orderBy(col("c").desc, col("lab"))))
+        .filter(col("_rn") === 1)
+        .select(col("src").as("id"), col("lab").as("nl"))
+      labels = labels.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nl"), col("lab")).as("lab"))
+      if (i % 5 == 0 && i < iters) labels = labels.localCheckpoint()
+    }
+    labels.select(col("id").as(idCol), col("lab").as("community"))
+  }
 }

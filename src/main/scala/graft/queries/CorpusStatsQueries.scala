@@ -688,6 +688,53 @@ object CorpusStatsQueries {
         .groupBy("source_a", "source_b")
         .agg(count(lit(1)).as("n_pairs"))
         .withColumn("within_source", col("source_a") === col("source_b"))
+    },
+
+    // ---- LABEL-PROPAGATION COMMUNITIES (L153): deterministic
+    // synchronous LPA (most-frequent-neighbor label, ties to the
+    // smallest, 3 iterations) over the CAPPED near-dup pair stream —
+    // the community structure that SPLITS a weakly-bridged dup graph
+    // where min-label components (q49/q151) would glue two template
+    // families across one low-Hamming bridge. The oracle replays every
+    // iteration: neighbor-label counts, (count DESC, label ASC) argmax,
+    // isolated nodes keeping their label.
+    Q(
+      "q172_lpa_communities", {
+        def lpaIter(prev: String, next: String) =
+          s"""${next}_nb AS (
+             |  SELECT e.src AS id, l.lab AS nl, CAST(count(*) AS BIGINT) AS c
+             |  FROM edges e JOIN $prev l ON e.dst = l.id GROUP BY 1, 2),
+             |${next}_best AS (
+             |  SELECT id, nl FROM (
+             |    SELECT id, nl,
+             |      row_number() OVER (PARTITION BY id ORDER BY c DESC, nl) AS rn
+             |    FROM ${next}_nb) x WHERE rn = 1),
+             |$next AS (
+             |  SELECT p.id, coalesce(b.nl, p.lab) AS lab
+             |  FROM $prev p LEFT JOIN ${next}_best b USING (id))""".stripMargin
+        s"""WITH ${LlmQueries.simhashCtes},
+           |ranked AS (
+           |  SELECT doc_id, sim, band, band_key,
+           |    row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rk
+           |  FROM banded),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM ranked a JOIN banded b USING (band, band_key)
+           |  WHERE a.rk <= ${Dedup.DefaultDegreeCap} AND a.doc_id < b.doc_id
+           |    AND bit_count(xor(a.sim, b.sim)) <= 3),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION ALL SELECT id_b, id_a FROM pairs),
+           |l0 AS (SELECT doc_id AS id, doc_id AS lab FROM documents),
+           |${lpaIter("l0", "l1")},
+           |${lpaIter("l1", "l2")},
+           |${lpaIter("l2", "l3")}
+           |SELECT id AS doc_id, CAST(lab AS BIGINT) AS community FROM l3""".stripMargin
+      }) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val pairs = Dedup.simhashPairsCapped(docs, "doc_id", "text",
+        bands = 4, maxHamming = 3, cap = Dedup.DefaultDegreeCap)
+      Components.labelPropagation(docs, "doc_id", pairs, "id_a", "id_b", iters = 3)
     }
   )
 }

@@ -50,4 +50,24 @@ class ComponentsSpec extends SparkSuite {
       assert(labelMap(noop) == labelMap(standing), s"round $round: no-op drifted")
     }
   }
+
+  test("labelPropagation: barbell splits into two communities where " +
+      "components would merge; isolated node keeps its label") {
+    // two triangles bridged by one edge, plus isolated node 9
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L),
+      (3L, 4L)).toDF("id_a", "id_b")
+    val nodes = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L)).toDF("doc_id")
+    val got = Components
+      .labelPropagation(nodes, "doc_id", pairs, "id_a", "id_b", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-simulated synchronous LPA with (count desc, label asc) argmax
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L, 9L -> 9L))
+    // min-label components would glue everything but 9 into one cluster
+    val cc = Components.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(1)).distinct
+    assert(cc.length == 1)
+  }
 }
