@@ -60,6 +60,49 @@ object Privacy {
     counted.withColumn("redacted", redact(col(textCol), rules))
   }
 
+  /** Dashed 4-4-4-4 payment-card CANDIDATE shape. A digit shape alone
+    * over-redacts (order ids, timestamps); pair with [[luhnValid]] to
+    * confirm — the ISO/IEC 7812 checksum every real PAN carries. */
+  val CreditCardRe = "[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}"
+
+  /** Luhn (mod-10) checksum over a dashed-or-plain 16-digit candidate:
+    * from the right, every second digit doubles (minus 9 when > 9); the
+    * total must divide by 10. For a 16-digit PAN the doubled positions
+    * are the odd LEFT indices, so the whole check is one sequential
+    * integer fold over the candidate — no UDF, engine-exact, and cheap
+    * enough to run inside a scan projection. */
+  def luhnValid(cand: Column): Column = {
+    val d = translate(cand, "-", "")
+    val total = aggregate(
+      transform(sequence(lit(1), lit(16)), i => {
+        val dig = (ascii(d.substr(i, lit(1))) - 48).cast("long")
+        when(i % 2 === 1,
+          when(dig * 2 > 9, dig * 2 - 9).otherwise(dig * 2)).otherwise(dig)
+      }),
+      lit(0L), _ + _)
+    total % 10 === 0
+  }
+
+  /** Checksum-validated card scan: counts candidate PANs
+    * ([[CreditCardRe]]), counts the Luhn-valid subset, and redacts ONLY
+    * the valid ones (an invalid candidate is an order id, not PII —
+    * redacting it destroys data for no privacy gain). Appends
+    * `n_cc_candidates`, `n_cc_valid`, `redacted`. Scan-level
+    * projection: extraction, validation, and the per-candidate rewrite
+    * fold all run inside the row. */
+  def ccScan(df: DataFrame, textCol: String): DataFrame = {
+    Seq("n_cc_candidates", "n_cc_valid", "redacted").foreach(c =>
+      require(!df.columns.contains(c),
+        s"Privacy.ccScan writes column '$c' but the input already has one"))
+    val cands = regexp_extract_all(col(textCol), lit(CreditCardRe), lit(0))
+    val valid = filter(cands, c => luhnValid(c))
+    df.withColumn("n_cc_candidates", size(cands).cast("long"))
+      .withColumn("n_cc_valid", size(valid).cast("long"))
+      .withColumn("redacted",
+        aggregate(valid, col(textCol),
+          (acc, c) => call_function("replace", acc, c, lit("<CC>"))))
+  }
+
   /** k-anonymity / l-diversity audit: one row per quasi-identifier
     * combination with its population `n`, the distinct count of the
     * sensitive attribute `n_sensitive`, and the two release gates —

@@ -378,5 +378,67 @@ object GovernanceQueries {
         .distinct()
       Dedup.stripSpans(docs.filter(col("doc_id") % 97 =!= 0),
         "doc_id", "text", 3, benchShingles)
+    },
+
+    // ---- LUHN-VALIDATED CARD REDACTION (L154): candidate PANs by
+    // shape, CONFIRMED by the ISO/IEC 7812 mod-10 checksum, and only
+    // the valid subset redacted — shape-only matching over-redacts
+    // order ids and timestamps; checksum-gated redaction is how
+    // production PII scrubbers hold precision. Card notes are
+    // synthesized from customer keys (the fixture has no PANs — the
+    // q90 replant precedent: identical expressions on both engines);
+    // validity falls where the checksum lands, exercising both
+    // branches. The whole pass — extract, 16-digit integer Luhn fold,
+    // per-candidate rewrite — is a scan projection: no UDF, no shuffle.
+    Q(
+      "q173_luhn_card_redaction", {
+        def card(d: String) =
+          s"concat(substr($d,1,4),'-',substr($d,5,4),'-',substr($d,9,4),'-',substr($d,13,4))"
+        val luhn = s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(range(1, 17), i ->
+           |        CASE WHEN i % 2 = 1 THEN
+           |          CASE WHEN 2*(ascii(substr(replace(c,'-',''), CAST(i AS INT), 1)) - 48) > 9
+           |               THEN CAST(2*(ascii(substr(replace(c,'-',''), CAST(i AS INT), 1)) - 48) - 9 AS BIGINT)
+           |               ELSE CAST(2*(ascii(substr(replace(c,'-',''), CAST(i AS INT), 1)) - 48) AS BIGINT) END
+           |        ELSE CAST(ascii(substr(replace(c,'-',''), CAST(i AS INT), 1)) - 48 AS BIGINT) END)),
+           |      (a, x) -> a + x) % 10 = 0""".stripMargin
+        s"""WITH notes AS (
+           |  SELECT c_custkey,
+           |    concat('card ', ${card("d1")},
+           |      CASE WHEN c_custkey % 3 = 0
+           |        THEN concat(' and ', ${card("d2")}) ELSE '' END) AS note
+           |  FROM (SELECT c_custkey,
+           |      lpad(CAST(c_custkey * 7919 AS VARCHAR), 16, '0') AS d1,
+           |      lpad(CAST(c_custkey * 104729 AS VARCHAR), 16, '0') AS d2
+           |    FROM customer)),
+           |cand AS (
+           |  SELECT c_custkey, note,
+           |    regexp_extract_all(note, '[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}') AS cands
+           |  FROM notes),
+           |v AS (
+           |  SELECT c_custkey, note, cands,
+           |    list_filter(cands, c -> $luhn) AS valid
+           |  FROM cand)
+           |SELECT c_custkey,
+           |  CAST(len(cands) AS BIGINT) AS n_cc_candidates,
+           |  CAST(len(valid) AS BIGINT) AS n_cc_valid,
+           |  md5(list_reduce(list_prepend(note, valid),
+           |    (a, x) -> replace(a, x, '<CC>'))) AS redacted_md5
+           |FROM v""".stripMargin
+      }) { (spark, dir) =>
+      def card(d: org.apache.spark.sql.Column) = concat_ws("-",
+        d.substr(1, 4), d.substr(5, 4), d.substr(9, 4), d.substr(13, 4))
+      val notes = Tables.customer(spark, dir).select(
+        col("c_custkey"),
+        concat(
+          lit("card "),
+          card(lpad((col("c_custkey") * 7919).cast("string"), 16, "0")),
+          when(col("c_custkey") % 3 === 0,
+            concat(lit(" and "),
+              card(lpad((col("c_custkey") * 104729).cast("string"), 16, "0"))))
+            .otherwise(lit(""))).as("note"))
+      Privacy.ccScan(notes, "note")
+        .select(col("c_custkey"), col("n_cc_candidates"), col("n_cc_valid"),
+          md5(col("redacted")).as("redacted_md5"))
     })
 }

@@ -189,4 +189,27 @@ class GovernanceSpec extends SparkSuite {
       assert(nRem == 0, s"unflagged doc $id was rewritten")
     }
   }
+
+  test("luhnValid + ccScan: checksum gates redaction — valid PAN " +
+      "redacted, shape-only candidate left intact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 4539-1488-0343-6467 is Luhn-valid (doubled-digit sum = 80);
+    // flipping the check digit to 8 breaks it
+    val valid = "4539-1488-0343-6467"
+    val invalid = "4539-1488-0343-6468"
+    val got = Seq(s"pay $valid or $invalid now", "no cards here")
+      .toDF("note")
+    val out = Privacy.ccScan(got, "note")
+      .select("n_cc_candidates", "n_cc_valid", "redacted")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out(0)._1 == 2 && out(0)._2 == 1)
+    assert(out(0)._3 == s"pay <CC> or $invalid now",
+      "only the checksum-valid candidate must be redacted")
+    assert(out(1) == ((0L, 0L, "no cards here")))
+    // direct check of the two checksum branches
+    val flags = Seq(valid, invalid).toDF("c")
+      .select(Privacy.luhnValid(col("c"))).as[Boolean].collect().toSeq
+    assert(flags == Seq(true, false))
+  }
 }
