@@ -82,6 +82,44 @@ object Similarity {
         col("_rn_a").cast("long").as("rank_a"),
         col("_rn_b").cast("long").as("rank_b"))
 
+  /** Mean intra-group pairwise cosine WITHOUT the pairwise join: for
+    * unit vectors u, mean_{i≠j} cos(u_i, u_j) = (‖Σu‖² − n) / (n(n−1))
+    * — the centroid-norm identity that turns an O(n²) redundancy audit
+    * into one scan + one (group, dim) aggregate. High mean cosine = a
+    * semantically redundant source (candidate for aggressive dedup /
+    * down-weighting); the metric data-selection pipelines threshold.
+    *
+    * Exactness: normalization is per-row IEEE; each per-dim component
+    * is quantized to DECIMAL(27,10) and summed as DECIMAL (partial-agg
+    * merge order can't change it); the 64 per-dim sums come back as an
+    * index-sorted array and square-sum in a sequential double fold —
+    * bit-identical in any engine. Scale shape: one shuffle keyed on
+    * (group, dim), then a |groups|-row rollup; the corpus is never
+    * joined to itself. Emits (groupCol, n_vectors, sum_norm_sq,
+    * mean_pairwise_cos — NULL below 2 vectors). */
+  def groupDispersion(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val u = df
+      .withColumn("_dv", toDouble(col(vecCol)))
+      .withColumn("_nrm", sqrt(dot(col("_dv"), col("_dv"))))
+      .withColumn("_u", transform(col("_dv"), x => x / col("_nrm")))
+    val dimSums = u.select(col(groupCol), posexplode(col("_u")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(sum(col("col").cast(DecimalType(27, 10))).as("s"))
+    val ssq = dimSums.groupBy(groupCol)
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+          st => { val d = st.getField("s").cast("double"); d * d }),
+        lit(0.0), _ + _).as("sum_norm_sq"))
+    val n = u.groupBy(groupCol).agg(count(lit(1)).as("n_vectors"))
+    ssq.join(n, groupCol)
+      .select(col(groupCol), col("n_vectors"), col("sum_norm_sq"),
+        when(col("n_vectors") >= 2,
+          (col("sum_norm_sq") - col("n_vectors")) /
+            (col("n_vectors") * (col("n_vectors") - 1)))
+          .as("mean_pairwise_cos"))
+  }
+
   /** Deterministic ±1 hyperplane component for (bit, dim) — same det-hash
     * family as Facts.det so the oracle reproduces the planes exactly. */
   private def planeSign(bit: Int, d: Column, dim: Int): Column =

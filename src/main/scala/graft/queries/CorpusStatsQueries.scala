@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.ExactRound
-import graft.ops.{Components, Dedup, Sample, Text}
+import graft.ops.{Components, Dedup, Sample, Similarity, Text}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -735,6 +735,48 @@ object CorpusStatsQueries {
       val pairs = Dedup.simhashPairsCapped(docs, "doc_id", "text",
         bands = 4, maxHamming = 3, cap = Dedup.DefaultDegreeCap)
       Components.labelPropagation(docs, "doc_id", pairs, "id_a", "id_b", iters = 3)
+    },
+
+    // ---- PER-SOURCE EMBEDDING DISPERSION (L155): mean intra-source
+    // pairwise cosine via the centroid-norm identity
+    // (‖Σu‖² − n)/(n(n−1)) — the O(n²) redundancy audit at O(n) cost
+    // (Similarity.groupDispersion). A source whose vectors all point
+    // the same way is semantic boilerplate regardless of what n-gram
+    // dedup sees; data-selection pipelines threshold exactly this
+    // number. Embeddings join their documents' source on vec_id=doc_id
+    // (the fixture alignment); every cross-row float sum rides DECIMAL,
+    // the dim-sum squares fold sequentially.
+    Q(
+      "q174_source_dispersion",
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+         |  FROM embeddings),
+         |j AS (
+         |  SELECT d.source, v.dv,
+         |    sqrt(${CurationQueries.dot64Sql("v.dv", "v.dv")}) AS nrm
+         |  FROM v JOIN documents d ON d.doc_id = v.vec_id),
+         |e AS (
+         |  SELECT source, i, CAST(dv[i] / nrm AS DECIMAL(27,10)) AS c
+         |  FROM j, unnest(range(1, 65)) u(i)),
+         |s AS (
+         |  SELECT source, i, sum(c) AS sd FROM e GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT source,
+         |    ${LlmQueries.foldSumSql(
+               "list_transform(list(CAST(sd AS DOUBLE) ORDER BY i), x -> x * x)",
+               "CAST(0 AS DOUBLE)")} AS sum_norm_sq
+         |  FROM s GROUP BY source),
+         |n AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_vectors FROM j GROUP BY 1)
+         |SELECT n.source, n_vectors, sum_norm_sq,
+         |  CASE WHEN n_vectors >= 2 THEN
+         |    (sum_norm_sq - n_vectors) / (n_vectors * (n_vectors - 1)) END
+         |    AS mean_pairwise_cos
+         |FROM agg JOIN n USING (source)""".stripMargin) { (spark, dir) =>
+      val v = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+      val src = Tables.documents(spark, dir)
+        .select(col("doc_id").as("vec_id"), col("source"))
+      Similarity.groupDispersion(v.join(src, "vec_id"), "source", "embedding")
     }
   )
 }

@@ -168,6 +168,25 @@ class SimilaritySpec extends SparkSuite {
     assert(got == manual.toSeq, "projection must equal the manual fold exactly")
   }
 
+  test("groupDispersion: identical vectors -> 1, orthogonal -> 0, " +
+      "singleton -> NULL, all via the centroid-norm identity") {
+    val e1 = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val e2 = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    val df = Seq(
+      ("same", e1), ("same", e1), ("same", e1),
+      ("orth", e1), ("orth", e2),
+      ("solo", e2)).toDF("src", "embedding")
+    val got = Similarity.groupDispersion(df, "src", "embedding")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got("same")._1 == 3L)
+    assert(math.abs(got("same")._2.get - 1.0) < 1e-6,
+      s"identical vectors must disperse to ~1, got ${got("same")._2}")
+    assert(math.abs(got("orth")._2.get) < 1e-6,
+      s"orthogonal vectors must disperse to ~0, got ${got("orth")._2}")
+    assert(got("solo") == ((1L, None)), "below 2 vectors the mean is NULL")
+  }
+
   test("rrfFuse: integer contributions, full-outer union, absent side is 0") {
     val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rn")
     val vec = Seq((20L, 1), (40L, 2)).toDF("id", "rn")
