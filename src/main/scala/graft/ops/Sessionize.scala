@@ -44,10 +44,11 @@ object Sessionize {
   private def gapExceeded(prev: LocalDateTime, cur: LocalDateTime, gapSeconds: Long) =
     ChronoUnit.MICROS.between(prev, cur) > gapSeconds * 1000000L
 
-  /** Window-function variant: session boundary = first event or gap >
-    * `gapSeconds` from the previous event; session id = running count of
-    * boundaries per user. Single shuffle on user_id. */
-  def sessionizeWindows(events: DataFrame, tsCol: String, userCol: String,
+  /** Per-EVENT session labels: every input row comes back with its
+    * `session_id` (running count of gap boundaries per user) — the
+    * labeling step [[sessionizeWindows]] aggregates and path/funnel
+    * analyses consume row-level. Single shuffle on the user key. */
+  def labelSessions(events: DataFrame, tsCol: String, userCol: String,
       tieBreak: String, gapSeconds: Long): DataFrame = {
     val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieBreak))
     val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -59,12 +60,20 @@ object Sessionize {
             unix_micros(col("_prev").cast("timestamp")) > gapSeconds * 1000000L, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum(col("_new_session")).over(running))
+      .drop("_prev", "_new_session")
+  }
+
+  /** Window-function variant: session boundary = first event or gap >
+    * `gapSeconds` from the previous event; session id = running count of
+    * boundaries per user. Single shuffle on user_id. */
+  def sessionizeWindows(events: DataFrame, tsCol: String, userCol: String,
+      tieBreak: String, gapSeconds: Long): DataFrame =
+    labelSessions(events, tsCol, userCol, tieBreak, gapSeconds)
       .groupBy(col(userCol), col("session_id"))
       .agg(
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"))
-  }
 
   /** Typed variant: per-user fold over time-sorted events. */
   def sessionizeTyped(events: Dataset[Event], gapSeconds: Long): Dataset[SessionRow] = {

@@ -821,6 +821,66 @@ object LinkageQueries {
         .crossJoin(broadcast(b))
         .filter(col("end_day").between(col("d0"), col("d1")))
         .select("end_day", "wau")
+    },
+
+    // ---- SESSIONIZED PATH MINING (L156): top event-type trigram paths
+    // across gap-sessionized streams — the clickstream journey mining
+    // that turns raw events into "what do users actually do in one
+    // sitting" (paths never cross a session boundary, unlike naive
+    // lead() over the whole user history). Session labels come from the
+    // L12 window machinery (Sessionize.labelSessions, one user-keyed
+    // shuffle); trigrams are two lead()s over the (user, session)
+    // window; the path rollup is a hash aggregate and the top-20 page
+    // is an orderBy+limit top-k.
+    Q(
+      "q175_session_paths",
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |    lag(CAST(ts AS TIMESTAMP)) OVER
+        |      (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    sum(CASE WHEN prev IS NULL
+        |             OR epoch_us(ts) - epoch_us(prev) > 3600000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM e),
+        |tri AS (
+        |  SELECT event_type AS step1,
+        |    lead(event_type, 1) OVER w AS step2,
+        |    lead(event_type, 2) OVER w AS step3
+        |  FROM s
+        |  WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)),
+        |paths AS (
+        |  SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n_paths
+        |  FROM tri WHERE step3 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT CAST(row_number() OVER
+        |    (ORDER BY n_paths DESC, step1, step2, step3) AS BIGINT) AS rank,
+        |  step1, step2, step3, n_paths
+        |FROM paths
+        |ORDER BY n_paths DESC, step1, step2, step3 LIMIT 20""".stripMargin) {
+      (spark, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val labeled = graft.ops.Sessionize.labelSessions(
+          Tables.events(spark, dir)
+            .select("user_id", "event_id", "event_type", "ts"),
+          "ts", "user_id", "event_id", gapSeconds = 3600)
+        val w = Window.partitionBy("user_id", "session_id")
+          .orderBy(col("ts"), col("event_id"))
+        val paths = labeled
+          .withColumn("step2", lead(col("event_type"), 1).over(w))
+          .withColumn("step3", lead(col("event_type"), 2).over(w))
+          .filter(col("step3").isNotNull)
+          .groupBy(col("event_type").as("step1"), col("step2"), col("step3"))
+          .agg(count(lit(1)).as("n_paths"))
+        paths
+          .orderBy(col("n_paths").desc, col("step1"), col("step2"), col("step3"))
+          .limit(20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("n_paths").desc, col("step1"), col("step2"),
+              col("step3"))).cast("long")) // ≤20-row frame
+          .select("rank", "step1", "step2", "step3", "n_paths")
     }
   )
 }

@@ -300,4 +300,34 @@ class LinkageSpec extends SparkSuite {
       assert(nOut < n, s"$et cannot flag everything")
     }
   }
+
+  test("labelSessions + path trigrams: paths never cross a session " +
+      "boundary; boundary at gap strictly greater than the threshold") {
+    import java.sql.Timestamp
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // one user: a,b,c then a 61-min gap, then d,e,f; a second 60-min gap
+    // is NOT a boundary (strictly-greater contract)
+    val ev = Seq(
+      (1L, 1L, "a", ts(0)), (1L, 2L, "b", ts(1)), (1L, 3L, "c", ts(2)),
+      (1L, 4L, "d", Timestamp.valueOf("2024-01-01 11:03:00")),
+      (1L, 5L, "e", Timestamp.valueOf("2024-01-01 12:03:00")),
+      (1L, 6L, "f", Timestamp.valueOf("2024-01-01 12:04:00")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val labeled = Sessionize.labelSessions(ev, "ts", "user_id", "event_id",
+      gapSeconds = 3600)
+    val sessions = labeled.select("event_type", "session_id")
+      .as[(String, Long)].collect().toMap
+    assert(sessions == Map("a" -> 1L, "b" -> 1L, "c" -> 1L,
+      "d" -> 2L, "e" -> 2L, "f" -> 2L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "session_id").orderBy(col("ts"), col("event_id"))
+    val tris = labeled
+      .withColumn("s2", lead(col("event_type"), 1).over(w))
+      .withColumn("s3", lead(col("event_type"), 2).over(w))
+      .filter(col("s3").isNotNull)
+      .select(col("event_type"), col("s2"), col("s3"))
+      .as[(String, String, String)].collect().toSet
+    // only the within-session trigrams — (b,c,d) and (c,d,e) must not exist
+    assert(tris == Set(("a", "b", "c"), ("d", "e", "f")))
+  }
 }
