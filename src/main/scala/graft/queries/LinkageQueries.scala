@@ -881,6 +881,70 @@ object LinkageQueries {
             Window.orderBy(col("n_paths").desc, col("step1"), col("step2"),
               col("step3"))).cast("long")) // ≤20-row frame
           .select("rank", "step1", "step2", "step3", "n_paths")
+    },
+
+    // ---- INTER-ARRIVAL BURSTINESS (L157): per-user mean/stddev of
+    // inter-event gaps and the Goh–Barabási burstiness index
+    // B = (σ−μ)/(σ+μ) — the temporal profile separating periodic
+    // actors (B→−1), Poisson traffic (B≈0), and bursty humans/bots
+    // (B→1); the per-entity signal behind rate-limit tuning and bot
+    // triage. Gaps are exact integer seconds (floor of the microsecond
+    // diff), the moment sums ride DECIMAL (q74's exactness shape), and
+    // a float-cancellation guard clamps variance at 0 so equal-gap
+    // users read σ = 0, never NaN.
+    Q(
+      "q176_burstiness",
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    lag(CAST(ts AS TIMESTAMP)) OVER
+        |      (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id,
+        |    (epoch_us(ts) - epoch_us(prev)) // 1000000 AS gap_s
+        |  FROM e WHERE prev IS NOT NULL),
+        |m AS (
+        |  SELECT user_id,
+        |    CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(CAST(gap_s AS DECIMAL(20,0))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(gap_s AS DECIMAL(20,0))
+        |           * CAST(gap_s AS DECIMAL(20,0))) AS DOUBLE) AS s2
+        |  FROM g GROUP BY 1),
+        |x AS (
+        |  SELECT user_id, n_gaps, s1 / n_gaps AS mu,
+        |    sqrt(greatest((s2 - s1 * s1 / n_gaps) / (n_gaps - 1), 0)) AS sigma
+        |  FROM m WHERE n_gaps >= 2)
+        |SELECT user_id, n_gaps,
+        |  round(mu, 6) AS mean_gap_s,
+        |  round(sigma, 6) AS stddev_gap_s,
+        |  CASE WHEN sigma + mu = 0 THEN NULL
+        |       ELSE round((sigma - mu) / (sigma + mu), 6) END AS burstiness
+        |FROM x""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gaps = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("ts"), 1).over(byUser))
+        .filter(col("prev").isNotNull)
+        .withColumn("gap_s",
+          expr("(unix_micros(CAST(ts AS TIMESTAMP)) - unix_micros(CAST(prev AS TIMESTAMP))) DIV 1000000"))
+      val d = col("gap_s").cast(DecimalType(20, 0))
+      val m = gaps.groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(d).cast("double").as("s1"),
+          sum(d * d).cast("double").as("s2"))
+        .filter(col("n_gaps") >= 2)
+        .withColumn("mu", col("s1") / col("n_gaps"))
+        .withColumn("sigma",
+          sqrt(greatest((col("s2") - col("s1") * col("s1") / col("n_gaps"))
+            / (col("n_gaps") - 1), lit(0.0))))
+      m.select(col("user_id"), col("n_gaps"),
+        round(col("mu"), 6).as("mean_gap_s"),
+        round(col("sigma"), 6).as("stddev_gap_s"),
+        when(col("sigma") + col("mu") === 0, lit(null).cast("double"))
+          .otherwise(round((col("sigma") - col("mu")) / (col("sigma") + col("mu")), 6))
+          .as("burstiness"))
     }
   )
 }

@@ -330,4 +330,67 @@ class LinkageSpec extends SparkSuite {
     // only the within-session trigrams — (b,c,d) and (c,d,e) must not exist
     assert(tris == Set(("a", "b", "c"), ("d", "e", "f")))
   }
+
+  test("burstiness: brute-force per-user replay on the fixture; index " +
+      "bounded in (-1, 1); periodic actor pins B = -1") {
+    val out = graft.SparkEntry.queries("q176_burstiness")(spark, sfDir())
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(out.nonEmpty)
+    // replay: exact integer gap seconds per user, moments from BigInt
+    val ev = graft.Tables.events(spark, sfDir())
+      .select("user_id", "ts", "event_id")
+      .collect().map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1), r.getLong(2)))
+    def us(t: java.time.LocalDateTime) =
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
+    val byUser = ev.groupBy(_._1).view.mapValues(_.sortBy(e => (us(e._2), e._3)))
+    byUser.toSeq.foreach { case (uid, rows) =>
+      val times = rows.map(r => us(r._2)).toSeq
+      val gaps: Seq[Long] = times.zip(times.drop(1)).map { case (a, b) =>
+        (b - a) / 1000000L
+      }
+      if (gaps.length >= 2) {
+        val n = gaps.length
+        val s1 = gaps.map(BigInt(_)).sum
+        val s2 = gaps.map(g => BigInt(g) * BigInt(g)).sum
+        val mu = s1.toDouble / n
+        val sig = math.sqrt(math.max(
+          (s2.toDouble - s1.toDouble * s1.toDouble / n) / (n - 1), 0.0))
+        val (gn, gmu, gsig, gb) = out(uid)
+        assert(gn == n, s"user $uid gap count")
+        assert(math.abs(gmu - mu) < 1e-4, s"user $uid mean")
+        assert(math.abs(gsig - sig) < 1e-4, s"user $uid stddev")
+        gb.foreach(b => assert(b > -1.0 - 1e-9 && b < 1.0,
+          s"user $uid burstiness out of range: $b"))
+      } else assert(!out.contains(uid), s"user $uid below 2 gaps must drop")
+    }
+    // synthetic periodic actor: equal gaps -> sigma 0 -> B exactly -1
+    import spark.implicits._
+    import java.sql.Timestamp
+    val periodic = (0 to 5).map(i =>
+      (99L, Timestamp.valueOf(f"2024-01-01 10:${i * 7}%02d:00"), i.toLong))
+      .toDF("user_id", "ts", "event_id")
+    val b = {
+      // replicate the query body directly on the synthetic frame
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gaps = periodic.withColumn("prev", lag(col("ts"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("gap_s",
+          expr("(unix_micros(CAST(ts AS TIMESTAMP)) - unix_micros(CAST(prev AS TIMESTAMP))) DIV 1000000"))
+      val d = col("gap_s").cast(DecimalType(20, 0))
+      gaps.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(d).cast("double").as("s1"),
+          sum(d * d).cast("double").as("s2"))
+        .withColumn("mu", col("s1") / col("n"))
+        .withColumn("sigma", sqrt(greatest(
+          (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), lit(0.0))))
+        .select(((col("sigma") - col("mu")) / (col("sigma") + col("mu"))))
+        .as[Double].head()
+    }
+    assert(b == -1.0, s"periodic actor must read B = -1 exactly, got $b")
+  }
 }
