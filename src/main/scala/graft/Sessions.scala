@@ -108,6 +108,19 @@ object Sessions {
       (e: Seq[Expression]) => LshBuckets(e.head,
         intArg(e(1), "graft_lsh_buckets"), intArg(e(2), "graft_lsh_buckets"),
         intArg(e(3), "graft_lsh_buckets"))))
+    ext.injectFunction((FunctionIdentifier("graft_cdc_boundaries"),
+      info("graft_cdc_boundaries", classOf[CdcBoundaries]),
+      (e: Seq[Expression]) => CdcBoundaries(e.head,
+        intArg(e(1), "graft_cdc_boundaries"), intArg(e(2), "graft_cdc_boundaries"))))
+    ext.injectFunction((FunctionIdentifier("graft_bitmap_sketch"),
+      info("graft_bitmap_sketch", classOf[BitmapSketch]),
+      (e: Seq[Expression]) => BitmapSketch(e.head)))
+    ext.injectFunction((FunctionIdentifier("graft_bitmap_merge"),
+      info("graft_bitmap_merge", classOf[BitmapMergeAgg]),
+      (e: Seq[Expression]) => BitmapMergeAgg(e.head)))
+    ext.injectFunction((FunctionIdentifier("graft_bitmap_count"),
+      info("graft_bitmap_count", classOf[BitmapCount]),
+      (e: Seq[Expression]) => BitmapCount(e.head)))
   }
 
   /** Run `body` with `spark.sql.shuffle.partitions` = n, restoring the

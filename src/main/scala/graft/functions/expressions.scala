@@ -447,3 +447,62 @@ case class Tokenize(child: Expression, regex: String, lowercase: Boolean)
   override protected def withNewChildInternal(newChild: Expression): Tokenize =
     copy(child = newChild)
 }
+
+/** Content-defined chunk boundaries: 1-based END positions i (w ≤ i <
+  * len) where the base-31 mod-1e9+7 rolling hash of the w-codepoint
+  * window ending at i divides by `divisor`. The boundary predicate is
+  * POSITION-LOCAL (a pure function of the w chars in the window), which
+  * is the content-defined-chunking robustness property: editing one
+  * region moves only that region's boundaries, so downstream chunk-level
+  * dedup re-chunks an insertion-shifted document into mostly-identical
+  * pieces — unlike fixed-offset chunking, where one inserted byte shifts
+  * every boundary after it (Muthitacharoen et al. 2001, LBFS).
+  *
+  * The window hash is DEFINED as the fold (h·31 + codepoint) mod p over
+  * the window — what any engine can replay per position — and COMPUTED
+  * here in one O(len) rolling pass (h·31 + c_in − c_out·31^w, mod-kept);
+  * the recurrence is exact mod arithmetic, so both routes agree bit for
+  * bit. Boundaries at i == len are excluded (a chunk may not be empty).
+  */
+case class CdcBoundaries(child: Expression, w: Int, divisor: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(w >= 1 && divisor >= 1, s"bad CDC params: w=$w divisor=$divisor")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_cdc_boundaries"
+
+  private val P = 1000000007L
+  private val powW: Long = {
+    var r = 1L; var i = 0
+    while (i < w) { r = r * 31 % P; i += 1 }
+    r
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cps.length
+    if (n < w) new GenericArrayData(Array.empty[Int])
+    else {
+      val out = new java.util.ArrayList[Integer]()
+      var h = 0L
+      var i = 0
+      while (i < n) {
+        h = (h * 31 + cps(i)) % P
+        if (i >= w) h = ((h - cps(i - w) * powW) % P + P) % P
+        // i is 0-based; the window [i-w+1, i] is full once i >= w-1, and
+        // a boundary at the final position would create an empty chunk
+        if (i >= w - 1 && i < n - 1 && h % divisor == 0) out.add(i + 1)
+        i += 1
+      }
+      val arr = new Array[Int](out.size)
+      var k = 0
+      while (k < arr.length) { arr(k) = out.get(k); k += 1 }
+      new GenericArrayData(arr)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcBoundaries =
+    copy(child = newChild)
+}

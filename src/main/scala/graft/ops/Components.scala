@@ -299,4 +299,67 @@ object Components {
     }
     labels.select(col("id").as(idCol), col("lab").as("community"))
   }
+
+  /** k-core decomposition (fixed k): the maximal subgraph in which every
+    * node keeps degree ≥ k after everything weaker is peeled away — the
+    * dense-template CORE of a near-dup graph, as opposed to its
+    * periphery of one-off matches. Dedup policy reads it directly:
+    * core members are template boilerplate (aggressive keep-one),
+    * non-core pairs are incidental similarity (keep both, maybe
+    * down-weight). Matula & Beck 1983's peeling, made synchronous.
+    *
+    * Algorithm: start from all endpoint nodes; each round recomputes
+    * degrees within the surviving subgraph and drops nodes below k.
+    * The survivor set shrinks monotonically, so the fixpoint is exact
+    * and reached in at most |V| rounds — in practice a handful, since
+    * near-dup graphs are cliques-plus-bridges (a clique of size > k
+    * never peels; chains peel end-in). Throws if `maxIter` rounds don't
+    * converge, same deterministic-output contract as
+    * [[connectedComponents]] — and the fixpoint is ROUND-COUNT
+    * INDEPENDENT past convergence (peeling an already-stable set is the
+    * identity), so a replay that unrolls a fixed R ≥ rounds reproduces
+    * it exactly.
+    *
+    * Scale shape: per round one co-partitioned semi-join of the edge
+    * list against the survivor set (both sides keyed on node id) + one
+    * degree hash-aggregate — linear in surviving edges, and the work
+    * SHRINKS every round. Edges are localCheckpointed once; the
+    * convergence probe is a count, not a collect. `pairs` should come
+    * from a bounded generator ([[graft.ops.Dedup.simhashPairsCapped]])
+    * at corpus scale.
+    *
+    * Returns (idCol, in_core: boolean, core_degree: long|null) for every
+    * node of `nodes` — nodes outside the core (or with no edges at all)
+    * read (false, null). */
+  def kCore(nodes: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, k: Int, maxIter: Int = 15): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val e = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
+    var alive = e.select(col("src").as("id")).distinct().localCheckpoint()
+    var nAlive = alive.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      round += 1
+      val deg = e
+        .join(alive.withColumnRenamed("id", "src"), "src")
+        .join(alive.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+      val next = deg.filter(col("d") >= k).select("id").localCheckpoint()
+      val n = next.count()
+      converged = n == nAlive
+      alive = next; nAlive = n
+    }
+    require(converged, s"kCore(k=$k) did not converge in $maxIter rounds")
+    val coreDeg = e
+      .join(alive.withColumnRenamed("id", "src"), "src")
+      .join(alive.withColumnRenamed("id", "dst"), "dst")
+      .groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree"))
+    nodes.select(col(idCol))
+      .join(coreDeg.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("core_degree").isNotNull.as("in_core"),
+        col("core_degree"))
+  }
 }

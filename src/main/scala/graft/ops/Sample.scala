@@ -370,4 +370,69 @@ object Sample {
     * rank·stride stays far inside 64-bit range (~3.6e12 ranks) for any
     * real corpus. */
   val InterleaveStride = 2520000L
+
+  /** Neyman-allocation stratified sample (Neyman 1934): a fixed budget
+    * of n rows splits across strata ∝ N_h·σ_h — the allocation that
+    * minimizes the variance of the stratified mean estimator, so a
+    * high-variance stratum (heterogeneous web source) gets more budget
+    * than an equally-sized homogeneous one. The per-stratum draw is the
+    * deterministic hash-rank gate, so the whole sample is a pure
+    * function of (keys, strata, values).
+    *
+    * Exactness discipline: σ's numerator is the INTEGER
+    * N·Σx² − (Σx)² (valueCol is integer-valued; no float summation
+    * anywhere), the weight N_h·σ_h = sqrt(N_h·S_h∕(N_h−1)) is one exact
+    * cast + one IEEE divide + one correctly-rounded sqrt; the weight
+    * TOTAL folds sequentially over the stratum-sorted list (bounded
+    * |strata| entries — never a float sum() whose partial-merge order
+    * could flip a bit); quotas are Hamilton largest-remainder over the
+    * resulting identical-everywhere doubles, ties to the stratum name.
+    * Single-row strata get weight 0 (no variance to capture); if EVERY
+    * weight is 0 the allocation falls back to proportional-to-size with
+    * the exact-integer total.
+    *
+    * Scale shape: one integer-moments aggregate (map-side combined) +
+    * one |strata|-row fold + one broadcast of the |strata|-row quota
+    * table + one per-stratum rank window — the corpus shuffles once, on
+    * the stratum key. Emits (idCol, stratCol, strat_rank, alloc). */
+  def neymanSample(df: DataFrame, idCol: String, stratCol: String,
+      valueCol: String, budget: Int): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val x = col(valueCol).cast("long")
+    val s = df.groupBy(stratCol).agg(
+        count(lit(1)).as("n_rows"), sum(x).as("s1"), sum(x * x).as("s2"))
+      .withColumn("wt", when(col("n_rows") <= 1, lit(0.0)).otherwise(
+        sqrt((col("n_rows") * (col("n_rows") * col("s2") - col("s1") * col("s1")))
+          .cast("double") / (col("n_rows") - 1))))
+      .localCheckpoint() // |strata| rows; feeds the fold and the quotas
+    val tot = s.agg(
+      aggregate(
+        array_sort(collect_list(struct(col(stratCol).as("k"), col("wt").as("w")))),
+        lit(0.0), (a, e) => a + e.getField("w")).as("w_total"),
+      sum(col("n_rows")).as("total_rows"))
+    val q = s.crossJoin(broadcast(tot))
+      .withColumn("target",
+        when(col("w_total") === 0.0,
+          (lit(budget.toLong) * col("n_rows")).cast("double") / col("total_rows"))
+          .otherwise(lit(budget.toDouble) * col("wt") / col("w_total")))
+      .withColumn("base", floor(col("target")).cast("long"))
+      .withColumn("rem", col("target") - col("base"))
+    val d = q.agg((lit(budget.toLong) - sum("base")).as("deficit"))
+    // unpartitioned window over the |strata|-row aggregate only (the
+    // q148 apportionment contract — bounded at any corpus scale)
+    val alloc = q
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("rem").desc, col(stratCol))))
+      .crossJoin(broadcast(d))
+      .select(col(stratCol),
+        (col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+          .as("alloc"))
+    val rankW = Window.partitionBy(col(stratCol))
+      .orderBy(pmod(col(idCol).cast("long") * Mult, lit(P)), col(idCol))
+    df.join(broadcast(alloc), stratCol)
+      .withColumn("strat_rank", row_number().over(rankW).cast("long"))
+      .filter(col("strat_rank") <= col("alloc"))
+      .select(col(idCol), col(stratCol), col("strat_rank"), col("alloc"))
+  }
 }

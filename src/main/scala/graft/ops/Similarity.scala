@@ -457,4 +457,94 @@ object Similarity {
       assignExpr(finalCents, dv, dot(dv, dv)).cast("int"))
     (assigned, finalCents)
   }
+
+  /** Nearest-centroid id for a sub-vector — the [[kmeansLloyd]]
+    * assignment formula (d2 = ‖s‖² + ‖c‖² − 2·s·c, ties to the lower
+    * cluster id via lexicographic struct min), against codebook
+    * literals. */
+  private def argminCode(cents: Seq[(Int, Seq[Double])], sub: Column): Column = {
+    val sn2 = dot(sub, sub)
+    array_min(array(cents.map { case (c, cv) =>
+      val cn2 = cv.foldLeft(0.0)((acc, x) => acc + x * x)
+      struct((sn2 + lit(cn2) - lit(2.0) * dot(sub, typedLit(cv))).as("d2"),
+        lit(c).as("c"))
+    }: _*)).getField("c")
+  }
+
+  /** Product-quantization codebooks (Jégou et al. 2011): the vector
+    * space splits into `m` contiguous subspaces of dim∕m dims, and each
+    * subspace trains its own deterministic k-means on the sub-vectors
+    * ([[kmeansLloyd]] — lowest-id init, DECIMAL centroid sums, so the
+    * codebooks are a pure function of the corpus). An encoded vector is
+    * then m small ids instead of dim floats (16× smaller at m=2/ksub=4
+    * over 64 f32 dims; production shapes reach 32–64×), and distance
+    * math runs on per-subspace centroid tables — the memory trade that
+    * lets an ANN index hold a 100 TB corpus's vectors in RAM.
+    *
+    * Scale shape: m runs of the kmeansLloyd scan-per-iteration recipe;
+    * the codebooks are m·ksub·(dim∕m) doubles on the driver — the same
+    * broadcast-sized model shape as [[sqTrain]]/[[topKIvfTrained]]. */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int, ksub: Int, iters: Int): Seq[Seq[(Int, Seq[Double])]] = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sd = dim / m
+    (0 until m).map { j =>
+      val sub = df.select(col(idCol),
+        slice(toDouble(col(vecCol)), j * sd + 1, sd).as("_sub"))
+      kmeansLloyd(sub, idCol, "_sub", ksub, iters)._2
+    }
+  }
+
+  /** PQ encoding: array of m codes, each the nearest subspace centroid
+    * (same distance expansion + tie-break as the trainer's assignment).
+    * Pure scan-level projection against codebook literals — encoding a
+    * corpus is shuffle-free. */
+  def pqEncode(v: Column, codebooks: Seq[Seq[(Int, Seq[Double])]],
+      dim: Int): Column = {
+    val m = codebooks.size
+    val sd = dim / m
+    array(codebooks.zipWithIndex.map { case (cb, j) =>
+      argminCode(cb, slice(toDouble(v), j * sd + 1, sd))
+    }: _*)
+  }
+
+  /** ADC (asymmetric distance computation): approximate squared
+    * euclidean distance from a RAW query vector to an ENCODED corpus
+    * vector — Σ over subspaces of ‖q_j − centroid(code_j)‖², each term
+    * the same ‖q_j‖² + ‖c‖² − 2·q_j·c expansion the trainer uses, terms
+    * summed left to right (engine-exact). The corpus side touches only
+    * its m-byte codes; centroids and their norms are literal lookups. */
+  def pqAdcDist(v: Column, codes: Column,
+      codebooks: Seq[Seq[(Int, Seq[Double])]], dim: Int): Column = {
+    val m = codebooks.size
+    val sd = dim / m
+    codebooks.zipWithIndex.map { case (cb, j) =>
+      val q = slice(toDouble(v), j * sd + 1, sd)
+      val code = element_at(codes, j + 1)
+      val cvs = cb.sortBy(_._1).map(_._2)
+      val cn2s = cvs.map(_.foldLeft(0.0)((a, x) => a + x * x))
+      dot(q, q) + element_at(typedLit(cn2s), code + 1) -
+        lit(2.0) * dot(q, element_at(typedLit(cvs), code + 1))
+    }.reduce(_ + _)
+  }
+
+  /** PQ-ANN top-k: encode the corpus once, broadcast the query set, rank
+    * per query by ADC distance (ties to the lower neighbor id). The
+    * join carries only (id, m codes) on the corpus side — at scale the
+    * compressed table is the whole point: it stays in memory where the
+    * raw vectors cannot. Emits (query_id, rank, neighbor_id, adc_d2). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, codebooks: Seq[Seq[(Int, Seq[Double])]], dim: Int,
+      k: Int): DataFrame = {
+    val enc = corpus.select(col(idCol).as("neighbor_id"),
+      pqEncode(col(vecCol), codebooks, dim).as("_codes"))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))
+    val scored = enc.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_d2", pqAdcDist(col("_qv"), col("_codes"), codebooks, dim))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc_d2")
+  }
 }

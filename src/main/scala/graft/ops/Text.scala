@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for the LLM-data-pipeline surface: tokenizing,
@@ -162,5 +162,34 @@ object Text {
         sumLen >= n * 3 && sumLen <= n * 10 &&
         symbols * 10 <= n && alpha * 10 >= n * 8 &&
         stopHits >= 2L).as("keep"))
+  }
+
+  /** Content-defined chunk table: one row per variable-size chunk of
+    * `textCol`, split where the w-char rolling window hash divides by
+    * `divisor` ([[graft.functions.CdcBoundaries]] — compiled O(len)
+    * kernel; expected chunk ≈ `divisor` chars). Emits (idCol, chunk_idx
+    * 1-based, start 1-based, chunk_len, chunk_hash = strHash32 of the
+    * chunk text — the key chunk-level storage dedup buckets on). Docs
+    * shorter than w come back as one whole-doc chunk; empty docs emit
+    * no rows. Pure per-row array math + a narrow explode — chunking a
+    * corpus is shuffle-free at any scale, and the chunk table carries
+    * 8-byte hashes, never a second copy of the text. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 16, divisor: Int = 64): DataFrame = {
+    val bounds = call_function("graft_cdc_boundaries", col(textCol), lit(w), lit(divisor))
+    val n = length(col(textCol))
+    val starts = concat(array(lit(1)), transform(col("_b"), b => b + 1))
+    val ends = concat(col("_b"), array(n))
+    df.filter(length(col(textCol)) > 0)
+      .withColumn("_b", bounds)
+      .select(col(idCol), col(textCol).as("_t"),
+        posexplode(zip_with(starts, ends, (s, e) => struct(s.as("s"), e.as("e")))))
+      .select(
+        col(idCol),
+        (col("pos") + 1).cast("long").as("chunk_idx"),
+        col("col.s").cast("long").as("start"),
+        (col("col.e") - col("col.s") + 1).cast("long").as("chunk_len"),
+        (strHash32(col("_t").substr(col("col.s"),
+          col("col.e") - col("col.s") + 1)) % P).as("chunk_hash"))
   }
 }

@@ -1154,5 +1154,81 @@ object AnalyticsQueries {
         .join(broadcast(mad), Seq("event_type"))
         .select(col("event_type"), col("n"), col("med").as("median"),
           col("mad"), col("n_outliers"))
+    },
+
+    // ---- EXACT BITMAP DISTINCT ROLLUP (L162): per-(event_type, day)
+    // paged-bitmap sketches (graft_bitmap_sketch — the roaring shape:
+    // 65536-bit pages materialized only where ids land) roll up by
+    // page-wise OR to exact per-type distinct users, WITHOUT rescanning
+    // raw events — the pre-aggregated-cube pattern q48 runs
+    // approximately (HLL), here reconciling to the INTEGER, the form a
+    // billing/abuse audit needs. OR is commutative/idempotent, so any
+    // rollup tree (and at-least-once replay) yields the identical
+    // bitmap; the oracle is a plain exact COUNT(DISTINCT).
+    Q(
+      "q181_bitmap_distinct",
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val perDay = Tables.events(spark, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(call_function("graft_bitmap_sketch", col("user_id")).as("bm"))
+      perDay.groupBy("event_type")
+        .agg(call_function("graft_bitmap_merge", col("bm")).as("m"))
+        .select(col("event_type"),
+          call_function("graft_bitmap_count", col("m")).as("n_users"))
+    },
+
+    // ---- TRAILING-WINDOW COUNT ANOMALIES (L163): per (event_type, day)
+    // event counts flagged against the trailing ≤7 observations — the
+    // ingest-monitoring gate that catches a collapsed source or a bot
+    // flood before it poisons a training snapshot. ENTIRELY INTEGER:
+    // |x−μ| > 3σ over the window cross-multiplies to
+    // (n·x − S1)² > 9·(n·S2 − S1²) with S1/S2 integer window sums — no
+    // float enters, so engines cannot disagree on a boundary day.
+    // Below 3 observations the verdict is NULL (not false): no history
+    // is "unknown", not "normal". The windows run on the (type, day)
+    // AGGREGATE (|types|·|days| rows), never the raw corpus.
+    Q(
+      "q182_count_anomalies",
+      """WITH c AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, n_events,
+        |    CAST(count(*) OVER win AS BIGINT) AS n_win,
+        |    CAST(sum(n_events) OVER win AS BIGINT) AS s1,
+        |    CAST(sum(n_events * n_events) OVER win AS BIGINT) AS s2
+        |  FROM c
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, n_events, n_win,
+        |  CASE WHEN n_win >= 3
+        |    THEN (n_win * n_events - s1) * (n_win * n_events - s1) END
+        |    AS dev2,
+        |  CASE WHEN n_win >= 3 THEN 9 * (n_win * s2 - s1 * s1) END AS thr,
+        |  CASE WHEN n_win >= 3
+        |    THEN (n_win * n_events - s1) * (n_win * n_events - s1)
+        |       > 9 * (n_win * s2 - s1 * s1) END AS anomaly
+        |FROM w""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.events(spark, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val win = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-7, -1)
+      counts
+        .withColumn("n_win", count(lit(1)).over(win))
+        .withColumn("s1", sum("n_events").over(win))
+        .withColumn("s2", sum(col("n_events") * col("n_events")).over(win))
+        .withColumn("dev2", when(col("n_win") >= 3,
+          (col("n_win") * col("n_events") - col("s1")) *
+            (col("n_win") * col("n_events") - col("s1"))))
+        .withColumn("thr", when(col("n_win") >= 3,
+          lit(9L) * (col("n_win") * col("s2") - col("s1") * col("s1"))))
+        .withColumn("anomaly", when(col("n_win") >= 3, col("dev2") > col("thr")))
+        .select("event_type", "day", "n_events", "n_win", "dev2", "thr",
+          "anomaly")
     })
 }

@@ -777,6 +777,55 @@ object CorpusStatsQueries {
       val src = Tables.documents(spark, dir)
         .select(col("doc_id").as("vec_id"), col("source"))
       Similarity.groupDispersion(v.join(src, "vec_id"), "source", "embedding")
+    },
+
+    // ---- K-CORE DECOMPOSITION (L158): the dense template CORE of the
+    // capped near-dup graph — nodes that keep degree >= k after
+    // everything weaker peels away (Matula-Beck). Core membership is
+    // the boilerplate-vs-incidental split dedup policy acts on. The
+    // fixpoint is round-count independent past convergence (peeling a
+    // stable set is the identity), so the oracle unrolls a fixed 12
+    // synchronous rounds while the Spark side iterates adaptively and
+    // THROWS if 12 rounds don't converge — a divergence fails loudly at
+    // the gate, never silently.
+    Q(
+      "q177_kcore", {
+        val k = 3
+        // MATERIALIZED: each peel round references the previous twice;
+        // DuckDB inlines plain CTEs, which would re-evaluate the whole
+        // chain 2^12 times
+        def peel(prev: String, next: String) =
+          s"""$next AS MATERIALIZED (
+             |  SELECT e.src AS id FROM edges e
+             |  JOIN $prev a ON e.src = a.id JOIN $prev b ON e.dst = b.id
+             |  GROUP BY 1 HAVING count(*) >= $k)""".stripMargin
+        s"""WITH ${LlmQueries.simhashCtes},
+           |ranked AS (
+           |  SELECT doc_id, sim, band, band_key,
+           |    row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rk
+           |  FROM banded),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM ranked a JOIN banded b USING (band, band_key)
+           |  WHERE a.rk <= ${Dedup.DefaultDegreeCap} AND a.doc_id < b.doc_id
+           |    AND bit_count(xor(a.sim, b.sim)) <= 3),
+           |edges AS MATERIALIZED (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION ALL SELECT id_b, id_a FROM pairs),
+           |alive0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+           |${(1 to 12).map(i => peel(s"alive${i - 1}", s"alive$i")).mkString(",\n")},
+           |coredeg AS (
+           |  SELECT e.src AS id, CAST(count(*) AS BIGINT) AS core_degree
+           |  FROM edges e
+           |  JOIN alive12 a ON e.src = a.id JOIN alive12 b ON e.dst = b.id
+           |  GROUP BY 1)
+           |SELECT d.doc_id, cd.id IS NOT NULL AS in_core, cd.core_degree
+           |FROM documents d LEFT JOIN coredeg cd ON d.doc_id = cd.id""".stripMargin
+      }) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val pairs = Dedup.simhashPairsCapped(docs, "doc_id", "text",
+        bands = 4, maxHamming = 3, cap = Dedup.DefaultDegreeCap)
+      Components.kCore(docs, "doc_id", pairs, "id_a", "id_b", k = 3, maxIter = 12)
     }
   )
 }

@@ -1754,5 +1754,96 @@ object CurationQueries {
           .withColumn("sched_pos", row_number().over(
             Window.orderBy(col("vt"), col("source"), col("doc_id"))).cast("long"))
           .select("sched_pos", "doc_id", "source", "vt")
+    },
+
+    // ---- PRODUCT-QUANTIZATION ANN (L160): two 32-dim subspaces each
+    // train the deterministic k-means recipe (q113's: lowest-id init,
+    // DECIMAL centroid sums, 2 Lloyd iterations), the corpus encodes to
+    // 2 small codes per vector, and queries rank neighbors by ADC —
+    // per-subspace distance to the CODE's centroid, summed left to
+    // right. The oracle replays both subspace trainings, the encoding
+    // argmin, and every ADC term with the same fold arithmetic; probe
+    // set = vec_id < 10, top-5 (self excluded).
+    Q(
+      "q179_pq_ann", {
+        val sd = 32; val ksub = 4
+        def dotSql(a: String, b: String) = LlmQueries.foldSumSql(
+          s"list_transform(range(1, ${sd + 1}), i -> $a[i]*$b[i])",
+          "CAST(0 AS DOUBLE)")
+        def assignSql(name: String, vn: String, cents: String) =
+          s"""$name AS (
+             |  SELECT vec_id, cluster FROM (
+             |    SELECT v.vec_id, c.cluster,
+             |      row_number() OVER (PARTITION BY v.vec_id
+             |        ORDER BY v.vn2 + ${dotSql("c.cv", "c.cv")}
+             |          - 2.0 * ${dotSql("v.dv", "c.cv")}, c.cluster) AS rn
+             |    FROM $vn v, $cents c) x WHERE rn = 1)""".stripMargin
+        def updateSql(sums: String, assign: String, vn: String,
+            prev: String, next: String) =
+          s"""$sums AS (
+             |  SELECT a.cluster, i,
+             |    CAST(sum(CAST(v.dv[i] AS DECIMAL(30,12))) AS DOUBLE)
+             |      / count(*) AS mval
+             |  FROM $assign a JOIN $vn v USING (vec_id),
+             |    unnest(range(1, ${sd + 1})) u(i)
+             |  GROUP BY 1, 2),
+             |$next AS (
+             |  SELECT p.cluster, coalesce(n.cv, p.cv) AS cv
+             |  FROM $prev p LEFT JOIN (
+             |    SELECT cluster, list(mval ORDER BY i) AS cv FROM $sums
+             |    GROUP BY 1) n
+             |  USING (cluster))""".stripMargin
+        def subspace(j: Int): String = {
+          val lo = j * sd + 1; val hi = (j + 1) * sd
+          s"""sv$j AS (SELECT vec_id, dvall[$lo:$hi] AS dv FROM vall),
+             |vn$j AS MATERIALIZED (
+             |  SELECT vec_id, dv, ${dotSql("dv", "dv")} AS vn2 FROM sv$j),
+             |c0_$j AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+             |    dv AS cv
+             |  FROM sv$j ORDER BY vec_id LIMIT $ksub),
+             |${assignSql(s"a1_$j", s"vn$j", s"c0_$j")},
+             |${updateSql(s"s1_$j", s"a1_$j", s"vn$j", s"c0_$j", s"c1_$j")},
+             |${assignSql(s"a2_$j", s"vn$j", s"c1_$j")},
+             |${updateSql(s"s2_$j", s"a2_$j", s"vn$j", s"c1_$j", s"c2_$j")},
+             |${assignSql(s"enc$j", s"vn$j", s"c2_$j")}""".stripMargin
+        }
+        s"""WITH vall AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvall
+           |  FROM embeddings),
+           |${subspace(0)},
+           |${subspace(1)},
+           |adc AS (
+           |  SELECT q0.vec_id AS query_id, e0.vec_id AS neighbor_id,
+           |    (q0.vn2 + ${dotSql("k0.cv", "k0.cv")}
+           |       - 2.0 * ${dotSql("q0.dv", "k0.cv")})
+           |    + (q1.vn2 + ${dotSql("k1.cv", "k1.cv")}
+           |       - 2.0 * ${dotSql("q1.dv", "k1.cv")}) AS adc_d2
+           |  FROM vn0 q0
+           |  JOIN vn1 q1 ON q1.vec_id = q0.vec_id
+           |  JOIN enc0 e0 ON e0.vec_id <> q0.vec_id
+           |  JOIN enc1 e1 ON e1.vec_id = e0.vec_id
+           |  JOIN c2_0 k0 ON k0.cluster = e0.cluster
+           |  JOIN c2_1 k1 ON k1.cluster = e1.cluster
+           |  WHERE q0.vec_id < 10),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, adc_d2,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY adc_d2, neighbor_id) AS rn
+           |  FROM adc)
+           |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+           |  round(adc_d2, 6) AS adc_d2
+           |FROM ranked WHERE rn <= 5""".stripMargin
+      }) { (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+      val cbs = Similarity.pqTrain(e, "vec_id", "embedding",
+        dim = 64, m = 2, ksub = 4, iters = 2)
+      // adc_d2 crosses the oracle boundary rounded (q26/q144 recipe):
+      // the centroid DECIMAL(30,12) sums exceed 2^53 unscaled, so the
+      // decimal->double conversions differ in the last ulp between
+      // engines (Java's one-step correctly-rounded vs two-step)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", cbs, dim = 64, k = 5)
+        .withColumn("adc_d2", round(col("adc_d2"), 6))
     })
 }

@@ -945,6 +945,44 @@ object LinkageQueries {
         when(col("sigma") + col("mu") === 0, lit(null).cast("double"))
           .otherwise(round((col("sigma") - col("mu")) / (col("sigma") + col("mu")), 6))
           .as("burstiness"))
+    },
+
+    // ---- FIRST/LAST-TOUCH ATTRIBUTION (L164): every conversion
+    // ('purchase') credits the user's FIRST non-conversion touch ever
+    // and the LAST one immediately before it — the two bookend models
+    // of marketing attribution, both pure window reads over the
+    // per-user (ts, event_id) order (IGNORE-NULLS first/last over an
+    // unbounded-preceding frame; no self-join, no per-user collect).
+    // Purchases with no prior touch keep NULL — "unattributable" is an
+    // answer, not a default channel. The rollup is a |types|²-bounded
+    // aggregate; at corpus scale the single shuffle is the user key.
+    Q(
+      "q183_touch_attribution",
+      """WITH o AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER win AS first_touch,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER win AS last_touch
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT first_touch, last_touch,
+        |  CAST(count(*) AS BIGINT) AS n_purchases
+        |FROM o WHERE event_type = 'purchase'
+        |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val touch = when(col("event_type") =!= "purchase", col("event_type"))
+      val win = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(spark, dir)
+        .withColumn("first_touch", first(touch, ignoreNulls = true).over(win))
+        .withColumn("last_touch", last(touch, ignoreNulls = true).over(win))
+        .filter(col("event_type") === "purchase")
+        .groupBy("first_touch", "last_touch")
+        .agg(count(lit(1)).as("n_purchases"))
     }
   )
 }

@@ -544,5 +544,42 @@ object LlmQueries {
          |FROM sig""".stripMargin) { (spark, dir) =>
       Tables.documents(spark, dir)
         .select(col("doc_id") +: Text.gopherSignals(col("text")): _*)
+    },
+
+    // ---- CONTENT-DEFINED CHUNKING (L159): variable-size chunks split
+    // where a 16-char rolling window hash divides by 64 (LBFS-style
+    // CDC) — boundaries are a pure function of LOCAL content, so an
+    // insertion re-chunks only its own region and chunk-level dedup
+    // still matches everything downstream (fixed-offset chunking loses
+    // every chunk after the edit). Spark computes the window hashes in
+    // one compiled O(len) rolling pass (graft_cdc_boundaries); the
+    // oracle replays each position's window hash as the DEFINING
+    // per-window fold — same values, two routes.
+    Q(
+      "q178_cdc_chunks", {
+        val whSql = foldSumSql(
+          "list_transform(range(i-15, i+1), j -> CAST(ascii(substr(text, j, 1)) AS BIGINT))",
+          "CAST(0 AS BIGINT)", "(a*31 + x) % 1000000007")
+        s"""WITH c AS (
+           |  SELECT doc_id, text, CAST(length(text) AS INT) AS n
+           |  FROM documents WHERE length(text) > 0),
+           |b AS (
+           |  SELECT doc_id, text, n,
+           |    list_filter(range(16, n), i -> ($whSql) % 64 = 0) AS bounds
+           |  FROM c),
+           |s AS (
+           |  SELECT doc_id, text, n,
+           |    list_prepend(1, list_transform(bounds, x -> x + 1)) AS starts,
+           |    list_append(bounds, n) AS ends
+           |  FROM b)
+           |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+           |  CAST(starts[k] AS BIGINT) AS start,
+           |  CAST(ends[k] - starts[k] + 1 AS BIGINT) AS chunk_len,
+           |  ${strHashSql("substr(text, starts[k], ends[k] - starts[k] + 1)")}
+           |    AS chunk_hash
+           |FROM s, unnest(range(1, len(starts) + 1)) u(k)""".stripMargin
+      }) { (spark, dir) =>
+      Text.cdcChunks(Tables.documents(spark, dir), "doc_id", "text",
+        w = 16, divisor = 64)
     })
 }

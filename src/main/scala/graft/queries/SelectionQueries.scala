@@ -500,6 +500,69 @@ object SelectionQueries {
       Sample.assignSplit(comp, "component",
         Seq("train" -> 80, "val" -> 90), rest = "test")
         .select("doc_id", "component", "split")
+    },
+
+    // ---- NEYMAN-ALLOCATION STRATIFIED SAMPLE (L161): a 100-row budget
+    // split across sources ∝ N_h·σ_h(n_chars) — the minimum-variance
+    // allocation for estimating corpus statistics from a bounded audit
+    // sample (a heterogeneous source earns more audit rows than an
+    // equally-sized uniform one). Exactness: σ numerators are pure
+    // integers (N·Σx²−(Σx)²), the weight total folds sequentially over
+    // the source-sorted list, quotas are Hamilton largest-remainder
+    // with source-name tie-break, and the per-source draw is the
+    // deterministic hash-rank gate — the oracle replays every step.
+    Q(
+      "q180_neyman_sample", {
+        val B = 100
+        s"""WITH s AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+           |    CAST(sum(n_chars) AS BIGINT) AS s1,
+           |    CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+           |  FROM documents GROUP BY 1),
+           |w AS (
+           |  SELECT source, n_rows,
+           |    CASE WHEN n_rows <= 1 THEN CAST(0 AS DOUBLE)
+           |         ELSE sqrt(CAST(n_rows * (n_rows * s2 - s1 * s1) AS DOUBLE)
+           |                / (n_rows - 1)) END AS wt
+           |  FROM s),
+           |tot AS (
+           |  SELECT ${LlmQueries.foldSumSql("list(wt ORDER BY source)", "CAST(0 AS DOUBLE)")}
+           |      AS w_total,
+           |    CAST(sum(n_rows) AS BIGINT) AS total_rows
+           |  FROM w),
+           |q AS (
+           |  SELECT source,
+           |    CASE WHEN t.w_total = 0
+           |         THEN CAST($B * n_rows AS DOUBLE) / t.total_rows
+           |         ELSE $B * wt / t.w_total END AS target
+           |  FROM w, tot t),
+           |q2 AS (
+           |  SELECT source, CAST(floor(target) AS BIGINT) AS base,
+           |    target - floor(target) AS rem
+           |  FROM q),
+           |d AS (SELECT CAST($B - sum(base) AS BIGINT) AS deficit FROM q2),
+           |r AS (
+           |  SELECT source, base,
+           |    row_number() OVER (ORDER BY rem DESC, source) AS rk
+           |  FROM q2),
+           |alloc AS (
+           |  SELECT source,
+           |    base + CASE WHEN rk <= d.deficit THEN 1 ELSE 0 END AS alloc
+           |  FROM r, d),
+           |ranked AS (
+           |  SELECT doc_id, source,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY (doc_id * ${Text.Mult}) % ${Text.P}, doc_id)
+           |      AS strat_rank
+           |  FROM documents)
+           |SELECT ranked.doc_id, ranked.source,
+           |  CAST(strat_rank AS BIGINT) AS strat_rank,
+           |  CAST(a.alloc AS BIGINT) AS alloc
+           |FROM ranked JOIN alloc a USING (source)
+           |WHERE strat_rank <= a.alloc""".stripMargin
+      }) { (spark, dir) =>
+      Sample.neymanSample(Tables.documents(spark, dir), "doc_id", "source",
+        "n_chars", budget = 100)
     }
   )
 }

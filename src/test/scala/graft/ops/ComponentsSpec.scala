@@ -70,4 +70,41 @@ class ComponentsSpec extends SparkSuite {
       .collect().map(r => r.getLong(1)).distinct
     assert(cc.length == 1)
   }
+
+  test("kCore: clique survives, pendant chain and bridge peel away; " +
+      "fixpoint is round-count independent; non-convergence throws") {
+    // 4-clique {1,2,3,4} + chain 4—5—6—7 + isolated 9
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 9L).toDF("doc_id")
+    val got = Components
+      .kCore(nodes, "doc_id", pairs, "id_a", "id_b", k = 3, maxIter = 8)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    // 3-core = the clique, every member at within-core degree 3; the
+    // chain (degree ≤ 2 throughout) and the no-edge node are out
+    assert(got == Map(
+      1L -> (true, 3L), 2L -> (true, 3L), 3L -> (true, 3L), 4L -> (true, 3L),
+      5L -> (false, -1L), 6L -> (false, -1L), 7L -> (false, -1L),
+      9L -> (false, -1L)))
+    // round-count independence: a bigger maxIter changes nothing
+    val again = Components
+      .kCore(nodes, "doc_id", pairs, "id_a", "id_b", k = 3, maxIter = 15)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(again == got)
+    // a long chain under k=2 peels one node per end per round — 20
+    // nodes cannot converge in 3 rounds, and the contract is THROW,
+    // never a silently-partial core
+    val chain = (0L until 20L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id_a", "id_b")
+    val chainNodes = (0L until 20L).toDF("doc_id")
+    intercept[IllegalArgumentException] {
+      Components.kCore(chainNodes, "doc_id", chain, "id_a", "id_b",
+        k = 2, maxIter = 3).collect()
+    }
+  }
 }

@@ -189,4 +189,35 @@ class SampleSpec extends SparkSuite {
       Sample.strideInterleave(df.toDF("id", "src"), "id", "src", Seq("a" -> 11))
     }
   }
+
+  test("neymanSample: budget follows N·σ (zero-variance and singleton " +
+      "strata get none), proportional fallback when all σ = 0, " +
+      "deterministic hash-rank draw") {
+    // A varies (σ > 0, 12 rows), B is constant (σ = 0), C is a singleton
+    val rows = (1L to 12L).map(i => (i, "A", if (i % 2 == 0) 100L else 0L)) ++
+      (21L to 28L).map(i => (i, "B", 5L)) ++ Seq((31L, "C", 9L))
+    val df = rows.toDF("id", "src", "v")
+    val got = Sample.neymanSample(df, "id", "src", "v", budget = 10)
+      .orderBy("src", "strat_rank")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // every sampled row is from A, alloc 10, ranks 1..10
+    assert(got.map(_._2).distinct == Seq("A"))
+    assert(got.map(_._4).distinct == Seq(10L))
+    assert(got.map(_._3) == (1L to 10L))
+    // the draw is the hash-rank order, a pure function of the ids
+    val expectedOrder = (1L to 12L)
+      .sortBy(i => (i * Text.Mult % Text.P, i)).take(10)
+    assert(got.map(_._1) == expectedOrder)
+    // all-constant strata: proportional fallback with exact-integer total
+    val flat = ((1L to 6L).map(i => (i, "A", 7L)) ++
+      (11L to 13L).map(i => (i, "B", 7L))).toDF("id", "src", "v")
+    val fb = Sample.neymanSample(flat, "id", "src", "v", budget = 10)
+      .groupBy("src").agg(max("alloc").as("alloc"), count(lit(1)).as("n"))
+      .orderBy("src")
+      .as[(String, Long, Long)].collect().toSeq
+    // targets 20/3 and 10/3 -> bases 6 and 3, the one extra goes to the
+    // larger remainder (A at .667)
+    assert(fb == Seq(("A", 7L, 6L), ("B", 3L, 3L)),
+      s"proportional fallback drifted: $fb")
+  }
 }

@@ -187,6 +187,39 @@ class SimilaritySpec extends SparkSuite {
     assert(got("solo") == ((1L, None)), "below 2 vectors the mean is NULL")
   }
 
+  test("pq: per-subspace codebooks train independently (empty cluster " +
+      "keeps its centroid), codes follow the argmin, ADC ranks exactly") {
+    // subspace A separates {v0,v1} from {v2,v3}; in subspace B both init
+    // centroids coincide (v0 and v1 share (10,10)), so cluster 1 goes
+    // EMPTY in training and must keep its init centroid
+    val df = Seq(
+      (0L, Seq(0f, 0f, 10f, 10f)),
+      (1L, Seq(0.2f, 0f, 10f, 10f)),
+      (2L, Seq(5f, 5f, 0f, 0f)),
+      (3L, Seq(5.2f, 5f, 0f, 0f))).toDF("vec_id", "embedding")
+    val cbs = Similarity.pqTrain(df, "vec_id", "embedding",
+      dim = 4, m = 2, ksub = 2, iters = 1)
+    assert(cbs.size == 2 && cbs.forall(_.size == 2))
+    // subspace B: cluster 1 was empty after the tie-to-lower assignment,
+    // so its centroid must still be the init (10,10)
+    assert(cbs(1).toMap.apply(1) == Seq(10.0, 10.0))
+    val codes = df.select(col("vec_id"),
+      Similarity.pqEncode(col("embedding"), cbs, 4).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(codes(0) == Seq(0, 1) && codes(1) == Seq(0, 1))
+    assert(codes(2) == Seq(1, 0) && codes(3) == Seq(1, 0))
+    val top = Similarity.pqTopK(df, df.filter(col("vec_id") === 0),
+      "vec_id", "embedding", cbs, dim = 4, k = 3)
+      .orderBy("rank")
+      .select("rank", "neighbor_id", "adc_d2")
+      .as[(Int, Long, Double)].collect().toSeq
+    // v1 shares v0's cells exactly -> ADC 0; v2/v3 share codes so their
+    // ADC ties and the lower id must rank first
+    assert(top.map(_._2) == Seq(1L, 2L, 3L))
+    assert(top.head._3 == 0.0, s"same-cell ADC must be exactly 0, got $top")
+    assert(top(1)._3 == top(2)._3, "equal codes must give equal ADC")
+  }
+
   test("rrfFuse: integer contributions, full-outer union, absent side is 0") {
     val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rn")
     val vec = Seq((20L, 1), (40L, 2)).toDF("id", "rn")

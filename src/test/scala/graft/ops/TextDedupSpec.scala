@@ -75,6 +75,45 @@ class TextDedupSpec extends SparkSuite {
     assert(!sym)
   }
 
+  test("cdcChunks: boundaries match the per-window defining fold; chunks " +
+      "tile the doc; an insertion only re-chunks its own region") {
+    val rnd = new scala.util.Random(178L)
+    val text = (1 to 60).map(_ => ('a' + rnd.nextInt(26)).toChar.toString +
+      ('a' + rnd.nextInt(26)).toChar + " ").mkString.trim // ~180 chars
+    val (w, d) = (16, 8) // small divisor so the test doc has boundaries
+    // brute-force reference: hash every w-window with the defining fold
+    def windowHash(s: String, endIdx1: Int): Long = {
+      var h = 0L
+      for (j <- endIdx1 - w + 1 to endIdx1) h = (h * 31 + s.charAt(j - 1)) % 1000000007L
+      h
+    }
+    def refBounds(s: String): Seq[Int] =
+      (w until s.length).filter(i => windowHash(s, i) % d == 0)
+    val df = Seq((1L, text), (2L, "tiny doc"), (3L, "")).toDF("doc_id", "text")
+    val got = Text.cdcChunks(df, "doc_id", "text", w, d)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "start", "chunk_len")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val rb = refBounds(text)
+    assert(rb.nonEmpty, "test doc must have at least one boundary")
+    val expStarts = 1L +: rb.map(_ + 1L)
+    val expEnds = rb.map(_.toLong) :+ text.length.toLong
+    val doc1 = got.filter(_._1 == 1L)
+    assert(doc1.map(_._3) == expStarts, "starts must match the defining fold")
+    assert(doc1.map(t => t._3 + t._4 - 1) == expEnds)
+    // chunks tile the doc exactly: starts chain and lengths sum to len
+    assert(doc1.map(_._4).sum == text.length.toLong)
+    // short doc (< w): one whole-doc chunk; empty doc: no rows
+    assert(got.filter(_._1 == 2L) == Seq((2L, 1L, 1L, 8L)))
+    assert(!got.exists(_._1 == 3L))
+    // CDC robustness: prepend a char — boundaries BEYOND the edit window
+    // shift by exactly 1 (same content, same local windows), so every
+    // chunk after the first boundary survives an insertion
+    val shifted = refBounds("Z" + text)
+    assert(rb.toSet.subsetOf(shifted.map(_ - 1).toSet),
+      "every boundary must survive an insertion, shifted by its length")
+  }
+
   test("exactDupTag: lowest id is the keeper") {
     val df = Seq((3L, "same"), (1L, "same"), (2L, "other")).toDF("id", "text")
     val out = Dedup.exactDupTag(df, "text", "id")
