@@ -826,6 +826,81 @@ object CorpusStatsQueries {
       val pairs = Dedup.simhashPairsCapped(docs, "doc_id", "text",
         bands = 4, maxHamming = 3, cap = Dedup.DefaultDegreeCap)
       Components.kCore(docs, "doc_id", pairs, "id_a", "id_b", k = 3, maxIter = 12)
+    },
+
+    // ---- DEDUP THRESHOLD SENSITIVITY (L166): the keep-one-per-cluster
+    // outcome at EVERY Hamming threshold 0..3 from ONE capped candidate
+    // pass — the curve that answers "how much does the corpus shrink if
+    // we loosen/tighten near-dup?" BEFORE committing to a threshold
+    // (pair volume, touched docs, cluster count, survivors per t).
+    // Threshold-t edges are a filter on the already-bounded pair
+    // stream's hamming column; per-t components run on those bounded
+    // edge lists (the adaptive small-graph union-find path — driver
+    // work capped by the 4M-edge gate), so the corpus is fingerprinted
+    // ONCE for all four thresholds. Oracle replays each threshold's
+    // transitive closure (q49's recursive idiom, four instances).
+    Q(
+      "q185_dedup_threshold_curve", {
+        def level(t: Int) =
+          s"""edges$t AS (
+             |  SELECT id_a AS src, id_b AS dst FROM cpairs WHERE h <= $t
+             |  UNION SELECT id_b, id_a FROM cpairs WHERE h <= $t),
+             |reach$t AS (
+             |  SELECT DISTINCT src AS id, src AS comp FROM edges$t
+             |  UNION
+             |  SELECT e.src AS id, r.comp FROM edges$t e
+             |  JOIN reach$t r ON e.dst = r.id),
+             |lab$t AS (SELECT id, min(comp) AS comp FROM reach$t GROUP BY id),
+             |st$t AS (
+             |  SELECT $t AS t,
+             |    (SELECT CAST(count(*) AS BIGINT) FROM cpairs WHERE h <= $t)
+             |      AS n_pairs,
+             |    CAST(count(*) AS BIGINT) AS n_docs_touched,
+             |    CAST(count(DISTINCT comp) AS BIGINT) AS n_clusters
+             |  FROM lab$t)""".stripMargin
+        s"""WITH RECURSIVE ${LlmQueries.simhashCtes},
+           |ranked AS (
+           |  SELECT doc_id, sim, band, band_key,
+           |    row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rk
+           |  FROM banded),
+           |cpairs AS (
+           |  SELECT id_a, id_b, min(h) AS h FROM (
+           |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |      bit_count(xor(a.sim, b.sim)) AS h
+           |    FROM ranked a JOIN banded b USING (band, band_key)
+           |    WHERE a.rk <= ${Dedup.DefaultDegreeCap} AND a.doc_id < b.doc_id
+           |      AND bit_count(xor(a.sim, b.sim)) <= 3) x
+           |  GROUP BY 1, 2),
+           |${(0 to 3).map(level).mkString(",\n")},
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+           |allst AS (
+           |  SELECT * FROM st0 UNION ALL SELECT * FROM st1
+           |  UNION ALL SELECT * FROM st2 UNION ALL SELECT * FROM st3)
+           |SELECT CAST(t AS BIGINT) AS t, n_pairs, n_docs_touched, n_clusters,
+           |  n_docs_touched - n_clusters AS n_dropped,
+           |  tot.n_docs - (n_docs_touched - n_clusters) AS n_survivors
+           |FROM allst, tot""".stripMargin
+      }) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val nDocs = docs.count()
+      val pairs = Dedup.simhashPairsCapped(docs, "doc_id", "text",
+        bands = 4, maxHamming = 3, cap = Dedup.DefaultDegreeCap)
+        .localCheckpoint()
+      val rows = (0 to 3).map { t =>
+        val pt = pairs.filter(col("hamming") <= t).localCheckpoint()
+        val nPairs = pt.count()
+        if (nPairs == 0) (t.toLong, 0L, 0L, 0L)
+        else {
+          val comp = Components.connectedComponents(pt, "id_a", "id_b")
+          val touched = comp.count()
+          val clusters = comp.select("comp").distinct().count()
+          (t.toLong, nPairs, touched, clusters)
+        }
+      }
+      rows.toDF("t", "n_pairs", "n_docs_touched", "n_clusters")
+        .withColumn("n_dropped", col("n_docs_touched") - col("n_clusters"))
+        .withColumn("n_survivors", lit(nDocs) - col("n_dropped"))
     }
   )
 }

@@ -1845,5 +1845,73 @@ object CurationQueries {
       Similarity.pqTopK(e, e.filter(col("vec_id") < 10), "vec_id",
         "embedding", cbs, dim = 64, k = 5)
         .withColumn("adc_d2", round(col("adc_d2"), 6))
+    },
+
+    // ---- BORDA RANK AGGREGATION (L167): a multi-signal quality
+    // ensemble with NO tuned weights — each integer signal (doc length,
+    // distinct-token count, stopword hits) ranks the corpus
+    // best-to-worst, a doc's Borda score is the SUM of its ranks, and
+    // the final order is (score, doc_id). Rank aggregation is the
+    // published way to combine incommensurable quality signals without
+    // normalizing scales (a rank is a rank); everything is integer, so
+    // no engine can disagree on a boundary. Three rank windows over the
+    // corpus (each a single global sort — at scale these become the
+    // q129 two-phase range-partition rank), one |corpus|-row sum, top-50
+    // cut via TakeOrderedAndProject.
+    Q(
+      "q186_borda_quality", {
+        def rankSql(sig: String, name: String) =
+          s"""$name AS (
+             |  SELECT doc_id, row_number() OVER (ORDER BY $sig DESC, doc_id)
+             |    AS r
+             |  FROM sig)""".stripMargin
+        s"""WITH sig AS (
+           |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+           |    CAST(len(list_distinct(${LlmQueries.toksSql})) AS BIGINT) AS n_distinct,
+           |    CAST(len(list_filter(${LlmQueries.toksSql}, w -> w IN (${Text.StopWords.head._2.map(w => s"'$w'").mkString(",")}))) AS BIGINT) AS stop_hits
+           |  FROM documents),
+           |${rankSql("len", "r1")},
+           |${rankSql("n_distinct", "r2")},
+           |${rankSql("stop_hits", "r3")},
+           |sc AS (
+           |  SELECT s.doc_id,
+           |    CAST(r1.r AS BIGINT) AS rank_len,
+           |    CAST(r2.r AS BIGINT) AS rank_distinct,
+           |    CAST(r3.r AS BIGINT) AS rank_stop,
+           |    CAST(r1.r + r2.r + r3.r AS BIGINT) AS borda
+           |  FROM sig s JOIN r1 USING (doc_id) JOIN r2 USING (doc_id)
+           |  JOIN r3 USING (doc_id))
+           |SELECT * FROM (
+           |  SELECT doc_id, rank_len, rank_distinct, rank_stop, borda,
+           |    CAST(row_number() OVER (ORDER BY borda, doc_id) AS BIGINT)
+           |      AS final_rank
+           |  FROM sc) x WHERE final_rank <= 50""".stripMargin
+      }) { (spark, dir) =>
+      val toks = Text.tokens(col("text"))
+      // checkpoint: three rank passes read the signal frame
+      val sig = Tables.documents(spark, dir).select(col("doc_id"),
+        length(col("text")).cast("long").as("len"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        Text.stopwordHits(toks, Text.StopWords.head._2).cast("long")
+          .as("stop_hits")).localCheckpoint()
+      // each rank is the q129 two-phase range-partition prefix sum — no
+      // single-partition global window over the corpus
+      def ranked(c: String, name: String) = Sample
+        .quantileNormalize(sig.select(col("doc_id"), col(c)),
+          Seq(col(c).desc, col("doc_id")))
+        .select(col("doc_id"), col("rnk").as(name))
+      val sc = sig.select("doc_id")
+        .join(ranked("len", "rank_len"), "doc_id")
+        .join(ranked("n_distinct", "rank_distinct"), "doc_id")
+        .join(ranked("stop_hits", "rank_stop"), "doc_id")
+        .withColumn("borda",
+          col("rank_len") + col("rank_distinct") + col("rank_stop"))
+      // top-50 cut is TakeOrderedAndProject; the rank window then runs
+      // on the bounded 50-row frame only
+      sc.orderBy(col("borda"), col("doc_id")).limit(50)
+        .withColumn("final_rank", row_number().over(
+          Window.orderBy(col("borda"), col("doc_id"))).cast("long"))
+        .select("doc_id", "rank_len", "rank_distinct", "rank_stop", "borda",
+          "final_rank")
     })
 }

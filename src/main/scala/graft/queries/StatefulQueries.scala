@@ -995,5 +995,69 @@ object StatefulQueries {
           (est >= col("cnt")).as("lower_ok"),
           (est <= col("cnt") + bound).as("upper_ok"),
           (est === estD).as("streamed_matches_direct"))
+    },
+
+    // ---- STREAMING EXACT-DISTINCT maintenance (L165): q181's paged
+    // bitmaps folded per micro-batch into a standing per-type table —
+    // the continuous form of the exact distinct-users cube, with q115's
+    // ALGEBRAIC replay shield (page-OR is idempotent as well as
+    // abelian, so at-least-once redelivery of a whole batch is absorbed
+    // by the math, no txn marker needed). Where the KMV twin pins
+    // bounds booleans, this pins EQUALITY: the streamed bitmap must
+    // match the one-shot corpus bitmap BYTE FOR BYTE (page-sorted
+    // serialization), and the count must equal COUNT(DISTINCT) — the
+    // exactly-once proof is the integer itself.
+    Q(
+      "q184_stream_bitmap_distinct",
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  TRUE AS rolled_matches
+        |FROM events GROUP BY 1""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.Streams
+      val root = graft.Tmp.dir("graft-q184").toString
+      val bmPath = s"$root/bitmaps"
+      val ev = Tables.events(spark, dir).select("event_id", "event_type", "user_id")
+      def bitmapOf(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("event_type")
+          .agg(call_function("graft_bitmap_sketch", col("user_id")).as("bm"))
+      graft.Meta.Versioned.write(bitmapOf(ev.limit(0)), bmPath)
+      implicit val ctx = spark.sqlContext
+      import spark.implicits._
+      val rows = ev.as[(Long, String, Long)].collect().toSeq
+      val ms = MemoryStream[(Long, String, Long)]
+      val src = ms.toDF().toDF("event_id", "event_type", "user_id")
+      Streams.withShufflePartitions(spark, 4) {
+        val q = src.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val standing = graft.Meta.Versioned.read(spark, bmPath)
+            val merged = standing.unionByName(bitmapOf(batch))
+              .groupBy("event_type")
+              .agg(call_function("graft_bitmap_merge", col("bm")).as("bm"))
+            graft.Meta.Versioned.write(merged, bmPath)
+            ()
+          }
+          .outputMode("update")
+          .option("checkpointLocation", s"$root/cp")
+          .start()
+        try {
+          val half = rows.filter(_._1 % 2 == 0)
+          ms.addData(half)
+          q.processAllAvailable()
+          // at-least-once: the SAME batch redelivered — OR absorbs it
+          ms.addData(half)
+          q.processAllAvailable()
+          ms.addData(rows.filter(_._1 % 2 != 0))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      val streamed = graft.Meta.Versioned.read(spark, bmPath)
+        .select(col("event_type"), col("bm").as("bm_stream"))
+      val direct = bitmapOf(ev)
+        .select(col("event_type"), col("bm").as("bm_direct"))
+      streamed.join(direct, "event_type")
+        .select(col("event_type"),
+          call_function("graft_bitmap_count", col("bm_stream")).as("n_users"),
+          (col("bm_stream") === col("bm_direct")).as("rolled_matches"))
     })
 }
