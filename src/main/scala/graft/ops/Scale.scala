@@ -290,4 +290,31 @@ object Scale {
       else spark.read.parquet(kept.toSeq: _*)
     SkipScan(df, kept.length, total)
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment (Thaler &
+    * Ravishankar 1998, the scheme consistent routing layers use):
+    * shard(key) = argmax over s ∈ [0, n) of hash(key ‖ ':' ‖ s), ties
+    * to the smaller shard id. The property that matters operationally —
+    * and that the spec pins — is MINIMAL MOVEMENT: growing n → n+1
+    * moves only the keys whose new-shard hash wins (≈ 1/(n+1) of them),
+    * and every moved key moves TO the new shard; nothing reshuffles
+    * between old shards (mod-n hashing would move (n-1)/n of all keys).
+    * That is what lets a 1000-shard ingest layer add capacity without a
+    * corpus-wide re-route.
+    *
+    * Pure scan-level projection (n inline hashes + a lexicographic
+    * struct argmax) — assigning a 100 TB corpus is shuffle-free; the
+    * md5-prefix hash makes the choice engine-replayable bit for bit. */
+  def hrwShard(key: Column, n: Int): Column = {
+    require(n >= 1, s"shard count must be >= 1: $n")
+    // struct max picks the larger tie-break field, so negate the shard
+    // id to land ties on the SMALLER shard
+    val best = array_max(array((0 until n).map { s =>
+      struct(
+        Text.strHash32(concat(key.cast("string"), lit(":"), lit(s.toString)))
+          .%(Text.P).as("h"),
+        lit(-s).as("ns"))
+    }: _*))
+    -best.getField("ns")
+  }
 }

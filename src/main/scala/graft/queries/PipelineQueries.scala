@@ -211,5 +211,42 @@ object PipelineQueries {
           .filter(to_date(col("o_orderdate")) <= to_date(current_timestamp()))
           .select(col("o_orderkey"), col("parsed_ts"),
             col("order_day"), year(col("o_orderdate")).cast("int").as("yr"))
+    },
+
+    // ---- RENDEZVOUS SHARD ASSIGNMENT (L168): highest-random-weight
+    // routing at 8 shards, re-evaluated at 9 — the consistent-routing
+    // scheme whose operational property is MINIMAL MOVEMENT: adding a
+    // shard moves ≈1/9 of keys, every one TO the new shard, none
+    // between old shards (mod-n would reshuffle 8/9 of the corpus).
+    // The property itself crosses the oracle as the
+    // `moved_only_to_new` boolean — cross-engine-checked data, not a
+    // comment. Pure scan projection: n inline md5-prefix hashes + a
+    // lexicographic argmax; sharding a 100 TB corpus is shuffle-free.
+    Q(
+      "q187_rendezvous_shards",
+      s"""WITH a AS (
+         |  SELECT doc_id, s,
+         |    ${LlmQueries.strHashSql("doc_id || ':' || s")} AS h
+         |  FROM documents, unnest(range(0, 9)) u(s)),
+         |r8 AS (SELECT doc_id, s AS shard8 FROM (
+         |    SELECT doc_id, s,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s) AS rn
+         |    FROM a WHERE s < 8) x WHERE rn = 1),
+         |r9 AS (SELECT doc_id, s AS shard9 FROM (
+         |    SELECT doc_id, s,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s) AS rn
+         |    FROM a) x WHERE rn = 1)
+         |SELECT r8.doc_id, CAST(shard8 AS BIGINT) AS shard8,
+         |  CAST(shard9 AS BIGINT) AS shard9,
+         |  shard8 <> shard9 AS moved,
+         |  (shard8 = shard9) OR (shard9 = 8) AS moved_only_to_new
+         |FROM r8 JOIN r9 USING (doc_id)""".stripMargin) { (spark, dir) =>
+      Tables.documents(spark, dir).select(
+        col("doc_id"),
+        Scale.hrwShard(col("doc_id"), 8).cast("long").as("shard8"),
+        Scale.hrwShard(col("doc_id"), 9).cast("long").as("shard9"))
+        .withColumn("moved", col("shard8") =!= col("shard9"))
+        .withColumn("moved_only_to_new",
+          (col("shard8") === col("shard9")) || (col("shard9") === 8))
     })
 }

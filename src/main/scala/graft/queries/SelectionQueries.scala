@@ -563,6 +563,85 @@ object SelectionQueries {
       }) { (spark, dir) =>
       Sample.neymanSample(Tables.documents(spark, dir), "doc_id", "source",
         "n_chars", budget = 100)
+    },
+
+    // ---- PER-SOURCE KL DIVERGENCE (L169): KL(source ‖ corpus) over
+    // the q145 hashed-unigram buckets with Laplace smoothing — the
+    // scalar that ranks sources by how far their token distribution
+    // sits from the corpus (the mixture-design complement to DSIR's
+    // per-document weights: DSIR reweights documents toward a target,
+    // this audits which SOURCES drag the mixture). All 256 buckets
+    // contribute per source (a bucket the source never hits still
+    // carries smoothed mass). Exactness: the q145 recipe — each
+    // (source, bucket) ln rounds at scale 9 into DECIMAL, the
+    // Σ(c+1)·w9 sum is exact DECIMAL, one final double divide by
+    // (n_s + B). The bucket grid is |sources|·256 rows at ANY corpus
+    // size; the corpus side is one explode + two hash aggregates.
+    Q(
+      "q188_source_kl_divergence", {
+        val B = DsirBuckets
+        s"""WITH toks AS (
+           |  SELECT doc_id, source, ${LlmQueries.toksSql} AS t FROM documents),
+           |tb AS (
+           |  SELECT source,
+           |    CAST(concat('0x', substr(md5(u.x),1,8)) AS BIGINT) % $B AS b
+           |  FROM toks, unnest(toks.t) AS u(x)),
+           |rc AS (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM tb GROUP BY b),
+           |sc AS (SELECT source, b, CAST(count(*) AS BIGINT) AS csb
+           |       FROM tb GROUP BY source, b),
+           |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
+           |       FROM tb GROUP BY source),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tb),
+           |grid AS (
+           |  SELECT ns.source, ns.n_tokens, g.b,
+           |    coalesce(sc.csb, 0) AS csb, coalesce(rc.cb, 0) AS cb
+           |  FROM ns CROSS JOIN unnest(range(0, $B)) g(b)
+           |  LEFT JOIN sc ON sc.source = ns.source AND sc.b = g.b
+           |  LEFT JOIN rc ON rc.b = g.b),
+           |w AS (
+           |  SELECT source, n_tokens, csb,
+           |    CAST(round(ln(
+           |      ((csb + 1.0) * (tot.n + $B)) /
+           |      ((cb + 1.0) * (n_tokens + $B))), 9)
+           |      AS DECIMAL(13,9)) AS w9
+           |  FROM grid, tot)
+           |SELECT source, n_tokens,
+           |  CAST(CAST(sum(CAST(csb + 1 AS DECIMAL(12,0)) * w9) AS DOUBLE)
+           |    / (n_tokens + $B) AS DOUBLE) AS kl_vs_corpus
+           |FROM w GROUP BY source, n_tokens""".stripMargin
+      }) { (spark, dir) =>
+      val B = DsirBuckets
+      val tb = Tables.documents(spark, dir)
+        .withColumn("th", call_function("graft_token_hashes", col("text")))
+        .select(col("source"), explode(col("th")).as("h"))
+        .select(col("source"), (col("h") % B).as("b"))
+        .cache() // feeds three bucket-count-sized aggregates
+      val rc = tb.groupBy("b").agg(count(lit(1)).as("cb"))
+      val sc = tb.groupBy("source", "b").agg(count(lit(1)).as("csb"))
+      val ns = tb.groupBy("source").agg(count(lit(1)).as("n_tokens"))
+      val tot = tb.agg(count(lit(1)).as("n"))
+      val grid = ns
+        .crossJoin(broadcast(
+          spark.range(0, B).select(col("id").as("b"))))
+        .join(sc, Seq("source", "b"), "left")
+        .join(broadcast(rc), Seq("b"), "left")
+        .select(col("source"), col("n_tokens"), col("b"),
+          coalesce(col("csb"), lit(0L)).as("csb"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+      val out = grid.crossJoin(broadcast(tot))
+        .withColumn("w9", round(log(
+          ((col("csb") + lit(1.0d)) * (col("n") + lit(B.toLong))) /
+            ((col("cb") + lit(1.0d)) * (col("n_tokens") + lit(B.toLong)))), 9)
+          .cast(DecimalType(13, 9)))
+        .groupBy("source", "n_tokens")
+        .agg(sum((col("csb") + lit(1L)).cast(DecimalType(12, 0)) * col("w9"))
+          .as("s"))
+        .select(col("source"), col("n_tokens"),
+          (col("s").cast("double") / (col("n_tokens") + lit(B.toLong)))
+            .cast("double").as("kl_vs_corpus"))
+        .localCheckpoint()
+      tb.unpersist()
+      out
     }
   )
 }

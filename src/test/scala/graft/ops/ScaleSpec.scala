@@ -188,4 +188,33 @@ class ScaleSpec extends SparkSuite {
     assert(none.filesKept == 0 && none.df.isEmpty &&
       none.df.columns.toSeq == Seq("o_orderkey", "o_custkey", "o_totalprice"))
   }
+
+  test("hrwShard: balanced-ish, deterministic, and adding a shard moves " +
+      "only a ~1/(n+1) slice, every moved key to the NEW shard") {
+    import spark.implicits._
+    val keys = (1L to 2000L).toDF("k")
+    val assigned = keys.select(col("k"),
+      Scale.hrwShard(col("k"), 8).as("s8"),
+      Scale.hrwShard(col("k"), 9).as("s9"))
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(assigned.forall(t => t._2 >= 0 && t._2 < 8))
+    assert(assigned.forall(t => t._3 >= 0 && t._3 < 9))
+    // minimal movement: every key either keeps its shard or moves to
+    // the brand-new shard 8 — the rendezvous invariant, exactly
+    assert(assigned.forall(t => t._2 == t._3 || t._3 == 8))
+    val movedFrac = assigned.count(t => t._2 != t._3).toDouble / assigned.size
+    assert(movedFrac > 0.05 && movedFrac < 0.20,
+      s"expected ~1/9 ≈ 0.11 of keys to move, got $movedFrac")
+    // every shard gets a non-trivial share (hash balance)
+    val byShard = assigned.groupBy(_._2).view.mapValues(_.size)
+    assert(byShard.size == 8 && byShard.values.forall(_ > 100))
+    // deterministic: a second evaluation is identical
+    val again = keys.select(col("k"), Scale.hrwShard(col("k"), 8).as("s8"))
+      .as[(Long, Int)].collect().toSeq
+    assert(again == assigned.map(t => (t._1, t._2)))
+    // n=1 degenerates to shard 0
+    val one = keys.limit(5).select(Scale.hrwShard(col("k"), 1))
+      .as[Int].collect().toSeq
+    assert(one.forall(_ == 0))
+  }
 }
