@@ -1230,5 +1230,67 @@ object AnalyticsQueries {
         .withColumn("anomaly", when(col("n_win") >= 3, col("dev2") > col("thr")))
         .select("event_type", "day", "n_events", "n_win", "dev2", "thr",
           "anomaly")
+    },
+
+    // ---- CHANGEPOINT DETECTION (L171): the single split of the daily
+    // event-count series maximizing between-segment variance — the
+    // level-shift locator behind "when did ingest actually change?".
+    // For split k: score ∝ (n_l·S_r − n_r·S_l)²/(n_l·n_r), with S from
+    // INTEGER prefix sums, so the numerator/denominator cross the
+    // oracle as exact integers and only the presentation ratio is a
+    // (bit-identical) double; the argmax is over those identical
+    // doubles with a day tie-break. All windows run on the |days|-row
+    // aggregate — bounded at any corpus scale. (At day-count·volume
+    // where (n·S)² nears 2^63, route v through DECIMAL — the fixture
+    // and any per-type daily series sit far inside.)
+    Q(
+      "q190_changepoint",
+      """WITH c AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT day, x,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+        |    CAST(sum(x) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS sl
+        |  FROM c),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(x) AS BIGINT) AS s FROM c),
+        |cand AS (
+        |  SELECT p.day, p.k AS n_left, t.n - p.k AS n_right,
+        |    (p.k * (t.s - p.sl) - (t.n - p.k) * p.sl)
+        |      * (p.k * (t.s - p.sl) - (t.n - p.k) * p.sl) AS v,
+        |    p.k * (t.n - p.k) AS d
+        |  FROM p, t WHERE p.k < t.n)
+        |SELECT day, n_left, n_right, v, d,
+        |  CAST(v AS DOUBLE) / d AS score,
+        |  row_number() OVER (ORDER BY CAST(v AS DOUBLE) / d DESC, day) = 1
+        |    AS is_best
+        |FROM cand""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val c = Tables.events(spark, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      // unpartitioned windows over the |days|-row aggregate only
+      val byDay = Window.orderBy("day")
+      val p = c
+        .withColumn("k", row_number().over(byDay).cast("long"))
+        .withColumn("sl", sum("x").over(
+          byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val t = c.agg(count(lit(1)).as("n"), sum("x").as("s"))
+      val diff = col("k") * (col("s") - col("sl")) -
+        (col("n") - col("k")) * col("sl")
+      val cand = p.crossJoin(broadcast(t))
+        .filter(col("k") < col("n"))
+        .select(col("day"), col("k").as("n_left"),
+          (col("n") - col("k")).as("n_right"),
+          (diff * diff).as("v"), (col("k") * (col("n") - col("k"))).as("d"))
+      cand
+        .withColumn("score", col("v").cast("double") / col("d"))
+        .withColumn("is_best", row_number().over(
+          Window.orderBy(col("score").desc, col("day"))) === 1)
+        .select("day", "n_left", "n_right", "v", "d", "score", "is_best")
     })
 }

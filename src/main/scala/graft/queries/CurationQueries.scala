@@ -69,6 +69,82 @@ object CurationQueries {
        |${kmeansAssignSql("a2", "c1")},
        |${kmeansUpdateSql("s2", "a2", "c1", "c2")}""".stripMargin
 
+  /** PQ (q179/q189) oracle chain: two 32-dim subspaces, each the
+    * deterministic 2-iteration k=4 training + final encoding — the
+    * kmeansCtes recipe parameterized per subspace, from the same
+    * constants as `Similarity.pqTrain(dim=64, m=2, ksub=4, iters=2)`. */
+  private val PqSubDim = 32
+  private val PqKsub = 4
+
+  private def pqDotSql(a: String, b: String) = LlmQueries.foldSumSql(
+    s"list_transform(range(1, ${PqSubDim + 1}), i -> $a[i]*$b[i])",
+    "CAST(0 AS DOUBLE)")
+
+  private def pqAssignSql(name: String, vn: String, cents: String) =
+    s"""$name AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT v.vec_id, c.cluster,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY v.vn2 + ${pqDotSql("c.cv", "c.cv")}
+       |          - 2.0 * ${pqDotSql("v.dv", "c.cv")}, c.cluster) AS rn
+       |    FROM $vn v, $cents c) x WHERE rn = 1)""".stripMargin
+
+  private def pqUpdateSql(sums: String, assign: String, vn: String,
+      prev: String, next: String) =
+    s"""$sums AS (
+       |  SELECT a.cluster, i,
+       |    CAST(sum(CAST(v.dv[i] AS DECIMAL(30,12))) AS DOUBLE)
+       |      / count(*) AS mval
+       |  FROM $assign a JOIN $vn v USING (vec_id),
+       |    unnest(range(1, ${PqSubDim + 1})) u(i)
+       |  GROUP BY 1, 2),
+       |$next AS (
+       |  SELECT p.cluster, coalesce(n.cv, p.cv) AS cv
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT cluster, list(mval ORDER BY i) AS cv FROM $sums
+       |    GROUP BY 1) n
+       |  USING (cluster))""".stripMargin
+
+  private def pqSubspaceSql(j: Int): String = {
+    val lo = j * PqSubDim + 1; val hi = (j + 1) * PqSubDim
+    s"""sv$j AS (SELECT vec_id, dvall[$lo:$hi] AS dv FROM vall),
+       |vn$j AS MATERIALIZED (
+       |  SELECT vec_id, dv, ${pqDotSql("dv", "dv")} AS vn2 FROM sv$j),
+       |c0_$j AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+       |    dv AS cv
+       |  FROM sv$j ORDER BY vec_id LIMIT $PqKsub),
+       |${pqAssignSql(s"a1_$j", s"vn$j", s"c0_$j")},
+       |${pqUpdateSql(s"s1_$j", s"a1_$j", s"vn$j", s"c0_$j", s"c1_$j")},
+       |${pqAssignSql(s"a2_$j", s"vn$j", s"c1_$j")},
+       |${pqUpdateSql(s"s2_$j", s"a2_$j", s"vn$j", s"c1_$j", s"c2_$j")},
+       |${pqAssignSql(s"enc$j", s"vn$j", s"c2_$j")}""".stripMargin
+  }
+
+  private val pqCtes: String =
+    s"""vall AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvall
+       |  FROM embeddings),
+       |${pqSubspaceSql(0)},
+       |${pqSubspaceSql(1)}""".stripMargin
+
+  /** ADC scoring CTE over the trained chain (probes vec_id < 10, self
+    * excluded) — terms summed subspace-0-first, matching pqAdcDist. */
+  private val pqAdcCte: String =
+    s"""adc AS (
+       |  SELECT q0.vec_id AS query_id, e0.vec_id AS neighbor_id,
+       |    (q0.vn2 + ${pqDotSql("k0.cv", "k0.cv")}
+       |       - 2.0 * ${pqDotSql("q0.dv", "k0.cv")})
+       |    + (q1.vn2 + ${pqDotSql("k1.cv", "k1.cv")}
+       |       - 2.0 * ${pqDotSql("q1.dv", "k1.cv")}) AS adc_d2
+       |  FROM vn0 q0
+       |  JOIN vn1 q1 ON q1.vec_id = q0.vec_id
+       |  JOIN enc0 e0 ON e0.vec_id <> q0.vec_id
+       |  JOIN enc1 e1 ON e1.vec_id = e0.vec_id
+       |  JOIN c2_0 k0 ON k0.cluster = e0.cluster
+       |  JOIN c2_1 k1 ON k1.cluster = e1.cluster
+       |  WHERE q0.vec_id < 10)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- Near-dup clusters: SimHash pairs (the q28 edge list) → minimum
@@ -1765,76 +1841,17 @@ object CurationQueries {
     // argmin, and every ADC term with the same fold arithmetic; probe
     // set = vec_id < 10, top-5 (self excluded).
     Q(
-      "q179_pq_ann", {
-        val sd = 32; val ksub = 4
-        def dotSql(a: String, b: String) = LlmQueries.foldSumSql(
-          s"list_transform(range(1, ${sd + 1}), i -> $a[i]*$b[i])",
-          "CAST(0 AS DOUBLE)")
-        def assignSql(name: String, vn: String, cents: String) =
-          s"""$name AS (
-             |  SELECT vec_id, cluster FROM (
-             |    SELECT v.vec_id, c.cluster,
-             |      row_number() OVER (PARTITION BY v.vec_id
-             |        ORDER BY v.vn2 + ${dotSql("c.cv", "c.cv")}
-             |          - 2.0 * ${dotSql("v.dv", "c.cv")}, c.cluster) AS rn
-             |    FROM $vn v, $cents c) x WHERE rn = 1)""".stripMargin
-        def updateSql(sums: String, assign: String, vn: String,
-            prev: String, next: String) =
-          s"""$sums AS (
-             |  SELECT a.cluster, i,
-             |    CAST(sum(CAST(v.dv[i] AS DECIMAL(30,12))) AS DOUBLE)
-             |      / count(*) AS mval
-             |  FROM $assign a JOIN $vn v USING (vec_id),
-             |    unnest(range(1, ${sd + 1})) u(i)
-             |  GROUP BY 1, 2),
-             |$next AS (
-             |  SELECT p.cluster, coalesce(n.cv, p.cv) AS cv
-             |  FROM $prev p LEFT JOIN (
-             |    SELECT cluster, list(mval ORDER BY i) AS cv FROM $sums
-             |    GROUP BY 1) n
-             |  USING (cluster))""".stripMargin
-        def subspace(j: Int): String = {
-          val lo = j * sd + 1; val hi = (j + 1) * sd
-          s"""sv$j AS (SELECT vec_id, dvall[$lo:$hi] AS dv FROM vall),
-             |vn$j AS MATERIALIZED (
-             |  SELECT vec_id, dv, ${dotSql("dv", "dv")} AS vn2 FROM sv$j),
-             |c0_$j AS (
-             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
-             |    dv AS cv
-             |  FROM sv$j ORDER BY vec_id LIMIT $ksub),
-             |${assignSql(s"a1_$j", s"vn$j", s"c0_$j")},
-             |${updateSql(s"s1_$j", s"a1_$j", s"vn$j", s"c0_$j", s"c1_$j")},
-             |${assignSql(s"a2_$j", s"vn$j", s"c1_$j")},
-             |${updateSql(s"s2_$j", s"a2_$j", s"vn$j", s"c1_$j", s"c2_$j")},
-             |${assignSql(s"enc$j", s"vn$j", s"c2_$j")}""".stripMargin
-        }
-        s"""WITH vall AS (
-           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvall
-           |  FROM embeddings),
-           |${subspace(0)},
-           |${subspace(1)},
-           |adc AS (
-           |  SELECT q0.vec_id AS query_id, e0.vec_id AS neighbor_id,
-           |    (q0.vn2 + ${dotSql("k0.cv", "k0.cv")}
-           |       - 2.0 * ${dotSql("q0.dv", "k0.cv")})
-           |    + (q1.vn2 + ${dotSql("k1.cv", "k1.cv")}
-           |       - 2.0 * ${dotSql("q1.dv", "k1.cv")}) AS adc_d2
-           |  FROM vn0 q0
-           |  JOIN vn1 q1 ON q1.vec_id = q0.vec_id
-           |  JOIN enc0 e0 ON e0.vec_id <> q0.vec_id
-           |  JOIN enc1 e1 ON e1.vec_id = e0.vec_id
-           |  JOIN c2_0 k0 ON k0.cluster = e0.cluster
-           |  JOIN c2_1 k1 ON k1.cluster = e1.cluster
-           |  WHERE q0.vec_id < 10),
-           |ranked AS (
-           |  SELECT query_id, neighbor_id, adc_d2,
-           |    row_number() OVER (PARTITION BY query_id
-           |      ORDER BY adc_d2, neighbor_id) AS rn
-           |  FROM adc)
-           |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
-           |  round(adc_d2, 6) AS adc_d2
-           |FROM ranked WHERE rn <= 5""".stripMargin
-      }) { (spark, dir) =>
+      "q179_pq_ann",
+      s"""WITH $pqCtes,
+         |$pqAdcCte,
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, adc_d2,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_d2, neighbor_id) AS rn
+         |  FROM adc)
+         |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+         |  round(adc_d2, 6) AS adc_d2
+         |FROM ranked WHERE rn <= 5""".stripMargin) { (spark, dir) =>
       val e = Tables.embeddings(spark, dir)
       val cbs = Similarity.pqTrain(e, "vec_id", "embedding",
         dim = 64, m = 2, ksub = 4, iters = 2)
@@ -1913,5 +1930,75 @@ object CurationQueries {
           Window.orderBy(col("borda"), col("doc_id"))).cast("long"))
         .select("doc_id", "rank_len", "rank_distinct", "rank_stop", "borda",
           "final_rank")
+    },
+
+    // ---- PQ RECALL/MRR SCOREBOARD (L170): the q179 compressed index
+    // evaluated against EXACT euclidean top-5 on the raw vectors —
+    // recall@5 (overlap count) and the true nearest neighbor's rank in
+    // the PQ ranking (NULL if the compressed index lost it). Closes
+    // the ANN evaluation loop the way q98 does for LSH: the quality
+    // numbers an index rollout decision reads are themselves
+    // cross-engine-checked data, not a notebook printout. Only integer
+    // ranks/counts cross the boundary; both rankings' float math is
+    // bit-identical per engine pair.
+    Q(
+      "q189_pq_recall",
+      s"""WITH $pqCtes,
+         |$pqAdcCte,
+         |pq5 AS (
+         |  SELECT query_id, neighbor_id, rn FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adc_d2, neighbor_id) AS rn
+         |    FROM adc) x WHERE rn <= 5),
+         |ex AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      ${dot64Sql("q.dvall", "q.dvall")}
+         |        + ${dot64Sql("c.dvall", "c.dvall")}
+         |        - 2.0 * ${dot64Sql("q.dvall", "c.dvall")}, c.vec_id) AS rn
+         |  FROM vall q JOIN vall c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10),
+         |ex5 AS (SELECT query_id, neighbor_id, rn FROM ex WHERE rn <= 5),
+         |ov AS (
+         |  SELECT p.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |  FROM pq5 p JOIN ex5 e
+         |    ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+         |  GROUP BY 1),
+         |nn AS (SELECT query_id, neighbor_id FROM ex5 WHERE rn = 1)
+         |SELECT n.query_id,
+         |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  CAST(p.rn AS BIGINT) AS true_nn_rank
+         |FROM nn n LEFT JOIN ov USING (query_id)
+         |LEFT JOIN pq5 p
+         |  ON p.query_id = n.query_id AND p.neighbor_id = n.neighbor_id""".stripMargin) {
+      (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+      val cbs = Similarity.pqTrain(e, "vec_id", "embedding",
+        dim = 64, m = 2, ksub = 4, iters = 2)
+      val probes = e.filter(col("vec_id") < 10)
+      val pq5 = Similarity.pqTopK(e, probes, "vec_id", "embedding", cbs,
+        dim = 64, k = 5).select("query_id", "neighbor_id", "rank")
+      val c = e.select(col("vec_id").as("neighbor_id"),
+        Similarity.toDouble(col("embedding")).as("cv"))
+        .withColumn("cn2", Similarity.dot(col("cv"), col("cv")))
+      val q = probes.select(col("vec_id").as("query_id"),
+        Similarity.toDouble(col("embedding")).as("qv"))
+        .withColumn("qn2", Similarity.dot(col("qv"), col("qv")))
+      val ex5 = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .withColumn("d2", col("qn2") + col("cn2")
+          - lit(2.0) * Similarity.dot(col("qv"), col("cv")))
+        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("d2"), col("neighbor_id"))))
+        .filter(col("rn") <= 5)
+        .select("query_id", "neighbor_id", "rn")
+      val ov = pq5.join(ex5.drop("rn"), Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+      val nn = ex5.filter(col("rn") === 1).select("query_id", "neighbor_id")
+      nn.join(ov, Seq("query_id"), "left")
+        .join(pq5, Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          col("rank").cast("long").as("true_nn_rank"))
     })
 }
