@@ -103,4 +103,46 @@ object Multimodal {
       }
     }
   }
+
+  /** One overlapped analysis window of a PCM8-ish payload: integer
+    * energy (Σ(sample−128)² over the window) — the quantity behind
+    * silence trimming / voice-activity gates. */
+  final case class AudioWindow(
+      doc_id: Long, window_idx: Int, off: Int, n_samples: Int, energy: Long)
+
+  /** STUB audio decode → windowed energy: the payload bytes play
+    * unsigned 8-bit PCM samples (the codec stub — a real build swaps
+    * ffmpeg/libsndfile into the partition init), analysis windows of
+    * `win` samples hop by `hop` (overlapping when hop < win, the
+    * standard STFT layout), and each window emits its exact INTEGER
+    * energy Σ(b−128)². Windows are streamed per row (never buffered),
+    * one decoder init per partition; RMS = sqrt(energy∕n) is left to
+    * the presentation layer so the operator's output stays
+    * engine-exact integers. */
+  def audioEnergy(ds: Dataset[MediaDoc], win: Int = 64,
+      hop: Int = 32): Dataset[AudioWindow] = {
+    require(win >= 1 && hop >= 1, s"bad window spec: win=$win hop=$hop")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { iter =>
+      // real impl: initialize the codec ONCE here, per partition
+      iter.flatMap { m =>
+        val bytes = m.content
+        val n = bytes.length
+        val nWin = if (n == 0) 0 else (n - 1) / hop + 1
+        (0 until nWin).iterator.map { w =>
+          val off = w * hop
+          val len = math.min(win, n - off)
+          var s = 0L
+          var j = off
+          while (j < off + len) {
+            val c = (bytes(j) & 0xff) - 128
+            s += c.toLong * c
+            j += 1
+          }
+          AudioWindow(m.doc_id, w, off, len, s)
+        }
+      }
+    }
+  }
 }

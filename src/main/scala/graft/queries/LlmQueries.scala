@@ -38,6 +38,38 @@ object LlmQueries {
   private[queries] def foldSumSql(elems: String, init: String, step: String = "a + x") =
     s"list_reduce(list_prepend($init, $elems), (a, x) -> $step)"
 
+  /** Content-defined chunk table CTE chain (q178/q191): per-position
+    * window hashes as the DEFINING per-window fold (the compiled
+    * graft_cdc_boundaries kernel's rolling recurrence computes the same
+    * values), boundaries where the 16-char window hash divides 64,
+    * chunks as a `chunks(doc_id, chunk_idx, start, chunk_len,
+    * chunk_hash)` CTE — generated from the same constants as
+    * `Text.cdcChunks(w = 16, divisor = 64)`. */
+  private[queries] val cdcChunkCtes: String = {
+    val whSql = foldSumSql(
+      "list_transform(range(i-15, i+1), j -> CAST(ascii(substr(text, j, 1)) AS BIGINT))",
+      "CAST(0 AS BIGINT)", "(a*31 + x) % 1000000007")
+    s"""cdc_c AS (
+       |  SELECT doc_id, text, CAST(length(text) AS INT) AS n
+       |  FROM documents WHERE length(text) > 0),
+       |cdc_b AS (
+       |  SELECT doc_id, text, n,
+       |    list_filter(range(16, n), i -> ($whSql) % 64 = 0) AS bounds
+       |  FROM cdc_c),
+       |cdc_s AS (
+       |  SELECT doc_id, text, n,
+       |    list_prepend(1, list_transform(bounds, x -> x + 1)) AS starts,
+       |    list_append(bounds, n) AS ends
+       |  FROM cdc_b),
+       |chunks AS (
+       |  SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+       |    CAST(starts[k] AS BIGINT) AS start,
+       |    CAST(ends[k] - starts[k] + 1 AS BIGINT) AS chunk_len,
+       |    ${strHashSql("substr(text, starts[k], ends[k] - starts[k] + 1)")}
+       |      AS chunk_hash
+       |  FROM cdc_s, unnest(range(1, len(starts) + 1)) u(k))""".stripMargin
+  }
+
   private[queries] val k = 12
   private[queries] val bands = 4
   private[queries] val r = 3
@@ -556,30 +588,94 @@ object LlmQueries {
     // oracle replays each position's window hash as the DEFINING
     // per-window fold — same values, two routes.
     Q(
-      "q178_cdc_chunks", {
-        val whSql = foldSumSql(
-          "list_transform(range(i-15, i+1), j -> CAST(ascii(substr(text, j, 1)) AS BIGINT))",
-          "CAST(0 AS BIGINT)", "(a*31 + x) % 1000000007")
-        s"""WITH c AS (
-           |  SELECT doc_id, text, CAST(length(text) AS INT) AS n
-           |  FROM documents WHERE length(text) > 0),
-           |b AS (
-           |  SELECT doc_id, text, n,
-           |    list_filter(range(16, n), i -> ($whSql) % 64 = 0) AS bounds
-           |  FROM c),
-           |s AS (
-           |  SELECT doc_id, text, n,
-           |    list_prepend(1, list_transform(bounds, x -> x + 1)) AS starts,
-           |    list_append(bounds, n) AS ends
-           |  FROM b)
-           |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
-           |  CAST(starts[k] AS BIGINT) AS start,
-           |  CAST(ends[k] - starts[k] + 1 AS BIGINT) AS chunk_len,
-           |  ${strHashSql("substr(text, starts[k], ends[k] - starts[k] + 1)")}
-           |    AS chunk_hash
-           |FROM s, unnest(range(1, len(starts) + 1)) u(k)""".stripMargin
-      }) { (spark, dir) =>
+      "q178_cdc_chunks",
+      s"""WITH $cdcChunkCtes
+         |SELECT doc_id, chunk_idx, start, chunk_len, chunk_hash
+         |FROM chunks""".stripMargin) { (spark, dir) =>
       Text.cdcChunks(Tables.documents(spark, dir), "doc_id", "text",
         w = 16, divisor = 64)
+    },
+
+    // ---- CHUNK-LEVEL STORAGE DEDUP RATIO (L172): what the L159 chunk
+    // table is FOR — per doc, the fraction of bytes living in chunks
+    // that at least one OTHER doc also carries (n_carriers ≥ 2), i.e.
+    // the storage a content-addressed chunk store would actually save
+    // and the sub-document duplication mass document-level dedup
+    // misses. Carrier counts are one hash aggregate over the chunk
+    // table (8-byte hashes, never the text); ratios round in integer
+    // space. 32-bit chunk hashes make a collision a (documented)
+    // overcount of ~2^-31 per pair; a production store keys 128-bit.
+    Q(
+      "q191_chunk_dedup_ratio",
+      s"""WITH $cdcChunkCtes,
+         |carriers AS (
+         |  SELECT chunk_hash, CAST(count(DISTINCT doc_id) AS BIGINT)
+         |    AS n_carriers
+         |  FROM chunks GROUP BY 1),
+         |per AS (
+         |  SELECT c.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_chunks,
+         |    CAST(sum(c.chunk_len) AS BIGINT) AS total_bytes,
+         |    CAST(count(*) FILTER (WHERE k.n_carriers >= 2) AS BIGINT)
+         |      AS n_dup_chunks,
+         |    CAST(coalesce(sum(c.chunk_len) FILTER (WHERE k.n_carriers >= 2),
+         |      0) AS BIGINT) AS dup_bytes
+         |  FROM chunks c JOIN carriers k USING (chunk_hash) GROUP BY 1)
+         |SELECT doc_id, n_chunks, total_bytes, n_dup_chunks, dup_bytes,
+         |  CAST(((2 * dup_bytes * 1000000 + total_bytes)
+         |    // (2 * total_bytes))
+         |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS dup_byte_frac
+         |FROM per""".stripMargin) { (spark, dir) =>
+      val chunks = Text.cdcChunks(Tables.documents(spark, dir), "doc_id",
+        "text", w = 16, divisor = 64)
+        .localCheckpoint() // feeds the carrier count and the per-doc rollup
+      val carriers = chunks.groupBy("chunk_hash")
+        .agg(countDistinct("doc_id").as("n_carriers"))
+      chunks.join(carriers, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum("chunk_len").as("total_bytes"),
+          sum(when(col("n_carriers") >= 2, 1L).otherwise(0L))
+            .as("n_dup_chunks"),
+          sum(when(col("n_carriers") >= 2, col("chunk_len")).otherwise(0L))
+            .as("dup_bytes"))
+        .select(col("doc_id"), col("n_chunks"), col("total_bytes"),
+          col("n_dup_chunks"), col("dup_bytes"),
+          graft.functions.ExactRound.roundRatio(col("dup_bytes"),
+            col("total_bytes"), 6).cast("double").as("dup_byte_frac"))
+    },
+
+    // ---- AUDIO WINDOWED ENERGY (L173): the multimodal family's audio
+    // stub — payload bytes as unsigned PCM8 samples, 64-sample analysis
+    // windows hopping by 32 (the overlapped STFT layout), each window's
+    // exact INTEGER energy Σ(sample−128)² — the quantity behind silence
+    // trimming and voice-activity gates. flatMap-per-partition like the
+    // frame table (decoder init once per partition, windows streamed);
+    // RMS stays in the presentation layer so the operator's output is
+    // engine-exact integers; the oracle replays every window's byte
+    // range.
+    Q(
+      "q192_audio_energy",
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS text
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, text, w AS window_idx
+         |  FROM d, unnest(range(0,
+         |    CASE WHEN length(text) = 0 THEN 0
+         |         ELSE (length(text) - 1) // 32 + 1 END)) u(w))
+         |SELECT doc_id,
+         |  CAST(window_idx AS INT) AS window_idx,
+         |  CAST(window_idx * 32 AS INT) AS "off",
+         |  CAST(least(64, length(text) - window_idx * 32) AS INT)
+         |    AS n_samples,
+         |  ${foldSumSql(
+              "list_transform(range(window_idx*32 + 1, window_idx*32 + least(64, length(text) - window_idx*32) + 1), i -> CAST(ascii(substr(text,i,1)) AS BIGINT))",
+              "CAST(0 AS BIGINT)", "(a + (x - 128) * (x - 128))")} AS energy
+         |FROM w""".stripMargin) { (spark, dir) =>
+      val ascii = Tables.documents(spark, dir)
+        .withColumn("text", regexp_replace(col("text"), "[^ -~]", ""))
+      Multimodal.audioEnergy(
+        Multimodal.asMedia(ascii, "doc_id", "text")).toDF()
     })
 }

@@ -44,4 +44,25 @@ class MultimodalSpec extends SparkSuite {
       .collect().map(x => x.doc_id -> x.n_sampled).toMap
     assert(feats(1L) == 2 && feats(2L) == 0)
   }
+
+  test("audioEnergy: overlapped window layout, exact integer energies, " +
+      "short tail, empty payload yields no windows") {
+    // 100 'y' bytes (121² energy each... sample −128 = 'y'−128 = −7):
+    // windows at hop 32: offs 0/32/64/96, lengths 64/64/36/4
+    val df = Seq((1L, "y" * 100), (2L, "")).toDF("doc_id", "text")
+    val out = Multimodal
+      .audioEnergy(Multimodal.asMedia(df, "doc_id", "text"))
+      .collect().sortBy(w => (w.doc_id, w.window_idx))
+    val c = ('y' - 128).toLong // -7 → 49 per sample
+    assert(out.map(w => (w.doc_id, w.window_idx, w.off, w.n_samples)).toSeq ==
+      Seq((1L, 0, 0, 64), (1L, 1, 32, 64), (1L, 2, 64, 36), (1L, 3, 96, 4)))
+    out.foreach(w => assert(w.energy == w.n_samples * c * c))
+    assert(!out.exists(_.doc_id == 2L))
+    // a mixed payload: hand-computed energy on the first window
+    val mix = Seq((3L, "az")).toDF("doc_id", "text")
+    val e = Multimodal.audioEnergy(Multimodal.asMedia(mix, "doc_id", "text"))
+      .collect().head.energy
+    val (a, z) = (('a' - 128).toLong, ('z' - 128).toLong)
+    assert(e == a * a + z * z)
+  }
 }
