@@ -440,5 +440,61 @@ object GovernanceQueries {
       Privacy.ccScan(notes, "note")
         .select(col("c_custkey"), col("n_cc_candidates"), col("n_cc_valid"),
           md5(col("redacted")).as("redacted_md5"))
+    },
+
+    // ---- SPLIT BALANCE AUDIT (L174): per (split, source) cell of the
+    // deterministic q91 split — doc and token counts, the cell's share
+    // of its split vs the source's share of the corpus, and a balanced
+    // verdict at ±20% — the release check that a hash split didn't
+    // accidentally concentrate a source in eval (it shouldn't, but
+    // "shouldn't" is not a release gate). The verdict compares
+    // INTEGERS via cross-multiplication (|n·N − s_tot·src_tot|·5 ≤
+    // s_tot·src_tot), shares round in integer space; the frame is
+    // |splits|·|sources| rows at any corpus scale.
+    Q(
+      "q193_split_balance",
+      s"""WITH d AS (
+         |  SELECT doc_id, source, n_chars,
+         |    CASE WHEN ((doc_id * $Mult) % $P) % 100 < 80 THEN 'train'
+         |         WHEN ((doc_id * $Mult) % $P) % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |cell AS (
+         |  SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_tokens
+         |  FROM d GROUP BY 1, 2),
+         |st AS (SELECT split, CAST(count(*) AS BIGINT) AS s_tot
+         |       FROM d GROUP BY 1),
+         |sr AS (SELECT source, CAST(count(*) AS BIGINT) AS src_tot
+         |       FROM d GROUP BY 1),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+         |SELECT c.split, c.source, c.n_docs, c.n_tokens,
+         |  CAST(((2 * c.n_docs * 1000000 + st.s_tot) // (2 * st.s_tot))
+         |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS split_share,
+         |  CAST(((2 * sr.src_tot * 1000000 + t.n) // (2 * t.n))
+         |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS corpus_share,
+         |  abs(c.n_docs * t.n - st.s_tot * sr.src_tot) * 5
+         |    <= st.s_tot * sr.src_tot AS balanced
+         |FROM cell c
+         |JOIN st USING (split) JOIN sr USING (source) CROSS JOIN t""".stripMargin) {
+      (spark, dir) =>
+      val d = Sample.assignSplit(
+        Tables.documents(spark, dir).select("doc_id", "source", "n_chars"),
+        "doc_id", Seq("train" -> 80, "val" -> 90), rest = "test")
+        .localCheckpoint() // feeds four bounded aggregates
+      val cell = d.groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_tokens"))
+      val st = d.groupBy("split").agg(count(lit(1)).as("s_tot"))
+      val sr = d.groupBy("source").agg(count(lit(1)).as("src_tot"))
+      val t = d.agg(count(lit(1)).as("n"))
+      cell.join(broadcast(st), "split").join(broadcast(sr), "source")
+        .crossJoin(broadcast(t))
+        .select(col("split"), col("source"), col("n_docs"), col("n_tokens"),
+          graft.functions.ExactRound.roundRatio(col("n_docs"), col("s_tot"), 6)
+            .cast("double").as("split_share"),
+          graft.functions.ExactRound.roundRatio(col("src_tot"), col("n"), 6)
+            .cast("double").as("corpus_share"),
+          (abs(col("n_docs") * col("n") - col("s_tot") * col("src_tot")) * 5
+            <= col("s_tot") * col("src_tot")).as("balanced"))
     })
 }

@@ -428,4 +428,44 @@ class PlansSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), s"totals must broadcast:\n$p")
     assert(!p.contains("Window"), s"drift must not use a window:\n$p")
   }
+
+  test("q178 CDC chunking: shuffle-free — one scan, a narrow explode, " +
+      "no exchange anywhere") {
+    val df = SparkEntry.queries("q178_cdc_chunks")(spark, sfDir())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected the chunk explode:\n$p")
+  }
+
+  test("q187 rendezvous sharding: pure scan projection — no exchange, " +
+      "no join, filters still reach the scan") {
+    val df = SparkEntry.queries("q187_rendezvous_shards")(spark, sfDir())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"), s"sharding must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"sharding must not join:\n$p")
+  }
+
+  test("q181 bitmap distinct: both levels are partial-merge hash " +
+      "aggregates (map-side combine before each shuffle)") {
+    val df = SparkEntry.queries("q181_bitmap_distinct")(spark, sfDir())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial pass per grouping level — the pre-aggregation shape
+    assert(p.contains("ObjectHashAggregate"), s"expected object hash agg:\n$p")
+    assert("partial_graft_bitmap_sketch".r.findAllIn(p).nonEmpty,
+      s"sketch must partial-aggregate map-side:\n$p")
+    assert("partial_graft_bitmap_merge".r.findAllIn(p).nonEmpty,
+      s"rollup must partial-merge map-side:\n$p")
+  }
+
+  test("q186 Borda: the top-50 cut is a TakeOrdered heap and no " +
+      "single-partition corpus window survives in the plan") {
+    val df = SparkEntry.queries("q186_borda_quality")(spark, sfDir())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k heap:\n$p")
+  }
 }
