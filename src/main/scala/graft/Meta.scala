@@ -89,6 +89,32 @@ object Meta {
     }
   }
 
+  /** M2 extended: schema DIFF between two retained snapshot versions —
+    * the release-notes view of evolution (what a consumer broke on):
+    * columns ADDED/DROPPED and TYPE_CHANGED with both types named, one
+    * row per drifted column, sorted. Pure metadata (schemas are footer
+    * data; no table scan), the complement of the read-side
+    * schema-evolution merge (L33) — that makes old data READABLE, this
+    * makes the change REVIEWABLE. */
+  def schemaDiff(spark: SparkSession, path: String,
+      v1: Long, v2: Long): DataFrame = {
+    def types(v: Long): Seq[(String, String)] =
+      Versioned.read(spark, path, Some(v)).schema.fields.toSeq
+        .map(f => f.name -> f.dataType.simpleString)
+    val (m1, m2) = (types(v1).toMap, types(v2).toMap)
+    val rows =
+      (m1.keySet -- m2.keySet).toSeq.sorted
+        .map(c => (c, "DROPPED", m1(c), null: String)) ++
+      (m2.keySet -- m1.keySet).toSeq.sorted
+        .map(c => (c, "ADDED", null: String, m2(c))) ++
+      (m1.keySet & m2.keySet).toSeq.sorted
+        .collect { case c if m1(c) != m2(c) =>
+          (c, "TYPE_CHANGED", m1(c), m2(c)) }
+    import spark.implicits._
+    rows.sortBy(_._1)
+      .toDF("column", "change", "from_type", "to_type")
+  }
+
   /** M4: row count + first-n preview in one pass over a cached scan
     * (the reference runs count() and head() as two scans). */
   def preview(df: DataFrame, n: Int = 5): (Long, Seq[Row]) = {

@@ -133,4 +133,45 @@ object Privacy {
         when(col("_qid_n") < k, lit(mask)).otherwise(col(q).cast("string")))
     }.drop("_qid_n")
   }
+
+  /** Gazetteer (deny-list) redaction: terms live in a TABLE maintained
+    * elsewhere (the realistic shape — legal's name list, a competitor
+    * glossary — versioned independently of code), matched as whole
+    * lowercase-alphanumeric words against the token stream via ONE
+    * broadcast join, then each doc rewrites only its own matched terms
+    * (a bounded per-row fold, sorted for determinism — not a
+    * |gazetteer|-term regex applied to every doc). Unlike the L72
+    * regex rules (shape-based, code-deployed), the deny list updates
+    * without a release.
+    *
+    * Contract: gazetteer terms must be lowercase alphanumeric (they are
+    * spliced into a word-boundary regex); occurrences count ALL hits,
+    * redaction rewrites every occurrence of each matched term. Appends
+    * (n_gazetteer_hits, n_gazetteer_terms, redacted). Scale shape: one
+    * broadcast hash join on the exploded token stream + one per-doc
+    * rollup — the corpus shuffles once on its own id. */
+  def gazetteerRedact(df: DataFrame, idCol: String, textCol: String,
+      gazetteer: DataFrame, termCol: String,
+      replacement: String = "<NAME>"): DataFrame = {
+    Seq("n_gazetteer_hits", "n_gazetteer_terms", "redacted").foreach(c =>
+      require(!df.columns.contains(c),
+        s"Privacy.gazetteerRedact writes column '$c' but the input already has one"))
+    val hits = df
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("_tok"))
+      .join(broadcast(gazetteer.select(col(termCol).as("_tok"))), "_tok")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_gazetteer_hits"),
+        array_sort(collect_set(col("_tok"))).as("_terms"))
+    df.join(hits, Seq(idCol), "left")
+      .withColumn("n_gazetteer_hits",
+        coalesce(col("n_gazetteer_hits"), lit(0L)))
+      .withColumn("_terms",
+        coalesce(col("_terms"), array().cast("array<string>")))
+      .withColumn("n_gazetteer_terms", size(col("_terms")).cast("long"))
+      .withColumn("redacted",
+        aggregate(col("_terms"), col(textCol), (acc, t) =>
+          regexp_replace(acc, concat(lit("\\b"), t, lit("\\b")),
+            lit(replacement))))
+      .drop("_terms")
+  }
 }

@@ -1292,5 +1292,33 @@ object AnalyticsQueries {
         .withColumn("is_best", row_number().over(
           Window.orderBy(col("score").desc, col("day"))) === 1)
         .select("day", "n_left", "n_right", "v", "d", "score", "is_best")
+    },
+
+    // ---- SCHEMA DRIFT DIFF (L176): the release-notes view of schema
+    // evolution between two retained snapshot versions — ADDED /
+    // DROPPED / TYPE_CHANGED per column, both types named. Pure
+    // metadata (footer schemas, no table scan); the complement of the
+    // L33 read-side merge: that makes old data READABLE, this makes
+    // the change REVIEWABLE. The query builds both versions itself
+    // (drop lang, narrow n_chars, add n_tokens), so the diff is a
+    // deterministic constant the oracle states as VALUES.
+    Q(
+      "q195_schema_drift_diff",
+      """SELECT * FROM (VALUES
+        |  ('lang', 'DROPPED', 'string', CAST(NULL AS VARCHAR)),
+        |  ('n_chars', 'TYPE_CHANGED', 'bigint', 'int'),
+        |  ('n_tokens', 'ADDED', CAST(NULL AS VARCHAR), 'bigint'))
+        |  t("column", "change", "from_type", "to_type")""".stripMargin) {
+      (spark, dir) =>
+      val root = graft.Tmp.dir("graft-q195").toString + "/tbl"
+      val docs = Tables.documents(spark, dir)
+      val v1 = graft.Meta.Versioned.write(
+        docs.select("doc_id", "text", "lang", "n_chars"), root)
+      val v2 = graft.Meta.Versioned.write(
+        docs.select(col("doc_id"), col("text"),
+          col("n_chars").cast("int").as("n_chars"),
+          size(graft.ops.Text.tokens(col("text"))).cast("long")
+            .as("n_tokens")), root)
+      graft.Meta.schemaDiff(spark, root, v1, v2)
     })
 }

@@ -496,5 +496,42 @@ object GovernanceQueries {
             .cast("double").as("corpus_share"),
           (abs(col("n_docs") * col("n") - col("s_tot") * col("src_tot")) * 5
             <= col("s_tot") * col("src_tot")).as("balanced"))
+    },
+
+    // ---- GAZETTEER REDACTION (L175): deny-list terms live in a TABLE
+    // (legal's name list — versioned independently of code, unlike the
+    // L72 regex rules), matched whole-word against the token stream via
+    // ONE broadcast join; each doc then rewrites only ITS matched terms
+    // in a bounded, sorted per-row fold — never a |gazetteer|-term
+    // regex over every doc. Redacted text crosses as md5 (the q173
+    // shape); hit/term counts exact integers.
+    Q(
+      "q194_gazetteer_redaction", {
+        val terms = Seq("spark", "table", "merge")
+        val lst = terms.map(t => s"'$t'").mkString(", ")
+        s"""WITH g AS (SELECT unnest([$lst]) AS term),
+           |tk AS (
+           |  SELECT doc_id, unnest(${LlmQueries.toksSql}) AS tok
+           |  FROM documents),
+           |h AS (
+           |  SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+           |    list_sort(list_distinct(list(tk.tok))) AS terms
+           |  FROM tk JOIN g ON g.term = tk.tok GROUP BY 1)
+           |SELECT d.doc_id,
+           |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_gazetteer_hits,
+           |  CAST(coalesce(len(h.terms), 0) AS BIGINT) AS n_gazetteer_terms,
+           |  md5(list_reduce(
+           |    list_prepend(d.text, coalesce(h.terms, CAST([] AS VARCHAR[]))),
+           |    (acc, t) -> regexp_replace(acc, '\\b' || t || '\\b',
+           |      '<NAME>', 'g'))) AS redacted_md5
+           |FROM documents d LEFT JOIN h USING (doc_id)""".stripMargin
+      }) { (spark, dir) =>
+      import spark.implicits._
+      val gaz = Seq("spark", "table", "merge").toDF("term")
+      Privacy.gazetteerRedact(
+        Tables.documents(spark, dir).select("doc_id", "text"),
+        "doc_id", "text", gaz, "term")
+        .select(col("doc_id"), col("n_gazetteer_hits"),
+          col("n_gazetteer_terms"), md5(col("redacted")).as("redacted_md5"))
     })
 }

@@ -212,4 +212,24 @@ class GovernanceSpec extends SparkSuite {
       .select(Privacy.luhnValid(col("c"))).as[Boolean].collect().toSeq
     assert(flags == Seq(true, false))
   }
+
+  test("gazetteerRedact: whole-word hits only, every occurrence rewritten, " +
+      "untouched docs verbatim, output-column collision refused") {
+    val docs = Seq(
+      (1L, "alice met bob and alice smiled"),   // 3 hits, 2 terms
+      (2L, "alicesprings has no whole word"),   // substring must NOT match
+      (3L, "clean text entirely")).toDF("doc_id", "text")
+    val gaz = Seq("alice", "bob", "zeta").toDF("term")
+    val out = Privacy.gazetteerRedact(docs, "doc_id", "text", gaz, "term")
+      .orderBy("doc_id")
+      .select("doc_id", "n_gazetteer_hits", "n_gazetteer_terms", "redacted")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out(0) == ((1L, 3L, 2L, "<NAME> met <NAME> and <NAME> smiled")))
+    assert(out(1) == ((2L, 0L, 0L, "alicesprings has no whole word")))
+    assert(out(2) == ((3L, 0L, 0L, "clean text entirely")))
+    intercept[IllegalArgumentException] {
+      Privacy.gazetteerRedact(docs.withColumn("redacted", lit("x")),
+        "doc_id", "text", gaz, "term")
+    }
+  }
 }
