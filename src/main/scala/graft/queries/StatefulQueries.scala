@@ -1059,5 +1059,67 @@ object StatefulQueries {
         .select(col("event_type"),
           call_function("graft_bitmap_count", col("bm_stream")).as("n_users"),
           (col("bm_stream") === col("bm_direct")).as("rolled_matches"))
+    },
+
+    // ---- TRANSFORM-WITH-STATE running profile (L177, Spark 4 state
+    // v2): per-user running (event count, latest event time) maintained
+    // by a StatefulProcessor ValueState over the RocksDB store — the
+    // successor API to mapGroupsWithState (typed state handles, TTL,
+    // timers), exercised with the same exactly-once discipline as the
+    // v1 folds: per-batch emissions upsert a standing keyed table, and
+    // the FINAL per-user rows must equal the batch count/max aggregate
+    // (both folds commutative+associative, so the streamed fixpoint is
+    // the batch answer).
+    Q(
+      "q196_transform_with_state",
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_us
+        |FROM events GROUP BY 1""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.{StateV2, Streams}
+      val root = graft.Tmp.dir("graft-q196").toString
+      val tblPath = s"$root/profiles"
+      val ev = Tables.events(spark, dir).select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("event_us"))
+      implicit val ctx = spark.sqlContext
+      import spark.implicits._
+      graft.Meta.Versioned.write(
+        ev.limit(0).select(col("user_id"), lit(0L).as("n_events"),
+          col("event_us").as("last_us")), tblPath)
+      val rows = ev.as[(Long, Long)].collect().toSeq
+      val ms = MemoryStream[(Long, Long)]
+      val src = ms.toDF().toDF("user_id", "event_us").as[StateV2.EventIn]
+      StateV2.withRocksDbState(spark) {
+        Streams.withShufflePartitions(spark, 4) {
+          val q = StateV2.runningUserStats(src)
+            .writeStream
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[StateV2.UserRunning],
+                  _: Long) =>
+                val standing = graft.Meta.Versioned.read(spark, tblPath)
+                val merged = standing.unionByName(batch.toDF())
+                  .groupBy("user_id")
+                  // both columns are monotone per key, so max = latest
+                  .agg(max("n_events").as("n_events"),
+                    max("last_us").as("last_us"))
+                graft.Meta.Versioned.write(merged, tblPath)
+                ()
+            }
+            .outputMode("update")
+            .option("checkpointLocation", s"$root/cp")
+            .start()
+          try {
+            (0 until 3).foreach { b =>
+              ms.addData(rows.zipWithIndex.collect {
+                case (r, i) if i % 3 == b => r
+              })
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+        }
+      }
+      graft.Meta.Versioned.read(spark, tblPath)
+        .filter(col("n_events") > 0)
+        .select("user_id", "n_events", "last_us")
     })
 }

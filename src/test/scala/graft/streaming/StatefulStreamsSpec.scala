@@ -77,6 +77,64 @@ class StatefulStreamsSpec extends SparkSuite {
     assert(second == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("transformWithState (state v2): ValueState accumulates across a " +
+      "restart from the RocksDB checkpoint; only touched keys emit") {
+    val root = java.nio.file.Files.createTempDirectory("graft-twstate")
+    root.toFile.deleteOnExit()
+    val in = root.resolve("in"); val cp = root.resolve("cp").toString
+    java.nio.file.Files.createDirectories(in)
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(in.resolve(name),
+        String.join("\n", lines: _*).getBytes)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_us",
+        org.apache.spark.sql.types.LongType)))
+    // the memory sink refuses checkpoint recovery in Update mode, so
+    // each run drains its emissions through foreachBatch (which DOES
+    // recover) into a run-local buffer
+    def runOnce(): Set[(Long, Long, Long)] = {
+      val got = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+      StateV2.withRocksDbState(spark) {
+        Streams.withShufflePartitions(spark, 4) {
+          val src = spark.readStream.schema(schema).json(in.toString)
+            .as[StateV2.EventIn]
+          val q = StateV2.runningUserStats(src)
+            .writeStream
+            .foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[StateV2.UserRunning],
+                  _: Long) =>
+                val rows = batch.collect()
+                  .map(u => (u.user_id, u.n_events, u.last_us))
+                got.synchronized { got ++= rows }
+                ()
+            }
+            .outputMode("update")
+            .option("checkpointLocation", cp)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+      }
+      got.toSet
+    }
+    writeFile("f1.json", Seq(
+      """{"user_id":1,"event_us":100}""",
+      """{"user_id":1,"event_us":200}""",
+      """{"user_id":2,"event_us":50}"""))
+    val first = runOnce()
+    assert(first == Set((1L, 2L, 200L), (2L, 1L, 50L)))
+    // restart: u1 gets an OLDER event (count grows, max must NOT move);
+    // u3 is new; u2 untouched — Update mode must not re-emit it
+    writeFile("f2.json", Seq(
+      """{"user_id":1,"event_us":150}""",
+      """{"user_id":3,"event_us":999}"""))
+    val second = runOnce()
+    assert(second == Set((1L, 3L, 200L), (3L, 1L, 999L)),
+      s"state must restore across the restart; got $second")
+  }
+
   test("sketch-fold restart: the standing KMV table resumes from the " +
       "checkpoint — streamed across a kill/restart equals one-shot, bit " +
       "for bit (the q115 production resume contract)") {
