@@ -21,6 +21,8 @@ object Sessions {
     * and the kernel-fusion optimizer rule (graft.plans.KernelFusion). */
   val registerGraftFunctions: SparkSessionExtensions => Unit = { ext =>
     ext.injectOptimizerRule(graft.plans.KernelFusion.apply)
+    ext.injectResolutionRule(_ => graft.plans.AsOfRewrite)
+    ext.injectPlannerStrategy(graft.plans.AsOfJoinStrategy.apply)
     def info(name: String, clazz: Class[_]) = new ExpressionInfo(clazz.getName, name)
     ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
       info("graft_shingle_hashes", classOf[ShingleHashes]),
@@ -112,6 +114,9 @@ object Sessions {
       info("graft_cdc_boundaries", classOf[CdcBoundaries]),
       (e: Seq[Expression]) => CdcBoundaries(e.head,
         intArg(e(1), "graft_cdc_boundaries"), intArg(e(2), "graft_cdc_boundaries"))))
+    ext.injectFunction((FunctionIdentifier("graft_asof"),
+      info("graft_asof", classOf[graft.plans.AsOfMarker]),
+      (e: Seq[Expression]) => graft.plans.AsOfMarker(e.head, e(1), e(2))))
     ext.injectFunction((FunctionIdentifier("graft_bitmap_sketch"),
       info("graft_bitmap_sketch", classOf[BitmapSketch]),
       (e: Seq[Expression]) => BitmapSketch(e.head)))

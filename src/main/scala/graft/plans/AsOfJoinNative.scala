@@ -1,0 +1,244 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
+  EqualTo, Expression, GenericInternalRow, JoinedRow, SortOrder, Unevaluable,
+  UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, Join,
+  LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
+
+/** Native AS-OF join — the brief's preference (c): a whole-operator
+  * extension as LogicalPlan + Rule + Strategy + SparkPlan, registered
+  * through public `SparkSessionExtensions` hooks, for the one temporal
+  * operator Spark has no physical node for.
+  *
+  * Why a physical operator when [[graft.ops.Temporal.asOfJoin]] already
+  * composes the semantics: the composition pays a UNION of both inputs
+  * through one window pass — every right row is materialized into the
+  * left row-shape, and the window carries a full right-row struct per
+  * row of the union. The native exec instead co-partitions both sides
+  * on the key (EnsureRequirements inserts the exchanges), sorts each
+  * side once by (key, ts) — the same work a sort-merge join does — and
+  * streams a PER-PARTITION MERGE holding exactly ONE candidate right
+  * row at a time: no union, no row-shape blowup, no window state. At
+  * 100 TB that is the difference between shuffling |L|+|R| widened rows
+  * and shuffling each side in its own shape.
+  *
+  * Surface: users write the declarative marker
+  * `left.join(right, key === key && graft_asof(lts, rts, tie))`
+  * (see [[graft.ops.Temporal.asOfJoinNative]]); the injected optimizer
+  * rule rewrites the Join into [[AsOfJoinPlan]], and the injected
+  * strategy plans [[AsOfJoinExec]]. The marker is deliberately
+  * UNEVALUABLE: if the rewrite does not fire (rule excluded), the query
+  * fails loudly at planning rather than silently computing a different
+  * join.
+  *
+  * Semantics (matches the composition, pinned in AsOfNativeSpec): for
+  * each left row, the right row with the greatest `rightTs <= leftTs`
+  * for the same key; ties on `rightTs` break to the greatest
+  * `rightTie`; unmatched left rows keep NULL right columns
+  * (left-outer). Keys and timestamps are BIGINT (epoch micros — the
+  * engine's instant encoding); NULL keys or timestamps never match.
+  */
+case class AsOfMarker(leftTs: Expression, rightTs: Expression,
+    rightTie: Expression) extends Expression with Unevaluable {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(leftTs, rightTs, rightTie)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_asof expects BIGINT (ts_left, ts_right, tie_right), got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): AsOfMarker =
+    copy(leftTs = newChildren(0), rightTs = newChildren(1),
+      rightTie = newChildren(2))
+}
+
+/** Logical AS-OF join node (left-outer as-of; see [[AsOfMarker]]). */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTs: Expression, rightTs: Expression,
+    rightTie: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Rewrites `Join(Inner, key = key AND graft_asof(...))` into
+  * [[AsOfJoinPlan]]. Strict: exactly the equality + the marker — any
+  * extra conjunct leaves the join untouched (and the unevaluable marker
+  * then fails planning loudly; pre-filter inputs instead).
+  *
+  * Injected as a RESOLUTION rule, not an optimizer rule: the as-of is
+  * left-outer (right side nullable) while the marker Join is inner
+  * (right side non-null), so the swap must happen BEFORE any parent
+  * operator resolves against the join's output nullability — an
+  * optimizer-time rewrite left parents reading the right columns as
+  * non-null and codegen silently turned NULL into 0. */
+object AsOfRewrite extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(l, r, Inner, Some(cond), _) if j.resolved =>
+      splitAnd(cond) match {
+        case Seq(a, b) =>
+          val (eqOpt, mkOpt) = (a, b) match {
+            case (e: EqualTo, m: AsOfMarker) => (Some(e), Some(m))
+            case (m: AsOfMarker, e: EqualTo) => (Some(e), Some(m))
+            case _ => (None, None)
+          }
+          (eqOpt, mkOpt) match {
+            case (Some(eq), Some(mk)) =>
+              // orient the equality to (left side, right side)
+              val keys =
+                if (eq.left.references.subsetOf(l.outputSet) &&
+                  eq.right.references.subsetOf(r.outputSet))
+                  Some((eq.left, eq.right))
+                else if (eq.right.references.subsetOf(l.outputSet) &&
+                  eq.left.references.subsetOf(r.outputSet))
+                  Some((eq.right, eq.left))
+                else None
+              val sidesOk =
+                mk.leftTs.references.subsetOf(l.outputSet) &&
+                  mk.rightTs.references.subsetOf(r.outputSet) &&
+                  mk.rightTie.references.subsetOf(r.outputSet)
+              keys match {
+                case Some((lk, rk)) if sidesOk =>
+                  AsOfJoinPlan(l, r, lk, rk, mk.leftTs, mk.rightTs, mk.rightTie)
+                case _ => j
+              }
+            case _ => j
+          }
+        case _ => j
+      }
+  }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+      splitAnd(a) ++ splitAnd(b)
+    case other => Seq(other)
+  }
+}
+
+/** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]. */
+case class AsOfJoinStrategy(spark: SparkSession)
+    extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, tie) =>
+      AsOfJoinExec(lk, rk, lts, rts, tie, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical as-of merge join. Requires both children clustered on the
+  * key with the SAME partition count (EnsureRequirements inserts the
+  * exchanges) and sorted by (key, ts[, tie]); then each partition pair
+  * streams a single-pass merge holding one candidate right row. */
+case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
+    leftTs: Expression, rightTs: Expression, rightTie: Expression,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] = {
+    val n = Some(conf.numShufflePartitions)
+    Seq(ClusteredDistribution(Seq(leftKey), requiredNumPartitions = n),
+      ClusteredDistribution(Seq(rightKey), requiredNumPartitions = n))
+  }
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending),
+      SortOrder(rightTie, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lk = leftKey
+    val lt = leftTs
+    val rk = rightKey
+    val rt = rightTs
+    val numRight = rOut.size
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // (key, ts) extractors bound to each side's row shape
+      val lProj = UnsafeProjection.create(Seq(lk, lt), lOut)
+      val rProj = UnsafeProjection.create(Seq(rk, rt), rOut)
+      val nullRight = new GenericInternalRow(numRight)
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+
+      new Iterator[InternalRow] {
+        // the right cursor: one buffered upcoming row + one candidate
+        private var nextRight: InternalRow = _
+        private var nextRightKey = 0L
+        private var nextRightTs = 0L
+        private var haveNext = false
+        private var candidate: InternalRow = _
+        private var candidateKey = 0L
+        advanceRightCursor()
+
+        private def advanceRightCursor(): Unit = {
+          haveNext = false
+          while (!haveNext && rIter.hasNext) {
+            val row = rIter.next()
+            val kv = rProj(row)
+            // NULL key/ts rows can never match — skip them here
+            if (!kv.isNullAt(0) && !kv.isNullAt(1)) {
+              nextRightKey = kv.getLong(0)
+              nextRightTs = kv.getLong(1)
+              nextRight = row.copy() // iterators reuse row buffers
+              haveNext = true
+            }
+          }
+        }
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val lRow = lIter.next()
+          val kv = lProj(lRow)
+          if (kv.isNullAt(0) || kv.isNullAt(1)) {
+            resultProj(joined(lRow, nullRight))
+          } else {
+            val key = kv.getLong(0)
+            val ts = kv.getLong(1)
+            // consume right rows with (rkey < key) or
+            // (rkey == key && rts <= ts); the LAST kept becomes the
+            // candidate (sorted by tie, so the greatest tie wins)
+            while (haveNext && (nextRightKey < key ||
+              (nextRightKey == key && nextRightTs <= ts))) {
+              if (nextRightKey == key) {
+                candidate = nextRight
+                candidateKey = key
+              }
+              advanceRightCursor()
+            }
+            if (candidate != null && candidateKey == key)
+              resultProj(joined(lRow, candidate))
+            else resultProj(joined(lRow, nullRight))
+          }
+        }
+      }
+    }
+  }
+
+  protected override def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}

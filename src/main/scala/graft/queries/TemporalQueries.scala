@@ -97,5 +97,48 @@ object TemporalQueries {
         .agg(
           count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total_price"))
+    },
+
+    // ---- NATIVE AS-OF JOIN (L178): each event joined to the user's
+    // most recent prior purchase through the engine's OWN physical
+    // operator — AsOfMarker → AsOfRewrite (resolution rule) →
+    // AsOfJoinStrategy → AsOfJoinExec, the whole-operator extension
+    // path (LogicalPlan + Rule + Strategy + SparkPlan via
+    // SparkSessionExtensions). The exec co-partitions both sides on the
+    // key and streams a per-partition merge holding ONE candidate right
+    // row — each side shuffles in its own shape, unlike the q38
+    // union+window composition. The oracle is DuckDB's NATIVE ASOF
+    // LEFT JOIN: two independent as-of implementations must agree row
+    // for row. (user_id, us) is deduplicated on the right first so
+    // neither engine's tie policy is exercised.
+    Q(
+      "q197_native_asof_join",
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    event_type, value
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, us, arg_max(value, event_id) AS pvalue
+        |  FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.event_id, e.us, p.us AS purchase_us,
+        |  p.pvalue AS purchase_value
+        |FROM e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.us >= p.us""".stripMargin) {
+      (spark, dir) =>
+      val ev = Tables.events(spark, dir).select(col("event_id"),
+        col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_type"), col("value"))
+      val l = ev.select("event_id", "user_id", "us")
+      // distinct right-side names keep the self-derived join unambiguous
+      val r = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "us")
+        .agg(max(struct(col("event_id"), col("value"))).as("_m"))
+        .select(col("user_id").as("r_user"), col("us").as("r_us"),
+          col("_m.event_id").as("pid"), col("_m.value").as("pvalue"))
+      // the declarative marker surface the resolution rule recognizes
+      l.join(r, col("user_id") === col("r_user") &&
+          call_function("graft_asof", col("us"), col("r_us"), col("pid")))
+        .select(col("event_id"), col("us"), col("r_us").as("purchase_us"),
+          col("pvalue").as("purchase_value"))
     })
 }

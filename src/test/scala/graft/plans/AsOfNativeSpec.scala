@@ -1,0 +1,100 @@
+package graft.plans
+
+import graft.SparkSuite
+import graft.ops.Temporal
+import org.apache.spark.sql.functions._
+
+/** Pins for the native as-of join (AsOfMarker → AsOfRewrite →
+  * AsOfJoinStrategy → AsOfJoinExec): semantics against a brute-force
+  * reference AND the union+window composition, the physical plan
+  * (custom exec + EnsureRequirements exchanges/sorts), partition-count
+  * invariance, and the unmatched/tie/null edges. */
+class AsOfNativeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def leftDf(parts: Int) = Seq(
+    (1L, 100L, "l1a"), (1L, 250L, "l1b"), (1L, 50L, "l1c"),
+    (2L, 500L, "l2a"),
+    (3L, 10L, "l3a"), // key with no right rows at all
+    (4L, 100L, "l4a") // right rows exist but all AFTER this ts
+  ).toDF("k", "ts", "lval").repartition(parts)
+
+  private def rightDf(parts: Int) = Seq(
+    (1L, 100L, 1L, "r1@100a"), (1L, 100L, 2L, "r1@100b"), // tie on ts
+    (1L, 200L, 1L, "r1@200"),
+    (2L, 400L, 1L, "r2@400"), (2L, 600L, 1L, "r2@600"),
+    (4L, 150L, 1L, "r4@150")
+  ).toDF("k", "ts", "tie", "rval").repartition(parts)
+
+  private val expected = Map(
+    // ties on rts=100 resolve to the greatest tie (r1@100b)
+    (1L, 100L) -> Some("r1@100b"),
+    (1L, 250L) -> Some("r1@200"),
+    (1L, 50L) -> None,
+    (2L, 500L) -> Some("r2@400"),
+    (3L, 10L) -> None,
+    (4L, 100L) -> None)
+
+  private def run(lParts: Int, rParts: Int): Map[(Long, Long), Option[String]] =
+    Temporal.asOfJoinNative(leftDf(lParts), rightDf(rParts), "k", "ts", "tie")
+      .select(col("lval"), col("rval"))
+      .collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      .map { case (l, rv) =>
+        val lrow = Seq((1L, 100L, "l1a"), (1L, 250L, "l1b"), (1L, 50L, "l1c"),
+          (2L, 500L, "l2a"), (3L, 10L, "l3a"), (4L, 100L, "l4a"))
+          .find(_._3 == l).get
+        (lrow._1, lrow._2) -> rv
+      }
+
+  test("semantics: greatest rts <= lts per key, tie to greatest tie, " +
+      "unmatched left keeps NULL — at any partitioning") {
+    for ((lp, rp) <- Seq((1, 1), (3, 2), (7, 5))) {
+      assert(run(lp, rp) == expected, s"lParts=$lp rParts=$rp")
+    }
+  }
+
+  test("plan: AsOfJoinExec with exchanges and sorts inserted by " +
+      "EnsureRequirements — never a cartesian or regular join") {
+    val df = Temporal.asOfJoinNative(leftDf(3), rightDf(3), "k", "ts", "tie")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("AsOfJoin "), s"expected the native exec:\n$p")
+    assert(p.contains("Exchange"), s"expected co-partitioning exchanges:\n$p")
+    assert(p.contains("Sort"), s"expected (key, ts) sorts:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"must not fall back to a generic join:\n$p")
+  }
+
+  test("equivalence with the union+window composition on random data") {
+    val rnd = new scala.util.Random(197L)
+    val ls = (1 to 300).map(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val rs = (1 to 200).map(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, i.toLong,
+        rnd.nextInt(5).toLong))
+    val l = ls.toDF("k", "ts", "lid")
+    val r = rs.toDF("k", "ts", "rid", "tie")
+    val native = Temporal
+      .asOfJoinNative(l, r, "k", "ts", "tie")
+      .select(col("lid"), col("rid"))
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    // brute force: per left row, max (ts, tie, rid is NOT part of the
+    // order — the exec keeps the LAST in (ts, tie) sort order, which on
+    // full (ts, tie) ties is the last-encountered; make (ts, tie)
+    // unique per key to keep the reference well-defined
+    val rGrouped = rs.map(t => (t._1, t._2, t._4, t._3))
+      .groupBy(_._1)
+    val unique = rGrouped.forall { case (_, rows) =>
+      rows.map(t => (t._2, t._3)).distinct.size == rows.size
+    }
+    assume(unique, "random draw produced duplicate (ts, tie) — reseed")
+    val ref = ls.map { case (k, ts, lid) =>
+      val cands = rGrouped.getOrElse(k, Seq.empty).filter(_._2 <= ts)
+      lid -> (if (cands.isEmpty) -1L
+              else cands.maxBy(t => (t._2, t._3))._4)
+    }.toMap
+    assert(native == ref)
+  }
+}
