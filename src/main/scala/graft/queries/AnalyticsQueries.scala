@@ -1320,5 +1320,102 @@ object AnalyticsQueries {
           size(graft.ops.Text.tokens(col("text"))).cast("long")
             .as("n_tokens")), root)
       graft.Meta.schemaDiff(spark, root, v1, v2)
+    },
+
+    // ---- INTEGER FIXED-POINT EWMA (L179): per-type daily counts
+    // smoothed by s_t = s_{t-1} + (x_t·2^20 − s_{t-1}) ∕∕ 8 — an
+    // exponential moving average with α = 1/8 run ENTIRELY in scaled
+    // integers (value·2^20 fixed point, floor division), so the
+    // smoothed sequence is a pure integer recurrence any engine replays
+    // bit for bit — no float accumulation drift, ever. The monitoring
+    // baseline q182's window stats complement (EWMA responds to level
+    // shifts with exponential memory; the window forgets cliff-edge).
+    // The fold runs per type over the SORTED |days|-row list — bounded
+    // at any corpus scale; the corpus itself only sees the count agg.
+    Q(
+      "q198_ewma_counts", {
+        val (scale, k) = (1048576L, 8L) // 2^20 fixed point, alpha = 1/8
+        s"""WITH c AS (
+           |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           |    CAST(count(*) AS BIGINT) AS x
+           |  FROM events GROUP BY 1, 2),
+           |f AS (
+           |  SELECT event_type,
+           |    list(day ORDER BY day) AS days,
+           |    list(x ORDER BY day) AS xs
+           |  FROM c GROUP BY 1),
+           |s AS (
+           |  SELECT event_type, days, xs,
+           |    list_reduce(
+           |      list_prepend([xs[1] * $scale],
+           |        list_transform(xs[2:], x -> [x])),
+           |      (acc, e) -> list_append(acc,
+           |        acc[-1] + (e[1] * $scale - acc[-1]) // $k)) AS sm
+           |  FROM f)
+           |SELECT event_type, days[i] AS day, xs[i] AS n_events,
+           |  sm[i] AS ewma_fp,
+           |  CAST(sm[i] AS DOUBLE) / $scale AS ewma
+           |FROM s, unnest(range(1, len(days) + 1)) u(i)""".stripMargin
+      }) { (spark, dir) =>
+      val (scale, k) = (1048576L, 8L)
+      val c = Tables.events(spark, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val f = c.groupBy("event_type")
+        .agg(array_sort(collect_list(struct(col("day"), col("x"))))
+          .as("dx"))
+      // sequential integer fold over the sorted per-type day list; the
+      // accumulator carries the whole smoothed sequence (bounded |days|).
+      // /8 is a binary-exponent shift (exact in double), and the cast
+      // TRUNCATES toward zero — matching DuckDB's `//`, which truncates
+      // (not floors) on the negative diffs of a falling count series
+      val sm = aggregate(
+        expr("slice(dx, 2, size(dx) - 1)"),
+        array(col("dx")(0).getField("x") * scale),
+        (acc, e) => concat(acc,
+          array(element_at(acc, -1) +
+            ((e.getField("x") * scale - element_at(acc, -1)) / k)
+              .cast("long"))))
+      f.withColumn("sm", sm)
+        .select(col("event_type"), col("sm"), posexplode(col("dx")))
+        .select(col("event_type"),
+          col("col.day").as("day"),
+          col("col.x").as("n_events"),
+          element_at(col("sm"), col("pos") + 1).as("ewma_fp"),
+          (element_at(col("sm"), col("pos") + 1).cast("double") / scale)
+            .as("ewma"))
+    },
+
+    // ---- RANK TIE-SEMANTICS battery (L181): rank / dense_rank /
+    // percent_rank / cume_dist over an ordering with REAL ties (the
+    // integer value bucket) — the semantics q42's total ordering never
+    // exercises. Exactly the tie-insensitive functions are emitted:
+    // each is a pure function of the row's BUCKET (gap ranks, packed
+    // ranks, the (rank−1)/(n−1) and peers/n laws), so the output is
+    // deterministic under any physical tie order — row_number and
+    // ntile, which are NOT, stay out by design (that exclusion is the
+    // operator's content: it documents which window functions are safe
+    // over non-total orderings at scale).
+    Q(
+      "q200_rank_tie_semantics",
+      """SELECT event_id, event_type,
+        |  CAST(floor(value) AS BIGINT) AS bucket,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  percent_rank() OVER w AS prank,
+        |  cume_dist() OVER w AS cdist
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY CAST(floor(value) AS BIGINT))""".stripMargin) {
+      (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(floor(col("value")).cast("long"))
+      Tables.events(spark, dir).select(
+        col("event_id"), col("event_type"),
+        floor(col("value")).cast("long").as("bucket"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
     })
 }

@@ -901,6 +901,61 @@ object CorpusStatsQueries {
       rows.toDF("t", "n_pairs", "n_docs_touched", "n_clusters")
         .withColumn("n_dropped", col("n_docs_touched") - col("n_clusters"))
         .withColumn("n_survivors", lit(nDocs) - col("n_dropped"))
+    },
+
+    // ---- NEIGHBOR-DEGREE PROPAGATION (L180): per dup-graph node, its
+    // degree and its neighbors' MEAN degree — the one-hop feature
+    // aggregation (the GNN message-passing primitive) that separates a
+    // hub inside a dense template core (high own + high neighbor
+    // degree) from a leaf glued onto one (low own, high neighbor): the
+    // two need different dedup treatment. One co-partitioned join of
+    // the capped edge list against its own degree table + one rollup —
+    // the Pregel step, linear in edges; mean rounds in integer space.
+    Q(
+      "q199_neighbor_degrees",
+      s"""WITH ${LlmQueries.simhashCtes},
+         |ranked AS (
+         |  SELECT doc_id, sim, band, band_key,
+         |    row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rk
+         |  FROM banded),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM ranked a JOIN banded b USING (band, band_key)
+         |  WHERE a.rk <= ${Dedup.DefaultDegreeCap} AND a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.sim, b.sim)) <= 3),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |deg AS (
+         |  SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+         |  FROM edges GROUP BY 1)
+         |SELECT e.src AS doc_id, d1.degree,
+         |  CAST(sum(d2.degree) AS BIGINT) AS nbr_degree_sum,
+         |  CAST(((2 * sum(d2.degree) * 1000000 + d1.degree)
+         |    // (2 * d1.degree))
+         |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS nbr_degree_mean
+         |FROM edges e
+         |JOIN deg d1 ON d1.id = e.src
+         |JOIN deg d2 ON d2.id = e.dst
+         |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val pairs = Dedup.simhashPairsCapped(docs, "doc_id", "text",
+        bands = 4, maxHamming = 3, cap = Dedup.DefaultDegreeCap)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .localCheckpoint() // feeds the degree table and the propagation
+      val deg = edges.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("degree"))
+      edges
+        .join(deg.withColumnRenamed("id", "src")
+          .withColumnRenamed("degree", "d_src"), "src")
+        .join(deg.withColumnRenamed("id", "dst")
+          .withColumnRenamed("degree", "d_dst"), "dst")
+        .groupBy(col("src").as("doc_id"), col("d_src").as("degree"))
+        .agg(sum("d_dst").as("nbr_degree_sum"))
+        .select(col("doc_id"), col("degree"), col("nbr_degree_sum"),
+          graft.functions.ExactRound.roundRatio(col("nbr_degree_sum"),
+            col("degree"), 6).cast("double").as("nbr_degree_mean"))
     }
   )
 }
