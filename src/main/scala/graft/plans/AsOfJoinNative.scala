@@ -131,12 +131,24 @@ object AsOfRewrite extends Rule[LogicalPlan] {
   }
 }
 
-/** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]. */
+/** Plans [[AsOfJoinPlan]] — with the same COST-BASED physical choice
+  * Spark's JoinSelection makes: a right side whose stats fit under
+  * `spark.sql.autoBroadcastJoinThreshold` plans as
+  * [[AsOfBroadcastExec]] (left side never shuffles at all — the
+  * dimension-versions case), anything larger as the co-partitioned
+  * [[AsOfJoinExec]] merge; threshold ≤ 0 disables broadcast, exactly
+  * like the built-in joins. */
 case class AsOfJoinStrategy(spark: SparkSession)
     extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lts, rts, tie) =>
-      AsOfJoinExec(lk, rk, lts, rts, tie, planLater(l), planLater(r)) :: Nil
+      val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
+      if (thr > 0 && r.stats.sizeInBytes <= thr)
+        AsOfBroadcastExec(lk, rk, lts, rts, tie,
+          planLater(l), planLater(r)) :: Nil
+      else
+        AsOfJoinExec(lk, rk, lts, rts, tie,
+          planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -240,5 +252,93 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
 
   protected override def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Broadcast as-of: the right side ships whole to every task (the
+  * BroadcastHashJoin shape — right here for dimension-version tables),
+  * so the LEFT SIDE NEVER SHUFFLES OR SORTS: the operator preserves
+  * the left child's partitioning and ordering, and each partition
+  * answers its rows by binary search over the broadcast side's per-key
+  * sorted versions. The per-task index build is |R| log |R| — the same
+  * trade BroadcastHashJoin makes building its HashedRelation. */
+case class AsOfBroadcastExec(leftKey: Expression, rightKey: Expression,
+    leftTs: Expression, rightTs: Expression, rightTie: Expression,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution,
+      org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+        org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lk = leftKey
+    val lt = leftTs
+    val rk = rightKey
+    val rt = rightTs
+    val tie = rightTie
+    val numRight = rOut.size
+    val outAttrs = output
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions { lIter =>
+      val rProj = UnsafeProjection.create(Seq(rk, rt, tie), rOut)
+      // per-key version lists sorted by (ts, tie) — ONE build per task
+      val index = new java.util.HashMap[Long, Array[(Long, Long, InternalRow)]]()
+      locally {
+        val tmp = new java.util.HashMap[Long,
+          scala.collection.mutable.ArrayBuffer[(Long, Long, InternalRow)]]()
+        broadcastRows.value.foreach { row =>
+          val kv = rProj(row)
+          if (!kv.isNullAt(0) && !kv.isNullAt(1)) {
+            val buf = tmp.computeIfAbsent(kv.getLong(0),
+              _ => scala.collection.mutable.ArrayBuffer.empty)
+            buf += ((kv.getLong(1),
+              if (kv.isNullAt(2)) Long.MinValue else kv.getLong(2), row))
+          }
+        }
+        tmp.forEach { (k, buf) =>
+          index.put(k, buf.sortBy(t => (t._1, t._2)).toArray)
+        }
+      }
+      val lProj = UnsafeProjection.create(Seq(lk, lt), lOut)
+      val nullRight = new GenericInternalRow(numRight)
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      lIter.map { lRow =>
+        val kv = lProj(lRow)
+        val matched: InternalRow =
+          if (kv.isNullAt(0) || kv.isNullAt(1)) nullRight
+          else {
+            val versions = index.get(kv.getLong(0))
+            if (versions == null) nullRight
+            else {
+              // greatest index with ts <= lts (versions sorted asc)
+              val lts = kv.getLong(1)
+              var lo = 0
+              var hi = versions.length - 1
+              var ans = -1
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                if (versions(mid)._1 <= lts) { ans = mid; lo = mid + 1 }
+                else hi = mid - 1
+              }
+              if (ans < 0) nullRight else versions(ans)._3
+            }
+          }
+        resultProj(joined(lRow, matched))
+      }
+    }
+  }
+
+  protected override def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfBroadcastExec =
     copy(left = newLeft, right = newRight)
 }

@@ -55,10 +55,19 @@ object ProbeAsOf {
         (System.nanoTime() - t0) / 1e9
       }.min
 
-    val tn = time(native _)
+    def withThreshold[A](v: String)(body: => A): A = {
+      val key = "spark.sql.autoBroadcastJoinThreshold"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, v)
+      try body finally spark.conf.set(key, prev)
+    }
+
+    val tb = time(native _) // default threshold → AsOfBroadcastExec
+    val tm = withThreshold("-1") { time(native _) } // merge path
     val tc = time(composed _)
-    println(f"""{"asof_native_sec":$tn%.3f,"asof_composed_sec":$tc%.3f,""" +
-      f""""speedup":${tc / tn}%.2f,"rows":${a.size},"sf":"$sfDir"}""")
+    println(f"""{"asof_broadcast_sec":$tb%.3f,"asof_merge_sec":$tm%.3f,""" +
+      f""""asof_composed_sec":$tc%.3f,"speedup_bcast":${tc / tb}%.2f,""" +
+      f""""speedup_merge":${tc / tm}%.2f,"rows":${a.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

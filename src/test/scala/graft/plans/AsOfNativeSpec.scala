@@ -47,23 +47,48 @@ class AsOfNativeSpec extends SparkSuite {
         (lrow._1, lrow._2) -> rv
       }
 
+  private def withThreshold[A](v: String)(body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, v)
+    try body finally spark.conf.set(key, prev)
+  }
+
   test("semantics: greatest rts <= lts per key, tie to greatest tie, " +
-      "unmatched left keeps NULL — at any partitioning") {
+      "unmatched left keeps NULL — at any partitioning, on BOTH " +
+      "physical paths") {
     for ((lp, rp) <- Seq((1, 1), (3, 2), (7, 5))) {
-      assert(run(lp, rp) == expected, s"lParts=$lp rParts=$rp")
+      // default threshold: the tiny right side plans as broadcast
+      assert(run(lp, rp) == expected, s"broadcast path lParts=$lp rParts=$rp")
+      // threshold off: the co-partitioned merge path
+      withThreshold("-1") {
+        assert(run(lp, rp) == expected, s"merge path lParts=$lp rParts=$rp")
+      }
     }
   }
 
-  test("plan: AsOfJoinExec with exchanges and sorts inserted by " +
-      "EnsureRequirements — never a cartesian or regular join") {
-    val df = Temporal.asOfJoinNative(leftDf(3), rightDf(3), "k", "ts", "tie")
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString()
-    assert(p.contains("AsOfJoin "), s"expected the native exec:\n$p")
-    assert(p.contains("Exchange"), s"expected co-partitioning exchanges:\n$p")
-    assert(p.contains("Sort"), s"expected (key, ts) sorts:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
-      s"must not fall back to a generic join:\n$p")
+  test("strategy picks by stats like JoinSelection: small right side " +
+      "broadcasts (left never shuffles), threshold off falls back to " +
+      "the co-partitioned merge with exchanges and sorts") {
+    val bdf = Temporal.asOfJoinNative(leftDf(3), rightDf(3), "k", "ts", "tie")
+    bdf.collect()
+    val bp = bdf.queryExecution.executedPlan.toString()
+    assert(bp.contains("AsOfBroadcast"), s"expected the broadcast exec:\n$bp")
+    assert(bp.contains("BroadcastExchange"),
+      s"right side must broadcast:\n$bp")
+    assert(!bp.contains("Exchange hashpartitioning"),
+      s"broadcast path must not shuffle the left side:\n$bp")
+    withThreshold("-1") {
+      val df = Temporal.asOfJoinNative(leftDf(3), rightDf(3), "k", "ts", "tie")
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString()
+      assert(p.contains("AsOfJoin "), s"expected the merge exec:\n$p")
+      assert(p.contains("Exchange hashpartitioning"),
+        s"expected co-partitioning exchanges:\n$p")
+      assert(p.contains("Sort"), s"expected (key, ts) sorts:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"must not fall back to a generic join:\n$p")
+    }
   }
 
   test("equivalence with the union+window composition on random data") {
