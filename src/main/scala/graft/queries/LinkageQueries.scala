@@ -983,6 +983,104 @@ object LinkageQueries {
         .filter(col("event_type") === "purchase")
         .groupBy("first_touch", "last_touch")
         .agg(count(lit(1)).as("n_purchases"))
+    },
+
+    // ---- FUNCTIONAL-DEPENDENCY DISCOVERY (L182): does A determine B?
+    // — profiled as (distinct LHS values, LHS values seeing >1 RHS,
+    // worst fan-out), the schema-inference complement of L109's
+    // inclusion dependencies (those find FK candidates ACROSS tables;
+    // this finds key/denormalization structure WITHIN one): a clean FD
+    // certifies a dimension extraction, a near-FD localizes the dirty
+    // keys. One countDistinct aggregate per tested pair, |LHS|-bounded
+    // frames, violation rate integer-rounded.
+    Q(
+      "q201_fd_discovery", {
+        def fdSql(table: String, lhs: String, rhs: String) =
+          s"""SELECT '$table' AS tbl, '$lhs' AS lhs, '$rhs' AS rhs,
+             |  CAST(count(*) AS BIGINT) AS n_lhs,
+             |  CAST(count(*) FILTER (WHERE n_rhs > 1) AS BIGINT)
+             |    AS n_violating,
+             |  CAST(max(n_rhs) AS BIGINT) AS max_fanout,
+             |  count(*) FILTER (WHERE n_rhs > 1) = 0 AS holds
+             |FROM (SELECT $lhs, CAST(count(DISTINCT $rhs) AS BIGINT) AS n_rhs
+             |      FROM $table GROUP BY 1) g""".stripMargin
+        Seq(
+          fdSql("nation", "n_nationkey", "n_regionkey"),
+          fdSql("customer", "c_nationkey", "c_mktsegment"),
+          fdSql("orders", "o_custkey", "o_orderstatus"),
+          fdSql("events", "user_id", "event_type"))
+          .mkString("", "\nUNION ALL\n", "")
+      }) { (spark, dir) =>
+      def fd(df: org.apache.spark.sql.DataFrame, table: String,
+          lhs: String, rhs: String) =
+        df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("n_rhs"))
+          .agg(count(lit(1)).as("n_lhs"),
+            sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating"),
+            max("n_rhs").as("max_fanout"))
+          .select(lit(table).as("tbl"), lit(lhs).as("lhs"),
+            lit(rhs).as("rhs"), col("n_lhs"), col("n_violating"),
+            col("max_fanout"), (col("n_violating") === 0L).as("holds"))
+      fd(Tables.load(spark, dir, "nation"), "nation",
+        "n_nationkey", "n_regionkey")
+        .unionByName(fd(Tables.load(spark, dir, "customer"), "customer",
+          "c_nationkey", "c_mktsegment"))
+        .unionByName(fd(Tables.orders(spark, dir), "orders",
+          "o_custkey", "o_orderstatus"))
+        .unionByName(fd(Tables.events(spark, dir), "events",
+          "user_id", "event_type"))
+    },
+
+    // ---- EVENT-TIME DISORDER / WATERMARK SIZING (L183): per event,
+    // its LATENESS against the running event-time high-water mark in
+    // ARRIVAL order (event_id — the append-order id), rolled into a
+    // power-of-two lateness histogram with cumulative coverage — the
+    // measurement that SIZES a streaming watermark from data instead of
+    // folklore ("2^k µs covers 99.9% of arrivals" is read straight off
+    // the cumulative column). Lateness is exact integer µs from a
+    // per-user ROWS window; buckets via length(bin(x)) — integer in
+    // both engines; coverage rounds in integer space. The histogram is
+    // ≤64 rows at any corpus scale.
+    Q(
+      "q202_disorder_watermark",
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |l AS (
+        |  SELECT greatest(0, coalesce(
+        |      max(us) OVER (PARTITION BY user_id ORDER BY event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - us, 0))
+        |    AS late_us
+        |  FROM e),
+        |b AS (
+        |  SELECT CASE WHEN late_us = 0 THEN 0
+        |              ELSE length(bin(late_us)) END AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM l GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM b)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, n_events,
+        |  CAST(sum(n_events) OVER (ORDER BY bucket) AS BIGINT) AS cum_events,
+        |  CAST(((2 * sum(n_events) OVER (ORDER BY bucket) * 1000000
+        |      + t.total) // (2 * t.total))
+        |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS coverage
+        |FROM b, t""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(spark, dir).select(col("user_id"),
+        col("event_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
+      val arr = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val l = e.select(greatest(lit(0L),
+        coalesce(max("us").over(arr) - col("us"), lit(0L))).as("late_us"))
+      val b = l.groupBy(when(col("late_us") === 0, 0L)
+          .otherwise(length(bin(col("late_us"))).cast("long")).as("bucket"))
+        .agg(count(lit(1)).as("n_events"))
+      val t = b.agg(sum("n_events").as("total"))
+      // unpartitioned windows over the ≤64-row histogram only
+      b.crossJoin(broadcast(t))
+        .withColumn("cum_events",
+          sum("n_events").over(Window.orderBy("bucket")))
+        .select(col("bucket"), col("n_events"), col("cum_events"),
+          graft.functions.ExactRound.roundRatio(col("cum_events"),
+            col("total"), 6).cast("double").as("coverage"))
     }
   )
 }
