@@ -956,6 +956,54 @@ object CorpusStatsQueries {
         .select(col("doc_id"), col("degree"), col("nbr_degree_sum"),
           graft.functions.ExactRound.roundRatio(col("nbr_degree_sum"),
             col("degree"), 6).cast("double").as("nbr_degree_mean"))
+    },
+
+    // ---- TOKEN-MASS-WEIGHTED DECILES (L184): per source, the doc
+    // LENGTH below which 10%…90% of the source's TOKEN MASS lives —
+    // "how long are the documents the tokens actually come from", which
+    // unweighted length deciles misstate whenever a few mega-docs carry
+    // most of a source's mass (the L145 Gini's actionable companion: it
+    // says HOW concentrated, this says WHERE the cut points are for a
+    // length cap). Exact order statistics: cumulative weight by
+    // (length, id) per source, decile d = smallest length with
+    // 10·cumw ≥ d·totw — pure integer comparisons, values are ACTUAL
+    // data elements (no interpolation, no float summation). One keyed
+    // window per source; at corpus scale the rank swaps to the q129
+    // two-phase range-partition machinery per the L143 contract.
+    Q(
+      "q203_weighted_length_deciles", {
+        val decs = Seq(1, 2, 3, 4, 5, 6, 7, 8, 9)
+        val cases = decs.map(d =>
+          s"CAST(min(CASE WHEN 10 * cumw >= $d * totw THEN n_chars END) " +
+            s"AS BIGINT) AS wp$d").mkString(",\n        |  ")
+        s"""WITH w AS (
+           |  SELECT source, doc_id, n_chars,
+           |    CAST(sum(n_chars) OVER (PARTITION BY source
+           |      ORDER BY n_chars, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cumw,
+           |    CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT)
+           |      AS totw
+           |  FROM documents)
+           |SELECT source,
+           |  $cases,
+           |  CAST(max(totw) AS BIGINT) AS total_tokens
+           |FROM w GROUP BY source""".stripMargin
+      }) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val bySrc = Window.partitionBy("source")
+      val ord = bySrc.orderBy(col("n_chars"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w = Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("cumw", sum("n_chars").over(ord))
+        .withColumn("totw", sum("n_chars").over(bySrc))
+      val decCols = (1 to 9).map(d =>
+        min(when(lit(10) * col("cumw") >= lit(d) * col("totw"),
+          col("n_chars"))).as(s"wp$d"))
+      w.groupBy("source")
+        .agg(decCols.head, (decCols.tail :+
+          max("totw").as("total_tokens")): _*)
     }
   )
 }

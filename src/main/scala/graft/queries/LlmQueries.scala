@@ -677,5 +677,90 @@ object LlmQueries {
         .withColumn("text", regexp_replace(col("text"), "[^ -~]", ""))
       Multimodal.audioEnergy(
         Multimodal.asMedia(ascii, "doc_id", "text")).toDF()
+    },
+
+    // ---- CANDIDATE PRECISION BY HAMMING LEVEL (L185): for the capped
+    // SimHash pair stream, the fraction of pairs at each Hamming
+    // distance 0–3 whose EXACT 3-gram Jaccard clears 0.5 — the
+    // precision curve that tells a dedup operator what each fingerprint
+    // level's verdict is actually worth (L166 counts what each
+    // threshold DOES, this measures what it GETS RIGHT; together they
+    // pick the threshold). Exact per-pair Jaccard rides the compiled
+    // two-pointer intersect kernel over the sorted shingle-hash sets;
+    // the J ≥ 0.5 gate cross-multiplies in integers; pairs whose docs
+    // have no shingles count imprecise (nothing verified them). One
+    // bounded pair stream + two id-keyed joins + a 4-row rollup.
+    Q(
+      "q204_simhash_precision", {
+        s"""WITH ${simhashCtes},
+           |ranked AS (
+           |  SELECT doc_id, sim, band, band_key,
+           |    row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rk
+           |  FROM banded),
+           |cpairs AS (
+           |  SELECT id_a, id_b, min(h) AS ham FROM (
+           |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |      bit_count(xor(a.sim, b.sim)) AS h
+           |    FROM ranked a JOIN banded b USING (band, band_key)
+           |    WHERE a.rk <= ${graft.ops.Dedup.DefaultDegreeCap}
+           |      AND a.doc_id < b.doc_id
+           |      AND bit_count(xor(a.sim, b.sim)) <= 3) x
+           |  GROUP BY 1, 2),
+           |toks2 AS (SELECT doc_id, $toksSql AS t FROM documents),
+           |shs AS (
+           |  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN []
+           |    ELSE list_transform(range(1, len(t)-1),
+           |           i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END) AS s
+           |  FROM toks2),
+           |sh AS (SELECT DISTINCT doc_id, ${strHashSql("s")} AS hh FROM shs),
+           |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+           |          FROM sh GROUP BY 1),
+           |inter AS (
+           |  SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS i
+           |  FROM cpairs p
+           |  JOIN sh sa ON sa.doc_id = p.id_a
+           |  JOIN sh sb ON sb.doc_id = p.id_b AND sb.hh = sa.hh
+           |  GROUP BY 1, 2),
+           |per AS (
+           |  SELECT c.ham,
+           |    coalesce(za.sz, 0) + coalesce(zb.sz, 0) - coalesce(i.i, 0)
+           |      AS uni,
+           |    coalesce(i.i, 0) AS inter
+           |  FROM cpairs c
+           |  LEFT JOIN sizes za ON za.doc_id = c.id_a
+           |  LEFT JOIN sizes zb ON zb.doc_id = c.id_b
+           |  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b)
+           |SELECT CAST(ham AS BIGINT) AS hamming,
+           |  CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(count(*) FILTER (WHERE uni > 0 AND 2 * inter >= uni)
+           |    AS BIGINT) AS n_precise,
+           |  CAST(((2 * (count(*) FILTER (WHERE uni > 0 AND 2 * inter >= uni))
+           |      * 1000000 + count(*)) // (2 * count(*)))
+           |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS precision
+           |FROM per GROUP BY 1""".stripMargin
+      }) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val pairs = Dedup.simhashPairsCapped(docs, "doc_id", "text",
+        bands = 4, maxHamming = 3, cap = Dedup.DefaultDegreeCap)
+      val hv = Dedup.withShingleHashes(docs, "text", 3)
+        .select(col("doc_id"), col("hv")).localCheckpoint()
+      val per = pairs
+        .join(hv.select(col("doc_id").as("id_a"), col("hv").as("hv_a")),
+          Seq("id_a"), "left")
+        .join(hv.select(col("doc_id").as("id_b"), col("hv").as("hv_b")),
+          Seq("id_b"), "left")
+        .select(col("hamming"),
+          coalesce(call_function("graft_sorted_intersect_size",
+            col("hv_a"), col("hv_b")), lit(0L)).as("inter"),
+          (coalesce(size(col("hv_a")), lit(0)).cast("long") +
+            coalesce(size(col("hv_b")), lit(0)).cast("long")).as("szsum"))
+        .withColumn("uni", col("szsum") - col("inter"))
+      per.groupBy(col("hamming").cast("long").as("hamming"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("uni") > 0 && lit(2) * col("inter") >= col("uni"),
+            1L).otherwise(0L)).as("n_precise"))
+        .select(col("hamming"), col("n_pairs"), col("n_precise"),
+          graft.functions.ExactRound.roundRatio(col("n_precise"),
+            col("n_pairs"), 6).cast("double").as("precision"))
     })
 }
