@@ -34,23 +34,47 @@ object Bitmap {
   val PageBits = 16
   val PageWords = (1 << PageBits) / 64 // 1024 longs = 65536 bits
 
+  /** Guard for the documented bounded-dictionary contract: every
+    * touched page costs a dense 8 KB word array (no sparse container),
+    * so n SCATTERED ids — a hashed/random id space, outside the
+    * contract — cost ~8 KB each. 131072 pages ≈ 1 GiB per aggregation
+    * buffer is already far past any sane dictionary (covers ids up to
+    * ~8.6e9 dense); past it the buffer is headed for executor OOM, so
+    * fail loudly with the fix (dictionary-encode, or use graft_hll)
+    * instead of dying on a heap dump. */
+  val MaxPages = 1 << 17
+
   def empty: Pages = new scala.collection.mutable.LongMap[Array[Long]]()
 
-  def add(p: Pages, v: Long): Unit = {
+  def add(p: Pages, v: Long, maxPages: Int = MaxPages): Unit = {
     require(v >= 0, s"bitmap ids must be non-negative, got $v")
     val page = v >>> PageBits
     val bit = (v & 0xffffL).toInt
-    val words = p.getOrElseUpdate(page, new Array[Long](PageWords))
+    val words = p.getOrElse(page, null) match {
+      case null =>
+        require(p.size < maxPages,
+          s"bitmap exceeded $maxPages pages (~${maxPages * 8L * PageWords / (1 << 30)} GiB): " +
+            "the id space is too sparse for an exact paged bitmap — " +
+            "dictionary-encode the ids first, or use graft_hll")
+        val w = new Array[Long](PageWords)
+        p.update(page, w)
+        w
+      case w => w
+    }
     words(bit >>> 6) |= 1L << (bit & 63)
   }
 
-  def mergeInto(a: Pages, b: Pages): Pages = {
+  def mergeInto(a: Pages, b: Pages, maxPages: Int = MaxPages): Pages = {
     b.foreach { case (page, words) =>
       a.get(page) match {
         case Some(aw) =>
           var i = 0
           while (i < PageWords) { aw(i) |= words(i); i += 1 }
-        case None => a.update(page, words.clone())
+        case None =>
+          require(a.size < maxPages,
+            s"bitmap merge exceeded $maxPages pages — id space too " +
+              "sparse for an exact paged bitmap (see Bitmap.MaxPages)")
+          a.update(page, words.clone())
       }
     }
     a

@@ -118,6 +118,62 @@ object Privacy {
       .withColumn("k_anonymous", col("n") >= k)
       .withColumn("l_diverse", col("n_sensitive") >= l)
 
+  /** t-closeness audit (Li et al. ICDE 2007) for an ORDERED sensitive
+    * attribute: per QID group, the Earth-Mover's Distance between the
+    * group's distribution over sensitive bins and the global one —
+    * EMD = Σ_b |Σ_{b'≤b}(p_{b'} − q_{b'})| ∕ (m−1) for ordinal bins
+    * with unit ground distance (their Eq. for numeric attributes).
+    * The l-diversity gate (kAnonymityAudit) only counts distinct
+    * sensitive values; a group can pass it while its value
+    * DISTRIBUTION still leaks (all-but-one member in the top bin) —
+    * t-closeness is the audit that catches that.
+    *
+    * Exact integer arithmetic throughout: the cumulative diff at bin
+    * b is Σ(n_gb·N − n_b·N_g) over the common denominator N_g·N, so
+    * emd = Σ|cum| ∕ (N_g·N·(m−1)) — one ExactRound.roundRatio at the
+    * presentation boundary, and the pass flag (emd ≤ tNum∕tDen)
+    * compares integers, never a float. m = 1 (a single global bin)
+    * means identical distributions: emd 0, pass.
+    *
+    * Scale shape: two corpus aggregates (QID×bin, bin) + the QID
+    * rollup — the corpus shuffles on its natural keys only; the EMD
+    * itself is arithmetic over the bounded groups×bins frame
+    * (broadcast joins + one window over that aggregate). Emits
+    * (qids…, n, n_bins, emd, t_close). */
+  def tClosenessAudit(df: DataFrame, qids: Seq[String], sensitive: Column,
+      tNum: Long = 1, tDen: Long = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tNum >= 0 && tDen > 0, s"need a ratio, got $tNum/$tDen")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(qids.map(col) :+ sensitive.as("_bin"): _*)
+    val gb = base.groupBy(col("_bin")).agg(count(lit(1)).as("_nb"))
+    val g = base.groupBy(qids.map(col) :+ col("_bin"): _*)
+      .agg(count(lit(1)).as("_ngb"))
+    val gt = base.groupBy(qids.map(col): _*).agg(count(lit(1)).as("n"))
+    val tot = base.agg(count(lit(1)).as("_n"),
+      countDistinct(col("_bin")).as("_m"))
+    val filled = gt.crossJoin(broadcast(gb))
+      .join(g, qids :+ "_bin", "left")
+      .withColumn("_ngb", coalesce(col("_ngb"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val w = Window.partitionBy(qids.map(col): _*).orderBy(col("_bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val den = col("n").cast(dec) * col("_n") * (col("_m") - 1)
+    filled
+      .withColumn("_cum", sum(col("_ngb").cast(dec) * col("_n")
+        - col("_nb").cast(dec) * col("n")).over(w))
+      .groupBy(qids.map(col) :+ col("n") :+ col("_n") :+ col("_m"): _*)
+      .agg(sum(abs(col("_cum"))).as("_sumabs"))
+      .select(qids.map(col) :+ col("n") :+
+        col("_m").cast("long").as("n_bins") :+
+        when(col("_m") > 1,
+          graft.functions.ExactRound.roundRatio(col("_sumabs"), den, 6)
+            .cast("double")).otherwise(lit(0.0)).as("emd") :+
+        when(col("_m") > 1,
+          col("_sumabs") * tDen <= den * tNum).otherwise(lit(true))
+          .as("t_close"): _*)
+  }
+
   /** Suppression pass: rows whose QID combination has fewer than `k`
     * members get every QID column masked (generalization to `mask`),
     * everything else passes through. Group size comes from a
@@ -144,9 +200,17 @@ object Privacy {
     * regex rules (shape-based, code-deployed), the deny list updates
     * without a release.
     *
-    * Contract: gazetteer terms must be lowercase alphanumeric (they are
-    * spliced into a word-boundary regex); occurrences count ALL hits,
-    * redaction rewrites every occurrence of each matched term. Appends
+    * Contract: gazetteer terms must be lowercase alphanumeric — the
+    * match side guarantees it structurally (terms only reach the
+    * rewrite via the token join, and [[Text.tokens]] emits `[a-z0-9]+`
+    * only), and the rewrite \Q…\E-quotes each term so a
+    * non-conforming table entry can never inject regex syntax; it
+    * simply matches no token and redacts nothing. Matching is
+    * CASE-INSENSITIVE end to end: hits count against lowercased
+    * tokens, and the rewrite carries `(?i)` so capitalized
+    * occurrences ('Alice') are redacted, not just counted.
+    * Occurrences count ALL hits, redaction rewrites every occurrence
+    * of each matched term. Appends
     * (n_gazetteer_hits, n_gazetteer_terms, redacted). Scale shape: one
     * broadcast hash join on the exploded token stream + one per-doc
     * rollup — the corpus shuffles once on its own id. */
@@ -170,7 +234,8 @@ object Privacy {
       .withColumn("n_gazetteer_terms", size(col("_terms")).cast("long"))
       .withColumn("redacted",
         aggregate(col("_terms"), col(textCol), (acc, t) =>
-          regexp_replace(acc, concat(lit("\\b"), t, lit("\\b")),
+          regexp_replace(acc,
+            concat(lit("(?i)\\b\\Q"), t, lit("\\E\\b")),
             lit(replacement))))
       .drop("_terms")
   }

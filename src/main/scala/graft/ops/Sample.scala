@@ -381,7 +381,11 @@ object Sample {
     *
     * Exactness discipline: σ's numerator is the INTEGER
     * N·Σx² − (Σx)² (valueCol is integer-valued; no float summation
-    * anywhere), the weight N_h·σ_h = sqrt(N_h·S_h∕(N_h−1)) is one exact
+    * anywhere — Σx and Σx² accumulate in DecimalType(38,0), so a
+    * large-value stratum (|x| ≳ 3e9, where a LongType Σx² silently
+    * wraps) widens instead of corrupting the variance; a stratum
+    * whose exact numerator exceeds 38 digits nulls loudly rather
+    * than wrapping), the weight N_h·σ_h = sqrt(N_h·S_h∕(N_h−1)) is one exact
     * cast + one IEEE divide + one correctly-rounded sqrt; the weight
     * TOTAL folds sequentially over the stratum-sorted list (bounded
     * |strata| entries — never a float sum() whose partial-merge order
@@ -399,7 +403,10 @@ object Sample {
       valueCol: String, budget: Int): DataFrame = {
     require(budget >= 1, s"budget must be >= 1: $budget")
     import org.apache.spark.sql.expressions.Window
-    val x = col(valueCol).cast("long")
+    // Decimal(19,0) holds any long; x*x lands in (38,0) exactly (a
+    // long² has at most 38 digits), so the moment sums never wrap
+    val x = col(valueCol)
+      .cast(org.apache.spark.sql.types.DecimalType(19, 0))
     val s = df.groupBy(stratCol).agg(
         count(lit(1)).as("n_rows"), sum(x).as("s1"), sum(x * x).as("s2"))
       .withColumn("wt", when(col("n_rows") <= 1, lit(0.0)).otherwise(

@@ -238,6 +238,61 @@ object Scale {
     (before, parquetFiles(table))
   }
 
+  /** Compaction PLANNING — the pure relational half of [[compact]] /
+    * [[graft.Meta.Versioned.compactTable]], as a first-class operator
+    * (the Delta `OPTIMIZE`-planner / Iceberg binpack shape): given a
+    * manifest of segments (file id + byte size per table partition),
+    * decide which segments are small-file candidates and pack them
+    * into target-sized output bins. At 100 TB the PLAN is what runs
+    * per maintenance cycle over millions of manifest rows — the
+    * rewrite executes only the bins the plan emits, so planning must
+    * be cheap, deterministic, and idempotent (same manifest → same
+    * bins → a re-run rewrites nothing new).
+    *
+    * Rules (all integer arithmetic):
+    *  - target bytes per output file = ceil(partition total ∕
+    *    `filesPerPartition`) — byte-proportional, so the same rule
+    *    sizes a 1 GB and a 1 TB partition;
+    *  - a segment is a CANDIDATE iff `2·bytes < target` (the classic
+    *    half-target small-file rule; bigger segments are already
+    *    well-sized and rewriting them would be write amplification);
+    *  - candidates pack FIRST-FIT in (bytes, segment-id) order:
+    *    bin = floor(cumulative-bytes-before ∕ target) — a one-window
+    *    cumulative sum, no driver loop, no per-partition iteration.
+    *
+    * Emits one row per (partition, bin): n_segments, bytes_in, and
+    * fill_pct = 100·bytes_in∕target rounded in integer space
+    * ([[graft.functions.ExactRound.roundRatio]]). Scale shape: one
+    * shuffle on the partition column (the aggregate + the window
+    * share it), then a bounded-cardinality rollup — manifest-sized
+    * input, bin-count output. */
+  def compactionPlan(segs: DataFrame, partCol: String, segCol: String,
+      bytesCol: String, filesPerPartition: Int): DataFrame = {
+    require(filesPerPartition >= 1,
+      s"filesPerPartition must be >= 1: $filesPerPartition")
+    import org.apache.spark.sql.expressions.Window
+    val byPart = Window.partitionBy(partCol)
+    val order = Window.partitionBy(partCol)
+      .orderBy(col(bytesCol), col(segCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    import graft.functions.ExactRound.floorDiv
+    val bytes = col(bytesCol).cast("long")
+    val n = lit(filesPerPartition.toLong)
+    segs
+      .withColumn("_total", sum(bytes).over(byPart))
+      .withColumn("_target", floorDiv(col("_total") + n - lit(1L), n))
+      .filter(bytes * 2L < col("_target"))
+      .withColumn("_before", coalesce(sum(bytes).over(order), lit(0L)))
+      .withColumn("bin", floorDiv(col("_before"), col("_target")))
+      .groupBy(col(partCol), col("bin").cast("long").as("bin"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(bytes).as("bytes_in"),
+        graft.functions.ExactRound.roundRatio(
+          sum(bytes) * 100L, first(col("_target")), 6)
+          .cast("double").as("fill_pct"))
+  }
+
   /** Result of a stats-pruned scan: the data frame plus the pruning
     * evidence (how many files the stats admitted vs the layout total). */
   final case class SkipScan(df: DataFrame, filesKept: Int, filesTotal: Int)

@@ -90,7 +90,19 @@ object Temporal {
     * The user-visible surface is the declarative marker join the
     * injected rule recognizes — this helper just writes it:
     * `left.join(right, lkey === rkey && graft_asof(lts, rts, tie))`.
-    * Output = left columns ++ right columns (right side nullable). */
+    * Output = left columns ++ right columns (right side nullable).
+    *
+    * Determinism contract: (key, ts, tie) must UNIQUELY identify
+    * right rows. The operator totally orders candidates by
+    * (ts, tie) only; on full (key, ts, tie) duplicates with
+    * different payloads, the merge exec keeps the last row in the
+    * shuffle-sort's (unspecified) order among equals while the
+    * broadcast exec keeps the last in broadcast-array order — two
+    * valid answers under the contract, possibly different rows.
+    * Feed version tables keyed by (key, ts, tie) (the SCD2 shape,
+    * where tie is a version/sequence number) — or add a unique tie
+    * column — and both paths, and every rerun, return the identical
+    * payload. */
   def asOfJoinNative(left: DataFrame, right: DataFrame, key: String,
       tsUsCol: String, rightTie: String): DataFrame =
     left.join(right,

@@ -132,18 +132,45 @@ object AsOfRewrite extends Rule[LogicalPlan] {
 }
 
 /** Plans [[AsOfJoinPlan]] — with the same COST-BASED physical choice
-  * Spark's JoinSelection makes: a right side whose stats fit under
-  * `spark.sql.autoBroadcastJoinThreshold` plans as
+  * Spark's JoinSelection makes, PLUS a row-aware term the byte rule
+  * misses: a right side whose stats fit under
+  * `spark.sql.autoBroadcastJoinThreshold` AND whose row count fits
+  * under `spark.graft.asof.broadcastRowLimit` plans as
   * [[AsOfBroadcastExec]] (left side never shuffles at all — the
   * dimension-versions case), anything larger as the co-partitioned
   * [[AsOfJoinExec]] merge; threshold ≤ 0 disables broadcast, exactly
-  * like the built-in joins. */
+  * like the built-in joins.
+  *
+  * Why rows, not just bytes: the broadcast exec's real cost is the
+  * PER-TASK index build — every task sorts all |R| rows into its
+  * per-key version lists, so total work is |R| log |R| × tasks,
+  * where BroadcastHashJoin's per-task hash build is nearer O(|R|).
+  * The `graft.tools.ProbeAsOf` measurement (bench/README.md): at a
+  * ~10k-row right side broadcast wins (0.182 s vs 0.216 s merge);
+  * at ~100k rows — still comfortably inside 10 MB — it LOSES
+  * (0.748 s vs 0.488 s), because 32 tasks each re-sorted 100k rows.
+  * The default row limit (32768) sits between the probe's two
+  * shapes. Row count comes from `stats.rowCount` when the node
+  * carries it (Range, CBO-analyzed tables, AQE re-plans); otherwise
+  * it is estimated as sizeInBytes / row width from the schema's
+  * default sizes — same bytes the byte rule already trusts. */
 case class AsOfJoinStrategy(spark: SparkSession)
     extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lts, rts, tie) =>
       val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
-      if (thr > 0 && r.stats.sizeInBytes <= thr)
+      val rowLimit = spark.sessionState.conf
+        .getConfString("spark.graft.asof.broadcastRowLimit", "32768").toLong
+      val stats = r.stats
+      val rows = stats.rowCount.map(_.toLong).getOrElse {
+        // same per-row width the size-only stats visitor scales by
+        // (EstimationUtils.getSizePerRow: 8-byte row overhead + field
+        // default sizes) — the estimate inherits that visitor's slop,
+        // which is fine for a guardrail threshold
+        val width = 8L + r.output.map(_.dataType.defaultSize.toLong).sum
+        (stats.sizeInBytes / width).toLong
+      }
+      if (thr > 0 && stats.sizeInBytes <= thr && rows <= rowLimit)
         AsOfBroadcastExec(lk, rk, lts, rts, tie,
           planLater(l), planLater(r)) :: Nil
       else

@@ -1417,5 +1417,49 @@ object AnalyticsQueries {
         dense_rank().over(w).cast("long").as("drnk"),
         percent_rank().over(w).as("prank"),
         cume_dist().over(w).as("cdist"))
+    },
+
+    // ---- Compaction planning (the relational half of the q73 cycle —
+    // Scale.compactionPlan): a segment manifest derived from documents
+    // (per-(source, doc_id%64) byte totals, the file-size histogram a
+    // streaming sink leaves behind), byte-proportional targets
+    // (ceil(total/16) per source), the half-target small-file rule,
+    // and first-fit cumulative-sum binning — one window, no driver
+    // loop. The oracle replays the identical integer plan, proving the
+    // plan itself (not just the rewrite) is engine-portable and
+    // idempotent: same manifest, same bins, on any engine. fill_pct is
+    // the lone presentation double (ExactRound.roundRatio, scale 6).
+    Q(
+      "q210_compaction_plan",
+      """WITH segs AS (
+        |  SELECT source, doc_id % 64 AS seg,
+        |    CAST(sum(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT source, CAST(sum(bytes) AS BIGINT) AS total
+        |  FROM segs GROUP BY 1),
+        |sized AS (
+        |  SELECT s.source, s.seg, s.bytes,
+        |    CAST((tot.total + 15) // 16 AS BIGINT) AS target
+        |  FROM segs s JOIN tot ON tot.source = s.source),
+        |cand AS (
+        |  SELECT source, seg, bytes, target,
+        |    CAST(coalesce(sum(bytes) OVER (PARTITION BY source
+        |      ORDER BY bytes, seg
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before
+        |  FROM sized WHERE 2 * bytes < target)
+        |SELECT source, CAST(cum_before // target AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(sum(bytes) AS BIGINT) AS bytes_in,
+        |  CAST(((2 * CAST(sum(bytes) AS HUGEINT) * 100000000 + target)
+        |    // (2 * CAST(target AS HUGEINT)))
+        |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS fill_pct
+        |FROM cand GROUP BY source, bin, target""".stripMargin) { (spark, dir) =>
+      val segs = Tables.documents(spark, dir)
+        .groupBy(col("source"), (col("doc_id") % 64).as("seg"))
+        .agg(sum("n_chars").cast("long").as("bytes"))
+      graft.ops.Scale.compactionPlan(segs, "source", "seg", "bytes",
+        filesPerPartition = 16)
     })
 }

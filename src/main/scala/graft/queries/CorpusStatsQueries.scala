@@ -50,6 +50,95 @@ object CorpusStatsQueries {
     * vocabulary (the SQL literal and the Spark stack() share this). */
   private val VocabSizes = Seq(100, 1000, 5000, 20000)
 
+  /** Members kept per cluster for the sampled graph audits (q205/q206):
+    * caps the audit subgraph's pair volume at C(cap,2) per cluster, so
+    * the whole audit is linear in the corpus no matter how large a
+    * template mega-cluster grows (the exact q141/q142 audits are
+    * quadratic inside one). 50 members ≈ 1225 pairs/cluster keeps the
+    * density/mean-Hamming estimators tight for any cluster that
+    * matters (≥3 docs) while bounding a 46k-doc giant. */
+  private[queries] val GraphSampleCap = 50
+
+  /** Top-K cut for the q207 Zipf fit — deep enough to cover the
+    * power-law body at any corpus scale, bounded so the fit frame is
+    * constant. */
+  private val ZipfTopK = 1000
+
+  /** Shared Spark-side construction for the sampled graph audits:
+    * standing labels over the L132 degree-capped candidate stream
+    * (components refine the exact ones and converge to them through
+    * the pinned reconciliation — TextDedupSpec), then a deterministic
+    * hash-rank cap of [[GraphSampleCap]] members per cluster, then the
+    * EXACT banded pair join over only the kept docs. Dense band
+    * buckets are exactly the big clusters, so capping members bounds
+    * the join fanout — per-cluster pair volume ≤ C(cap,2) — where the
+    * uncapped exact join is quadratic inside a template mega-cluster.
+    * Returns (full labels, kept labels, exact pairs among kept). */
+  private def sampledGraph(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val capped = Dedup.simhashPairsCapped(docs, "doc_id", "text",
+      bands = 4, maxHamming = 3, cap = Dedup.DefaultDegreeCap)
+    val comp = Components.connectedComponents(capped, "id_a", "id_b")
+      .withColumnRenamed("id", "doc_id")
+    val lab = docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("component"))
+      .localCheckpoint() // feeds sizes, the member cap, and edge labels
+    val w = Window.partitionBy("component")
+      .orderBy((col("doc_id") * Text.Mult) % Text.P, col("doc_id"))
+    val kept = lab
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= GraphSampleCap)
+      .select("doc_id", "component")
+      .localCheckpoint() // feeds the pair join and both stat rollups
+    val pairsKept = Dedup.simhashPairs(docs.join(kept, "doc_id"),
+      "doc_id", "text", bands = 4, maxHamming = 3)
+    (lab, kept, pairsKept)
+  }
+
+  /** Shared oracle prefix for q205/q206 (after `simhashCtes`): capped
+    * pairs → closure → full labels → hash-rank kept set → exact pairs
+    * among kept. */
+  private def sampledGraphCtes: String =
+    s"""ranked AS (
+       |  SELECT doc_id, sim, band, band_key,
+       |    row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rk
+       |  FROM banded),
+       |cpairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ranked a JOIN banded b USING (band, band_key)
+       |  WHERE a.rk <= ${Dedup.DefaultDegreeCap} AND a.doc_id < b.doc_id
+       |    AND bit_count(xor(a.sim, b.sim)) <= 3),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM cpairs
+       |  UNION SELECT id_b, id_a FROM cpairs),
+       |reach AS (
+       |  SELECT DISTINCT src AS id, src AS comp FROM edges
+       |  UNION
+       |  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+       |cmp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+       |lab AS (
+       |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN cmp c ON c.id = d.doc_id),
+       |kept AS (
+       |  SELECT doc_id, component FROM (
+       |    SELECT doc_id, component,
+       |      row_number() OVER (PARTITION BY component
+       |        ORDER BY (doc_id * ${Text.Mult}) % ${Text.P}, doc_id) AS krk
+       |    FROM lab) WHERE krk <= $GraphSampleCap),
+       |kpairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    bit_count(xor(a.sim, b.sim)) AS ham
+       |  FROM banded a JOIN banded b USING (band, band_key)
+       |  JOIN kept ka ON ka.doc_id = a.doc_id
+       |  JOIN kept kb ON kb.doc_id = b.doc_id
+       |  WHERE a.doc_id < b.doc_id
+       |    AND bit_count(xor(a.sim, b.sim)) <= 3)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- VOCABULARY COVERAGE / OOV curve (L121): what fraction of all
@@ -1004,6 +1093,202 @@ object CorpusStatsQueries {
       w.groupBy("source")
         .agg(decCols.head, (decCols.tail :+
           max("totw").as("total_tokens")): _*)
+    },
+
+    // ---- SAMPLED CLUSTER COHESION (L186): the BOUNDED production
+    // variant of q141 — same audit question (is a cluster a clique of
+    // true dups or transitive-closure glue?), answered on the induced
+    // subgraph of ≤ GraphSampleCap hash-rank-sampled members per
+    // standing cluster instead of the full exact pair set. Density and
+    // mean Hamming over a uniform member sample are consistent
+    // estimators of the cluster's (induced-subgraph sampling), and the
+    // pair volume is ≤ C(cap,2) per cluster — linear in the corpus
+    // where exact q141 goes quadratic inside a template mega-cluster
+    // (the round-10 sf1 probe: 27× pairs for 10× docs). q141 remains
+    // as the small-corpus/audit-gate exact version; this is what runs
+    // on the 100 TB build. n_docs is the FULL cluster size (from the
+    // standing labels); n_kept/n_edges/mean_hamming/density describe
+    // the sampled subgraph.
+    Q(
+      "q205_cohesion_sampled",
+      s"""WITH RECURSIVE ${LlmQueries.simhashCtes},
+         |$sampledGraphCtes,
+         |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS n_docs
+         |       FROM lab GROUP BY component),
+         |nk AS (SELECT component, CAST(count(*) AS BIGINT) AS n_kept
+         |       FROM kept GROUP BY component),
+         |es AS (
+         |  SELECT ka.component, CAST(count(*) AS BIGINT) AS n_edges,
+         |    CAST(sum(p.ham) AS BIGINT) AS ham_sum
+         |  FROM kpairs p
+         |  JOIN kept ka ON ka.doc_id = p.id_a
+         |  JOIN kept kb ON kb.doc_id = p.id_b
+         |  WHERE ka.component = kb.component
+         |  GROUP BY ka.component)
+         |SELECT sz.component AS cluster, sz.n_docs, nk.n_kept, es.n_edges,
+         |  CAST(((2 * es.ham_sum * 1000000 + es.n_edges) // (2 * es.n_edges))
+         |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS mean_hamming,
+         |  CAST(((2 * 2 * es.n_edges * 1000000 + nk.n_kept * (nk.n_kept - 1))
+         |    // (2 * nk.n_kept * (nk.n_kept - 1)))
+         |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS density
+         |FROM sz JOIN nk USING (component) JOIN es USING (component)
+         |WHERE sz.n_docs >= 3
+         |ORDER BY sz.n_docs DESC, cluster LIMIT 20""".stripMargin) {
+      (spark, dir) =>
+      val (lab, kept, pairsKept) = sampledGraph(spark, dir)
+      val sz = lab.groupBy("component").agg(count(lit(1)).as("n_docs"))
+      val nk = kept.groupBy("component").agg(count(lit(1)).as("n_kept"))
+      val es = pairsKept
+        .join(kept.select(col("doc_id").as("id_a"),
+          col("component").as("ca")), "id_a")
+        .join(kept.select(col("doc_id").as("id_b"),
+          col("component").as("cb")), "id_b")
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("component"))
+        .agg(count(lit(1)).as("n_edges"), sum("hamming").as("ham_sum"))
+      sz.join(nk, "component").join(es, "component")
+        .filter(col("n_docs") >= 3)
+        .select(col("component").as("cluster"), col("n_docs"),
+          col("n_kept"), col("n_edges"),
+          ExactRound.roundRatio(col("ham_sum"), col("n_edges"), 6)
+            .cast("double").as("mean_hamming"),
+          ExactRound.roundRatio(col("n_edges") * 2,
+            col("n_kept") * (col("n_kept") - 1), 6)
+            .cast("double").as("density"))
+        .orderBy(col("n_docs").desc, col("cluster"))
+        .limit(20)
+    },
+
+    // ---- SAMPLED TRIANGLE STATS (L187): the bounded variant of q142
+    // — triangles, wedges, and the global clustering coefficient on
+    // the induced subgraph of the per-cluster member sample, same
+    // degree-ordered orientation (each triangle counted once, out-
+    // degrees O(√m)-bounded). The gcc estimated from a uniform member
+    // sample answers the same clique-vs-chain audit question; pair and
+    // triangle volume are cap-bounded per cluster. The oracle counts
+    // the identical triangles with the id-ordered self-join at
+    // DuckDB's tiny scale.
+    Q(
+      "q206_triangle_sampled",
+      s"""WITH RECURSIVE ${LlmQueries.simhashCtes},
+         |$sampledGraphCtes,
+         |deg AS (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+         |    SELECT id_a AS id FROM kpairs
+         |    UNION ALL SELECT id_b FROM kpairs) x GROUP BY id),
+         |tri AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_tri
+         |  FROM kpairs p1
+         |  JOIN kpairs p2 ON p2.id_a = p1.id_b
+         |  JOIN kpairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |    CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+         |  FROM deg),
+         |e AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM kpairs)
+         |SELECT n_nodes, n_edges, n_tri AS n_triangles, n_wedges,
+         |  CAST(CASE WHEN n_wedges > 0 THEN
+         |    ((2 * 3 * n_tri * 1000000 + n_wedges) // (2 * n_wedges))
+         |      * CAST(0.000001 AS DECIMAL(7,6)) END AS DOUBLE)
+         |    AS clustering_coef
+         |FROM agg CROSS JOIN tri CROSS JOIN e""".stripMargin) {
+      (spark, dir) =>
+      val (_, _, pairsKeptH) = sampledGraph(spark, dir)
+      val pairs = pairsKeptH.select("id_a", "id_b")
+        .localCheckpoint() // feeds degrees AND both orientations below
+      val deg = pairs.select(col("id_a").as("id"))
+        .unionByName(pairs.select(col("id_b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      val withDeg = pairs
+        .join(deg.select(col("id").as("id_a"), col("d").as("da")), "id_a")
+        .join(deg.select(col("id").as("id_b"), col("d").as("db")), "id_b")
+      val aFirst = (col("da") < col("db")) ||
+        (col("da") === col("db") && col("id_a") < col("id_b"))
+      val oriented = withDeg.select(
+          when(aFirst, col("id_a")).otherwise(col("id_b")).as("src"),
+          when(aFirst, col("id_b")).otherwise(col("id_a")).as("dst"))
+        .localCheckpoint() // three-way self-join below
+      val wedges2 = oriented.select(col("src").as("a"), col("dst").as("b"))
+        .join(oriented.select(col("src").as("b"), col("dst").as("c")), "b")
+      val nTri = wedges2
+        .join(oriented.select(col("src").as("a"), col("dst").as("c")),
+          Seq("a", "c"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val degAgg = deg.agg(
+        count(lit(1)).as("n_nodes"),
+        sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+      val nEdges = pairs.agg(count(lit(1)).as("n_edges"))
+      degAgg.crossJoin(broadcast(nTri)).crossJoin(broadcast(nEdges))
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+          col("n_wedges"),
+          when(col("n_wedges") > 0,
+            ExactRound.roundRatio(col("n_triangles") * 3, col("n_wedges"), 6))
+            .cast("double").as("clustering_coef"))
+    },
+
+    // ---- ZIPF SLOPE (L188): OLS fit of ln(freq) on ln(rank) over the
+    // top-1000 terms — the one-number corpus-health summary of the
+    // frequency curve (natural text sits near slope −1; template spam
+    // flattens it, aggressive dedup steepens the head). The global
+    // rank rides the q129 distributed prefix-sum (no single-partition
+    // window); the fit runs over the BOUNDED top-K cut. Exactness: x/y
+    // are ln values scaled to integers at 9 decimals (the q65 recipe —
+    // both engines' ln agree at that rounding), so every OLS moment
+    // (Σx, Σy, Σxy, Σx², Σy²) is an EXACT integer in DECIMAL(38,0) /
+    // HUGEINT; only the final slope/intercept/r2 divisions run in
+    // double, on identical operands in identical expression shapes.
+    Q(
+      "q207_zipf_slope",
+      s"""WITH toks AS (
+         |  SELECT unnest(${LlmQueries.toksSql}) AS term FROM documents),
+         |freq AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+         |ranked AS (
+         |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rnk
+         |  FROM freq),
+         |sc AS (
+         |  SELECT
+         |    CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000000, 0) AS HUGEINT) AS x,
+         |    CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000000, 0) AS HUGEINT) AS y
+         |  FROM ranked WHERE rnk <= $ZipfTopK),
+         |s AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         |    sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+         |  FROM sc)
+         |SELECT CAST(n AS BIGINT) AS n_terms,
+         |  round(CAST(n*sxy - sx*sy AS DOUBLE)
+         |    / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS zipf_slope,
+         |  round(CAST(sy*sxx - sx*sxy AS DOUBLE)
+         |    / CAST(n*sxx - sx*sx AS DOUBLE) / 1000000000, 6) AS intercept,
+         |  round(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+         |    / (CAST(n*sxx - sx*sx AS DOUBLE)
+         |       * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS r2
+         |FROM s""".stripMargin) { (spark, dir) =>
+      val d38 = DecimalType(38, 0)
+      val tc = Tables.documents(spark, dir)
+        .select(explode(Text.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      val ranked = Sample.quantileNormalize(
+          tc, Seq(col("cnt").desc, col("term")))
+        .filter(col("rnk") <= ZipfTopK)
+      val s = ranked
+        .select(
+          round(log(col("rnk").cast("double")) * 1e9, 0).cast(d38).as("x"),
+          round(log(col("cnt").cast("double")) * 1e9, 0).cast(d38).as("y"))
+        .agg(count(lit(1)).cast(d38).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val denx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+      s.select(
+        col("n").cast("long").as("n_terms"),
+        round(num / denx, 6).as("zipf_slope"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+          / denx / 1e9, 6).as("intercept"),
+        round(num * num / (denx * deny), 6).as("r2"))
     }
   )
 }

@@ -145,6 +145,24 @@ object CurationQueries {
        |  JOIN c2_1 k1 ON k1.cluster = e1.cluster
        |  WHERE q0.vec_id < 10)""".stripMargin
 
+  /** q208 constants: cut depth, bounded query set, and the shared
+    * discount literals — 1/log2(i+1) at 9 decimals and their prefix
+    * sums, minted once so neither engine evaluates a log at runtime. */
+  private val NdcgK = 10
+  private val NdcgQueries = 20
+  private val ndcgDiscounts: Seq[java.math.BigDecimal] =
+    (1 to NdcgK).map { i =>
+      new java.math.BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+        .setScale(9, java.math.RoundingMode.HALF_UP)
+    }
+  private val ndcgCum: Seq[java.math.BigDecimal] =
+    ndcgDiscounts.scanLeft(java.math.BigDecimal.ZERO)(_.add(_)).tail
+
+  /** q211 constants: prefix dims audited against the full 64, and the
+    * bounded query set. */
+  private val MatDims = Seq(8, 16, 32)
+  private val MatQueries = 20
+
   val all: Seq[Q] = Seq(
 
     // ---- Near-dup clusters: SimHash pairs (the q28 edge list) → minimum
@@ -2000,5 +2018,190 @@ object CurationQueries {
         .select(col("query_id"),
           coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
           col("rank").cast("long").as("true_nn_rank"))
+    },
+
+    // ---- nDCG@10 RETRIEVAL QUALITY (L189): the GRADED companion of
+    // q98/q153/q189's set-overlap recalls — same-label neighbors count
+    // as relevant (gain 3 = 2²−1), position discounts 1/log2(i+1), per
+    // query nDCG = DCG@10 / ideal-DCG@10. Catches rankers that find
+    // the right set in the wrong order, which recall@k cannot.
+    // Exactness: the ten discount weights and their prefix sums are
+    // 9-decimal literals MINTED ONCE in Scala and spliced verbatim
+    // into both engines' plans — DCG is then an exact DECIMAL dot
+    // product of integer gains with shared constants (no engine ever
+    // evaluates log2), and only the final dcg/idcg division runs in
+    // double, on identical operands. Scale shape: q26's brute-force
+    // contract — bounded query set broadcast, corpus scanned once,
+    // per-query top-k via the rank window.
+    Q(
+      "q208_ndcg", {
+        val wCase = ndcgDiscounts.zipWithIndex
+          .map { case (w, i) => s"WHEN ${i + 1} THEN ${w.toPlainString}" }
+          .mkString(" ")
+        val cCase = ndcgCum.zipWithIndex
+          .map { case (c, i) => s"WHEN ${i + 1} THEN ${c.toPlainString}" }
+          .mkString(" ")
+        def dotSql(a: String, b: String) =
+          LlmQueries.foldSumSql(
+            s"list_transform(range(1, 65), i -> $a[i]*$b[i])",
+            "CAST(0 AS DOUBLE)")
+        s"""WITH v AS (
+           |  SELECT vec_id, label,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+           |  FROM embeddings),
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, q.label AS q_label,
+           |    c.vec_id AS neighbor_id, c.label AS n_label,
+           |    ${dotSql("q.dv", "c.dv")}
+           |      / (sqrt(${dotSql("q.dv", "q.dv")})
+           |         * sqrt(${dotSql("c.dv", "c.dv")})) AS cos
+           |  FROM v q, v c WHERE q.vec_id < $NdcgQueries
+           |    AND c.vec_id <> q.vec_id),
+           |topk AS (
+           |  SELECT * FROM (
+           |    SELECT query_id, q_label, n_label,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY cos DESC, neighbor_id) AS rn
+           |    FROM scored) WHERE rn <= $NdcgK),
+           |d AS (
+           |  SELECT query_id, q_label,
+           |    sum((CASE WHEN q_label = n_label THEN 3 ELSE 0 END)
+           |      * (CASE rn $wCase END)) AS dcg,
+           |    CAST(sum(CASE WHEN q_label = n_label THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_rel_at_k
+           |  FROM topk GROUP BY 1, 2),
+           |lc AS (SELECT label, CAST(count(*) AS BIGINT) AS nl
+           |       FROM v GROUP BY 1)
+           |SELECT query_id, CAST(nl - 1 AS BIGINT) AS n_rel, n_rel_at_k,
+           |  round(CAST(dcg AS DOUBLE), 6) AS dcg,
+           |  round(CAST(3 * (CASE least($NdcgK, nl - 1) $cCase ELSE 0 END)
+           |    AS DOUBLE), 6) AS idcg,
+           |  CASE WHEN nl - 1 >= 1 THEN
+           |    round(CAST(dcg AS DOUBLE)
+           |      / CAST(3 * (CASE least($NdcgK, nl - 1) $cCase ELSE 0 END)
+           |        AS DOUBLE), 6) END AS ndcg
+           |FROM d JOIN lc ON lc.label = d.q_label""".stripMargin
+      }) { (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+      val labels = e.select(col("vec_id"), col("label"))
+      val top = Similarity.topKBruteForce(e,
+        e.filter(col("vec_id") < NdcgQueries), "vec_id", "embedding", NdcgK)
+      val wArr = array(ndcgDiscounts.map(lit(_)): _*)
+      val cArr = array(ndcgCum.map(lit(_)): _*)
+      val d = top
+        .join(broadcast(labels.select(col("vec_id").as("query_id"),
+          col("label").as("q_label"))), "query_id")
+        .join(broadcast(labels.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label"))), "neighbor_id")
+        .groupBy("query_id", "q_label")
+        .agg(
+          sum(when(col("q_label") === col("n_label"), lit(3L)).otherwise(lit(0L))
+            * element_at(wArr, col("rank").cast("int"))).as("dcg"),
+          sum(when(col("q_label") === col("n_label"), 1L).otherwise(0L))
+            .as("n_rel_at_k"))
+      val lc = labels.groupBy("label").agg(count(lit(1)).as("nl"))
+      val idcg = lit(3) *
+        element_at(cArr, least(lit(NdcgK), col("nl") - 1).cast("int"))
+      d.join(broadcast(lc), col("label") === col("q_label"))
+        .select(col("query_id"),
+          (col("nl") - 1).cast("long").as("n_rel"),
+          col("n_rel_at_k"),
+          round(col("dcg").cast("double"), 6).as("dcg"),
+          round(when(col("nl") - 1 >= 1, idcg).otherwise(lit(0))
+            .cast("double"), 6).as("idcg"),
+          when(col("nl") - 1 >= 1,
+            round(col("dcg").cast("double") / idcg.cast("double"), 6))
+            .as("ndcg"))
+    },
+
+    // ---- MATRYOSHKA PREFIX FIDELITY (L190): how well does cosine
+    // retrieval over a PREFIX of the embedding (Kusupati et al. 2022 —
+    // matryoshka representations truncate to the first d dims) agree
+    // with full-dim retrieval? Per prefix dim: the fraction of queries
+    // whose top-1 neighbor under the renormalized prefix cosine equals
+    // the full-dim top-1 — the measurement that decides how small the
+    // ANN index's coarse stage can go. One broadcast of the bounded
+    // query set, ONE corpus scan scoring all prefixes per pair, top-1
+    // per metric as a max(struct(cos, -id)) hash aggregate (no rank
+    // window, no second shuffle), then a 20-row rollup. Ties resolve
+    // to the smaller neighbor id on both engines (max over (cos, -id)
+    // == row_number over (cos DESC, id)).
+    Q(
+      "q211_matryoshka_fidelity", {
+        def dotSql(a: String, b: String, d: Int) =
+          LlmQueries.foldSumSql(
+            s"list_transform(range(1, ${d + 1}), i -> $a[i]*$b[i])",
+            "CAST(0 AS DOUBLE)")
+        def cosSql(d: Int) =
+          s"""${dotSql("q.dv", "c.dv", d)}
+             |      / (sqrt(${dotSql("q.dv", "q.dv", d)})
+             |         * sqrt(${dotSql("c.dv", "c.dv", d)}))""".stripMargin
+        val cosCols = (MatDims :+ 64)
+          .map(d => s"    ${cosSql(d)} AS cos_$d").mkString(",\n")
+        def top(d: Int) =
+          s"""t$d AS (
+             |  SELECT query_id, neighbor_id FROM (
+             |    SELECT query_id, neighbor_id,
+             |      row_number() OVER (PARTITION BY query_id
+             |        ORDER BY cos_$d DESC, neighbor_id) AS rn
+             |    FROM scored) WHERE rn = 1)""".stripMargin
+        val unions = MatDims.map(d =>
+          s"""SELECT CAST($d AS BIGINT) AS prefix_dim,
+             |  CAST(count(*) AS BIGINT) AS n_queries,
+             |  CAST(sum(CASE WHEN t$d.neighbor_id = t64.neighbor_id
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_top1_match,
+             |  CAST(((2 * sum(CASE WHEN t$d.neighbor_id = t64.neighbor_id
+             |      THEN 1 ELSE 0 END) * 1000000 + count(*)) // (2 * count(*)))
+             |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS match_rate
+             |FROM t64 JOIN t$d USING (query_id)""".stripMargin)
+          .mkString("\nUNION ALL\n")
+        s"""WITH v AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+           |  FROM embeddings),
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |$cosCols
+           |  FROM v q, v c WHERE q.vec_id < $MatQueries
+           |    AND c.vec_id <> q.vec_id),
+           |${(MatDims :+ 64).map(top).mkString(",\n")}
+           |$unions""".stripMargin
+      }) { (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+      val c = e.select(col("vec_id").as("neighbor_id"),
+        Similarity.toDouble(col("embedding")).as("nv"))
+      val q = e.filter(col("vec_id") < MatQueries)
+        .select(col("vec_id").as("query_id"),
+          Similarity.toDouble(col("embedding")).as("qv"))
+      def cosAt(d: Int) = {
+        val qd = slice(col("qv"), 1, d)
+        val nd = slice(col("nv"), 1, d)
+        Similarity.dot(qd, nd) /
+          (sqrt(Similarity.dot(qd, qd)) * sqrt(Similarity.dot(nd, nd)))
+      }
+      val dims = MatDims :+ 64
+      val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id") +:
+          dims.map(d => cosAt(d).as(s"cos_$d")) :+
+          (-col("neighbor_id")).as("nid"): _*)
+      val tops = scored.groupBy("query_id").agg(
+        max(struct(col("cos_64"), col("nid"))).as("t_64"),
+        MatDims.map(d =>
+          max(struct(col(s"cos_$d"), col("nid"))).as(s"t_$d")): _*)
+      val agg = tops.agg(
+        count(lit(1)).as("n_queries"),
+        MatDims.map(d =>
+          sum((col(s"t_$d").getField("nid") ===
+            col("t_64").getField("nid")).cast("long")).as(s"s_$d")): _*)
+      val stackArgs = MatDims.map(d => s"${d}L, s_$d").mkString(", ")
+      agg
+        .select(
+          expr(s"stack(${MatDims.size}, $stackArgs)" +
+            " as (prefix_dim, n_top1_match)"),
+          col("n_queries"))
+        .select(col("prefix_dim"), col("n_queries"), col("n_top1_match"),
+          graft.functions.ExactRound
+            .roundRatio(col("n_top1_match"), col("n_queries"), 6)
+            .cast("double").as("match_rate"))
     })
 }

@@ -522,7 +522,7 @@ object GovernanceQueries {
            |  CAST(coalesce(len(h.terms), 0) AS BIGINT) AS n_gazetteer_terms,
            |  md5(list_reduce(
            |    list_prepend(d.text, coalesce(h.terms, CAST([] AS VARCHAR[]))),
-           |    (acc, t) -> regexp_replace(acc, '\\b' || t || '\\b',
+           |    (acc, t) -> regexp_replace(acc, '(?i)\\b' || t || '\\b',
            |      '<NAME>', 'g'))) AS redacted_md5
            |FROM documents d LEFT JOIN h USING (doc_id)""".stripMargin
       }) { (spark, dir) =>
@@ -533,5 +533,64 @@ object GovernanceQueries {
         "doc_id", "text", gaz, "term")
         .select(col("doc_id"), col("n_gazetteer_hits"),
           col("n_gazetteer_terms"), md5(col("redacted")).as("redacted_md5"))
+    },
+
+    // ---- t-CLOSENESS AUDIT (L191): the distributional upgrade of
+    // q95's k-anonymity/l-diversity gates — a QID group can hold ≥ l
+    // distinct account-balance bins yet sit almost entirely in ONE of
+    // them, leaking the sensitive value anyway; t-closeness bounds the
+    // Earth-Mover's Distance between each group's bin distribution
+    // and the global one (ordinal bins, unit ground distance). Same
+    // QIDs and sensitive binning as q95 so the two audits read side
+    // by side; t = 1/5. All-integer EMD (see Privacy.tClosenessAudit);
+    // only the 6-dp presentation ratio crosses as DOUBLE.
+    Q(
+      "q209_t_closeness",
+      """WITH base AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bin
+        |  FROM customer),
+        |gb AS (SELECT bin, CAST(count(*) AS BIGINT) AS nb
+        |       FROM base GROUP BY 1),
+        |g AS (SELECT c_nationkey, c_mktsegment, bin,
+        |    CAST(count(*) AS BIGINT) AS ngb
+        |  FROM base GROUP BY 1, 2, 3),
+        |gt AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM base GROUP BY 1, 2),
+        |tot AS (SELECT CAST(count(*) AS HUGEINT) AS nt,
+        |    CAST(count(DISTINCT bin) AS HUGEINT) AS m
+        |  FROM base),
+        |u AS (
+        |  SELECT gt.c_nationkey, gt.c_mktsegment, gt.n, gb.bin, gb.nb,
+        |    coalesce(g.ngb, 0) AS ngb
+        |  FROM gt CROSS JOIN gb
+        |  LEFT JOIN g ON g.c_nationkey = gt.c_nationkey
+        |    AND g.c_mktsegment = gt.c_mktsegment AND g.bin = gb.bin),
+        |c AS (
+        |  SELECT c_nationkey, c_mktsegment, n,
+        |    sum(CAST(ngb AS HUGEINT) * t.nt - CAST(nb AS HUGEINT) * n)
+        |      OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY bin
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM u, tot t),
+        |s AS (
+        |  SELECT c_nationkey, c_mktsegment, max(n) AS n,
+        |    sum(abs(cum)) AS sumabs
+        |  FROM c GROUP BY 1, 2)
+        |SELECT s.c_nationkey, s.c_mktsegment, CAST(s.n AS BIGINT) AS n,
+        |  CAST(t.m AS BIGINT) AS n_bins,
+        |  CASE WHEN t.m > 1 THEN
+        |    CAST(((2 * sumabs * 1000000 + (CAST(n AS HUGEINT) * t.nt * (t.m - 1)))
+        |      // (2 * CAST(n AS HUGEINT) * t.nt * (t.m - 1)))
+        |      * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE)
+        |    ELSE CAST(0 AS DOUBLE) END AS emd,
+        |  CASE WHEN t.m > 1 THEN
+        |    sumabs * 5 <= CAST(n AS HUGEINT) * t.nt * (t.m - 1) * 1
+        |    ELSE TRUE END AS t_close
+        |FROM s, tot t""".stripMargin) { (spark, dir) =>
+      Privacy.tClosenessAudit(Tables.customer(spark, dir),
+        Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long"),
+        tNum = 1, tDen = 5)
     })
 }

@@ -245,17 +245,34 @@ object SelectionQueries {
     // cluster contributes EQUAL sampling mass — each member weighs
     // 1/|cluster| — so template mega-clusters stop dominating a
     // uniform sample (the dedup-aware counterpart of L76's temperature
-    // reweighting; singletons keep weight 1). Composes the L3 pair
-    // generator and L25 components with one size aggregate and one
-    // label join; the weight rounds in integer space
-    // (ExactRound.roundRatio) and crosses as DOUBLE.
+    // reweighting; singletons keep weight 1). The weight rounds in
+    // integer space (ExactRound.roundRatio) and crosses as DOUBLE.
+    //
+    // Round 12: like q152 (same production-sampling shape), the
+    // weights consume the STANDING cluster labels — the q119 fold
+    // idiom over the L132 degree-capped candidate stream — instead of
+    // recomputing the exact pair set per build. The exact stream is
+    // quadratic inside a template mega-component (the round-10 sf1
+    // probe: 27× pairs, >13× wall on this family); the capped stream
+    // is linear and the standing labels are periodically reconciled
+    // to the exact components (TextDedupSpec pins convergence), so
+    // post-reconciliation weights match the exact relation too. The
+    // query replays the fold: standing labels from historical edges,
+    // one incremental fold of the batch edges, then the size rollup
+    // and the 1/|cluster| weight. Fold == one-shot closure over the
+    // same edge set (q119's contract), so the oracle runs the closure
+    // over the capped pairs.
     Q(
       "q147_cluster_balanced_weights",
       s"""WITH RECURSIVE ${LlmQueries.simhashCtes},
+         |ranked AS (
+         |  SELECT doc_id, sim, band, band_key,
+         |    row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rk
+         |  FROM banded),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b USING (band, band_key)
-         |  WHERE a.doc_id < b.doc_id
+         |  FROM ranked a JOIN banded b USING (band, band_key)
+         |  WHERE a.rk <= ${Dedup.DefaultDegreeCap} AND a.doc_id < b.doc_id
          |    AND bit_count(xor(a.sim, b.sim)) <= 3),
          |edges AS (
          |  SELECT id_a AS src, id_b AS dst FROM pairs
@@ -275,11 +292,21 @@ object SelectionQueries {
          |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS weight
          |FROM lab JOIN sz USING (component)""".stripMargin) { (spark, dir) =>
       val docs = Tables.documents(spark, dir)
-      val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
-        bands = 4, maxHamming = 3)
-      val lab = Components
-        .resolveClusters(docs, "doc_id", pairs, "id_a", "id_b")
-        .select(col("doc_id"), col("component"))
+      val pairs = Dedup.simhashPairsCapped(docs, "doc_id", "text",
+        bands = 4, maxHamming = 3, cap = Dedup.DefaultDegreeCap)
+      // the standing labeling a production build would READ (the q152
+      // split: historical edges resolved once, the current batch
+      // folded in incrementally — per-build work bounded by the batch)
+      val old = pairs.filter((col("id_a") + col("id_b")) % 3 =!= 0)
+      val batch = pairs.filter((col("id_a") + col("id_b")) % 3 === 0)
+      val standing = Components.connectedComponents(old, "id_a", "id_b")
+      val labels = Components
+        .incrementalComponents(standing, batch, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      val lab = docs.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("component"))
       val sz = lab.groupBy("component").agg(count(lit(1)).as("csize"))
       lab.join(sz, "component")
         .select(col("doc_id"), col("component"), col("csize"),

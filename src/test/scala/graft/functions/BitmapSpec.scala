@@ -52,4 +52,25 @@ class BitmapSpec extends SparkSuite {
     assert(messages.exists(_.contains("non-negative")),
       s"expected the non-negative refusal, got: $messages")
   }
+
+  test("page-count cap refuses loudly instead of OOMing on a sparse " +
+      "id space (add and merge paths)") {
+    val p = Bitmap.empty
+    // three scattered ids, one page each; cap of 2 trips on the third
+    Bitmap.add(p, 0L, maxPages = 2)
+    Bitmap.add(p, 1L << 20, maxPages = 2)
+    val e = intercept[IllegalArgumentException] {
+      Bitmap.add(p, 1L << 30, maxPages = 2)
+    }
+    assert(e.getMessage.contains("dictionary-encode"))
+    val other = Bitmap.empty
+    Bitmap.add(other, 1L << 40)
+    val m = intercept[IllegalArgumentException] {
+      Bitmap.mergeInto(p, other, maxPages = 2)
+    }
+    assert(m.getMessage.contains("sparse"))
+    // re-adding to an EXISTING page at the cap is fine (no new page)
+    Bitmap.add(p, 1L, maxPages = 2)
+    assert(Bitmap.count(p) == 3L)
+  }
 }

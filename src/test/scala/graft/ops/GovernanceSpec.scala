@@ -218,8 +218,14 @@ class GovernanceSpec extends SparkSuite {
     val docs = Seq(
       (1L, "alice met bob and alice smiled"),   // 3 hits, 2 terms
       (2L, "alicesprings has no whole word"),   // substring must NOT match
-      (3L, "clean text entirely")).toDF("doc_id", "text")
-    val gaz = Seq("alice", "bob", "zeta").toDF("term")
+      (3L, "clean text entirely"),
+      // capitalized occurrences: counted (tokens lowercase) AND
+      // redacted (the rewrite is case-insensitive) — the PII case
+      (4L, "Alice met BOB; alice waved"),
+      // a metacharacter term can never match a token — no hit, no
+      // regex injection, text verbatim
+      (5L, "c++ and a.b stay put")).toDF("doc_id", "text")
+    val gaz = Seq("alice", "bob", "zeta", "c++", "a.b").toDF("term")
     val out = Privacy.gazetteerRedact(docs, "doc_id", "text", gaz, "term")
       .orderBy("doc_id")
       .select("doc_id", "n_gazetteer_hits", "n_gazetteer_terms", "redacted")
@@ -227,6 +233,10 @@ class GovernanceSpec extends SparkSuite {
     assert(out(0) == ((1L, 3L, 2L, "<NAME> met <NAME> and <NAME> smiled")))
     assert(out(1) == ((2L, 0L, 0L, "alicesprings has no whole word")))
     assert(out(2) == ((3L, 0L, 0L, "clean text entirely")))
+    assert(out(3) == ((4L, 3L, 2L, "<NAME> met <NAME>; <NAME> waved")),
+      "capitalized occurrences must be redacted, not just counted")
+    assert(out(4)._4 == "c++ and a.b stay put",
+      "metacharacter terms must neither match nor inject regex syntax")
     intercept[IllegalArgumentException] {
       Privacy.gazetteerRedact(docs.withColumn("redacted", lit("x")),
         "doc_id", "text", gaz, "term")

@@ -219,5 +219,18 @@ class SampleSpec extends SparkSuite {
     // larger remainder (A at .667)
     assert(fb == Seq(("A", 7L, 6L), ("B", 3L, 3L)),
       s"proportional fallback drifted: $fb")
+    // values where a LongType Σx² silently wraps (x = 4e9 → x² ≈
+    // 1.6e19 > Long.MaxValue): the decimal moments must keep the
+    // high-variance stratum's allocation, not corrupt it to garbage
+    val big = Seq((1L, "A", 4000000000L), (2L, "A", 0L),
+      (3L, "B", 5L), (4L, "B", 5L)).toDF("id", "src", "v")
+    val bigAlloc = Sample.neymanSample(big, "id", "src", "v", budget = 2)
+      .groupBy("src").agg(max("alloc").as("alloc")).orderBy("src")
+      .as[(String, Long)].collect().toSeq
+    // σ(B) = 0, so ALL budget must land on A (zero-alloc strata emit
+    // no rows, like the first subtest's B) — a wrapped Σx² flips A's
+    // variance negative/garbage and loses this
+    assert(bigAlloc == Seq(("A", 2L)),
+      s"large-value stratum lost its allocation (Σx² wrap?): $bigAlloc")
   }
 }

@@ -162,6 +162,30 @@ class ScaleSpec extends SparkSuite {
     assert(after == before)
   }
 
+  test("compactionPlan: half-target rule, first-fit bins, exact fill") {
+    import spark.implicits._
+    // partition a: eight 10-byte smalls + one 100-byte large
+    //   total 180, 3 files/partition -> target 60; the 100 fails the
+    //   half-target rule; smalls pack 6 + 2 across two bins
+    // partition b: 50 + 60, target ceil(110/3)=37 -> NO candidates
+    val segs = ((1 to 8).map(i => ("a", i.toLong, 10L)) ++
+      Seq(("a", 9L, 100L), ("b", 1L, 50L), ("b", 2L, 60L)))
+      .toDF("source", "seg", "bytes")
+    val plan = Scale.compactionPlan(segs, "source", "seg", "bytes",
+      filesPerPartition = 3)
+    assert(plan.columns.toSeq ==
+      Seq("source", "bin", "n_segments", "bytes_in", "fill_pct"))
+    val rows = plan.orderBy("source", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+      .toSeq
+    assert(rows == Seq(
+      ("a", 0L, 6L, 60L, 100.0),
+      ("a", 1L, 2L, 20L, 33.333333)), s"got $rows")
+    // idempotence: the plan is a pure function of the manifest
+    assert(plan.collect().toSeq == plan.collect().toSeq)
+  }
+
   test("data skipping: pruned scan loses no matching row, reads only the " +
       "admitted files, and an impossible bound reads none") {
     import spark.implicits._

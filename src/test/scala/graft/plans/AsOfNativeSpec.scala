@@ -91,6 +91,35 @@ class AsOfNativeSpec extends SparkSuite {
     }
   }
 
+  test("row-aware broadcast threshold: a right side inside the byte " +
+      "threshold but past the row limit plans the merge exec (the " +
+      "ProbeAsOf sf1 shape — per-task index build beats byte size); " +
+      "raising spark.graft.asof.broadcastRowLimit restores broadcast") {
+    // 150k rows, size-only stats ≈ 3 MB — comfortably under the 10 MB
+    // byte threshold; the strategy's row ESTIMATE (sizeInBytes over
+    // the visitor's per-row width — no exact rowCount survives the
+    // Project) lands at ~75k, far past the 32768-row default limit
+    val bigRight = spark.range(0, 150000)
+      .select((col("id") % 20).as("k"), (col("id") * 10).as("ts"),
+        lit(1L).as("tie"), col("id").as("rval"))
+    val l = spark.range(0, 100)
+      .select((col("id") % 20).as("k"), (col("id") * 5000).as("ts"))
+    val df = Temporal.asOfJoinNative(l, bigRight, "k", "ts", "tie")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("AsOfJoin ") && !p.contains("AsOfBroadcast"),
+      s"sf1-shaped right side must plan the merge exec:\n$p")
+    val key = "spark.graft.asof.broadcastRowLimit"
+    spark.conf.set(key, "1000000")
+    try {
+      val bdf = Temporal.asOfJoinNative(l, bigRight, "k", "ts", "tie")
+      bdf.collect()
+      val bp = bdf.queryExecution.executedPlan.toString()
+      assert(bp.contains("AsOfBroadcast"),
+        s"raised row limit must restore the broadcast exec:\n$bp")
+    } finally spark.conf.unset(key)
+  }
+
   test("equivalence with the union+window composition on random data") {
     val rnd = new scala.util.Random(197L)
     val ls = (1 to 300).map(i =>
