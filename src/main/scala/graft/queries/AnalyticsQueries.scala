@@ -1461,5 +1461,66 @@ object AnalyticsQueries {
         .agg(sum("n_chars").cast("long").as("bytes"))
       graft.ops.Scale.compactionPlan(segs, "source", "seg", "bytes",
         filesPerPartition = 16)
+    },
+
+    // ---- ASSOCIATION RULES (L194): market-basket support/confidence/
+    // lift over per-order returnflag itemsets — the relational sibling of
+    // q131's text collocations (PMI) and the q212 MI profile's
+    // actionable form: a rule 'R → A, lift 1.3' is a co-occurrence
+    // the mixture/cost models can act on. Scale shape: itemsets via ONE
+    // distinct on (order, item); pair counts via a co-partitioned
+    // self-join on the order key whose fanout is bounded by the
+    // per-order item cap (3 flags ⇒ ≤6 pairs/order — never a cross
+    // join); marginals and the rule frame are |items|²-bounded. All
+    // counts integer; support/confidence/lift round in integer space
+    // (lift = n_ab·N ∕ n_a·n_b via one cross-multiplied roundRatio).
+    Q(
+      "q213_association_rules",
+      """WITH om AS (SELECT DISTINCT l_orderkey AS ok, l_returnflag AS m FROM lineitem),
+        |na AS (SELECT m, CAST(count(*) AS BIGINT) AS n FROM om GROUP BY 1),
+        |t AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM om),
+        |ab AS (
+        |  SELECT a.m AS antecedent, b.m AS consequent,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM om a JOIN om b ON a.ok = b.ok AND a.m <> b.m
+        |  GROUP BY 1, 2)
+        |SELECT antecedent, consequent, x.n AS n_a, y.n AS n_b, n_ab,
+        |  CAST(((2 * CAST(n_ab AS HUGEINT) * 1000000 + n_orders)
+        |    // (2 * CAST(n_orders AS HUGEINT)))
+        |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS support,
+        |  CAST(((2 * CAST(n_ab AS HUGEINT) * 1000000 + x.n)
+        |    // (2 * CAST(x.n AS HUGEINT)))
+        |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS confidence,
+        |  CAST(((2 * CAST(n_ab AS HUGEINT) * n_orders * 1000000 + x.n * y.n)
+        |    // (2 * CAST(x.n AS HUGEINT) * y.n))
+        |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS lift
+        |FROM ab JOIN na x ON x.m = antecedent JOIN na y ON y.m = consequent
+        |CROSS JOIN t""".stripMargin) { (spark, dir) =>
+      import graft.functions.ExactRound.roundRatio
+      val om = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_returnflag").as("m"))
+        .distinct()
+        .localCheckpoint() // one corpus shuffle; feeds pairs + marginals
+      val pairs = om.join(om.withColumnRenamed("m", "mb"), "ok")
+        .filter(col("m") =!= col("mb"))
+      val nab = pairs
+        .groupBy(col("m").as("antecedent"), col("mb").as("consequent"))
+        .agg(count(lit(1)).as("n_ab"))
+      val na = om.groupBy("m").agg(count(lit(1)).as("n"))
+      val tot = om.agg(countDistinct("ok").as("n_orders"))
+      nab
+        .join(broadcast(na.select(col("m").as("antecedent"), col("n").as("n_a"))),
+          "antecedent")
+        .join(broadcast(na.select(col("m").as("consequent"), col("n").as("n_b"))),
+          "consequent")
+        .crossJoin(broadcast(tot))
+        .select(col("antecedent"), col("consequent"),
+          col("n_a"), col("n_b"), col("n_ab"),
+          roundRatio(col("n_ab"), col("n_orders"), 6)
+            .cast("double").as("support"),
+          roundRatio(col("n_ab"), col("n_a"), 6)
+            .cast("double").as("confidence"),
+          roundRatio(col("n_ab") * col("n_orders"), col("n_a") * col("n_b"), 6)
+            .cast("double").as("lift"))
     })
 }

@@ -1081,6 +1081,68 @@ object LinkageQueries {
         .select(col("bucket"), col("n_events"), col("cum_events"),
           graft.functions.ExactRound.roundRatio(col("cum_events"),
             col("total"), 6).cast("double").as("coverage"))
+    },
+
+    // ---- MUTUAL-INFORMATION COLUMN PROFILE (L193): the SOFT
+    // dependency measure completing q201's functional-dependency
+    // discovery — an FD is the MI = H(Y) limit, a near-FD q201 can
+    // only count violations for gets a graded score here; correlated
+    // columns also break the independence assumption join-size cost
+    // models lean on (q106), so this is the statistic that says WHERE
+    // that model lies. Two tested pairs: (l_returnflag, l_linestatus) —
+    // strongly dependent (both track the return lifecycle) — and documents (lang, source). Exactness is
+    // the q65/q145 logprob recipe: each ln rounds at 9 dp into
+    // DECIMAL on identical one-divide double operands, every Σ term
+    // is count·ln9 summed exactly in DECIMAL, only the final /N
+    // presentations divide in double (see Linkage.mutualInformation).
+    // One corpus aggregate per pair; everything downstream lives on
+    // the |X|·|Y| cell frame.
+    Q(
+      "q212_mutual_information", {
+        def pairSql(name: String) =
+          s"""SELECT '$name' AS pair, m.n,
+             |  CAST(hx.hx_s AS DOUBLE) / m.n AS h_x,
+             |  CAST(hy.hy_s AS DOUBLE) / m.n AS h_y,
+             |  CAST(m.hxy_s AS DOUBLE) / m.n AS h_xy,
+             |  CAST(m.mi_s AS DOUBLE) / m.n AS mi_nats,
+             |  CASE WHEN least(hx.hx_s, hy.hy_s) > 0
+             |    THEN CAST(m.mi_s AS DOUBLE) / CAST(least(hx.hx_s, hy.hy_s) AS DOUBLE)
+             |    ELSE 0.0 END AS nmi
+             |FROM (
+             |  SELECT
+             |    -sum(nxy * CAST(round(ln(CAST(nxy AS DOUBLE) / n), 9) AS DECIMAL(13,9))) AS hxy_s,
+             |    sum(nxy * CAST(round(ln(CAST(nxy * n AS DOUBLE) / CAST(nx * ny AS DOUBLE)), 9) AS DECIMAL(13,9))) AS mi_s,
+             |    CAST(max(n) AS BIGINT) AS n
+             |  FROM (
+             |    SELECT c.nxy, mx.nx, my.ny, t.n
+             |    FROM c_$name c JOIN mx_$name mx USING (x)
+             |      JOIN my_$name my USING (y) CROSS JOIN t_$name t)) m
+             |CROSS JOIN (
+             |  SELECT -sum(nx * CAST(round(ln(CAST(nx AS DOUBLE) / n), 9) AS DECIMAL(13,9))) AS hx_s
+             |  FROM mx_$name, t_$name) hx
+             |CROSS JOIN (
+             |  SELECT -sum(ny * CAST(round(ln(CAST(ny AS DOUBLE) / n), 9) AS DECIMAL(13,9))) AS hy_s
+             |  FROM my_$name, t_$name) hy""".stripMargin
+        def ctes(table: String, x: String, y: String, name: String) =
+          s"""c_$name AS (
+             |  SELECT $x AS x, $y AS y, CAST(count(*) AS BIGINT) AS nxy
+             |  FROM $table GROUP BY 1, 2),
+             |mx_$name AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM c_$name GROUP BY 1),
+             |my_$name AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM c_$name GROUP BY 1),
+             |t_$name AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM c_$name)""".stripMargin
+        s"""WITH ${ctes("lineitem", "l_returnflag", "l_linestatus", "li")},
+           |${ctes("documents", "lang", "source", "doc")}
+           |${pairSql("li")}
+           |UNION ALL
+           |${pairSql("doc")}""".stripMargin
+      }) { (spark, dir) =>
+      val li = graft.ops.Linkage.mutualInformation(
+          Tables.lineitem(spark, dir), "l_returnflag", "l_linestatus")
+        .select(lit("li").as("pair"), col("*"))
+      val doc = graft.ops.Linkage.mutualInformation(
+          Tables.documents(spark, dir), "lang", "source")
+        .select(lit("doc").as("pair"), col("*"))
+      li.unionByName(doc)
     }
   )
 }

@@ -393,4 +393,29 @@ class LinkageSpec extends SparkSuite {
     }
     assert(b == -1.0, s"periodic actor must read B = -1 exactly, got $b")
   }
+
+  test("mutualInformation: bijective columns read MI = H (nmi 1), " +
+      "independent columns read MI = 0 exactly") {
+    val ln2 = 0.693147181 // round(ln 2, 9) — the recipe's 9-dp lattice
+    def row(df: org.apache.spark.sql.DataFrame) =
+      Linkage.mutualInformation(df, "x", "y")
+        .select("n", "h_x", "h_y", "h_xy", "mi_nats", "nmi")
+        .as[(Long, Double, Double, Double, Double, Double)].head()
+    // X determines Y and vice versa: H(X)=H(Y)=MI=ln2, joint ln2
+    val bij = Seq(("a", 1), ("a", 1), ("b", 2), ("b", 2)).toDF("x", "y")
+    val (n1, hx1, hy1, hxy1, mi1, nmi1) = row(bij)
+    assert(n1 == 4L)
+    Seq(hx1, hy1, hxy1, mi1).foreach(v =>
+      assert(math.abs(v - ln2) < 1e-12, s"expected ln2, got $v"))
+    assert(nmi1 == 1.0, s"bijection must read nmi exactly 1, got $nmi1")
+    // uniform independent: every cell has nxy·N == nx·ny -> ln(1) = 0,
+    // so MI is EXACTLY zero (no float residue), joint entropy ln4
+    val ind = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2)).toDF("x", "y")
+    val (_, hx2, _, hxy2, mi2, nmi2) = row(ind)
+    assert(mi2 == 0.0 && nmi2 == 0.0, s"independence must read 0, got $mi2")
+    assert(math.abs(hx2 - ln2) < 1e-12)
+    // ln9(1/4) = -1.386294361 while 2·ln9(1/2) = -1.386294362: the two
+    // 9-dp roundings differ by one lattice step — compare at 1e-8
+    assert(math.abs(hxy2 - 2 * ln2) < 1e-8, s"joint must read ~ln4: $hxy2")
+  }
 }
