@@ -1458,16 +1458,30 @@ object CurationQueries {
     // continuous ingest — the standing labeling absorbs a NEW batch of
     // pair edges by running the fixpoint on the TOUCHED-COMPONENT graph
     // (bounded by the batch), never re-walking the historical edge set.
-    // The oracle is q49's full recompute over ALL pairs, so the
-    // incremental fold must land on the identical min-label clustering
-    // — the exactness contract, cross-engine-checked.
+    // The oracle is the full recompute over the SAME pair relation, so
+    // the incremental fold must land on the identical min-label
+    // clustering — the exactness contract, cross-engine-checked.
+    //
+    // Round 12: the pair source is the L132 degree-capped stream (rank
+    // cap replayed in the oracle), not the exact generator. The fold
+    // contract is source-agnostic; feeding it the exact stream was a
+    // fixture artifact that went quadratic inside the template
+    // mega-component — the sf10 probe (bench/README.md) killed it with
+    // an aggregation OOM at 100×, while the capped stream holds the
+    // linear candidate volume the production fold actually consumes
+    // (capped-away links reconcile via the periodic q49 recompute,
+    // TextDedupSpec's pinned convergence).
     Q(
       "q119_incremental_components",
       s"""WITH RECURSIVE ${LlmQueries.simhashCtes},
+         |ranked AS (
+         |  SELECT doc_id, sim, band, band_key,
+         |    row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rk
+         |  FROM banded),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b USING (band, band_key)
-         |  WHERE a.doc_id < b.doc_id
+         |  FROM ranked a JOIN banded b USING (band, band_key)
+         |  WHERE a.rk <= ${Dedup.DefaultDegreeCap} AND a.doc_id < b.doc_id
          |    AND bit_count(xor(a.sim, b.sim)) <= 3),
          |edges AS (
          |  SELECT id_a AS src, id_b AS dst FROM pairs
@@ -1484,8 +1498,8 @@ object CurationQueries {
          |FROM documents d LEFT JOIN cmp c ON c.id = d.doc_id""".stripMargin) {
       (spark, dir) =>
         val docs = Tables.documents(spark, dir)
-        val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
-          bands = 4, maxHamming = 3)
+        val pairs = Dedup.simhashPairsCapped(docs, "doc_id", "text",
+          bands = 4, maxHamming = 3, cap = Dedup.DefaultDegreeCap)
           .localCheckpoint() // split twice below — compute the candidates once
         val old = pairs.filter((col("id_a") + col("id_b")) % 3 =!= 0)
         val batch = pairs.filter((col("id_a") + col("id_b")) % 3 === 0)
@@ -2203,5 +2217,55 @@ object CurationQueries {
           graft.functions.ExactRound
             .roundRatio(col("n_top1_match"), col("n_queries"), 6)
             .cast("double").as("match_rate"))
+    },
+
+    // ---- SKYLINE / PARETO FRONTIER (L195, Börzsönyi 2001): docs no
+    // other doc beats on BOTH axes — here the token-efficiency
+    // frontier (minimize n_chars, maximize whitespace tokens), the
+    // multi-criteria selection primitive ranking scalarizations (q186
+    // Borda, q118 feed scores) cannot express: a weighted sum commits
+    // to ONE trade-off, the skyline returns every undominated one.
+    // Dominance is pure integer comparison; exact duplicates are
+    // mutually undominated and both survive (matching the oracle's
+    // NOT EXISTS). Scale shape: skyline(S) = skyline(∪ skyline(Sᵢ)) —
+    // dominance is transitive, so a per-source pass (keyed windows:
+    // running max over n_chars' < x via a range frame + an equal-x
+    // max) prunes the corpus to per-source frontiers, and the global
+    // pass re-applies the same two windows over the bounded survivor
+    // union; the corpus itself is never globally sorted. The oracle is
+    // the independent quadratic NOT-EXISTS definition — two different
+    // algorithms, same frontier.
+    Q(
+      "q214_skyline",
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(n_chars AS BIGINT) AS n_chars,
+         |    CAST(len(${LlmQueries.toksSql}) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT a.doc_id, a.n_chars, a.n_tokens FROM d a
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM d b
+         |  WHERE b.n_chars <= a.n_chars AND b.n_tokens >= a.n_tokens
+         |    AND (b.n_chars < a.n_chars OR b.n_tokens > a.n_tokens))""".stripMargin) {
+      (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      def skyline(df: org.apache.spark.sql.DataFrame,
+          part: Seq[String]): org.apache.spark.sql.DataFrame = {
+        val lt = (if (part.isEmpty) Window.orderBy(col("n_chars"))
+          else Window.partitionBy(part.map(col): _*).orderBy(col("n_chars")))
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val eq = Window.partitionBy((part :+ "n_chars").map(col): _*)
+        df.withColumn("_best_smaller", max("n_tokens").over(lt))
+          .withColumn("_best_equal", max("n_tokens").over(eq))
+          .filter((col("_best_smaller").isNull ||
+              col("_best_smaller") < col("n_tokens")) &&
+            col("_best_equal") === col("n_tokens"))
+          .drop("_best_smaller", "_best_equal")
+      }
+      val d = Tables.documents(spark, dir).select(
+        col("doc_id"), col("source"), col("n_chars"),
+        graft.ops.Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      skyline(skyline(d, Seq("source")).drop("source"), Nil)
+        .select("doc_id", "n_chars", "n_tokens")
     })
 }
