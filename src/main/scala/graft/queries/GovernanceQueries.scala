@@ -592,5 +592,83 @@ object GovernanceQueries {
         Seq("c_nationkey", "c_mktsegment"),
         floor(col("c_acctbal") / 1000).cast("long"),
         tNum = 1, tDen = 5)
+    },
+
+    // ---- BENFORD FIRST-DIGIT AUDIT (L196): per order-status group,
+    // the observed first-significant-digit distribution of totals vs
+    // Benford's law — the fraud/fabrication screen auditors run on
+    // financial columns (organically-grown magnitudes follow
+    // log10(1+1/d); invented or truncated numbers do not). The nine
+    // Benford shares are 9-dp literals MINTED ONCE in Scala and
+    // spliced verbatim into both engines' plans (the q208 recipe — no
+    // engine evaluates log10); observed shares round in integer space
+    // at the same 9-dp scale, so the |observed − expected| deviation
+    // is an EXACT decimal subtraction. First digit extracts through
+    // integer space (floor → BIGINT → leading char of the decimal
+    // string — portable, no float formatting). Zero-count digits
+    // surface explicitly (the grid is statuses × 9, they are evidence,
+    // not absence). One corpus aggregate; the grid is 27 rows at any
+    // scale.
+    Q(
+      "q215_benford_audit", {
+        val w = (1 to 9).map(d =>
+          d -> f"${math.log10(1.0 + 1.0 / d)}%.9f")
+        val values = w.map { case (d, s) =>
+          s"(CAST($d AS BIGINT), CAST($s AS DECIMAL(10,9)))" }.mkString(", ")
+        s"""WITH w(digit, w9) AS (VALUES $values),
+           |src AS (
+           |  SELECT o_orderstatus AS status,
+           |    CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+           |      1, 1) AS BIGINT) AS digit
+           |  FROM orders),
+           |cnt AS (
+           |  SELECT status, digit, CAST(count(*) AS BIGINT) AS n_digit
+           |  FROM src GROUP BY 1, 2),
+           |tot AS (
+           |  SELECT status, CAST(count(*) AS BIGINT) AS n_total
+           |  FROM src GROUP BY 1),
+           |g AS (
+           |  SELECT t.status, w.digit, w.w9, t.n_total,
+           |    coalesce(c.n_digit, 0) AS n_digit
+           |  FROM tot t CROSS JOIN w
+           |  LEFT JOIN cnt c ON c.status = t.status AND c.digit = w.digit),
+           |s9 AS (
+           |  SELECT status, digit, n_digit, n_total, w9,
+           |    ((2 * CAST(n_digit AS HUGEINT) * 1000000000 + n_total)
+           |      // (2 * CAST(n_total AS HUGEINT)))
+           |      * CAST(0.000000001 AS DECIMAL(10,9)) AS share9
+           |  FROM g)
+           |SELECT status, digit, n_digit, n_total,
+           |  CAST(share9 AS DOUBLE) AS share,
+           |  CAST(w9 AS DOUBLE) AS benford_share,
+           |  CAST(abs(share9 - w9) AS DOUBLE) AS abs_dev
+           |FROM s9""".stripMargin
+      }) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.ExactRound
+      val dec = org.apache.spark.sql.types.DecimalType(10, 9)
+      val wDf = (1 to 9).map(d =>
+          (d.toLong, f"${math.log10(1.0 + 1.0 / d)}%.9f"))
+        .toDF("digit", "w_str")
+        .select(col("digit"), col("w_str").cast(dec).as("w9"))
+      val src = Tables.orders(spark, dir).select(
+        col("o_orderstatus").as("status"),
+        substring(floor(col("o_totalprice")).cast("string"), 1, 1)
+          .cast("long").as("digit"))
+      val cnt = src.groupBy("status", "digit").agg(count(lit(1)).as("n_digit"))
+      val tot = src.groupBy("status").agg(count(lit(1)).as("n_total"))
+      val share9 = ExactRound.roundRatio(col("n_digit"), col("n_total"), 9)
+      tot.crossJoin(broadcast(wDf))
+        .join(cnt, Seq("status", "digit"), "left")
+        .withColumn("n_digit", coalesce(col("n_digit"), lit(0L)))
+        // cast the (38,9) ratio down to the share's true domain before
+        // subtracting: (38,9) − (10,9) needs precision 39, and Spark's
+        // precision-loss rule would silently re-round the result at
+        // scale 8; (10,9) − (10,9) stays exact at 9
+        .withColumn("share9", share9.cast(dec))
+        .select(col("status"), col("digit"), col("n_digit"), col("n_total"),
+          col("share9").cast("double").as("share"),
+          col("w9").cast("double").as("benford_share"),
+          abs(col("share9") - col("w9")).cast("double").as("abs_dev"))
     })
 }

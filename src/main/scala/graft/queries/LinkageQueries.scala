@@ -1143,6 +1143,51 @@ object LinkageQueries {
           Tables.documents(spark, dir), "lang", "source")
         .select(lit("doc").as("pair"), col("*"))
       li.unionByName(doc)
+    },
+
+    // ---- MARKOV TRANSITION MATRIX (L197): the first-order behavioral
+    // model over per-user event streams — the quantitative completion
+    // of q175's top-k path mining (paths SHOW the frequent routes, the
+    // transition matrix PRICES every route and feeds simulation,
+    // next-event prediction, and anomaly scoring of improbable hops).
+    // Consecutive-event pairs come from one lag over the per-user
+    // (ts, event_id) total order — ties broken by event_id so the
+    // sequence is engine-identical; transition probabilities are
+    // row-normalized counts rounded in integer space. One keyed window
+    // + one aggregate on the corpus; the matrix is |types|²-bounded at
+    // any scale.
+    Q(
+      "q216_markov_transitions",
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |tr AS (
+        |  SELECT prev AS from_type, event_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |ft AS (
+        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |  FROM tr GROUP BY 1)
+        |SELECT t.from_type, t.to_type, t.n, f.n_from,
+        |  CAST(((2 * CAST(t.n AS HUGEINT) * 1000000 + f.n_from)
+        |    // (2 * CAST(f.n_from AS HUGEINT)))
+        |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS p
+        |FROM tr t JOIN ft f USING (from_type)""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val seq = Tables.events(spark, dir).select(
+        col("user_id"), col("event_type"),
+        lag("event_type", 1).over(w).as("prev"))
+      val tr = seq.filter(col("prev").isNotNull)
+        .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val ft = tr.groupBy("from_type").agg(sum("n").as("n_from"))
+      tr.join(broadcast(ft), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+          graft.functions.ExactRound.roundRatio(col("n"), col("n_from"), 6)
+            .cast("double").as("p"))
     }
   )
 }
