@@ -2267,5 +2267,94 @@ object CurationQueries {
         graft.ops.Text.tokenCount(col("text")).cast("long").as("n_tokens"))
       skyline(skyline(d, Seq("source")).drop("source"), Nil)
         .select("doc_id", "n_chars", "n_tokens")
+    },
+
+    // ---- GOLDEN-RECORD FUSION (L198): the MDM survivorship step q87's
+    // boolean keep-flag stops short of — per dup cluster, ONE fused
+    // canonical record assembled by per-FIELD rules (completeness:
+    // longest text wins the body, id tiebreak; consensus: modal lang,
+    // count-then-value tiebreak; lineage: member count + total bytes
+    // carried as merge evidence). This is what a 100 TB ingest ships
+    // downstream after entity resolution: not "which rows to drop" but
+    // "what the surviving row SAYS". Clusters are the standing capped-
+    // stream labels (the production source, L132); each field rule is
+    // one keyed window or aggregate over the cluster key — the corpus
+    // shuffles on its cluster key once for all rules. The oracle
+    // replays the capped closure and both window picks.
+    Q(
+      "q217_golden_record",
+      s"""WITH RECURSIVE ${LlmQueries.simhashCtes},
+         |ranked AS (
+         |  SELECT doc_id, sim, band, band_key,
+         |    row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rk
+         |  FROM banded),
+         |cpairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM ranked a JOIN banded b USING (band, band_key)
+         |  WHERE a.rk <= ${Dedup.DefaultDegreeCap} AND a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.sim, b.sim)) <= 3),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM cpairs
+         |  UNION SELECT id_b, id_a FROM cpairs),
+         |reach AS (
+         |  SELECT DISTINCT src AS id, src AS comp FROM edges
+         |  UNION
+         |  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+         |cmp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+         |m AS (
+         |  SELECT coalesce(c.component, d.doc_id) AS component,
+         |    d.doc_id, d.n_chars, d.lang
+         |  FROM documents d LEFT JOIN cmp c ON c.id = d.doc_id),
+         |sz AS (
+         |  SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+         |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |  FROM m GROUP BY 1),
+         |sv AS (
+         |  SELECT component, doc_id AS survivor_id, n_chars AS survivor_chars
+         |  FROM (
+         |    SELECT component, doc_id, n_chars,
+         |      row_number() OVER (PARTITION BY component
+         |        ORDER BY n_chars DESC, doc_id) AS rn
+         |    FROM m) z WHERE rn = 1),
+         |lc AS (
+         |  SELECT component, lang, CAST(count(*) AS BIGINT) AS c
+         |  FROM m GROUP BY 1, 2),
+         |lm AS (
+         |  SELECT component, lang AS lang_consensus FROM (
+         |    SELECT component, lang,
+         |      row_number() OVER (PARTITION BY component
+         |        ORDER BY c DESC, lang) AS rn
+         |    FROM lc) z WHERE rn = 1)
+         |SELECT sz.component, sz.n_members, sz.total_chars,
+         |  sv.survivor_id, sv.survivor_chars, lm.lang_consensus
+         |FROM sz JOIN sv USING (component) JOIN lm USING (component)""".stripMargin) {
+      (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(spark, dir)
+      val pairs = Dedup.simhashPairsCapped(docs, "doc_id", "text",
+        bands = 4, maxHamming = 3, cap = Dedup.DefaultDegreeCap)
+      val comp = Components.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      val m = docs.select(col("doc_id"), col("n_chars"), col("lang"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(coalesce(col("comp"), col("doc_id")).as("component"),
+          col("doc_id"), col("n_chars"), col("lang"))
+        .localCheckpoint() // one cluster-keyed frame feeds all field rules
+      val sz = m.groupBy("component").agg(
+        count(lit(1)).as("n_members"), sum("n_chars").as("total_chars"))
+      val sv = m.withColumn("rn", row_number().over(
+          Window.partitionBy("component")
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("component"), col("doc_id").as("survivor_id"),
+          col("n_chars").as("survivor_chars"))
+      val lm = m.groupBy("component", "lang").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("component").orderBy(col("c").desc, col("lang"))))
+        .filter(col("rn") === 1)
+        .select(col("component"), col("lang").as("lang_consensus"))
+      sz.join(sv, "component").join(lm, "component")
+        .select("component", "n_members", "total_chars",
+          "survivor_id", "survivor_chars", "lang_consensus")
     })
 }

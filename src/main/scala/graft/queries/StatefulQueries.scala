@@ -1121,5 +1121,105 @@ object StatefulQueries {
       graft.Meta.Versioned.read(spark, tblPath)
         .filter(col("n_events") > 0)
         .select("user_id", "n_events", "last_us")
+    },
+
+    // ---- STREAMING MANIFEST FOLD → COMPACTION PLAN (L199): how a
+    // lakehouse manifest actually absorbs a streaming sink — each
+    // micro-batch COMMITS its per-(partition, segment) byte partials
+    // keyed by batch id (the Delta add-file shape), and the replay
+    // shield is commit-overwrite: a redelivered batch REPLACES its own
+    // keyed rows, so at-least-once delivery cannot double-count bytes
+    // (the additive complement of q184's idempotent-OR shield — sums
+    // are not idempotent, commits are). The L192 planner then runs on
+    // the folded manifest, and the contract crossing the oracle is
+    // fold == one-shot: the plan from streamed commits must EQUAL the
+    // plan computed directly over all rows — the in-query inner join
+    // on every plan column makes any divergence drop rows and fail the
+    // hash. Segments are content-keyed (event_id % 64), so batch
+    // boundaries don't leak into the plan.
+    Q(
+      "q218_stream_compaction_fold",
+      """WITH segs AS (
+        |  SELECT event_type AS part, event_id % 64 AS seg,
+        |    CAST(sum(length(props)) AS BIGINT) AS bytes
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT part, CAST(sum(bytes) AS BIGINT) AS total
+        |  FROM segs GROUP BY 1),
+        |sized AS (
+        |  SELECT s.part, s.seg, s.bytes,
+        |    CAST((t.total + 7) // 8 AS BIGINT) AS target
+        |  FROM segs s JOIN tot t ON t.part = s.part),
+        |cand AS (
+        |  SELECT part, seg, bytes, target,
+        |    CAST(coalesce(sum(bytes) OVER (PARTITION BY part
+        |      ORDER BY bytes, seg
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cb
+        |  FROM sized WHERE 2 * bytes < target)
+        |SELECT part, CAST(cb // target AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(sum(bytes) AS BIGINT) AS bytes_in,
+        |  TRUE AS fold_matches
+        |FROM cand GROUP BY part, bin, target""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.Streams
+      val root = graft.Tmp.dir("graft-q218").toString
+      val manPath = s"$root/manifest"
+      val ev = Tables.events(spark, dir).select(
+        col("event_id"), col("event_type"),
+        length(col("props")).cast("long").as("nbytes"))
+      def partials(df: org.apache.spark.sql.DataFrame, bid: Long) =
+        df.groupBy(col("event_type").as("part"),
+            (col("event_id") % 64).as("seg"))
+          .agg(sum("nbytes").as("bytes"))
+          .withColumn("_bid", lit(bid))
+      // the fold every commit runs: replace THIS batch's rows, keep the
+      // rest — re-running the same (batch, bid) is a no-op by
+      // construction, which IS the at-least-once shield
+      def commit(batch: org.apache.spark.sql.DataFrame, bid: Long): Unit = {
+        val standing = graft.Meta.Versioned.read(spark, manPath)
+          .filter(col("_bid") =!= bid)
+        graft.Meta.Versioned.write(
+          standing.unionByName(partials(batch, bid)), manPath)
+      }
+      graft.Meta.Versioned.write(partials(ev.limit(0), -1L), manPath)
+      implicit val ctx = spark.sqlContext
+      import spark.implicits._
+      val rows = ev.as[(Long, String, Long)].collect().toSeq
+      val ms = MemoryStream[(Long, String, Long)]
+      val src = ms.toDF().toDF("event_id", "event_type", "nbytes")
+      Streams.withShufflePartitions(spark, 4) {
+        val q = src.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            commit(batch, bid)
+          }
+          .outputMode("update")
+          .option("checkpointLocation", s"$root/cp")
+          .start()
+        try {
+          val (half, rest) = rows.partition(_._1 % 2 == 0)
+          ms.addData(half)
+          q.processAllAvailable()
+          ms.addData(rest)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      // crash-replay the LAST commit manually: same batch, same bid —
+      // the commit-overwrite shield must absorb it byte for byte
+      val lastBid = graft.Meta.Versioned.read(spark, manPath)
+        .agg(max("_bid")).head().getLong(0)
+      commit(ev.filter(col("event_id") % 2 =!= 0), lastBid)
+      val folded = graft.Meta.Versioned.read(spark, manPath)
+        .groupBy("part", "seg").agg(sum("bytes").as("bytes"))
+      val direct = ev.groupBy(col("event_type").as("part"),
+          (col("event_id") % 64).as("seg"))
+        .agg(sum("nbytes").as("bytes"))
+      def plan(segs: org.apache.spark.sql.DataFrame) =
+        graft.ops.Scale.compactionPlan(segs, "part", "seg", "bytes",
+          filesPerPartition = 8).drop("fill_pct")
+      plan(folded)
+        .join(plan(direct), Seq("part", "bin", "n_segments", "bytes_in"))
+        .withColumn("fold_matches", lit(true))
     })
 }
