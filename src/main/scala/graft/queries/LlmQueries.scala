@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators over the `documents` /
@@ -762,5 +763,92 @@ object LlmQueries {
         .select(col("hamming"), col("n_pairs"), col("n_precise"),
           graft.functions.ExactRound.roundRatio(col("n_precise"),
             col("n_pairs"), 6).cast("double").as("precision"))
+    },
+
+    // ---- PERCEPTUAL-HASH NEAR-DUP (L200): the multimodal dedup arm —
+    // average-hash (aHash) over binary payloads with the decode step
+    // STUBBED per the q30/q192 contract (ASCII text bytes play the
+    // media payload; a real deploy swaps in the image resize, the
+    // Spark-side plumbing is what's under test). The stub "resize" is
+    // a 64-point stride sample of the payload; bits are byte > mean
+    // (exact integer mean), packed MSB-first into two 32-bit halves
+    // (a single 64-bit fold would need the sign bit — DuckDB BIGINT
+    // throws on signed overflow where JVM longs wrap, so the split is
+    // the engine-portable layout). Candidates come from 4×16-bit
+    // band buckets exactly like SimHash (banding beats the O(n²)
+    // pairwise scan at any scale); verified pairs are Hamming ≤ 6 of
+    // 64. Payloads shorter than 64 bytes are skipped (nothing to
+    // resize). One scan computes every hash; the join touches only
+    // band-bucket collisions.
+    Q(
+      "q219_phash_neardup", {
+        val bytes = "list_transform(range(0, 64), " +
+          "i -> CAST(ascii(substr(text, CAST(i * stride + 1 AS INT), 1)) AS BIGINT))"
+        val bit = "(a * 2 + CASE WHEN x > m THEN 1 ELSE 0 END)"
+        s"""WITH d AS (
+           |  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS text
+           |  FROM documents),
+           |p AS (
+           |  SELECT doc_id, text, length(text) // 64 AS stride
+           |  FROM d WHERE length(text) >= 64),
+           |s AS (
+           |  SELECT doc_id, $bytes AS bs FROM p),
+           |sm AS (
+           |  SELECT doc_id, bs,
+           |    ${foldSumSql("bs", "CAST(0 AS BIGINT)")} // 64 AS m
+           |  FROM s),
+           |h AS (
+           |  SELECT doc_id,
+           |    ${foldSumSql("list_slice(bs, 1, 32)", "CAST(0 AS BIGINT)", bit)} AS hi,
+           |    ${foldSumSql("list_slice(bs, 33, 64)", "CAST(0 AS BIGINT)", bit)} AS lo
+           |  FROM sm),
+           |b AS (
+           |  SELECT doc_id, hi, lo, u.band,
+           |    CASE u.band WHEN 1 THEN hi // 65536 WHEN 2 THEN hi % 65536
+           |      WHEN 3 THEN lo // 65536 ELSE lo % 65536 END AS band_val
+           |  FROM h, unnest(range(1, 5)) u(band))
+           |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+           |  CAST(bit_count(xor(a.hi, b2.hi))
+           |    + bit_count(xor(a.lo, b2.lo)) AS BIGINT) AS hamming
+           |FROM b a JOIN b b2 USING (band, band_val)
+           |WHERE a.doc_id < b2.doc_id
+           |  AND bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)) <= 6""".stripMargin
+      }) { (spark, dir) =>
+      val d = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "[^ -~]", "").as("text"))
+        .filter(length(col("text")) >= 64)
+        .withColumn("stride", floor(length(col("text")) / 64).cast("long"))
+      val bs = transform(sequence(lit(0L), lit(63L)), i =>
+        ascii(col("text").substr((i * col("stride") + 1).cast("int"), lit(1)))
+          .cast("long"))
+      def packBits(slice: Column, m: Column): Column =
+        aggregate(slice, lit(0L), (a, x) =>
+          a * 2 + when(x > m, 1L).otherwise(0L))
+      val h = d.withColumn("bs", bs)
+        .withColumn("m",
+          floor(aggregate(col("bs"), lit(0L), (a, x) => a + x) / 64)
+            .cast("long"))
+        .select(col("doc_id"),
+          packBits(slice(col("bs"), 1, 32), col("m")).as("hi"),
+          packBits(slice(col("bs"), 33, 32), col("m")).as("lo"))
+        .localCheckpoint() // one scan mints every hash; feeds both join sides
+      val b = h.select(col("doc_id"), col("hi"), col("lo"),
+          explode(array(
+            struct(lit(1).as("band"), floor(col("hi") / 65536).cast("long").as("band_val")),
+            struct(lit(2).as("band"), (col("hi") % 65536).as("band_val")),
+            struct(lit(3).as("band"), floor(col("lo") / 65536).cast("long").as("band_val")),
+            struct(lit(4).as("band"), (col("lo") % 65536).as("band_val")))).as("bv"))
+        .select(col("doc_id"), col("hi"), col("lo"),
+          col("bv.band").as("band"), col("bv.band_val").as("band_val"))
+      val other = b.select(col("doc_id").as("_id2"), col("hi").as("_hi2"),
+        col("lo").as("_lo2"), col("band"), col("band_val"))
+      val ham = bit_count(col("hi").bitwiseXOR(col("_hi2"))) +
+        bit_count(col("lo").bitwiseXOR(col("_lo2")))
+      b.join(other, Seq("band", "band_val"))
+        .filter(col("doc_id") < col("_id2") && ham <= 6)
+        .select(col("doc_id").as("id_a"), col("_id2").as("id_b"),
+          ham.cast("long").as("hamming"))
+        .distinct()
     })
 }
