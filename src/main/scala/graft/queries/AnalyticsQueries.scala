@@ -1522,5 +1522,145 @@ object AnalyticsQueries {
             .cast("double").as("confidence"),
           roundRatio(col("n_ab") * col("n_orders"), col("n_a") * col("n_b"), 6)
             .cast("double").as("lift"))
+    },
+
+    // ---- POPULATION STABILITY INDEX (L201): the industry-standard
+    // feature-drift monitor — PSI = Σ (p̃ᵢ−q̃ᵢ)·ln(p̃ᵢ∕q̃ᵢ) between a
+    // baseline and a current window over equi-depth deciles of the
+    // BASELINE distribution (q127/q143 measure drift of corpora and
+    // centroids; this is the per-feature scorecard a model-monitoring
+    // page shows, with the 0.1/0.25 folklore thresholds). Per
+    // event_type: baseline deciles via ntile over the (value, event_id)
+    // total order — a KEYED window, never a global sort; current rows
+    // bin against the 10 broadcast boundaries (beyond-max spills into
+    // bin 10); counts Laplace-smoothed (+1 ∕ +10) so empty bins stay
+    // finite. Exactness: smoothed shares round at 9 dp in integer
+    // space, ln rides the q65 recipe on one IEEE divide of exact
+    // sub-2^53 integer products, every PSI term is an exact decimal
+    // product, the rollup an exact decimal sum — only the final
+    // presentations divide in double. 10·|types| rows at any scale.
+    Q(
+      "q220_psi_drift",
+      """WITH ev AS (
+        |  SELECT event_id, event_type, value FROM events),
+        |base AS (
+        |  SELECT event_type, value,
+        |    ntile(10) OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS bin
+        |  FROM ev WHERE event_id % 2 = 0),
+        |bounds AS (
+        |  SELECT event_type, bin, max(value) AS hi
+        |  FROM base GROUP BY 1, 2),
+        |cp AS (
+        |  SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cp
+        |  FROM base GROUP BY 1, 2),
+        |curb AS (
+        |  SELECT c.event_id, c.event_type,
+        |    coalesce(min(b.bin), 10) AS bin
+        |  FROM ev c LEFT JOIN bounds b
+        |    ON b.event_type = c.event_type AND b.hi >= c.value
+        |  WHERE c.event_id % 2 = 1
+        |  GROUP BY c.event_id, c.event_type),
+        |cq AS (
+        |  SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cq
+        |  FROM curb GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nq
+        |  FROM ev GROUP BY 1),
+        |g AS (
+        |  SELECT p.event_type, p.bin, p.cp, coalesce(q.cq, 0) AS cq, t.np, t.nq
+        |  FROM cp p LEFT JOIN cq q
+        |    ON q.event_type = p.event_type AND q.bin = p.bin
+        |  JOIN tot t ON t.event_type = p.event_type),
+        |terms AS (
+        |  SELECT event_type, bin, cp, cq,
+        |    CAST(((2 * CAST(cp + 1 AS HUGEINT) * 1000000000 + (np + 10))
+        |      // (2 * CAST(np + 10 AS HUGEINT)))
+        |      * CAST(0.000000001 AS DECIMAL(10,9)) AS DECIMAL(10,9)) AS p9,
+        |    CAST(((2 * CAST(cq + 1 AS HUGEINT) * 1000000000 + (nq + 10))
+        |      // (2 * CAST(nq + 10 AS HUGEINT)))
+        |      * CAST(0.000000001 AS DECIMAL(10,9)) AS DECIMAL(10,9)) AS q9,
+        |    CAST(round(ln(CAST((cp + 1) * (nq + 10) AS DOUBLE)
+        |      / CAST((cq + 1) * (np + 10) AS DOUBLE)), 9)
+        |      AS DECIMAL(13,9)) AS lr9
+        |  FROM g),
+        |t9 AS (
+        |  SELECT event_type, bin, cp, cq, p9, q9,
+        |    CASE WHEN dplr < 0
+        |      THEN -((2 * (-dplr) + 1000000000) // (2 * CAST(1000000000 AS HUGEINT)))
+        |      ELSE (2 * dplr + 1000000000) // (2 * CAST(1000000000 AS HUGEINT)) END
+        |      * CAST(0.000000001 AS DECIMAL(10,9)) AS term9
+        |  FROM (
+        |    SELECT *,
+        |      CAST((p9 - q9) * 1000000000 AS HUGEINT)
+        |        * CAST(lr9 * 1000000000 AS HUGEINT) AS dplr
+        |    FROM terms) z)
+        |SELECT event_type, CAST(bin AS BIGINT) AS bin, cp, cq,
+        |  CAST(p9 AS DOUBLE) AS p_base,
+        |  CAST(q9 AS DOUBLE) AS p_cur,
+        |  CAST(term9 AS DOUBLE) AS term,
+        |  CAST(sum(term9) OVER (PARTITION BY event_type) AS DOUBLE) AS psi
+        |FROM t9""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.ExactRound
+      val dec9 = org.apache.spark.sql.types.DecimalType(10, 9)
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .localCheckpoint() // feeds baseline, current, and totals
+      val base = ev.filter(col("event_id") % 2 === 0)
+        .withColumn("bin", ntile(10).over(Window.partitionBy("event_type")
+          .orderBy(col("value"), col("event_id"))))
+      val bounds = base.groupBy("event_type", "bin").agg(max("value").as("hi"))
+      val cp = base.groupBy("event_type", "bin").agg(count(lit(1)).as("cp"))
+      val bnd = bounds.select(col("event_type").as("_bt"),
+        col("bin").as("_bbin"), col("hi"))
+      val curb = ev.filter(col("event_id") % 2 === 1)
+        // the bin condition lives IN the join: a value beyond every
+        // boundary must keep its (unmatched) row and fall into bin 10
+        .join(broadcast(bnd),
+          col("event_type") === col("_bt") && col("hi") >= col("value"),
+          "left")
+        .groupBy("event_id", "event_type")
+        .agg(coalesce(min("_bbin"), lit(10)).as("bin"))
+      val cq = curb.groupBy("event_type", "bin").agg(count(lit(1)).as("cq"))
+      val tot = ev.groupBy("event_type").agg(
+        sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L)).as("np"),
+        sum(when(col("event_id") % 2 === 1, 1L).otherwise(0L)).as("nq"))
+      val lr9 = round(log(
+          ((col("cp") + 1) * (col("nq") + 10)).cast("double")
+            / ((col("cq") + 1) * (col("np") + 10)).cast("double")), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(13, 9))
+      val p9 = ExactRound.roundRatio(col("cp") + 1, col("np") + 10, 9).cast(dec9)
+      val q9 = ExactRound.roundRatio(col("cq") + 1, col("nq") + 10, 9).cast(dec9)
+      val terms = cp
+        .join(cq, Seq("event_type", "bin"), "left")
+        .withColumn("cq", coalesce(col("cq"), lit(0L)))
+        .join(broadcast(tot), "event_type")
+        .withColumn("p9", p9).withColumn("q9", q9).withColumn("lr9", lr9)
+      // the raw (p−q)·ln product carries scale 18: its unscaled value
+      // can pass 2^53 (the q179 ulp rule), and a decimal DOWNCAST is
+      // not tie-safe either — Spark rounds ties away from zero, DuckDB
+      // toward zero, and products of short decimals DO land on exact
+      // .5 lattice points. Round to 9 dp in INTEGER space with an
+      // explicit half-away rule, identical on both engines
+      val I = org.apache.spark.sql.types.DecimalType(38, 0)
+      val pow9 = lit(java.math.BigDecimal.TEN.pow(9)).cast(I)
+      val dplr = ((col("p9") - col("q9")) * pow9).cast(I) *
+        (col("lr9") * pow9).cast(I)
+      val absq = graft.functions.ExactRound.floorDiv(
+        abs(dplr) * 2 + pow9, pow9 * 2)
+      val term9 = (when(dplr < 0, -absq).otherwise(absq)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 9)) / pow9)
+        .cast(org.apache.spark.sql.types.DecimalType(20, 9))
+      terms.withColumn("term9", term9)
+        .select(col("event_type"), col("bin").cast("long").as("bin"),
+          col("cp"), col("cq"),
+          col("p9").cast("double").as("p_base"),
+          col("q9").cast("double").as("p_cur"),
+          col("term9").cast("double").as("term"),
+          sum(col("term9")).over(Window.partitionBy("event_type"))
+            .cast("double").as("psi"))
     })
 }
