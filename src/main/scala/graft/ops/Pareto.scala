@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Skyline (Pareto-frontier) operators — Börzsönyi 2001. The
+  * multi-criteria selection primitive scalarized rankers cannot
+  * express: a weighted score commits to one trade-off, the skyline
+  * returns every undominated one.
+  *
+  * Dominance here is the 2-D minimize-x / maximize-y frame: `a`
+  * dominates `b` iff xₐ ≤ x_b ∧ yₐ ≥ y_b with at least one strict.
+  * Exact duplicates are mutually undominated and BOTH survive —
+  * matching the declarative NOT-EXISTS definition the oracles run.
+  *
+  * Scale design: dominance is transitive, so
+  * `skyline(S) = skyline(∪ᵢ skyline(Sᵢ))` for any partitioning of S —
+  * the algebraic property that makes the operator both
+  * distribution-friendly (per-group prune, then a global pass over
+  * the bounded survivor union; the corpus is never globally sorted)
+  * and INCREMENTALLY maintainable (fold a new batch into a standing
+  * frontier without re-reading history; [[fold]]).
+  */
+object Pareto {
+
+  /** One skyline pass: per `part` group (whole frame when empty), keep
+    * rows no other row in the group dominates. Two windows on the
+    * group key: the running max of y over strictly-smaller x (a range
+    * frame), and the max y among equal x. */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String,
+      part: Seq[String] = Nil): DataFrame = {
+    val lt = (if (part.isEmpty) Window.orderBy(col(xCol))
+      else Window.partitionBy(part.map(col): _*).orderBy(col(xCol)))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val eq = Window.partitionBy((part :+ xCol).map(col): _*)
+    df.withColumn("_best_smaller", max(yCol).over(lt))
+      .withColumn("_best_equal", max(yCol).over(eq))
+      .filter((col("_best_smaller").isNull ||
+          col("_best_smaller") < col(yCol)) &&
+        col("_best_equal") === col(yCol))
+      .drop("_best_smaller", "_best_equal")
+  }
+
+  /** Distributed skyline: per-group prune (any grouping works —
+    * correctness does not depend on it, only the prune ratio does),
+    * then the global pass over the bounded survivor union. */
+  def skyline(df: DataFrame, xCol: String, yCol: String,
+      pruneBy: Seq[String]): DataFrame =
+    skyline2d(skyline2d(df, xCol, yCol, pruneBy).drop(pruneBy: _*),
+      xCol, yCol)
+
+  /** Incremental maintenance: fold a new batch into a standing
+    * frontier. By transitivity `skyline(standing ∪ batch)` equals the
+    * skyline of the full history — per-fold cost is |frontier| +
+    * |batch|, never the corpus (the q119/q158 incremental-fold shape,
+    * applied to a VIEW rather than a labeling). Columns of `standing`
+    * and `batch` must agree on (xCol, yCol) plus any carried id. */
+  def fold(standing: DataFrame, batch: DataFrame, xCol: String,
+      yCol: String): DataFrame =
+    skyline2d(standing.unionByName(batch), xCol, yCol)
+}

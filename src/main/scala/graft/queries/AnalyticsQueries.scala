@@ -1662,5 +1662,79 @@ object AnalyticsQueries {
           col("term9").cast("double").as("term"),
           sum(col("term9")).over(Window.partitionBy("event_type"))
             .cast("double").as("psi"))
+    },
+
+    // ---- A/B EXPERIMENT READOUT (L202): the two-proportion z-test an
+    // experimentation platform runs per metric — per-user conversion
+    // (any 'purchase'), variants by user-id parity, pooled-variance z,
+    // and the 5% two-sided verdict. The VERDICT is exact: with
+    // p̂ᵃ−p̂ᵇ = (xₐn_b−x_bnₐ)∕(nₐn_b) and pooled se² =
+    // x(n−x)∕(n·nₐ·n_b), "z² > 1.96²" cross-multiplies to
+    // 625·n·(xₐn_b−x_bnₐ)² > 2401·x·(n−x)·nₐ·n_b — pure integers in
+    // DECIMAL, no float ever decides significance (a boundary
+    // experiment cannot flip between engines or reruns). z itself is
+    // presentation (identical operand trees, round 6). Scale shape:
+    // one per-user aggregate (the corpus shuffle), then a 2-row
+    // reduction — at any corpus size the test runs on four integers.
+    Q(
+      "q221_ab_ztest",
+      """WITH u AS (
+        |  SELECT user_id, user_id % 2 AS variant,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      > 13 THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_b
+        |  FROM u)
+        |SELECT n_a, x_a, n_b, x_b,
+        |  CAST(((2 * CAST(x_a AS HUGEINT) * 1000000 + n_a)
+        |    // (2 * CAST(n_a AS HUGEINT)))
+        |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS p_a,
+        |  CAST(((2 * CAST(x_b AS HUGEINT) * 1000000 + n_b)
+        |    // (2 * CAST(n_b AS HUGEINT)))
+        |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS p_b,
+        |  CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN 0.0
+        |    ELSE round(
+        |    (CAST(x_a * n_b - x_b * n_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b))
+        |    / sqrt(CAST((x_a + x_b) * (n_a + n_b - x_a - x_b) AS DOUBLE)
+        |        / (CAST(n_a + n_b AS DOUBLE) * n_a * n_b)), 6) END AS z,
+        |  625 * CAST(n_a + n_b AS HUGEINT)
+        |      * CAST(x_a * n_b - x_b * n_a AS HUGEINT)
+        |      * CAST(x_a * n_b - x_b * n_a AS HUGEINT)
+        |    > 2401 * CAST(x_a + x_b AS HUGEINT)
+        |      * (n_a + n_b - x_a - x_b) * n_a * n_b AS significant
+        |FROM r""".stripMargin) { (spark, dir) =>
+      import graft.functions.ExactRound
+      val I = org.apache.spark.sql.types.DecimalType(38, 0)
+      val u = Tables.events(spark, dir)
+        .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+        .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          > 13, 1L).otherwise(0L).as("conv"))
+      val r = u.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("x_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("x_b"))
+      val diff = col("x_a") * col("n_b") - col("x_b") * col("n_a")
+      val x = col("x_a") + col("x_b")
+      val n = col("n_a") + col("n_b")
+      r.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        ExactRound.roundRatio(col("x_a"), col("n_a"), 6)
+          .cast("double").as("p_a"),
+        ExactRound.roundRatio(col("x_b"), col("n_b"), 6)
+          .cast("double").as("p_b"),
+        // all-converted / none-converted has no sampling variance to
+        // test against: pin z to 0 instead of 0/0 (and ANSI's throw)
+        when(x === 0 || x === n, lit(0.0)).otherwise(round(
+          (diff.cast("double") / (col("n_a").cast("double") * col("n_b")))
+            / sqrt((x * (n - x)).cast("double")
+                / (n.cast("double") * col("n_a") * col("n_b"))), 6)).as("z"),
+        (lit(625).cast(I) * n * diff * diff >
+          lit(2401).cast(I) * x * (n - x) * col("n_a") * col("n_b"))
+          .as("significant"))
     })
 }

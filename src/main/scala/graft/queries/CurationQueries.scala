@@ -2248,24 +2248,45 @@ object CurationQueries {
          |  WHERE b.n_chars <= a.n_chars AND b.n_tokens >= a.n_tokens
          |    AND (b.n_chars < a.n_chars OR b.n_tokens > a.n_tokens))""".stripMargin) {
       (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      def skyline(df: org.apache.spark.sql.DataFrame,
-          part: Seq[String]): org.apache.spark.sql.DataFrame = {
-        val lt = (if (part.isEmpty) Window.orderBy(col("n_chars"))
-          else Window.partitionBy(part.map(col): _*).orderBy(col("n_chars")))
-          .rangeBetween(Window.unboundedPreceding, -1)
-        val eq = Window.partitionBy((part :+ "n_chars").map(col): _*)
-        df.withColumn("_best_smaller", max("n_tokens").over(lt))
-          .withColumn("_best_equal", max("n_tokens").over(eq))
-          .filter((col("_best_smaller").isNull ||
-              col("_best_smaller") < col("n_tokens")) &&
-            col("_best_equal") === col("n_tokens"))
-          .drop("_best_smaller", "_best_equal")
-      }
       val d = Tables.documents(spark, dir).select(
         col("doc_id"), col("source"), col("n_chars"),
         graft.ops.Text.tokenCount(col("text")).cast("long").as("n_tokens"))
-      skyline(skyline(d, Seq("source")).drop("source"), Nil)
+      graft.ops.Pareto.skyline(d, "n_chars", "n_tokens", Seq("source"))
+        .select("doc_id", "n_chars", "n_tokens")
+    },
+
+    // ---- INCREMENTAL SKYLINE MAINTENANCE (L203): q214's frontier as
+    // a continuously-maintained VIEW — the q119/q158 incremental-fold
+    // shape applied to the Pareto frontier instead of a labeling.
+    // History (docs with id % 3 ≠ 0) is resolved ONCE into a standing
+    // frontier; the new batch folds in at |frontier| + |batch| cost —
+    // never re-reading history — and by dominance transitivity the
+    // folded frontier must EQUAL the one-shot skyline of everything,
+    // which is exactly what the oracle computes (the q214 NOT-EXISTS
+    // definition over all docs). ParetoSpec pins the algebra on
+    // randomized splits; this query pins it cross-engine.
+    Q(
+      "q222_incremental_skyline",
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(n_chars AS BIGINT) AS n_chars,
+         |    CAST(len(${LlmQueries.toksSql}) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT a.doc_id, a.n_chars, a.n_tokens FROM d a
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM d b
+         |  WHERE b.n_chars <= a.n_chars AND b.n_tokens >= a.n_tokens
+         |    AND (b.n_chars < a.n_chars OR b.n_tokens > a.n_tokens))""".stripMargin) {
+      (spark, dir) =>
+      val d = Tables.documents(spark, dir).select(
+        col("doc_id"), col("source"), col("n_chars"),
+        graft.ops.Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val hist = d.filter(col("doc_id") % 3 =!= 0)
+      val batch = d.filter(col("doc_id") % 3 === 0).drop("source")
+      val standing = graft.ops.Pareto
+        .skyline(hist, "n_chars", "n_tokens", Seq("source"))
+        .localCheckpoint() // the standing view a production fold READS
+      graft.ops.Pareto.fold(standing, batch, "n_chars", "n_tokens")
         .select("doc_id", "n_chars", "n_tokens")
     },
 
