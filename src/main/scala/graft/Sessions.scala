@@ -114,6 +114,9 @@ object Sessions {
       info("graft_cdc_boundaries", classOf[CdcBoundaries]),
       (e: Seq[Expression]) => CdcBoundaries(e.head,
         intArg(e(1), "graft_cdc_boundaries"), intArg(e(2), "graft_cdc_boundaries"))))
+    ext.injectFunction((FunctionIdentifier("graft_ahash"),
+      info("graft_ahash", classOf[AHash64]),
+      (e: Seq[Expression]) => AHash64(e.head)))
     ext.injectFunction((FunctionIdentifier("graft_asof"),
       info("graft_asof", classOf[graft.plans.AsOfMarker]),
       (e: Seq[Expression]) => graft.plans.AsOfMarker(e.head, e(1), e(2))))

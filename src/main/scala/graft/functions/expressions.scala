@@ -506,3 +506,49 @@ case class CdcBoundaries(child: Expression, w: Int, divisor: Int)
   override protected def withNewChildInternal(newChild: Expression): CdcBoundaries =
     copy(child = newChild)
 }
+
+/** Average-hash (aHash) of a payload string: 64-point stride sample,
+  * bits = byte > exact integer mean, packed MSB-first into [hi, lo]
+  * 32-bit halves (two BIGINTs — one 64-bit pack would need the sign
+  * bit, which DuckDB BIGINT arithmetic throws on). NULL for payloads
+  * shorter than 64 bytes (nothing to resize). One compiled pass per
+  * row replacing a 64-element transform + three interpreted aggregate
+  * folds — the q219 hot path. Bit-identical to the defining HOF chain
+  * (same stride, same positions, same strict `>` against the floored
+  * mean) the DuckDB oracle still runs. */
+case class AHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_ahash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val len = bytes.length
+    if (len < 64) return null
+    val stride = len / 64
+    val s = new Array[Int](64)
+    var i = 0
+    var total = 0L
+    while (i < 64) {
+      val b = bytes(i * stride) & 0xff
+      s(i) = b
+      total += b
+      i += 1
+    }
+    val m = total / 64
+    var hi = 0L
+    var lo = 0L
+    i = 0
+    while (i < 32) { hi = hi * 2 + (if (s(i) > m) 1 else 0); i += 1 }
+    while (i < 64) { lo = lo * 2 + (if (s(i) > m) 1 else 0); i += 1 }
+    new GenericArrayData(Array(hi, lo))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AHash64 =
+    copy(child = newChild)
+}

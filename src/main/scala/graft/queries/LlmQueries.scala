@@ -775,9 +775,11 @@ object LlmQueries {
     // (a single 64-bit fold would need the sign bit — DuckDB BIGINT
     // throws on signed overflow where JVM longs wrap, so the split is
     // the engine-portable layout). Candidates come from 4×16-bit
-    // band buckets exactly like SimHash (banding beats the O(n²)
-    // pairwise scan at any scale); verified pairs are Hamming ≤ 6 of
-    // 64. Payloads shorter than 64 bytes are skipped (nothing to
+    // band buckets exactly like SimHash, with the L132 degree cap on
+    // each bucket (degenerate payloads — uniform bytes — mint
+    // mega-buckets, and the cap keeps candidates linear; banding beats
+    // the O(n²) pairwise scan at any scale); verified pairs are
+    // Hamming ≤ 6 of 64. Payloads shorter than 64 bytes are skipped (nothing to
     // resize). One scan computes every hash; the join touches only
     // band-bucket collisions.
     Q(
@@ -806,32 +808,32 @@ object LlmQueries {
            |  SELECT doc_id, hi, lo, u.band,
            |    CASE u.band WHEN 1 THEN hi // 65536 WHEN 2 THEN hi % 65536
            |      WHEN 3 THEN lo // 65536 ELSE lo % 65536 END AS band_val
-           |  FROM h, unnest(range(1, 5)) u(band))
+           |  FROM h, unnest(range(1, 5)) u(band)),
+           |rb AS (
+           |  SELECT doc_id, hi, lo, band, band_val,
+           |    row_number() OVER (PARTITION BY band, band_val
+           |      ORDER BY doc_id) AS rk
+           |  FROM b)
            |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
            |  CAST(bit_count(xor(a.hi, b2.hi))
            |    + bit_count(xor(a.lo, b2.lo)) AS BIGINT) AS hamming
-           |FROM b a JOIN b b2 USING (band, band_val)
-           |WHERE a.doc_id < b2.doc_id
+           |FROM rb a JOIN b b2 USING (band, band_val)
+           |WHERE a.rk <= ${graft.ops.Dedup.DefaultDegreeCap}
+           |  AND a.doc_id < b2.doc_id
            |  AND bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)) <= 6""".stripMargin
       }) { (spark, dir) =>
-      val d = Tables.documents(spark, dir)
+      // the hash is one compiled pass per row (graft_ahash — the
+      // KernelEquivalenceSpec pins it against the defining HOF chain);
+      // the 64-element transform + three interpreted folds it replaces
+      // were the q219 hot path (interpreted HOFs run one boxed call
+      // per element)
+      val h = Tables.documents(spark, dir)
         .select(col("doc_id"),
-          regexp_replace(col("text"), "[^ -~]", "").as("text"))
-        .filter(length(col("text")) >= 64)
-        .withColumn("stride", floor(length(col("text")) / 64).cast("long"))
-      val bs = transform(sequence(lit(0L), lit(63L)), i =>
-        ascii(col("text").substr((i * col("stride") + 1).cast("int"), lit(1)))
-          .cast("long"))
-      def packBits(slice: Column, m: Column): Column =
-        aggregate(slice, lit(0L), (a, x) =>
-          a * 2 + when(x > m, 1L).otherwise(0L))
-      val h = d.withColumn("bs", bs)
-        .withColumn("m",
-          floor(aggregate(col("bs"), lit(0L), (a, x) => a + x) / 64)
-            .cast("long"))
+          call_function("graft_ahash",
+            regexp_replace(col("text"), "[^ -~]", "")).as("ah"))
+        .filter(col("ah").isNotNull)
         .select(col("doc_id"),
-          packBits(slice(col("bs"), 1, 32), col("m")).as("hi"),
-          packBits(slice(col("bs"), 33, 32), col("m")).as("lo"))
+          col("ah").getItem(0).as("hi"), col("ah").getItem(1).as("lo"))
         .localCheckpoint() // one scan mints every hash; feeds both join sides
       val b = h.select(col("doc_id"), col("hi"), col("lo"),
           explode(array(
@@ -841,11 +843,19 @@ object LlmQueries {
             struct(lit(4).as("band"), (col("lo") % 65536).as("band_val")))).as("bv"))
         .select(col("doc_id"), col("hi"), col("lo"),
           col("bv.band").as("band"), col("bv.band_val").as("band_val"))
+      // degenerate payloads (uniform bytes) mint mega-buckets whose
+      // pairwise fanout goes quadratic — the L132 degree cap bounds
+      // candidates per bucket exactly as simhashPairsCapped does (the
+      // sf1 probe read 7.9x before the cap, in-family after)
+      val ranked = b.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "band_val").orderBy("doc_id")))
+        .filter(col("rk") <= graft.ops.Dedup.DefaultDegreeCap)
       val other = b.select(col("doc_id").as("_id2"), col("hi").as("_hi2"),
         col("lo").as("_lo2"), col("band"), col("band_val"))
       val ham = bit_count(col("hi").bitwiseXOR(col("_hi2"))) +
         bit_count(col("lo").bitwiseXOR(col("_lo2")))
-      b.join(other, Seq("band", "band_val"))
+      ranked.join(other, Seq("band", "band_val"))
         .filter(col("doc_id") < col("_id2") && ham <= 6)
         .select(col("doc_id").as("id_a"), col("_id2").as("id_b"),
           ham.cast("long").as("hamming"))

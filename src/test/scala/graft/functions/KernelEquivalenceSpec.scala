@@ -111,4 +111,30 @@ class KernelEquivalenceSpec extends SparkSuite {
     // bit-identical, not approximately equal — the oracle depends on it
     assert(kernel.as[Double].collect().toSeq == hof.as[Double].collect().toSeq)
   }
+
+  test("AHash64 == the defining stride-sample/mean/bit-pack HOF chain; " +
+      "NULL under 64 bytes") {
+    val payloads = Seq("a" * 63, "b" * 64, "ab" * 40, "xyz" * 100) ++
+      (1 to 20).map(_ =>
+        (1 to (64 + rng.nextInt(400))).map(_ => (32 + rng.nextInt(95)).toChar)
+          .mkString)
+    val df = payloads.toDF("text")
+    val kernel = df.select(call_function("graft_ahash", col("text")).as("ah"))
+      .as[Option[Seq[Long]]].collect().toSeq
+    val stride = floor(length(col("text")) / 64).cast("long")
+    val bs = transform(sequence(lit(0L), lit(63L)), i =>
+      ascii(col("text").substr((i * col("stride") + 1).cast("int"), lit(1)))
+        .cast("long"))
+    def pack(slice: org.apache.spark.sql.Column, m: org.apache.spark.sql.Column) =
+      aggregate(slice, lit(0L), (a, x) => a * 2 + when(x > m, 1L).otherwise(0L))
+    val hof = df.filter(length(col("text")) >= 64)
+      .withColumn("stride", stride).withColumn("bs", bs)
+      .withColumn("m",
+        floor(aggregate(col("bs"), lit(0L), (a, x) => a + x) / 64).cast("long"))
+      .select(array(pack(slice(col("bs"), 1, 32), col("m")),
+        pack(slice(col("bs"), 33, 32), col("m"))).as("ah"))
+      .as[Seq[Long]].collect().toSeq
+    assert(kernel.head.isEmpty, "63-byte payload must hash to NULL")
+    assert(kernel.flatten == hof, "kernel diverged from the defining fold")
+  }
 }
