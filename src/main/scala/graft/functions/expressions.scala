@@ -515,7 +515,17 @@ case class CdcBoundaries(child: Expression, w: Int, divisor: Int)
   * row replacing a 64-element transform + three interpreted aggregate
   * folds — the q219 hot path. Bit-identical to the defining HOF chain
   * (same stride, same positions, same strict `>` against the floored
-  * mean) the DuckDB oracle still runs. */
+  * mean) the DuckDB oracle still runs.
+  *
+  * Input contract: printable-ASCII payloads only. The kernel samples
+  * UTF-8 BYTES and gates on byte length, while the defining HOF chain
+  * (substr/ascii) samples CHARACTERS and gates on character length —
+  * the two agree exactly on single-byte (ASCII) input, which is what
+  * q219 feeds it (its pipeline strips to printable ASCII first). On
+  * multi-byte UTF-8 the byte-level semantics here are the intended
+  * ones (a real deploy hashes binary image payloads, where bytes are
+  * the only sampling unit), but the bit-identical-to-HOF contract does
+  * NOT hold; KernelEquivalenceSpec pins both facts. */
 case class AHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def checkInputDataTypes(): TypeCheckResult =

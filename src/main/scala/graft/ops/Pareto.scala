@@ -25,21 +25,52 @@ import org.apache.spark.sql.functions._
 object Pareto {
 
   /** One skyline pass: per `part` group (whole frame when empty), keep
-    * rows no other row in the group dominates. Two windows on the
-    * group key: the running max of y over strictly-smaller x (a range
-    * frame), and the max y among equal x. */
+    * rows no other row in the group dominates.
+    *
+    * Integral x rides two windows on the group key: the running max of
+    * y over strictly-smaller x via `rangeBetween(unboundedPreceding,
+    * -1)` (the unit offset equals "strictly smaller" exactly because x
+    * is integral), and the max y among equal x. Fractional x
+    * (Double/Float/Decimal) cannot use a unit-offset range frame — x'
+    * in (x-1, x) would escape it and dominated points would survive —
+    * so it takes the type-safe path: max(y) per DISTINCT x, the lag of
+    * the running max over x order gives the best y among strictly
+    * smaller x, joined back on the group+x key (co-partitioned with
+    * the aggregate's own shuffle). Same frontier, either path. */
   def skyline2d(df: DataFrame, xCol: String, yCol: String,
       part: Seq[String] = Nil): DataFrame = {
-    val lt = (if (part.isEmpty) Window.orderBy(col(xCol))
-      else Window.partitionBy(part.map(col): _*).orderBy(col(xCol)))
-      .rangeBetween(Window.unboundedPreceding, -1)
-    val eq = Window.partitionBy((part :+ xCol).map(col): _*)
-    df.withColumn("_best_smaller", max(yCol).over(lt))
-      .withColumn("_best_equal", max(yCol).over(eq))
-      .filter((col("_best_smaller").isNull ||
-          col("_best_smaller") < col(yCol)) &&
-        col("_best_equal") === col(yCol))
-      .drop("_best_smaller", "_best_equal")
+    import org.apache.spark.sql.types._
+    val integralX = df.schema(xCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (integralX) {
+      val lt = (if (part.isEmpty) Window.orderBy(col(xCol))
+        else Window.partitionBy(part.map(col): _*).orderBy(col(xCol)))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val eq = Window.partitionBy((part :+ xCol).map(col): _*)
+      df.withColumn("_best_smaller", max(yCol).over(lt))
+        .withColumn("_best_equal", max(yCol).over(eq))
+        .filter((col("_best_smaller").isNull ||
+            col("_best_smaller") < col(yCol)) &&
+          col("_best_equal") === col(yCol))
+        .drop("_best_smaller", "_best_equal")
+    } else {
+      val grp = part :+ xCol
+      val ord = (if (part.isEmpty) Window.orderBy(col(xCol))
+        else Window.partitionBy(part.map(col): _*).orderBy(col(xCol)))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val best = df.groupBy(grp.map(col): _*)
+        .agg(max(yCol).as("_best_equal"))
+        .withColumn("_best_smaller", max(col("_best_equal")).over(ord))
+      df.join(best, grp)
+        .filter((col("_best_smaller").isNull ||
+            col("_best_smaller") < col(yCol)) &&
+          col("_best_equal") === col(yCol))
+        // the USING join moves the key columns first — restore the
+        // caller's column order (the integral path preserves it)
+        .select(df.columns.map(col): _*)
+    }
   }
 
   /** Distributed skyline: per-group prune (any grouping works —

@@ -412,6 +412,19 @@ object Sample {
       .withColumn("wt", when(col("n_rows") <= 1, lit(0.0)).otherwise(
         sqrt((col("n_rows") * (col("n_rows") * col("s2") - col("s1") * col("s1")))
           .cast("double") / (col("n_rows") - 1))))
+      // loud-failure guard: a Decimal(38,0) overflow in the variance
+      // numerator (or an all-null value column) nulls wt, which would
+      // null the w_total fold and silently empty the whole sample —
+      // fail the job with the stratum name instead. Under ANSI mode
+      // (the Spark 4 default, and this engine's sessions) the decimal
+      // sum itself already throws NUMERIC_VALUE_OUT_OF_RANGE at the
+      // aggregate; this guard keeps the failure loud for ANSI-off
+      // deployments where the overflow degrades to NULL.
+      .withColumn("wt", when(col("wt").isNotNull, col("wt")).otherwise(
+        raise_error(concat(
+          lit("neymanSample: null variance weight (decimal overflow past " +
+            "38 digits, or all-null values) in stratum "),
+          col(stratCol).cast("string")))))
       .localCheckpoint() // |strata| rows; feeds the fold and the quotas
     val tot = s.agg(
       aggregate(

@@ -240,6 +240,76 @@ object Similarity {
       cents.toDF("cid", "cv").select(col("cid").cast("long").as("cid"), col("cv")))
   }
 
+  /** IVF cell ENCODE as a standalone step: cosine-nearest centroid id
+    * (ties to the lower cid) — exactly the corpus-side cell rule the
+    * IVF search applies, exposed so a continuous-ingest pipeline can
+    * encode a NEW batch against a STANDING codebook and append the
+    * codes to a versioned index table ([[graft.Meta.Versioned]])
+    * instead of re-assigning the whole corpus per batch. Because the
+    * code is a pure per-row function of (vector, codebook),
+    * fold(standing, encode(batch)) == encode(standing ∪ batch) — the
+    * q119/q222 fold identity, here on the index itself (q223's oracle
+    * crosses it engine-to-engine). Pure projection against centroid
+    * literals — one scan, no join, no shuffle. Returns (idCol, cid
+    * LONG). */
+  def ivfEncode(df: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    require(cents.nonEmpty, "ivfEncode needs a non-empty codebook")
+    val dv = toDouble(col(vecCol))
+    val vn = sqrt(dot(dv, dv))
+    // max cosine with ties to the lower cid == lexicographic min of
+    // (−cos, cid); negation is exact, so the order matches the
+    // search's `ORDER BY cos DESC, cid` bit for bit
+    val best = array_min(array(cents.map { case (c, cv) =>
+      val cn = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x))
+      struct((-(dot(dv, typedLit(cv)) / (vn * lit(cn)))).as("nc"),
+        lit(c.toLong).as("cid"))
+    }: _*)).getField("cid")
+    df.select(col(idCol), best.as("cid"))
+  }
+
+  /** [[topKIvfTrained]] over a PRE-ENCODED corpus: cell membership
+    * comes from `codes` (idCol, cid) — the standing versioned index
+    * table a continuous-ingest pipeline maintains via [[ivfEncode]]
+    * folds — instead of being recomputed per search. At 100 TB this is
+    * the difference between a search touching the k·d codebook + the
+    * probed cells and a search re-encoding the corpus: the index is
+    * the materialized state, each batch pays only its own encode.
+    * Queries probe their `nprobe` nearest cells; only those cells'
+    * members are scored. */
+  def topKIvfEncoded(corpus: DataFrame, codes: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      cents: Seq[(Int, Seq[Double])], nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cent = cents.toDF("cid", "cv")
+      .select(col("cid").cast("long").as("cid"), col("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("nv"))
+      .withColumn("nn", sqrt(dot(col("nv"), col("nv"))))
+      .join(codes.select(col(idCol).as("neighbor_id"), col("cid")),
+        Seq("neighbor_id"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val q = queries
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+      .join(broadcast(cent), lit(true))
+      .withColumn("ccos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("crn", row_number().over(pw))
+      .filter(col("crn") <= nprobe)
+      .drop("cv", "cn", "ccos", "crn")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   private def topKIvfWith(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nprobe: Int, centSet: DataFrame): DataFrame = {
     val cent = centSet

@@ -798,6 +798,14 @@ object AnalyticsQueries {
     // against the exact NDV (the scan-only variant for when even one
     // key shuffle is too dear). All integer/round(6) arithmetic — the
     // oracle replays the exact profile.
+    //
+    // Salt-vs-AQE decision rule: AQE's OptimizeSkewedJoin splits hot
+    // SHUFFLE partitions at runtime (first line of defense, on by
+    // default in our sessions and plan-pinned by PlansSpec "AQE splits
+    // a skewed join partition"); explicit salting (q34) is for the
+    // shapes AQE cannot split — skewed AGGREGATE keys, broadcast-
+    // ineligible dimension fan-outs, or a hot key so large one task's
+    // sort still spills. This profile's salt column sizes that fallback.
     Q(
       "q105_skew_profile",
       """WITH c AS (

@@ -772,13 +772,25 @@ object CurationQueries {
     // rule production dedup actually ships (keep the best copy, drop the
     // rest). Same component fixpoint; survivor selection is one window
     // over the component key, and Spark's rank pushdown prunes it.
+    //
+    // Round 13: the pair source is the L132 degree-capped stream (rank
+    // cap replayed in the oracle), joining q147/q119/q151/q152: a
+    // production decision rule ships on the linear candidate volume,
+    // not the exact generator that goes quadratic inside a template
+    // mega-cluster (the measured 27× pair explosion at sf1); capped-away
+    // links reconcile via the periodic q49 full recompute, whose
+    // convergence TextDedupSpec pins.
     Q(
       "q87_cluster_survivors",
       s"""WITH RECURSIVE ${LlmQueries.simhashCtes},
+         |ranked AS (
+         |  SELECT doc_id, sim, band, band_key,
+         |    row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rk
+         |  FROM banded),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b USING (band, band_key)
-         |  WHERE a.doc_id < b.doc_id
+         |  FROM ranked a JOIN banded b USING (band, band_key)
+         |  WHERE a.rk <= ${Dedup.DefaultDegreeCap} AND a.doc_id < b.doc_id
          |    AND bit_count(xor(a.sim, b.sim)) <= 3),
          |edges AS (
          |  SELECT id_a AS src, id_b AS dst FROM pairs
@@ -797,8 +809,8 @@ object CurationQueries {
          |    ORDER BY n_chars DESC, doc_id) = 1 AS keep
          |FROM tagged""".stripMargin) { (spark, dir) =>
       val docs = Tables.documents(spark, dir)
-      val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
-        bands = 4, maxHamming = 3)
+      val pairs = Dedup.simhashPairsCapped(docs, "doc_id", "text",
+        bands = 4, maxHamming = 3, cap = Dedup.DefaultDegreeCap)
       Components.resolveClusters(docs, "doc_id", pairs, "id_a", "id_b",
         survivorOrder = Seq("n_chars" -> false))
     },

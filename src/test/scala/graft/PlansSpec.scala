@@ -94,11 +94,16 @@ class PlansSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), s"fact side must not shuffle for a join:\n$p")
   }
 
-  test("AQE splits a skewed join partition at runtime (skew=true)") {
+  test("AQE splits a skewed join partition at runtime (skew=true): " +
+      "Spark's OptimizeSkewedJoin rule, the first line of defense the " +
+      "q105 salt-vs-AQE decision rule leans on") {
     import spark.implicits._
     // one hot key with ~200k wide rows vs 100 cold keys; thresholds
     // lowered so the local fixture trips the same machinery a 100 TB
-    // hot-key join would
+    // hot-key join would. The `skew=true` marker below is emitted by
+    // AQEShuffleRead exactly when OptimizeSkewedJoin replaced the hot
+    // partition with multiple sub-reads; explicit salting (q34) covers
+    // the shapes this rule cannot split (see q105's scaladoc).
     val confs = Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       // thresholds in terms of COMPRESSED shuffle-block sizes (what map

@@ -137,4 +137,26 @@ class KernelEquivalenceSpec extends SparkSuite {
     assert(kernel.head.isEmpty, "63-byte payload must hash to NULL")
     assert(kernel.flatten == hof, "kernel diverged from the defining fold")
   }
+
+  test("AHash64 non-ASCII input is BYTE-level by design (the documented " +
+      "divergence from the char-level HOF chain)") {
+    // 40 chars but 80 UTF-8 bytes: char-level gate (HOF chain) says
+    // too-short, byte-level gate (kernel, the intended binary-payload
+    // semantics) hashes it. Pin the kernel against a reference fold
+    // over the raw UTF-8 bytes.
+    val s = "é" * 40
+    val bytes = s.getBytes("UTF-8")
+    assert(s.length < 64 && bytes.length >= 64)
+    val stride = bytes.length / 64
+    val sampled = (0 until 64).map(i => bytes(i * stride) & 0xff)
+    val m = sampled.map(_.toLong).sum / 64
+    def pack(sl: Seq[Int]): Long =
+      sl.foldLeft(0L)((a, b) => a * 2 + (if (b > m) 1L else 0L))
+    val expected = Seq(pack(sampled.take(32)), pack(sampled.drop(32)))
+    val got = Seq(s).toDF("text")
+      .select(call_function("graft_ahash", col("text")).as("ah"))
+      .as[Seq[Long]].collect().head
+    assert(got == expected,
+      "kernel must sample raw UTF-8 bytes and gate on byte length")
+  }
 }

@@ -47,6 +47,29 @@ class ParetoSpec extends SparkSuite {
     }
   }
 
+  test("fractional x takes the type-safe path: points with x' in " +
+      "(x-1, x) still dominate (the range-frame unit-offset trap)") {
+    // x is DOUBLE: (x=1.5, y=10) dominates (x=1.6, y=5) even though
+    // 1.5 > 1.6 - 1 — a unit-offset range frame would miss it
+    val rows = Seq((1L, 1.5, 10L), (2L, 1.6, 5L), (3L, 0.5, 3L),
+      (4L, 2.5, 10L), (5L, 2.5, 10L), (6L, 0.4, 10L))
+    val got = Pareto.skyline2d(rows.toDF("id", "x", "y"), "x", "y")
+      .as[(Long, Double, Long)].collect().toSet
+    val expected = rows.filter { case (_, x, y) =>
+      !rows.exists { case (_, bx, by) =>
+        bx <= x && by >= y && (bx < x || by > y) } }.toSet
+    assert(!expected.exists(_._1 == 2L), "sanity: row 2 is dominated")
+    assert(got == expected, "double-x skyline diverged from definition")
+    // randomized double-x corpus vs brute force
+    val rd = data.map { case (i, x, y) => (i, x / 8.0, y) }
+    val got2 = Pareto.skyline2d(rd.toDF("id", "x", "y"), "x", "y")
+      .as[(Long, Double, Long)].collect().toSet
+    val exp2 = rd.filter { case (_, x, y) =>
+      !rd.exists { case (_, bx, by) =>
+        bx <= x && by >= y && (bx < x || by > y) } }.toSet
+    assert(got2 == exp2, "random double-x skyline diverged")
+  }
+
   test("fold(skyline(hist), batch) == skyline(hist ∪ batch) on " +
       "randomized splits") {
     val df = data.toDF("id", "x", "y")

@@ -233,4 +233,39 @@ class SampleSpec extends SparkSuite {
     assert(bigAlloc == Seq(("A", 2L)),
       s"large-value stratum lost its allocation (Σx² wrap?): $bigAlloc")
   }
+
+  test("neymanSample: a 38-digit variance-numerator overflow FAILS the " +
+      "job loudly instead of silently emitting an empty sample") {
+    // two rows near Long.MaxValue: the exact Σx² ≈ (9.2e18)² ≈ 8.5e37
+    // and the N·(N·Σx² − (Σx)²) numerator passes 38 digits. Under ANSI
+    // (this engine's default) the Decimal(38,0) aggregate itself
+    // throws NUMERIC_VALUE_OUT_OF_RANGE; with ANSI off the overflow
+    // degrades to NULL and the raise_error guard fires, naming the
+    // stratum. Either way the job must FAIL — never silently return an
+    // empty sample.
+    val big = Seq((1L, "HOT", Long.MaxValue - 1), (2L, "HOT", 1L),
+      (3L, "B", 5L), (4L, "B", 6L)).toDF("id", "src", "v")
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val e = intercept[Exception] {
+      Sample.neymanSample(big, "id", "src", "v", budget = 2).collect()
+    }
+    assert(messages(e).exists(m =>
+        (m.contains("neymanSample") && m.contains("HOT")) ||
+          m.contains("NUMERIC_VALUE_OUT_OF_RANGE")),
+      s"expected a loud overflow failure, got: $e")
+    // the ANSI-off silent-null path: the guard must fire with the
+    // stratum name instead of emptying the sample
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val e2 = intercept[Exception] {
+        Sample.neymanSample(big, "id", "src", "v", budget = 2).collect()
+      }
+      assert(messages(e2).exists(m =>
+          m.contains("neymanSample") && m.contains("HOT")),
+        s"expected the guard to name stratum HOT, got: $e2")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
 }
