@@ -327,5 +327,176 @@ object IndexQueries {
             ExactRound.roundRatio(col("num"), col("den"), 6))
             .otherwise(-ExactRound.roundRatio(-col("num"), col("den"), 6))
             .cast("double")).as("ari"))
+    },
+
+    // ---- L206 split-conformal novelty gate (Vovk et al. 2005;
+    // Angelopoulos & Bates 2021): a DISTRIBUTION-FREE atypicality
+    // threshold for continuous ingest — nonconformity s = 1 − cos(v,
+    // corpus centroid), threshold = the ⌈(n_cal+1)(1−α)⌉-th smallest
+    // calibration score, guaranteeing P(s ≤ q̂) ≥ 1−α on exchangeable
+    // data with NO model assumptions (what a drift tripwire should be;
+    // q85's z-score outliers assume a scale, this does not). Scale
+    // shape: centroid = one (dim)-keyed aggregate; the rank window
+    // runs ONLY over the calibration sample (bounded by design — a
+    // conformal calibration set is O(10⁴) however big the corpus);
+    // test scoring is a scan against the broadcast threshold.
+    // Exactness: centroid means via the q143 integer recipe
+    // (roundRatioSigned → DECIMAL(12,6)), dot/norm sums as exact
+    // DECIMALs, the score one identical-operand double chain, the rank
+    // integer, coverage via roundRatio; the threshold double is
+    // presented round(6) (q26/q144 recipe).
+    Q(
+      "q225_conformal_novelty",
+      s"""WITH cent AS MATERIALIZED (
+         |  SELECT i,
+         |    CAST(CAST(CASE WHEN s10 < 0
+         |          THEN -((2 * (-s10) + d) // (2 * d))
+         |          ELSE (2 * s10 + d) // (2 * d) END AS DECIMAL(12,0))
+         |      * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6)) AS m
+         |  FROM (
+         |    SELECT i,
+         |      CAST(sum(CAST(CAST(CAST(embedding[i] AS DOUBLE)
+         |          AS DECIMAL(27,10))
+         |        * CAST(10000000000 AS DECIMAL(11,0)) AS HUGEINT))
+         |        AS HUGEINT) AS s10,
+         |      CAST(count(*) AS HUGEINT) * 10000 AS d
+         |    FROM embeddings, range(1, 65) t(i) GROUP BY i)),
+         |cn AS (SELECT sqrt(CAST(sum(CAST(m * m AS DECIMAL(27,12)))
+         |  AS DOUBLE)) AS cn FROM cent),
+         |ex AS (
+         |  SELECT vec_id, i,
+         |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(14,10)) AS v
+         |  FROM embeddings, range(1, 65) t(i)),
+         |sc AS MATERIALIZED (
+         |  SELECT ex.vec_id,
+         |    CAST(sum(CAST(ex.v * c.m AS DECIMAL(26,16))) AS DOUBLE) AS dot,
+         |    CAST(sum(CAST(ex.v * ex.v AS DECIMAL(28,20))) AS DOUBLE) AS vn2
+         |  FROM ex JOIN cent c USING (i) GROUP BY 1),
+         |s AS MATERIALIZED (
+         |  SELECT vec_id, 1.0 - dot / (sqrt(vn2) * cn) AS s FROM sc, cn),
+         |cal AS (SELECT vec_id, s FROM s WHERE vec_id % 5 = 1),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
+         |  CAST(least(((count(*) + 1) * 9 + 9) // 10, count(*)) AS BIGINT)
+         |    AS k_rank FROM cal),
+         |thr AS (SELECT n_cal, k_rank, x.s AS thr FROM (
+         |  SELECT vec_id, s, row_number() OVER (ORDER BY s, vec_id) AS rk
+         |  FROM cal) x, nc WHERE x.rk = nc.k_rank),
+         |tst AS (SELECT s FROM s WHERE vec_id % 5 = 0)
+         |SELECT n_cal, k_rank, round(thr, 6) AS threshold,
+         |  CAST(count(*) AS BIGINT) AS n_test,
+         |  CAST(sum(CASE WHEN s <= thr THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_covered,
+         |  CAST((2 * sum(CASE WHEN s <= thr THEN 1 ELSE 0 END) * 1000000
+         |      + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000
+         |    AS coverage
+         |FROM tst, thr GROUP BY 1, 2, 3""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(spark, dir)
+      val V = DecimalType(14, 10)
+      val ex = e.select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").as("i"),
+          col("col").cast("double").cast(V).as("v"))
+      val cent = ex.groupBy("i")
+        .agg(ExactRound.roundRatioSigned(
+            sum(col("v").cast(DecimalType(27, 10))), 10, count(lit(1)), 6)
+          .cast(DecimalType(12, 6)).as("m"))
+      val cn = cent.agg(
+        sqrt(sum((col("m") * col("m")).cast(DecimalType(27, 12)))
+          .cast("double")).as("cn"))
+      val sc = ex.join(broadcast(cent), "i")
+        .groupBy("vec_id")
+        .agg(
+          sum((col("v") * col("m")).cast(DecimalType(26, 16)))
+            .cast("double").as("dot"),
+          sum((col("v") * col("v")).cast(DecimalType(28, 20)))
+            .cast("double").as("vn2"))
+        .crossJoin(broadcast(cn))
+        .select(col("vec_id"),
+          (lit(1.0) - col("dot") / (sqrt(col("vn2")) * col("cn"))).as("s"))
+        .localCheckpoint() // calibration rank + test coverage both read it
+      val cal = sc.filter(col("vec_id") % 5 === 1)
+      val nc = cal.agg(count(lit(1)).as("n_cal"))
+        .withColumn("k_rank",
+          least(expr("((n_cal + 1) * 9 + 9) div 10"), col("n_cal")))
+      // rank window over the CALIBRATION SAMPLE only (bounded by design)
+      val ranked = cal.withColumn("rk",
+        row_number().over(Window.orderBy(col("s"), col("vec_id"))))
+      val thr = ranked.join(broadcast(nc), col("rk") === col("k_rank"))
+        .select(col("n_cal"), col("k_rank"), col("s").as("thr"))
+      sc.filter(col("vec_id") % 5 === 0)
+        .crossJoin(broadcast(thr))
+        .agg(first(col("n_cal")).as("n_cal"),
+          first(col("k_rank")).as("k_rank"),
+          round(first(col("thr")), 6).as("threshold"),
+          count(lit(1)).as("n_test"),
+          sum(when(col("s") <= col("thr"), 1L).otherwise(0L))
+            .as("n_covered"))
+        .withColumn("coverage",
+          ExactRound.roundRatio(col("n_covered"), col("n_test"), 6)
+            .cast("double"))
+    },
+
+    // ---- L207 STREAMING index fold: q223's continuous-ingest loop as
+    // an actual stream — embedding micro-batches arrive via foreachBatch,
+    // each encodes against the BROADCAST standing codebook (a pure
+    // projection; the codebook is k·d doubles, the only state the
+    // encode step ever needs) and appends its codes to the versioned
+    // index table exactly-once (writeOnce per batch id). The query
+    // returns the FOLDED CODE TABLE itself and the oracle computes the
+    // ONE-SHOT assignment of the whole corpus — so the fold identity
+    // fold(encode(b₁), encode(b₂), …) == encode(corpus) is pinned
+    // row-for-row across engines, not through a downstream search.
+    // Per-batch cost is |batch|·k dots + one |standing|+|batch| append;
+    // the corpus is never re-scanned.
+    Q(
+      "q226_stream_index_fold",
+      s"""WITH ${kmChain("h", " WHERE vec_id % 3 <> 0")},
+         |av AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+         |  FROM embeddings),
+         |avn AS (SELECT vec_id, dv, ${dot64Sql("dv", "dv")} AS vn2 FROM av),
+         |ccs AS (SELECT cluster AS cid, cv,
+         |  sqrt(${dot64Sql("cv", "cv")}) AS cn FROM hc2),
+         |${cellSql("code", "avn", "ccs", "", 1)}
+         |SELECT vec_id, cid FROM code""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val e = Tables.embeddings(spark, dir)
+      val hist = e.filter(col("vec_id") % 3 =!= 0)
+      val (_, stale) = Similarity.kmeansLloyd(hist, "vec_id", "embedding",
+        k = 4, iters = 2)
+      val root = graft.Tmp.dir("graft-q226").toString
+      val idxPath = s"$root/codes"
+      graft.Meta.Versioned.write(
+        Similarity.ivfEncode(hist, "vec_id", "embedding", stale), idxPath)
+      implicit val ctx = spark.sqlContext
+      import spark.implicits._
+      val feed = e.filter(col("vec_id") % 3 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      val (b1, b2) = feed.splitAt(feed.length / 2)
+      val ms = MemoryStream[(Long, Seq[Float])]
+      val fold = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {
+        val bcodes = Similarity.ivfEncode(
+          batch.toDF("vec_id", "embedding"), "vec_id", "embedding", stale)
+        graft.Meta.Versioned.writeOnce(
+          graft.Meta.Versioned.read(spark, idxPath).unionByName(bcodes),
+          idxPath, "q226", bid)
+        ()
+      }
+      graft.streaming.Streams.withShufflePartitions(spark, 4) {
+        val q = ms.toDF().toDF("vec_id", "embedding").writeStream
+          .foreachBatch(fold)
+          .outputMode("update")
+          .option("checkpointLocation", s"$root/cp")
+          .start()
+        try {
+          ms.addData(b1)
+          q.processAllAvailable()
+          ms.addData(b2)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      graft.Meta.Versioned.read(spark, idxPath)
+        .select(col("vec_id"), col("cid"))
     })
 }
