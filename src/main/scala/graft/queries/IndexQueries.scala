@@ -498,5 +498,255 @@ object IndexQueries {
       }
       graft.Meta.Versioned.read(spark, idxPath)
         .select(col("vec_id"), col("cid"))
+    },
+
+    // ---- L208 per-dimension embedding variance / anisotropy audit:
+    // the embedding-health scorecard q85 (outliers) and q143 (drift)
+    // don't cover — which DIMENSIONS carry the corpus' variance. A
+    // collapsed dimension (≈0 variance) wastes index width; a few
+    // dominant dimensions (high var_share) make cosine behave like a
+    // 1-D sort and say the space needs whitening before ANN. Input is
+    // quantized to 5 dp (the operator's declared contract — tie-free
+    // for float32, same argument as kmeansLloyd's 12-dp cast), then
+    // EVERYTHING is integer: per-dim moments as exact HUGEINT/DECIMAL
+    // sums, variance numerator n·Σu² − (Σu)², the 6-dp variance and
+    // share via the half-away integer divide, rank over the 64-row
+    // frame. ONE (dim)-keyed aggregate over the corpus — linear, no
+    // vector ever collected.
+    Q(
+      "q227_embedding_variance",
+      """WITH u AS (
+        |  SELECT i,
+        |    CAST(CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(9,5))
+        |      * 100000 AS HUGEINT) AS HUGEINT) AS uv
+        |  FROM embeddings, range(1, 65) t(i)),
+        |m AS MATERIALIZED (
+        |  SELECT i, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(uv) AS HUGEINT) AS s1,
+        |    CAST(sum(uv * uv) AS HUGEINT) AS s2
+        |  FROM u GROUP BY i),
+        |d AS MATERIALIZED (
+        |  SELECT i, n, n * s2 - s1 * s1 AS d10 FROM m),
+        |t AS (SELECT CAST(sum(d10) AS HUGEINT) AS td FROM d)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(n AS BIGINT) AS n,
+        |  CAST((2 * d10 * 1000000 + n * n * 10000000000)
+        |    // (2 * n * n * 10000000000) AS DOUBLE) / 1000000 AS variance,
+        |  CAST((2 * d10 * 1000000 + td) // (2 * td) AS DOUBLE) / 1000000
+        |    AS var_share,
+        |  CAST(row_number() OVER (ORDER BY d10 DESC, i) AS BIGINT)
+        |    AS var_rank
+        |FROM d, t""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(spark, dir)
+      val I = DecimalType(38, 0)
+      // exact unscaled integer of a scale-10 decimal (the ExactRound
+      // internal layout: (26,10) × 10^10 fits (38,10), cast exact)
+      def unscale10(c: org.apache.spark.sql.Column) =
+        (c.cast(DecimalType(26, 10)) *
+          lit(java.math.BigDecimal.TEN.pow(10)).cast(DecimalType(11, 0)))
+          .cast(I)
+      val ex = e.select(posexplode(col("embedding")))
+        .select((col("pos") + 1).cast("long").as("i"),
+          col("col").cast("double").cast(DecimalType(9, 5)).as("v"))
+      val m = ex.groupBy("i").agg(
+        count(lit(1)).as("n"),
+        sum(col("v").cast(DecimalType(27, 5))).as("s1"),
+        sum((col("v") * col("v")).cast(DecimalType(27, 10))).as("s2"))
+      val dNum = col("s2").cast(DecimalType(20, 10)) *
+        col("n").cast(DecimalType(10, 0)) -
+        col("s1").cast(DecimalType(14, 5)) * col("s1").cast(DecimalType(14, 5))
+      val dd = m.withColumn("d10u", unscale10(dNum))
+      val td = dd.agg(sum(col("d10u")).as("td"))
+      dd.crossJoin(broadcast(td)).select(
+        col("i"), col("n"),
+        ExactRound.roundRatio(col("d10u"),
+          col("n").cast(I) * col("n").cast(I) *
+            lit(java.math.BigDecimal.TEN.pow(10)).cast(I), 6)
+          .cast("double").as("variance"),
+        ExactRound.roundRatio(col("d10u"), col("td"), 6)
+          .cast("double").as("var_share"),
+        row_number().over(Window.orderBy(col("d10u").desc, col("i")))
+          .cast("long").as("var_rank"))
+    },
+
+    // ---- L209 CUPED variance-reduced experiment readout (Deng et al.
+    // 2013): the q221 z-test's power upgrade — adjust each user's
+    // metric Y by a pre-determined covariate X (here the view count;
+    // in production the PRE-period metric — the algebra is identical
+    // for any treatment-independent X), Ŷ = Y − θ(X − X̄) with
+    // θ = cov(X,Y)/var(X), cutting metric variance by ρ² without
+    // touching the mean. EVERYTHING is integer/decimal-exact: the five
+    // pooled moments are integer sums, θ rounds once at 9 dp in
+    // integer space (signed half-away), each variant's adjusted mean
+    // is one cross-multiplied signed divide at 6 dp, and the variance
+    // reduction ρ² is a pure integer ratio. One per-user aggregate,
+    // one 2-row reduction — at any corpus size the adjustment runs on
+    // a dozen integers.
+    Q(
+      "q228_cuped_ab",
+      """WITH u AS (
+        |  SELECT user_id, user_id % 2 AS variant,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS y,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM u),
+        |th AS (
+        |  SELECT n, sx, sy,
+        |    n * sxy - sx * sy AS covn,
+        |    n * sxx - sx * sx AS varxn,
+        |    n * syy - sy * sy AS varyn,
+        |    CASE WHEN n * sxx - sx * sx = 0 THEN 0
+        |      WHEN n * sxy - sx * sy >= 0
+        |      THEN (2 * (n * sxy - sx * sy) * 1000000000 + (n * sxx - sx * sx))
+        |        // (2 * (n * sxx - sx * sx))
+        |      ELSE -((2 * (sx * sy - n * sxy) * 1000000000
+        |          + (n * sxx - sx * sx))
+        |        // (2 * (n * sxx - sx * sx))) END AS q9
+        |  FROM g),
+        |v AS (
+        |  SELECT variant, CAST(count(*) AS HUGEINT) AS nv,
+        |    sum(y) AS syv, sum(x) AS sxv
+        |  FROM u GROUP BY 1)
+        |SELECT CAST(variant AS BIGINT) AS variant,
+        |  CAST(nv AS BIGINT) AS n_users,
+        |  CAST(syv AS BIGINT) AS sum_y,
+        |  CAST((2 * syv * 1000000 + nv) // (2 * nv) AS DOUBLE) / 1000000
+        |    AS mean_y,
+        |  CAST(CASE WHEN n * syv * 1000000000 - q9 * (n * sxv - nv * sx) >= 0
+        |    THEN (2 * (n * syv * 1000000000 - q9 * (n * sxv - nv * sx))
+        |        + nv * n * 1000) // (2 * nv * n * 1000)
+        |    ELSE -((2 * (q9 * (n * sxv - nv * sx) - n * syv * 1000000000)
+        |        + nv * n * 1000) // (2 * nv * n * 1000)) END
+        |    AS DOUBLE) / 1000000 AS mean_y_adj,
+        |  CAST(q9 AS DOUBLE) / 1000000000 AS theta,
+        |  CASE WHEN varxn * varyn = 0 THEN 0.0
+        |    ELSE CAST((2 * covn * covn * 1000000 + varxn * varyn)
+        |      // (2 * varxn * varyn) AS DOUBLE) / 1000000 END
+        |    AS var_reduction
+        |FROM v, th""".stripMargin) { (spark, dir) =>
+      val I = DecimalType(38, 0)
+      val u = Tables.events(spark, dir)
+        .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+        .agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("x"))
+        .localCheckpoint() // pooled moments + per-variant sums
+      val g = u.agg(
+        count(lit(1)).cast(I).as("n"),
+        sum(col("x")).cast(I).as("sx"), sum(col("y")).cast(I).as("sy"),
+        sum((col("x") * col("y")).cast(I)).as("sxy"),
+        sum((col("x") * col("x")).cast(I)).as("sxx"),
+        sum((col("y") * col("y")).cast(I)).as("syy"))
+      val th = g.select(col("n"), col("sx"), col("sy"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("covn"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("varxn"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("varyn"))
+        .withColumn("theta9",
+          when(col("varxn") === 0, lit(0).cast(DecimalType(38, 9)))
+            .otherwise(when(col("covn") >= 0,
+              ExactRound.roundRatio(col("covn"), col("varxn"), 9))
+              .otherwise(-ExactRound.roundRatio(-col("covn"), col("varxn"), 9))
+              .cast(DecimalType(38, 9))))
+      val v = u.groupBy("variant").agg(
+        count(lit(1)).cast(I).as("nv"),
+        sum(col("y")).cast(I).as("syv"), sum(col("x")).cast(I).as("sxv"))
+      // Ŷ_v = [n·ΣY_v − θ·(n·ΣX_v − n_v·ΣX)] / (n_v·n); θ at (20,9) ×
+      // the (17,0) integer factor stays inside precision 38 — exact
+      val adjNum = col("n") * col("syv") -
+        (col("theta9").cast(DecimalType(20, 9)) *
+          (col("n") * col("sxv") - col("nv") * col("sx"))
+            .cast(DecimalType(17, 0)))
+      v.crossJoin(broadcast(th)).select(
+        col("variant").cast("long").as("variant"),
+        col("nv").cast("long").as("n_users"),
+        col("syv").cast("long").as("sum_y"),
+        ExactRound.roundRatio(col("syv"), col("nv"), 6)
+          .cast("double").as("mean_y"),
+        ExactRound.roundRatioSigned(adjNum, 9, col("nv") * col("n"), 6)
+          .cast("double").as("mean_y_adj"),
+        col("theta9").cast("double").as("theta"),
+        when(col("varxn") * col("varyn") === 0, lit(0.0)).otherwise(
+          ExactRound.roundRatio(col("covn") * col("covn"),
+            col("varxn") * col("varyn"), 6).cast("double"))
+          .as("var_reduction"))
+    },
+
+    // ---- L210 experiment sample-size planner: the question every
+    // experimentation platform answers BEFORE q221's readout — how many
+    // users per variant to detect an absolute lift of d at α = 5%
+    // two-sided, power 80%. n = (z_{α∕2}+z_β)²·(p₁(1−p₁)+p₂(1−p₂))∕d²
+    // with p₁ measured from the corpus (the standing conversion rate)
+    // and p₂ = p₁+d over an MDE grid. The z-constant is MINTED ONCE —
+    // (1.959964+0.841621)² at 6 dp = 7.848879 — and spliced into both
+    // engines' plans (no engine evaluates Φ⁻¹); everything else works
+    // on UNSCALED integers (p's as x∕n rationals cross-multiplied, the
+    // ceil one floor-divide), so the planned n cannot flip between
+    // engines. One corpus aggregate; the grid math runs on two
+    // integers.
+    Q(
+      "q229_ab_power_planner",
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      > 13 THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(conv) AS HUGEINT) AS x
+        |  FROM u),
+        |g AS (SELECT CAST(unnest([1, 2, 5, 10]) AS HUGEINT) AS d100),
+        |p AS (
+        |  SELECT d100, n, x,
+        |    x * (n - x) AS a,
+        |    x * 100 + d100 * n AS b1,
+        |    n * 100 - (x * 100 + d100 * n) AS b2
+        |  FROM r, g),
+        |q AS (
+        |  SELECT d100, n, x, b2,
+        |    (a * 10000 + b1 * b2) * 7848879 AS pu,
+        |    n * n * d100 * d100 * 1000000 AS qu6
+        |  FROM p)
+        |SELECT CAST(d100 AS BIGINT) AS mde_pct,
+        |  CAST(n AS BIGINT) AS n_baseline,
+        |  CAST((2 * x * 1000000 + n) // (2 * n) AS DOUBLE) / 1000000
+        |    AS baseline_conv,
+        |  b2 > 0 AS feasible,
+        |  CAST(CASE WHEN b2 > 0 THEN (pu + qu6 - 1) // qu6 ELSE 0 END
+        |    AS BIGINT) AS n_required
+        |FROM q""".stripMargin) { (spark, dir) =>
+      val spk = spark
+      import spk.implicits._
+      val I = DecimalType(38, 0)
+      val r = Tables.events(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(when(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)) > 13, 1L).otherwise(0L).as("conv"))
+        .agg(count(lit(1)).cast(I).as("n"), sum(col("conv")).cast(I).as("x"))
+      val grid = Seq(1L, 2L, 5L, 10L).toDF("d100")
+      r.crossJoin(grid)
+        .select(col("n"), col("x"), col("d100").cast(I).as("d100"))
+        .withColumn("a", col("x") * (col("n") - col("x")))
+        .withColumn("b1", col("x") * 100 + col("d100") * col("n"))
+        .withColumn("b2", col("n") * 100 - col("b1"))
+        .withColumn("pu", (col("a") * 10000 + col("b1") * col("b2")) *
+          lit(7848879L).cast(I))
+        .withColumn("qu6", col("n") * col("n") * col("d100") * col("d100") *
+          lit(1000000L).cast(I))
+        .select(
+          col("d100").cast("long").as("mde_pct"),
+          col("n").cast("long").as("n_baseline"),
+          ExactRound.roundRatio(col("x"), col("n"), 6)
+            .cast("double").as("baseline_conv"),
+          (col("b2") > 0).as("feasible"),
+          when(col("b2") > 0,
+            expr("CAST((pu + qu6 - 1) div qu6 AS BIGINT)"))
+            .otherwise(0L).as("n_required"))
     })
 }
