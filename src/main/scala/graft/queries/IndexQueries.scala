@@ -748,5 +748,369 @@ object IndexQueries {
           when(col("b2") > 0,
             expr("CAST((pu + qu6 - 1) div qu6 AS BIGINT)"))
             .otherwise(0L).as("n_required"))
+    },
+
+    // ---- L211 MinHash-LSH band-structure planner: q159 calibrates the
+    // SIGNATURE length; this picks the (bands, rows) SPLIT of it by
+    // weighting the S-curve P(candidate|J) = 1−(1−Jʳ)ᵇ against the
+    // corpus' OBSERVED candidate-pair Jaccard histogram — the tuning
+    // decision (catch near-dups above τ, don't flood the verifier
+    // below it) made on measured data instead of the textbook curve.
+    // The 120 S-curve probabilities are minted ONCE in exact BigDecimal
+    // arithmetic at 9 dp and spliced into BOTH engines' plans (no
+    // engine evaluates pow); the histogram bins by the exact integer
+    // rational (inter·20)∕union; expected caught/missed/false-candidate
+    // masses are integer count × 9-dp-literal sums rounded in integer
+    // space. Candidates come from the shipped banded join — never
+    // all-pairs — and the planner's own math runs on a 20-row
+    // histogram at any corpus size.
+    Q(
+      "q230_lsh_planner", {
+        val configs = Seq((12, 1), (6, 2), (4, 3), (3, 4), (2, 6), (1, 12))
+        def p9u(b: Int, rr: Int, bin: Int): Long = {
+          val s = BigDecimal(2 * bin + 1) / 40
+          val p = BigDecimal(1) - (BigDecimal(1) - s.pow(rr)).pow(b)
+          (p.setScale(9, BigDecimal.RoundingMode.HALF_UP) *
+            BigDecimal(10).pow(9)).toLongExact
+        }
+        val values = (for ((b, rr) <- configs; bin <- 0 until 20)
+          yield s"($b, $rr, $bin, ${p9u(b, rr, bin)})").mkString(",\n    ")
+        val bandedSql = (0 until LlmQueries.bands).map(b =>
+          s"SELECT doc_id, $b AS band, array_to_string(sig[${b * LlmQueries.r + 1}:${b * LlmQueries.r + LlmQueries.r}], ',') AS band_key FROM sigs")
+          .mkString("\n  UNION ALL ")
+        s"""${LlmQueries.hvCte},
+           |sigs AS (
+           |  SELECT doc_id, hv, ${LlmQueries.sigSql} AS sig FROM hvt),
+           |banded AS (
+           |  $bandedSql),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b USING (band, band_key)
+           |  WHERE a.doc_id < b.doc_id),
+           |j AS (
+           |  SELECT id_a, id_b,
+           |    CAST(len(list_intersect(sa.hv, sb.hv)) AS HUGEINT) AS inter,
+           |    CAST(len(sa.hv) + len(sb.hv)
+           |      - len(list_intersect(sa.hv, sb.hv)) AS HUGEINT) AS uni
+           |  FROM pairs JOIN sigs sa ON sa.doc_id = id_a
+           |    JOIN sigs sb ON sb.doc_id = id_b),
+           |h AS (
+           |  SELECT least((inter * 20) // uni, 19) AS bin,
+           |    CAST(count(*) AS HUGEINT) AS cnt
+           |  FROM j GROUP BY 1),
+           |pv(b, r, bin, p9u) AS (VALUES
+           |    $values),
+           |e AS (
+           |  SELECT pv.b, pv.r,
+           |    CAST(sum(CASE WHEN pv.bin >= 10
+           |      THEN cnt * p9u ELSE 0 END) AS HUGEINT) AS caught9,
+           |    CAST(sum(CASE WHEN pv.bin >= 10
+           |      THEN cnt * (1000000000 - p9u) ELSE 0 END) AS HUGEINT)
+           |      AS missed9,
+           |    CAST(sum(CASE WHEN pv.bin < 10
+           |      THEN cnt * p9u ELSE 0 END) AS HUGEINT) AS false9
+           |  FROM pv JOIN h USING (bin) GROUP BY 1, 2)
+           |SELECT CAST(b AS BIGINT) AS bands,
+           |  CAST(r AS BIGINT) AS rows_per_band,
+           |  CAST((2 * caught9 * 1000000 + 1000000000) // 2000000000
+           |    AS DOUBLE) / 1000000 AS exp_caught,
+           |  CAST((2 * missed9 * 1000000 + 1000000000) // 2000000000
+           |    AS DOUBLE) / 1000000 AS exp_missed,
+           |  CAST((2 * false9 * 1000000 + 1000000000) // 2000000000
+           |    AS DOUBLE) / 1000000 AS exp_false,
+           |  CAST(row_number() OVER (ORDER BY missed9 + false9, b)
+           |    AS BIGINT) AS pick_rank
+           |FROM e""".stripMargin
+      }) { (spark, dir) =>
+      val spk = spark
+      import spk.implicits._
+      val I = DecimalType(38, 0)
+      val configs = Seq((12, 1), (6, 2), (4, 3), (3, 4), (2, 6), (1, 12))
+      def p9u(b: Int, rr: Int, bin: Int): Long = {
+        val s = BigDecimal(2 * bin + 1) / 40
+        val p = BigDecimal(1) - (BigDecimal(1) - s.pow(rr)).pow(b)
+        (p.setScale(9, BigDecimal.RoundingMode.HALF_UP) *
+          BigDecimal(10).pow(9)).toLongExact
+      }
+      val pv = (for ((b, rr) <- configs; bin <- 0 until 20)
+        yield (b.toLong, rr.toLong, bin.toLong, p9u(b, rr, bin)))
+        .toDF("b", "r", "bin", "p9u")
+      val sigs = Dedup.withShingleHashes(
+        Tables.documents(spark, dir).select("doc_id", "text"), "text", 3)
+        .filter(size(col("hv")) > 0)
+        .withColumn("sig", Dedup.minhashSignature(col("hv"), LlmQueries.k))
+        .select(col("doc_id"), col("hv"), col("sig"))
+        .cache()
+      val bandCols = (0 until LlmQueries.bands).map(b =>
+        concat_ws(",", transform(
+          slice(col("sig"), b * LlmQueries.r + 1, LlmQueries.r),
+          x => x.cast("string"))))
+      val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
+        .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
+      val cand = banded
+        .select(col("band"), col("band_key"), col("doc_id").as("id_a"))
+        .join(banded.select(col("band"), col("band_key"),
+          col("doc_id").as("id_b")), Seq("band", "band_key"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val inter = Dedup.intersectSize(col("hv_a"), col("hv_b")).cast("long")
+      val h = cand
+        .join(sigs.select(col("doc_id").as("id_a"), col("hv").as("hv_a")),
+          Seq("id_a"))
+        .join(sigs.select(col("doc_id").as("id_b"), col("hv").as("hv_b")),
+          Seq("id_b"))
+        .withColumn("inter", inter)
+        .withColumn("uni",
+          size(col("hv_a")).cast("long") + size(col("hv_b")).cast("long")
+            - col("inter"))
+        .select(least(expr("(inter * 20) div uni"), lit(19L)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).cast(I).as("cnt"))
+      val e = h.join(broadcast(pv), "bin")
+        .groupBy("b", "r")
+        .agg(
+          sum(when(col("bin") >= 10, col("cnt") * col("p9u").cast(I))
+            .otherwise(lit(0).cast(I))).as("caught9"),
+          sum(when(col("bin") >= 10,
+            col("cnt") * (lit(1000000000L).cast(I) - col("p9u").cast(I)))
+            .otherwise(lit(0).cast(I))).as("missed9"),
+          sum(when(col("bin") < 10, col("cnt") * col("p9u").cast(I))
+            .otherwise(lit(0).cast(I))).as("false9"))
+      val G = lit(1000000000L).cast(I)
+      e.select(col("b").as("bands"), col("r").as("rows_per_band"),
+        ExactRound.roundRatio(col("caught9"), G, 6)
+          .cast("double").as("exp_caught"),
+        ExactRound.roundRatio(col("missed9"), G, 6)
+          .cast("double").as("exp_missed"),
+        ExactRound.roundRatio(col("false9"), G, 6)
+          .cast("double").as("exp_false"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy((col("missed9") + col("false9")).asc, col("b")))
+          .cast("long").as("pick_rank"))
+    },
+
+    // ---- L212 differential-privacy noise planner (Gaussian mechanism,
+    // Dwork & Roth 2014): before releasing the per-event-type count
+    // vector, measure the release's L2 SENSITIVITY from the data — one
+    // user's worst-case contribution Δ₂² = max over users of Σ_cell
+    // n²_{user,cell} (pure integers; the quantity DP proofs bound but
+    // pipelines rarely measure) — and price the (ε, δ=1e-6) grid:
+    // σ = K(ε,δ)·Δ₂ with K = √(2·ln(1.25∕δ))∕ε MINTED once at 9 dp
+    // per ε (no engine evaluates ln), and the utility readout
+    // SNR = mean-cell-count ∕ σ. Joins q90/q95/q209 in the governance
+    // family: the answer to "what does ε cost US" on this corpus. One
+    // (user, cell) aggregate + a max — linear, grid math on integers.
+    Q(
+      "q231_dp_noise_planner", {
+        val epsGrid = Seq(50, 100, 200, 400) // ε·100
+        def k9(e100: Int): Long = {
+          val k = math.sqrt(2.0 * math.log(1.25 / 1e-6)) / (e100 / 100.0)
+          BigDecimal(k).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+            .*(BigDecimal(10).pow(9)).toLongExact
+        }
+        val values = epsGrid.map(e => s"($e, ${k9(e)})").mkString(", ")
+        s"""WITH uc AS (
+           |  SELECT user_id, event_type, CAST(count(*) AS HUGEINT) AS c
+           |  FROM events GROUP BY 1, 2),
+           |sens AS (
+           |  SELECT CAST(max(s2) AS BIGINT) AS delta2_sq FROM (
+           |    SELECT user_id, sum(c * c) AS s2 FROM uc GROUP BY 1)),
+           |cells AS (
+           |  SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_cells,
+           |    CAST(count(*) AS BIGINT) AS n_events FROM events),
+           |kg(eps100, k9) AS (VALUES $values)
+           |SELECT CAST(eps100 AS BIGINT) AS eps100, delta2_sq, n_cells,
+           |  round(CAST(k9 AS DOUBLE) / 1000000000
+           |    * sqrt(CAST(delta2_sq AS DOUBLE)), 6) AS sigma,
+           |  round((CAST(n_events AS DOUBLE) / n_cells)
+           |    / (CAST(k9 AS DOUBLE) / 1000000000
+           |      * sqrt(CAST(delta2_sq AS DOUBLE))), 6) AS snr
+           |FROM kg, sens, cells""".stripMargin
+      }) { (spark, dir) =>
+      val spk = spark
+      import spk.implicits._
+      val epsGrid = Seq(50, 100, 200, 400)
+      def k9(e100: Int): Long = {
+        val k = math.sqrt(2.0 * math.log(1.25 / 1e-6)) / (e100 / 100.0)
+        BigDecimal(k).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          .*(BigDecimal(10).pow(9)).toLongExact
+      }
+      val kg = epsGrid.map(e => (e.toLong, k9(e))).toDF("eps100", "k9")
+      val ev = Tables.events(spark, dir)
+      val sens = ev.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("user_id").agg(sum(col("c") * col("c")).as("s2"))
+        .agg(max("s2").as("delta2_sq"))
+      val cells = ev.agg(
+        countDistinct(col("event_type")).as("n_cells"),
+        count(lit(1)).as("n_events"))
+      val sigma = col("k9").cast("double") / 1000000000d *
+        sqrt(col("delta2_sq").cast("double"))
+      kg.crossJoin(broadcast(sens)).crossJoin(broadcast(cells))
+        .select(col("eps100"), col("delta2_sq"), col("n_cells"),
+          round(sigma, 6).as("sigma"),
+          round((col("n_events").cast("double") / col("n_cells")) / sigma, 6)
+            .as("snr"))
+    },
+
+    // ---- L213 STREAMING conformal monitor: q225's gate deployed — the
+    // centroid and threshold are fitted on PRE-STREAM data only (the
+    // honest deployment shape; q225's batch audit may use the full
+    // corpus, a monitor must not peek), then each arriving micro-batch
+    // scores itself against the BROADCAST (centroid, threshold) state
+    // — k·d decimals, no standing corpus ever re-read — and commits
+    // its (n, flagged, coverage, breach) row exactly-once. A breach
+    // (coverage < 85% against the 90% design) is the drift tripwire
+    // that triggers q143/q223's retrain path. Per-batch cost is one
+    // scan of the batch; the oracle replays threshold fit and both
+    // batch verdicts bit-for-bit (batch boundary = the first ⌊n∕2⌋
+    // test rows by vec_id, replayed by rank).
+    Q(
+      "q232_stream_conformal",
+      s"""WITH cent AS MATERIALIZED (
+         |  SELECT i,
+         |    CAST(CAST(CASE WHEN s10 < 0
+         |          THEN -((2 * (-s10) + d) // (2 * d))
+         |          ELSE (2 * s10 + d) // (2 * d) END AS DECIMAL(12,0))
+         |      * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(12,6)) AS m
+         |  FROM (
+         |    SELECT i,
+         |      CAST(sum(CAST(CAST(CAST(embedding[i] AS DOUBLE)
+         |          AS DECIMAL(27,10))
+         |        * CAST(10000000000 AS DECIMAL(11,0)) AS HUGEINT))
+         |        AS HUGEINT) AS s10,
+         |      CAST(count(*) AS HUGEINT) * 10000 AS d
+         |    FROM embeddings, range(1, 65) t(i)
+         |    WHERE vec_id % 5 <> 0 GROUP BY i)),
+         |cn AS (SELECT sqrt(CAST(sum(CAST(m * m AS DECIMAL(27,12)))
+         |  AS DOUBLE)) AS cn FROM cent),
+         |ex AS (
+         |  SELECT vec_id, i,
+         |    CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(14,10)) AS v
+         |  FROM embeddings, range(1, 65) t(i)
+         |  WHERE vec_id % 5 = 0 OR vec_id % 5 = 1),
+         |sc AS (
+         |  SELECT ex.vec_id,
+         |    CAST(sum(CAST(ex.v * c.m AS DECIMAL(26,16))) AS DOUBLE) AS dot,
+         |    CAST(sum(CAST(ex.v * ex.v AS DECIMAL(28,20))) AS DOUBLE) AS vn2
+         |  FROM ex JOIN cent c USING (i) GROUP BY 1),
+         |s AS MATERIALIZED (
+         |  SELECT vec_id, 1.0 - dot / (sqrt(vn2) * cn) AS s FROM sc, cn),
+         |cal AS (SELECT vec_id, s FROM s WHERE vec_id % 5 = 1),
+         |nc AS (SELECT
+         |  CAST(least(((count(*) + 1) * 9 + 9) // 10, count(*)) AS BIGINT)
+         |    AS k_rank FROM cal),
+         |thr AS (SELECT x.s AS thr FROM (
+         |  SELECT vec_id, s, row_number() OVER (ORDER BY s, vec_id) AS rk
+         |  FROM cal) x, nc WHERE x.rk = nc.k_rank),
+         |tb AS (
+         |  SELECT vec_id, s, row_number() OVER (ORDER BY vec_id) AS rn,
+         |    count(*) OVER () AS nt
+         |  FROM s WHERE vec_id % 5 = 0),
+         |bt AS (
+         |  SELECT CASE WHEN rn <= nt // 2 THEN 0 ELSE 1 END AS batch, s
+         |  FROM tb)
+         |SELECT CAST(batch AS BIGINT) AS batch,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN s > thr THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flagged,
+         |  CAST((2 * sum(CASE WHEN s <= thr THEN 1 ELSE 0 END) * 1000000
+         |      + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000
+         |    AS coverage,
+         |  sum(CASE WHEN s <= thr THEN 1 ELSE 0 END) * 100 < 85 * count(*)
+         |    AS breach
+         |FROM bt, thr GROUP BY 1""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(spark, dir)
+      val V = DecimalType(14, 10)
+      def exploded(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), col("pos").as("i"),
+            col("col").cast("double").cast(V).as("v"))
+      // pre-stream state: centroid + norm from NON-test rows only
+      val cent = exploded(e.filter(col("vec_id") % 5 =!= 0)).groupBy("i")
+        .agg(ExactRound.roundRatioSigned(
+            sum(col("v").cast(DecimalType(27, 10))), 10, count(lit(1)), 6)
+          .cast(DecimalType(12, 6)).as("m"))
+        .localCheckpoint() // broadcast state for every batch
+      val cn = cent.agg(
+        sqrt(sum((col("m") * col("m")).cast(DecimalType(27, 12)))
+          .cast("double")).as("cn"))
+      def scores(df: org.apache.spark.sql.DataFrame) =
+        exploded(df).join(broadcast(cent), "i")
+          .groupBy("vec_id")
+          .agg(
+            sum((col("v") * col("m")).cast(DecimalType(26, 16)))
+              .cast("double").as("dot"),
+            sum((col("v") * col("v")).cast(DecimalType(28, 20)))
+              .cast("double").as("vn2"))
+          .crossJoin(broadcast(cn))
+          .select(col("vec_id"),
+            (lit(1.0) - col("dot") / (sqrt(col("vn2")) * col("cn"))).as("s"))
+      val cal = scores(e.filter(col("vec_id") % 5 === 1)).localCheckpoint()
+      val nc = cal.agg(count(lit(1)).as("n_cal"))
+        .withColumn("k_rank",
+          least(expr("((n_cal + 1) * 9 + 9) div 10"), col("n_cal")))
+      val thr = cal
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("s"), col("vec_id"))))
+        .join(broadcast(nc), col("rk") === col("k_rank"))
+        .select(col("s").as("thr"))
+        .localCheckpoint()
+      // the stream: test rows arrive in two vec_id-ordered micro-batches
+      val root = graft.Tmp.dir("graft-q232").toString
+      val resPath = s"$root/res"
+      graft.Meta.Versioned.write(
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("batch",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_flagged",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("coverage",
+              org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.types.StructField("breach",
+              org.apache.spark.sql.types.BooleanType)))), resPath)
+      implicit val ctx = spark.sqlContext
+      import spark.implicits._
+      val feed = e.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      val (b1, b2) = feed.splitAt(feed.length / 2)
+      val ms = MemoryStream[(Long, Seq[Float])]
+      val fold = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {
+        val row = scores(batch.toDF("vec_id", "embedding"))
+          .crossJoin(broadcast(thr))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("s") > col("thr"), 1L).otherwise(0L))
+              .as("n_flagged"),
+            sum(when(col("s") <= col("thr"), 1L).otherwise(0L))
+              .as("n_cov"))
+          .select(lit(bid).as("batch"), col("n"), col("n_flagged"),
+            ExactRound.roundRatio(col("n_cov"), col("n"), 6)
+              .cast("double").as("coverage"),
+            (col("n_cov") * 100 < col("n") * 85).as("breach"))
+        graft.Meta.Versioned.writeOnce(
+          graft.Meta.Versioned.read(spark, resPath).unionByName(row),
+          resPath, "q232", bid)
+        ()
+      }
+      graft.streaming.Streams.withShufflePartitions(spark, 4) {
+        val q = ms.toDF().toDF("vec_id", "embedding").writeStream
+          .foreachBatch(fold)
+          .outputMode("update")
+          .option("checkpointLocation", s"$root/cp")
+          .start()
+        try {
+          ms.addData(b1)
+          q.processAllAvailable()
+          ms.addData(b2)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      graft.Meta.Versioned.read(spark, resPath)
     })
 }

@@ -108,7 +108,7 @@ object LlmQueries {
     .mkString("[", ",\n    ", "]")
 
   /** Shared CTE prefix: documents → tokens → shingles → hash sets. */
-  private val hvCte =
+  private[queries] val hvCte =
     s"""WITH toks AS (
        |  SELECT doc_id, source, $toksSql AS t FROM documents),
        |sh AS (
