@@ -1112,5 +1112,216 @@ object IndexQueries {
         } finally q.stop()
       }
       graft.Meta.Versioned.read(spark, resPath)
+    },
+
+    // ---- L214 head-vocabulary rank stability (Rank-Biased Overlap,
+    // Webber et al. 2010): how much a re-crawl/re-filter shifts the
+    // TOP of the term-frequency ranking — q127 sees count drift, q207
+    // sees the curve's slope, neither sees ORDER churn in the head
+    // vocabulary (the signal a tokenizer/stopword pipeline change
+    // trips). Truncated RBO at depth 50, p = 0.9: the 50 geometric
+    // weights (1−p)p^{d−1} are exact BigDecimal powers minted ONCE at
+    // 12 dp into both plans; agreement-at-depth comes from the rank
+    // identity inter_d = |{t : max(rk₁,rk₂) ≤ d}| (a 50-row running
+    // sum, no per-depth set intersection); each depth's contribution
+    // rounds once at 9 dp in integer space and the final RBO is their
+    // exact decimal sum. Rankings are top-50 windows with Spark's rank
+    // pushdown; everything downstream is ≤50 rows at any corpus size.
+    Q(
+      "q233_rank_stability", {
+        val D = 50
+        def w12u(d: Int): Long =
+          (BigDecimal("0.1") * BigDecimal("0.9").pow(d - 1))
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+            .*(BigDecimal(10).pow(12)).toLongExact
+        val values = (1 to D).map(d => s"($d, ${w12u(d)})").mkString(", ")
+        def rankSql(name: String, filt: String) =
+          s"""$name AS (
+             |  SELECT term, rk FROM (
+             |    SELECT term,
+             |      row_number() OVER (ORDER BY count(*) DESC, term) AS rk
+             |    FROM (SELECT unnest(${LlmQueries.toksSql}) AS term
+             |      FROM documents WHERE $filt) GROUP BY term) x
+             |  WHERE rk <= $D)""".stripMargin
+        s"""WITH ${rankSql("r1", "doc_id % 10 <> 0")},
+           |${rankSql("r2", "doc_id % 7 <> 0")},
+           |md AS (
+           |  SELECT greatest(a.rk, b.rk) AS m, CAST(count(*) AS HUGEINT) AS c
+           |  FROM r1 a JOIN r2 b USING (term) GROUP BY 1),
+           |w(d, w12u) AS (VALUES $values),
+           |idd AS (
+           |  SELECT d, w12u,
+           |    CAST(coalesce((SELECT sum(c) FROM md WHERE md.m <= w.d), 0)
+           |      AS HUGEINT) AS inter
+           |  FROM w),
+           |c AS (
+           |  SELECT d, inter,
+           |    (2 * w12u * inter * 1000000000 + d * 1000000000000)
+           |      // (2 * d * 1000000000000) AS contrib9u
+           |  FROM idd)
+           |SELECT
+           |  (SELECT CAST(inter AS BIGINT) FROM idd WHERE d = 50)
+           |    AS n_overlap_top50,
+           |  (SELECT CAST((2 * inter * 1000000 + 10) // 20 AS DOUBLE)
+           |    / 1000000 FROM idd WHERE d = 10) AS agreement_at_10,
+           |  (SELECT CAST((2 * inter * 1000000 + 50) // 100 AS DOUBLE)
+           |    / 1000000 FROM idd WHERE d = 50) AS agreement_at_50,
+           |  CAST(sum(contrib9u) AS DOUBLE) / 1000000000 AS rbo
+           |FROM c""".stripMargin
+      }) { (spark, dir) =>
+      import graft.ops.Text
+      import org.apache.spark.sql.expressions.Window
+      val spk = spark
+      import spk.implicits._
+      val I = DecimalType(38, 0)
+      val D = 50
+      def w12u(d: Int): Long =
+        (BigDecimal("0.1") * BigDecimal("0.9").pow(d - 1))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+          .*(BigDecimal(10).pow(12)).toLongExact
+      val wdf = (1 to D).map(d => (d.toLong, w12u(d))).toDF("d", "w12u")
+      val docs = Tables.documents(spark, dir)
+      def ranking(filt: org.apache.spark.sql.Column, rkCol: String) =
+        docs.filter(filt)
+          .select(explode(Text.tokens(col("text"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("cnt"))
+          .withColumn(rkCol, row_number().over(
+            Window.orderBy(col("cnt").desc, col("term"))))
+          .filter(col(rkCol) <= D).select("term", rkCol)
+      val md = ranking(col("doc_id") % 10 =!= 0, "rk1")
+        .join(ranking(col("doc_id") % 7 =!= 0, "rk2"), "term")
+        .select(greatest(col("rk1"), col("rk2")).as("m"))
+        .groupBy("m").agg(count(lit(1)).as("c"))
+      val interd = wdf.join(broadcast(md), col("m") <= col("d"), "left")
+        .groupBy("d", "w12u").agg(coalesce(sum("c"), lit(0L)).as("inter"))
+        .localCheckpoint() // 50 rows; rbo sum + the two depth probes
+      val rbo = interd.agg(sum(ExactRound.roundRatio(
+          col("w12u").cast(I) * col("inter").cast(I),
+          col("d").cast(I) * lit(1000000000000L).cast(I), 9)).as("rbo9"))
+        .select(col("rbo9").cast("double").as("rbo"))
+      val a10 = interd.filter(col("d") === 10)
+        .select(ExactRound.roundRatio(col("inter"), lit(10L), 6)
+          .cast("double").as("agreement_at_10"))
+      val a50 = interd.filter(col("d") === 50)
+        .select(col("inter").cast("long").as("n_overlap_top50"),
+          ExactRound.roundRatio(col("inter"), lit(50L), 6)
+            .cast("double").as("agreement_at_50"))
+      a50.crossJoin(broadcast(a10)).crossJoin(broadcast(rbo))
+    },
+
+    // ---- L215 chunk-size waste curve: the context-window planning
+    // companion to q84 (packing) and q92 (chunking) — those EXECUTE a
+    // chosen chunk size, this prices the CHOICE: for each candidate
+    // size, how many padded-out tokens the corpus wastes when every
+    // document is cut into ceil(tok∕c) chunks of capacity c
+    // (fine-tuning-style one-doc-per-chunk; cross-doc packing is q84's
+    // upgrade, and the delta between this curve and q84's utilization
+    // is the measured value of packing). Pure integer arithmetic end
+    // to end — ceil by (tok+c−1) div c on both engines, utilization as
+    // one integer-space ratio; one corpus scan feeds the whole grid.
+    Q(
+      "q234_chunk_waste_curve",
+      """WITH t AS (
+        |  SELECT CAST(ceil(n_chars / 4.0) AS BIGINT) AS tok FROM documents),
+        |g AS (SELECT CAST(unnest([128, 256, 512, 1024, 2048]) AS BIGINT)
+        |  AS chunk_size),
+        |a AS (
+        |  SELECT chunk_size,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(tok) AS BIGINT) AS total_tokens,
+        |    CAST(sum((tok + chunk_size - 1) // chunk_size) AS BIGINT)
+        |      AS n_chunks
+        |  FROM t, g GROUP BY 1)
+        |SELECT chunk_size, n_docs, total_tokens, n_chunks,
+        |  n_chunks * chunk_size - total_tokens AS wasted_tokens,
+        |  CAST((2 * CAST(total_tokens AS HUGEINT) * 1000000
+        |      + n_chunks * chunk_size)
+        |    // (2 * CAST(n_chunks AS HUGEINT) * chunk_size) AS DOUBLE)
+        |    / 1000000 AS utilization
+        |FROM a""".stripMargin) { (spark, dir) =>
+      val spk = spark
+      import spk.implicits._
+      val t = Tables.documents(spark, dir)
+        .select(ceil(col("n_chars") / 4.0).cast("long").as("tok"))
+      val g = Seq(128L, 256L, 512L, 1024L, 2048L).toDF("chunk_size")
+      t.crossJoin(broadcast(g))
+        .groupBy("chunk_size")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("total_tokens"),
+          sum(expr("(tok + chunk_size - 1) div chunk_size")).as("n_chunks"))
+        .select(col("chunk_size"), col("n_docs"), col("total_tokens"),
+          col("n_chunks"),
+          (col("n_chunks") * col("chunk_size") - col("total_tokens"))
+            .as("wasted_tokens"),
+          ExactRound.roundRatio(col("total_tokens"),
+            col("n_chunks") * col("chunk_size"), 6)
+            .cast("double").as("utilization"))
+    },
+
+    // ---- L216 session-gap sensitivity curve: q32/q175 sessionize at
+    // ONE gap threshold; this measures how the session structure
+    // responds to the choice — sessions, events-per-session and bounce
+    // rate across a gap grid, the calibration a product-analytics
+    // pipeline runs before committing the threshold every downstream
+    // funnel/retention/path metric inherits. Per gap: the same keyed
+    // lag + running-sum session labeling as q175 (one shuffle on
+    // user_id, reused by every grid point), a (user, session) size
+    // aggregate, and integer-ratio readouts. The gap comparison is
+    // exact integer microseconds (epoch_us both engines).
+    Q(
+      "q235_session_gap_curve", {
+        def gSql(g: Int) =
+          s"""SELECT $g AS gap_s, user_id,
+             |    sum(CASE WHEN prev IS NULL
+             |      OR epoch_us(ts) - epoch_us(prev) > ${g}000000
+             |      THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |        ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM e""".stripMargin
+        s"""WITH e AS (
+           |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           |    lag(CAST(ts AS TIMESTAMP)) OVER
+           |      (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP),
+           |        event_id) AS prev
+           |  FROM events),
+           |lab AS (
+           |  ${Seq(300, 900, 1800, 3600).map(gSql).mkString("\n  UNION ALL\n  ")}),
+           |sz AS (
+           |  SELECT gap_s, user_id, session_id, CAST(count(*) AS BIGINT) AS sz
+           |  FROM lab GROUP BY 1, 2, 3),
+           |a AS (
+           |  SELECT gap_s, CAST(count(*) AS BIGINT) AS n_sessions,
+           |    CAST(sum(sz) AS BIGINT) AS n_events,
+           |    CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_bounce
+           |  FROM sz GROUP BY 1)
+           |SELECT CAST(gap_s AS BIGINT) AS gap_s, n_events, n_sessions,
+           |  n_bounce,
+           |  CAST((2 * CAST(n_events AS HUGEINT) * 1000000 + n_sessions)
+           |    // (2 * CAST(n_sessions AS HUGEINT)) AS DOUBLE) / 1000000
+           |    AS events_per_session,
+           |  CAST((2 * CAST(n_bounce AS HUGEINT) * 1000000 + n_sessions)
+           |    // (2 * CAST(n_sessions AS HUGEINT)) AS DOUBLE) / 1000000
+           |    AS bounce_rate
+           |FROM a""".stripMargin
+      }) { (spark, dir) =>
+      val base = Tables.events(spark, dir)
+        .select("user_id", "event_id", "ts")
+      Seq(300, 900, 1800, 3600).map { g =>
+        graft.ops.Sessionize
+          .labelSessions(base, "ts", "user_id", "event_id", g.toLong)
+          .groupBy("user_id", "session_id").agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("sz")).as("n_events"),
+            sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_bounce"))
+          .select(lit(g.toLong).as("gap_s"), col("n_events"),
+            col("n_sessions"), col("n_bounce"))
+      }.reduce(_ unionByName _)
+        .withColumn("events_per_session",
+          ExactRound.roundRatio(col("n_events"), col("n_sessions"), 6)
+            .cast("double"))
+        .withColumn("bounce_rate",
+          ExactRound.roundRatio(col("n_bounce"), col("n_sessions"), 6)
+            .cast("double"))
     })
 }
