@@ -73,14 +73,14 @@ object CurationQueries {
     * deterministic 2-iteration k=4 training + final encoding — the
     * kmeansCtes recipe parameterized per subspace, from the same
     * constants as `Similarity.pqTrain(dim=64, m=2, ksub=4, iters=2)`. */
-  private val PqSubDim = 32
-  private val PqKsub = 4
+  private[queries] val PqSubDim = 32
+  private[queries] val PqKsub = 4
 
-  private def pqDotSql(a: String, b: String) = LlmQueries.foldSumSql(
+  private[queries] def pqDotSql(a: String, b: String) = LlmQueries.foldSumSql(
     s"list_transform(range(1, ${PqSubDim + 1}), i -> $a[i]*$b[i])",
     "CAST(0 AS DOUBLE)")
 
-  private def pqAssignSql(name: String, vn: String, cents: String) =
+  private[queries] def pqAssignSql(name: String, vn: String, cents: String) =
     s"""$name AS (
        |  SELECT vec_id, cluster FROM (
        |    SELECT v.vec_id, c.cluster,
@@ -89,7 +89,7 @@ object CurationQueries {
        |          - 2.0 * ${pqDotSql("v.dv", "c.cv")}, c.cluster) AS rn
        |    FROM $vn v, $cents c) x WHERE rn = 1)""".stripMargin
 
-  private def pqUpdateSql(sums: String, assign: String, vn: String,
+  private[queries] def pqUpdateSql(sums: String, assign: String, vn: String,
       prev: String, next: String) =
     s"""$sums AS (
        |  SELECT a.cluster, i,

@@ -1323,5 +1323,151 @@ object IndexQueries {
         .withColumn("bounce_rate",
           ExactRound.roundRatio(col("n_bounce"), col("n_sessions"), 6)
             .cast("double"))
+    },
+
+    // ---- L217 incremental PQ index maintenance: the PQ arm of L204's
+    // loop — q179/q189 train per-subspace codebooks one-shot; here the
+    // codebooks train on HISTORY only, the standing code table holds
+    // history's m-byte codes, and a NEW batch encodes against the
+    // STANDING codebooks (pqEncode — a shuffle-free scan projection)
+    // and folds in exactly-once. The query returns the FOLDED CODE
+    // TABLE and the oracle computes the one-shot encoding of the whole
+    // corpus against the same history-trained codebooks — fold ==
+    // one-shot pinned row-for-row (the compressed index a 100 TB
+    // corpus keeps in RAM is maintained by appending batch codes, not
+    // by re-encoding the corpus).
+    Q(
+      "q236_incremental_pq_index", {
+        import CurationQueries.{pqAssignSql, pqDotSql, pqUpdateSql, PqKsub, PqSubDim}
+        def sub(j: Int) = {
+          val lo = j * PqSubDim + 1; val hi = (j + 1) * PqSubDim
+          s"""sv$j AS (SELECT vec_id, dvall[$lo:$hi] AS dv FROM vall),
+             |vn$j AS MATERIALIZED (
+             |  SELECT vec_id, dv, ${pqDotSql("dv", "dv")} AS vn2 FROM sv$j),
+             |hvn$j AS MATERIALIZED (
+             |  SELECT * FROM vn$j WHERE vec_id % 3 <> 0),
+             |c0_$j AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+             |    dv AS cv
+             |  FROM sv$j WHERE vec_id % 3 <> 0 ORDER BY vec_id LIMIT $PqKsub),
+             |${pqAssignSql(s"a1_$j", s"hvn$j", s"c0_$j")},
+             |${pqUpdateSql(s"s1_$j", s"a1_$j", s"hvn$j", s"c0_$j", s"c1_$j")},
+             |${pqAssignSql(s"a2_$j", s"hvn$j", s"c1_$j")},
+             |${pqUpdateSql(s"s2_$j", s"a2_$j", s"hvn$j", s"c1_$j", s"c2_$j")},
+             |${pqAssignSql(s"enc$j", s"vn$j", s"c2_$j")}""".stripMargin
+        }
+        s"""WITH vall AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvall
+           |  FROM embeddings),
+           |${sub(0)},
+           |${sub(1)}
+           |SELECT e0.vec_id, CAST(e0.cluster AS BIGINT) AS code0,
+           |  CAST(e1.cluster AS BIGINT) AS code1
+           |FROM enc0 e0 JOIN enc1 e1 USING (vec_id)""".stripMargin
+      }) { (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+      val hist = e.filter(col("vec_id") % 3 =!= 0)
+      val batch = e.filter(col("vec_id") % 3 === 0)
+      val cbs = Similarity.pqTrain(hist, "vec_id", "embedding",
+        dim = 64, m = 2, ksub = 4, iters = 2)
+      def codes(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("vec_id"),
+        element_at(Similarity.pqEncode(col("embedding"), cbs, 64), 1)
+          .cast("long").as("code0"),
+        element_at(Similarity.pqEncode(col("embedding"), cbs, 64), 2)
+          .cast("long").as("code1"))
+      val idxPath = graft.Tmp.dir("graft-q236").toString + "/codes"
+      graft.Meta.Versioned.write(codes(hist), idxPath)
+      val folded = graft.Meta.Versioned.read(spark, idxPath)
+        .unionByName(codes(batch))
+      graft.Meta.Versioned.writeOnce(folded, idxPath, "q236", 0L)
+      graft.Meta.Versioned.writeOnce(folded, idxPath, "q236", 0L)
+      graft.Meta.Versioned.read(spark, idxPath)
+        .select("vec_id", "code0", "code1")
+    },
+
+    // ---- L218 near-dup decision evidence: the EXPLAINABILITY record
+    // production dedup keeps beside every merge — per capped candidate
+    // pair that passed the Hamming gate, the independent evidence a
+    // reviewer checks when a merge is challenged (a false merge is a
+    // data-loss bug): SimHash Hamming distance, exact shingle Jaccard,
+    // containment (inter∕min — catches the quote-inside-article case
+    // Jaccard dilutes), and the n_chars length ratio. All four are
+    // small-integer rationals rounded in integer space; empty-shingle
+    // members define Jaccard/containment as vacuous 1.0 when BOTH/the
+    // smaller side are empty (documented edge, replayed by the
+    // oracle). Candidates come from the capped stream (linear volume),
+    // the shingle join touches only candidate ids.
+    Q(
+      "q237_neardup_evidence",
+      s"""WITH ${LlmQueries.simhashCtes},
+         |rankedc AS (
+         |  SELECT doc_id, sim, band, band_key,
+         |    row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rk
+         |  FROM banded),
+         |cpairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    min(bit_count(xor(a.sim, b.sim))) AS hamming
+         |  FROM rankedc a JOIN banded b USING (band, band_key)
+         |  WHERE a.rk <= ${Dedup.DefaultDegreeCap} AND a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.sim, b.sim)) <= 3
+         |  GROUP BY 1, 2),
+         |sh2 AS (SELECT doc_id, ${LlmQueries.shinglesSql} AS s FROM toks),
+         |hvt AS (
+         |  SELECT doc_id,
+         |    list_sort(list_distinct(list_transform(s, x ->
+         |      ${LlmQueries.strHashSql("x")}))) AS hv
+         |  FROM sh2),
+         |ev AS (
+         |  SELECT id_a, id_b, hamming,
+         |    CAST(len(list_intersect(ha.hv, hb.hv)) AS HUGEINT) AS inter,
+         |    CAST(len(ha.hv) AS HUGEINT) AS na,
+         |    CAST(len(hb.hv) AS HUGEINT) AS nb,
+         |    CAST(da.n_chars AS HUGEINT) AS ca,
+         |    CAST(db.n_chars AS HUGEINT) AS cb
+         |  FROM cpairs
+         |  JOIN hvt ha ON ha.doc_id = id_a
+         |  JOIN hvt hb ON hb.doc_id = id_b
+         |  JOIN documents da ON da.doc_id = id_a
+         |  JOIN documents db ON db.doc_id = id_b)
+         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming,
+         |  CASE WHEN na + nb - inter = 0 THEN 1.0
+         |    ELSE CAST((2 * inter * 1000000 + (na + nb - inter))
+         |      // (2 * (na + nb - inter)) AS DOUBLE) / 1000000 END AS jaccard,
+         |  CASE WHEN least(na, nb) = 0 THEN 1.0
+         |    ELSE CAST((2 * inter * 1000000 + least(na, nb))
+         |      // (2 * least(na, nb)) AS DOUBLE) / 1000000 END AS containment,
+         |  CAST((2 * least(ca, cb) * 1000000 + greatest(ca, cb))
+         |    // (2 * greatest(ca, cb)) AS DOUBLE) / 1000000 AS len_ratio
+         |FROM ev""".stripMargin) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val pairs = Dedup.simhashPairsCapped(docs, "doc_id", "text",
+        bands = 4, maxHamming = 3, cap = Dedup.DefaultDegreeCap)
+      val hv = Dedup.withShingleHashes(
+        docs.select("doc_id", "text", "n_chars"), "text", 3)
+        .select(col("doc_id"), col("hv"), col("n_chars"))
+      val inter = Dedup.intersectSize(col("hv_a"), col("hv_b")).cast("long")
+      pairs
+        .join(hv.select(col("doc_id").as("id_a"), col("hv").as("hv_a"),
+          col("n_chars").as("ca")), Seq("id_a"))
+        .join(hv.select(col("doc_id").as("id_b"), col("hv").as("hv_b"),
+          col("n_chars").as("cb")), Seq("id_b"))
+        .withColumn("inter", inter)
+        .withColumn("na", size(col("hv_a")).cast("long"))
+        .withColumn("nb", size(col("hv_b")).cast("long"))
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"),
+          when(col("na") + col("nb") - col("inter") === 0, lit(1.0))
+            .otherwise(ExactRound.roundRatio(col("inter"),
+              col("na") + col("nb") - col("inter"), 6).cast("double"))
+            .as("jaccard"),
+          when(least(col("na"), col("nb")) === 0, lit(1.0))
+            .otherwise(ExactRound.roundRatio(col("inter"),
+              least(col("na"), col("nb")), 6).cast("double"))
+            .as("containment"),
+          ExactRound.roundRatio(least(col("ca"), col("cb")),
+            greatest(col("ca"), col("cb")), 6).cast("double")
+            .as("len_ratio"))
     })
 }
