@@ -1469,5 +1469,204 @@ object IndexQueries {
           ExactRound.roundRatio(least(col("ca"), col("cb")),
             greatest(col("ca"), col("cb")), 6).cast("double")
             .as("len_ratio"))
+    },
+
+    // ---- L219 mixture water-filling under availability: q94/q148
+    // apportion a GIVEN budget by weights; this computes the budget —
+    // the largest total T such that every source's share ⌊T·w∕W⌋ fits
+    // inside its available tokens × a max-epoch repeat cap (the
+    // bottleneck rule T = min_s ⌊cap_s·W∕w_s⌋ — mixture assembly's
+    // feasibility step, run before any apportionment). Weights are the
+    // q171 source tiers; epochs cap = 2. Pure integer floor arithmetic
+    // on both engines; one per-source aggregate, grid math on |sources|
+    // integers. Emits the bottleneck flag (the source that pins T).
+    Q(
+      "q238_mixture_waterfill",
+      """WITH a AS (
+        |  SELECT source,
+        |    CASE WHEN source IN ('src0','src1','src2','src3') THEN 4
+        |         WHEN source IN ('src4','src5','src6','src7','src8','src9')
+        |           THEN 2
+        |         ELSE 1 END AS w,
+        |    CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS HUGEINT)
+        |      AS avail
+        |  FROM documents GROUP BY 1, 2),
+        |tw AS (SELECT CAST(sum(w) AS HUGEINT) AS ww FROM a),
+        |t AS (SELECT min((2 * avail * ww) // w) AS tt FROM a, tw)
+        |SELECT source, CAST(w AS BIGINT) AS weight,
+        |  CAST(avail AS BIGINT) AS avail_tokens,
+        |  CAST((tt * w) // ww AS BIGINT) AS alloc_tokens,
+        |  CAST((2 * ((tt * w) // ww) * 1000000 + avail)
+        |    // (2 * avail) AS DOUBLE) / 1000000 AS epochs,
+        |  (2 * avail * ww) // w = tt AS bottleneck
+        |FROM a, tw, t""".stripMargin) { (spark, dir) =>
+      val I = DecimalType(38, 0)
+      val w = when(col("source").isin("src0", "src1", "src2", "src3"), 4L)
+        .when(col("source").isin("src4", "src5", "src6", "src7", "src8",
+          "src9"), 2L)
+        .otherwise(1L)
+      val a = Tables.documents(spark, dir)
+        .select(col("source"), ceil(col("n_chars") / 4.0).cast("long")
+          .as("tok"))
+        .groupBy("source").agg(sum("tok").cast(I).as("avail"))
+        .withColumn("w", w.cast(I))
+      val tw = a.agg(sum("w").as("ww"))
+      val withT = a.crossJoin(broadcast(tw))
+        .withColumn("cap_t", expr("(2 * avail * ww) div w").cast(I))
+      val t = withT.agg(min("cap_t").as("tt"))
+      withT.crossJoin(broadcast(t))
+        .withColumn("alloc", expr("(tt * w) div ww").cast(I))
+        .select(col("source"), col("w").cast("long").as("weight"),
+          col("avail").cast("long").as("avail_tokens"),
+          col("alloc").cast("long").as("alloc_tokens"),
+          ExactRound.roundRatio(col("alloc"), col("avail"), 6)
+            .cast("double").as("epochs"),
+          (col("cap_t") === col("tt")).as("bottleneck"))
+    },
+
+    // ---- L220 quality-gate agreement (Cohen's kappa): two filters
+    // that agree by construction waste a pipeline stage; two that
+    // disagree on principle need adjudication — kappa measures the
+    // agreement BEYOND CHANCE between gate A (length ≥ 200 chars) and
+    // gate B (≥ 30 tokens with mean token length ≤ 8), the statistic
+    // that says whether a proposed gate adds signal over the shipped
+    // one. κ = (n·(a+d) − pe)∕(n² − pe) with pe the chance-agreement
+    // cross product — pure integers into one signed half-away divide;
+    // one corpus aggregate, the verdict on four integers.
+    Q(
+      "q239_gate_agreement_kappa",
+      s"""WITH g AS (
+         |  SELECT
+         |    CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS ga,
+         |    CASE WHEN len(t) >= 30
+         |      AND CAST(n_chars AS HUGEINT) <= 8 * len(t) THEN 1 ELSE 0 END
+         |      AS gb
+         |  FROM (SELECT n_chars, ${LlmQueries.toksSql} AS t FROM documents)),
+         |c AS (
+         |  SELECT
+         |    CAST(sum(ga * gb) AS HUGEINT) AS a,
+         |    CAST(sum(ga * (1 - gb)) AS HUGEINT) AS b,
+         |    CAST(sum((1 - ga) * gb) AS HUGEINT) AS c,
+         |    CAST(sum((1 - ga) * (1 - gb)) AS HUGEINT) AS d,
+         |    CAST(count(*) AS HUGEINT) AS n
+         |  FROM g),
+         |k AS (
+         |  SELECT a, b, c, d, n,
+         |    (a + b) * (a + c) + (c + d) * (b + d) AS pe,
+         |    n * (a + d) AS po
+         |  FROM c)
+         |SELECT CAST(a AS BIGINT) AS n_both, CAST(b AS BIGINT) AS n_a_only,
+         |  CAST(c AS BIGINT) AS n_b_only, CAST(d AS BIGINT) AS n_neither,
+         |  CAST((2 * (a + d) * 1000000 + n) // (2 * n) AS DOUBLE) / 1000000
+         |    AS observed_agreement,
+         |  CASE WHEN n * n - pe = 0 THEN 1.0 ELSE
+         |    CAST(CASE WHEN po - pe >= 0
+         |      THEN (2 * (po - pe) * 1000000 + (n * n - pe))
+         |        // (2 * (n * n - pe))
+         |      ELSE -((2 * (pe - po) * 1000000 + (n * n - pe))
+         |        // (2 * (n * n - pe))) END AS DOUBLE) / 1000000 END
+         |    AS kappa
+         |FROM k""".stripMargin) { (spark, dir) =>
+      import graft.ops.Text
+      val I = DecimalType(38, 0)
+      val g = Tables.documents(spark, dir)
+        .select(col("n_chars"), Text.tokens(col("text")).as("t"))
+        .select(
+          when(col("n_chars") >= 200, 1L).otherwise(0L).as("ga"),
+          when(size(col("t")) >= 30 &&
+            col("n_chars") <= lit(8L) * size(col("t")), 1L)
+            .otherwise(0L).as("gb"))
+      val c = g.agg(
+        sum(col("ga") * col("gb")).cast(I).as("a"),
+        sum(col("ga") * (lit(1L) - col("gb"))).cast(I).as("b"),
+        sum((lit(1L) - col("ga")) * col("gb")).cast(I).as("c"),
+        sum((lit(1L) - col("ga")) * (lit(1L) - col("gb"))).cast(I).as("d"),
+        count(lit(1)).cast(I).as("n"))
+      val k = c
+        .withColumn("pe", (col("a") + col("b")) * (col("a") + col("c")) +
+          (col("c") + col("d")) * (col("b") + col("d")))
+        .withColumn("po", col("n") * (col("a") + col("d")))
+        .withColumn("den", col("n") * col("n") - col("pe"))
+      k.select(
+        col("a").cast("long").as("n_both"),
+        col("b").cast("long").as("n_a_only"),
+        col("c").cast("long").as("n_b_only"),
+        col("d").cast("long").as("n_neither"),
+        ExactRound.roundRatio(col("a") + col("d"), col("n"), 6)
+          .cast("double").as("observed_agreement"),
+        when(col("den") === 0, lit(1.0)).otherwise(
+          when(col("po") - col("pe") >= 0,
+            ExactRound.roundRatio(col("po") - col("pe"), col("den"), 6))
+            .otherwise(-ExactRound.roundRatio(col("pe") - col("po"),
+              col("den"), 6))
+            .cast("double")).as("kappa"))
+    },
+
+    // ---- L221 two-sample KS drift test: the distribution-level
+    // companion to q127's count drift and q220's binned PSI — the
+    // EXACT Kolmogorov–Smirnov statistic between two corpus versions'
+    // n_chars distributions (no binning to hide a shape change), with
+    // the α = 5% verdict decided ENTIRELY in integer space: D =
+    // max|F₁−F₂| is a rational Dnum∕(n₁n₂) over the merged support,
+    // and D > c(α)·√((n₁+n₂)∕(n₁n₂)) squares into Dnum²·10⁶ >
+    // C₆·(n₁+n₂)·n₁·n₂ with C₆ = round(c²·10⁶) = 1844164 minted once —
+    // a boundary drift cannot flip between engines. One sort-free
+    // pass: per distinct value a cumulative count window on each side.
+    Q(
+      "q240_ks_drift",
+      """WITH v1 AS (
+        |  SELECT n_chars AS v FROM documents WHERE doc_id % 10 <> 0),
+        |v2 AS (
+        |  SELECT n_chars AS v FROM documents WHERE doc_id % 7 <> 0),
+        |n1 AS (SELECT CAST(count(*) AS HUGEINT) AS n1 FROM v1),
+        |n2 AS (SELECT CAST(count(*) AS HUGEINT) AS n2 FROM v2),
+        |s AS (
+        |  SELECT v,
+        |    CAST(sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS HUGEINT) AS f1,
+        |    CAST(sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS HUGEINT) AS f2
+        |  FROM (
+        |    SELECT coalesce(a.v, b.v) AS v,
+        |      coalesce(a.c, 0) AS c1, coalesce(b.c, 0) AS c2
+        |    FROM (SELECT v, count(*) AS c FROM v1 GROUP BY 1) a
+        |    FULL OUTER JOIN (SELECT v, count(*) AS c FROM v2 GROUP BY 1) b
+        |      ON a.v = b.v)),
+        |d AS (
+        |  SELECT max(abs(f1 * n2 - f2 * n1)) AS dnum FROM s, n1, n2)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST((2 * dnum * 1000000 + n1 * n2) // (2 * n1 * n2) AS DOUBLE)
+        |    / 1000000 AS d_stat,
+        |  dnum * dnum * 1000000 > 1844164 * (n1 + n2) * n1 * n2
+        |    AS drift_detected
+        |FROM d, n1, n2""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val I = DecimalType(38, 0)
+      val docs = Tables.documents(spark, dir)
+      val a = docs.filter(col("doc_id") % 10 =!= 0)
+        .groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("c1"))
+      val b = docs.filter(col("doc_id") % 7 =!= 0)
+        .groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("c2"))
+      val merged = a.join(b, Seq("v"), "full_outer")
+        .select(col("v"), coalesce(col("c1"), lit(0L)).as("c1"),
+          coalesce(col("c2"), lit(0L)).as("c2"))
+      val w = Window.orderBy(col("v")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+      val n1 = a.agg(sum("c1").cast(I).as("n1"))
+      val n2 = b.agg(sum("c2").cast(I).as("n2"))
+      val s = merged
+        .withColumn("f1", sum("c1").over(w).cast(I))
+        .withColumn("f2", sum("c2").over(w).cast(I))
+        .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      s.agg(max(abs(col("f1") * col("n2") - col("f2") * col("n1")))
+          .as("dnum"),
+          first(col("n1")).as("n1"), first(col("n2")).as("n2"))
+        .select(col("n1").cast("long").as("n1"),
+          col("n2").cast("long").as("n2"),
+          ExactRound.roundRatio(col("dnum"), col("n1") * col("n2"), 6)
+            .cast("double").as("d_stat"),
+          (col("dnum") * col("dnum") * lit(1000000L).cast(I) >
+            lit(1844164L).cast(I) * (col("n1") + col("n2")) *
+              col("n1") * col("n2")).as("drift_detected"))
     })
 }
