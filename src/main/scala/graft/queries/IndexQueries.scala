@@ -761,9 +761,13 @@ object IndexQueries {
     // engine evaluates pow); the histogram bins by the exact integer
     // rational (inter·20)∕union; expected caught/missed/false-candidate
     // masses are integer count × 9-dp-literal sums rounded in integer
-    // space. Candidates come from the shipped banded join — never
-    // all-pairs — and the planner's own math runs on a 20-row
-    // histogram at any corpus size.
+    // space. Candidates come from the shipped banded join WITH the
+    // L132 degree cap (round-13 sf10 probe: the uncapped MinHash
+    // buckets went 32×/10× at 100× — the same mega-bucket quadratic
+    // the SimHash side caps; the histogram is a MEASUREMENT, and the
+    // capped sample is the production posture, rank cap replayed in
+    // the oracle) — never all-pairs; the planner's own math runs on a
+    // 20-row histogram at any corpus size.
     Q(
       "q230_lsh_planner", {
         val configs = Seq((12, 1), (6, 2), (4, 3), (3, 4), (2, 6), (1, 12))
@@ -783,10 +787,15 @@ object IndexQueries {
            |  SELECT doc_id, hv, ${LlmQueries.sigSql} AS sig FROM hvt),
            |banded AS (
            |  $bandedSql),
+           |rankedm AS (
+           |  SELECT doc_id, band, band_key,
+           |    row_number() OVER (PARTITION BY band, band_key
+           |      ORDER BY doc_id) AS rk
+           |  FROM banded),
            |pairs AS (
            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM banded a JOIN banded b USING (band, band_key)
-           |  WHERE a.doc_id < b.doc_id),
+           |  FROM rankedm a JOIN banded b USING (band, band_key)
+           |  WHERE a.rk <= ${Dedup.DefaultDegreeCap} AND a.doc_id < b.doc_id),
            |j AS (
            |  SELECT id_a, id_b,
            |    CAST(len(list_intersect(sa.hv, sb.hv)) AS HUGEINT) AS inter,
@@ -847,7 +856,11 @@ object IndexQueries {
           x => x.cast("string"))))
       val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)))
         .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
-      val cand = banded
+      val reps = banded.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("band", "band_key").orderBy(col("doc_id"))))
+        .filter(col("rk") <= Dedup.DefaultDegreeCap)
+      val cand = reps
         .select(col("band"), col("band_key"), col("doc_id").as("id_a"))
         .join(banded.select(col("band"), col("band_key"),
           col("doc_id").as("id_b")), Seq("band", "band_key"))
