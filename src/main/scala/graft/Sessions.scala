@@ -129,6 +129,9 @@ object Sessions {
     ext.injectFunction((FunctionIdentifier("graft_bitmap_count"),
       info("graft_bitmap_count", classOf[BitmapCount]),
       (e: Seq[Expression]) => BitmapCount(e.head)))
+    ext.injectFunction((FunctionIdentifier("graft_norm_text"),
+      info("graft_norm_text", classOf[NormText]),
+      (e: Seq[Expression]) => NormText(e.head)))
   }
 
   /** Run `body` with `spark.sql.shuffle.partitions` = n, restoring the

@@ -562,3 +562,42 @@ case class AHash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): AHash64 =
     copy(child = newChild)
 }
+
+/** Unicode-normalization dedup fingerprint: NFC-normalize, lowercase
+  * (ROOT locale), collapse every whitespace run to a single space,
+  * trim. The canonical pre-dedup text cleanup — two documents that
+  * differ only in composed-vs-decomposed accents (é vs e+́), case, or
+  * whitespace layout fingerprint identically. One compiled pass per
+  * row (java.text.Normalizer + one regex), replacing a 3-deep nested
+  * regexp/lower/normalize expression tree.
+  *
+  * Cross-engine contract: on ASCII text this is bit-identical to
+  * DuckDB's trim(regexp_replace(lower(nfc_normalize(x)), '\s+', ' ',
+  * 'g')) — which is what the corpus contains and the q244 oracle
+  * pins. On non-ASCII input Java's and utf8proc's lowercase tables
+  * agree on all common scripts but may diverge on exotic code points;
+  * the NFC merge behavior itself (the reason the operator exists) is
+  * pinned engine-side in KernelEquivalenceSpec. */
+case class NormText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_norm_text"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = java.text.Normalizer
+      .normalize(s, java.text.Normalizer.Form.NFC)
+      .toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ")
+      .trim
+    UTF8String.fromString(n)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NormText =
+    copy(child = newChild)
+}

@@ -36,10 +36,20 @@ object Pareto {
     * so it takes the type-safe path: max(y) per DISTINCT x, the lag of
     * the running max over x order gives the best y among strictly
     * smaller x, joined back on the group+x key (co-partitioned with
-    * the aggregate's own shuffle). Same frontier, either path. */
-  def skyline2d(df: DataFrame, xCol: String, yCol: String,
+    * the aggregate's own shuffle). Same frontier, either path.
+    *
+    * NULL handling: a row with NULL x is not rankable and is DROPPED
+    * up front in both paths (without the explicit filter the integral
+    * path would silently poison the whole frontier: NULLs sort first,
+    * so the null group leaks into every non-null row's
+    * strictly-smaller range frame as a spurious dominator). A NULL
+    * PARTITION key is a legitimate group and is kept: the integral
+    * windows group NULLs together, and the fractional path's
+    * join-back is null-safe (`<=>`) to match. */
+  def skyline2d(input: DataFrame, xCol: String, yCol: String,
       part: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.types._
+    val df = input.filter(col(xCol).isNotNull)
     val integralX = df.schema(xCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
@@ -60,15 +70,19 @@ object Pareto {
       val ord = (if (part.isEmpty) Window.orderBy(col(xCol))
         else Window.partitionBy(part.map(col): _*).orderBy(col(xCol)))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val best = df.groupBy(grp.map(col): _*)
-        .agg(max(yCol).as("_best_equal"))
-        .withColumn("_best_smaller", max(col("_best_equal")).over(ord))
-      df.join(best, grp)
+      val best = grp.foldLeft(
+        df.groupBy(grp.map(col): _*)
+          .agg(max(yCol).as("_best_equal"))
+          .withColumn("_best_smaller", max(col("_best_equal")).over(ord)))(
+        (d, c) => d.withColumnRenamed(c, "_grp_" + c))
+      // null-safe equi-join: a NULL x (or NULL partition key) matches
+      // its own aggregate group instead of being dropped, keeping the
+      // two dispatch paths' NULL handling identical
+      df.join(best, grp.map(c => col(c) <=> col("_grp_" + c))
+          .reduce(_ && _))
         .filter((col("_best_smaller").isNull ||
             col("_best_smaller") < col(yCol)) &&
           col("_best_equal") === col(yCol))
-        // the USING join moves the key columns first — restore the
-        // caller's column order (the integral path preserves it)
         .select(df.columns.map(col): _*)
     }
   }

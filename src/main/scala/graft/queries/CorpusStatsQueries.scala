@@ -1289,6 +1289,65 @@ object CorpusStatsQueries {
         round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
           / denx / 1e9, 6).as("intercept"),
         round(num * num / (denx * deny), 6).as("r2"))
+    },
+
+    // ---- round 14: species-richness extrapolation (Chao 1984,
+    // bias-corrected; Good 1953 coverage). A shard's dedup/vocab yield
+    // must extrapolate to the full corpus BEFORE the 100 TB job runs:
+    // the frequency spectrum's singletons f₁ and doubletons f₂ give
+    // Chao1 = D + f₁(f₁−1)∕(2(f₂+1)) — a lower bound on the true
+    // distinct-token count this sample was drawn from — and the
+    // Good–Turing coverage 1 − f₁∕N says what fraction of the source's
+    // token mass the shard has already seen. Per source, all exact:
+    // two integer aggregates (term counts, then the spectrum), the
+    // two ratios via the half-away integer divide. Distributed shape:
+    // explode → (source, term) partial-agg → |sources| rows; the
+    // spectrum never leaves integer space, no sketch, no sort.
+    Q(
+      "q245_chao_richness",
+      s"""WITH tok AS (
+         |  SELECT source, unnest(${LlmQueries.toksSql}) AS term
+         |  FROM documents),
+         |tc AS (
+         |  SELECT source, term, CAST(count(*) AS HUGEINT) AS c
+         |  FROM tok GROUP BY 1, 2),
+         |s AS (
+         |  SELECT source,
+         |    CAST(count(*) AS HUGEINT) AS d,
+         |    CAST(sum(c) AS HUGEINT) AS n,
+         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS f1,
+         |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS HUGEINT) AS f2
+         |  FROM tc GROUP BY 1)
+         |SELECT source, CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(d AS BIGINT) AS d_distinct,
+         |  CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+         |  CAST((2 * (2 * d * (f2 + 1) + f1 * (f1 - 1)) * 1000000
+         |      + 2 * (f2 + 1)) // (4 * (f2 + 1)) AS DOUBLE) / 1000000
+         |    AS chao1,
+         |  CAST((2 * (n - f1) * 1000000 + n) // (2 * n) AS DOUBLE)
+         |    / 1000000 AS coverage
+         |FROM s""".stripMargin) { (spark, dir) =>
+      val I = DecimalType(38, 0)
+      val tok = Tables.documents(spark, dir)
+        .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
+      val tc = tok.groupBy("source", "term").agg(count(lit(1)).as("c"))
+      val s = tc.groupBy("source").agg(
+        count(lit(1)).cast(I).as("d"),
+        sum("c").cast(I).as("n"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).cast(I).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).cast(I).as("f2"))
+      s.select(col("source"),
+        col("n").cast("long").as("n_tokens"),
+        col("d").cast("long").as("d_distinct"),
+        col("f1").cast("long").as("f1"),
+        col("f2").cast("long").as("f2"),
+        ExactRound.roundRatio(
+          lit(2).cast(I) * col("d") * (col("f2") + lit(1).cast(I)) +
+            col("f1") * (col("f1") - lit(1).cast(I)),
+          lit(2).cast(I) * (col("f2") + lit(1).cast(I)), 6)
+          .cast("double").as("chao1"),
+        ExactRound.roundRatio(col("n") - col("f1"), col("n"), 6)
+          .cast("double").as("coverage"))
     }
   )
 }

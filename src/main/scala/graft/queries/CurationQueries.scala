@@ -2389,5 +2389,50 @@ object CurationQueries {
       sz.join(sv, "component").join(lm, "component")
         .select("component", "n_members", "total_chars",
           "survivor_id", "survivor_chars", "lang_consensus")
+    },
+
+    // ---- round 14: Unicode-normalization dedup audit. q22's exact
+    // dedup hashes RAW text, so documents differing only in
+    // composed-vs-decomposed accents, case, or whitespace layout count
+    // as distinct; graft_norm_text (NFC → lowercase → collapse
+    // whitespace → trim, one compiled Catalyst pass) is the canonical
+    // pre-dedup cleanup. Per source this reports the dedup impact
+    // (raw-distinct vs normalized-distinct — their gap is exactly the
+    // clusters raw dedup MISSES) plus two divergence-sensitive pins
+    // that make the oracle byte-exact over EVERY document, not only
+    // the duplicated ones: the summed normalized length and a summed
+    // md5-prefix fingerprint of the normalized text (one flipped byte
+    // in one document flips the sum). One source-keyed aggregate,
+    // map-side partial, linear; the two countDistincts expand on the
+    // same grouping key — never a second corpus shuffle.
+    Q(
+      "q244_normalized_dedup",
+      """WITH n AS (
+        |  SELECT source, text,
+        |    trim(regexp_replace(lower(nfc_normalize(text)),
+        |      '\s+', ' ', 'g')) AS nt
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_raw_distinct,
+        |  CAST(count(DISTINCT nt) AS BIGINT) AS n_norm_distinct,
+        |  CAST(sum(CASE WHEN nt <> text THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_changed,
+        |  CAST(sum(length(nt)) AS BIGINT) AS sum_norm_chars,
+        |  CAST(sum(CAST(concat('0x', substr(md5(nt), 1, 8)) AS BIGINT))
+        |    AS BIGINT) AS norm_fingerprint
+        |FROM n GROUP BY 1""".stripMargin) { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("source"), col("text"),
+          call_function("graft_norm_text", col("text")).as("nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_raw_distinct"),
+          countDistinct(col("nt")).as("n_norm_distinct"),
+          sum(when(col("nt") =!= col("text"), 1L).otherwise(0L))
+            .as("n_changed"),
+          sum(length(col("nt"))).cast("long").as("sum_norm_chars"),
+          sum(conv(substring(md5(col("nt")), 1, 8), 16, 10).cast("long"))
+            .cast("long").as("norm_fingerprint"))
     })
 }

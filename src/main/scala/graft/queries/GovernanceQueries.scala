@@ -670,5 +670,73 @@ object GovernanceQueries {
           col("share9").cast("double").as("share"),
           col("w9").cast("double").as("benford_share"),
           abs(col("share9") - col("w9")).cast("double").as("abs_dev"))
+    },
+
+    // ---- round 14: differential-privacy budget LEDGER. q231 prices a
+    // SINGLE release; a pipeline that publishes the per-event-type
+    // histogram EVERY DAY must track the accumulating privacy cost and
+    // stop (or re-noise) when the budget is spent. Per day: k = the
+    // release ordinal, ε_basic = k·ε₀ (sequential composition), and
+    // ε_adv from the advanced composition theorem (Dwork & Roth Thm
+    // 3.20, δ' = 1e-6): ε₀·√(2k·ln(1∕δ')) + k·ε₀·(eᵉ⁰−1) — MINTED at
+    // 9 dp per k (the grid is the 30-day window, bounded by data
+    // contract) since no engine evaluates √/ln/exp identically. The
+    // verdict columns flag the first days the ε = 1.0 budget is
+    // exhausted under each rule — advanced composition buys the
+    // pipeline extra release days, and the ledger shows exactly how
+    // many. One day-keyed count + a 30-row broadcast grid join; the
+    // events table is scanned once.
+    Q(
+      "q246_dp_ledger", {
+        val eps0 = 0.2
+        val deltaP = 1e-6
+        def adv9(k: Int): Long = {
+          val v = eps0 * math.sqrt(2.0 * k * math.log(1.0 / deltaP)) +
+            k * eps0 * (math.exp(eps0) - 1.0)
+          (BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP) *
+            BigDecimal(10).pow(9)).toLongExact
+        }
+        val values = (1 to 30).map(k => s"($k, ${adv9(k)})").mkString(", ")
+        s"""WITH d AS (
+           |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           |    CAST(count(*) AS BIGINT) AS n_events
+           |  FROM events GROUP BY 1),
+           |r AS (
+           |  SELECT day, n_events,
+           |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k
+           |  FROM d),
+           |g(k, adv9) AS (VALUES $values)
+           |SELECT day, n_events, r.k,
+           |  CAST(r.k * 200000 AS DOUBLE) / 1000000 AS eps_basic,
+           |  CAST(adv9 AS DOUBLE) / 1000000000 AS eps_advanced,
+           |  r.k * 200000 > 1000000 AS basic_exhausted,
+           |  adv9 > 1000000000 AS adv_exhausted
+           |FROM r JOIN g ON r.k = g.k""".stripMargin
+      }) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val spk = spark
+      import spk.implicits._
+      val eps0 = 0.2
+      val deltaP = 1e-6
+      def adv9(k: Int): Long = {
+        val v = eps0 * math.sqrt(2.0 * k * math.log(1.0 / deltaP)) +
+          k * eps0 * (math.exp(eps0) - 1.0)
+        (BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP) *
+          BigDecimal(10).pow(9)).toLongExact
+      }
+      val g = (1 to 30).map(k => (k.toLong, adv9(k))).toDF("k", "adv9")
+      val d = Tables.events(spark, dir)
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val r = d.withColumn("k",
+        row_number().over(Window.orderBy(col("day"))).cast("long"))
+      r.join(broadcast(g), "k")
+        .select(col("day"), col("n_events"), col("k"),
+          (col("k") * lit(200000L)).cast("double")
+            .divide(lit(1000000.0)).as("eps_basic"),
+          col("adv9").cast("double")
+            .divide(lit(1000000000.0)).as("eps_advanced"),
+          (col("k") * lit(200000L) > 1000000L).as("basic_exhausted"),
+          (col("adv9") > 1000000000L).as("adv_exhausted"))
     })
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.ExactRound
-import graft.ops.{Components, Dedup, Similarity}
+import graft.ops.{Components, Dedup, IndexLog, Similarity, Stats}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -878,6 +878,10 @@ object IndexQueries {
             - col("inter"))
         .select(least(expr("(inter * 20) div uni"), lit(19L)).as("bin"))
         .groupBy("bin").agg(count(lit(1)).cast(I).as("cnt"))
+        .localCheckpoint() // ≤20-row histogram materialized here …
+      sigs.unpersist() // … so the corpus-sized signature cache is
+      // released before the grid math (the Dedup.simhashPairsCapped
+      // pattern — without it a full bench run leaks storage memory)
       val e = h.join(broadcast(pv), "bin")
         .groupBy("b", "r")
         .agg(
@@ -1513,7 +1517,7 @@ object IndexQueries {
         |    // (2 * avail) AS DOUBLE) / 1000000 AS epochs,
         |  (2 * avail * ww) // w = tt AS bottleneck
         |FROM a, tw, t""".stripMargin) { (spark, dir) =>
-      val I = DecimalType(38, 0)
+      // kernel: ops/Stats.waterFill (edge semantics pinned in StatsSpec)
       val w = when(col("source").isin("src0", "src1", "src2", "src3"), 4L)
         .when(col("source").isin("src4", "src5", "src6", "src7", "src8",
           "src9"), 2L)
@@ -1521,20 +1525,9 @@ object IndexQueries {
       val a = Tables.documents(spark, dir)
         .select(col("source"), ceil(col("n_chars") / 4.0).cast("long")
           .as("tok"))
-        .groupBy("source").agg(sum("tok").cast(I).as("avail"))
-        .withColumn("w", w.cast(I))
-      val tw = a.agg(sum("w").as("ww"))
-      val withT = a.crossJoin(broadcast(tw))
-        .withColumn("cap_t", expr("(2 * avail * ww) div w").cast(I))
-      val t = withT.agg(min("cap_t").as("tt"))
-      withT.crossJoin(broadcast(t))
-        .withColumn("alloc", expr("(tt * w) div ww").cast(I))
-        .select(col("source"), col("w").cast("long").as("weight"),
-          col("avail").cast("long").as("avail_tokens"),
-          col("alloc").cast("long").as("alloc_tokens"),
-          ExactRound.roundRatio(col("alloc"), col("avail"), 6)
-            .cast("double").as("epochs"),
-          (col("cap_t") === col("tt")).as("bottleneck"))
+        .groupBy("source").agg(sum("tok").as("avail"))
+        .withColumn("w", w)
+      Stats.waterFill(a, "source", "w", "avail", epochCap = 2)
     },
 
     // ---- L220 quality-gate agreement (Cohen's kappa): two filters
@@ -1581,7 +1574,7 @@ object IndexQueries {
          |    AS kappa
          |FROM k""".stripMargin) { (spark, dir) =>
       import graft.ops.Text
-      val I = DecimalType(38, 0)
+      // kernel: ops/Stats.cohensKappa (degenerate gates pinned in StatsSpec)
       val g = Tables.documents(spark, dir)
         .select(col("n_chars"), Text.tokens(col("text")).as("t"))
         .select(
@@ -1589,30 +1582,7 @@ object IndexQueries {
           when(size(col("t")) >= 30 &&
             col("n_chars") <= lit(8L) * size(col("t")), 1L)
             .otherwise(0L).as("gb"))
-      val c = g.agg(
-        sum(col("ga") * col("gb")).cast(I).as("a"),
-        sum(col("ga") * (lit(1L) - col("gb"))).cast(I).as("b"),
-        sum((lit(1L) - col("ga")) * col("gb")).cast(I).as("c"),
-        sum((lit(1L) - col("ga")) * (lit(1L) - col("gb"))).cast(I).as("d"),
-        count(lit(1)).cast(I).as("n"))
-      val k = c
-        .withColumn("pe", (col("a") + col("b")) * (col("a") + col("c")) +
-          (col("c") + col("d")) * (col("b") + col("d")))
-        .withColumn("po", col("n") * (col("a") + col("d")))
-        .withColumn("den", col("n") * col("n") - col("pe"))
-      k.select(
-        col("a").cast("long").as("n_both"),
-        col("b").cast("long").as("n_a_only"),
-        col("c").cast("long").as("n_b_only"),
-        col("d").cast("long").as("n_neither"),
-        ExactRound.roundRatio(col("a") + col("d"), col("n"), 6)
-          .cast("double").as("observed_agreement"),
-        when(col("den") === 0, lit(1.0)).otherwise(
-          when(col("po") - col("pe") >= 0,
-            ExactRound.roundRatio(col("po") - col("pe"), col("den"), 6))
-            .otherwise(-ExactRound.roundRatio(col("pe") - col("po"),
-              col("den"), 6))
-            .cast("double")).as("kappa"))
+      Stats.cohensKappa(g, "ga", "gb")
     },
 
     // ---- L221 two-sample KS drift test: the distribution-level
@@ -1622,7 +1592,10 @@ object IndexQueries {
     // the α = 5% verdict decided ENTIRELY in integer space: D =
     // max|F₁−F₂| is a rational Dnum∕(n₁n₂) over the merged support,
     // and D > c(α)·√((n₁+n₂)∕(n₁n₂)) squares into Dnum²·10⁶ >
-    // C₆·(n₁+n₂)·n₁·n₂ with C₆ = round(c²·10⁶) = 1844164 minted once —
+    // C₆·(n₁+n₂)·n₁·n₂ with C₆ = 1358² = 1844164 minted once (the
+    // squared 3-dp table value c(0.05) = 1.358; exact round(c²·10⁶)
+    // is 1844440 — the table constant is ~0.015% tighter, a
+    // deliberate choice shared verbatim by both engines) —
     // a boundary drift cannot flip between engines. One sort-free
     // pass: per distinct value a cumulative count window on each side.
     Q(
@@ -1653,33 +1626,265 @@ object IndexQueries {
         |  dnum * dnum * 1000000 > 1844164 * (n1 + n2) * n1 * n2
         |    AS drift_detected
         |FROM d, n1, n2""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val I = DecimalType(38, 0)
+      // kernel: ops/Stats.ksExact (boundary-tie strictness pinned in
+      // StatsSpec)
       val docs = Tables.documents(spark, dir)
-      val a = docs.filter(col("doc_id") % 10 =!= 0)
-        .groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("c1"))
-      val b = docs.filter(col("doc_id") % 7 =!= 0)
-        .groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("c2"))
-      val merged = a.join(b, Seq("v"), "full_outer")
-        .select(col("v"), coalesce(col("c1"), lit(0L)).as("c1"),
-          coalesce(col("c2"), lit(0L)).as("c2"))
-      val w = Window.orderBy(col("v")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow)
-      val n1 = a.agg(sum("c1").cast(I).as("n1"))
-      val n2 = b.agg(sum("c2").cast(I).as("n2"))
-      val s = merged
-        .withColumn("f1", sum("c1").over(w).cast(I))
-        .withColumn("f2", sum("c2").over(w).cast(I))
-        .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
-      s.agg(max(abs(col("f1") * col("n2") - col("f2") * col("n1")))
-          .as("dnum"),
-          first(col("n1")).as("n1"), first(col("n2")).as("n2"))
-        .select(col("n1").cast("long").as("n1"),
-          col("n2").cast("long").as("n2"),
-          ExactRound.roundRatio(col("dnum"), col("n1") * col("n2"), 6)
-            .cast("double").as("d_stat"),
-          (col("dnum") * col("dnum") * lit(1000000L).cast(I) >
-            lit(1844164L).cast(I) * (col("n1") + col("n2")) *
-              col("n1") * col("n2")).as("drift_detected"))
+      Stats.ksExact(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 7 =!= 0),
+        "n_chars")
+    },
+
+    // ---- L222 index delete + compaction: closes the q226/q236 fold
+    // lifecycle. Those folds only APPEND; a standing index must also
+    // UPSERT re-embedded vectors and TOMBSTONE deleted ones, then
+    // periodically COMPACT its segment log. The log is data
+    // (id, cid, seg, deleted) — ops/IndexLog.scala; three stream
+    // batches fold exactly-once via writeOnce: (1) first half of the
+    // new vectors, (2) second half PLUS re-embeds (vec_id % 9 = 1
+    // vectors arrive re-encoded with their embedding reversed — a
+    // model-refresh upsert), (3) tombstones for vec_id % 7 = 1. Each
+    // fold computes only its delta's encode (broadcast codebook);
+    // resolution is one latest-per-key window (tombstone beats upsert
+    // within a segment); compaction squashes the log and publishes the
+    // result as the next version. The oracle computes the ONE-SHOT
+    // encode of the final live corpus (updates applied, deletes
+    // removed) — so upsert-wins, delete-wins, and compact == resolve
+    // are all pinned row-for-row cross-engine.
+    Q(
+      "q241_index_delete_compact",
+      s"""WITH ${kmChain("h", " WHERE vec_id % 3 <> 0")},
+         |av AS (
+         |  SELECT vec_id,
+         |    list_transform(CASE WHEN vec_id % 9 = 1
+         |        THEN list_reverse(embedding) ELSE embedding END,
+         |      x -> CAST(x AS DOUBLE)) AS dv
+         |  FROM embeddings WHERE vec_id % 7 <> 1),
+         |avn AS (SELECT vec_id, dv, ${dot64Sql("dv", "dv")} AS vn2 FROM av),
+         |ccs AS (SELECT cluster AS cid, cv,
+         |  sqrt(${dot64Sql("cv", "cv")}) AS cn FROM hc2),
+         |${cellSql("code", "avn", "ccs", "", 1)}
+         |SELECT vec_id, cid FROM code""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val e = Tables.embeddings(spark, dir)
+      val hist = e.filter(col("vec_id") % 3 =!= 0)
+      val (_, cb) = Similarity.kmeansLloyd(hist, "vec_id", "embedding",
+        k = 4, iters = 2)
+      val root = graft.Tmp.dir("graft-q241").toString
+      val idxPath = s"$root/codes"
+      graft.Meta.Versioned.write(
+        IndexLog.initial(
+          Similarity.ivfEncode(hist, "vec_id", "embedding", cb), "vec_id"),
+        idxPath)
+      implicit val ctx = spark.sqlContext
+      import spark.implicits._
+      // fixture-sized collects feed MemoryStream (the documented
+      // no-Kafka-jar harness shape — q226's pattern)
+      val adds = e.filter(col("vec_id") % 3 === 0)
+        .select(col("vec_id"), col("embedding"), lit("u").as("op"))
+        .as[(Long, Seq[Float], String)].collect().sortBy(_._1)
+      val upd = e.filter(col("vec_id") % 9 === 1 && col("vec_id") % 7 =!= 1)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+          lit("u").as("op"))
+        .as[(Long, Seq[Float], String)].collect().sortBy(_._1)
+      val dels = e.filter(col("vec_id") % 7 === 1)
+        .select(col("vec_id"), col("embedding"), lit("d").as("op"))
+        .as[(Long, Seq[Float], String)].collect().sortBy(_._1)
+      val (b1, b2) = adds.splitAt(adds.length / 2)
+      val ms = MemoryStream[(Long, Seq[Float], String)]
+      val fold = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {
+        val b = batch.toDF("vec_id", "embedding", "op")
+        val ups = IndexLog.upserts(
+          Similarity.ivfEncode(b.filter(col("op") === "u")
+            .select("vec_id", "embedding"), "vec_id", "embedding", cb),
+          "vec_id", bid + 1)
+        val tmb = IndexLog.tombstones(
+          b.filter(col("op") === "d").select("vec_id"), "vec_id", bid + 1)
+        graft.Meta.Versioned.writeOnce(
+          graft.Meta.Versioned.read(spark, idxPath)
+            .unionByName(ups.unionByName(tmb)),
+          idxPath, "q241", bid)
+        ()
+      }
+      graft.streaming.Streams.withShufflePartitions(spark, 4) {
+        val q = ms.toDF().toDF("vec_id", "embedding", "op").writeStream
+          .foreachBatch(fold)
+          .outputMode("update")
+          .option("checkpointLocation", s"$root/cp")
+          .start()
+        try {
+          ms.addData(b1); q.processAllAvailable()
+          ms.addData(b2 ++ upd); q.processAllAvailable()
+          ms.addData(dels); q.processAllAvailable()
+        } finally q.stop()
+      }
+      // the compaction pass: squash the folded log, publish as the
+      // next version; the post-compact snapshot must equal the
+      // one-shot encode of the live corpus (the oracle's side)
+      graft.Meta.Versioned.write(
+        IndexLog.compact(
+          graft.Meta.Versioned.read(spark, idxPath), "vec_id"),
+        idxPath)
+      graft.Meta.Versioned.read(spark, idxPath)
+        .select(col("vec_id"), col("cid"))
+    },
+
+    // ---- L223 search over the tombstoned index: q241 pins the code
+    // table; this pins the SEARCH contract — a deleted vector must
+    // never surface as a neighbor, and it is the INDEX (the resolved
+    // code table) that removes it, not a corpus-side filter: the
+    // scoring scan below deliberately keeps the full corpus and the
+    // deleted ids vanish solely because resolve() dropped their cells.
+    // Re-embedded vectors (vec_id % 9 = 1, reversed) are searched
+    // under their NEW embedding — the upsert's visible effect. Same
+    // cell/scoring arithmetic as q223 (identical operand trees), top-5
+    // per query over the live ids < 10.
+    Q(
+      "q242_search_after_delete",
+      s"""WITH ${kmChain("h", " WHERE vec_id % 3 <> 0")},
+         |rv AS (
+         |  SELECT vec_id,
+         |    list_transform(CASE WHEN vec_id % 9 = 1 AND vec_id % 7 <> 1
+         |        THEN list_reverse(embedding) ELSE embedding END,
+         |      x -> CAST(x AS DOUBLE)) AS dv
+         |  FROM embeddings),
+         |rvn AS MATERIALIZED (
+         |  SELECT vec_id, dv, ${dot64Sql("dv", "dv")} AS vn2 FROM rv),
+         |lvn AS (SELECT * FROM rvn WHERE vec_id % 7 <> 1),
+         |ccs AS (SELECT cluster AS cid, cv,
+         |  sqrt(${dot64Sql("cv", "cv")}) AS cn FROM hc2),
+         |${cellSql("ca", "lvn", "ccs", "", 1)},
+         |${cellSql("qa", "lvn", "ccs", " WHERE t.vec_id < 10", 2)},
+         |sc AS (
+         |  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+         |    ${dot64Sql("qv.dv", "nv.dv")} / (sqrt(qv.vn2) * sqrt(nv.vn2))
+         |      AS cos
+         |  FROM qa JOIN rvn qv ON qa.vec_id = qv.vec_id
+         |    JOIN ca ON qa.cid = ca.cid
+         |    JOIN rvn nv ON ca.vec_id = nv.vec_id
+         |  WHERE ca.vec_id <> qa.vec_id)
+         |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rn
+         |  FROM sc) y WHERE rn <= 5""".stripMargin) { (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+      val hist = e.filter(col("vec_id") % 3 =!= 0)
+      val (_, cb) = Similarity.kmeansLloyd(hist, "vec_id", "embedding",
+        k = 4, iters = 2)
+      // corpus as the pipeline now sees it: re-embeds applied, deletes
+      // still PRESENT (the index, not the scan, must drop them)
+      val upd = e.withColumn("embedding",
+        when(col("vec_id") % 9 === 1 && col("vec_id") % 7 =!= 1,
+          reverse(col("embedding"))).otherwise(col("embedding")))
+      val log = IndexLog.initial(
+          Similarity.ivfEncode(hist, "vec_id", "embedding", cb), "vec_id")
+        .unionByName(IndexLog.upserts(
+          Similarity.ivfEncode(upd.filter(col("vec_id") % 3 === 0),
+            "vec_id", "embedding", cb), "vec_id", 1L))
+        .unionByName(IndexLog.upserts(
+          Similarity.ivfEncode(
+            upd.filter(col("vec_id") % 9 === 1 && col("vec_id") % 7 =!= 1),
+            "vec_id", "embedding", cb), "vec_id", 2L))
+        .unionByName(IndexLog.tombstones(
+          e.filter(col("vec_id") % 7 === 1).select("vec_id"), "vec_id", 3L))
+      val codes = IndexLog.resolve(log, "vec_id")
+      val queries = upd.filter(col("vec_id") < 10 && col("vec_id") % 7 =!= 1)
+      Similarity.topKIvfEncoded(upd, codes, queries,
+          "vec_id", "embedding", 5, cb, 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    },
+
+    // ---- L224 cross-dimension covariance audit: q227 ranks the
+    // DIAGONAL of the embedding covariance matrix (which dims carry
+    // variance); this ranks the OFF-DIAGONAL mass — strongly
+    // covarying dimension pairs mean the space is rotated away from
+    // its principal axes and whitening (or at least PQ subspace
+    // re-blocking, q236's layout decision) would pay. Same exactness
+    // contract as q227: values quantized to 5 dp, per-pair covariance
+    // numerator n·Σuv − Σu·Σv as an exact scale-10¹⁰ integer, 6-dp
+    // presentation divides, rank over the fixed 2016-pair grid.
+    // Spark shape: pair products are generated PER ROW by a nested
+    // array transform (no self-join, no corpus shuffle on the pair
+    // key) and partially aggregated map-side into the 2016-key grid;
+    // the DuckDB oracle takes the equivalent self-join route.
+    Q(
+      "q243_embedding_covariance",
+      """WITH u AS (
+        |  SELECT vec_id, i,
+        |    CAST(CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(9,5))
+        |      * 100000 AS HUGEINT) AS HUGEINT) AS uv
+        |  FROM embeddings, range(1, 65) t(i)),
+        |p AS MATERIALIZED (
+        |  SELECT a.i AS i, b.i AS j, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(a.uv * b.uv) AS HUGEINT) AS sij,
+        |    CAST(sum(a.uv) AS HUGEINT) AS si,
+        |    CAST(sum(b.uv) AS HUGEINT) AS sj
+        |  FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.i > a.i
+        |  GROUP BY 1, 2),
+        |c AS MATERIALIZED (
+        |  SELECT i, j, n, n * sij - si * sj AS covn FROM p),
+        |t AS (SELECT CAST(sum(abs(covn)) AS HUGEINT) AS tc FROM c)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |  CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN covn >= 0
+        |    THEN (2 * covn * 1000000 + n * n * 10000000000)
+        |      // (2 * n * n * 10000000000)
+        |    ELSE -((2 * (-covn) * 1000000 + n * n * 10000000000)
+        |      // (2 * n * n * 10000000000)) END AS DOUBLE) / 1000000
+        |    AS cov,
+        |  CAST((2 * abs(covn) * 1000000 + tc) // (2 * tc) AS DOUBLE)
+        |    / 1000000 AS cov_share,
+        |  CAST(row_number() OVER (ORDER BY abs(covn) DESC, i, j)
+        |    AS BIGINT) AS cov_rank
+        |FROM c, t""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(spark, dir)
+      val I = DecimalType(38, 0)
+      def unscale10(c: org.apache.spark.sql.Column) =
+        (c.cast(DecimalType(26, 10)) *
+          lit(java.math.BigDecimal.TEN.pow(10)).cast(DecimalType(11, 0)))
+          .cast(I)
+      val dec = transform(col("embedding"),
+        x => x.cast("double").cast(DecimalType(9, 5)))
+      // per-row pair products: for each i (0-based), pair v_i with every
+      // later element — flatten to one struct array, no self-join
+      val prods = e
+        .withColumn("d", dec)
+        .select(explode(flatten(transform(col("d"), (v, i) =>
+          transform(slice(col("d"), i + lit(2), lit(64)), (w, jr) =>
+            struct((i + 1).cast("long").as("i"),
+              (i + jr + 2).cast("long").as("j"),
+              (v * w).as("p")))))).as("pr"))
+        .select(col("pr.i").as("i"), col("pr.j").as("j"), col("pr.p").as("p"))
+      val pairAgg = prods.groupBy("i", "j").agg(
+        count(lit(1)).as("n"),
+        sum(col("p").cast(DecimalType(27, 10))).as("sij"))
+      // per-dim sums for the mean correction (64 rows, broadcast)
+      val m = e.select(posexplode(col("embedding")))
+        .select((col("pos") + 1).cast("long").as("i"),
+          col("col").cast("double").cast(DecimalType(9, 5)).as("v"))
+        .groupBy("i").agg(sum(col("v").cast(DecimalType(27, 5))).as("s1"))
+      val covn = col("sij").cast(DecimalType(20, 10)) *
+        col("n").cast(DecimalType(10, 0)) -
+        col("si").cast(DecimalType(14, 5)) * col("sj").cast(DecimalType(14, 5))
+      val cc = pairAgg
+        .join(broadcast(m.select(col("i"), col("s1").as("si"))), "i")
+        .join(broadcast(m.select(col("i").as("j"), col("s1").as("sj"))), "j")
+        .withColumn("covn", unscale10(covn))
+      val tc = cc.agg(sum(abs(col("covn"))).as("tc"))
+      val den = col("n").cast(I) * col("n").cast(I) *
+        lit(java.math.BigDecimal.TEN.pow(10)).cast(I)
+      cc.crossJoin(broadcast(tc)).select(
+        col("i"), col("j"), col("n"),
+        when(col("covn") >= 0,
+          ExactRound.roundRatio(col("covn"), den, 6))
+          .otherwise(-ExactRound.roundRatio(-col("covn"), den, 6))
+          .cast("double").as("cov"),
+        ExactRound.roundRatio(abs(col("covn")), col("tc"), 6)
+          .cast("double").as("cov_share"),
+        row_number().over(
+          Window.orderBy(abs(col("covn")).desc, col("i"), col("j")))
+          .cast("long").as("cov_rank"))
     })
 }

@@ -396,6 +396,21 @@ class PlansSpec extends SparkSuite {
     val p = pairs.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
     assert(p.contains("WindowGroupLimit"), s"cap not pruned map-side:\n$p")
     assert(!p.contains("CartesianProduct"), s"capped candidates went quadratic:\n$p")
+    // the cap must sit UPSTREAM of the bucket join — a refactor that
+    // joins first and caps after stays correctness-green at sf0.01 but
+    // reopens the mega-bucket quadratic at scale. The plan string
+    // prints root-first (inputs BELOW consumers), so every
+    // WindowGroupLimit/rank-filter index must be LARGER than the
+    // candidate join's index.
+    val joinIdx = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findFirstMatchIn(p).map(_.start)
+    assert(joinIdx.isDefined, s"bucket-keyed candidate join missing:\n$p")
+    val wglIdx = p.indexOf("WindowGroupLimit")
+    assert(wglIdx > joinIdx.get,
+      s"degree cap is DOWNSTREAM of the bucket join — the quadratic is back:\n$p")
+    val rkIdx = p.indexOf("_rk")
+    assert(rkIdx > joinIdx.get,
+      s"rank filter is not inside the join's input subtree:\n$p")
   }
 
   test("q111 span dedup: the boilerplate set joins by broadcast onto the " +

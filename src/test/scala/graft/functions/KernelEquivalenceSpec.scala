@@ -159,4 +159,30 @@ class KernelEquivalenceSpec extends SparkSuite {
     assert(got == expected,
       "kernel must sample raw UTF-8 bytes and gate on byte length")
   }
+
+  test("NormText: NFD and NFC spellings fingerprint identically; case " +
+      "and whitespace runs collapse; ASCII round-trips unchanged") {
+    def norm(s: String): String =
+      Seq(s).toDF("t")
+        .select(call_function("graft_norm_text", col("t")))
+        .as[String].collect().head
+    // e-acute composed (U+00E9) vs decomposed (e + combining U+0301):
+    // the merge the operator exists for — spelled via escapes so a
+    // source re-encoding cannot silently normalize the fixture
+    val composed = "caf\u00e9"
+    val decomposed = "cafe\u0301"
+    assert(composed != decomposed, "fixture sanity: distinct raw strings")
+    assert(norm(decomposed) == norm(composed),
+      "NFC must merge composed and decomposed accents")
+    assert(norm(composed) == composed)
+    // case fold + whitespace collapse + trim
+    assert(norm("  Hello\t\n  WORLD  ") == "hello world")
+    // plain ASCII with single spaces is a fixed point
+    assert(norm("already normal text") == "already normal text")
+    // NULL propagates
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(call_function("graft_norm_text", col("t")))
+      .collect().head
+    assert(n.isNullAt(0), "NULL input must stay NULL")
+  }
 }

@@ -60,4 +60,71 @@ class IndexMaintenanceSpec extends SparkSuite {
       .as[(Long, Long)].collect().head
     assert(got == ((1L, 0L)), s"tie rule drifted: $got")
   }
+
+  // ---------------- IndexLog (q241/q242 lifecycle) ----------------
+
+  private def liveSet(log: org.apache.spark.sql.DataFrame) =
+    IndexLog.resolve(log, "id").as[(Long, Long)].collect().toSet
+
+  test("IndexLog: latest segment wins, tombstone beats upsert within " +
+      "a segment, and a re-insert after a delete comes back live") {
+    val codes = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "cid")
+    val log0 = IndexLog.initial(codes, "id")
+    // seg 1: re-encode id 1 to a new cell; delete id 2
+    val log1 = log0
+      .unionByName(IndexLog.upserts(Seq((1L, 11L)).toDF("id", "cid"), "id", 1L))
+      .unionByName(IndexLog.tombstones(Seq(Tuple1(2L)).toDF("id"), "id", 1L))
+    assert(liveSet(log1) == Set((1L, 11L), (3L, 30L)),
+      "upsert must supersede seg 0; tombstone must drop id 2")
+    // same-segment conflict: upsert AND tombstone for id 3 in seg 2 —
+    // the tombstone wins (delete-after-upsert semantics)
+    val log2 = log1
+      .unionByName(IndexLog.upserts(Seq((3L, 33L)).toDF("id", "cid"), "id", 2L))
+      .unionByName(IndexLog.tombstones(Seq(Tuple1(3L)).toDF("id"), "id", 2L))
+    assert(liveSet(log2) == Set((1L, 11L)),
+      "a same-segment tombstone must beat the upsert")
+    // seg 3: id 2 re-inserted after its seg-1 delete — live again
+    val log3 = log2
+      .unionByName(IndexLog.upserts(Seq((2L, 22L)).toDF("id", "cid"), "id", 3L))
+    assert(liveSet(log3) == Set((1L, 11L), (2L, 22L)),
+      "re-insert after delete must resurrect the id")
+  }
+
+  test("IndexLog: compact squashes to exactly the live rows and " +
+      "resolve(compact(log)) == resolve(log)") {
+    val log = IndexLog.initial(
+        Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("id", "cid"), "id")
+      .unionByName(IndexLog.upserts(Seq((1L, 11L), (5L, 50L)).toDF("id", "cid"), "id", 1L))
+      .unionByName(IndexLog.tombstones(Seq(Tuple1(3L), Tuple1(5L)).toDF("id"), "id", 2L))
+    val compacted = IndexLog.compact(log, "id")
+    assert(liveSet(compacted) == liveSet(log),
+      "compaction must not change the live view")
+    // the squash: one row per live id, no tombstones, no superseded rows
+    val rows = compacted.collect()
+    assert(rows.length == liveSet(log).size, "compact must keep live rows only")
+    assert(rows.forall(!_.getBoolean(3)), "no tombstone survives compaction")
+    // folds continue after compaction: a later segment still supersedes
+    val after = compacted
+      .unionByName(IndexLog.tombstones(Seq(Tuple1(4L)).toDF("id"), "id", 9L))
+    assert(liveSet(after) == Set((1L, 11L), (2L, 20L)),
+      "post-compaction folds must keep working")
+  }
+
+  test("IndexLog fold == one-shot: initial+upserts+tombstones over " +
+      "real encodes equals the one-shot encode of the live corpus") {
+    val hist = e.filter(col("vec_id") % 3 =!= 0)
+    val adds = e.filter(col("vec_id") % 3 === 0)
+    val log = IndexLog.initial(
+        Similarity.ivfEncode(hist, "vec_id", "embedding", cents), "vec_id")
+      .unionByName(IndexLog.upserts(
+        Similarity.ivfEncode(adds, "vec_id", "embedding", cents), "vec_id", 1L))
+      .unionByName(IndexLog.tombstones(
+        e.filter(col("vec_id") % 5 === 0).select("vec_id"), "vec_id", 2L))
+    val folded = IndexLog.resolve(log, "vec_id")
+      .as[(Long, Long)].collect().toSet
+    val oneShot = Similarity.ivfEncode(
+        e.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", cents)
+      .as[(Long, Long)].collect().toSet
+    assert(folded == oneShot, "lifecycle fold diverged from one-shot encode")
+  }
 }

@@ -70,6 +70,42 @@ class ParetoSpec extends SparkSuite {
     assert(got2 == exp2, "random double-x skyline diverged")
   }
 
+  test("NULL x is dropped up front in BOTH dispatch paths (an unranked " +
+      "point must not poison the frontier); NULL partition keys are a " +
+      "kept group in both") {
+    // same logical data, x typed Long (integral path) vs Double
+    // (fractional path); three NULL-x rows that must not affect the
+    // frontier of the non-null rows
+    val base = Seq(
+      (1L, Some(3L), 10L), (2L, Some(5L), 8L), (3L, None, 20L),
+      (4L, None, 7L), (5L, None, 20L), (6L, Some(1L), 2L))
+    val longDf = base.toDF("id", "x", "y")
+    val dblDf = longDf.withColumn("x", col("x").cast("double"))
+    val gotL = Pareto.skyline2d(longDf, "x", "y")
+      .select("id").as[Long].collect().toSet
+    val gotD = Pareto.skyline2d(dblDf, "x", "y")
+      .select("id").as[Long].collect().toSet
+    // frontier of the non-null rows alone: (1,2) at x=3/5 beaten by
+    // nothing smaller; id 6 (x=1, y=2) is the low-x anchor
+    val expected = Set(1L, 6L)
+    assert(gotL == expected,
+      s"NULL x poisoned the integral frontier: $gotL")
+    assert(gotD == gotL,
+      s"paths disagree on NULL x: integral=$gotL fractional=$gotD")
+    // a NULL PARTITION key is its own legitimate group in both paths
+    val gp = longDf.filter(col("x").isNotNull).withColumn("g",
+      when(col("id") === 1L, lit(7L)))
+    val gotGL = Pareto.skyline2d(gp, "x", "y", Seq("g"))
+      .select("id").as[Long].collect().toSet
+    val gotGD = Pareto.skyline2d(
+      gp.withColumn("x", col("x").cast("double")), "x", "y", Seq("g"))
+      .select("id").as[Long].collect().toSet
+    assert(gotGL == Set(1L, 2L, 6L),
+      s"NULL-group rows must keep their own frontier: $gotGL")
+    assert(gotGD == gotGL,
+      s"paths disagree on NULL group key: $gotGL vs $gotGD")
+  }
+
   test("fold(skyline(hist), batch) == skyline(hist ∪ batch) on " +
       "randomized splits") {
     val df = data.toDF("id", "x", "y")
