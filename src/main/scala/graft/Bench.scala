@@ -63,7 +63,12 @@ object Bench {
     val extra = math.max(0, sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "2").toInt)
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
       "bench/baseline_min.json")
-    val spark = Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS decouples shuffle width from the
+    // CPU count — the scale-probe A/B knob (does a pinned 32-partition
+    // shuffle explain an sf10 residual, or is it the data?). Defaults
+    // to cpus, the measurement configuration every baseline uses.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    val spark = Sessions.builder(s"local[$cpus]", shuffle).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries
     // SPARK_GRAFT_BENCH_ONLY=q27_...,q46_... restricts the sweep — the

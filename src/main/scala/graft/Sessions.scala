@@ -132,6 +132,9 @@ object Sessions {
     ext.injectFunction((FunctionIdentifier("graft_norm_text"),
       info("graft_norm_text", classOf[NormText]),
       (e: Seq[Expression]) => NormText(e.head)))
+    ext.injectFunction((FunctionIdentifier("graft_pair_products"),
+      info("graft_pair_products", classOf[PairProducts]),
+      (e: Seq[Expression]) => PairProducts(e.head)))
   }
 
   /** Run `body` with `spark.sql.shuffle.partitions` = n, restoring the

@@ -1839,39 +1839,42 @@ object IndexQueries {
         |    AS BIGINT) AS cov_rank
         |FROM c, t""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
+      val spk = spark
+      import spk.implicits._
       val e = Tables.embeddings(spark, dir)
       val I = DecimalType(38, 0)
-      def unscale10(c: org.apache.spark.sql.Column) =
-        (c.cast(DecimalType(26, 10)) *
-          lit(java.math.BigDecimal.TEN.pow(10)).cast(DecimalType(11, 0)))
+      // scale-10⁵ unscaled integer of a DECIMAL(27,5) sum (exact)
+      def unscale5(c: org.apache.spark.sql.Column) =
+        (c.cast(DecimalType(32, 5)) *
+          lit(java.math.BigDecimal.TEN.pow(5)).cast(DecimalType(6, 0)))
           .cast(I)
-      val dec = transform(col("embedding"),
-        x => x.cast("double").cast(DecimalType(9, 5)))
-      // per-row pair products: for each i (0-based), pair v_i with every
-      // later element — flatten to one struct array, no self-join
-      val prods = e
-        .withColumn("d", dec)
-        .select(explode(flatten(transform(col("d"), (v, i) =>
-          transform(slice(col("d"), i + lit(2), lit(64)), (w, jr) =>
-            struct((i + 1).cast("long").as("i"),
-              (i + jr + 2).cast("long").as("j"),
-              (v * w).as("p")))))).as("pr"))
-        .select(col("pr.i").as("i"), col("pr.j").as("j"), col("pr.p").as("p"))
-      val pairAgg = prods.groupBy("i", "j").agg(
-        count(lit(1)).as("n"),
-        sum(col("p").cast(DecimalType(27, 10))).as("sij"))
+      // per-row pair products as ONE compiled pass (graft_pair_products:
+      // the 2016 scale-10¹⁰ integer products per vector); pos ↔ (i,j)
+      // via a broadcast 2016-row grid map
+      val posMap = (for (i <- 1 to 64; j <- (i + 1) to 64) yield (i, j))
+        .zipWithIndex
+        .map { case ((i, j), p) => (p, i.toLong, j.toLong) }
+        .toDF("pos", "i", "j")
+      val pairAgg = e
+        .select(posexplode(
+          call_function("graft_pair_products", col("embedding"))))
+        .groupBy("pos").agg(
+          count(lit(1)).as("n"),
+          sum(col("col").cast(I)).as("sij10"))
+        .join(broadcast(posMap), "pos")
       // per-dim sums for the mean correction (64 rows, broadcast)
       val m = e.select(posexplode(col("embedding")))
         .select((col("pos") + 1).cast("long").as("i"),
           col("col").cast("double").cast(DecimalType(9, 5)).as("v"))
         .groupBy("i").agg(sum(col("v").cast(DecimalType(27, 5))).as("s1"))
-      val covn = col("sij").cast(DecimalType(20, 10)) *
-        col("n").cast(DecimalType(10, 0)) -
-        col("si").cast(DecimalType(14, 5)) * col("sj").cast(DecimalType(14, 5))
+      val covn = col("n").cast(I) * col("sij10") -
+        col("si5") * col("sj5")
       val cc = pairAgg
-        .join(broadcast(m.select(col("i"), col("s1").as("si"))), "i")
-        .join(broadcast(m.select(col("i").as("j"), col("s1").as("sj"))), "j")
-        .withColumn("covn", unscale10(covn))
+        .join(broadcast(m.select(col("i"),
+          unscale5(col("s1")).as("si5"))), "i")
+        .join(broadcast(m.select(col("i").as("j"),
+          unscale5(col("s1")).as("sj5"))), "j")
+        .withColumn("covn", covn)
       val tc = cc.agg(sum(abs(col("covn"))).as("tc"))
       val den = col("n").cast(I) * col("n").cast(I) *
         lit(java.math.BigDecimal.TEN.pow(10)).cast(I)

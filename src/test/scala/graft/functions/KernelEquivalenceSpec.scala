@@ -160,6 +160,28 @@ class KernelEquivalenceSpec extends SparkSuite {
       "kernel must sample raw UTF-8 bytes and gate on byte length")
   }
 
+  test("PairProducts == the nested-transform decimal HOF formula, " +
+      "bit for bit, at 64 and odd lengths") {
+    import org.apache.spark.sql.types.DecimalType
+    for (len <- Seq(64, 5, 1, 0)) {
+      val vecs = (1 to 12).map(_ =>
+        (1 to len).map(_ => (rng.nextDouble() * 20 - 10).toFloat).toSeq)
+      val df = vecs.toDF("v")
+      val kernel = df
+        .select(call_function("graft_pair_products", col("v")).as("p"))
+        .as[Seq[Long]].collect().toSeq
+      val dec = transform(col("v"),
+        x => x.cast("double").cast(DecimalType(9, 5)))
+      val hof = df.withColumn("d", dec)
+        .select(flatten(transform(col("d"), (x, i) =>
+          transform(slice(col("d"), i + lit(2), lit(len)), w =>
+            (x * lit(100000)).cast("long") * (w * lit(100000)).cast("long"))))
+          .as("p"))
+        .as[Seq[Long]].collect().toSeq
+      assert(kernel == hof, s"len=$len diverged")
+    }
+  }
+
   test("NormText: NFD and NFC spellings fingerprint identically; case " +
       "and whitespace runs collapse; ASCII round-trips unchanged") {
     def norm(s: String): String =
