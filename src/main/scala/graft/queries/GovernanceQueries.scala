@@ -738,5 +738,83 @@ object GovernanceQueries {
             .divide(lit(1000000000.0)).as("eps_advanced"),
           (col("k") * lit(200000L) > 1000000L).as("basic_exhausted"),
           (col("adv9") > 1000000000L).as("adv_exhausted"))
+    },
+
+    // ---- round 14: right-to-be-forgotten ERASURE AUDIT. Erasing a
+    // document is not one DELETE: every derived artifact (chunk
+    // tables, dedup maps, indexes) must drop it too, and — the part
+    // pipelines miss — the versioned lake RETAINS the erased rows in
+    // older snapshots until VACUUM. The audit publishes documents
+    // minus the erasure set (doc_id % 97 = 1 here; production feeds a
+    // broadcast manifest list — the residual check below is the same
+    // anti-join shape either way), rebuilds the chunk artifact, then
+    // emits one verdict row per surface: row count, erased residual
+    // (must be 0), rows removed, clean flag. The `docs_v1_retained`
+    // row is deliberately DIRTY — time travel still reads the erased
+    // rows — and `post_vacuum` closes it by dropping the pre-erasure
+    // snapshot (Versioned.vacuum), the step that makes erasure real.
+    // All counts integer; the chunk artifact reuses q92's shape.
+    Q(
+      "q250_erasure_audit",
+      s"""WITH e AS (SELECT count(*) AS ec FROM documents
+         |  WHERE doc_id % 97 = 1),
+         |d AS (SELECT count(*) AS dc FROM documents),
+         |ch AS (
+         |  SELECT doc_id, len(range(1, len($toksSql) + 1, 30)) AS nch
+         |  FROM documents),
+         |c1 AS (SELECT CAST(sum(nch) AS BIGINT) AS c FROM ch),
+         |c2 AS (SELECT CAST(sum(nch) AS BIGINT) AS c FROM ch
+         |  WHERE doc_id % 97 <> 1)
+         |SELECT 'documents_v2' AS artifact,
+         |  CAST(dc - ec AS BIGINT) AS n_rows,
+         |  CAST(0 AS BIGINT) AS n_erased_residual,
+         |  CAST(ec AS BIGINT) AS n_removed, TRUE AS clean
+         |FROM d, e
+         |UNION ALL
+         |SELECT 'chunks_v2', c2.c, 0, c1.c - c2.c, TRUE FROM c1, c2
+         |UNION ALL
+         |SELECT 'docs_v1_retained', CAST(dc AS BIGINT), CAST(ec AS BIGINT),
+         |  0, FALSE FROM d, e
+         |UNION ALL
+         |SELECT 'post_vacuum', 1, 0, 1, TRUE""".stripMargin) {
+      (spark, dir) =>
+      import graft.ops.Text
+      val docs = Tables.documents(spark, dir)
+      val erased = col("doc_id") % 97 === 1
+      val root = graft.Tmp.dir("graft-q250").toString
+      val tbl = s"$root/docs"
+      graft.Meta.Versioned.write(docs, tbl) // v1: pre-erasure snapshot
+      graft.Meta.Versioned.write(docs.filter(!erased), tbl) // v2: erased
+      val v1 = graft.Meta.Versioned.read(spark, tbl, Some(1L))
+      val v2 = graft.Meta.Versioned.read(spark, tbl, Some(2L))
+      def chunkCount(d: org.apache.spark.sql.DataFrame) = d
+        .select(size(Text.chunkStarts(
+          Text.tokens(col("text")), stride = 30)).cast("long").as("nch"),
+          col("doc_id"))
+      def audit(name: String, d: org.apache.spark.sql.DataFrame,
+          rows: org.apache.spark.sql.Column,
+          before: org.apache.spark.sql.DataFrame) = {
+        val a = d.agg(sum(rows).cast("long").as("n_rows"),
+          sum(when(erased, rows).otherwise(lit(0L))).cast("long")
+            .as("n_erased_residual"))
+        val b = before.agg(sum(rows).cast("long").as("c1"))
+        a.crossJoin(broadcast(b)).select(lit(name).as("artifact"),
+          col("n_rows"), col("n_erased_residual"),
+          (col("c1") - col("n_rows")).as("n_removed"),
+          (col("n_erased_residual") === 0).as("clean"))
+      }
+      val pre = audit("documents_v2", v2, lit(1L), v1)
+        .unionByName(
+          audit("chunks_v2", chunkCount(v2), col("nch"), chunkCount(v1)))
+        .unionByName(audit("docs_v1_retained", v1, lit(1L), v1))
+        .localCheckpoint() // materialize BEFORE vacuum deletes v1's files
+      // the erasure is only real once the pre-erasure snapshot is gone
+      val dropped = graft.Meta.Versioned.vacuum(spark, tbl, keep = 1)
+      val r4 = spark.range(1).select(lit("post_vacuum").as("artifact"),
+        lit(graft.Meta.Versioned.latestVersion(spark, tbl).size.toLong)
+          .as("n_rows"),
+        lit(0L).as("n_erased_residual"),
+        lit(dropped.size.toLong).as("n_removed"), lit(true).as("clean"))
+      pre.unionByName(r4)
     })
 }

@@ -1889,5 +1889,309 @@ object IndexQueries {
         row_number().over(
           Window.orderBy(abs(col("covn")).desc, col("i"), col("j")))
           .cast("long").as("cov_rank"))
+    },
+
+    // ---- L228 multi-vector MaxSim retrieval (the ColBERT scoring
+    // rule, Khattab & Zaharia 2020): a document is FOUR 16-d block
+    // vectors, a query scores Σ over its blocks of the best block
+    // cosine on the doc side — late interaction, catching partial
+    // matches single-vector cosine (q26) dilutes. The four per-block
+    // maxima pivot into fixed columns and add in a FIXED order (Spark
+    // aggregate reorder would break float bit-equality; a pivoted
+    // ((m0+m1)+m2)+m3 cannot reorder), cosine chains are the usual
+    // identical-operand trees, presentation rounds at 6 dp (the
+    // q26/q144 recipe). Scale shape: query blocks broadcast, one scan
+    // of the doc blocks, per-(query,doc) state is four doubles.
+    Q(
+      "q247_maxsim_retrieval", {
+        def dot16(a: String, b: String) = LlmQueries.foldSumSql(
+          s"list_transform(range(1, 17), i -> $a[i]*$b[i])",
+          "CAST(0 AS DOUBLE)")
+        val pivots = (0 until 4).map(b =>
+          s"max(CASE WHEN qb = $b THEN bcos END) AS m$b").mkString(",\n    ")
+        s"""WITH v AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+           |  FROM embeddings),
+           |blk AS MATERIALIZED (
+           |  SELECT vec_id, b, dv[b*16+1 : b*16+16] AS bv,
+           |    sqrt(${dot16("(dv[b*16+1 : b*16+16])", "(dv[b*16+1 : b*16+16])")}) AS bn
+           |  FROM v, unnest(range(0, 4)) u(b)),
+           |qb AS (SELECT * FROM blk WHERE vec_id < 10),
+           |sc AS (
+           |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+           |    q.b AS qb, ${dot16("q.bv", "d.bv")} / (q.bn * d.bn) AS bcos
+           |  FROM qb q JOIN blk d ON d.vec_id <> q.vec_id),
+           |mx AS (
+           |  SELECT query_id, neighbor_id,
+           |    $pivots
+           |  FROM sc GROUP BY 1, 2),
+           |sm AS (
+           |  SELECT query_id, neighbor_id,
+           |    ((m0 + m1) + m2) + m3 AS maxsim FROM mx)
+           |SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+           |  round(maxsim, 6) AS maxsim FROM (
+           |  SELECT query_id, neighbor_id, maxsim,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY maxsim DESC, neighbor_id) AS rn
+           |  FROM sm) y WHERE rn <= 5""".stripMargin
+      }) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(spark, dir)
+      val docs = e.select(col("vec_id"),
+        Similarity.toDouble(col("embedding")).as("dv"))
+      def blocks(df: org.apache.spark.sql.DataFrame, idAs: String,
+          vAs: String, bAs: String, nAs: String) =
+        df.select(col("vec_id").as(idAs), posexplode(
+            array((0 until 4).map(b => slice(col("dv"), b * 16 + 1, 16)): _*)))
+          .select(col(idAs), col("pos").as(bAs), col("col").as(vAs))
+          .withColumn(nAs, sqrt(Similarity.dot(col(vAs), col(vAs))))
+      val db = blocks(docs, "neighbor_id", "nv", "db", "nn")
+      val qbl = blocks(docs.filter(col("vec_id") < 10),
+        "query_id", "qv", "qb", "qn")
+      val sc = db.join(broadcast(qbl), col("neighbor_id") =!= col("query_id"))
+        .withColumn("bcos",
+          Similarity.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      val mx = sc.groupBy("query_id", "neighbor_id").agg(
+        max(when(col("qb") === 0, col("bcos"))).as("m0"),
+        max(when(col("qb") === 1, col("bcos"))).as("m1"),
+        max(when(col("qb") === 2, col("bcos"))).as("m2"),
+        max(when(col("qb") === 3, col("bcos"))).as("m3"))
+      val sm = mx.withColumn("maxsim",
+        ((col("m0") + col("m1")) + col("m2")) + col("m3"))
+      sm.withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("maxsim").desc, col("neighbor_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("maxsim"), 6).as("maxsim"))
+    },
+
+    // ---- L229 STREAMING covariance fold: q243's moments are ADDITIVE
+    // integers (per-pair Σuᵢuⱼ, per-dim Σu, counts), so the audit
+    // maintains incrementally with a state table bounded by d² — 2 080
+    // rows at ANY corpus size, the ideal fold: per batch, one compiled
+    // pair-products pass over the batch plus a 2 080-row re-aggregate,
+    // exactly-once via writeOnce. Dim moments ride the same table at
+    // pos = −i (pairs at pos ≥ 0) so one fold commits one snapshot.
+    // Because every sum is an exact integer, fold == one-shot to the
+    // BIT — the oracle is q243's one-shot SQL verbatim, so the folded
+    // audit must reproduce the full 2 016-row grid row-for-row.
+    Q(
+      "q248_stream_covariance_fold",
+      """WITH u AS (
+        |  SELECT vec_id, i,
+        |    CAST(CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(9,5))
+        |      * 100000 AS HUGEINT) AS HUGEINT) AS uv
+        |  FROM embeddings, range(1, 65) t(i)),
+        |p AS MATERIALIZED (
+        |  SELECT a.i AS i, b.i AS j, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(a.uv * b.uv) AS HUGEINT) AS sij,
+        |    CAST(sum(a.uv) AS HUGEINT) AS si,
+        |    CAST(sum(b.uv) AS HUGEINT) AS sj
+        |  FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.i > a.i
+        |  GROUP BY 1, 2),
+        |c AS MATERIALIZED (
+        |  SELECT i, j, n, n * sij - si * sj AS covn FROM p),
+        |t AS (SELECT CAST(sum(abs(covn)) AS HUGEINT) AS tc FROM c)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |  CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN covn >= 0
+        |    THEN (2 * covn * 1000000 + n * n * 10000000000)
+        |      // (2 * n * n * 10000000000)
+        |    ELSE -((2 * (-covn) * 1000000 + n * n * 10000000000)
+        |      // (2 * n * n * 10000000000)) END AS DOUBLE) / 1000000
+        |    AS cov,
+        |  CAST((2 * abs(covn) * 1000000 + tc) // (2 * tc) AS DOUBLE)
+        |    / 1000000 AS cov_share,
+        |  CAST(row_number() OVER (ORDER BY abs(covn) DESC, i, j)
+        |    AS BIGINT) AS cov_rank
+        |FROM c, t""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.expressions.Window
+      val spk = spark
+      import spk.implicits._
+      val e = Tables.embeddings(spark, dir)
+      val I = DecimalType(38, 0)
+      def moments(df: org.apache.spark.sql.DataFrame) = {
+        val pairs = df
+          .select(posexplode(
+            call_function("graft_pair_products", col("embedding"))))
+          .groupBy(col("pos").cast("long").as("pos"))
+          .agg(count(lit(1)).as("n"), sum(col("col").cast(I)).as("s"))
+        val dims = df.select(posexplode(col("embedding")))
+          .select((-(col("pos") + 1)).cast("long").as("pos"),
+            col("col").cast("double").cast(DecimalType(9, 5)).as("v"))
+          .groupBy("pos")
+          .agg(count(lit(1)).as("n"),
+            (sum(col("v").cast(DecimalType(27, 5)))
+              .cast(DecimalType(32, 5)) *
+              lit(java.math.BigDecimal.TEN.pow(5)).cast(DecimalType(6, 0)))
+              .cast(I).as("s"))
+        pairs.unionByName(dims)
+      }
+      val root = graft.Tmp.dir("graft-q248").toString
+      val statePath = s"$root/moments"
+      graft.Meta.Versioned.write(
+        moments(e.filter(col("vec_id") % 2 === 1)), statePath)
+      implicit val ctx = spark.sqlContext
+      val feed = e.select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") % 2 === 0)
+        .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      val (b1, b2) = feed.partition(_._1 % 4 == 0)
+      val ms = MemoryStream[(Long, Seq[Float])]
+      val fold = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {
+        val delta = moments(batch.toDF("vec_id", "embedding"))
+        graft.Meta.Versioned.writeOnce(
+          graft.Meta.Versioned.read(spark, statePath).unionByName(delta)
+            .groupBy("pos").agg(sum("n").as("n"), sum("s").cast(I).as("s")),
+          statePath, "q248", bid)
+        ()
+      }
+      graft.streaming.Streams.withShufflePartitions(spark, 4) {
+        val q = ms.toDF().toDF("vec_id", "embedding").writeStream
+          .foreachBatch(fold)
+          .outputMode("update")
+          .option("checkpointLocation", s"$root/cp")
+          .start()
+        try {
+          ms.addData(b1); q.processAllAvailable()
+          ms.addData(b2); q.processAllAvailable()
+        } finally q.stop()
+      }
+      val st = graft.Meta.Versioned.read(spark, statePath)
+      val posMap = (for (i <- 1 to 64; j <- (i + 1) to 64) yield (i, j))
+        .zipWithIndex
+        .map { case ((i, j), p) => (p.toLong, i.toLong, j.toLong) }
+        .toDF("pos", "i", "j")
+      val dims = st.filter(col("pos") < 0)
+        .select((-col("pos")).as("i"), col("s"))
+      val cc = st.filter(col("pos") >= 0)
+        .join(broadcast(posMap), "pos")
+        .join(broadcast(dims.select(col("i"), col("s").as("si5"))), "i")
+        .join(broadcast(dims.select(col("i").as("j"), col("s").as("sj5"))),
+          "j")
+        .withColumn("covn",
+          col("n").cast(I) * col("s") - col("si5") * col("sj5"))
+      val tc = cc.agg(sum(abs(col("covn"))).as("tc"))
+      val den = col("n").cast(I) * col("n").cast(I) *
+        lit(java.math.BigDecimal.TEN.pow(10)).cast(I)
+      cc.crossJoin(broadcast(tc)).select(
+        col("i"), col("j"), col("n").cast("long").as("n"),
+        when(col("covn") >= 0,
+          ExactRound.roundRatio(col("covn"), den, 6))
+          .otherwise(-ExactRound.roundRatio(-col("covn"), den, 6))
+          .cast("double").as("cov"),
+        ExactRound.roundRatio(abs(col("covn")), col("tc"), 6)
+          .cast("double").as("cov_share"),
+        row_number().over(
+          Window.orderBy(abs(col("covn")).desc, col("i"), col("j")))
+          .cast("long").as("cov_rank"))
+    },
+
+    // ---- L230 recall after deletion: the quality gate that closes the
+    // L222/L223 lifecycle — after upserts, tombstones, and compaction,
+    // does the standing index still FIND things? Recall@5 of the
+    // tombstoned-index search against brute force over the LIVE corpus
+    // (the only defensible ground truth once vectors are deleted),
+    // plus the deletion-visibility counter: the number of ANN
+    // neighbors that are deleted ids, which must be ZERO — a stale
+    // segment or a dropped tombstone shows up here before any user
+    // query does. All hit counts integer; the n∕5 recall is the q223
+    // presentation divide.
+    Q(
+      "q249_recall_after_delete",
+      s"""WITH ${kmChain("h", " WHERE vec_id % 3 <> 0")},
+         |rv AS (
+         |  SELECT vec_id,
+         |    list_transform(CASE WHEN vec_id % 9 = 1 AND vec_id % 7 <> 1
+         |        THEN list_reverse(embedding) ELSE embedding END,
+         |      x -> CAST(x AS DOUBLE)) AS dv
+         |  FROM embeddings),
+         |rvn AS MATERIALIZED (
+         |  SELECT vec_id, dv, ${dot64Sql("dv", "dv")} AS vn2 FROM rv),
+         |lvn AS MATERIALIZED (SELECT * FROM rvn WHERE vec_id % 7 <> 1),
+         |ccs AS (SELECT cluster AS cid, cv,
+         |  sqrt(${dot64Sql("cv", "cv")}) AS cn FROM hc2),
+         |${cellSql("ca", "lvn", "ccs", "", 1)},
+         |${cellSql("qa", "lvn", "ccs", " WHERE t.vec_id < 10", 2)},
+         |sc AS (
+         |  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+         |    ${dot64Sql("qv.dv", "nv.dv")} / (sqrt(qv.vn2) * sqrt(nv.vn2))
+         |      AS cos
+         |  FROM qa JOIN rvn qv ON qa.vec_id = qv.vec_id
+         |    JOIN ca ON qa.cid = ca.cid
+         |    JOIN rvn nv ON ca.vec_id = nv.vec_id
+         |  WHERE ca.vec_id <> qa.vec_id),
+         |tk AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rn
+         |  FROM sc) y WHERE rn <= 5),
+         |es AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${dot64Sql("q.dv", "c.dv")} / (sqrt(q.vn2) * sqrt(c.vn2)) AS cos
+         |  FROM lvn q, lvn c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |ek AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rn
+         |  FROM es) z WHERE rn <= 5),
+         |dd AS (SELECT CAST(count(CASE WHEN neighbor_id % 7 = 1 THEN 1 END)
+         |  AS BIGINT) AS n_deleted_neighbors FROM tk)
+         |SELECT e.query_id,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+         |  round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6)
+         |    AS recall,
+         |  dd.n_deleted_neighbors,
+         |  dd.n_deleted_neighbors = 0 AS clean
+         |FROM ek e
+         |  LEFT JOIN tk a ON a.query_id = e.query_id
+         |    AND a.neighbor_id = e.neighbor_id, dd
+         |GROUP BY e.query_id, dd.n_deleted_neighbors""".stripMargin) {
+      (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+      val hist = e.filter(col("vec_id") % 3 =!= 0)
+      val (_, cb) = Similarity.kmeansLloyd(hist, "vec_id", "embedding",
+        k = 4, iters = 2)
+      val upd = e.withColumn("embedding",
+        when(col("vec_id") % 9 === 1 && col("vec_id") % 7 =!= 1,
+          reverse(col("embedding"))).otherwise(col("embedding")))
+      val log = IndexLog.initial(
+          Similarity.ivfEncode(hist, "vec_id", "embedding", cb), "vec_id")
+        .unionByName(IndexLog.upserts(
+          Similarity.ivfEncode(upd.filter(col("vec_id") % 3 === 0),
+            "vec_id", "embedding", cb), "vec_id", 1L))
+        .unionByName(IndexLog.upserts(
+          Similarity.ivfEncode(
+            upd.filter(col("vec_id") % 9 === 1 && col("vec_id") % 7 =!= 1),
+            "vec_id", "embedding", cb), "vec_id", 2L))
+        .unionByName(IndexLog.tombstones(
+          e.filter(col("vec_id") % 7 === 1).select("vec_id"), "vec_id", 3L))
+      val codes = IndexLog.compact(log, "vec_id")
+      val live = upd.filter(col("vec_id") % 7 =!= 1)
+      val qs = live.filter(col("vec_id") < 10)
+      val exact = Similarity
+        .topKBruteForce(live, qs, "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id")
+      val ann = Similarity
+        .topKIvfEncoded(upd, IndexLog.resolve(codes, "vec_id"), qs,
+          "vec_id", "embedding", 5, cb, 2)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint() // feeds both the hit join and the counter
+      val dd = ann.agg(
+        sum(when(col("neighbor_id") % 7 === 1, 1L).otherwise(0L))
+          .as("n_deleted_neighbors"))
+      exact
+        .join(ann.withColumn("h", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("h"), lit(0L))).as("hits"))
+        .crossJoin(broadcast(dd))
+        .select(col("query_id"), col("n_exact"), col("hits"),
+          round(col("hits").cast("double") / col("n_exact"), 6).as("recall"),
+          col("n_deleted_neighbors"),
+          (col("n_deleted_neighbors") === 0).as("clean"))
     })
 }
