@@ -2434,5 +2434,122 @@ object CurationQueries {
           sum(length(col("nt"))).cast("long").as("sum_norm_chars"),
           sum(conv(substring(md5(col("nt")), 1, 8), 16, 10).cast("long"))
             .cast("long").as("norm_fingerprint"))
+    },
+
+    // ---- round 14: HELD-OUT unigram cross-entropy — the LM-quality
+    // gate q65/q78 train and score on the SAME corpus; a filtering
+    // pipeline scores candidate data under a model fit on a trusted
+    // split. Train = doc_id % 5 ≠ 0; held-out = % 5 = 0, scored per
+    // SOURCE under add-one smoothing with a single UNK bucket:
+    // P(w) = (c(w)+1)∕(N+V+1), unseen → 1∕(N+V+1). Determinism is the
+    // q65 recipe hardened for big groups: per-token ln rounded at 9 dp
+    // into DECIMAL(18,9), summed exactly, and the group mean taken by
+    // the SIGNED half-away integer divide (roundRatioSigned — a plain
+    // double mean would breach the 2^53 unscaled bound at sf10 for
+    // source-sized groups). OOV rate is a pure integer ratio. Two hash
+    // aggregates + one broadcast-scalar join; the freq table is the
+    // model artifact a 100 TB run would persist.
+    Q(
+      "q251_heldout_perplexity",
+      s"""WITH tr AS (
+         |  SELECT unnest($toksSql) AS term FROM documents
+         |  WHERE doc_id % 7 <> 0),
+         |freq AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tr GROUP BY 1),
+         |nv AS (
+         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM freq) AS v),
+         |ho AS (
+         |  SELECT source, unnest($toksSql) AS term FROM documents
+         |  WHERE doc_id % 7 = 0),
+         |scored AS (
+         |  SELECT source,
+         |    CAST(round(ln(CAST(coalesce(f.cnt, 0) + 1 AS DOUBLE)
+         |      / (n + v + 1)), 9) AS DECIMAL(18,9)) AS lp,
+         |    CASE WHEN f.cnt IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM ho LEFT JOIN freq f USING (term), nv),
+         |g AS (
+         |  SELECT source, CAST(count(*) AS HUGEINT) AS nt,
+         |    CAST(sum(oov) AS HUGEINT) AS no,
+         |    CAST(sum(lp) * 1000000000 AS HUGEINT) AS s9
+         |  FROM scored GROUP BY 1)
+         |SELECT source, CAST(nt AS BIGINT) AS n_tokens,
+         |  CAST(no AS BIGINT) AS n_oov,
+         |  CAST((2 * no * 1000000 + nt) // (2 * nt) AS DOUBLE) / 1000000
+         |    AS oov_rate,
+         |  CAST(CASE WHEN s9 >= 0
+         |    THEN (2 * s9 + nt * 1000) // (2 * nt * 1000)
+         |    ELSE -((2 * (-s9) + nt * 1000) // (2 * nt * 1000)) END
+         |    AS DOUBLE) / 1000000 AS mean_logprob
+         |FROM g""".stripMargin) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val tr = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(explode(Text.tokens(col("text"))).as("term"))
+      val freq = tr.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // model artifact: feeds V and the score join
+      val nv = tr.agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(freq.agg(count(lit(1)).as("v"))))
+      val ho = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
+      val scored = ho.join(freq, Seq("term"), "left")
+        .crossJoin(broadcast(nv))
+        .select(col("source"),
+          round(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+            (col("n") + col("v") + 1)), 9)
+            .cast(DecimalType(18, 9)).as("lp"),
+          when(col("cnt").isNull, 1L).otherwise(0L).as("oov"))
+      scored.groupBy("source")
+        .agg(count(lit(1)).as("nt"), sum("oov").as("no"),
+          sum("lp").as("slp"))
+        .select(col("source"),
+          col("nt").cast("long").as("n_tokens"),
+          col("no").cast("long").as("n_oov"),
+          graft.functions.ExactRound.roundRatio(col("no"), col("nt"), 6)
+            .cast("double").as("oov_rate"),
+          graft.functions.ExactRound
+            .roundRatioSigned(col("slp"), 9, col("nt"), 6)
+            .cast("double").as("mean_logprob"))
+    },
+
+    // ---- round 14: BPE pair-merge statistics — the counting pass of
+    // one byte-pair-encoding merge iteration (Sennrich et al. 2016),
+    // the vocabulary-induction step q154's fertility audit ASSUMES a
+    // tokenizer for: every adjacent character pair inside every
+    // distinct term, weighted by the term's corpus frequency; the
+    // rank-1 row IS the first merge a BPE trainer would perform.
+    // Integers end to end. Scale shape: pairs explode off the DISTINCT
+    // term table (vocab-sized, not corpus-sized — the corpus pass is
+    // the one freq aggregate), then one pair-keyed partial agg and a
+    // 50-row top-k heap.
+    Q(
+      "q252_bpe_pair_stats",
+      s"""WITH toks AS (
+         |  SELECT unnest($toksSql) AS term FROM documents),
+         |freq AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+         |pairs AS (
+         |  SELECT substr(term, i, 2) AS pair, cnt
+         |  FROM freq, unnest(range(1, len(term))) u(i)),
+         |w AS (
+         |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS weight
+         |  FROM pairs GROUP BY 1)
+         |SELECT CAST(rn AS BIGINT) AS pair_rank, pair, weight FROM (
+         |  SELECT pair, weight,
+         |    row_number() OVER (ORDER BY weight DESC, pair) AS rn
+         |  FROM w) y WHERE rn <= 50""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val freq = Tables.documents(spark, dir)
+        .select(explode(Text.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      val pairs = freq
+        .select(col("cnt"), explode(
+          when(length(col("term")) < 2, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), length(col("term")) - 1),
+              i => col("term").substr(i, lit(2))))).as("pair"))
+      pairs.groupBy("pair").agg(sum("cnt").as("weight"))
+        .withColumn("pair_rank", row_number().over(
+          Window.orderBy(col("weight").desc, col("pair"))).cast("long"))
+        .filter(col("pair_rank") <= 50)
+        .select("pair_rank", "pair", "weight")
     })
 }
