@@ -2551,5 +2551,126 @@ object CurationQueries {
           Window.orderBy(col("weight").desc, col("pair"))).cast("long"))
         .filter(col("pair_rank") <= 50)
         .select("pair_rank", "pair", "weight")
+    },
+
+    // ---- round 14: GATE-STACK audit — q239's κ kernel applied to two
+    // SUBSTANTIVE gates instead of length proxies: the Gopher rule
+    // battery (q169's `keep`) vs a trained-model gate (per-doc mean
+    // unigram logprob under q251's train-split model ≥ τ), both over
+    // the held-out docs. κ answers the pipeline question directly:
+    // does the cheap rule battery already capture what the model gate
+    // knows (κ→1, drop one stage) or do they disagree on principle
+    // (κ→0, both earn their slot)? The model-gate compare runs in
+    // integer space — sum of 9-dp DECIMAL lps vs τ·n — so the razor
+    // margins of a homogeneous corpus cannot flip cross-engine.
+    Q(
+      "q253_gate_stack_audit", {
+        val stopList = graft.ops.Text.StopWords.head._2
+          .map(w => s"'$w'").mkString(",")
+        s"""WITH tr AS (
+           |  SELECT unnest($toksSql) AS term FROM documents
+           |  WHERE doc_id % 7 <> 0),
+           |freq AS (
+           |  SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tr GROUP BY 1),
+           |nv AS (
+           |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM freq) AS v),
+           |base AS (
+           |  SELECT doc_id, text, $toksSql AS t FROM documents
+           |  WHERE doc_id % 7 = 0),
+           |sig AS (
+           |  SELECT doc_id,
+           |    CAST(len(t) AS BIGINT) AS n,
+           |    ${LlmQueries.foldSumSql(
+              "list_transform(t, w -> CAST(length(w) AS BIGINT))",
+              "CAST(0 AS BIGINT)")} AS sum_len,
+           |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+           |      AS BIGINT) AS alpha,
+           |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT)
+           |      AS symbols,
+           |    CAST(len(list_filter(t, w -> w IN ($stopList))) AS BIGINT)
+           |      AS stop_hits
+           |  FROM base),
+           |ga AS (
+           |  SELECT doc_id,
+           |    CASE WHEN n >= 20 AND n <= 100000 AND n > 0
+           |      AND sum_len >= n * 3 AND sum_len <= n * 10
+           |      AND symbols * 10 <= n AND alpha * 10 >= n * 8
+           |      AND stop_hits >= 2 THEN 1 ELSE 0 END AS ga
+           |  FROM sig),
+           |sc AS (
+           |  SELECT b.doc_id,
+           |    CAST(round(ln(CAST(coalesce(f.cnt, 0) + 1 AS DOUBLE)
+           |      / (n + v + 1)), 9) AS DECIMAL(18,9)) AS lp
+           |  FROM (SELECT doc_id, unnest(t) AS term FROM base) b
+           |    LEFT JOIN freq f USING (term), nv),
+           |gb AS (
+           |  SELECT doc_id,
+           |    CASE WHEN CAST(sum(lp) * 1000000000 AS HUGEINT)
+           |      >= CAST(-3404000000 AS HUGEINT) * CAST(count(*) AS HUGEINT)
+           |      THEN 1 ELSE 0 END AS gb
+           |  FROM sc GROUP BY 1),
+           |g AS (
+           |  SELECT ga.ga, coalesce(gb.gb, 0) AS gb
+           |  FROM ga LEFT JOIN gb USING (doc_id)),
+           |c AS (
+           |  SELECT
+           |    CAST(sum(ga * gb) AS HUGEINT) AS a,
+           |    CAST(sum(ga * (1 - gb)) AS HUGEINT) AS b,
+           |    CAST(sum((1 - ga) * gb) AS HUGEINT) AS c,
+           |    CAST(sum((1 - ga) * (1 - gb)) AS HUGEINT) AS d,
+           |    CAST(count(*) AS HUGEINT) AS n
+           |  FROM g),
+           |k AS (
+           |  SELECT a, b, c, d, n,
+           |    (a + b) * (a + c) + (c + d) * (b + d) AS pe,
+           |    n * (a + d) AS po
+           |  FROM c)
+           |SELECT CAST(a AS BIGINT) AS n_both, CAST(b AS BIGINT) AS n_a_only,
+           |  CAST(c AS BIGINT) AS n_b_only, CAST(d AS BIGINT) AS n_neither,
+           |  CAST((2 * (a + d) * 1000000 + n) // (2 * n) AS DOUBLE) / 1000000
+           |    AS observed_agreement,
+           |  CASE WHEN n * n - pe = 0 THEN 1.0 ELSE
+           |    CAST(CASE WHEN po - pe >= 0
+           |      THEN (2 * (po - pe) * 1000000 + (n * n - pe))
+           |        // (2 * (n * n - pe))
+           |      ELSE -((2 * (pe - po) * 1000000 + (n * n - pe))
+           |        // (2 * (n * n - pe))) END AS DOUBLE) / 1000000 END
+           |    AS kappa
+           |FROM k""".stripMargin
+      }) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val tr = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(explode(Text.tokens(col("text"))).as("term"))
+      val freq = tr.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val nv = tr.agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(freq.agg(count(lit(1)).as("v"))))
+      val ho = docs.filter(col("doc_id") % 7 === 0)
+      // gate A: the Gopher battery's final keep (q169's last signal)
+      val gaDf = ho.select(col("doc_id"),
+        Text.gopherSignals(col("text")).last.cast("int").cast("long").as("ga"))
+      // gate B: per-doc mean lp >= -3.404, compared in integer space
+      val gbDf = ho
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+        .join(freq, Seq("term"), "left")
+        .crossJoin(broadcast(nv))
+        .select(col("doc_id"),
+          round(log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+            (col("n") + col("v") + 1)), 9)
+            .cast(DecimalType(18, 9)).as("lp"))
+        .groupBy("doc_id")
+        // (27,9)·(10,0) stays within precision 38 — the exact-integer
+        // recipe roundRatioSigned uses; τ·n at (12,0)·(10,0)
+        .agg(((sum("lp").cast(DecimalType(27, 9)) *
+            lit(java.math.BigDecimal.TEN.pow(9)).cast(DecimalType(10, 0)))
+            .cast(DecimalType(38, 0)) >=
+            lit(java.math.BigDecimal.valueOf(-3404000000L))
+              .cast(DecimalType(12, 0)) *
+              count(lit(1)).cast(DecimalType(10, 0)))
+          .cast("int").cast("long").as("gb"))
+      val g = gaDf.join(gbDf, Seq("doc_id"), "left")
+        .select(col("ga"), coalesce(col("gb"), lit(0L)).as("gb"))
+      graft.ops.Stats.cohensKappa(g, "ga", "gb")
     })
 }
