@@ -488,4 +488,30 @@ class PlansSpec extends SparkSuite {
     val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k heap:\n$p")
   }
+
+  test("q243 covariance: grid maps join by BROADCAST onto the partial " +
+      "pair aggregate — the corpus never shuffles on anything but the " +
+      "2016-key pos") {
+    val df = SparkEntry.queries("q243_embedding_covariance")(spark, sfDir())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(p.contains("graft_pair_products"),
+      s"compiled pair-products kernel missing from the plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"pos/dim grid maps must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"covariance must not shuffle-join or go quadratic:\n$p")
+  }
+
+  test("q247 MaxSim: the query block set broadcasts; no shuffled join " +
+      "touches the doc-block scan") {
+    val df = SparkEntry.queries("q247_maxsim_retrieval")(spark, sfDir())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastHashJoin"),
+      s"query blocks must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"MaxSim must not shuffle-join the corpus:\n$p")
+  }
 }

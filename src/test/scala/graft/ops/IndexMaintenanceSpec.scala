@@ -110,6 +110,20 @@ class IndexMaintenanceSpec extends SparkSuite {
       "post-compaction folds must keep working")
   }
 
+  test("IndexLog: empty and tombstone-only logs resolve to empty; " +
+      "compact of a fully-deleted log keeps nothing") {
+    val empty = IndexLog.initial(
+      Seq.empty[(Long, Long)].toDF("id", "cid"), "id")
+    assert(IndexLog.resolve(empty, "id").count() == 0)
+    assert(IndexLog.compact(empty, "id").count() == 0)
+    val allDead = IndexLog.initial(Seq((1L, 10L)).toDF("id", "cid"), "id")
+      .unionByName(IndexLog.tombstones(Seq(Tuple1(1L)).toDF("id"), "id", 1L))
+    assert(IndexLog.resolve(allDead, "id").count() == 0,
+      "a fully-tombstoned log must resolve empty")
+    assert(IndexLog.compact(allDead, "id").count() == 0,
+      "compaction of a dead log must keep nothing")
+  }
+
   test("IndexLog fold == one-shot: initial+upserts+tombstones over " +
       "real encodes equals the one-shot encode of the live corpus") {
     val hist = e.filter(col("vec_id") % 3 =!= 0)
