@@ -2193,5 +2193,72 @@ object IndexQueries {
           round(col("hits").cast("double") / col("n_exact"), 6).as("recall"),
           col("n_deleted_neighbors"),
           (col("n_deleted_neighbors") === 0).as("clean"))
+    },
+
+    // ---- L235 IVF cell-balance audit: the standing index's health
+    // scorecard — per cell its live-vector count and mass share, plus
+    // the Faiss-style imbalance factor k·Σ(nᵢ∕N)² (1.0 = perfectly
+    // balanced; the expected scan-cost multiplier for queries landing
+    // proportionally to cell mass). A cell that swallowed the corpus
+    // means the codebook went stale (q143's drift signal fires next);
+    // an empty cell wastes a probe. Runs over the RESOLVED lifecycle
+    // log (upserts + tombstones applied), so it audits exactly what
+    // searches see. One groupBy over the code table; the verdict is
+    // grid math on k integers, all exact.
+    Q(
+      "q254_index_balance",
+      s"""WITH ${kmChain("h", " WHERE vec_id % 3 <> 0")},
+         |av AS (
+         |  SELECT vec_id,
+         |    list_transform(CASE WHEN vec_id % 9 = 1
+         |        THEN list_reverse(embedding) ELSE embedding END,
+         |      x -> CAST(x AS DOUBLE)) AS dv
+         |  FROM embeddings WHERE vec_id % 7 <> 1),
+         |avn AS (SELECT vec_id, dv, ${dot64Sql("dv", "dv")} AS vn2 FROM av),
+         |ccs AS (SELECT cluster AS cid, cv,
+         |  sqrt(${dot64Sql("cv", "cv")}) AS cn FROM hc2),
+         |${cellSql("code", "avn", "ccs", "", 1)},
+         |g AS (
+         |  SELECT cid, CAST(count(*) AS HUGEINT) AS n FROM code GROUP BY 1),
+         |t AS (
+         |  SELECT CAST(sum(n) AS HUGEINT) AS nt,
+         |    CAST(sum(n * n) AS HUGEINT) AS n2 FROM g)
+         |SELECT CAST(cid AS BIGINT) AS cid, CAST(n AS BIGINT) AS n_vectors,
+         |  CAST((2 * n * 1000000 + nt) // (2 * nt) AS DOUBLE) / 1000000
+         |    AS share,
+         |  CAST((2 * 4 * n2 * 1000000 + nt * nt) // (2 * nt * nt)
+         |    AS DOUBLE) / 1000000 AS imbalance_factor
+         |FROM g, t""".stripMargin) { (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+      val I = DecimalType(38, 0)
+      val hist = e.filter(col("vec_id") % 3 =!= 0)
+      val (_, cb) = Similarity.kmeansLloyd(hist, "vec_id", "embedding",
+        k = 4, iters = 2)
+      val upd = e.withColumn("embedding",
+        when(col("vec_id") % 9 === 1 && col("vec_id") % 7 =!= 1,
+          reverse(col("embedding"))).otherwise(col("embedding")))
+      val log = IndexLog.initial(
+          Similarity.ivfEncode(hist, "vec_id", "embedding", cb), "vec_id")
+        .unionByName(IndexLog.upserts(
+          Similarity.ivfEncode(upd.filter(col("vec_id") % 3 === 0),
+            "vec_id", "embedding", cb), "vec_id", 1L))
+        .unionByName(IndexLog.upserts(
+          Similarity.ivfEncode(
+            upd.filter(col("vec_id") % 9 === 1 && col("vec_id") % 7 =!= 1),
+            "vec_id", "embedding", cb), "vec_id", 2L))
+        .unionByName(IndexLog.tombstones(
+          e.filter(col("vec_id") % 7 === 1).select("vec_id"), "vec_id", 3L))
+      val g = IndexLog.resolve(log, "vec_id")
+        .groupBy("cid").agg(count(lit(1)).cast(I).as("n"))
+      val t = g.agg(sum("n").cast(I).as("nt"),
+        sum(col("n") * col("n")).cast(I).as("n2"))
+      g.crossJoin(broadcast(t)).select(
+        col("cid").cast("long").as("cid"),
+        col("n").cast("long").as("n_vectors"),
+        ExactRound.roundRatio(col("n"), col("nt"), 6)
+          .cast("double").as("share"),
+        ExactRound.roundRatio(lit(4).cast(I) * col("n2"),
+            col("nt") * col("nt"), 6)
+          .cast("double").as("imbalance_factor"))
     })
 }
