@@ -2260,5 +2260,105 @@ object IndexQueries {
         ExactRound.roundRatio(lit(4).cast(I) * col("n2"),
             col("nt") * col("nt"), 6)
           .cast("double").as("imbalance_factor"))
+    },
+
+    // ---- L236 PQ distortion audit: q254 measures cell BALANCE, q189
+    // measures end-to-end RECALL; this measures the quantizer itself —
+    // per (subspace, code) the mean squared reconstruction error
+    // |v_sub − centroid|², the quantity whose growth under corpus
+    // drift is the retrain trigger for the PQ arm (the L123 drift
+    // signal's codebook-side twin). Per-row error uses the kmeans
+    // assignment's OWN distance tree (vn² + c·c − 2·v·c — identical
+    // operand chains both engines), rounded at 9 dp into DECIMAL and
+    // summed exactly; means and SSE shares via the half-away integer
+    // divide. Codebooks broadcast; one scan + an 8-group aggregate.
+    Q(
+      "q255_pq_distortion", {
+        import CurationQueries.{pqAssignSql, pqDotSql, pqUpdateSql, PqKsub, PqSubDim}
+        def sub(j: Int) = {
+          val lo = j * PqSubDim + 1; val hi = (j + 1) * PqSubDim
+          s"""sv$j AS (SELECT vec_id, dvall[$lo:$hi] AS dv FROM vall),
+             |vn$j AS MATERIALIZED (
+             |  SELECT vec_id, dv, ${pqDotSql("dv", "dv")} AS vn2 FROM sv$j),
+             |hvn$j AS MATERIALIZED (
+             |  SELECT * FROM vn$j WHERE vec_id % 3 <> 0),
+             |c0_$j AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+             |    dv AS cv
+             |  FROM sv$j WHERE vec_id % 3 <> 0 ORDER BY vec_id LIMIT $PqKsub),
+             |${pqAssignSql(s"a1_$j", s"hvn$j", s"c0_$j")},
+             |${pqUpdateSql(s"s1_$j", s"a1_$j", s"hvn$j", s"c0_$j", s"c1_$j")},
+             |${pqAssignSql(s"a2_$j", s"hvn$j", s"c1_$j")},
+             |${pqUpdateSql(s"s2_$j", s"a2_$j", s"hvn$j", s"c1_$j", s"c2_$j")},
+             |${pqAssignSql(s"enc$j", s"vn$j", s"c2_$j")},
+             |err$j AS (
+             |  SELECT $j AS subspace, a.cluster AS code,
+             |    CAST(round(t.vn2 + ${pqDotSql("c.cv", "c.cv")}
+             |      - 2.0 * ${pqDotSql("t.dv", "c.cv")}, 9)
+             |      AS DECIMAL(18,9)) AS e
+             |  FROM enc$j a JOIN vn$j t USING (vec_id)
+             |    JOIN c2_$j c ON a.cluster = c.cluster)""".stripMargin
+        }
+        s"""WITH vall AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvall
+           |  FROM embeddings),
+           |${sub(0)},
+           |${sub(1)},
+           |err AS (SELECT * FROM err0 UNION ALL SELECT * FROM err1),
+           |g AS (
+           |  SELECT subspace, code, CAST(count(*) AS HUGEINT) AS n,
+           |    CAST(sum(e) * 1000000000 AS HUGEINT) AS sse9
+           |  FROM err GROUP BY 1, 2),
+           |t AS (
+           |  SELECT subspace, CAST(sum(sse9) AS HUGEINT) AS st
+           |  FROM g GROUP BY 1)
+           |SELECT CAST(g.subspace AS BIGINT) AS subspace,
+           |  CAST(code AS BIGINT) AS code,
+           |  CAST(n AS BIGINT) AS n_vectors,
+           |  CAST((2 * sse9 + n * 1000) // (2 * n * 1000) AS DOUBLE)
+           |    / 1000000 AS mse,
+           |  CAST((2 * sse9 * 1000000 + st) // (2 * st) AS DOUBLE)
+           |    / 1000000 AS sse_share
+           |FROM g JOIN t ON g.subspace = t.subspace""".stripMargin
+      }) { (spark, dir) =>
+      import CurationQueries.PqSubDim
+      val spk = spark
+      import spk.implicits._
+      val e = Tables.embeddings(spark, dir)
+      val I = DecimalType(38, 0)
+      val hist = e.filter(col("vec_id") % 3 =!= 0)
+      val cbs = Similarity.pqTrain(hist, "vec_id", "embedding",
+        dim = 64, m = 2, ksub = 4, iters = 2)
+      def unscale9(c: org.apache.spark.sql.Column) =
+        (c.cast(DecimalType(27, 9)) *
+          lit(java.math.BigDecimal.TEN.pow(9)).cast(DecimalType(10, 0)))
+          .cast(I)
+      val err = (0 until 2).map { j =>
+        val cents = cbs(j).map { case (c, cv) => (c.toLong, cv) }
+          .toDF("code", "cv")
+        e.select(col("vec_id"),
+            slice(Similarity.toDouble(col("embedding")),
+              j * PqSubDim + 1, PqSubDim).as("dv"),
+            element_at(Similarity.pqEncode(col("embedding"), cbs, 64), j + 1)
+              .cast("long").as("code"))
+          .join(broadcast(cents), "code")
+          .select(lit(j.toLong).as("subspace"), col("code"),
+            round(Similarity.dot(col("dv"), col("dv")) +
+              Similarity.dot(col("cv"), col("cv")) -
+              lit(2.0) * Similarity.dot(col("dv"), col("cv")), 9)
+              .cast(DecimalType(18, 9)).as("e"))
+      }.reduce(_ unionByName _)
+      val g = err.groupBy("subspace", "code")
+        .agg(count(lit(1)).as("n"), sum("e").as("sse"))
+      val t = g.groupBy("subspace")
+        .agg(sum(col("sse")).as("st"))
+      g.join(broadcast(t), "subspace").select(
+        col("subspace"), col("code"),
+        col("n").cast("long").as("n_vectors"),
+        ExactRound.roundRatioSigned(col("sse"), 9, col("n"), 6)
+          .cast("double").as("mse"),
+        ExactRound.roundRatio(unscale9(col("sse")), unscale9(col("st")), 6)
+          .cast("double").as("sse_share"))
     })
 }
