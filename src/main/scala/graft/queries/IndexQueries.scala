@@ -2360,5 +2360,135 @@ object IndexQueries {
           .cast("double").as("mse"),
         ExactRound.roundRatio(unscale9(col("sse")), unscale9(col("st")), 6)
           .cast("double").as("sse_share"))
+    },
+
+    // ---- L237 index reassignment churn: q223's within_tol gate says
+    // whether a retrain is NEEDED; this prices what a retrain COSTS —
+    // the cell-to-cell transition matrix between the stale
+    // (history-trained) and retrained assignments of the same corpus,
+    // and the churn fraction: every moved vector is one re-encoded,
+    // re-shipped index entry, so churn × corpus size is the reindex
+    // I/O bill. Two shuffle-free encodes (broadcast codebooks), one
+    // vec_id join, a k×k aggregate — linear, and the verdict is grid
+    // math on ≤16 integers.
+    Q(
+      "q256_index_churn",
+      s"""WITH ${kmChain("h", " WHERE vec_id % 3 <> 0")},
+         |${kmChain("r", "")},
+         |ccs AS (SELECT cluster AS cid, cv,
+         |  sqrt(${dot64Sql("cv", "cv")}) AS cn FROM hc2),
+         |ccr AS (SELECT cluster AS cid, cv,
+         |  sqrt(${dot64Sql("cv", "cv")}) AS cn FROM rc2),
+         |${cellSql("cs", "rvn", "ccs", "", 1)},
+         |${cellSql("cr", "rvn", "ccr", "", 1)},
+         |j AS (
+         |  SELECT s.cid AS cid_stale, r.cid AS cid_retrain,
+         |    CAST(count(*) AS HUGEINT) AS n
+         |  FROM cs s JOIN cr r USING (vec_id) GROUP BY 1, 2),
+         |t AS (
+         |  SELECT CAST(sum(n) AS HUGEINT) AS nt,
+         |    CAST(sum(CASE WHEN cid_stale <> cid_retrain THEN n ELSE 0 END)
+         |      AS HUGEINT) AS moved
+         |  FROM j)
+         |SELECT CAST(cid_stale AS BIGINT) AS cid_stale,
+         |  CAST(cid_retrain AS BIGINT) AS cid_retrain,
+         |  CAST(n AS BIGINT) AS n_vectors,
+         |  CAST((2 * n * 1000000 + nt) // (2 * nt) AS DOUBLE) / 1000000
+         |    AS frac,
+         |  CAST((2 * moved * 1000000 + nt) // (2 * nt) AS DOUBLE) / 1000000
+         |    AS churn
+         |FROM j, t""".stripMargin) { (spark, dir) =>
+      val e = Tables.embeddings(spark, dir)
+      val I = DecimalType(38, 0)
+      val hist = e.filter(col("vec_id") % 3 =!= 0)
+      val (_, stale) = Similarity.kmeansLloyd(hist, "vec_id", "embedding",
+        k = 4, iters = 2)
+      val (_, retrain) = Similarity.kmeansLloyd(e, "vec_id", "embedding",
+        k = 4, iters = 2)
+      val j = Similarity.ivfEncode(e, "vec_id", "embedding", stale)
+        .withColumnRenamed("cid", "cid_stale")
+        .join(Similarity.ivfEncode(e, "vec_id", "embedding", retrain)
+          .withColumnRenamed("cid", "cid_retrain"), "vec_id")
+        .groupBy("cid_stale", "cid_retrain")
+        .agg(count(lit(1)).cast(I).as("n"))
+      val t = j.agg(sum("n").cast(I).as("nt"),
+        sum(when(col("cid_stale") =!= col("cid_retrain"), col("n"))
+          .otherwise(lit(0).cast(I))).cast(I).as("moved"))
+      j.crossJoin(broadcast(t)).select(
+        col("cid_stale").cast("long").as("cid_stale"),
+        col("cid_retrain").cast("long").as("cid_retrain"),
+        col("n").cast("long").as("n_vectors"),
+        ExactRound.roundRatio(col("n"), col("nt"), 6)
+          .cast("double").as("frac"),
+        ExactRound.roundRatio(col("moved"), col("nt"), 6)
+          .cast("double").as("churn"))
+    },
+
+    // ---- L238 degree-cap planner: q230 prices the BAND grid; this
+    // prices the CAP — the knob that killed q230's own 32× quadratic.
+    // From the SimHash band-bucket size histogram alone (never the
+    // pairs), for each cap c: the capped stream's candidate volume
+    // Σ_buckets [c'·s − c'(c'+1)∕2] with c' = min(c, s) (pairs whose
+    // lower-id member holds a representative rank), the exact
+    // within-bucket pair mass Σ C(s,2), their ratio = the cap's
+    // within-bucket pair recall, the number of buckets the cap
+    // actually truncates, and the worst bucket size (the mega-bucket
+    // the cap defuses). All integers off a (band, key)-keyed count —
+    // the planner costs one histogram however large the corpus.
+    Q(
+      "q257_cap_planner",
+      s"""WITH ${LlmQueries.simhashCtes},
+         |bk AS (
+         |  SELECT band, band_key, CAST(count(*) AS HUGEINT) AS s
+         |  FROM banded GROUP BY 1, 2),
+         |caps(cap) AS (VALUES (4), (8), (16), (32)),
+         |g AS (
+         |  SELECT cap,
+         |    CAST(sum(least(s, cap) * s
+         |      - (least(s, cap) * (least(s, cap) + 1)) // 2) AS HUGEINT)
+         |      AS n_candidates,
+         |    CAST(sum((s * (s - 1)) // 2) AS HUGEINT) AS n_exact_pairs,
+         |    CAST(sum(CASE WHEN s > cap THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_buckets_capped,
+         |    CAST(max(s) AS BIGINT) AS worst_bucket
+         |  FROM bk, caps GROUP BY 1)
+         |SELECT CAST(cap AS BIGINT) AS cap,
+         |  CAST(n_candidates AS BIGINT) AS n_candidates,
+         |  CAST(n_exact_pairs AS BIGINT) AS n_exact_pairs,
+         |  CAST((2 * n_candidates * 1000000 + n_exact_pairs)
+         |    // (2 * n_exact_pairs) AS DOUBLE) / 1000000 AS pair_recall,
+         |  n_buckets_capped, worst_bucket
+         |FROM g""".stripMargin) { (spark, dir) =>
+      val spk = spark
+      import spk.implicits._
+      val I = DecimalType(38, 0)
+      val bitsPerBand = Dedup.SimHashBits / 4
+      val hashed = Tables.documents(spark, dir)
+        .withColumn("th", call_function("graft_token_hashes", col("text")))
+        .filter(size(col("th")) > 0)
+        .withColumn("sim", Dedup.simhash(col("th")))
+      def bandKey(b: Int) =
+        shiftright(col("sim"), b * bitsPerBand) % (1 << bitsPerBand)
+      val bk = hashed
+        .select(posexplode(array((0 until 4).map(bandKey): _*)))
+        .groupBy(col("pos").as("band"), col("col").as("band_key"))
+        .agg(count(lit(1)).as("s"))
+      val caps = Seq(4L, 8L, 16L, 32L).toDF("cap")
+      val g = bk.crossJoin(broadcast(caps))
+        .withColumn("c", least(col("s"), col("cap")))
+        .groupBy("cap")
+        .agg(
+          sum(col("c") * col("s") -
+            expr("(c * (c + 1)) div 2")).cast(I).as("n_candidates"),
+          sum(expr("(s * (s - 1)) div 2")).cast(I).as("n_exact_pairs"),
+          sum(when(col("s") > col("cap"), 1L).otherwise(0L))
+            .as("n_buckets_capped"),
+          max(col("s")).as("worst_bucket"))
+      g.select(col("cap"),
+        col("n_candidates").cast("long").as("n_candidates"),
+        col("n_exact_pairs").cast("long").as("n_exact_pairs"),
+        ExactRound.roundRatio(col("n_candidates"), col("n_exact_pairs"), 6)
+          .cast("double").as("pair_recall"),
+        col("n_buckets_capped"), col("worst_bucket"))
     })
 }
