@@ -13,7 +13,8 @@ object SparkEntry {
     HrQueries.all ++ PipelineQueries.all ++ LlmQueries.all ++
       StatefulQueries.all ++ TemporalQueries.all ++ AnalyticsQueries.all ++
       CurationQueries.all ++ GovernanceQueries.all ++ LinkageQueries.all ++
-      CorpusStatsQueries.all ++ SelectionQueries.all ++ IndexQueries.all
+      CorpusStatsQueries.all ++ SelectionQueries.all ++ IndexQueries.all ++
+      StatsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,315 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Stats, Text}
+import org.apache.spark.sql.functions._
+
+/** Round-14 statistical-governance operators: the uncertainty and
+  * calibration layer over the monitoring stack. The drift arm so far
+  * answers "did the distribution move?" three ways (q127 counts, q220
+  * binned PSI, q240 exact KS); these queries add the rank-based test
+  * that is robust where KS is shape-sensitive (L239 Mann–Whitney),
+  * the meta-audit that CALIBRATES the whole drift battery (L243 A/A
+  * splits — a monitor whose false-positive rate is unknown pages
+  * people for noise), the monotone re-fit that turns a raw
+  * quality-score-vs-keep-rate curve into a usable threshold function
+  * (L240 isotonic/PAVA), and two interval estimators a 100 TB corpus
+  * report needs next to every point statistic: the distribution-free
+  * order-statistic median CI (L241) and the deterministic
+  * Poisson-multiplier bootstrap CI for a mean (L242 — resampling
+  * WITHOUT replaying the corpus B times through a sampler: one scan,
+  * hash-drawn Poisson(1) weights, the Efron multiplier form).
+  *
+  * Beyond-reference surface (the reference pipeline computes point
+  * aggregates only — `dbt/models/gold/gold_attrition_summary.sql:1-9`
+  * reports means with no interval); kernels in `ops/Stats.scala`,
+  * edge semantics pinned in StatsSpec. Exactness follows
+  * `graft.functions.ExactRound`: verdicts and ranks are integer
+  * cross-multiplications against minted constants (38416 = 1.96²·10⁴;
+  * the Poisson thresholds `Stats.PoissonT`), ratios cross the oracle
+  * boundary via the half-up integer divide, and the only raw DOUBLEs
+  * emitted (isotonic rate, replica mean spread) are integer÷integer
+  * IEEE divisions — bit-identical on any engine.
+  */
+object StatsQueries {
+
+  /** tokens CTE body (DuckDB dialect) — the shared corpus tokenizer. */
+  private val toksSql =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  /** The grouped Mann–Whitney verdict SQL over a CTE `d(rep, side, v)`
+    * — mirror of Stats.mannWhitneyBy (side 0 = A, side 1 = B). */
+  private def mwSql(d: String) =
+    s"""m AS (
+       |  SELECT rep, v,
+       |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS c1,
+       |    CAST(sum(CASE WHEN side = 0 THEN 0 ELSE 1 END) AS HUGEINT) AS c2
+       |  FROM $d GROUP BY 1, 2),
+       |s AS (
+       |  SELECT rep, c1, c2,
+       |    CAST(sum(c2) OVER (PARTITION BY rep ORDER BY v
+       |      ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS f2,
+       |    c1 + c2 AS t
+       |  FROM m),
+       |a AS (
+       |  SELECT rep,
+       |    CAST(sum(c1 * (2 * f2 - c2)) AS HUGEINT) AS u2,
+       |    CAST(sum(c1) AS HUGEINT) AS n1,
+       |    CAST(sum(c2) AS HUGEINT) AS n2,
+       |    CAST(sum(t * t * t - t) AS HUGEINT) AS ties
+       |  FROM s GROUP BY 1),
+       |vr AS (
+       |  SELECT rep, u2, n1, n2, n1 + n2 AS n,
+       |    abs(u2 - n1 * n2) AS dev,
+       |    (n1 + n2) * (n1 + n2 - 1) * (n1 + n2 + 1) - ties AS g
+       |  FROM a WHERE n1 > 0 AND n2 > 0)""".stripMargin
+
+  private val mwSelect =
+    """CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(u2 AS DOUBLE) / 2 AS u,
+      |  CAST((2 * u2 * 1000000 + 2 * n1 * n2) // (4 * n1 * n2) AS DOUBLE)
+      |    / 1000000 AS auc,
+      |  dev * dev * 30000 > (38416 * n1 * n2 * g) // (n * (n - 1))
+      |    AS drift_detected""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ---- L239 Mann–Whitney rank-sum drift: the location-shift
+    // companion to q240's KS — KS keys on the worst CDF gap (one
+    // spiked value can fire it), the rank test on systematic
+    // stochastic dominance, and its AUC = U∕(n₁n₂) is the
+    // probability-of-superiority effect size a drift dashboard
+    // reports next to the verdict. Here: does English documents'
+    // length distribution dominate the other languages'? The verdict
+    // is decided entirely in integer space (tie-corrected variance,
+    // minted 1.96²·10⁴, the div-reduction that survives sf100) — a
+    // boundary tie cannot flip cross-engine. One support-sized pass.
+    Q(
+      "q258_mannwhitney_drift",
+      s"""WITH d AS (
+         |  SELECT 0 AS rep,
+         |    CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS side,
+         |    n_chars AS v
+         |  FROM documents),
+         |${mwSql("d")}
+         |SELECT $mwSelect
+         |FROM vr""".stripMargin) { (spark, dir) =>
+      // kernel: ops/Stats.mannWhitney (tie/degenerate semantics pinned
+      // in StatsSpec)
+      val docs = Tables.documents(spark, dir)
+      Stats.mannWhitney(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"),
+        "n_chars")
+    },
+
+    // ---- L240 isotonic gate calibration: the Gopher battery (q169)
+    // gives a binary keep; a mixture planner wants P(keep | score) as
+    // a MONOTONE function of the cheap score it thresholds on. PAVA
+    // over 100-char length bins (capped at 15 — the tail pools), via
+    // the closed max-min interval form: ŷ_i = max_{j≤i} min_{l≥i}
+    // avg(keep over bins j..l). The corpus pays ONE aggregate to the
+    // ≤16-row bin table; the O(k³) grid is broadcast math — the same
+    // fit costs the same at 100 TB. Interval rates are exact-integer
+    // IEEE divisions (bit-deterministic), raw_rate the half-up
+    // integer divide.
+    Q(
+      "q259_isotonic_calibration", {
+        val stopList = Text.StopWords.head._2
+          .map(w => s"'$w'").mkString(",")
+        s"""WITH base AS (
+           |  SELECT doc_id, text, n_chars, $toksSql AS t FROM documents),
+           |sig AS (
+           |  SELECT doc_id, n_chars,
+           |    CAST(len(t) AS BIGINT) AS n,
+           |    ${LlmQueries.foldSumSql(
+                "list_transform(t, w -> CAST(length(w) AS BIGINT))",
+                "CAST(0 AS BIGINT)")} AS sum_len,
+           |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+           |      AS BIGINT) AS alpha,
+           |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT)
+           |      AS symbols,
+           |    CAST(len(list_filter(t, w -> w IN ($stopList))) AS BIGINT)
+           |      AS stop_hits
+           |  FROM base),
+           |lab AS (
+           |  SELECT least(n_chars // 100, 15) AS bin,
+           |    CASE WHEN n >= 20 AND n <= 100000 AND n > 0
+           |      AND sum_len >= n * 3 AND sum_len <= n * 10
+           |      AND symbols * 10 <= n AND alpha * 10 >= n * 8
+           |      AND stop_hits >= 2 THEN 1 ELSE 0 END AS keep
+           |  FROM sig),
+           |bins AS (
+           |  SELECT bin, CAST(count(*) AS HUGEINT) AS n,
+           |    CAST(sum(keep) AS HUGEINT) AS pos
+           |  FROM lab GROUP BY 1),
+           |pre AS (
+           |  SELECT bin, n, pos,
+           |    CAST(sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+           |      AS HUGEINT) AS cn,
+           |    CAST(sum(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+           |      AS HUGEINT) AS cp
+           |  FROM bins),
+           |iv AS (
+           |  SELECT j.bin AS jb, l.bin AS lb,
+           |    l.cp - j.cp + j.pos AS p, l.cn - j.cn + j.n AS nn
+           |  FROM pre j JOIN pre l ON j.bin <= l.bin),
+           |mi AS (
+           |  SELECT b.bin, iv.jb,
+           |    min(CAST(iv.p AS DOUBLE) / CAST(iv.nn AS DOUBLE)) AS m
+           |  FROM pre b JOIN iv ON iv.jb <= b.bin AND iv.lb >= b.bin
+           |  GROUP BY 1, 2),
+           |iso AS (SELECT bin, max(m) AS iso_rate FROM mi GROUP BY 1)
+           |SELECT p.bin, CAST(p.n AS BIGINT) AS n_docs,
+           |  CAST(p.pos AS BIGINT) AS n_keep,
+           |  CAST((2 * p.pos * 1000000 + p.n) // (2 * p.n) AS DOUBLE)
+           |    / 1000000 AS raw_rate,
+           |  i.iso_rate
+           |FROM pre p JOIN iso i USING (bin)""".stripMargin
+      }) { (spark, dir) =>
+      // kernel: ops/Stats.isotonicFit (monotone-input identity and
+      // single-violator pooling pinned in StatsSpec)
+      val binned = Tables.documents(spark, dir)
+        .select(
+          least(expr("n_chars div 100"), lit(15L)).as("bin"),
+          Text.gopherSignals(col("text")).last.cast("int").cast("long")
+            .as("keep"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("keep").as("pos"))
+      Stats.isotonicFit(binned, "bin", "n", "pos")
+    },
+
+    // ---- L241 order-statistic median CI: the distribution-free ~95%
+    // interval [v₍l₎, v₍n+1−l₎], l = max(1, (n−m) div 2) with m the
+    // integer ceiling of 1.96√n minted via an EXACT integer sqrt (the
+    // float seed corrected ±1 in integer space — a perfect square
+    // cannot round off cross-engine). No global row sort: distinct-
+    // value counts + a cumulative window, rank r reads back as
+    // min v with F(v) ≥ r — support-sized work at any corpus size.
+    Q(
+      "q260_median_ci",
+      """WITH sup AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS v, count(*) AS c
+        |  FROM documents GROUP BY 1),
+        |cum AS (
+        |  SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |    AS HUGEINT) AS f
+        |  FROM sup),
+        |t AS (SELECT CAST(sum(c) AS HUGEINT) AS n FROM sup),
+        |q1 AS (SELECT n, 38416 * n AS x,
+        |  CAST(floor(sqrt(CAST(38416 * n AS DOUBLE))) AS HUGEINT) AS s0
+        |  FROM t),
+        |q2 AS (SELECT n, x,
+        |  CASE WHEN s0 * s0 > x THEN s0 - 1 ELSE s0 END AS s1 FROM q1),
+        |q3 AS (SELECT n, x,
+        |  CASE WHEN (s1 + 1) * (s1 + 1) <= x THEN s1 + 1 ELSE s1 END AS s2
+        |  FROM q2),
+        |q4 AS (SELECT n, x, s2 // 100 AS m1 FROM q3),
+        |q5 AS (SELECT n,
+        |  CASE WHEN m1 * m1 * 10000 >= x THEN m1 ELSE m1 + 1 END AS m
+        |  FROM q4),
+        |r AS (SELECT n, greatest((n - m) // 2, 1) AS lo_r,
+        |  n + 1 - greatest((n - m) // 2, 1) AS hi_r,
+        |  (n + 1) // 2 AS m1_r, n // 2 + 1 AS m2_r FROM q5)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN f >= m1_r THEN v END)
+        |    + min(CASE WHEN f >= m2_r THEN v END) AS DOUBLE) / 2 AS median,
+        |  CAST(min(CASE WHEN f >= lo_r THEN v END) AS BIGINT) AS ci_lo,
+        |  CAST(min(CASE WHEN f >= hi_r THEN v END) AS BIGINT) AS ci_hi,
+        |  CAST(lo_r AS BIGINT) AS rank_lo, CAST(hi_r AS BIGINT) AS rank_hi
+        |FROM cum, r
+        |GROUP BY n, lo_r, hi_r, m1_r, m2_r""".stripMargin) { (spark, dir) =>
+      // kernel: ops/Stats.medianCI (tiny-n clamp and odd/even medians
+      // pinned in StatsSpec)
+      Stats.medianCI(Tables.documents(spark, dir), "n_chars")
+    },
+
+    // ---- L242 Poisson-multiplier bootstrap CI: the resampling
+    // interval for mean doc length WITHOUT B corpus replays — replica
+    // b reweights each doc by a Poisson(1) weight drawn via
+    // inverse-CDF on the q20 Knuth hash of (doc_id, b), so both
+    // engines draw the SAME resample (Efron's multiplier bootstrap;
+    // Poisson(1) is the large-n limit of multinomial row counts).
+    // One scan exploded ×50 with map-side per-replica partials, a
+    // 50-row shuffle, and an integer percentile-rank rule — the CI is
+    // bit-identical cross-engine and the plan is a single pass at any
+    // corpus size.
+    Q(
+      "q261_bootstrap_ci", {
+        val wCase = Stats.PoissonT.zipWithIndex
+          .map { case (t, k) => s"WHEN u < $t THEN $k" }
+          .mkString(" ")
+        s"""WITH reps AS (
+           |  SELECT doc_id, n_chars AS x, r.rep
+           |  FROM documents, range(0, 50) r(rep)),
+           |u AS (
+           |  SELECT x, rep,
+           |    (((doc_id * 50 + rep) % 2147483647) * 2654435761 + 77)
+           |      % 2147483647 AS u
+           |  FROM reps),
+           |w AS (SELECT x, rep, CASE $wCase ELSE 8 END AS w FROM u),
+           |mb AS (
+           |  SELECT rep, CAST(sum(w * x) AS HUGEINT) AS num,
+           |    CAST(sum(w) AS HUGEINT) AS den
+           |  FROM w GROUP BY 1),
+           |means AS (
+           |  SELECT rep,
+           |    CAST((2 * num * 1000000 + den) // (2 * den) AS DOUBLE)
+           |      / 1000000 AS mean_b
+           |  FROM mb WHERE den > 0),
+           |ranked AS (
+           |  SELECT mean_b,
+           |    row_number() OVER (ORDER BY mean_b, rep) AS rn,
+           |    count(*) OVER () AS rr
+           |  FROM means),
+           |ci AS (
+           |  SELECT CAST(max(rr) AS BIGINT) AS b_replicas,
+           |    min(CASE WHEN rn = (rr * 25) // 1000 + 1 THEN mean_b END)
+           |      AS ci_lo,
+           |    min(CASE WHEN rn = rr - (rr * 25) // 1000 THEN mean_b END)
+           |      AS ci_hi
+           |  FROM ranked),
+           |pt AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST((2 * CAST(sum(n_chars) AS HUGEINT) * 1000000 + count(*))
+           |      // (2 * count(*)) AS DOUBLE) / 1000000 AS point_mean
+           |  FROM documents)
+           |SELECT n, b_replicas, point_mean, ci_lo, ci_hi
+           |FROM pt, ci""".stripMargin
+      }) { (spark, dir) =>
+      // kernel: ops/Stats.poissonBootstrapMean (determinism and rank
+      // rule pinned in StatsSpec)
+      Stats.poissonBootstrapMean(Tables.documents(spark, dir),
+        "doc_id", "n_chars", b = 50, seed = 77L)
+    },
+
+    // ---- L243 A/A drift-test calibration: the monitor's own audit.
+    // 20 hash-random splits of the SAME corpus run through the L239
+    // verdict — every "drift" here is by construction a false
+    // positive, so the per-rep verdict table IS the measured
+    // false-positive rate of the α = 5% battery (expectation: ~1 of
+    // 20). The replica axis is an explode (20× one scan, per-(rep,
+    // value) map-side partials) — calibrating the monitor costs 20
+    // aggregates, not 20 corpus copies, at any scale.
+    Q(
+      "q262_aa_calibration",
+      s"""WITH d AS (
+         |  SELECT r.rep,
+         |    (((doc_id * 20 + r.rep) % 2147483647) * 2654435761 + 13)
+         |      % 2147483647 % 2 AS side,
+         |    n_chars AS v
+         |  FROM documents, range(0, 20) r(rep)),
+         |${mwSql("d")}
+         |SELECT CAST(rep AS BIGINT) AS rep, $mwSelect
+         |FROM vr""".stripMargin) { (spark, dir) =>
+      // kernel: ops/Stats.mannWhitneyBy, grouped by replica
+      val P = 2147483647L
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"),
+          explode(sequence(lit(0L), lit(19L))).as("rep"))
+        .withColumn("side",
+          ((col("doc_id") * 20 + col("rep")) % P * 2654435761L + 13) % P % 2)
+      Stats.mannWhitneyBy(docs, "rep", "side", "n_chars")
+        .withColumn("rep", col("rep").cast("long"))
+    })
+}

@@ -112,4 +112,106 @@ class StatsSpec extends SparkSuite {
     // disjoint pair would NOT — the test statistic needs n)
     assert(disjoint.getBoolean(3))
   }
+
+  // ---------------- mannWhitney ----------------
+
+  test("mannWhitney: ties get half credit (hand-computed U), identical " +
+      "samples sit at AUC ½ with no drift, full separation rejects") {
+    // A = {1,2,2}, B = {2,3}: U = [2>2]·½·2 = 1.0; AUC = 1/6
+    val tied = Stats.mannWhitney(
+      Seq(1L, 2L, 2L).toDF("v"), Seq(2L, 3L).toDF("v"), "v").collect()(0)
+    assert(tied.getLong(0) == 3 && tied.getLong(1) == 2)
+    assert(tied.getDouble(2) == 1.0, s"tie half-credit: U=${tied.getDouble(2)}")
+    assert(tied.getDouble(3) == 0.166667)
+    // identical samples: dev = 0, G > 0 — AUC exactly ½, never drift
+    val a = (1L to 10L).toDF("v")
+    val same = Stats.mannWhitney(a, a, "v").collect()(0)
+    assert(same.getDouble(3) == 0.5 && !same.getBoolean(4))
+    // complete separation at n=10+10 (A strictly above B): U = n₁n₂,
+    // AUC = 1, drift
+    val sep = Stats.mannWhitney((101L to 110L).toDF("v"), a, "v").collect()(0)
+    assert(sep.getDouble(2) == 100.0 && sep.getDouble(3) == 1.0)
+    assert(sep.getBoolean(4), "complete separation at n=20 must reject")
+  }
+
+  test("mannWhitney: a fully-tied pair has G = 0 and dev = 0 — defined " +
+      "as no drift, no division hazard; one-sided groups are dropped") {
+    val allTied = Stats.mannWhitney(
+      Seq(7L, 7L).toDF("v"), Seq(7L, 7L, 7L).toDF("v"), "v").collect()(0)
+    assert(allTied.getDouble(3) == 0.5 && !allTied.getBoolean(4))
+    // grouped: rep 0 two-sided, rep 1 has only side 0 → only rep 0 out
+    val g = Seq((0L, 0, 1L), (0L, 1, 2L), (1L, 0, 3L))
+      .toDF("rep", "side", "v")
+    val out = Stats.mannWhitneyBy(g, "rep", "side", "v").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L),
+      "a one-sample group has no two-sample verdict")
+  }
+
+  // ---------------- isotonicFit ----------------
+
+  test("isotonicFit: an already-monotone curve comes back unchanged; " +
+      "a violator pools with WEIGHTED interval averages") {
+    val mono = Seq((0L, 10L, 1L), (1L, 10L, 5L), (2L, 10L, 9L))
+      .toDF("bin", "n", "pos")
+    Stats.isotonicFit(mono, "bin", "n", "pos").collect()
+      .sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getDouble(4) == r.getDouble(3),
+          s"monotone input must be a fixed point (bin ${r.getLong(0)})")
+      }
+    // rates (.2, .8, .4) with weights (10, 10, 30): PAVA pools bins
+    // 1..2 to (8+12)/(10+30) = 0.5 — the WEIGHTED mean, not (.8+.4)/2
+    val viol = Seq((0L, 10L, 2L), (1L, 10L, 8L), (2L, 30L, 12L))
+      .toDF("bin", "n", "pos")
+    val fit = Stats.isotonicFit(viol, "bin", "n", "pos").collect()
+      .sortBy(_.getLong(0)).map(_.getDouble(4))
+    assert(fit.toSeq == Seq(0.2, 0.5, 0.5), s"got ${fit.toSeq}")
+    // monotone non-decreasing always holds
+    assert(fit.sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  // ---------------- medianCI ----------------
+
+  test("medianCI: n=100 uniform ranks hit the textbook interval " +
+      "[v(40), v(61)] via the exact-isqrt perfect-square path") {
+    // 38416·100 = 1960² exactly — the float-sqrt seed must not round off
+    val r = Stats.medianCI((1L to 100L).toDF("v"), "v").collect()(0)
+    assert(r.getLong(0) == 100 && r.getDouble(1) == 50.5)
+    assert((r.getLong(2), r.getLong(3)) == ((40L, 61L)),
+      s"expected ranks 40/61, got ${(r.getLong(2), r.getLong(3))}")
+    assert((r.getLong(4), r.getLong(5)) == ((40L, 61L)))
+  }
+
+  test("medianCI: tiny n clamps the lower rank to 1 (CI = full range); " +
+      "odd n returns the middle value exactly") {
+    val tiny = Stats.medianCI(Seq(3L, 9L).toDF("v"), "v").collect()(0)
+    assert(tiny.getDouble(1) == 6.0)
+    assert((tiny.getLong(2), tiny.getLong(3)) == ((3L, 9L)),
+      "n=2 must clamp to [min, max]")
+    val odd = Stats.medianCI(Seq(1L, 5L, 200L).toDF("v"), "v").collect()(0)
+    assert(odd.getDouble(1) == 5.0, "odd n: the middle order statistic")
+  }
+
+  // ---------------- poissonBootstrapMean ----------------
+
+  test("poissonBootstrapMean: deterministic across runs, exact point " +
+      "mean, and the B=4 rank rule takes the extreme replicas") {
+    val df = (1L to 200L).map(i => (i, i % 13)).toDF("id", "x")
+    val r1 = Stats.poissonBootstrapMean(df, "id", "x", b = 8, seed = 5L)
+      .collect()(0)
+    val r2 = Stats.poissonBootstrapMean(df, "id", "x", b = 8, seed = 5L)
+      .collect()(0)
+    assert(r1 == r2, "same seed must reproduce the identical interval")
+    assert(r1.getLong(0) == 200 && r1.getLong(1) == 8)
+    // point mean is the exact half-up 6-dp divide, not a replica stat
+    val exact = BigDecimal((1L to 200L).map(_ % 13).sum) / 200
+    assert(math.abs(r1.getDouble(2) - exact.toDouble) < 5e-7)
+    assert(r1.getDouble(3) <= r1.getDouble(4), "lo ≤ hi")
+    // B=4: lo rank (4·25) div 1000 + 1 = 1, hi rank 4 — min and max
+    val b4 = Stats.poissonBootstrapMean(df, "id", "x", b = 4, seed = 5L)
+      .collect()(0)
+    assert(b4.getLong(1) == 4)
+    assert(b4.getDouble(3) <= r1.getDouble(2) + 2.0 &&
+      b4.getDouble(4) >= r1.getDouble(2) - 2.0,
+      "4-replica extremes should bracket the point-mean region")
+  }
 }
