@@ -154,7 +154,7 @@ object Stats {
     * U∕(n₁n₂) at 6 dp (the probability-of-superiority effect size),
     * drift_detected. One sort-free pass: per-(rep, distinct value)
     * counts + a rep-partitioned cumulative window. */
-  def mannWhitneyBy(df: DataFrame, repCol: String, sideCol: String,
+  private def mwCore(df: DataFrame, repCol: String, sideCol: String,
       vCol: String): DataFrame = {
     val m = df
       .groupBy(col(repCol).as("rep"), col(vCol).as("v"))
@@ -172,11 +172,16 @@ object Stats {
       sum(col("c1")).cast(I).as("n1"),
       sum(col("c2")).cast(I).as("n2"),
       sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
-    val v = agg.filter(col("n1") > 0 && col("n2") > 0)
+    agg.filter(col("n1") > 0 && col("n2") > 0)
       .withColumn("n", col("n1") + col("n2"))
       .withColumn("dev", abs(col("u2") - col("n1") * col("n2")))
       .withColumn("g",
         col("n") * (col("n") - 1) * (col("n") + 1) - col("ties"))
+  }
+
+  def mannWhitneyBy(df: DataFrame, repCol: String, sideCol: String,
+      vCol: String): DataFrame = {
+    val v = mwCore(df, repCol, sideCol, vCol)
       .withColumn("r", ExactRound.floorDiv(
         lit(38416L).cast(I) * col("n1") * col("n2") * col("g"),
         col("n") * (col("n") - 1)))
@@ -216,34 +221,43 @@ object Stats {
     * self-join on a k-row table at any corpus size. */
   def isotonicFit(binned: DataFrame, binCol: String, nCol: String,
       posCol: String): DataFrame = {
-    val w = Window.orderBy("bin")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pre = binned
-      .select(col(binCol).cast("long").as("bin"), col(nCol).cast(I).as("n"),
-        col(posCol).cast(I).as("pos"))
-      .withColumn("cn", sum("n").over(w))
-      .withColumn("cp", sum("pos").over(w))
-      .localCheckpoint() // k rows; three self-joins below read it
-    val j = pre.select(col("bin").as("jb"), col("n").as("jn"),
-      col("pos").as("jp"), col("cn").as("jcn"), col("cp").as("jcp"))
-    val l = pre.select(col("bin").as("lb"), col("cn").as("lcn"),
-      col("cp").as("lcp"))
-    val iv = j.join(l, col("jb") <= col("lb"))
-      .select(col("jb"), col("lb"),
-        (col("lcp") - col("jcp") + col("jp")).as("p"),
-        (col("lcn") - col("jcn") + col("jn")).as("nn"))
-    val mi = pre.select(col("bin"))
-      .join(iv, col("jb") <= col("bin") && col("lb") >= col("bin"))
-      .groupBy("bin", "jb")
-      .agg(min(col("p").cast("double") / col("nn").cast("double")).as("m"))
-    val iso = mi.groupBy("bin").agg(max("m").as("iso_rate"))
-    pre.join(iso, Seq("bin"))
-      .select(col("bin"),
-        col("n").cast("long").as("n_docs"),
-        col("pos").cast("long").as("n_keep"),
-        ExactRound.roundRatio(col("pos"), col("n"), 6)
-          .cast("double").as("raw_rate"),
-        col("iso_rate"))
+    val sess = binned.sparkSession
+    import sess.implicits._
+    // the bin aggregate is parameter-sized by construction (callers
+    // bound k; q259 caps at 16) — collect it and run the O(k³) grid on
+    // the driver, the kmeansLloyd small-aggregate precedent. The first
+    // cut kept the grid distributed (self-joins on the k-row table)
+    // and paid ~3 s of re-planning/scheduling PER CALL at any SF for
+    // 16 rows of math; the collect form is ~0.3 s, corpus pays only
+    // the upstream aggregate either way.
+    val rows = binned
+      .select(col(binCol).cast("long"), col(nCol).cast("long"),
+        col(posCol).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    if (rows.isEmpty) {
+      Seq.empty[(Long, Long, Long, Double, Double)]
+        .toDF("bin", "n_docs", "n_keep", "raw_rate", "iso_rate")
+    } else {
+      val k = rows.length
+      // prefix sums in BigInt — the DECIMAL(38,0) oracle's arithmetic
+      val cn = rows.scanLeft(BigInt(0))(_ + _._2).tail
+      val cp = rows.scanLeft(BigInt(0))(_ + _._3).tail
+      // interval rate as the SAME integer÷integer IEEE double division
+      // the oracle runs (exact operands < 2⁵³ → identical bits)
+      def rate(j: Int, l: Int): Double = {
+        val p = cp(l) - (if (j == 0) BigInt(0) else cp(j - 1))
+        val nn = cn(l) - (if (j == 0) BigInt(0) else cn(j - 1))
+        p.toDouble / nn.toDouble
+      }
+      val iso = (0 until k).map { i =>
+        (0 to i).map(j => (i until k).map(l => rate(j, l)).min).max
+      }
+      rows.toSeq.zipWithIndex.map { case ((b, n, p), i) =>
+        val raw6 = (BigInt(2) * p * 1000000 + n) / (BigInt(2) * n)
+        (b, n, p, raw6.toDouble / 1e6, iso(i))
+      }.toDF("bin", "n_docs", "n_keep", "raw_rate", "iso_rate")
+    }
   }
 
   /** Distribution-free median CI from order statistics: the point
@@ -359,5 +373,161 @@ object Stats {
     point.crossJoin(broadcast(ci))
       .select(col("n"), col("b_replicas"), col("point_mean"),
         col("ci_lo"), col("ci_hi"))
+  }
+
+  /** Benjamini–Hochberg z² thresholds for m = 20 two-sided tests at
+    * FDR q = 0.05: t_i = Φ⁻¹(1 − 0.025·i∕20)²·10⁶ for rank i = 1..20,
+    * minted once and shared verbatim with the oracle (t_20 = 3841459 ≈
+    * the single-test 1.96² value — the step-up ladder relaxes toward
+    * it). */
+  val BhT20: Seq[Long] = Seq(9140593L, 7879439L, 7149139L, 6634897L,
+    6238533L, 5916468L, 5645523L, 5411894L, 5206700L, 5023886L,
+    4859143L, 4709292L, 4571926L, 4445175L, 4327558L, 4217885L,
+    4115180L, 4018640L, 3927589L, 3841459L)
+
+  /** FDR-controlled multiple drift testing: one Mann–Whitney per
+    * `repCol` group (side 0 vs side 1, as [[mannWhitneyBy]]) with the
+    * Benjamini–Hochberg step-up applied across groups. Per group the
+    * tie-corrected z² = dev²·3·n(n−1)∕(n₁n₂·G) lands on the 10⁻⁶ grid
+    * via the half-up integer divide (a fully-tied group gets z² = 0 —
+    * no evidence, no division hazard), groups rank by (z² desc, rep),
+    * rank i compares against thresholds(i−1), and the step-up closure
+    * rejects EVERY rank ≤ the largest crossing rank — a group below
+    * its own threshold is still rejected when a weaker-ranked group
+    * crosses (the defining BH property, pinned in spec). Ranks beyond
+    * the threshold ladder are never crossing ranks but remain
+    * rejectable by closure. The whole controller is grid math on
+    * |groups| rows. */
+  def bhDrift(df: DataFrame, repCol: String, sideCol: String,
+      vCol: String, thresholds: Seq[Long] = BhT20): DataFrame = {
+    val z = mwCore(df, repCol, sideCol, vCol)
+      .withColumn("z6", when(col("g") > 0,
+        (ExactRound.roundRatio(
+          col("dev") * col("dev") * lit(3).cast(I) * col("n") * (col("n") - 1),
+          col("n1") * col("n2") * col("g"), 6) * lit(1000000).cast(I))
+          .cast(I)).otherwise(lit(0).cast(I)))
+    val ranked = z.withColumn("rank",
+      row_number().over(Window.orderBy(col("z6").desc, col("rep"))))
+    val sess = df.sparkSession
+    import sess.implicits._
+    val tDf = thresholds.zipWithIndex
+      .map { case (t, i) => ((i + 1).toLong, t) }
+      .toDF("rank_i", "ti")
+    val withT = ranked.join(broadcast(tDf),
+      col("rank") === col("rank_i"), "left")
+    val imax = withT.agg(coalesce(max(when(col("z6") >= col("ti"),
+      col("rank"))), lit(0L)).as("im"))
+    withT.crossJoin(broadcast(imax))
+      .select(
+        col("rep"),
+        col("n1").cast("long").as("n1"),
+        col("n2").cast("long").as("n2"),
+        (col("z6").cast("double") / lit(1000000.0)).as("z2"),
+        col("rank").cast("long").as("rank"),
+        (col("rank") <= col("im")).as("rejected"))
+  }
+
+  /** Delete-a-group jackknife for the ratio θ = Σpos∕Σn over per-group
+    * partials (grp, n > 0, pos): per group the leave-one-out ratio
+    * θ₋ₛ = (K−kₛ)∕(N−nₛ), the pseudo-value G·θ̂ − (G−1)·θ₋ₛ, and the
+    * jackknife SE √((G−1)∕G · Σ(θ₋ₛ−θ̄)²) — the standard production
+    * recipe for the SE of a NONLINEAR (ratio) corpus metric, priced as
+    * one |groups|-row aggregate + grid math (the corpus never replays;
+    * callers aggregate partials first). Everything lives on the 10⁻⁶
+    * integer grid: LOO ratios are half-up divides, deviations are
+    * G·a_s − Σa integers, and se² is a single half-up divide at scale
+    * 12 whose unscaled value stays < 2⁵³ (the decimal→double boundary)
+    * before the one terminal sqrt — bit-identical cross-engine.
+    * Requires ≥ 2 groups, each with n > 0. */
+  def jackknifeRatio(grouped: DataFrame, grpCol: String, nCol: String,
+      posCol: String): DataFrame = {
+    val base = grouped.select(col(grpCol).as("grp"),
+      col(nCol).cast(I).as("n"), col(posCol).cast(I).as("pos"))
+    val tot = base.agg(sum("n").as("nn"), sum("pos").as("kk"),
+      count(lit(1)).cast(I).as("gg"))
+    val loo = base.crossJoin(broadcast(tot))
+      .withColumn("loo6", ExactRound.floorDiv(
+        lit(2).cast(I) * (col("kk") - col("pos")) * lit(1000000L).cast(I) +
+          (col("nn") - col("n")),
+        lit(2).cast(I) * (col("nn") - col("n"))))
+      .withColumn("a6", ExactRound.floorDiv(
+        lit(2).cast(I) * col("kk") * lit(1000000L).cast(I) + col("nn"),
+        lit(2).cast(I) * col("nn")))
+    val sums = loo.agg(sum("loo6").as("ss"),
+      first(col("gg")).as("g2"), count(lit(1)).cast(I).as("gcnt"))
+    val dev = loo.crossJoin(broadcast(sums))
+      .withColumn("dev", col("gg") * col("loo6") - col("ss"))
+    val se = dev.agg(
+      sum(col("dev") * col("dev")).as("sd2"),
+      first(col("gg")).as("g3"))
+      .select(sqrt(ExactRound.roundRatio(
+        (col("g3") - 1) * col("sd2"),
+        col("g3") * col("g3") * col("g3") * lit(1000000000000L).cast(I), 12)
+        .cast("double")).as("jk_se"))
+    dev.crossJoin(broadcast(se))
+      .select(col("grp"),
+        col("n").cast("long").as("n_docs"),
+        col("pos").cast("long").as("n_keep"),
+        (col("loo6").cast("double") / lit(1000000.0)).as("loo_rate"),
+        ((col("gg") * col("a6") - (col("gg") - 1) * col("loo6"))
+          .cast("double") / lit(1000000.0)).as("pseudo_value"),
+        col("jk_se"))
+  }
+
+  /** Empirical-Bayes beta-binomial shrinkage of per-group rates
+    * (Robbins/Morris via method-of-moments): from per-group partials
+    * (grp, n > 0, pos) fit the beta prior on the 10⁻⁶ grid — with
+    * S = Σraw₆, D = G·10⁶, Sd2 = Σ(G·raw₆−S)², the prior strength
+    * M = m(1−m)∕v − 1 reduces to the single rational
+    * (S(D−S)(G−1) − Sd2)∕Sd2, minted half-up at 6 dp and CAPPED at
+    * 10¹⁵ on the grid (v → 0 sends M → ∞; the cap keeps every
+    * downstream product and double conversion inside 2⁵³ and reads
+    * "prior stronger than any finite group — full pooling"); then
+    * α₆ = half-up(S·M₆∕D), β₆ = M₆ − α₆ (so α+β = M exactly on the
+    * grid), and shrunk = (pos·10⁶ + α₆)∕(n·10⁶ + M₆) per group. An
+    * UNDER-dispersed family (observed variance ≥ the binomial-free
+    * bound, numerator ≤ 0) or a zero-variance family takes the
+    * documented no-shrinkage path: shrunk = raw, prior_strength = 0.
+    * One |groups|-row aggregate + grid math — the corpus pays only the
+    * partial-building aggregate upstream. */
+  def ebShrinkRates(grouped: DataFrame, grpCol: String, nCol: String,
+      posCol: String): DataFrame = {
+    val two = lit(2).cast(I)
+    val mil = lit(1000000L).cast(I)
+    val base = grouped.select(col(grpCol).as("grp"),
+      col(nCol).cast(I).as("n"), col(posCol).cast(I).as("pos"))
+      .withColumn("raw6", ExactRound.floorDiv(
+        two * col("pos") * mil + col("n"), two * col("n")))
+    val sums = base.agg(sum("raw6").as("ss"),
+      count(lit(1)).cast(I).as("gg"))
+    val withDev = base.crossJoin(broadcast(sums))
+      .withColumn("dev", col("gg") * col("raw6") - col("ss"))
+    val prior = withDev.agg(
+      sum(col("dev") * col("dev")).as("sd2"),
+      first(col("ss")).as("s2"), first(col("gg")).as("g2"))
+      .withColumn("d", col("g2") * mil)
+      .withColumn("mnum",
+        col("s2") * (col("d") - col("s2")) * (col("g2") - 1) - col("sd2"))
+      .withColumn("m6",
+        when(col("sd2") > 0 && col("mnum") > 0,
+          least(
+            (ExactRound.roundRatio(col("mnum"), col("sd2"), 6) * mil).cast(I),
+            lit(1000000000000000L).cast(I)))
+          .otherwise(lit(0).cast(I)))
+      .withColumn("alpha6", when(col("m6") > 0, ExactRound.floorDiv(
+        two * col("s2") * col("m6") + col("d"),
+        two * col("d"))).otherwise(lit(0).cast(I)))
+      .select(col("m6"), col("alpha6"))
+    base.crossJoin(broadcast(prior))
+      .select(col("grp"),
+        col("n").cast("long").as("n_docs"),
+        col("pos").cast("long").as("n_keep"),
+        (col("raw6").cast("double") / lit(1000000.0)).as("raw_rate"),
+        when(col("m6") > 0,
+          ExactRound.roundRatio(col("pos") * mil + col("alpha6"),
+            col("n") * mil + col("m6"), 6).cast("double"))
+          .otherwise(col("raw6").cast("double") / lit(1000000.0))
+          .as("shrunk_rate"),
+        (col("m6").cast("double") / lit(1000000.0)).as("prior_strength"))
   }
 }

@@ -72,6 +72,49 @@ object StatsQueries {
       |  dev * dev * 30000 > (38416 * n1 * n2 * g) // (n * (n - 1))
       |    AS drift_detected""".stripMargin
 
+  /** Per-source Gopher-keep partials CTE chain (DuckDB dialect):
+    * `parts(source, n, pos)` — the q169 battery aggregated by source,
+    * the shared input of the jackknife/EB queries. */
+  private def gopherPartsSql = {
+    val stopList = Text.StopWords.head._2.map(w => s"'$w'").mkString(",")
+    s"""gbase AS (
+       |  SELECT doc_id, source, text, $toksSql AS t FROM documents),
+       |gsig AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(t) AS BIGINT) AS n,
+       |    ${LlmQueries.foldSumSql(
+          "list_transform(t, w -> CAST(length(w) AS BIGINT))",
+          "CAST(0 AS BIGINT)")} AS sum_len,
+       |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+       |      AS BIGINT) AS alpha,
+       |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT)
+       |      AS symbols,
+       |    CAST(len(list_filter(t, w -> w IN ($stopList))) AS BIGINT)
+       |      AS stop_hits
+       |  FROM gbase),
+       |glab AS (
+       |  SELECT source,
+       |    CASE WHEN n >= 20 AND n <= 100000 AND n > 0
+       |      AND sum_len >= n * 3 AND sum_len <= n * 10
+       |      AND symbols * 10 <= n AND alpha * 10 >= n * 8
+       |      AND stop_hits >= 2 THEN 1 ELSE 0 END AS keep
+       |  FROM gsig),
+       |parts AS (
+       |  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+       |    CAST(sum(keep) AS HUGEINT) AS pos
+       |  FROM glab GROUP BY 1)""".stripMargin
+  }
+
+  /** The per-source Gopher-keep partials, Spark side. */
+  private def gopherParts(spark: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        Text.gopherSignals(col("text")).last.cast("int").cast("long")
+          .as("keep"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("keep").as("pos"))
+
   val all: Seq[Q] = Seq(
 
     // ---- L239 Mann–Whitney rank-sum drift: the location-shift
@@ -311,5 +354,231 @@ object StatsQueries {
           ((col("doc_id") * 20 + col("rep")) % P * 2654435761L + 13) % P % 2)
       Stats.mannWhitneyBy(docs, "rep", "side", "n_chars")
         .withColumn("rep", col("rep").cast("long"))
+    },
+
+    // ---- L244 FDR-controlled per-source drift: L243 calibrates the
+    // battery's false-positive rate; this CONTROLS it when the battery
+    // fans out — 20 simultaneous source-vs-complement Mann–Whitney
+    // tests under Benjamini–Hochberg step-up at FDR 5% (naive per-test
+    // α would page ~1 source per sweep on pure noise). Per source the
+    // tie-corrected z² lands on the 10⁻⁶ grid by integer divide,
+    // sources rank by z², rank i compares against the minted
+    // Φ⁻¹(1−0.025·i∕20)²·10⁶ ladder (Stats.BhT20), and the step-up
+    // closure rejects every rank up to the largest crossing one. The
+    // whole controller is |sources|-row grid math over one 20×-explode
+    // scan.
+    Q(
+      "q263_fdr_source_drift", {
+        val values = Stats.BhT20.zipWithIndex
+          .map { case (t, i) => s"(${i + 1}, $t)" }.mkString(", ")
+        s"""WITH srcs AS (SELECT DISTINCT source AS rep FROM documents),
+           |d AS (
+           |  SELECT s.rep,
+           |    CASE WHEN doc.source = s.rep THEN 0 ELSE 1 END AS side,
+           |    doc.n_chars AS v
+           |  FROM documents doc, srcs s),
+           |${mwSql("d")},
+           |z AS (
+           |  SELECT rep, n1, n2,
+           |    CASE WHEN g > 0 THEN
+           |      (2 * (dev * dev * 3 * n * (n - 1)) * 1000000 + n1 * n2 * g)
+           |        // (2 * n1 * n2 * g)
+           |    ELSE 0 END AS z6
+           |  FROM vr),
+           |r AS (
+           |  SELECT rep, n1, n2, z6,
+           |    row_number() OVER (ORDER BY z6 DESC, rep) AS rnk
+           |  FROM z),
+           |t(rank_i, ti) AS (VALUES $values),
+           |j AS (SELECT r.*, t.ti FROM r LEFT JOIN t ON r.rnk = t.rank_i),
+           |im AS (
+           |  SELECT coalesce(max(CASE WHEN ti IS NOT NULL AND z6 >= ti
+           |    THEN rnk END), 0) AS im FROM j)
+           |SELECT rep AS source, CAST(n1 AS BIGINT) AS n1,
+           |  CAST(n2 AS BIGINT) AS n2,
+           |  CAST(z6 AS DOUBLE) / 1000000 AS z2,
+           |  CAST(rnk AS BIGINT) AS rank, rnk <= im AS rejected
+           |FROM j, im""".stripMargin
+      }) { (spark, dir) =>
+      // kernel: ops/Stats.bhDrift (step-up closure pinned in StatsSpec)
+      val docs = Tables.documents(spark, dir)
+      val srcs = docs.select(col("source").as("rep")).distinct()
+      val d = docs.crossJoin(broadcast(srcs))
+        .select(col("rep"),
+          when(col("source") === col("rep"), 0).otherwise(1).as("side"),
+          col("n_chars").as("v"))
+      Stats.bhDrift(d, "rep", "side", "v")
+        .withColumnRenamed("rep", "source")
+    },
+
+    // ---- L245 delete-a-group jackknife: the SE of a NONLINEAR corpus
+    // metric (the Gopher keep RATE) without resampling rows — drop one
+    // source at a time, re-form the ratio from the per-source partials
+    // already aggregated, and read the spread (Quenouille/Tukey;
+    // delete-a-group is the production form for source-clustered
+    // corpora). The corpus pays ONE gate aggregate; the G leave-one-out
+    // ratios, pseudo-values, and the SE are grid math on G rows.
+    // Everything on the 10⁻⁶ integer grid; se² is one scale-12 half-up
+    // divide (unscaled < 2⁵³) before the single terminal sqrt.
+    Q(
+      "q264_jackknife_keep_rate",
+      s"""WITH $gopherPartsSql,
+         |tot AS (
+         |  SELECT CAST(sum(n) AS HUGEINT) AS nn,
+         |    CAST(sum(pos) AS HUGEINT) AS kk,
+         |    CAST(count(*) AS HUGEINT) AS gg
+         |  FROM parts),
+         |loo AS (
+         |  SELECT source, n, pos, gg,
+         |    (2 * (kk - pos) * 1000000 + (nn - n)) // (2 * (nn - n)) AS loo6,
+         |    (2 * kk * 1000000 + nn) // (2 * nn) AS a6
+         |  FROM parts, tot),
+         |sums AS (SELECT CAST(sum(loo6) AS HUGEINT) AS ss FROM loo),
+         |dv AS (
+         |  SELECT source, n, pos, gg, loo6, a6, gg * loo6 - ss AS dev
+         |  FROM loo, sums),
+         |se AS (
+         |  SELECT sqrt(CAST(
+         |    (2 * ((gg - 1) * sd2) * 1000000000000
+         |      + gg * gg * gg * 1000000000000)
+         |      // (2 * gg * gg * gg * 1000000000000) AS DOUBLE)
+         |    / 1000000000000) AS jk_se
+         |  FROM (SELECT gg, sum(dev * dev) AS sd2 FROM dv GROUP BY 1))
+         |SELECT source, CAST(n AS BIGINT) AS n_docs,
+         |  CAST(pos AS BIGINT) AS n_keep,
+         |  CAST(loo6 AS DOUBLE) / 1000000 AS loo_rate,
+         |  CAST(gg * a6 - (gg - 1) * loo6 AS DOUBLE) / 1000000
+         |    AS pseudo_value,
+         |  jk_se
+         |FROM dv, se""".stripMargin) { (spark, dir) =>
+      // kernel: ops/Stats.jackknifeRatio (two-group hand value and
+      // zero-spread SE pinned in StatsSpec)
+      Stats.jackknifeRatio(gopherParts(spark, dir), "source", "n", "pos")
+        .withColumnRenamed("grp", "source")
+    },
+
+    // ---- L246 empirical-Bayes source quality: small sources have
+    // noisy gate rates — a 40-doc source at 0.55 is weaker evidence
+    // than a 4 000-doc source at 0.55. Beta-binomial shrinkage via
+    // method-of-moments (the Robbins/Morris estimator): the prior
+    // strength M = m(1−m)∕v − 1 reduces to ONE rational over the
+    // 10⁻⁶-grid sums, α∕β split it so α+β = M exactly on the grid, and
+    // each source moves to (pos·10⁶+α₆)∕(n·10⁶+M₆) — between its raw
+    // rate and the family mean, small sources moving furthest. The
+    // documented cap (10¹⁵) and no-shrinkage paths (zero or
+    // over-binomial variance) keep the recipe total and every double
+    // conversion under 2⁵³.
+    Q(
+      "q265_eb_source_quality",
+      s"""WITH $gopherPartsSql,
+         |ebase AS (
+         |  SELECT source, n, pos,
+         |    (2 * pos * 1000000 + n) // (2 * n) AS raw6
+         |  FROM parts),
+         |esums AS (
+         |  SELECT CAST(sum(raw6) AS HUGEINT) AS s2,
+         |    CAST(count(*) AS HUGEINT) AS g2
+         |  FROM ebase),
+         |ewd AS (
+         |  SELECT ebase.*, g2, s2, g2 * raw6 - s2 AS dev
+         |  FROM ebase, esums),
+         |epr AS (
+         |  SELECT s2, g2, g2 * 1000000 AS d, sum(dev * dev) AS sd2
+         |  FROM ewd GROUP BY 1, 2, 3),
+         |epr2 AS (
+         |  SELECT d, s2,
+         |    CASE WHEN sd2 > 0 AND s2 * (d - s2) * (g2 - 1) - sd2 > 0 THEN
+         |      least((2 * (s2 * (d - s2) * (g2 - 1) - sd2) * 1000000 + sd2)
+         |        // (2 * sd2), 1000000000000000)
+         |    ELSE 0 END AS m6
+         |  FROM epr),
+         |epr3 AS (
+         |  SELECT m6,
+         |    CASE WHEN m6 > 0 THEN (2 * s2 * m6 + d) // (2 * d)
+         |      ELSE 0 END AS alpha6
+         |  FROM epr2)
+         |SELECT source, CAST(n AS BIGINT) AS n_docs,
+         |  CAST(pos AS BIGINT) AS n_keep,
+         |  CAST(raw6 AS DOUBLE) / 1000000 AS raw_rate,
+         |  CASE WHEN m6 > 0 THEN
+         |    CAST((2 * (pos * 1000000 + alpha6) * 1000000
+         |      + (n * 1000000 + m6)) // (2 * (n * 1000000 + m6)) AS DOUBLE)
+         |      / 1000000
+         |  ELSE CAST(raw6 AS DOUBLE) / 1000000 END AS shrunk_rate,
+         |  CAST(m6 AS DOUBLE) / 1000000 AS prior_strength
+         |FROM ebase, epr3""".stripMargin) { (spark, dir) =>
+      // kernel: ops/Stats.ebShrinkRates (contraction, no-shrinkage
+      // paths, and the α+β = M grid identity pinned in StatsSpec)
+      Stats.ebShrinkRates(gopherParts(spark, dir), "source", "n", "pos")
+        .withColumnRenamed("grp", "source")
+    },
+
+    // ---- L247 clustered bootstrap: q261 resamples DOCS — but docs
+    // within a source correlate (shared crawl, template, register), so
+    // the iid interval is too narrow for corpus-level inference. The
+    // cluster bootstrap draws ONE Poisson(1) weight per (source,
+    // replica) — the q261 kernel verbatim with the hashed source as
+    // the resampling id — 20 effective units instead of the doc count,
+    // so the interval widens exactly when sources genuinely differ (on
+    // this fixture's exchangeable synthetic sources the two widths
+    // agree within replica noise — the honest null). Same single-scan
+    // plan; the id-granularity is the ONLY difference, pinned by the
+    // shared kernel.
+    Q(
+      "q266_cluster_bootstrap", {
+        val wCase = Stats.PoissonT.zipWithIndex
+          .map { case (t, k) => s"WHEN u < $t THEN $k" }
+          .mkString(" ")
+        s"""WITH reps AS (
+           |  SELECT CAST(concat('0x', substr(md5(source), 1, 8)) AS BIGINT)
+           |      AS cid,
+           |    n_chars AS x, r.rep
+           |  FROM documents, range(0, 50) r(rep)),
+           |u AS (
+           |  SELECT x, rep,
+           |    (((cid * 50 + rep) % 2147483647) * 2654435761 + 91)
+           |      % 2147483647 AS u
+           |  FROM reps),
+           |w AS (SELECT x, rep, CASE $wCase ELSE 8 END AS w FROM u),
+           |mb AS (
+           |  SELECT rep, CAST(sum(w * x) AS HUGEINT) AS num,
+           |    CAST(sum(w) AS HUGEINT) AS den
+           |  FROM w GROUP BY 1),
+           |means AS (
+           |  SELECT rep,
+           |    CAST((2 * num * 1000000 + den) // (2 * den) AS DOUBLE)
+           |      / 1000000 AS mean_b
+           |  FROM mb WHERE den > 0),
+           |ranked AS (
+           |  SELECT mean_b,
+           |    row_number() OVER (ORDER BY mean_b, rep) AS rn,
+           |    count(*) OVER () AS rr
+           |  FROM means),
+           |ci AS (
+           |  SELECT CAST(max(rr) AS BIGINT) AS b_replicas,
+           |    min(CASE WHEN rn = (rr * 25) // 1000 + 1 THEN mean_b END)
+           |      AS ci_lo,
+           |    min(CASE WHEN rn = rr - (rr * 25) // 1000 THEN mean_b END)
+           |      AS ci_hi
+           |  FROM ranked),
+           |pt AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           |    CAST((2 * CAST(sum(n_chars) AS HUGEINT) * 1000000 + count(*))
+           |      // (2 * count(*)) AS DOUBLE) / 1000000 AS point_mean
+           |  FROM documents)
+           |SELECT n, n_sources, b_replicas, point_mean, ci_lo, ci_hi
+           |FROM pt, ci""".stripMargin
+      }) { (spark, dir) =>
+      // kernel: ops/Stats.poissonBootstrapMean over the hashed source —
+      // cluster-level weights by construction
+      val docs = Tables.documents(spark, dir)
+      val nSrc = docs.agg(countDistinct("source").as("n_sources"))
+      Stats.poissonBootstrapMean(
+        docs.withColumn("cid", Text.strHash32(col("source"))),
+        "cid", "n_chars", b = 50, seed = 91L)
+        .crossJoin(broadcast(nSrc))
+        .select(col("n"), col("n_sources"), col("b_replicas"),
+          col("point_mean"), col("ci_lo"), col("ci_hi"))
     })
 }

@@ -214,4 +214,97 @@ class StatsSpec extends SparkSuite {
       b4.getDouble(4) >= r1.getDouble(2) - 2.0,
       "4-replica extremes should bracket the point-mean region")
   }
+
+  // ---------------- bhDrift ----------------
+
+  test("bhDrift: the step-up closure rejects every rank up to the " +
+      "largest crossing rank — even ranks that missed their own bar") {
+    // three groups with distinct z²: a = strong separation, b = mild,
+    // c = fully tied (z² = 0)
+    val rows =
+      (1L to 20L).map(v => ("a", 0, v + 100L)) ++
+        (1L to 20L).map(v => ("a", 1, v)) ++
+        Seq(("b", 0, 1L), ("b", 0, 3L), ("b", 1, 2L), ("b", 1, 4L)) ++
+        Seq(("c", 0, 5L), ("c", 1, 5L))
+    val df = rows.toDF("rep", "side", "v")
+    // thresholds: ranks 1 and 2 unreachable, rank 3 always crosses
+    // (z² ≥ 0) → the closure must reject ALL three groups
+    val closure = Stats.bhDrift(df, "rep", "side", "v",
+      thresholds = Seq(Long.MaxValue, Long.MaxValue, 0L))
+      .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(closure.values.forall(identity),
+      s"step-up closure must reject all when the last rank crosses: $closure")
+    // unreachable ladder → nothing rejected, and the tied group's z² = 0
+    val none = Stats.bhDrift(df, "rep", "side", "v",
+      thresholds = Seq.fill(3)(Long.MaxValue))
+      .collect().map(r => (r.getString(0), r.getDouble(3), r.getBoolean(5)))
+    assert(none.forall(!_._3), "unreachable thresholds reject nothing")
+    assert(none.find(_._1 == "c").get._2 == 0.0,
+      "a fully-tied group carries zero evidence")
+    // ranks are 1-based by z² desc: the separated group is rank 1
+    val ranks = Stats.bhDrift(df, "rep", "side", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(ranks("a") == 1L && ranks("c") == 3L)
+  }
+
+  // ---------------- jackknifeRatio ----------------
+
+  test("jackknifeRatio: the two-group hand case gives SE = 0.3 and " +
+      "mirrored pseudo-values; equal groups give SE = 0") {
+    // groups (10, 2) and (10, 8): θ̂ = .5, LOO = {.8, .2} → SE = .3,
+    // pseudo-values 2·.5 − 1·LOO = {.2, .8}
+    val out = Stats.jackknifeRatio(
+      Seq(("a", 10L, 2L), ("b", 10L, 8L)).toDF("g", "n", "pos"),
+      "g", "n", "pos")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out("a") == ((0.8, 0.2, 0.3)), s"got ${out("a")}")
+    assert(out("b") == ((0.2, 0.8, 0.3)), s"got ${out("b")}")
+    // identical groups: zero spread, pseudo-values equal the ratio
+    val flat = Stats.jackknifeRatio(
+      Seq(("a", 10L, 5L), ("b", 10L, 5L), ("c", 10L, 5L))
+        .toDF("g", "n", "pos"), "g", "n", "pos")
+      .collect()
+    assert(flat.forall(_.getDouble(5) == 0.0), "equal groups → SE 0")
+    assert(flat.forall(_.getDouble(4) == 0.5))
+  }
+
+  // ---------------- ebShrinkRates ----------------
+
+  test("ebShrinkRates: shrinkage contracts toward the family mean, " +
+      "small groups move further at the same raw rate") {
+    val g = Seq(("s10", 10L, 2L), ("b10", 10L, 8L),
+      ("s1k", 1000L, 200L), ("b1k", 1000L, 800L))
+      .toDF("g", "n", "pos")
+    val out = Stats.ebShrinkRates(g, "g", "n", "pos")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val m = 0.5 // family mean of rates {.2, .8, .2, .8}
+    out.foreach { case (k, (raw, shrunk, prior)) =>
+      assert(prior > 0, s"healthy dispersion must fit a prior ($k)")
+      assert(shrunk >= math.min(raw, m) - 1e-6 &&
+        shrunk <= math.max(raw, m) + 1e-6,
+        s"$k: shrunk $shrunk outside [raw $raw, mean $m]")
+    }
+    assert(math.abs(out("s10")._2 - 0.2) > math.abs(out("s1k")._2 - 0.2),
+      "the 10-doc group must shrink further than the 1000-doc group")
+  }
+
+  test("ebShrinkRates: zero-variance and over-binomial-variance " +
+      "families take the no-shrinkage path") {
+    val flat = Stats.ebShrinkRates(
+      Seq(("a", 10L, 5L), ("b", 20L, 10L)).toDF("g", "n", "pos"),
+      "g", "n", "pos").collect()
+    assert(flat.forall(r => r.getDouble(5) == 0.0 &&
+      r.getDouble(4) == r.getDouble(3)),
+      "zero rate variance → prior 0, shrunk = raw")
+    // rates {0, 1}: observed variance exceeds the binomial-free bound
+    // m(1−m) → the MoM numerator goes non-positive → no shrinkage
+    val over = Stats.ebShrinkRates(
+      Seq(("a", 10L, 0L), ("b", 10L, 10L)).toDF("g", "n", "pos"),
+      "g", "n", "pos").collect()
+    assert(over.forall(r => r.getDouble(5) == 0.0 &&
+      r.getDouble(4) == r.getDouble(3)),
+      "over-dispersed family must not invent a prior")
+  }
 }
