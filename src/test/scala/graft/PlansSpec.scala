@@ -514,4 +514,29 @@ class PlansSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"MaxSim must not shuffle-join the corpus:\n$p")
   }
+
+  test("q261 bootstrap: replica sums combine map-side and the scan " +
+      "prunes to (doc_id, n_chars) through the ×50 explode") {
+    val df = SparkEntry.queries("q261_bootstrap_ci")(spark, sfDir())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    // without map-side partials the 50× exploded rows shuffle raw — the
+    // whole point of the multiplier bootstrap is a B-row shuffle
+    assert(p.contains("partial_sum"),
+      s"replica sums must partial-aggregate before the shuffle:\n$p")
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!reads.contains("text") && !reads.contains("lang"),
+      s"bootstrap must not read text columns:\n$reads")
+  }
+
+  test("q263 FDR drift: the source list broadcasts onto the corpus and " +
+      "the BH threshold ladder broadcasts onto the 20-row rank table") {
+    val df = SparkEntry.queries("q263_fdr_source_drift")(spark, sfDir())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"source fan-out must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the 20×-explode must not shuffle-join or go quadratic:\n$p")
+  }
 }
