@@ -213,8 +213,19 @@ object Sample {
     * over the bounded frame. Returns the n kept rows plus (priority,
     * est_weight). */
   def prioritySample(df: DataFrame, key: String, weightCol: String,
+      n: Int): DataFrame =
+    priorityFinish(priorityTopK(df, key, weightCol, n), key, weightCol, n)
+
+  /** The top-(n+1)-by-priority state of [[prioritySample]]: input rows
+    * plus the deterministic `priority` column, pruned to the n+1 the
+    * estimator needs (the n kept rows and the τ row). This IS the
+    * mergeable sketch: priorities are a pure per-row function of the
+    * key, so top-(n+1) of a union of top-(n+1) states equals the
+    * top-(n+1) of the union of their inputs — the fold identity the
+    * streaming sample maintenance (q267) rides. Bounded-heap
+    * TakeOrdered, no global sort. */
+  def priorityTopK(df: DataFrame, key: String, weightCol: String,
       n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(n >= 1, s"sample size must be >= 1, got $n")
     Seq("priority", "est_weight").foreach(c =>
       require(!df.columns.contains(c),
@@ -226,12 +237,18 @@ object Sample {
     val w = when(col(weightCol) < 0,
         raise_error(lit(s"prioritySample: negative weight in $weightCol")))
       .otherwise(coalesce(col(weightCol).cast("long"), lit(0L)))
-    // top n+1 by priority: bounded heap, then everything below is local
-    val top = df
+    df
       .withColumn("priority", w.cast("double") / u)
       .orderBy(col("priority").desc, col(key))
       .limit(n + 1)
-      .localCheckpoint()
+  }
+
+  /** Resolve a [[priorityTopK]] state (or a fold of such states, re-cut
+    * to n+1) into the n-row sample with estimator weights. */
+  def priorityFinish(topState: DataFrame, key: String, weightCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = topState.localCheckpoint()
     // τ = the (n+1)-th priority; 0 when the input has ≤ n rows (then the
     // sample is exhaustive and ŵ = w exactly — the estimator is exact)
     val stats = top.agg(

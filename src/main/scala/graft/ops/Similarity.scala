@@ -617,4 +617,48 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "adc_d2")
   }
+
+  /** Greedy k-center diversity seeds (Gonzalez's farthest-first
+    * traversal, a 2-approximation to the k-center cover): start from
+    * the lowest id, then k−1 times pick the vector FARTHEST from the
+    * chosen set (max over corpus of min over centers of squared
+    * Euclidean distance) — the canonical diverse-subset selector for
+    * seeding annotation batches, eval panels, or codebook training
+    * where k-means' density-seeking is exactly wrong. Deterministic end
+    * to end: ties break to the lower id, each distance is the kmeans
+    * operand tree vn2 + cn2 − 2·dot over the engine's sequential dot
+    * kernel, so the oracle replays every pick move for move. Cost: k
+    * scans of the cached vector table, each a bounded-heap TakeOrdered
+    * (no global sort); driver state is k·d doubles — codebook-sized,
+    * the kmeansLloyd precedent. Returns (pick_order, id, min_dist2 at
+    * selection; 0.0 for the seed). */
+  def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(idCol).cast("long").as("vid"),
+      toDouble(col(vecCol)).as("dv"))
+      .withColumn("vn2", dot(col("dv"), col("dv")))
+      .cache()
+    val first = v.orderBy("vid").limit(1)
+      .select("vid", "dv", "vn2").as[(Long, Seq[Double], Double)].head()
+    var chosen = Vector((first._1, first._2, first._3, 0.0))
+    while (chosen.length < k) {
+      val minD = array_min(array(chosen.map { case (_, cv, cn2, _) =>
+        col("vn2") + lit(cn2) - lit(2.0) * dot(col("dv"), typedLit(cv))
+      }: _*))
+      val next = v
+        .filter(!col("vid").isInCollection(chosen.map(_._1)))
+        .withColumn("md", minD)
+        .orderBy(col("md").desc, col("vid")).limit(1)
+        .select("vid", "dv", "vn2", "md")
+        .as[(Long, Seq[Double], Double, Double)].head()
+      chosen = chosen :+ ((next._1, next._2, next._3, next._4))
+    }
+    v.unpersist()
+    chosen.zipWithIndex
+      .map { case ((vid, _, _, d), i) => ((i + 1).toLong, vid, d) }
+      .toDF("pick_order", "vec_id", "min_dist2")
+  }
 }

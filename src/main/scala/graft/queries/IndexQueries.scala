@@ -2490,5 +2490,60 @@ object IndexQueries {
         ExactRound.roundRatio(col("n_candidates"), col("n_exact_pairs"), 6)
           .cast("double").as("pair_recall"),
         col("n_buckets_capped"), col("worst_bucket"))
+    },
+
+    // ---- L249 greedy k-center diversity seeds (Gonzalez farthest-
+    // first): the selection dual of q113 — k-means seeks density,
+    // k-center seeks COVERAGE, the right selector for annotation
+    // batches, eval panels, and hard-case mining where a dense cluster
+    // should not buy extra seats. 8 picks, each the corpus argmax of
+    // the min squared distance to the chosen set; ties to the lower
+    // id, distances on the kmeans operand tree (vn2 + cn2 − 2·dot,
+    // engine-sequential dot kernels) so the oracle replays all 8 picks
+    // move for move — an ITERATIVE greedy selection pinned
+    // cross-engine exactly, like q113's Lloyd loop. k bounded-heap
+    // scans of the cached vector table; driver state is k·d doubles.
+    Q(
+      "q268_kcenter_seeds", {
+        val k = 8
+        val ctes = new StringBuilder
+        ctes ++= s"""kv AS MATERIALIZED (
+           |  SELECT vec_id AS vid,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+           |  FROM embeddings),
+           |kvn AS MATERIALIZED (
+           |  SELECT vid, dv, ${dot64Sql("dv", "dv")} AS vn2 FROM kv),
+           |c1 AS MATERIALIZED (
+           |  SELECT vid, dv, vn2, 0.0 AS pd FROM kvn ORDER BY vid LIMIT 1),
+           |d1 AS MATERIALIZED (
+           |  SELECT t.vid, t.dv, t.vn2,
+           |    t.vn2 + c.vn2 - 2.0 * ${dot64Sql("t.dv", "c.dv")} AS md
+           |  FROM kvn t, c1 c)""".stripMargin
+        for (i <- 2 to k) {
+          val excl = (1 until i).map(j => s"SELECT vid FROM c$j")
+            .mkString(" UNION ALL ")
+          ctes ++= s""",
+           |c$i AS MATERIALIZED (
+           |  SELECT vid, dv, vn2, md AS pd FROM (
+           |    SELECT d.*, row_number() OVER (ORDER BY md DESC, vid) AS rn
+           |    FROM d${i - 1} d WHERE vid NOT IN ($excl)) x WHERE rn = 1)""".stripMargin
+          if (i < k) ctes ++= s""",
+           |d$i AS MATERIALIZED (
+           |  SELECT t.vid, t.dv, t.vn2,
+           |    least(t.md, t.vn2 + c.vn2 - 2.0 * ${dot64Sql("t.dv", "c.dv")})
+           |      AS md
+           |  FROM d${i - 1} t, c$i c)""".stripMargin
+        }
+        val sel = (1 to k).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS pick_order, vid AS vec_id, " +
+            s"round(pd, 6) AS min_dist2 FROM c$i").mkString(" UNION ALL ")
+        s"WITH $ctes\n$sel"
+      }) { (spark, dir) =>
+      // kernel: ops/Similarity.kCenterGreedy (coverage-vs-kmeans and
+      // duplicate-vector semantics pinned in SimilaritySpec)
+      Similarity.kCenterGreedy(
+          Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8)
+        .select(col("pick_order"), col("vec_id"),
+          round(col("min_dist2"), 6).as("min_dist2"))
     })
 }

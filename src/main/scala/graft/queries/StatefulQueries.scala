@@ -1221,5 +1221,77 @@ object StatefulQueries {
       plan(folded)
         .join(plan(direct), Seq("part", "bin", "n_segments", "bytes_in"))
         .withColumn("fold_matches", lit(true))
+    },
+
+    // ---- L248 streaming priority-sample maintenance: a standing
+    // 64-row Duffield–Lund–Thorup subset-sum sketch of an UNBOUNDED
+    // document stream. The q112 sample is one-shot; a live corpus needs
+    // the sample maintained as batches arrive, and the DLT state is a
+    // semilattice — priorities are a pure per-row function of the key,
+    // so top-(n+1) of (state ∪ batch-top-(n+1)) == top-(n+1) of
+    // everything seen. Each micro-batch pays a bounded-heap TakeOrdered
+    // over ITS rows plus a 2(n+1)-row merge, folded exactly-once via
+    // writeOnce; the oracle is the ONE-SHOT q112 draw over the full
+    // corpus — fold == one-shot pinned row-for-row, τ and estimator
+    // weights included.
+    Q(
+      "q267_stream_priority_sample",
+      s"""WITH pri AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(n_chars AS DOUBLE) /
+         |      (CAST(((doc_id * $Mult) % $P) + 1 AS DOUBLE) / $P) AS pr
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT doc_id, n_chars, pr,
+         |    row_number() OVER (ORDER BY pr DESC, doc_id) AS rn
+         |  FROM pri),
+         |tau AS (
+         |  SELECT coalesce((SELECT pr FROM ranked WHERE rn = 65), 0.0) AS t)
+         |SELECT doc_id, n_chars,
+         |  round(pr, 6) AS priority,
+         |  round(greatest(CAST(n_chars AS DOUBLE), t), 6) AS est_weight
+         |FROM ranked, tau WHERE rn <= 64""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.ops.Sample
+      val n = 64
+      val docs = Tables.documents(spark, dir).select("doc_id", "n_chars")
+      val root = graft.Tmp.dir("graft-q267").toString
+      val path = s"$root/sample"
+      graft.Meta.Versioned.write(
+        Sample.priorityTopK(docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "n_chars", n), path)
+      implicit val ctx = spark.sqlContext
+      import spark.implicits._
+      val feed = docs.filter(col("doc_id") % 3 === 0)
+        .as[(Long, Long)].collect().sortBy(_._1)
+      val (b1, b2) = feed.splitAt(feed.length / 2)
+      val ms = MemoryStream[(Long, Long)]
+      val fold = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {
+        val bt = Sample.priorityTopK(batch.toDF("doc_id", "n_chars"),
+          "doc_id", "n_chars", n)
+        val merged = graft.Meta.Versioned.read(spark, path)
+          .unionByName(bt)
+          .orderBy(col("priority").desc, col("doc_id")).limit(n + 1)
+        graft.Meta.Versioned.writeOnce(merged, path, "q267", bid)
+        ()
+      }
+      graft.streaming.Streams.withShufflePartitions(spark, 4) {
+        val q = ms.toDF().toDF("doc_id", "n_chars").writeStream
+          .foreachBatch(fold)
+          .outputMode("update")
+          .option("checkpointLocation", s"$root/cp")
+          .start()
+        try {
+          ms.addData(b1)
+          q.processAllAvailable()
+          ms.addData(b2)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      Sample.priorityFinish(graft.Meta.Versioned.read(spark, path),
+          "doc_id", "n_chars", n)
+        .select(col("doc_id"), col("n_chars"),
+          round(col("priority"), 6).as("priority"),
+          round(col("est_weight"), 6).as("est_weight"))
     })
 }

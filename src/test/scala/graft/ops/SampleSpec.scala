@@ -268,4 +268,25 @@ class SampleSpec extends SparkSuite {
         s"expected the guard to name stratum HOT, got: $e2")
     } finally spark.conf.set("spark.sql.ansi.enabled", prev)
   }
+
+  test("priorityTopK is a mergeable sketch: top-(n+1) of unioned " +
+      "partial states resolves to the one-shot sample exactly") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, (i * 7) % 97 + 1)).toDF("id", "w")
+    val n = 20
+    val oneShot = Sample.prioritySample(df, "id", "w", n)
+      .orderBy("id").collect().toSeq
+    // split into three disjoint parts, fold their top-(n+1) states
+    val parts = Seq(
+      df.filter(col("id") % 3 === 0), df.filter(col("id") % 3 === 1),
+      df.filter(col("id") % 3 === 2))
+    val folded = parts.map(Sample.priorityTopK(_, "id", "w", n))
+      .reduce(_ unionByName _)
+      .orderBy(col("priority").desc, col("id")).limit(n + 1)
+    val resolved = Sample.priorityFinish(folded, "id", "w", n)
+      .orderBy("id").collect().toSeq
+    assert(resolved == oneShot,
+      "fold of partial top-(n+1) states must equal the one-shot draw " +
+        "(τ and estimator weights included)")
+  }
 }

@@ -235,4 +235,30 @@ class SimilaritySpec extends SparkSuite {
     assert(byId(40L) == ((40L, c(2), None, Some(2L))))
     assert(byId(30L) == ((30L, c(3), Some(3L), None)))
   }
+
+  test("kCenterGreedy: farthest-first coverage (not density), " +
+      "duplicate vectors never win, ties break to the lower id") {
+    import spark.implicits._
+    // a dense clump at the origin, one point at x=10, one at x=-10:
+    // k-center must take both extremes before a second clump member —
+    // the anti-kmeans property
+    val pts = Seq(
+      1L -> Seq(0.0f, 0.0f), 2L -> Seq(0.1f, 0.0f), 3L -> Seq(0.0f, 0.1f),
+      4L -> Seq(0.1f, 0.1f), 5L -> Seq(10.0f, 0.0f), 6L -> Seq(-10.0f, 0.0f),
+      7L -> Seq(0.0f, 0.0f) // exact duplicate of the seed
+    ).toDF("vec_id", "embedding")
+    val picks = Similarity.kCenterGreedy(pts, "vec_id", "embedding", k = 4)
+      .orderBy("pick_order").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(picks(0) == ((1L, 1L, 0.0)), "seed = lowest id, dist 0")
+    assert(picks.slice(1, 3).map(_._2).toSet == Set(5L, 6L),
+      s"both extremes must be covered before the clump: ${picks.toSeq}")
+    // pick 4 returns to the clump; the exact duplicate of a chosen
+    // center (id 7, dist 0) must never be selected over distinct points
+    assert(!picks.map(_._2).contains(7L),
+      s"a duplicate of a chosen center was picked: ${picks.toSeq}")
+    // selection distances are non-increasing (farthest-first invariant)
+    val ds = picks.drop(1).map(_._3)
+    assert(ds.sliding(2).forall(p => p(0) >= p(1)), s"not decreasing: ${ds.toSeq}")
+  }
 }
