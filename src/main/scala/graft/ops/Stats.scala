@@ -490,6 +490,45 @@ object Stats {
     * documented no-shrinkage path: shrunk = raw, prior_strength = 0.
     * One |groups|-row aggregate + grid math — the corpus pays only the
     * partial-building aggregate upstream. */
+  /** Disparate-impact audit of a binary gate across groups (the
+    * EEOC/Uniform-Guidelines 4/5ths rule, the standard first screen for
+    * a selection procedure): per group the keep rate, the impact ratio
+    * vs the BEST group (exact rational k_g·n_b∕(k_b·n_g), half-up at
+    * 6 dp), and the adverse flag decided by integer cross-multiplication
+    * 5·k_g·n_b < 4·k_b·n_g — a group exactly AT 0.8 is NOT adverse
+    * (strict <, pinned in spec). "Best" = the group of highest 6-dp
+    * rate, ties to the lexically first group — the grid rounding makes
+    * the reference-group choice engine-portable. Input: per-group
+    * partials (grp, n > 0, pos); the audit is |groups|-row grid math.
+    * The best group's own ratio is exactly 1. */
+  def disparateImpact(grouped: DataFrame, grpCol: String, nCol: String,
+      posCol: String): DataFrame = {
+    val base = grouped.select(col(grpCol).as("grp"),
+      col(nCol).cast(I).as("n"), col(posCol).cast(I).as("pos"))
+      .withColumn("raw6", ExactRound.floorDiv(
+        lit(2).cast(I) * col("pos") * lit(1000000L).cast(I) + col("n"),
+        lit(2).cast(I) * col("n")))
+    val best = base
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("raw6").desc, col("grp"))))
+      .filter(col("rk") === 1)
+      .select(col("grp").as("best_grp"), col("n").as("bn"),
+        col("pos").as("bk"))
+    base.crossJoin(broadcast(best))
+      .select(col("grp"),
+        col("n").cast("long").as("n_docs"),
+        col("pos").cast("long").as("n_keep"),
+        (col("raw6").cast("double") / lit(1000000.0)).as("keep_rate"),
+        // a best group with zero keeps means EVERY group has zero keeps
+        // (rates all 0): define ratio 1, nothing adverse — no division
+        when(col("bk") === 0, lit(1.0)).otherwise(
+          ExactRound.roundRatio(col("pos") * col("bn"),
+            col("bk") * col("n"), 6).cast("double")).as("impact_ratio"),
+        (lit(5).cast(I) * col("pos") * col("bn") <
+          lit(4).cast(I) * col("bk") * col("n")).as("adverse"),
+        col("best_grp"))
+  }
+
   def ebShrinkRates(grouped: DataFrame, grpCol: String, nCol: String,
       posCol: String): DataFrame = {
     val two = lit(2).cast(I)

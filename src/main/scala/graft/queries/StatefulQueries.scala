@@ -1293,5 +1293,132 @@ object StatefulQueries {
         .select(col("doc_id"), col("n_chars"),
           round(col("priority"), 6).as("priority"),
           round(col("est_weight"), 6).as("est_weight"))
+    },
+
+    // ---- L251 SPRT sequential gate-health monitor: Wald's sequential
+    // probability ratio test over a documents stream — is the Gopher
+    // keep rate still p₀ = 0.75 (H0) or has it degraded to p₁ = 0.65
+    // (H1)? Fixed-n tests (q221/q258) need the whole sample; the SPRT
+    // decides at the FIRST batch the evidence crosses a boundary —
+    // the early-stopping monitor a continuous-ingest pipeline runs on
+    // every micro-batch. The per-doc log-likelihood ratio takes only
+    // two values, so LLR·10⁹ = k·C₁ + (n−k)·C₂ with C₁ =
+    // round(ln(p₁∕p₀)·10⁹) = −143100844, C₂ = round(ln((1−p₁)∕(1−p₀))
+    // ·10⁹) = 336472237, boundaries ±A₉ = round(ln((1−β)∕α)·10⁹) =
+    // 2944438979 at α = β = 5% — minted once, shared verbatim, the
+    // whole monitor pure integer arithmetic on fold-able (n, k)
+    // counts. Stream side folds per-batch counts exactly-once via
+    // writeOnce; the oracle replays the 4 deterministic doc_id % 4
+    // batches and must reproduce every per-batch verdict and the
+    // stopping flag.
+    Q(
+      "q270_sprt_monitor",
+      s"""WITH sbase AS (
+         |  SELECT doc_id, text, ${LlmQueries.toksSql} AS t FROM documents),
+         |ssig AS (
+         |  SELECT doc_id,
+         |    CAST(len(t) AS BIGINT) AS n,
+         |    ${LlmQueries.foldSumSql(
+              "list_transform(t, w -> CAST(length(w) AS BIGINT))",
+              "CAST(0 AS BIGINT)")} AS sum_len,
+         |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+         |      AS BIGINT) AS alpha,
+         |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT)
+         |      AS symbols,
+         |    CAST(len(list_filter(t, w -> w IN (${StatefulQueries.stopListSql})))
+         |      AS BIGINT) AS stop_hits
+         |  FROM sbase),
+         |slab AS (
+         |  SELECT doc_id % 4 AS bid,
+         |    CASE WHEN n >= 20 AND n <= 100000 AND n > 0
+         |      AND sum_len >= n * 3 AND sum_len <= n * 10
+         |      AND symbols * 10 <= n AND alpha * 10 >= n * 8
+         |      AND stop_hits >= 2 THEN 1 ELSE 0 END AS keep
+         |  FROM ssig),
+         |blog AS (
+         |  SELECT bid, CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(keep) AS HUGEINT) AS k
+         |  FROM slab GROUP BY 1),
+         |cum AS (
+         |  SELECT bid,
+         |    CAST(sum(n) OVER (ORDER BY bid ROWS UNBOUNDED PRECEDING)
+         |      AS HUGEINT) AS n_cum,
+         |    CAST(sum(k) OVER (ORDER BY bid ROWS UNBOUNDED PRECEDING)
+         |      AS HUGEINT) AS k_cum
+         |  FROM blog),
+         |v AS (
+         |  SELECT bid, n_cum, k_cum,
+         |    k_cum * (-143100844) + (n_cum - k_cum) * 336472237 AS llr9
+         |  FROM cum)
+         |SELECT CAST(bid AS BIGINT) AS batch_id,
+         |  CAST(n_cum AS BIGINT) AS n_cum, CAST(k_cum AS BIGINT) AS k_cum,
+         |  CAST(llr9 AS DOUBLE) / 1000000000 AS llr,
+         |  CASE WHEN llr9 >= 2944438979 THEN 'reject_h0'
+         |       WHEN llr9 <= -2944438979 THEN 'accept_h0'
+         |       ELSE 'continue' END AS verdict,
+         |  max(CASE WHEN llr9 >= 2944438979 OR llr9 <= -2944438979
+         |    THEN 1 ELSE 0 END) OVER (ORDER BY bid ROWS UNBOUNDED PRECEDING)
+         |    = 1 AS stopped
+         |FROM v""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.expressions.Window
+      val C1 = -143100844L; val C2 = 336472237L; val A9 = 2944438979L
+      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      val root = graft.Tmp.dir("graft-q270").toString
+      val path = s"$root/sprt"
+      implicit val ctx = spark.sqlContext
+      import spark.implicits._
+      graft.Meta.Versioned.write(
+        Seq.empty[(Long, Long, Long)].toDF("bid", "n", "k"), path)
+      val feed = docs.as[(Long, String)].collect().sortBy(_._1)
+      val ms = MemoryStream[(Long, String)]
+      val fold = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {
+        val agg = batch.toDF("doc_id", "text")
+          .select(col("doc_id"),
+            Text.gopherSignals(col("text")).last.cast("int").cast("long")
+              .as("keep"))
+          .agg(count(lit(1)).as("n"), coalesce(sum("keep"), lit(0L)).as("k"))
+          .select(lit(bid).as("bid"), col("n"), col("k"))
+        graft.Meta.Versioned.writeOnce(
+          graft.Meta.Versioned.read(spark, path).unionByName(agg),
+          path, "q270", bid)
+        ()
+      }
+      graft.streaming.Streams.withShufflePartitions(spark, 4) {
+        val q = ms.toDF().toDF("doc_id", "text").writeStream
+          .foreachBatch(fold)
+          .outputMode("update")
+          .option("checkpointLocation", s"$root/cp")
+          .start()
+        try {
+          (0L until 4L).foreach { b =>
+            ms.addData(feed.filter(_._1 % 4 == b))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      val w = Window.orderBy("bid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      graft.Meta.Versioned.read(spark, path)
+        .withColumn("n_cum", sum("n").over(w))
+        .withColumn("k_cum", sum("k").over(w))
+        .withColumn("llr9", col("k_cum") * C1 + (col("n_cum") - col("k_cum")) * C2)
+        .withColumn("verdict",
+          when(col("llr9") >= A9, "reject_h0")
+            .when(col("llr9") <= -A9, "accept_h0")
+            .otherwise("continue"))
+        .withColumn("stopped",
+          max(when(col("llr9") >= A9 || col("llr9") <= -A9, 1).otherwise(0))
+            .over(w) === 1)
+        .select(col("bid").cast("long").as("batch_id"),
+          col("n_cum").cast("long").as("n_cum"),
+          col("k_cum").cast("long").as("k_cum"),
+          (col("llr9").cast("double") / lit(1000000000.0)).as("llr"),
+          col("verdict"), col("stopped"))
     })
+
+  /** The Gopher stop-word list as a SQL IN-list fragment (shared by the
+    * q270 oracle; same list `Text.gopherSignals` gates on). */
+  private[queries] def stopListSql: String =
+    Text.StopWords.head._2.map(w => s"'$w'").mkString(",")
 }

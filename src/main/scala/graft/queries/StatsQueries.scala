@@ -72,15 +72,16 @@ object StatsQueries {
       |  dev * dev * 30000 > (38416 * n1 * n2 * g) // (n * (n - 1))
       |    AS drift_detected""".stripMargin
 
-  /** Per-source Gopher-keep partials CTE chain (DuckDB dialect):
-    * `parts(source, n, pos)` — the q169 battery aggregated by source,
-    * the shared input of the jackknife/EB queries. */
-  private def gopherPartsSql = {
+  /** Per-group Gopher-keep partials CTE chain (DuckDB dialect):
+    * `parts(<grp>, n, pos)` — the q169 battery aggregated by `grp`
+    * (source for the jackknife/EB queries, lang for the
+    * disparate-impact audit). */
+  private def gopherPartsSql(grp: String = "source") = {
     val stopList = Text.StopWords.head._2.map(w => s"'$w'").mkString(",")
     s"""gbase AS (
-       |  SELECT doc_id, source, text, $toksSql AS t FROM documents),
+       |  SELECT doc_id, $grp, text, $toksSql AS t FROM documents),
        |gsig AS (
-       |  SELECT doc_id, source,
+       |  SELECT doc_id, $grp,
        |    CAST(len(t) AS BIGINT) AS n,
        |    ${LlmQueries.foldSumSql(
           "list_transform(t, w -> CAST(length(w) AS BIGINT))",
@@ -93,26 +94,26 @@ object StatsQueries {
        |      AS stop_hits
        |  FROM gbase),
        |glab AS (
-       |  SELECT source,
+       |  SELECT $grp,
        |    CASE WHEN n >= 20 AND n <= 100000 AND n > 0
        |      AND sum_len >= n * 3 AND sum_len <= n * 10
        |      AND symbols * 10 <= n AND alpha * 10 >= n * 8
        |      AND stop_hits >= 2 THEN 1 ELSE 0 END AS keep
        |  FROM gsig),
        |parts AS (
-       |  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+       |  SELECT $grp, CAST(count(*) AS HUGEINT) AS n,
        |    CAST(sum(keep) AS HUGEINT) AS pos
        |  FROM glab GROUP BY 1)""".stripMargin
   }
 
-  /** The per-source Gopher-keep partials, Spark side. */
+  /** The per-group Gopher-keep partials, Spark side. */
   private def gopherParts(spark: org.apache.spark.sql.SparkSession,
-      dir: String) =
+      dir: String, grp: String = "source") =
     Tables.documents(spark, dir)
-      .select(col("source"),
+      .select(col(grp),
         Text.gopherSignals(col("text")).last.cast("int").cast("long")
           .as("keep"))
-      .groupBy("source")
+      .groupBy(grp)
       .agg(count(lit(1)).as("n"), sum("keep").as("pos"))
 
   val all: Seq[Q] = Seq(
@@ -422,7 +423,7 @@ object StatsQueries {
     // divide (unscaled < 2⁵³) before the single terminal sqrt.
     Q(
       "q264_jackknife_keep_rate",
-      s"""WITH $gopherPartsSql,
+      s"""WITH ${gopherPartsSql()},
          |tot AS (
          |  SELECT CAST(sum(n) AS HUGEINT) AS nn,
          |    CAST(sum(pos) AS HUGEINT) AS kk,
@@ -470,7 +471,7 @@ object StatsQueries {
     // conversion under 2⁵³.
     Q(
       "q265_eb_source_quality",
-      s"""WITH $gopherPartsSql,
+      s"""WITH ${gopherPartsSql()},
          |ebase AS (
          |  SELECT source, n, pos,
          |    (2 * pos * 1000000 + n) // (2 * n) AS raw6
@@ -580,5 +581,43 @@ object StatsQueries {
         .crossJoin(broadcast(nSrc))
         .select(col("n"), col("n_sources"), col("b_replicas"),
           col("point_mean"), col("ci_lo"), col("ci_hi"))
+    },
+
+    // ---- L250 disparate-impact gate audit (the 4/5ths rule): a
+    // quality gate tuned on English silently deciding against other
+    // languages is a real curation failure mode — this is the
+    // EEOC-style first screen applied to the Gopher battery across
+    // langs: per lang the keep rate, the impact ratio vs the BEST
+    // group (exact rational, half-up 6 dp), and the adverse flag
+    // decided by integer cross-multiplication 5·k_g·n_b < 4·k_b·n_g —
+    // a group exactly AT 0.8 is NOT adverse (strict <, pinned in
+    // StatsSpec). One corpus gate aggregate; the audit itself is
+    // |langs|-row grid math.
+    Q(
+      "q269_gate_disparate_impact",
+      s"""WITH ${gopherPartsSql("lang")},
+         |best AS (
+         |  SELECT lang AS best_grp, n AS bn, pos AS bk FROM (
+         |    SELECT lang, n, pos,
+         |      (2 * pos * 1000000 + n) // (2 * n) AS raw6,
+         |      row_number() OVER (
+         |        ORDER BY (2 * pos * 1000000 + n) // (2 * n) DESC, lang)
+         |        AS rk
+         |    FROM parts) x WHERE rk = 1)
+         |SELECT lang, CAST(n AS BIGINT) AS n_docs,
+         |  CAST(pos AS BIGINT) AS n_keep,
+         |  CAST((2 * pos * 1000000 + n) // (2 * n) AS DOUBLE) / 1000000
+         |    AS keep_rate,
+         |  CASE WHEN bk = 0 THEN 1.0 ELSE
+         |    CAST((2 * pos * bn * 1000000 + bk * n) // (2 * bk * n)
+         |      AS DOUBLE) / 1000000 END AS impact_ratio,
+         |  5 * pos * bn < 4 * bk * n AS adverse,
+         |  best_grp
+         |FROM parts, best""".stripMargin) { (spark, dir) =>
+      // kernel: ops/Stats.disparateImpact (0.8 boundary strictness and
+      // zero-keep degenerate pinned in StatsSpec)
+      Stats.disparateImpact(gopherParts(spark, dir, "lang"),
+        "lang", "n", "pos")
+        .withColumnRenamed("grp", "lang")
     })
 }

@@ -290,6 +290,30 @@ class StatsSpec extends SparkSuite {
       "the 10-doc group must shrink further than the 1000-doc group")
   }
 
+  // ---------------- disparateImpact ----------------
+
+  test("disparateImpact: a group exactly AT the 4/5ths boundary is NOT " +
+      "adverse (strict <); the best group's own ratio is 1") {
+    val out = Stats.disparateImpact(
+      Seq(("best", 10L, 10L), ("at08", 10L, 8L), ("under", 10L, 7L))
+        .toDF("g", "n", "pos"), "g", "n", "pos")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(4), r.getBoolean(5), r.getString(6)))).toMap
+    assert(out("best") == ((1.0, false, "best")))
+    assert(out("at08") == ((0.8, false, "best")),
+      "ratio exactly 0.8 must not flag (5·k·nb == 4·kb·n, strict <)")
+    assert(out("under") == ((0.7, true, "best")),
+      "ratio 0.7 must flag adverse impact")
+  }
+
+  test("disparateImpact: an all-zero-keep family defines ratio 1 and " +
+      "flags nothing (no division hazard)") {
+    val out = Stats.disparateImpact(
+      Seq(("a", 10L, 0L), ("b", 5L, 0L)).toDF("g", "n", "pos"),
+      "g", "n", "pos").collect()
+    assert(out.forall(r => r.getDouble(4) == 1.0 && !r.getBoolean(5)))
+  }
+
   test("ebShrinkRates: zero-variance and over-binomial-variance " +
       "families take the no-shrinkage path") {
     val flat = Stats.ebShrinkRates(
