@@ -97,6 +97,45 @@ object Stats {
           .cast("double")).as("kappa"))
   }
 
+  /** McNemar's test for a PAIRED gate migration (q271): κ (cohensKappa)
+    * measures agreement; this tests whether the DISAGREEMENT between
+    * gate v1 and gate v2 on the same rows is asymmetric — the question
+    * a gate-version rollout actually asks ("does v2 decide differently,
+    * and in which direction?"). Only the discordant cells matter:
+    * b = v1-only keeps, c = v2-only keeps; χ² = (b−c)²∕(b+c) presented
+    * half-up at 6 dp and the α = 5% verdict decided strictly in integer
+    * space — shift iff (b−c)²·10⁴ > 38416·(b+c), a tie exactly AT the
+    * boundary is NOT a shift (strict >, pinned in spec). A fully
+    * concordant pair (b = c = 0) is defined as no shift, χ² = 0.
+    * `direction` reports which version is net stricter ('tightened' =
+    * v1 kept more, 'loosened' = v2 keeps more, 'balanced'). One
+    * aggregate over the paired gate columns. */
+  def mcnemarShift(g: DataFrame, gaCol: String, gbCol: String): DataFrame = {
+    val ga = col(gaCol)
+    val gb = col(gbCol)
+    val c = g.agg(
+      sum(ga * gb).cast(I).as("a"),
+      sum(ga * (lit(1L) - gb)).cast(I).as("b"),
+      sum((lit(1L) - ga) * gb).cast(I).as("c"),
+      sum((lit(1L) - ga) * (lit(1L) - gb)).cast(I).as("d"),
+      count(lit(1)).cast(I).as("n"))
+    c.withColumn("dd", col("b") - col("c"))
+      .select(
+        col("n").cast("long").as("n"),
+        col("a").cast("long").as("n_both"),
+        col("b").cast("long").as("n_v1_only"),
+        col("c").cast("long").as("n_v2_only"),
+        col("d").cast("long").as("n_neither"),
+        when(col("b") + col("c") === 0, lit(0.0)).otherwise(
+          ExactRound.roundRatio(col("dd") * col("dd"),
+            col("b") + col("c"), 6).cast("double")).as("chi2"),
+        (col("dd") * col("dd") * lit(10000L).cast(I) >
+          lit(38416L).cast(I) * (col("b") + col("c"))).as("shift_detected"),
+        when(col("dd") > 0, lit("tightened"))
+          .when(col("dd") < 0, lit("loosened"))
+          .otherwise(lit("balanced")).as("direction"))
+  }
+
   /** Exact two-sample KS drift test (q240) between `a`'s and `b`'s
     * `vCol` distributions: D = max|F₁−F₂| as the rational
     * Dnum∕(n₁·n₂) over the merged support, and the α-level verdict

@@ -116,52 +116,13 @@ object StatsQueries {
       .groupBy(grp)
       .agg(count(lit(1)).as("n"), sum("keep").as("pos"))
 
-  val all: Seq[Q] = Seq(
-
-    // ---- L239 Mann–Whitney rank-sum drift: the location-shift
-    // companion to q240's KS — KS keys on the worst CDF gap (one
-    // spiked value can fire it), the rank test on systematic
-    // stochastic dominance, and its AUC = U∕(n₁n₂) is the
-    // probability-of-superiority effect size a drift dashboard
-    // reports next to the verdict. Here: does English documents'
-    // length distribution dominate the other languages'? The verdict
-    // is decided entirely in integer space (tie-corrected variance,
-    // minted 1.96²·10⁴, the div-reduction that survives sf100) — a
-    // boundary tie cannot flip cross-engine. One support-sized pass.
-    Q(
-      "q258_mannwhitney_drift",
-      s"""WITH d AS (
-         |  SELECT 0 AS rep,
-         |    CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS side,
-         |    n_chars AS v
-         |  FROM documents),
-         |${mwSql("d")}
-         |SELECT $mwSelect
-         |FROM vr""".stripMargin) { (spark, dir) =>
-      // kernel: ops/Stats.mannWhitney (tie/degenerate semantics pinned
-      // in StatsSpec)
-      val docs = Tables.documents(spark, dir)
-      Stats.mannWhitney(
-        docs.filter(col("lang") === "en"),
-        docs.filter(col("lang") =!= "en"),
-        "n_chars")
-    },
-
-    // ---- L240 isotonic gate calibration: the Gopher battery (q169)
-    // gives a binary keep; a mixture planner wants P(keep | score) as
-    // a MONOTONE function of the cheap score it thresholds on. PAVA
-    // over 100-char length bins (capped at 15 — the tail pools), via
-    // the closed max-min interval form: ŷ_i = max_{j≤i} min_{l≥i}
-    // avg(keep over bins j..l). The corpus pays ONE aggregate to the
-    // ≤16-row bin table; the O(k³) grid is broadcast math — the same
-    // fit costs the same at 100 TB. Interval rates are exact-integer
-    // IEEE divisions (bit-deterministic), raw_rate the half-up
-    // integer divide.
-    Q(
-      "q259_isotonic_calibration", {
-        val stopList = Text.StopWords.head._2
-          .map(w => s"'$w'").mkString(",")
-        s"""WITH base AS (
+  /** The isotonic-calibration oracle SQL (q259; q272 replays it
+    * verbatim — the fold == one-shot identity over the abelian bin
+    * counts). */
+  private def isotonicOracleSql: String = {
+    val stopList = Text.StopWords.head._2
+      .map(w => s"'$w'").mkString(",")
+    s"""WITH base AS (
            |  SELECT doc_id, text, n_chars, $toksSql AS t FROM documents),
            |sig AS (
            |  SELECT doc_id, n_chars,
@@ -210,17 +171,66 @@ object StatsQueries {
            |    / 1000000 AS raw_rate,
            |  i.iso_rate
            |FROM pre p JOIN iso i USING (bin)""".stripMargin
-      }) { (spark, dir) =>
+  }
+
+  /** Per-row (length bin, Gopher keep) aggregated to the ≤16-row bin
+    * table — the isotonic fit's corpus-side input (q259 one-shot;
+    * q272 builds the same partials per micro-batch). */
+  private def lengthBinnedGate(df: org.apache.spark.sql.DataFrame) =
+    df.select(
+        least(expr("n_chars div 100"), lit(15L)).as("bin"),
+        Text.gopherSignals(col("text")).last.cast("int").cast("long")
+          .as("keep"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("keep").as("pos"))
+
+  val all: Seq[Q] = Seq(
+
+    // ---- L239 Mann–Whitney rank-sum drift: the location-shift
+    // companion to q240's KS — KS keys on the worst CDF gap (one
+    // spiked value can fire it), the rank test on systematic
+    // stochastic dominance, and its AUC = U∕(n₁n₂) is the
+    // probability-of-superiority effect size a drift dashboard
+    // reports next to the verdict. Here: does English documents'
+    // length distribution dominate the other languages'? The verdict
+    // is decided entirely in integer space (tie-corrected variance,
+    // minted 1.96²·10⁴, the div-reduction that survives sf100) — a
+    // boundary tie cannot flip cross-engine. One support-sized pass.
+    Q(
+      "q258_mannwhitney_drift",
+      s"""WITH d AS (
+         |  SELECT 0 AS rep,
+         |    CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS side,
+         |    n_chars AS v
+         |  FROM documents),
+         |${mwSql("d")}
+         |SELECT $mwSelect
+         |FROM vr""".stripMargin) { (spark, dir) =>
+      // kernel: ops/Stats.mannWhitney (tie/degenerate semantics pinned
+      // in StatsSpec)
+      val docs = Tables.documents(spark, dir)
+      Stats.mannWhitney(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"),
+        "n_chars")
+    },
+
+    // ---- L240 isotonic gate calibration: the Gopher battery (q169)
+    // gives a binary keep; a mixture planner wants P(keep | score) as
+    // a MONOTONE function of the cheap score it thresholds on. PAVA
+    // over 100-char length bins (capped at 15 — the tail pools), via
+    // the closed max-min interval form: ŷ_i = max_{j≤i} min_{l≥i}
+    // avg(keep over bins j..l). The corpus pays ONE aggregate to the
+    // ≤16-row bin table; the O(k³) grid is broadcast math — the same
+    // fit costs the same at 100 TB. Interval rates are exact-integer
+    // IEEE divisions (bit-deterministic), raw_rate the half-up
+    // integer divide.
+    Q(
+      "q259_isotonic_calibration", isotonicOracleSql) { (spark, dir) =>
       // kernel: ops/Stats.isotonicFit (monotone-input identity and
       // single-violator pooling pinned in StatsSpec)
-      val binned = Tables.documents(spark, dir)
-        .select(
-          least(expr("n_chars div 100"), lit(15L)).as("bin"),
-          Text.gopherSignals(col("text")).last.cast("int").cast("long")
-            .as("keep"))
-        .groupBy("bin")
-        .agg(count(lit(1)).as("n"), sum("keep").as("pos"))
-      Stats.isotonicFit(binned, "bin", "n", "pos")
+      Stats.isotonicFit(lengthBinnedGate(Tables.documents(spark, dir)),
+        "bin", "n", "pos")
     },
 
     // ---- L241 order-statistic median CI: the distribution-free ~95%
@@ -619,5 +629,121 @@ object StatsQueries {
       Stats.disparateImpact(gopherParts(spark, dir, "lang"),
         "lang", "n", "pos")
         .withColumnRenamed("grp", "lang")
+    },
+
+    // ---- L252 McNemar gate-migration test: κ (q239/q253) measures
+    // whether two gates AGREE; a gate-version rollout asks a sharper
+    // paired question — among the docs where v1 and v2 DISAGREE, is
+    // the disagreement asymmetric (v2 net stricter or looser)?
+    // McNemar ignores the concordant mass entirely: χ² = (b−c)²∕(b+c)
+    // over the discordant cells, verdict strictly in integer space
+    // ((b−c)²·10⁴ > 38416·(b+c); a tie AT the boundary is NOT a
+    // shift). v2 here tightens the word floor (25 vs 20) and loosens
+    // the symbol rule (·8 vs ·10) — a realistic mixed revision whose
+    // NET direction is the audit's headline (on this fixture the
+    // symbol relaxation gains nothing — c = 0, a pure tightening of
+    // 122 docs at sf0.1 — which is exactly the kind of fact the
+    // audit exists to surface). One paired-gate aggregate.
+    Q(
+      "q271_mcnemar_gate_shift",
+      s"""WITH ${gopherPartsSql("source").split("glab AS")(0)}
+         |mg AS (
+         |  SELECT
+         |    CASE WHEN n >= 20 AND n <= 100000 AND n > 0
+         |      AND sum_len >= n * 3 AND sum_len <= n * 10
+         |      AND symbols * 10 <= n AND alpha * 10 >= n * 8
+         |      AND stop_hits >= 2 THEN 1 ELSE 0 END AS ga,
+         |    CASE WHEN n >= 25 AND n <= 100000 AND n > 0
+         |      AND sum_len >= n * 3 AND sum_len <= n * 10
+         |      AND symbols * 8 <= n AND alpha * 10 >= n * 8
+         |      AND stop_hits >= 2 THEN 1 ELSE 0 END AS gb
+         |  FROM gsig),
+         |cc AS (
+         |  SELECT
+         |    CAST(sum(ga * gb) AS HUGEINT) AS a,
+         |    CAST(sum(ga * (1 - gb)) AS HUGEINT) AS b,
+         |    CAST(sum((1 - ga) * gb) AS HUGEINT) AS c,
+         |    CAST(sum((1 - ga) * (1 - gb)) AS HUGEINT) AS d,
+         |    CAST(count(*) AS HUGEINT) AS n
+         |  FROM mg)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(a AS BIGINT) AS n_both,
+         |  CAST(b AS BIGINT) AS n_v1_only, CAST(c AS BIGINT) AS n_v2_only,
+         |  CAST(d AS BIGINT) AS n_neither,
+         |  CASE WHEN b + c = 0 THEN 0.0 ELSE
+         |    CAST((2 * (b - c) * (b - c) * 1000000 + (b + c))
+         |      // (2 * (b + c)) AS DOUBLE) / 1000000 END AS chi2,
+         |  (b - c) * (b - c) * 10000 > 38416 * (b + c) AS shift_detected,
+         |  CASE WHEN b - c > 0 THEN 'tightened'
+         |       WHEN b - c < 0 THEN 'loosened'
+         |       ELSE 'balanced' END AS direction
+         |FROM cc""".stripMargin) { (spark, dir) =>
+      // kernel: ops/Stats.mcnemarShift (boundary strictness and the
+      // fully-concordant degenerate pinned in StatsSpec)
+      val toks = Text.tokens(col("text"))
+      val n = size(toks).cast("long")
+      val sumLen = aggregate(transform(toks, t => length(t).cast("long")),
+        lit(0L), _ + _)
+      val alpha = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+      val symbols = regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("long")
+      val stopHits = Text.stopwordHits(toks, Text.StopWords.head._2)
+        .cast("long")
+      val common = n <= 100000L && n > 0 && sumLen >= n * 3 &&
+        sumLen <= n * 10 && alpha * 10 >= n * 8 && stopHits >= 2L
+      val g = Tables.documents(spark, dir).select(
+        when(n >= 20L && common && symbols * 10 <= n, 1L).otherwise(0L)
+          .as("ga"),
+        when(n >= 25L && common && symbols * 8 <= n, 1L).otherwise(0L)
+          .as("gb"))
+      Stats.mcnemarShift(g, "ga", "gb")
+    },
+
+    // ---- L253 streaming calibration-curve maintenance: q259's
+    // isotonic fit kept ALIVE over the stream — the bin table is
+    // abelian (per-bin counts add), so each micro-batch folds its own
+    // (bin, n, pos) partials into the 16-row standing state
+    // exactly-once via writeOnce and the PAVA fit re-runs on the
+    // resolved state in O(k³) driver math. The oracle is q259's
+    // ONE-SHOT SQL verbatim: fold == one-shot pinned row-for-row,
+    // iso rates included — the calibration curve a live gate
+    // dashboard reads never drifts from what a batch recompute would
+    // say.
+    Q(
+      "q272_stream_calibration_fold", isotonicOracleSql) { (spark, dir) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val docs = Tables.documents(spark, dir)
+        .select("doc_id", "n_chars", "text")
+      val root = graft.Tmp.dir("graft-q272").toString
+      val path = s"$root/bins"
+      implicit val ctx = spark.sqlContext
+      import spark.implicits._
+      graft.Meta.Versioned.write(
+        Seq.empty[(Long, Long, Long)].toDF("bin", "n", "pos"), path)
+      val feed = docs.as[(Long, Long, String)].collect().sortBy(_._1)
+      val ms = MemoryStream[(Long, Long, String)]
+      val fold = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {
+        val partial = lengthBinnedGate(
+          batch.toDF("doc_id", "n_chars", "text"))
+        val merged = graft.Meta.Versioned.read(spark, path)
+          .unionByName(partial)
+          .groupBy("bin")
+          .agg(sum("n").as("n"), sum("pos").as("pos"))
+        graft.Meta.Versioned.writeOnce(merged, path, "q272", bid)
+        ()
+      }
+      graft.streaming.Streams.withShufflePartitions(spark, 4) {
+        val q = ms.toDF().toDF("doc_id", "n_chars", "text").writeStream
+          .foreachBatch(fold)
+          .outputMode("update")
+          .option("checkpointLocation", s"$root/cp")
+          .start()
+        try {
+          (0L until 4L).foreach { b =>
+            ms.addData(feed.filter(_._1 % 4 == b))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      Stats.isotonicFit(graft.Meta.Versioned.read(spark, path),
+        "bin", "n", "pos")
     })
 }

@@ -290,6 +290,29 @@ class StatsSpec extends SparkSuite {
       "the 10-doc group must shrink further than the 1000-doc group")
   }
 
+  // ---------------- mcnemarShift ----------------
+
+  test("mcnemarShift: a tie exactly AT the χ² boundary is NOT a shift " +
+      "(strict >); concordant-only pairs are defined as no shift") {
+    // b = 4, c = 0: (b−c)²·10⁴ = 160000 vs 38416·4 = 153664 → shift;
+    // b = 13, c = 4: dev² = 81, 81·10⁴ = 810000 vs 38416·17 = 653072 →
+    // shift; b = 12, c = 5: dev² = 49 → 490000 < 653072 → no shift
+    def pairs(b: Int, c: Int) = {
+      val rows = Seq.fill(b)((1L, 0L)) ++ Seq.fill(c)((0L, 1L)) ++
+        Seq.fill(3)((1L, 1L))
+      Stats.mcnemarShift(rows.toDF("ga", "gb"), "ga", "gb").collect()(0)
+    }
+    assert(pairs(4, 0).getBoolean(6), "b=4,c=0 crosses 1.96²")
+    assert(pairs(13, 4).getBoolean(6))
+    assert(!pairs(12, 5).getBoolean(6), "dev²·10⁴ below the bar")
+    val conc = pairs(0, 0)
+    assert(!conc.getBoolean(6) && conc.getDouble(5) == 0.0 &&
+      conc.getString(7) == "balanced",
+      "fully concordant gates: χ²=0, no shift, balanced")
+    assert(pairs(4, 0).getString(7) == "tightened")
+    assert(pairs(0, 4).getString(7) == "loosened")
+  }
+
   // ---------------- disparateImpact ----------------
 
   test("disparateImpact: a group exactly AT the 4/5ths boundary is NOT " +
