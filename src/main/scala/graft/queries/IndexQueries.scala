@@ -2545,5 +2545,170 @@ object IndexQueries {
           Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8)
         .select(col("pick_order"), col("vec_id"),
           round(col("min_dist2"), 6).as("min_dist2"))
+    },
+
+    // ---- L254 principal-axis extraction (power iteration): closes
+    // the whitening-decision loop — q227 ranks the covariance
+    // DIAGONAL, q243 the off-diagonal MASS; this extracts the actual
+    // top eigenvector and its variance share λ₁∕trace, the number that
+    // says whether PQ/IVF should rotate first. The matrix is the
+    // ALREADY-EXACT 6-dp covariance grid (q243's signed integer
+    // divides — both engines mint identical DECIMALs, so the doubles
+    // entering the iteration are identical bits), the iteration is 8
+    // ∞-norm-normalized matvecs with FIXED j-ascending summation
+    // order (Scala foldLeft ↔ DuckDB list_reduce — the only way two
+    // engines agree on a float sum), sign canonicalized at the
+    // max-|loading| dim (ties to lowest), λ by the Rayleigh quotient
+    // with the same ordered folds. The corpus pays ONE compiled
+    // pair-products pass; the 64×64 eigen-solve is parameter-sized
+    // driver math (the kmeansLloyd precedent).
+    Q(
+      "q273_principal_axis", {
+        val iters = 8
+        val matvec = (r: String, v: String) =>
+          s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), " +
+            s"j -> $r[j] * $v[j])), (a, x) -> a + x)"
+        val b = new StringBuilder
+        b ++= s"""WITH u AS (
+           |  SELECT vec_id, i,
+           |    CAST(CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(9,5))
+           |      * 100000 AS HUGEINT) AS HUGEINT) AS uv
+           |  FROM embeddings, range(1, 65) t(i)),
+           |p AS MATERIALIZED (
+           |  SELECT a.i AS i, b.i AS j, CAST(count(*) AS HUGEINT) AS n,
+           |    CAST(sum(a.uv * b.uv) AS HUGEINT) AS sij,
+           |    CAST(sum(a.uv) AS HUGEINT) AS si,
+           |    CAST(sum(b.uv) AS HUGEINT) AS sj
+           |  FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.i > a.i
+           |  GROUP BY 1, 2),
+           |cd AS (
+           |  SELECT i, j,
+           |    CAST(CASE WHEN n * sij - si * sj >= 0
+           |      THEN (2 * (n * sij - si * sj) * 1000000
+           |        + n * n * 10000000000) // (2 * n * n * 10000000000)
+           |      ELSE -((2 * (si * sj - n * sij) * 1000000
+           |        + n * n * 10000000000) // (2 * n * n * 10000000000))
+           |      END AS DOUBLE) / 1000000 AS cv
+           |  FROM p),
+           |dg AS (
+           |  SELECT i, CAST(count(*) AS HUGEINT) AS n,
+           |    CAST(sum(uv) AS HUGEINT) AS s1,
+           |    CAST(sum(uv * uv) AS HUGEINT) AS s2
+           |  FROM u GROUP BY 1),
+           |dv AS (
+           |  SELECT i,
+           |    CAST((2 * (n * s2 - s1 * s1) * 1000000 + n * n * 10000000000)
+           |      // (2 * n * n * 10000000000) AS DOUBLE) / 1000000 AS cv
+           |  FROM dg),
+           |mat AS (
+           |  SELECT i, j, cv FROM cd
+           |  UNION ALL SELECT j AS i, i AS j, cv FROM cd
+           |  UNION ALL SELECT i, i AS j, cv FROM dv),
+           |mrows AS MATERIALIZED (
+           |  SELECT i, list(cv ORDER BY j) AS r FROM mat GROUP BY 1),
+           |v0 AS (SELECT list_transform(range(1, 65), x -> 1.0) AS v)""".stripMargin
+        for (t <- 1 to iters) {
+          b ++= s""",
+           |w$t AS (SELECT i, ${matvec("r", "v")} AS w
+           |  FROM mrows, v${t - 1}),
+           |n$t AS (SELECT max(abs(w)) AS mx FROM w$t),
+           |v$t AS (SELECT list(w / mx ORDER BY i) AS v FROM w$t, n$t)""".stripMargin
+        }
+        b ++= s""",
+           |mv AS (SELECT i, ${matvec("r", "v")} AS w FROM mrows, v$iters),
+           |mvl AS (SELECT list(w ORDER BY i) AS wl FROM mv),
+           |ray AS (
+           |  SELECT
+           |    ${matvec("v", "wl")} AS lamn,
+           |    ${matvec("v", "v")} AS lamd
+           |  FROM v$iters, mvl),
+           |tr AS (
+           |  SELECT list_reduce(list_prepend(0.0,
+           |    (SELECT list(cv ORDER BY i) FROM dv)), (a, x) -> a + x)
+           |    AS trace),
+           |sgn AS (
+           |  SELECT CASE WHEN (
+           |    SELECT v[i] FROM v$iters, range(1, 65) t(i)
+           |    WHERE abs(v[i]) = 1.0 ORDER BY i LIMIT 1) < 0
+           |    THEN -1.0 ELSE 1.0 END AS s)
+           |SELECT CAST(i AS BIGINT) AS dim, s * v[i] AS loading,
+           |  (lamn / lamd) / trace AS ev_share
+           |FROM v$iters, ray, tr, sgn, range(1, 65) t(i)""".stripMargin
+        b.toString
+      }) { (spark, dir) =>
+      val spk = spark
+      import spk.implicits._
+      val e = Tables.embeddings(spark, dir)
+      val I = DecimalType(38, 0)
+      def unscale5(c: org.apache.spark.sql.Column) =
+        (c.cast(DecimalType(32, 5)) *
+          lit(java.math.BigDecimal.TEN.pow(5)).cast(DecimalType(6, 0)))
+          .cast(I)
+      val posMap = (for (i <- 1 to 64; j <- (i + 1) to 64) yield (i, j))
+        .zipWithIndex
+        .map { case ((i, j), p) => (p, i.toLong, j.toLong) }
+        .toDF("pos", "i", "j")
+      val pairAgg = e
+        .select(posexplode(
+          call_function("graft_pair_products", col("embedding"))))
+        .groupBy("pos").agg(
+          count(lit(1)).as("n"),
+          sum(col("col").cast(I)).as("sij10"))
+        .join(broadcast(posMap), "pos")
+      val m = e.select(posexplode(col("embedding")))
+        .select((col("pos") + 1).cast("long").as("i"),
+          col("col").cast("double").cast(DecimalType(9, 5)).as("v"))
+        .groupBy("i").agg(
+          count(lit(1)).cast(I).as("n"),
+          sum(col("v").cast(DecimalType(27, 5))).as("s1"),
+          sum((col("v") * col("v")).cast(DecimalType(27, 10))).as("s2"))
+        .localCheckpoint()
+      val den = col("n") * col("n") *
+        lit(java.math.BigDecimal.TEN.pow(10)).cast(I)
+      def signed6(num: org.apache.spark.sql.Column) =
+        when(num >= 0, ExactRound.roundRatio(num, den, 6))
+          .otherwise(-ExactRound.roundRatio(-num, den, 6)).cast("double")
+      // off-diagonal 6-dp covariances (2016 rows — parameter-sized)
+      val off = pairAgg
+        .join(broadcast(m.select(col("i"), unscale5(col("s1")).as("si5"))), "i")
+        .join(broadcast(m.select(col("i").as("j"),
+          unscale5(col("s1")).as("sj5"))), "j")
+        .select(col("i").cast("int"), col("j").cast("int"),
+          signed6(col("n").cast(I) * col("sij10") - col("si5") * col("sj5"))
+            .as("cv"))
+        .as[(Int, Int, Double)].collect()
+      // diagonal 6-dp variances: n·Σu² − (Σu)² over the scale-5 grid
+      // (Σu² is DECIMAL(27,10) exact → unscale by 10^10)
+      val s2i = (col("s2").cast(DecimalType(36, 10)) *
+        lit(java.math.BigDecimal.TEN.pow(10)).cast(DecimalType(11, 0)))
+        .cast(I)
+      val diag = m.select(col("i").cast("int"),
+        signed6(col("n") * s2i - unscale5(col("s1")) * unscale5(col("s1")))
+          .as("cv"))
+        .as[(Int, Double)].collect()
+      // 8 ∞-norm power iterations with j-ascending summation order
+      val mm = Array.ofDim[Double](64, 64)
+      off.foreach { case (i, j, c) => mm(i - 1)(j - 1) = c; mm(j - 1)(i - 1) = c }
+      diag.foreach { case (i, c) => mm(i - 1)(i - 1) = c }
+      var v = Array.fill(64)(1.0)
+      def matvec(x: Array[Double]): Array[Double] =
+        Array.tabulate(64)(i =>
+          (0 until 64).foldLeft(0.0)((a, j) => a + mm(i)(j) * x(j)))
+      for (_ <- 1 to 8) {
+        val w = matvec(v)
+        val mx = w.map(math.abs).max
+        v = w.map(_ / mx)
+      }
+      val mxA = v.map(math.abs).max
+      val lead = v(v.indexWhere(x => math.abs(x) == mxA))
+      val s = if (lead < 0) -1.0 else 1.0
+      val mv = matvec(v)
+      val lamn = (0 until 64).foldLeft(0.0)((a, i) => a + v(i) * mv(i))
+      val lamd = (0 until 64).foldLeft(0.0)((a, i) => a + v(i) * v(i))
+      val trace = diag.sortBy(_._1)
+        .foldLeft(0.0)((a, d) => a + d._2)
+      val share = (lamn / lamd) / trace
+      (1 to 64).map(i => (i.toLong, s * v(i - 1), share))
+        .toDF("dim", "loading", "ev_share")
     })
 }
