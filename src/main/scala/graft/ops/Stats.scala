@@ -97,6 +97,38 @@ object Stats {
           .cast("double")).as("kappa"))
   }
 
+  /** Wilson score intervals for per-group binary rates (q274): the
+    * interval that behaves at the boundaries where the Wald interval
+    * collapses (k = 0 or k = n give degenerate Wald CIs — exactly the
+    * small-source rows a curation report cares about). Computed in
+    * doubles from the exact (k, n) integers with ONE fixed operand
+    * tree — `p = k∕n`, `center = p + z²∕(2n)`, `rad = z·√(p(1−p)∕n +
+    * z²∕(4n²))`, `(center ± rad)∕(1 + z²∕n)` — written identically in
+    * both engines (z = 1.96, z² = 3.8416 minted as shared literals), so
+    * every IEEE step is bit-identical and the raw-double bounds cross
+    * the oracle boundary safely. Requires n > 0 per group. */
+  def wilsonIntervals(grouped: DataFrame, grpCol: String, nCol: String,
+      posCol: String): DataFrame = {
+    val nn = col("n").cast("double")
+    val kk = col("pos").cast("double")
+    val p = kk / nn
+    val z = lit(1.96)
+    val z2 = lit(3.8416)
+    val den = lit(1.0) + z2 / nn
+    val center = p + z2 / (lit(2.0) * nn)
+    val rad = z * sqrt(p * (lit(1.0) - p) / nn +
+      z2 / (lit(4.0) * (nn * nn)))
+    grouped.select(col(grpCol).as("grp"),
+      col(nCol).cast(I).as("n"), col(posCol).cast(I).as("pos"))
+      .select(col("grp"),
+        col("n").cast("long").as("n_docs"),
+        col("pos").cast("long").as("n_keep"),
+        ExactRound.roundRatio(col("pos"), col("n"), 6)
+          .cast("double").as("keep_rate"),
+        ((center - rad) / den).as("wilson_lo"),
+        ((center + rad) / den).as("wilson_hi"))
+  }
+
   /** McNemar's test for a PAIRED gate migration (q271): κ (cohensKappa)
     * measures agreement; this tests whether the DISAGREEMENT between
     * gate v1 and gate v2 on the same rows is asymmetric — the question

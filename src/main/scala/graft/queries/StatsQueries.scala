@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.ExactRound
 import graft.ops.{Stats, Text}
 import org.apache.spark.sql.functions._
 
@@ -745,5 +746,184 @@ object StatsQueries {
       }
       Stats.isotonicFit(graft.Meta.Versioned.read(spark, path),
         "bin", "n", "pos")
+    },
+
+    // ---- L255 Wilson score intervals: the per-source rate report's
+    // honest error bars — Wald CIs collapse at k = 0 or k = n (exactly
+    // the small-source rows that matter), Wilson stays inside [0, 1]
+    // and keeps coverage at small n. Computed in doubles from the
+    // exact (k, n) integers through ONE operand tree written
+    // identically in both engines (z = 1.96 ∕ z² = 3.8416 shared
+    // literals) — every IEEE step bit-identical, raw-double bounds at
+    // the boundary. Complements q265: EB moves the point estimate,
+    // Wilson reports the per-group uncertainty around the raw one.
+    Q(
+      "q274_wilson_intervals",
+      s"""WITH ${gopherPartsSql()},
+         |pd AS (
+         |  SELECT source, n, pos,
+         |    CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         |    CAST(n AS DOUBLE) AS nd
+         |  FROM parts)
+         |SELECT source, CAST(n AS BIGINT) AS n_docs,
+         |  CAST(pos AS BIGINT) AS n_keep,
+         |  CAST((2 * pos * 1000000 + n) // (2 * n) AS DOUBLE) / 1000000
+         |    AS keep_rate,
+         |  ((p + 3.8416 / (2.0 * nd)) - 1.96 * sqrt(p * (1.0 - p) / nd
+         |    + 3.8416 / (4.0 * (nd * nd)))) / (1.0 + 3.8416 / nd)
+         |    AS wilson_lo,
+         |  ((p + 3.8416 / (2.0 * nd)) + 1.96 * sqrt(p * (1.0 - p) / nd
+         |    + 3.8416 / (4.0 * (nd * nd)))) / (1.0 + 3.8416 / nd)
+         |    AS wilson_hi
+         |FROM pd""".stripMargin) { (spark, dir) =>
+      // kernel: ops/Stats.wilsonIntervals (k=0/k=n boundary behavior
+      // and the textbook n=100 value pinned in StatsSpec)
+      Stats.wilsonIntervals(gopherParts(spark, dir), "source", "n", "pos")
+        .withColumnRenamed("grp", "source")
+    },
+
+    // ---- L256 Heaps'-law vocabulary-growth fit: how fast does vocab
+    // grow as the corpus grows — the planning number behind tokenizer
+    // budgets and q245's richness extrapolation. The growth curve is
+    // the 20-point cumulative (tokens, distinct-terms) prefix over the
+    // source order (each term attributed to its FIRST source, so the
+    // curve needs one min-aggregate, not 20 corpus passes), and the
+    // fit is OLS on the 9-dp-ln grid (vocabulary unit = distinct
+    // 3-gram shingle HASHES via the compiled kernel — the fixture's
+    // unigram pool is a fixed 31 words and saturates at the first
+    // prefix, the degenerate β = 0 curve, while shingle vocabulary
+    // genuinely grows; the 32-bit hash dedup is identical on both
+    // engines, the q23 contract, and the interpreted string-shingle
+    // chain it replaces measured 6× slower): ln V = intercept + β·ln N with
+    // β and intercept minted by signed half-up integer divides over
+    // the exact scale-9 sums (the q65 ln-recipe risk class: a 1-ulp
+    // libm divergence flips a 9th decimal with ~1e-6 probability per
+    // point — accepted and documented there).
+    Q(
+      "q275_heaps_law",
+      s"""WITH tbase AS (
+         |  SELECT source, $toksSql AS t FROM documents),
+         |sr AS (
+         |  SELECT source, row_number() OVER (ORDER BY source) AS rk
+         |  FROM (SELECT DISTINCT source FROM documents)),
+         |tr AS (
+         |  SELECT sr.rk, u.term
+         |  FROM tbase JOIN sr USING (source), unnest(tbase.t) u(term)),
+         |tok AS (SELECT rk, CAST(count(*) AS HUGEINT) AS ntok
+         |  FROM tr GROUP BY 1),
+         |sh AS (
+         |  SELECT sr.rk, u.h
+         |  FROM (SELECT source,
+         |      list_transform(${LlmQueries.shinglesSql.replace("\n", " ")},
+         |        x -> ${LlmQueries.strHashSql("x")}) AS hs
+         |    FROM tbase) q JOIN sr USING (source), unnest(q.hs) u(h)),
+         |fv AS (SELECT h, min(rk) AS frk FROM sh GROUP BY 1),
+         |vb AS (SELECT frk AS rk, CAST(count(*) AS HUGEINT) AS nv
+         |  FROM fv GROUP BY 1),
+         |pts AS (
+         |  SELECT sr.rk AS t,
+         |    CAST(sum(coalesce(tok.ntok, 0)) OVER (ORDER BY sr.rk
+         |      ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS n_tokens,
+         |    CAST(sum(coalesce(vb.nv, 0)) OVER (ORDER BY sr.rk
+         |      ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS vocab
+         |  FROM sr LEFT JOIN tok ON tok.rk = sr.rk
+         |    LEFT JOIN vb ON vb.rk = sr.rk),
+         |xy AS (
+         |  SELECT t, n_tokens, vocab,
+         |    CAST(CAST(round(ln(CAST(n_tokens AS DOUBLE)), 9)
+         |      AS DECIMAL(28,9)) * 1000000000 AS HUGEINT) AS x9,
+         |    CAST(CAST(round(ln(CAST(vocab AS DOUBLE)), 9)
+         |      AS DECIMAL(28,9)) * 1000000000 AS HUGEINT) AS y9
+         |  FROM pts),
+         |sm AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS g,
+         |    CAST(sum(x9) AS HUGEINT) AS sx, CAST(sum(y9) AS HUGEINT) AS sy,
+         |    CAST(sum(x9 * y9) AS HUGEINT) AS sxy,
+         |    CAST(sum(x9 * x9) AS HUGEINT) AS sxx
+         |  FROM xy),
+         |bb AS (
+         |  SELECT g, sx, sy, g * sxy - sx * sy AS bn,
+         |    g * sxx - sx * sx AS bd
+         |  FROM sm),
+         |b2 AS (
+         |  SELECT g, sx, sy,
+         |    CASE WHEN bn >= 0 THEN (2 * bn * 1000000 + bd) // (2 * bd)
+         |      ELSE -((2 * (-bn) * 1000000 + bd) // (2 * bd)) END AS b6
+         |  FROM bb),
+         |a2 AS (
+         |  SELECT b6,
+         |    CASE WHEN sy * 1000000 - b6 * sx >= 0
+         |      THEN (2 * (sy * 1000000 - b6 * sx) + g * 1000000000)
+         |        // (2 * g * 1000000000)
+         |      ELSE -((2 * (b6 * sx - sy * 1000000) + g * 1000000000)
+         |        // (2 * g * 1000000000)) END AS a6
+         |  FROM b2)
+         |SELECT CAST(t AS BIGINT) AS t, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(vocab AS BIGINT) AS vocab,
+         |  CAST(b6 AS DOUBLE) / 1000000 AS beta,
+         |  CAST(a6 AS DOUBLE) / 1000000 AS intercept_ln
+         |FROM xy, a2""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val I = DecimalType(38, 0)
+      val docs = Tables.documents(spark, dir)
+      val srcs = docs.select("source").distinct()
+        .withColumn("rk", row_number().over(Window.orderBy("source")))
+      val tr = docs
+        .select(col("source"), explode(Text.tokens(col("text"))).as("term"))
+        .join(broadcast(srcs), "source")
+      val tok = tr.groupBy("rk").agg(count(lit(1)).as("ntok"))
+      val sh = docs
+        .select(col("source"), explode(
+          call_function("graft_shingle_hashes", col("text"), lit(3))).as("s"))
+        .join(broadcast(srcs), "source")
+      val fv = sh.groupBy("s").agg(min("rk").as("frk"))
+      val vb = fv.groupBy(col("frk").as("rk")).agg(count(lit(1)).as("nv"))
+      val w = Window.orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def ln9(c: org.apache.spark.sql.Column) =
+        (round(log(c.cast("double")), 9).cast(DecimalType(18, 9)) *
+          lit(java.math.BigDecimal.valueOf(1000000000L))
+            .cast(DecimalType(10, 0))).cast(I)
+      val pts = srcs
+        .join(tok, Seq("rk"), "left").join(vb, Seq("rk"), "left")
+        .select(col("rk"),
+          sum(coalesce(col("ntok"), lit(0L))).over(w).cast(I).as("n_tokens"),
+          sum(coalesce(col("nv"), lit(0L))).over(w).cast(I).as("vocab"))
+        .select(col("rk").cast("long").as("t"), col("n_tokens"), col("vocab"),
+          ln9(col("n_tokens")).as("x9"), ln9(col("vocab")).as("y9"))
+        .localCheckpoint() // 20 rows; the fit and the output both read it
+      val sm = pts.agg(
+        count(lit(1)).cast(I).as("g"),
+        sum("x9").cast(I).as("sx"), sum("y9").cast(I).as("sy"),
+        sum(col("x9") * col("y9")).cast(I).as("sxy"),
+        sum(col("x9") * col("x9")).cast(I).as("sxx"))
+      def signedDiv(num: org.apache.spark.sql.Column,
+          den: org.apache.spark.sql.Column) =
+        when(num >= 0, ExactRound.floorDiv(
+          lit(2).cast(I) * num * lit(1000000L).cast(I) + den,
+          lit(2).cast(I) * den))
+          .otherwise(-ExactRound.floorDiv(
+            lit(2).cast(I) * (-num) * lit(1000000L).cast(I) + den,
+            lit(2).cast(I) * den))
+      val fit = sm
+        .withColumn("b6", signedDiv(
+          col("g") * col("sxy") - col("sx") * col("sy"),
+          col("g") * col("sxx") - col("sx") * col("sx")))
+        .withColumn("a6num", col("sy") * lit(1000000L).cast(I) -
+          col("b6") * col("sx"))
+        .withColumn("a6", when(col("a6num") >= 0, ExactRound.floorDiv(
+          lit(2).cast(I) * col("a6num") + col("g") * lit(1000000000L).cast(I),
+          lit(2).cast(I) * col("g") * lit(1000000000L).cast(I)))
+          .otherwise(-ExactRound.floorDiv(
+            lit(2).cast(I) * (-col("a6num")) +
+              col("g") * lit(1000000000L).cast(I),
+            lit(2).cast(I) * col("g") * lit(1000000000L).cast(I))))
+        .select((col("b6").cast("double") / lit(1000000.0)).as("beta"),
+          (col("a6").cast("double") / lit(1000000.0)).as("intercept_ln"))
+      pts.crossJoin(broadcast(fit))
+        .select(col("t"), col("n_tokens").cast("long").as("n_tokens"),
+          col("vocab").cast("long").as("vocab"), col("beta"),
+          col("intercept_ln"))
     })
 }

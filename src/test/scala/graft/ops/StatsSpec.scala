@@ -290,6 +290,30 @@ class StatsSpec extends SparkSuite {
       "the 10-doc group must shrink further than the 1000-doc group")
   }
 
+  // ---------------- wilsonIntervals ----------------
+
+  test("wilsonIntervals: the textbook n=100,k=50 interval, and k=0 " +
+      "stays inside [0,1] where Wald collapses") {
+    val out = Stats.wilsonIntervals(
+      Seq(("mid", 100L, 50L), ("zero", 10L, 0L), ("full", 10L, 10L))
+        .toDF("g", "n", "pos"), "g", "n", "pos")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val (_, lo, hi) = out("mid")
+    assert(math.abs(lo - 0.403830) < 1e-5 && math.abs(hi - 0.596170) < 1e-5,
+      s"textbook Wilson(100, 50) mismatch: ($lo, $hi)")
+    val (_, lo0, hi0) = out("zero")
+    assert(lo0 >= -1e-9 && lo0 <= 1e-9,
+      s"k=0 lower bound must sit at 0, got $lo0")
+    assert(math.abs(hi0 - 0.277540) < 1e-4, s"k=0,n=10 upper: $hi0")
+    val (_, lo1, hi1) = out("full")
+    assert(hi1 <= 1.0 + 1e-9 && hi1 >= 1.0 - 1e-9 && lo1 > 0.6,
+      s"k=n bounds must hug 1: ($lo1, $hi1)")
+    // containment: every rate inside its own interval
+    out.values.foreach { case (p, l, h) =>
+      assert(l <= p + 1e-9 && p <= h + 1e-9) }
+  }
+
   // ---------------- mcnemarShift ----------------
 
   test("mcnemarShift: a tie exactly AT the χ² boundary is NOT a shift " +
