@@ -97,6 +97,48 @@ object Stats {
           .cast("double")).as("kappa"))
   }
 
+  /** Kendall's τ between two DISTINCT integer rankings of the same
+    * groups (q276): the rank-correlation that answers "do these two
+    * orderings agree?" pair by pair — C concordant and D discordant
+    * pairs over the n(n−1)∕2 group pairs, τ = (C−D)∕(n(n−1)∕2) minted
+    * signed half-up at 6 dp, and the α = 5% independence verdict
+    * decided strictly in integer space: 18·(C−D)²·10⁴ >
+    * 38416·n(n−1)(2n+5) (the normal approximation's z² cleared of its
+    * square root; a tie exactly AT the boundary is NOT dependence —
+    * strict >, pinned in spec). Ranks must be distinct integers (the
+    * callers mint them with a deterministic tiebreak, so no zero sign
+    * products exist). |groups|²-pair grid math — callers rank
+    * AGGREGATES, never corpus rows. */
+  def kendallTau(df: DataFrame, grpCol: String, r1Col: String,
+      r2Col: String): DataFrame = {
+    val base = df.select(col(grpCol).as("grp"),
+      col(r1Col).cast(I).as("r1"), col(r2Col).cast(I).as("r2"))
+    val a = base.select(col("grp").as("ga"), col("r1").as("a1"),
+      col("r2").as("a2"))
+    val b = base.select(col("grp").as("gb"), col("r1").as("b1"),
+      col("r2").as("b2"))
+    val pairs = a.join(broadcast(b), col("ga") < col("gb"))
+      .withColumn("sgn", (col("a1") - col("b1")) * (col("a2") - col("b2")))
+    val agg = pairs.agg(
+      sum(when(col("sgn") > 0, 1L).otherwise(0L)).cast(I).as("c"),
+      sum(when(col("sgn") < 0, 1L).otherwise(0L)).cast(I).as("d"))
+    val n = base.agg(count(lit(1)).cast(I).as("n"))
+    agg.crossJoin(broadcast(n))
+      .withColumn("cd", col("c") - col("d"))
+      .select(
+        col("n").cast("long").as("n_groups"),
+        col("c").cast("long").as("n_concordant"),
+        col("d").cast("long").as("n_discordant"),
+        when(col("cd") >= 0, ExactRound.roundRatio(
+          lit(2).cast(I) * col("cd"), col("n") * (col("n") - 1), 6))
+          .otherwise(-ExactRound.roundRatio(
+            lit(2).cast(I) * -col("cd"), col("n") * (col("n") - 1), 6))
+          .cast("double").as("tau"),
+        (lit(18).cast(I) * col("cd") * col("cd") * lit(10000L).cast(I) >
+          lit(38416L).cast(I) * col("n") * (col("n") - 1) *
+            (lit(2).cast(I) * col("n") + 5)).as("dependent"))
+  }
+
   /** Wilson score intervals for per-group binary rates (q274): the
     * interval that behaves at the boundaries where the Wald interval
     * collapses (k = 0 or k = n give degenerate Wald CIs — exactly the

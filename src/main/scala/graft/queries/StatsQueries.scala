@@ -80,9 +80,9 @@ object StatsQueries {
   private def gopherPartsSql(grp: String = "source") = {
     val stopList = Text.StopWords.head._2.map(w => s"'$w'").mkString(",")
     s"""gbase AS (
-       |  SELECT doc_id, $grp, text, $toksSql AS t FROM documents),
+       |  SELECT doc_id, $grp, n_chars, text, $toksSql AS t FROM documents),
        |gsig AS (
-       |  SELECT doc_id, $grp,
+       |  SELECT doc_id, $grp, n_chars,
        |    CAST(len(t) AS BIGINT) AS n,
        |    ${LlmQueries.foldSumSql(
           "list_transform(t, w -> CAST(length(w) AS BIGINT))",
@@ -925,5 +925,90 @@ object StatsQueries {
         .select(col("t"), col("n_tokens").cast("long").as("n_tokens"),
           col("vocab").cast("long").as("vocab"), col("beta"),
           col("intercept_ln"))
+    },
+
+    // ---- L257 Kendall-tau source-ranking agreement: does the ranking
+    // of sources by GATE QUALITY agree with their ranking by MEAN DOC
+    // LENGTH? tau near 1 says length is already the quality signal
+    // (the cheap proxy could replace a gate stage); tau near 0 says
+    // the gate earns its slot — the rank-level twin of q253's
+    // doc-level kappa. Ranks minted on the 6-dp integer grids with a
+    // deterministic source tiebreak (distinct by construction), tau
+    // and the alpha = 5% independence verdict decided strictly in
+    // integer space over the 190 source pairs (18*(C-D)^2*10^4 >
+    // 38416*n(n-1)(2n+5); boundary tie NOT dependence). One corpus
+    // aggregate; the pair grid never touches rows.
+    Q(
+      "q276_kendall_source_ranks",
+      s"""WITH ${gopherPartsSql("source").split("glab AS")(0)}
+         |gl AS (
+         |  SELECT source, n_chars,
+         |    CASE WHEN n >= 20 AND n <= 100000 AND n > 0
+         |      AND sum_len >= n * 3 AND sum_len <= n * 10
+         |      AND symbols * 10 <= n AND alpha * 10 >= n * 8
+         |      AND stop_hits >= 2 THEN 1 ELSE 0 END AS keep
+         |  FROM gsig),
+         |gp AS (
+         |  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(keep) AS HUGEINT) AS pos,
+         |    CAST(sum(n_chars) AS HUGEINT) AS sc
+         |  FROM gl GROUP BY 1),
+         |rk AS (
+         |  SELECT source,
+         |    row_number() OVER (ORDER BY (2 * pos * 1000000 + n)
+         |      // (2 * n) DESC, source) AS rate_rank,
+         |    row_number() OVER (ORDER BY (2 * sc * 1000000 + n)
+         |      // (2 * n) DESC, source) AS len_rank
+         |  FROM gp),
+         |pr AS (
+         |  SELECT CAST(sum(CASE WHEN (a.rate_rank - b.rate_rank)
+         |      * (a.len_rank - b.len_rank) > 0 THEN 1 ELSE 0 END)
+         |      AS HUGEINT) AS c,
+         |    CAST(sum(CASE WHEN (a.rate_rank - b.rate_rank)
+         |      * (a.len_rank - b.len_rank) < 0 THEN 1 ELSE 0 END)
+         |      AS HUGEINT) AS d
+         |  FROM rk a JOIN rk b ON a.source < b.source),
+         |tt AS (
+         |  SELECT c, d, c - d AS cd,
+         |    (SELECT CAST(count(*) AS HUGEINT) FROM rk) AS n
+         |  FROM pr)
+         |SELECT rk.source, CAST(rate_rank AS BIGINT) AS rate_rank,
+         |  CAST(len_rank AS BIGINT) AS len_rank,
+         |  CAST(CASE WHEN cd >= 0
+         |    THEN (2 * (2 * cd) * 1000000 + n * (n - 1))
+         |      // (2 * n * (n - 1))
+         |    ELSE -((2 * (2 * (-cd)) * 1000000 + n * (n - 1))
+         |      // (2 * n * (n - 1))) END AS DOUBLE) / 1000000 AS tau,
+         |  18 * cd * cd * 10000 > 38416 * n * (n - 1) * (2 * n + 5)
+         |    AS dependent
+         |FROM rk, tt""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val I = DecimalType(38, 0)
+      // kernel: ops/Stats.kendallTau (perfect agreement/reversal and
+      // boundary strictness pinned in StatsSpec)
+      val gp = Tables.documents(spark, dir)
+        .select(col("source"), col("n_chars"),
+          Text.gopherSignals(col("text")).last.cast("int").cast("long")
+            .as("keep"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast(I).as("n"), sum("keep").cast(I).as("pos"),
+          sum("n_chars").cast(I).as("sc"))
+      def grid6(num: org.apache.spark.sql.Column) = ExactRound.floorDiv(
+        lit(2).cast(I) * num * lit(1000000L).cast(I) + col("n"),
+        lit(2).cast(I) * col("n"))
+      val rk = gp.select(col("source"),
+          grid6(col("pos")).as("rate6"), grid6(col("sc")).as("len6"))
+        .withColumn("rate_rank", row_number().over(
+          Window.orderBy(col("rate6").desc, col("source"))))
+        .withColumn("len_rank", row_number().over(
+          Window.orderBy(col("len6").desc, col("source"))))
+        .localCheckpoint() // 20 rows; the pair grid and output read it
+      val tau = Stats.kendallTau(rk, "source", "rate_rank", "len_rank")
+      rk.crossJoin(broadcast(tau))
+        .select(col("source"),
+          col("rate_rank").cast("long").as("rate_rank"),
+          col("len_rank").cast("long").as("len_rank"),
+          col("tau"), col("dependent"))
     })
 }

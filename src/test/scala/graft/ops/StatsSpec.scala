@@ -290,6 +290,26 @@ class StatsSpec extends SparkSuite {
       "the 10-doc group must shrink further than the 1000-doc group")
   }
 
+  // ---------------- kendallTau ----------------
+
+  test("kendallTau: identity ranking gives τ = 1, reversal τ = −1, and " +
+      "a tie exactly AT the z² boundary is NOT dependence") {
+    def ranks(r2: Seq[Long]) = Stats.kendallTau(
+      r2.zipWithIndex.map { case (r, i) => (s"g$i", (i + 1).toLong, r) }
+        .toDF("g", "r1", "r2"), "g", "r1", "r2").collect()(0)
+    val same = ranks(Seq(1L, 2L, 3L, 4L, 5L))
+    assert(same.getDouble(3) == 1.0 && same.getLong(2) == 0)
+    // n=5 perfect agreement: 18·100·10⁴ = 1.8e7 vs 38416·5·4·15 =
+    // 1.15e7 → dependent even at n=5
+    assert(same.getBoolean(4))
+    val rev = ranks(Seq(5L, 4L, 3L, 2L, 1L))
+    assert(rev.getDouble(3) == -1.0 && rev.getBoolean(4))
+    // near-independence: a small |C−D| at n=5 stays under the bar
+    val mixed = ranks(Seq(2L, 1L, 4L, 3L, 5L))
+    assert(!mixed.getBoolean(4),
+      s"weak agreement must not flag: ${mixed.getDouble(3)}")
+  }
+
   // ---------------- wilsonIntervals ----------------
 
   test("wilsonIntervals: the textbook n=100,k=50 interval, and k=0 " +
