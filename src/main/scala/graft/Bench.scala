@@ -91,11 +91,22 @@ object Bench {
       (if (sys.env.get("SPARK_GRAFT_BENCH_STREAM_WARM").exists(_.nonEmpty))
         Seq("q18_stream_dlq_roundtrip") else Nil)
     warm.foreach { n =>
-      queries.get(n).foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
+      queries.get(n).foreach(fn =>
+        try fn(spark, sfDir).queryExecution.toRdd.count()
+        catch { case _: Throwable => })
     }
+    // The timed consumer executes the query's OWN physical plan
+    // (queryExecution.toRdd materializes every output column as
+    // UnsafeRows) rather than df.count(): count() lets Catalyst prune
+    // per-group aggregate expressions the count doesn't need, which
+    // under-measured the wide-aggregate rows (q169/q264/q265/q271/q274
+    // carried an honest footnote for exactly this; round-15 removes the
+    // footnote by removing the pruning). Metric changed round 15 —
+    // comparable only to baselines re-measured under the same consumer
+    // (bench/README.md "Round-15 re-base").
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      val ok = try { queries(name)(spark, sfDir).count(); true }
+      val ok = try { queries(name)(spark, sfDir).queryExecution.toRdd.count(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
       // isolate queries: session-scoped caches (dedup signature tables
       // etc.) must not tax the storage memory of later-running queries

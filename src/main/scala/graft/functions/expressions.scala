@@ -626,7 +626,10 @@ case class PairProducts(child: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_pair_products"
 
-  private val elemIsFloat =
+  // lazy (Spark convention for type-derived fields): an eager val would
+  // ClassCastException at construction on a wrong-typed or unresolved
+  // child, before checkInputDataTypes can report the friendly failure
+  private lazy val elemIsFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(input: Any): Any = {

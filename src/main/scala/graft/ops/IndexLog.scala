@@ -50,9 +50,13 @@ object IndexLog {
 
   private def winner(log: DataFrame, idCol: String): DataFrame = {
     // seg DESC = latest fold wins; deleted DESC = within one segment
-    // the tombstone beats the upsert (delete-after-upsert semantics)
+    // the tombstone beats the upsert (delete-after-upsert semantics);
+    // cid DESC = deterministic tie-break when one segment carries two
+    // upserts for the same id (highest cid wins — arbitrary but stable,
+    // so the cross-engine determinism invariant survives duplicate
+    // feeds instead of resting on callers supplying disjoint sets)
     val w = Window.partitionBy(col(idCol))
-      .orderBy(col("seg").desc, col("deleted").desc)
+      .orderBy(col("seg").desc, col("deleted").desc, col("cid").desc)
     log.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1 && !col("deleted"))
       .drop("_rn")

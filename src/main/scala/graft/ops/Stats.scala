@@ -28,11 +28,13 @@ import org.apache.spark.sql.types.DecimalType
 object Stats {
   private val I = DecimalType(38, 0)
 
-  /** Mixture water-filling under availability (q238): the largest
-    * total budget T such that every source's floor share ⌊T·w∕W⌋ fits
-    * inside `epochCap · avail` tokens (the bottleneck rule
-    * T = min_s ⌊epochCap·avail_s·W∕w_s⌋), evaluated entirely in
-    * integer floor arithmetic. Input: one row per source with a
+  /** Mixture water-filling under availability (q238): the bottleneck-
+    * rule budget T = min_s ⌊epochCap·avail_s·W∕w_s⌋, evaluated entirely
+    * in integer floor arithmetic. T is feasible by construction (every
+    * source's floor share ⌊T·w∕W⌋ fits inside `epochCap · avail`
+    * tokens) but not necessarily the MAXIMUM feasible T — integer
+    * floors can leave headroom the closed-form rule does not claw back
+    * (cap·avail=5, w=3, W=10 gives T=16 while T=19 still fits). Input: one row per source with a
     * weight column and an available-token column. Zero-weight sources
     * impose NO cap and receive NO allocation (they are out of the
     * mixture); `avail` must be ≥ 0, and `epochs` is reported as 0 for

@@ -2439,7 +2439,7 @@ object CurationQueries {
     // ---- round 14: HELD-OUT unigram cross-entropy — the LM-quality
     // gate q65/q78 train and score on the SAME corpus; a filtering
     // pipeline scores candidate data under a model fit on a trusted
-    // split. Train = doc_id % 5 ≠ 0; held-out = % 5 = 0, scored per
+    // split. Train = doc_id % 7 ≠ 0; held-out = % 7 = 0, scored per
     // SOURCE under add-one smoothing with a single UNK bucket:
     // P(w) = (c(w)+1)∕(N+V+1), unseen → 1∕(N+V+1). Determinism is the
     // q65 recipe hardened for big groups: per-token ln rounded at 9 dp

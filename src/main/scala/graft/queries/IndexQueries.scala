@@ -1855,12 +1855,8 @@ object IndexQueries {
         .zipWithIndex
         .map { case ((i, j), p) => (p, i.toLong, j.toLong) }
         .toDF("pos", "i", "j")
-      val pairAgg = e
-        .select(posexplode(
-          call_function("graft_pair_products", col("embedding"))))
-        .groupBy("pos").agg(
-          count(lit(1)).as("n"),
-          sum(col("col").cast(I)).as("sij10"))
+      val pairAgg = graft.ops.PairMoments.pass(e, "embedding")
+        .withColumnRenamed("s", "sij10")
         .join(broadcast(posMap), "pos")
       // per-dim sums for the mean correction (64 rows, broadcast)
       val m = e.select(posexplode(col("embedding")))
@@ -2013,11 +2009,8 @@ object IndexQueries {
       val e = Tables.embeddings(spark, dir)
       val I = DecimalType(38, 0)
       def moments(df: org.apache.spark.sql.DataFrame) = {
-        val pairs = df
-          .select(posexplode(
-            call_function("graft_pair_products", col("embedding"))))
-          .groupBy(col("pos").cast("long").as("pos"))
-          .agg(count(lit(1)).as("n"), sum(col("col").cast(I)).as("s"))
+        val pairs = graft.ops.PairMoments.pass(df, "embedding")
+          .select(col("pos").cast("long").as("pos"), col("n"), col("s"))
         val dims = df.select(posexplode(col("embedding")))
           .select((-(col("pos") + 1)).cast("long").as("pos"),
             col("col").cast("double").cast(DecimalType(9, 5)).as("v"))
@@ -2648,12 +2641,8 @@ object IndexQueries {
         .zipWithIndex
         .map { case ((i, j), p) => (p, i.toLong, j.toLong) }
         .toDF("pos", "i", "j")
-      val pairAgg = e
-        .select(posexplode(
-          call_function("graft_pair_products", col("embedding"))))
-        .groupBy("pos").agg(
-          count(lit(1)).as("n"),
-          sum(col("col").cast(I)).as("sij10"))
+      val pairAgg = graft.ops.PairMoments.pass(e, "embedding")
+        .withColumnRenamed("s", "sij10")
         .join(broadcast(posMap), "pos")
       val m = e.select(posexplode(col("embedding")))
         .select((col("pos") + 1).cast("long").as("i"),

@@ -539,4 +539,33 @@ class PlansSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"the 20×-explode must not shuffle-join or go quadratic:\n$p")
   }
+
+  test("covariance arm: the pair pass is the COMPILED graft_pair_products " +
+      "kernel (q243 directly; q248/q273 via the shared PairMoments.pass " +
+      "they now call) — the interpreted lambda fallback measured 3.4× at sf1") {
+    // the shared pass itself (the one q248's fold and q273's grid build on)
+    val pm = graft.ops.PairMoments.pass(
+      Tables.embeddings(spark, sfDir()), "embedding")
+    assert(pm.queryExecution.analyzed.toString().contains("graft_pair_products"),
+      "PairMoments.pass dropped the compiled kernel")
+    val pp = plan(pm)
+    assert(pp.contains("graft_pair_products"),
+      s"compiled kernel missing from the physical pass:\n$pp")
+    assert(pp.contains("partial_"),
+      s"the 2016-key grid must partial-aggregate map-side:\n$pp")
+    // and the one-shot audit end to end (q273's final frame is driver
+    // math over parameter-sized collects, so q243 is the query-level pin)
+    val df = SparkEntry.queries("q243_embedding_covariance")(spark, sfDir())
+    val p = plan(df)
+    assert(p.contains("graft_pair_products"),
+      s"q243 reverted off the compiled kernel:\n$p")
+  }
+
+  test("q244 unicode dedup normalizes with the COMPILED graft_norm_text " +
+      "kernel, not an interpreted expression chain") {
+    val df = SparkEntry.queries("q244_normalized_dedup")(spark, sfDir())
+    val p = plan(df)
+    assert(p.contains("graft_norm_text"),
+      s"q244 reverted off the compiled kernel:\n$p")
+  }
 }

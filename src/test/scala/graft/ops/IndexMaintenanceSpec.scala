@@ -141,4 +141,23 @@ class IndexMaintenanceSpec extends SparkSuite {
       .as[(Long, Long)].collect().toSet
     assert(folded == oneShot, "lifecycle fold diverged from one-shot encode")
   }
+
+  test("IndexLog: two upserts for one id in the SAME segment resolve " +
+      "deterministically to the highest cid (round-15 tie-break — the " +
+      "invariant no longer rests on callers feeding disjoint sets)") {
+    val log = Seq(
+      (1L, 3L, 0L, false), (1L, 7L, 0L, false), (1L, 5L, 0L, false),
+      (2L, 9L, 1L, false), (2L, 2L, 1L, false))
+      .toDF("vec_id", "cid", "seg", "deleted")
+    val live = IndexLog.resolve(log, "vec_id")
+      .as[(Long, Long)].collect().toMap
+    assert(live == Map(1L -> 7L, 2L -> 9L),
+      s"same-segment upsert tie must break to max cid, got $live")
+    // and the tombstone still beats any same-segment upsert
+    val withDel = log.unionByName(
+      Seq((2L, Option.empty[Long], 1L, true))
+        .toDF("vec_id", "cid", "seg", "deleted"))
+    assert(IndexLog.resolve(withDel, "vec_id")
+      .as[(Long, Long)].collect().toMap == Map(1L -> 7L))
+  }
 }
