@@ -12,11 +12,15 @@ import org.apache.spark.sql.SparkSession
   *
   * Noise discipline (this machine's load spread defeated two rounds of
   * regression reading):
-  *   - every query gets `SPARK_GRAFT_BENCH_PASSES` (default 3) full
+  *   - every query gets `SPARK_GRAFT_BENCH_PASSES` (default 2) full
   *     interleaved sweeps; queries whose observed min is < 1 s get
-  *     `SPARK_GRAFT_BENCH_EXTRA` (default 2) additional samples — cheap
+  *     `SPARK_GRAFT_BENCH_EXTRA` (default 1) additional samples — cheap
   *     queries are the ones a transient spike distorts the most, and the
-  *     extra samples cost almost nothing;
+  *     extra samples cost almost nothing; a `SPARK_GRAFT_BENCH_BUDGET_SEC`
+  *     (default 1200) wall-clock budget stops passes ≥ 2 early so the
+  *     driver's outer kill timer is never the thing that ends a sweep
+  *     (round 15's rc=124 lesson — a kill mid-pass leaves −1 sentinels,
+  *     a budget stop leaves every query with ≥ 1 honest sample);
   *   - the cross-round comparison statistic is the per-query MIN, not the
   *     median: min-of-N is load-robust (load only ever adds time), so a
   *     min-vs-min delta > 15% is signal where a median-vs-median delta
@@ -56,11 +60,67 @@ object Bench {
   def fmt6(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
 
+  /** Pass scheduler with a wall-clock budget (round 16): pass 1 ALWAYS
+    * runs in full — every query gets at least one real sample, so a
+    * budget cut can never mint a −1 kill sentinel the way the driver's
+    * outer `timeout` did in round 15 (BENCH_r15 rc=124, 14 sentinels).
+    * Passes ≥ 2 and the sub-second extra sweeps check `elapsedSec()`
+    * before EVERY query and stop the whole sweep the moment the budget
+    * is exceeded — fine-grained, so the overshoot is bounded by one
+    * query, not one pass. Queries may therefore end the run with
+    * different sample counts; the comparison statistic is min-of-N,
+    * which only loses sharpness, never correctness, from a shorter
+    * vector. Returns (samples, budgetHit). Extracted from main so the
+    * guard's semantics are spec-testable with a fake clock. */
+  def sweep(names: Seq[String], passes: Int, extra: Int, budgetSec: Double,
+      elapsedSec: () => Double, run: String => Double)
+      : (Map[String, Vector[Double]], Boolean) = {
+    val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
+      names.map(n => n -> Vector.empty[Double]): _*)
+    var budgetHit = false
+    names.foreach(n => samples(n) = samples(n) :+ run(n)) // pass 1: unguarded
+    var p = 2
+    while (p <= passes && !budgetHit) {
+      val it = names.iterator
+      while (it.hasNext && !budgetHit) {
+        if (elapsedSec() > budgetSec) budgetHit = true
+        else { val n = it.next(); samples(n) = samples(n) :+ run(n) }
+      }
+      p += 1
+    }
+    // extra sweeps: sub-second queries only (still interleaved, still guarded)
+    val cheap = names.filter { n =>
+      val ts = samples(n); !ts.exists(_ < 0) && ts.min < 1.0
+    }
+    var e = 1
+    while (e <= extra && !budgetHit) {
+      val it = cheap.iterator
+      while (it.hasNext && !budgetHit) {
+        if (elapsedSec() > budgetSec) budgetHit = true
+        else { val n = it.next(); samples(n) = samples(n) :+ run(n) }
+      }
+      e += 1
+    }
+    (samples.toMap, budgetHit)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
-    val extra = math.max(0, sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "2").toInt)
+    val t0Main = System.nanoTime()
+    // Defaults cut 3+2 → 2+1 in round 16: the round-15 metric change
+    // (un-prunable toRdd consumer) pushed the 276-query 3+2 sweep past
+    // the driver's outer timeout (BENCH_r15 rc=124). 2+1 under the new
+    // metric costs about what 3+2 cost under the old one; the budget
+    // guard below is the backstop if the box is slower than planned.
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
+    val extra = math.max(0, sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "1").toInt)
+    // Wall-clock budget (seconds, measured from main entry so session
+    // startup and warmup count against it — the driver's kill timer
+    // sees those too). Guarded passes stop when exceeded; pass 1 never
+    // is (see `sweep`). Default sized so worst case ≈ budget + one
+    // query stays well inside the ~30 min window round 15 overran.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200").toDouble
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
       "bench/baseline_min.json")
     // SPARK_GRAFT_SHUFFLE_PARTITIONS decouples shuffle width from the
@@ -103,7 +163,8 @@ object Bench {
     // carried an honest footnote for exactly this; round-15 removes the
     // footnote by removing the pruning). Metric changed round 15 —
     // comparable only to baselines re-measured under the same consumer
-    // (bench/README.md "Round-15 re-base").
+    // (bench/README.md "Round-16 re-base": baseline_min.json is the
+    // HEAD re-measure under this metric).
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       val ok = try { queries(name)(spark, sfDir).queryExecution.toRdd.count(); true }
@@ -116,18 +177,10 @@ object Bench {
     }
     // base sweeps interleave queries (pass 1 runs all queries, then pass
     // 2, …) so a transient load spike taxes different queries in
-    // different passes instead of all samples of one query
-    val base: Seq[Seq[(String, Double)]] =
-      (1 to passes).map(_ => names.map(n => n -> timeOnce(n)))
-    val samples = scala.collection.mutable.Map[String, Vector[Double]](
-      names.map(n => n -> base.map(_.toMap.apply(n)).toVector): _*)
-    // extra sweeps: sub-second queries only (still interleaved)
-    val cheap = names.filter { n =>
-      val ts = samples(n); !ts.exists(_ < 0) && ts.min < 1.0
-    }
-    (1 to extra).foreach { _ =>
-      cheap.foreach(n => samples(n) = samples(n) :+ timeOnce(n))
-    }
+    // different passes instead of all samples of one query; the
+    // scheduler also enforces the wall-clock budget (scaladoc on sweep)
+    val (samples, budgetHit) = sweep(names, passes, extra, budgetSec,
+      () => (System.nanoTime() - t0Main) / 1e9, timeOnce)
     def medianOf(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -220,6 +273,9 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${fmt4(total)},"unit":"sec","queries":$qs,""" +
         s""""queries_min":$qsMin,"passes":$passes,"extra_passes":$extra,""" +
+        s""""budget_sec":${fmt4(budgetSec)},""" +
+        s""""elapsed_sec":${fmt4((System.nanoTime() - t0Main) / 1e9)},""" +
+        s""""budget_hit":$budgetHit,""" +
         s""""spread_med_pct":${fmt4(spreadMed)},"spread_max_pct":${fmt4(spreadMax)},""" +
         s""""gold_sec":${fmt4(gold)},"median_sec":${fmt4(median)},""" +
         s""""n_queries":${results.size},"sf":"$sfDir",$deltaReport}"""
@@ -234,6 +290,8 @@ object Bench {
       java.nio.file.Files.createDirectories(dir)
       val full = new StringBuilder()
       full ++= s"""{"sf":"$sfDir","passes":$passes,"extra_passes":$extra,"""
+      full ++= s""""budget_sec":${fmt4(budgetSec)},"budget_hit":$budgetHit,"""
+      full ++= s""""elapsed_sec":${fmt4((System.nanoTime() - t0Main) / 1e9)},"""
       full ++= s""""queries_median":${results.map(r => s"\"${r._1}\":${fmt6(r._2)}").mkString("{", ",", "}")},"""
       full ++= s""""queries_min":${results.map(r => s"\"${r._1}\":${fmt6(r._3)}").mkString("{", ",", "}")},"""
       full ++= s""""delta_min_pct_vs_baseline":${deltas.map { case (k, v) => s"\"$k\":${fmt4(v)}" }.mkString("{", ",", "}")},"""

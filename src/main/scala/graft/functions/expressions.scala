@@ -607,7 +607,10 @@ case class NormText(child: Expression)
   * k-th (i<j) pair in row-major order — the covariance audit's (q243)
   * inner loop as ONE compiled pass per row. The interpreted
   * alternative (nested transform lambdas building 2016 structs per
-  * row) evaluates per element and measured 8× the runtime at sf1.
+  * row) evaluates per element and measured 8× this expression's
+  * runtime at sf1 (kernel stage alone; the q243 query end-to-end
+  * moved 3.4× — 24.0 → 6.99 s — because scan + partial-aggregate
+  * cost is unchanged by the swap; ops/PairMoments.scala).
   * Quantization matches Spark's double→DECIMAL(9,5) cast
   * (BigDecimal.valueOf + HALF_UP) and therefore DuckDB's
   * CAST(CAST(x AS DECIMAL(9,5))·100000 AS HUGEINT), so the products

@@ -13,10 +13,13 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Extracted so the kernel's presence is pinned ONCE in PlansSpec: the
   * interpreted fallback this kernel replaced (nested transform lambdas
-  * building 2,016 structs per row) measured 3.4× slower at sf1
-  * (24.0 → 6.99 s, bench/README.md round 14), and before this
-  * extraction nothing stopped a refactor of any one call site from
-  * silently reverting to it.
+  * building 2,016 structs per row) made the q243 query END-TO-END 3.4×
+  * slower at sf1 (24.0 → 6.99 s, bench/README.md round 14) — the
+  * expression-level gap alone is ~8× (the figure in the PairProducts
+  * scaladoc, functions/expressions.scala; end-to-end dilutes it with
+  * scan + partial-aggregate cost the kernel swap doesn't touch) — and
+  * before this extraction nothing stopped a refactor of any one call
+  * site from silently reverting to it.
   */
 object PairMoments {
   private val I = DecimalType(38, 0)

@@ -1490,10 +1490,14 @@ object IndexQueries {
 
     // ---- L219 mixture water-filling under availability: q94/q148
     // apportion a GIVEN budget by weights; this computes the budget —
-    // the largest total T such that every source's share ⌊T·w∕W⌋ fits
-    // inside its available tokens × a max-epoch repeat cap (the
-    // bottleneck rule T = min_s ⌊cap_s·W∕w_s⌋ — mixture assembly's
-    // feasibility step, run before any apportionment). Weights are the
+    // the bottleneck rule T = min_s ⌊cap_s·W∕w_s⌋, feasible by
+    // construction (every source's share ⌊T·w∕W⌋ fits inside its
+    // available tokens × a max-epoch repeat cap) but not necessarily
+    // the MAXIMUM feasible T: integer floors can leave headroom the
+    // closed-form rule does not claw back (Stats.waterFill scaladoc;
+    // cap·avail=5, w=3, W=10 gives T=16 while 19 fits). Mixture
+    // assembly's feasibility step, run before any apportionment —
+    // a deliberately conservative budget is fine there. Weights are the
     // q171 source tiers; epochs cap = 2. Pure integer floor arithmetic
     // on both engines; one per-source aggregate, grid math on |sources|
     // integers. Emits the bottleneck flag (the source that pins T).

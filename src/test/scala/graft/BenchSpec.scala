@@ -43,4 +43,60 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.parseBaseline("""{"queries_min":{"q52_z":1.0E-4}}""") ==
       Map("q52_z" -> 0.0001))
   }
+
+  // ---- the round-16 budget-guarded pass scheduler ----
+  // A fake clock advances 1 "second" per run() call, so budgets are
+  // countable in units of executed samples.
+  private def fakeRun(log: scala.collection.mutable.Buffer[String],
+      clock: Array[Double], cost: String => Double = _ => 1.0)
+      : String => Double = { n =>
+    log += n; clock(0) += 1.0; cost(n)
+  }
+
+  test("sweep under a generous budget runs passes+extra in full, interleaved") {
+    val log = scala.collection.mutable.Buffer[String]()
+    val clock = Array(0.0)
+    // q_a is cheap (<1s) → gets the extra sweep; q_b is not
+    val cost = Map("q_a" -> 0.5, "q_b" -> 2.0)
+    val (samples, hit) = Bench.sweep(Seq("q_a", "q_b"), passes = 2, extra = 1,
+      budgetSec = 1e9, () => clock(0), fakeRun(log, clock, cost))
+    assert(!hit)
+    assert(log == Seq("q_a", "q_b", "q_a", "q_b", "q_a")) // interleaved, extra on cheap only
+    assert(samples("q_a") == Vector(0.5, 0.5, 0.5))
+    assert(samples("q_b") == Vector(2.0, 2.0))
+  }
+
+  test("sweep: pass 1 is never cut — a zero budget still samples every query once") {
+    val log = scala.collection.mutable.Buffer[String]()
+    val clock = Array(0.0)
+    val (samples, hit) = Bench.sweep(Seq("q_a", "q_b", "q_c"), passes = 3, extra = 2,
+      budgetSec = 0.0, () => clock(0), fakeRun(log, clock))
+    assert(hit)
+    assert(log == Seq("q_a", "q_b", "q_c")) // exactly one full pass
+    assert(samples.values.forall(_.size == 1)) // no query missing, no -1 sentinel
+  }
+
+  test("sweep: budget cuts mid-pass at query granularity, not pass granularity") {
+    val log = scala.collection.mutable.Buffer[String]()
+    val clock = Array(0.0)
+    // budget 4: pass 1 (3 samples, clock=3), pass 2 runs q_a (clock=4),
+    // then the pre-query check sees 4 > 4 is false (not strictly
+    // greater) → q_b runs (clock=5), then 5 > 4 stops the sweep
+    val (samples, hit) = Bench.sweep(Seq("q_a", "q_b", "q_c"), passes = 2, extra = 0,
+      budgetSec = 4.0, () => clock(0), fakeRun(log, clock))
+    assert(hit)
+    assert(log == Seq("q_a", "q_b", "q_c", "q_a", "q_b"))
+    assert(samples("q_a").size == 2 && samples("q_b").size == 2 && samples("q_c").size == 1)
+  }
+
+  test("sweep: a failed (-1) pass-1 sample excludes the query from extra sweeps") {
+    val log = scala.collection.mutable.Buffer[String]()
+    val clock = Array(0.0)
+    val cost = Map("q_ok" -> 0.2, "q_bad" -> -1.0)
+    val (samples, hit) = Bench.sweep(Seq("q_bad", "q_ok"), passes = 1, extra = 2,
+      budgetSec = 1e9, () => clock(0), fakeRun(log, clock, cost))
+    assert(!hit)
+    assert(samples("q_bad") == Vector(-1.0)) // never retried in extra sweeps
+    assert(samples("q_ok") == Vector(0.2, 0.2, 0.2))
+  }
 }
