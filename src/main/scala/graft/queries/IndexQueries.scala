@@ -2006,7 +2006,6 @@ object IndexQueries {
         |  CAST(row_number() OVER (ORDER BY abs(covn) DESC, i, j)
         |    AS BIGINT) AS cov_rank
         |FROM c, t""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.expressions.Window
       val spk = spark
       import spk.implicits._
@@ -2030,12 +2029,16 @@ object IndexQueries {
       val statePath = s"$root/moments"
       graft.Meta.Versioned.write(
         moments(e.filter(col("vec_id") % 2 === 1)), statePath)
-      implicit val ctx = spark.sqlContext
-      val feed = e.select(col("vec_id"), col("embedding"))
+      // file-backed feed (Streams.FileFeed, round 16): batches staged
+      // as parquet executor-side and re-entering through the file-
+      // stream source — no driver collect() in the measured path (the
+      // MemoryStream feed collected ~250 MB onto the driver at sf10;
+      // A/B in bench/README.md "Round-16: the file-backed feed A/B").
+      // Batch membership is unchanged: batch 0 = vec_id ≡ 0 (mod 4),
+      // batch 1 = the remaining evens.
+      val feedDf = e.select(col("vec_id"), col("embedding"))
         .filter(col("vec_id") % 2 === 0)
-        .as[(Long, Seq[Float])].collect().sortBy(_._1)
-      val (b1, b2) = feed.partition(_._1 % 4 == 0)
-      val ms = MemoryStream[(Long, Seq[Float])]
+      val feed = new graft.streaming.Streams.FileFeed(spark, feedDf.schema, root)
       val fold = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {
         val delta = moments(batch.toDF("vec_id", "embedding"))
         graft.Meta.Versioned.writeOnce(
@@ -2045,14 +2048,16 @@ object IndexQueries {
         ()
       }
       graft.streaming.Streams.withShufflePartitions(spark, 4) {
-        val q = ms.toDF().toDF("vec_id", "embedding").writeStream
+        feed.add(feedDf.filter(col("vec_id") % 4 === 0))
+        val q = feed.stream.writeStream
           .foreachBatch(fold)
           .outputMode("update")
           .option("checkpointLocation", s"$root/cp")
           .start()
         try {
-          ms.addData(b1); q.processAllAvailable()
-          ms.addData(b2); q.processAllAvailable()
+          q.processAllAvailable()
+          feed.add(feedDf.filter(col("vec_id") % 4 =!= 0))
+          q.processAllAvailable()
         } finally q.stop()
       }
       val st = graft.Meta.Versioned.read(spark, statePath)

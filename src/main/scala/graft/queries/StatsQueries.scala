@@ -710,17 +710,18 @@ object StatsQueries {
     // say.
     Q(
       "q272_stream_calibration_fold", isotonicOracleSql) { (spark, dir) =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val docs = Tables.documents(spark, dir)
         .select("doc_id", "n_chars", "text")
       val root = graft.Tmp.dir("graft-q272").toString
       val path = s"$root/bins"
-      implicit val ctx = spark.sqlContext
       import spark.implicits._
       graft.Meta.Versioned.write(
         Seq.empty[(Long, Long, Long)].toDF("bin", "n", "pos"), path)
-      val feed = docs.as[(Long, Long, String)].collect().sortBy(_._1)
-      val ms = MemoryStream[(Long, Long, String)]
+      // file-backed feed (Streams.FileFeed, round 16): no driver
+      // collect() in the measured path — the whole corpus used to
+      // round-trip through the driver as tuples. Batch membership
+      // unchanged: batch b = doc_id ≡ b (mod 4).
+      val feed = new graft.streaming.Streams.FileFeed(spark, docs.schema, root)
       val fold = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {
         val partial = lengthBinnedGate(
           batch.toDF("doc_id", "n_chars", "text"))
@@ -732,14 +733,16 @@ object StatsQueries {
         ()
       }
       graft.streaming.Streams.withShufflePartitions(spark, 4) {
-        val q = ms.toDF().toDF("doc_id", "n_chars", "text").writeStream
+        feed.add(docs.filter(col("doc_id") % 4 === 0))
+        val q = feed.stream.writeStream
           .foreachBatch(fold)
           .outputMode("update")
           .option("checkpointLocation", s"$root/cp")
           .start()
         try {
-          (0L until 4L).foreach { b =>
-            ms.addData(feed.filter(_._1 % 4 == b))
+          q.processAllAvailable()
+          (1L until 4L).foreach { b =>
+            feed.add(docs.filter(col("doc_id") % 4 === b))
             q.processAllAvailable()
           }
         } finally q.stop()

@@ -321,4 +321,27 @@ class StreamsSpec extends SparkSuite {
     } finally { p.stopAll(); tee.stop() }
     spark.streams.resetTerminated()
   }
+
+  test("FileFeed: executor-side staging reproduces MemoryStream batch boundaries") {
+    val root = tmp("filefeed")
+    val src = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+    val feed = new Streams.FileFeed(spark, src.schema, root.toString)
+    val seen = scala.collection.mutable.Map[Long, Set[Long]]()
+    feed.add(src.filter(col("id") % 2 === 0))
+    val q = feed.stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        seen(bid) = batch.select("id").as[Long].collect().toSet; ()
+      }
+      .option("checkpointLocation", root.resolve("cp").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      feed.add(src.filter(col("id") % 2 === 1))
+      q.processAllAvailable()
+    } finally q.stop()
+    // one add + one drain = one batch, exact membership, nothing dropped
+    assert(seen(0L) == Set(2L, 4L))
+    assert(seen(1L) == Set(1L, 3L))
+    assert(seen.keySet == Set(0L, 1L))
+  }
 }
