@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** sf100 overflow probe for the stats arm's DECIMAL(38,0) claims
+  * (`runMain graft.StatsScaleProbe [factor]`, default 1000 = sf0.1 →
+  * sf100): `ops/Stats.mannWhitney`'s scaladoc claims its div-reduction
+  * "keeps every product inside DECIMAL(38,0) to sf100 — the naive
+  * cross-multiplication overflows 38 digits at sf10", and q258/q260/
+  * q263 (the Mann–Whitney / median-CI / BH-FDR rows over `documents`)
+  * inherit that claim. Until round 16 it was a hypothesis; this main
+  * tests it.
+  *
+  * The fixture is SUPPORT-BOUNDED: the sf0.1 `documents` rows
+  * replicated `factor`× via an exploded literal sequence — counts (the
+  * overflow driver: every 38-digit-risk product is a polynomial in n,
+  * n₁, n₂, G) reach genuine sf100 magnitude while the value support
+  * (523 distinct n_chars at sf0.1) stays fixed, exactly the shape a
+  * real 100 TB corpus has (support grows far slower than rows) and the
+  * only shape that fits one box. No text/embedding columns are
+  * minted — these three kernels read (source, lang, n_chars) only.
+  *
+  * Overflow detection is not left to luck: the probe flips
+  * `spark.sql.ansi.enabled=true`, under which a Decimal overflow THROWS
+  * instead of silently returning NULL — a pass here means no
+  * intermediate left 38 digits anywhere in the three kernels.
+  *
+  * The probe also checks exact REPLICATION INVARIANTS, so it verifies
+  * values, not just absence-of-crash: uniform k× replication multiplies
+  * every per-value count by k, hence for Mann–Whitney n₁,n₂ scale by k
+  * and 2U by exactly k² (U = Σc₁·(2F₂−c₂) is bilinear in the counts),
+  * so `auc` = U∕(n₁n₂) — an integer half-up divide at 6 dp on both
+  * engines — must be BIT-IDENTICAL to the sf0.1 run; the median (an
+  * order statistic at a quantile fixed under replication) must also be
+  * identical, while its CI tightens (rank window √k narrower — checked
+  * for containment); BH-FDR per-source n₁,n₂ scale by k and the
+  * rejection set is expected to grow with power (warned if an sf0.1
+  * rejection disappears — integer floors can re-order near-tied z6
+  * neighbours, so that one is not an exact law).
+  */
+object StatsScaleProbe {
+  private def replicate(docs: DataFrame, factor: Int): DataFrame =
+    docs.select(col("source"), col("lang"), col("n_chars"))
+      .withColumn("_r", explode(sequence(lit(0), lit(factor - 1))))
+      .drop("_r")
+
+  private def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.nonEmpty) args(0).toInt else 1000
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = Sessions.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+
+    val base = Tables.documents(spark, src)
+    val big = replicate(base, factor)
+    println(s"[probe] rows: base=${base.count()}, replicated=${big.count()} (${factor}x)")
+
+    // ---- q258 shape: two-sample Mann–Whitney, en vs rest ----
+    def mw(df: DataFrame) = ops.Stats.mannWhitney(
+      df.filter(col("lang") === "en"), df.filter(col("lang") =!= "en"),
+      "n_chars").head()
+    val mwS = mw(base.select(col("source"), col("lang"), col("n_chars")))
+    val mwB = time("mannWhitney sf100")(mw(big))
+    println(s"[probe] mw base=$mwS")
+    println(s"[probe] mw big =$mwB")
+    require(mwB.getLong(0) == mwS.getLong(0) * factor &&
+      mwB.getLong(1) == mwS.getLong(1) * factor,
+      s"n1/n2 did not scale ${factor}x")
+    // u is emitted as an exact double (2U < 2^53 is part of the claim)
+    require(mwB.getDouble(2) == mwS.getDouble(2) * factor.toDouble * factor,
+      s"U did not scale ${factor}^2x: ${mwS.getDouble(2)} -> ${mwB.getDouble(2)}")
+    require(mwB.getDouble(3) == mwS.getDouble(3),
+      s"auc not replication-invariant: ${mwS.getDouble(3)} -> ${mwB.getDouble(3)}")
+
+    // ---- q260 shape: order-statistic median CI ----
+    val ciS = ops.Stats.medianCI(base, "n_chars").head()
+    val ciB = time("medianCI sf100")(ops.Stats.medianCI(big, "n_chars").head())
+    println(s"[probe] ci base=$ciS")
+    println(s"[probe] ci big =$ciB")
+    require(ciB.getLong(0) == ciS.getLong(0) * factor, "n did not scale")
+    require(ciB.getDouble(1) == ciS.getDouble(1),
+      s"median moved under replication: ${ciS.getDouble(1)} -> ${ciB.getDouble(1)}")
+    require(ciB.getLong(2) >= ciS.getLong(2) && ciB.getLong(3) <= ciS.getLong(3),
+      s"sf100 CI [${ciB.getLong(2)}, ${ciB.getLong(3)}] not inside " +
+        s"sf0.1 CI [${ciS.getLong(2)}, ${ciS.getLong(3)}]")
+
+    // ---- q263 shape: per-source BH-FDR drift battery ----
+    def bh(df: DataFrame): Map[String, (Long, Long, Boolean)] = {
+      val srcs = df.select(col("source").as("rep")).distinct()
+      val d = df.crossJoin(broadcast(srcs))
+        .select(col("rep"),
+          when(col("source") === col("rep"), 0).otherwise(1).as("side"),
+          col("n_chars").as("v"))
+      ops.Stats.bhDrift(d, "rep", "side", "v").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(5))))
+        .toMap
+    }
+    val bhS = bh(base.select(col("source"), col("lang"), col("n_chars")))
+    val bhB = time("bhDrift sf100")(bh(big))
+    require(bhS.keySet == bhB.keySet, "source sets differ")
+    bhS.foreach { case (s, (n1, n2, rej)) =>
+      val (bn1, bn2, brej) = bhB(s)
+      require(bn1 == n1 * factor && bn2 == n2 * factor, s"$s: n did not scale")
+      // power-monotonicity is expected but not exact law (integer
+      // floors can re-order near-tied z6 neighbours) — warn, don't fail
+      if (rej && !brej)
+        println(s"[probe] WARN $s: rejected at sf0.1 but not at sf100")
+    }
+    println(s"[probe] bh rejections: sf0.1=${bhS.count(_._2._3)}/${bhS.size}, " +
+      s"sf100=${bhB.count(_._2._3)}/${bhB.size}")
+    println(s"[probe] PASS: no 38-digit overflow (ANSI mode), all replication " +
+      s"invariants hold at factor $factor")
+    spark.stop()
+  }
+}

@@ -260,7 +260,10 @@ object Stats {
     * variance numerator and 38416 = 1.96²·10⁴ the squared 3-dp table
     * value minted once (the `L·C > A·B ⇔ L > A·B div C` reduction for
     * integer L keeps every product inside DECIMAL(38,0) to sf100 —
-    * the naive cross-multiplication overflows 38 digits at sf10).
+    * VERIFIED at sf100-scale counts by `graft.StatsScaleProbe` in
+    * round 16 (ANSI mode, 5M-row support-bounded fixture, exact
+    * replication invariants) — where the naive cross-multiplication
+    * overflows 38 digits at sf10).
     * A degenerate group (all values tied) has G = 0 and dev = 0 —
     * no drift, no division hazard; a group missing either side is
     * dropped (a one-sample group has no two-sample verdict). A tie
@@ -515,12 +518,26 @@ object Stats {
     * |groups| rows. */
   def bhDrift(df: DataFrame, repCol: String, sideCol: String,
       vCol: String, thresholds: Seq[Long] = BhT20): DataFrame = {
+    // sf100-safe magnitude ladder (round 16; found by StatsScaleProbe):
+    // the one-shot z6 numerator dev²·3n(n−1)·10⁶ reaches 41 digits at
+    // sf100 (probe measured 6.3e40) — over DECIMAL(38,0) AND the
+    // oracle's HUGEINT alike. Route through the 5-dp effect size
+    // e5 = ⌊dev·10⁵∕(n₁n₂)⌋ ≤ 10⁵ (dev ≤ n₁n₂ by construction):
+    // z6 = ⌊e5²·3n(n−1)·n₁n₂ ∕ (G·10⁴)⌋, every left-to-right
+    // intermediate ≤ ~9·10³⁵ at sf100 (e5² ≤ 10¹⁰, ×3n(n−1) ≈
+    // 7.5·10¹³, ×n₁n₂ ≈ 1.2·10¹²) — headroom to sf300+. The e5 grid
+    // is the minted recipe shared verbatim with the oracle (floor
+    // divides on both sides), so the ≤ 10⁻⁴-relative coarsening it
+    // adds cannot flip a verdict cross-engine; a fully-tied group
+    // still reads exactly 0 (dev = 0 → e5 = 0).
     val z = mwCore(df, repCol, sideCol, vCol)
+      .withColumn("e5", ExactRound.floorDiv(
+        col("dev") * lit(100000L).cast(I), col("n1") * col("n2")))
       .withColumn("z6", when(col("g") > 0,
-        (ExactRound.roundRatio(
-          col("dev") * col("dev") * lit(3).cast(I) * col("n") * (col("n") - 1),
-          col("n1") * col("n2") * col("g"), 6) * lit(1000000).cast(I))
-          .cast(I)).otherwise(lit(0).cast(I)))
+        ExactRound.floorDiv(
+          col("e5") * col("e5") * lit(3).cast(I) * col("n") *
+            (col("n") - 1) * col("n1") * col("n2"),
+          col("g") * lit(10000L).cast(I))).otherwise(lit(0).cast(I)))
     val ranked = z.withColumn("rank",
       row_number().over(Window.orderBy(col("z6").desc, col("rep"))))
     val sess = df.sparkSession

@@ -393,8 +393,8 @@ object StatsQueries {
            |z AS (
            |  SELECT rep, n1, n2,
            |    CASE WHEN g > 0 THEN
-           |      (2 * (dev * dev * 3 * n * (n - 1)) * 1000000 + n1 * n2 * g)
-           |        // (2 * n1 * n2 * g)
+           |      (((dev * 100000) // (n1 * n2)) * ((dev * 100000) // (n1 * n2))
+           |        * 3 * n * (n - 1) * n1 * n2) // (g * 10000)
            |    ELSE 0 END AS z6
            |  FROM vr),
            |r AS (
