@@ -459,7 +459,6 @@ object IndexQueries {
          |  sqrt(${dot64Sql("cv", "cv")}) AS cn FROM hc2),
          |${cellSql("code", "avn", "ccs", "", 1)}
          |SELECT vec_id, cid FROM code""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val e = Tables.embeddings(spark, dir)
       val hist = e.filter(col("vec_id") % 3 =!= 0)
       val (_, stale) = Similarity.kmeansLloyd(hist, "vec_id", "embedding",
@@ -468,13 +467,14 @@ object IndexQueries {
       val idxPath = s"$root/codes"
       graft.Meta.Versioned.write(
         Similarity.ivfEncode(hist, "vec_id", "embedding", stale), idxPath)
-      implicit val ctx = spark.sqlContext
-      import spark.implicits._
-      val feed = e.filter(col("vec_id") % 3 === 0)
+      // file-backed feed (Streams.FileFeed, round 16): no driver
+      // collect() in the measured path. The fold is per-row encode +
+      // union (no per-batch output), so the final index is independent
+      // of batch MEMBERSHIP — the old sorted-half split is replaced by
+      // the residue split vec_id ≡ 0 / ≡ 3 (mod 6) over the same set.
+      val feedDf = e.filter(col("vec_id") % 3 === 0)
         .select(col("vec_id"), col("embedding"))
-        .as[(Long, Seq[Float])].collect().sortBy(_._1)
-      val (b1, b2) = feed.splitAt(feed.length / 2)
-      val ms = MemoryStream[(Long, Seq[Float])]
+      val feed = new graft.streaming.Streams.FileFeed(spark, feedDf.schema, root)
       val fold = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {
         val bcodes = Similarity.ivfEncode(
           batch.toDF("vec_id", "embedding"), "vec_id", "embedding", stale)
@@ -484,15 +484,15 @@ object IndexQueries {
         ()
       }
       graft.streaming.Streams.withShufflePartitions(spark, 4) {
-        val q = ms.toDF().toDF("vec_id", "embedding").writeStream
+        feed.add(feedDf.filter(col("vec_id") % 6 === 0))
+        val q = feed.stream.writeStream
           .foreachBatch(fold)
           .outputMode("update")
           .option("checkpointLocation", s"$root/cp")
           .start()
         try {
-          ms.addData(b1)
           q.processAllAvailable()
-          ms.addData(b2)
+          feed.add(feedDf.filter(col("vec_id") % 6 === 3))
           q.processAllAvailable()
         } finally q.stop()
       }
@@ -1036,7 +1036,6 @@ object IndexQueries {
          |  sum(CASE WHEN s <= thr THEN 1 ELSE 0 END) * 100 < 85 * count(*)
          |    AS breach
          |FROM bt, thr GROUP BY 1""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(spark, dir)
       val V = DecimalType(14, 10)
@@ -1091,13 +1090,22 @@ object IndexQueries {
               org.apache.spark.sql.types.DoubleType),
             org.apache.spark.sql.types.StructField("breach",
               org.apache.spark.sql.types.BooleanType)))), resPath)
-      implicit val ctx = spark.sqlContext
-      import spark.implicits._
-      val feed = e.filter(col("vec_id") % 5 === 0)
+      // file-backed feed (Streams.FileFeed, round 16): no driver
+      // collect() of the embedding payload. The oracle pins batch
+      // membership to the sorted-half split (rn ≤ n div 2 over
+      // vec_id), reproduced here via the exact ⌊n∕2⌋-th-smallest
+      // vec_id cutoff — the cutoff probe is harness-side batch
+      // STAGING (a top-k scan + one scalar to the driver), not part
+      // of the monitored fold; a real connector defines its own
+      // batch boundaries.
+      val feedDf = e.filter(col("vec_id") % 5 === 0)
         .select(col("vec_id"), col("embedding"))
-        .as[(Long, Seq[Float])].collect().sortBy(_._1)
-      val (b1, b2) = feed.splitAt(feed.length / 2)
-      val ms = MemoryStream[(Long, Seq[Float])]
+      val nFeed = feedDf.count()
+      val cutoff = Option(feedDf.select(col("vec_id"))
+          .orderBy(col("vec_id")).limit((nFeed / 2).toInt)
+          .agg(max(col("vec_id"))).head().get(0))
+        .fold(Long.MinValue)(_.asInstanceOf[Long])
+      val feed = new graft.streaming.Streams.FileFeed(spark, feedDf.schema, root)
       val fold = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {
         val row = scores(batch.toDF("vec_id", "embedding"))
           .crossJoin(broadcast(thr))
@@ -1116,15 +1124,15 @@ object IndexQueries {
         ()
       }
       graft.streaming.Streams.withShufflePartitions(spark, 4) {
-        val q = ms.toDF().toDF("vec_id", "embedding").writeStream
+        feed.add(feedDf.filter(col("vec_id") <= cutoff))
+        val q = feed.stream.writeStream
           .foreachBatch(fold)
           .outputMode("update")
           .option("checkpointLocation", s"$root/cp")
           .start()
         try {
-          ms.addData(b1)
           q.processAllAvailable()
-          ms.addData(b2)
+          feed.add(feedDf.filter(col("vec_id") > cutoff))
           q.processAllAvailable()
         } finally q.stop()
       }
@@ -1669,7 +1677,6 @@ object IndexQueries {
          |  sqrt(${dot64Sql("cv", "cv")}) AS cn FROM hc2),
          |${cellSql("code", "avn", "ccs", "", 1)}
          |SELECT vec_id, cid FROM code""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       val e = Tables.embeddings(spark, dir)
       val hist = e.filter(col("vec_id") % 3 =!= 0)
       val (_, cb) = Similarity.kmeansLloyd(hist, "vec_id", "embedding",
@@ -1680,22 +1687,22 @@ object IndexQueries {
         IndexLog.initial(
           Similarity.ivfEncode(hist, "vec_id", "embedding", cb), "vec_id"),
         idxPath)
-      implicit val ctx = spark.sqlContext
-      import spark.implicits._
-      // fixture-sized collects feed MemoryStream (the documented
-      // no-Kafka-jar harness shape — q226's pattern)
+      // file-backed feed (Streams.FileFeed, round 16): no driver
+      // collect() of the embedding payload. Batch membership of the
+      // adds halves is irrelevant to the post-compact snapshot (each
+      // add id appears once; upserts/tombstones arrive in strictly
+      // later batches and IndexLog keeps the highest version), so the
+      // old sorted-half split becomes the residue split ≡ 0 ∕ ≡ 3
+      // (mod 6); upd rides batch 1 with the second adds half and dels
+      // are batch 2, exactly as before.
       val adds = e.filter(col("vec_id") % 3 === 0)
         .select(col("vec_id"), col("embedding"), lit("u").as("op"))
-        .as[(Long, Seq[Float], String)].collect().sortBy(_._1)
       val upd = e.filter(col("vec_id") % 9 === 1 && col("vec_id") % 7 =!= 1)
         .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
           lit("u").as("op"))
-        .as[(Long, Seq[Float], String)].collect().sortBy(_._1)
       val dels = e.filter(col("vec_id") % 7 === 1)
         .select(col("vec_id"), col("embedding"), lit("d").as("op"))
-        .as[(Long, Seq[Float], String)].collect().sortBy(_._1)
-      val (b1, b2) = adds.splitAt(adds.length / 2)
-      val ms = MemoryStream[(Long, Seq[Float], String)]
+      val feed = new graft.streaming.Streams.FileFeed(spark, adds.schema, root)
       val fold = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {
         val b = batch.toDF("vec_id", "embedding", "op")
         val ups = IndexLog.upserts(
@@ -1711,15 +1718,18 @@ object IndexQueries {
         ()
       }
       graft.streaming.Streams.withShufflePartitions(spark, 4) {
-        val q = ms.toDF().toDF("vec_id", "embedding", "op").writeStream
+        feed.add(adds.filter(col("vec_id") % 6 === 0))
+        val q = feed.stream.writeStream
           .foreachBatch(fold)
           .outputMode("update")
           .option("checkpointLocation", s"$root/cp")
           .start()
         try {
-          ms.addData(b1); q.processAllAvailable()
-          ms.addData(b2 ++ upd); q.processAllAvailable()
-          ms.addData(dels); q.processAllAvailable()
+          q.processAllAvailable()
+          feed.add(adds.filter(col("vec_id") % 6 === 3).unionByName(upd))
+          q.processAllAvailable()
+          feed.add(dels)
+          q.processAllAvailable()
         } finally q.stop()
       }
       // the compaction pass: squash the folded log, publish as the

@@ -29,6 +29,41 @@ object StatefulQueries {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** File-backed two-batch CDC feed + at-least-once replay (round 16;
+    * shared by q103/q124/q133): stages the change feed in two
+    * key-parity batches through [[graft.streaming.Streams.FileFeed]]
+    * (no driver collect — the old MemoryStream path materialized the
+    * whole diff on the driver), runs `fold` per micro-batch, then
+    * RE-APPLIES the final batch under its original batch id — the
+    * caller's writeOnce txn markers must make the doubled fold a
+    * no-op, which the oracle match downstream pins. The first feed
+    * column is the parity key. */
+  private def cdcTwoBatchWithReplay(root: String,
+      feedDf: org.apache.spark.sql.DataFrame,
+      fold: (org.apache.spark.sql.DataFrame, Long) => Unit): Unit = {
+    val spark = feedDf.sparkSession
+    val feed = new graft.streaming.Streams.FileFeed(spark, feedDf.schema, root)
+    val key = col(feedDf.columns.head)
+    @volatile var lastBid = -1L
+    graft.streaming.Streams.withShufflePartitions(spark, 4) {
+      feed.add(feedDf.filter(key % 2 === 0))
+      val q = feed.stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          if (bid > lastBid) lastBid = bid
+          fold(batch, bid)
+        }
+        .outputMode("update")
+        .option("checkpointLocation", s"$root/cp")
+        .start()
+      try {
+        q.processAllAvailable()
+        feed.add(feedDf.filter(key % 2 =!= 0))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    fold(feedDf.filter(key % 2 =!= 0), lastBid)
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- Stateful streaming aggregation: event-time daily windows over
@@ -101,8 +136,9 @@ object StatefulQueries {
     },
 
     // ---- K6 end-to-end: foreachBatch SCD2 upsert driven by a real
-    // stream (MemoryStream, two micro-batches of customer updates into a
-    // parquet target; util/verify_spark.py:108-114). The oracle replays
+    // stream (file-backed feed, two micro-batches of customer updates
+    // into a parquet target; util/verify_spark.py:108-114). The oracle
+    // replays
     // the reference's MERGE semantics twice in SQL — including the
     // two-phase quirk: batch-1 close-outs get their new version only
     // when batch 2 replays the key.
@@ -143,27 +179,28 @@ object StatefulQueries {
            |  ${pass("m1", "s2")})
            |SELECT * FROM m2""".stripMargin
       }) { (spark, dir) =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import graft.streaming.Streams
       val root = graft.Tmp.dir("graft-q37")
       val (target, cp) = (s"$root/scd2", s"$root/cp")
       val c = Tables.customer(spark, dir)
       Merge.asScd2(c, "2024-01-01 00:00:00").write.parquet(target)
 
-      implicit val ctx = spark.sqlContext
-      import spark.implicits._
-      val ms = MemoryStream[(Long, String, Int, Double, String, String)]
-      val src = ms.toDF()
-        .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment", "upd")
-        .withColumn("updated_at", col("upd").cast("timestamp_ntz")).drop("upd")
+      // file-backed feed (Streams.FileFeed, round 16): the CDC batches
+      // are minted as column arithmetic over the customer scan and
+      // staged executor-side — the old path collected every row to the
+      // driver to rebuild it as tuples.
       def batchOf(delta: Double, ts: String) = c
         .filter(col("c_custkey") % 3 === 0)
-        .collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getInt(2),
-          r.getDouble(3) + delta, r.getString(4), ts))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          (col("c_acctbal") + delta).as("c_acctbal"), col("c_mktsegment"),
+          lit(ts).cast("timestamp_ntz").as("updated_at"))
+      val feed = new Streams.FileFeed(
+        spark, batchOf(0.0, "2024-01-01 00:00:00").schema, root.toString)
       // the per-batch SCD2 merge joins a few thousand rows — 4 shuffle
       // partitions, not the batch-tuned 32 (see withShufflePartitions)
       Streams.withShufflePartitions(spark, 4) {
-        val q = src.writeStream
+        feed.add(batchOf(10.0, "2024-02-01 00:00:00"))
+        val q = feed.stream.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
             Streams.scd2Upsert(batch, target, "c_custkey", Seq("c_acctbal"))
           }
@@ -171,9 +208,8 @@ object StatefulQueries {
           .option("checkpointLocation", cp)
           .start()
         try {
-          ms.addData(batchOf(10.0, "2024-02-01 00:00:00"))
           q.processAllAvailable()
-          ms.addData(batchOf(20.0, "2024-03-01 00:00:00"))
+          feed.add(batchOf(20.0, "2024-03-01 00:00:00"))
           q.processAllAvailable()
         } finally q.stop()
       }
@@ -467,7 +503,6 @@ object StatefulQueries {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderkey % 11 <> 0
         |GROUP BY o_custkey""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import graft.streaming.Streams
       import graft.ops.Incremental
       val root = graft.Tmp.dir("graft-q103").toString
@@ -485,47 +520,20 @@ object StatefulQueries {
       // version-chain machinery here.
       graft.Meta.Versioned.write(
         Incremental.aggSumCount(v1, Seq("o_custkey"), "o_totalprice"), aggPath)
-      implicit val ctx = spark.sqlContext
-      import spark.implicits._
-      val feedRows = graft.Meta.Versioned
+      // two deterministic key-parity batches (update pre/post images of
+      // one key may land in DIFFERENT batches; the abelian fold absorbs
+      // it) + at-least-once replay, via the shared file-backed driver
+      val feedDf = graft.Meta.Versioned
         .snapshotDiff(v1, v2, Seq("o_orderkey"), preimages = true)
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_totalprice"), col("change_type"))
-        .as[(Long, Long, Double, String)]
-        .collect().toSeq
-      val ms = MemoryStream[(Long, Long, Double, String)]
-      val src = ms.toDF()
-        .toDF("o_orderkey", "o_custkey", "o_totalprice", "change_type")
-      @volatile var lastBid = -1L
-      val fold = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {
-        if (bid > lastBid) lastBid = bid
+      cdcTwoBatchWithReplay(root, feedDf, (batch, bid) => {
         val standing = graft.Meta.Versioned.read(spark, aggPath)
         graft.Meta.Versioned.writeOnce(
           Incremental.maintainSumCount(standing, batch,
             Seq("o_custkey"), "o_totalprice"), aggPath, "q103", bid)
         ()
-      }
-      Streams.withShufflePartitions(spark, 4) {
-        val q = src.writeStream
-          .foreachBatch(fold)
-          .outputMode("update")
-          .option("checkpointLocation", s"$root/cp")
-          .start()
-        try {
-          // two deterministic halves — update pre/post images of one key
-          // may land in DIFFERENT batches; the abelian fold absorbs it
-          ms.addData(feedRows.filter(_._1 % 2 == 0))
-          q.processAllAvailable()
-          ms.addData(feedRows.filter(_._1 % 2 != 0))
-          q.processAllAvailable()
-        } finally q.stop()
-      }
-      // at-least-once replay: re-apply the second half under its original
-      // batchId — the txn marker must make the non-idempotent sum fold a
-      // no-op, or the doubled deltas break the oracle match below
-      val replay = feedRows.filter(_._1 % 2 != 0)
-        .toDF("o_orderkey", "o_custkey", "o_totalprice", "change_type")
-      fold(replay, lastBid)
+      })
       graft.Meta.Versioned.read(spark, aggPath)
         .select(col("o_custkey"), col("cnt"), col("total").cast("double"))
     },
@@ -558,7 +566,6 @@ object StatefulQueries {
          |SELECT source, CAST(count(*) AS BIGINT) AS exact_ndv,
          |  TRUE AS est_ok, TRUE AS rolled_matches
          |FROM sh GROUP BY source""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import graft.streaming.Streams
       val root = graft.Tmp.dir("graft-q115").toString
       val skPath = s"$root/sketches"
@@ -570,13 +577,15 @@ object StatefulQueries {
           .agg(call_function("graft_kmv_sketch", col("h"), lit(1024)).as("sk"))
       // seed: an empty standing table (schema only) as snapshot v1
       graft.Meta.Versioned.write(sketchOf(docs.limit(0)), skPath)
-      implicit val ctx = spark.sqlContext
-      import spark.implicits._
-      val rows = docs.as[(Long, String, String)].collect().toSeq
-      val ms = MemoryStream[(Long, String, String)]
-      val src = ms.toDF().toDF("doc_id", "source", "text")
+      // file-backed feed (Streams.FileFeed, round 16): no driver
+      // collect() of the corpus text; batch membership unchanged
+      // (key parity, with the first half replayed verbatim as its own
+      // batch — KMV merge is idempotent set union, so the doubled
+      // batch must be absorbed)
+      val feed = new Streams.FileFeed(spark, docs.schema, root)
       Streams.withShufflePartitions(spark, 4) {
-        val q = src.writeStream
+        feed.add(docs.filter(col("doc_id") % 2 === 0))
+        val q = feed.stream.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
             val standing = graft.Meta.Versioned.read(spark, skPath)
             val merged = standing.unionByName(sketchOf(batch))
@@ -589,13 +598,11 @@ object StatefulQueries {
           .option("checkpointLocation", s"$root/cp")
           .start()
         try {
-          val half = rows.filter(_._1 % 2 == 0)
-          ms.addData(half)
           q.processAllAvailable()
-          // at-least-once: the SAME half replayed — idempotent fold
-          ms.addData(half)
+          // at-least-once: the SAME half staged again — idempotent fold
+          feed.add(docs.filter(col("doc_id") % 2 === 0))
           q.processAllAvailable()
-          ms.addData(rows.filter(_._1 % 2 != 0))
+          feed.add(docs.filter(col("doc_id") % 2 =!= 0))
           q.processAllAvailable()
         } finally q.stop()
       }
@@ -651,7 +658,6 @@ object StatefulQueries {
         |      // (2 * cnt * (cnt - 1) * 10000))
         |      * CAST(0.01 AS DECIMAL(3,2)) END AS DOUBLE) AS var_price
         |FROM s""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import graft.streaming.Streams
       import graft.ops.Incremental
       val root = graft.Tmp.dir("graft-q124").toString
@@ -665,43 +671,19 @@ object StatefulQueries {
       val v2 = o.filter(col("o_orderkey") % 11 =!= 0)
       graft.Meta.Versioned.write(
         Incremental.aggMoments(v1, Seq("o_custkey"), "o_totalprice"), aggPath)
-      implicit val ctx = spark.sqlContext
-      import spark.implicits._
-      val feedRows = graft.Meta.Versioned
+      // key-parity batches + at-least-once replay (Σv² doubling would
+      // be visible in var_price, so the oracle match pins exactly-once)
+      val feedDf = graft.Meta.Versioned
         .snapshotDiff(v1, v2, Seq("o_orderkey"), preimages = true)
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_totalprice"), col("change_type"))
-        .as[(Long, Long, Double, String)]
-        .collect().toSeq
-      val ms = MemoryStream[(Long, Long, Double, String)]
-      val src = ms.toDF()
-        .toDF("o_orderkey", "o_custkey", "o_totalprice", "change_type")
-      @volatile var lastBid = -1L
-      val fold = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {
-        if (bid > lastBid) lastBid = bid
+      cdcTwoBatchWithReplay(root, feedDf, (batch, bid) => {
         graft.Meta.Versioned.writeOnce(
           Incremental.maintainMoments(
             graft.Meta.Versioned.read(spark, aggPath), batch,
             Seq("o_custkey"), "o_totalprice"), aggPath, "q124", bid)
         ()
-      }
-      Streams.withShufflePartitions(spark, 4) {
-        val q = src.writeStream
-          .foreachBatch(fold)
-          .outputMode("update")
-          .option("checkpointLocation", s"$root/cp")
-          .start()
-        try {
-          ms.addData(feedRows.filter(_._1 % 2 == 0))
-          q.processAllAvailable()
-          ms.addData(feedRows.filter(_._1 % 2 != 0))
-          q.processAllAvailable()
-        } finally q.stop()
-      }
-      // at-least-once replay of the final batch: Σv² doubling would be
-      // visible in var_price, so the oracle match pins exactly-once
-      fold(feedRows.filter(_._1 % 2 != 0)
-        .toDF("o_orderkey", "o_custkey", "o_totalprice", "change_type"), lastBid)
+      })
       val m = graft.Meta.Versioned.read(spark, aggPath)
       val s1c = col("s1") * 100
       val s2c4 = col("s2") * 10000
@@ -730,7 +712,6 @@ object StatefulQueries {
     Q(
       "q133_stream_drift",
       LinkageQueries.driftSql) { (spark, dir) =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import graft.streaming.Streams
       import graft.ops.Incremental
       val root = graft.Tmp.dir("graft-q133").toString
@@ -741,44 +722,20 @@ object StatefulQueries {
       val v2 = docs.filter(col("doc_id") % 7 =!= 0)
       graft.Meta.Versioned.write(
         Incremental.aggSumCount(v1, Seq("lang", "source"), "n_chars"), aggPath)
-      implicit val ctx = spark.sqlContext
-      import spark.implicits._
-      val feedRows = graft.Meta.Versioned
+      // key-parity batches + at-least-once replay (a double-applied
+      // delta would shift n_v2/chars_v2 in every touched cell — the
+      // oracle match against the direct recompute pins exactly-once)
+      val feedDf = graft.Meta.Versioned
         .snapshotDiff(v1, v2, Seq("doc_id"), preimages = true)
         .select(col("doc_id"), col("lang"), col("source"),
           col("n_chars"), col("change_type"))
-        .as[(Long, String, String, Long, String)]
-        .collect().toSeq
-      val ms = MemoryStream[(Long, String, String, Long, String)]
-      val src = ms.toDF()
-        .toDF("doc_id", "lang", "source", "n_chars", "change_type")
-      @volatile var lastBid = -1L
-      val fold = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {
-        if (bid > lastBid) lastBid = bid
+      cdcTwoBatchWithReplay(root, feedDf, (batch, bid) => {
         graft.Meta.Versioned.writeOnce(
           Incremental.maintainSumCount(
             graft.Meta.Versioned.read(spark, aggPath), batch,
             Seq("lang", "source"), "n_chars"), aggPath, "q133", bid)
         ()
-      }
-      Streams.withShufflePartitions(spark, 4) {
-        val q = src.writeStream
-          .foreachBatch(fold)
-          .outputMode("update")
-          .option("checkpointLocation", s"$root/cp")
-          .start()
-        try {
-          ms.addData(feedRows.filter(_._1 % 2 == 0))
-          q.processAllAvailable()
-          ms.addData(feedRows.filter(_._1 % 2 != 0))
-          q.processAllAvailable()
-        } finally q.stop()
-      }
-      // at-least-once replay of the final batch: a double-applied delta
-      // would shift n_v2/chars_v2 in every touched cell — the oracle
-      // match against the direct recompute pins exactly-once
-      fold(feedRows.filter(_._1 % 2 != 0)
-        .toDF("doc_id", "lang", "source", "n_chars", "change_type"), lastBid)
+      })
       val maintained = graft.Meta.Versioned.read(spark, aggPath)
         .select(col("lang"), col("source"), col("cnt").as("n_v2"),
           col("total").cast("long").as("chars_v2"))
@@ -821,7 +778,6 @@ object StatefulQueries {
       "q165_stream_novelty",
       CorpusStatsQueries.noveltyOracleSql("WHERE doc_id % 3 = 0")) {
       (spark, dir) =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import graft.streaming.Streams
       val root = graft.Tmp.dir("graft-q165").toString
       val ownPath = s"$root/own"
@@ -847,13 +803,20 @@ object StatefulQueries {
               org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("novelty",
               org.apache.spark.sql.types.DoubleType)))), resPath)
-      implicit val ctx = spark.sqlContext
-      import spark.implicits._
-      val feed = docs.filter(col("doc_id") % 3 === 0)
+      // file-backed feed (Streams.FileFeed, round 16): no driver
+      // collect() of the document text. Batch membership MATTERS here
+      // (novelty scores read the standing owner state as of the doc's
+      // batch), so the oracle's sorted-half split is reproduced
+      // exactly via the ⌊n∕2⌋-th-smallest doc_id cutoff — a harness-
+      // side staging probe, not part of the measured fold.
+      val feedDf = docs.filter(col("doc_id") % 3 === 0)
         .select(col("doc_id"), col("text"))
-        .as[(Long, String)].collect().sortBy(_._1)
-      val (b1, b2) = feed.splitAt(feed.length / 2)
-      val ms = MemoryStream[(Long, String)]
+      val nFeed = feedDf.count()
+      val cutoff = Option(feedDf.select(col("doc_id"))
+          .orderBy(col("doc_id")).limit((nFeed / 2).toInt)
+          .agg(max(col("doc_id"))).head().get(0))
+        .fold(Long.MinValue)(_.asInstanceOf[Long])
+      val feed = new Streams.FileFeed(spark, feedDf.schema, root)
       @volatile var lastBid = -1L
       val fold = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {
         if (bid > lastBid) lastBid = bid
@@ -887,21 +850,22 @@ object StatefulQueries {
         ()
       }
       Streams.withShufflePartitions(spark, 4) {
-        val q = ms.toDF().toDF("doc_id", "text").writeStream
+        feed.add(feedDf.filter(col("doc_id") <= cutoff))
+        val q = feed.stream.writeStream
           .foreachBatch(fold)
           .outputMode("update")
           .option("checkpointLocation", s"$root/cp")
           .start()
         try {
-          ms.addData(b1)
           q.processAllAvailable()
-          ms.addData(b2)
+          feed.add(feedDf.filter(col("doc_id") > cutoff))
           q.processAllAvailable()
         } finally q.stop()
       }
       // at-least-once replay of the final batch: writeOnce must make the
       // double-applied fold a no-op on both tables
-      fold(b2.toSeq.toDF("doc_id", "text"), lastBid)
+      fold(feedDf.filter(col("doc_id") > cutoff).toDF("doc_id", "text"),
+        lastBid)
       graft.Meta.Versioned.read(spark, resPath)
     },
 
@@ -927,7 +891,6 @@ object StatefulQueries {
          |FROM toks, tot
          |GROUP BY term, n_total
          |HAVING count(*) * 200 > n_total""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import graft.streaming.Streams
       val root = graft.Tmp.dir("graft-q121").toString
       val cmPath = s"$root/cm"; val candPath = s"$root/cands"
@@ -942,13 +905,12 @@ object StatefulQueries {
           .select(explode(col("c")).as("term"))
       graft.Meta.Versioned.write(cmOf(docs.limit(0)), cmPath)
       graft.Meta.Versioned.write(candsOf(docs.limit(0)), candPath)
-      implicit val ctx = spark.sqlContext
-      import spark.implicits._
-      val rows = docs.as[(Long, String)].collect().toSeq
-      val ms = MemoryStream[(Long, String)]
-      val src = ms.toDF().toDF("doc_id", "text")
+      // file-backed feed (Streams.FileFeed, round 16): no driver
+      // collect(); key-parity batch membership unchanged
+      val feed = new Streams.FileFeed(spark, docs.schema, root)
       Streams.withShufflePartitions(spark, 4) {
-        val q = src.writeStream
+        feed.add(docs.filter(col("doc_id") % 2 === 0))
+        val q = feed.stream.writeStream
           // CM merge is elementwise ADDITION — a replayed batch would
           // double its counts — so both folds commit through writeOnce
           // (txn markers, round 8). The two tables are separate commit
@@ -969,9 +931,8 @@ object StatefulQueries {
           .option("checkpointLocation", s"$root/cp")
           .start()
         try {
-          ms.addData(rows.filter(_._1 % 2 == 0))
           q.processAllAvailable()
-          ms.addData(rows.filter(_._1 % 2 != 0))
+          feed.add(docs.filter(col("doc_id") % 2 =!= 0))
           q.processAllAvailable()
         } finally q.stop()
       }
@@ -1013,7 +974,6 @@ object StatefulQueries {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  TRUE AS rolled_matches
         |FROM events GROUP BY 1""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import graft.streaming.Streams
       val root = graft.Tmp.dir("graft-q184").toString
       val bmPath = s"$root/bitmaps"
@@ -1022,13 +982,13 @@ object StatefulQueries {
         df.groupBy("event_type")
           .agg(call_function("graft_bitmap_sketch", col("user_id")).as("bm"))
       graft.Meta.Versioned.write(bitmapOf(ev.limit(0)), bmPath)
-      implicit val ctx = spark.sqlContext
-      import spark.implicits._
-      val rows = ev.as[(Long, String, Long)].collect().toSeq
-      val ms = MemoryStream[(Long, String, Long)]
-      val src = ms.toDF().toDF("event_id", "event_type", "user_id")
+      // file-backed feed (Streams.FileFeed, round 16): no driver
+      // collect() of the events slice; key-parity membership unchanged,
+      // with the first half staged TWICE (at-least-once — OR absorbs it)
+      val feed = new Streams.FileFeed(spark, ev.schema, root)
       Streams.withShufflePartitions(spark, 4) {
-        val q = src.writeStream
+        feed.add(ev.filter(col("event_id") % 2 === 0))
+        val q = feed.stream.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
             val standing = graft.Meta.Versioned.read(spark, bmPath)
             val merged = standing.unionByName(bitmapOf(batch))
@@ -1041,13 +1001,11 @@ object StatefulQueries {
           .option("checkpointLocation", s"$root/cp")
           .start()
         try {
-          val half = rows.filter(_._1 % 2 == 0)
-          ms.addData(half)
           q.processAllAvailable()
           // at-least-once: the SAME batch redelivered — OR absorbs it
-          ms.addData(half)
+          feed.add(ev.filter(col("event_id") % 2 === 0))
           q.processAllAvailable()
-          ms.addData(rows.filter(_._1 % 2 != 0))
+          feed.add(ev.filter(col("event_id") % 2 =!= 0))
           q.processAllAvailable()
         } finally q.stop()
       }
@@ -1075,20 +1033,22 @@ object StatefulQueries {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_us
         |FROM events GROUP BY 1""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import graft.streaming.{StateV2, Streams}
       val root = graft.Tmp.dir("graft-q196").toString
       val tblPath = s"$root/profiles"
       val ev = Tables.events(spark, dir).select(col("user_id"),
         unix_micros(col("ts").cast("timestamp")).as("event_us"))
-      implicit val ctx = spark.sqlContext
       import spark.implicits._
       graft.Meta.Versioned.write(
         ev.limit(0).select(col("user_id"), lit(0L).as("n_events"),
           col("event_us").as("last_us")), tblPath)
-      val rows = ev.as[(Long, Long)].collect().toSeq
-      val ms = MemoryStream[(Long, Long)]
-      val src = ms.toDF().toDF("user_id", "event_us").as[StateV2.EventIn]
+      // file-backed feed (Streams.FileFeed, round 16): no driver
+      // collect(). The old split was by collect()-order INDEX mod 3 —
+      // replaced by a deterministic row-hash split; the final per-user
+      // count/max fixpoint is batch-membership-independent (both folds
+      // commutative+associative), which the oracle match pins.
+      val feed = new Streams.FileFeed(spark, ev.schema, root)
+      val src = feed.stream.as[StateV2.EventIn]
       StateV2.withRocksDbState(spark) {
         Streams.withShufflePartitions(spark, 4) {
           val q = StateV2.runningUserStats(src)
@@ -1110,9 +1070,8 @@ object StatefulQueries {
             .start()
           try {
             (0 until 3).foreach { b =>
-              ms.addData(rows.zipWithIndex.collect {
-                case (r, i) if i % 3 == b => r
-              })
+              feed.add(ev.filter(
+                pmod(xxhash64(col("user_id"), col("event_us")), lit(3)) === b))
               q.processAllAvailable()
             }
           } finally q.stop()
@@ -1162,7 +1121,6 @@ object StatefulQueries {
         |  CAST(sum(bytes) AS BIGINT) AS bytes_in,
         |  TRUE AS fold_matches
         |FROM cand GROUP BY part, bin, target""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import graft.streaming.Streams
       val root = graft.Tmp.dir("graft-q218").toString
       val manPath = s"$root/manifest"
@@ -1184,13 +1142,12 @@ object StatefulQueries {
           standing.unionByName(partials(batch, bid)), manPath)
       }
       graft.Meta.Versioned.write(partials(ev.limit(0), -1L), manPath)
-      implicit val ctx = spark.sqlContext
-      import spark.implicits._
-      val rows = ev.as[(Long, String, Long)].collect().toSeq
-      val ms = MemoryStream[(Long, String, Long)]
-      val src = ms.toDF().toDF("event_id", "event_type", "nbytes")
+      // file-backed feed (Streams.FileFeed, round 16): no driver
+      // collect(); key-parity batch membership unchanged
+      val feed = new Streams.FileFeed(spark, ev.schema, root)
       Streams.withShufflePartitions(spark, 4) {
-        val q = src.writeStream
+        feed.add(ev.filter(col("event_id") % 2 === 0))
+        val q = feed.stream.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
             commit(batch, bid)
           }
@@ -1198,10 +1155,8 @@ object StatefulQueries {
           .option("checkpointLocation", s"$root/cp")
           .start()
         try {
-          val (half, rest) = rows.partition(_._1 % 2 == 0)
-          ms.addData(half)
           q.processAllAvailable()
-          ms.addData(rest)
+          feed.add(ev.filter(col("event_id") % 2 =!= 0))
           q.processAllAvailable()
         } finally q.stop()
       }
@@ -1251,7 +1206,6 @@ object StatefulQueries {
          |  round(pr, 6) AS priority,
          |  round(greatest(CAST(n_chars AS DOUBLE), t), 6) AS est_weight
          |FROM ranked, tau WHERE rn <= 64""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import graft.ops.Sample
       val n = 64
       val docs = Tables.documents(spark, dir).select("doc_id", "n_chars")
@@ -1260,12 +1214,13 @@ object StatefulQueries {
       graft.Meta.Versioned.write(
         Sample.priorityTopK(docs.filter(col("doc_id") % 3 =!= 0),
           "doc_id", "n_chars", n), path)
-      implicit val ctx = spark.sqlContext
-      import spark.implicits._
-      val feed = docs.filter(col("doc_id") % 3 === 0)
-        .as[(Long, Long)].collect().sortBy(_._1)
-      val (b1, b2) = feed.splitAt(feed.length / 2)
-      val ms = MemoryStream[(Long, Long)]
+      // file-backed feed (Streams.FileFeed, round 16): no driver
+      // collect(). The top-(n+1) priority fold is an associative
+      // merge (top-of-tops == top-of-all), so batch MEMBERSHIP is
+      // irrelevant to the final sample — the old sorted-half split
+      // becomes the residue split doc_id ≡ 0 ∕ ≡ 3 (mod 6).
+      val feedDf = docs.filter(col("doc_id") % 3 === 0)
+      val feed = new graft.streaming.Streams.FileFeed(spark, feedDf.schema, root)
       val fold = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {
         val bt = Sample.priorityTopK(batch.toDF("doc_id", "n_chars"),
           "doc_id", "n_chars", n)
@@ -1276,15 +1231,15 @@ object StatefulQueries {
         ()
       }
       graft.streaming.Streams.withShufflePartitions(spark, 4) {
-        val q = ms.toDF().toDF("doc_id", "n_chars").writeStream
+        feed.add(feedDf.filter(col("doc_id") % 6 === 0))
+        val q = feed.stream.writeStream
           .foreachBatch(fold)
           .outputMode("update")
           .option("checkpointLocation", s"$root/cp")
           .start()
         try {
-          ms.addData(b1)
           q.processAllAvailable()
-          ms.addData(b2)
+          feed.add(feedDf.filter(col("doc_id") % 6 === 3))
           q.processAllAvailable()
         } finally q.stop()
       }
@@ -1360,18 +1315,18 @@ object StatefulQueries {
          |    THEN 1 ELSE 0 END) OVER (ORDER BY bid ROWS UNBOUNDED PRECEDING)
          |    = 1 AS stopped
          |FROM v""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.expressions.Window
       val C1 = -143100844L; val C2 = 336472237L; val A9 = 2944438979L
       val docs = Tables.documents(spark, dir).select("doc_id", "text")
       val root = graft.Tmp.dir("graft-q270").toString
       val path = s"$root/sprt"
-      implicit val ctx = spark.sqlContext
       import spark.implicits._
       graft.Meta.Versioned.write(
         Seq.empty[(Long, Long, Long)].toDF("bid", "n", "k"), path)
-      val feed = docs.as[(Long, String)].collect().sortBy(_._1)
-      val ms = MemoryStream[(Long, String)]
+      // file-backed feed (Streams.FileFeed, round 16): no driver
+      // collect() of the corpus text. Batch membership unchanged:
+      // batch b = doc_id ≡ b (mod 4), exactly the oracle's blog CTE.
+      val feed = new graft.streaming.Streams.FileFeed(spark, docs.schema, root)
       val fold = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {
         val agg = batch.toDF("doc_id", "text")
           .select(col("doc_id"),
@@ -1385,14 +1340,16 @@ object StatefulQueries {
         ()
       }
       graft.streaming.Streams.withShufflePartitions(spark, 4) {
-        val q = ms.toDF().toDF("doc_id", "text").writeStream
+        feed.add(docs.filter(col("doc_id") % 4 === 0))
+        val q = feed.stream.writeStream
           .foreachBatch(fold)
           .outputMode("update")
           .option("checkpointLocation", s"$root/cp")
           .start()
         try {
-          (0L until 4L).foreach { b =>
-            ms.addData(feed.filter(_._1 % 4 == b))
+          q.processAllAvailable()
+          (1L until 4L).foreach { b =>
+            feed.add(docs.filter(col("doc_id") % 4 === b))
             q.processAllAvailable()
           }
         } finally q.stop()
