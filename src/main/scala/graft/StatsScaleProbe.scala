@@ -64,34 +64,66 @@ object StatsScaleProbe {
     val big = replicate(base, factor)
     println(s"[probe] rows: base=${base.count()}, replicated=${big.count()} (${factor}x)")
 
+    // Each kernel carries a CLAIMED factor range (the scaladoc's sfN
+    // over this fixture's ~50k-rows-per-sf shape). Inside the range an
+    // ANSI overflow FAILS the probe; beyond it, an overflow is reported
+    // as the kernel's measured boundary (factor 3000 measured the MW
+    // verdict product 38416·n₁n₂·G at 7.1e39 — past its sf100 claim,
+    // exactly where the closed-form bound says it crosses, k ≈ 1300).
+    var failed = false
+    def isDecimalOverflow(e: Throwable): Boolean = e != null && (
+      (e.isInstanceOf[org.apache.spark.SparkThrowable] &&
+        e.getMessage != null &&
+        e.getMessage.contains("NUMERIC_VALUE_OUT_OF_RANGE")) ||
+        isDecimalOverflow(e.getCause))
+    def ranged(label: String, claimedFactor: Int)(body: => Unit): Unit =
+      try body catch {
+        case e: Throwable if isDecimalOverflow(e) && factor > claimedFactor =>
+          println(s"[probe] $label: measured 38-digit boundary BEYOND its " +
+            s"claimed factor $claimedFactor (probe factor $factor): " +
+            e.getMessage.linesIterator.next())
+        case e: Throwable if isDecimalOverflow(e) =>
+          failed = true
+          println(s"[probe] FAIL $label: overflow INSIDE claimed factor " +
+            s"$claimedFactor: ${e.getMessage.linesIterator.next()}")
+      }
+
     // ---- q258 shape: two-sample Mann–Whitney, en vs rest ----
+    // claimed to sf100 (factor 1000): the verdict product 38416·n₁n₂·G
+    // ≈ 38416·0.24·n⁵ crosses 10³⁸ at n ≈ 6.4e6 rows (k ≈ 1300 here)
     def mw(df: DataFrame) = ops.Stats.mannWhitney(
       df.filter(col("lang") === "en"), df.filter(col("lang") =!= "en"),
       "n_chars").head()
-    val mwS = mw(base.select(col("source"), col("lang"), col("n_chars")))
-    val mwB = time("mannWhitney sf100")(mw(big))
-    println(s"[probe] mw base=$mwS")
-    println(s"[probe] mw big =$mwB")
-    require(mwB.getLong(0) == mwS.getLong(0) * factor &&
-      mwB.getLong(1) == mwS.getLong(1) * factor,
-      s"n1/n2 did not scale ${factor}x")
-    // u is emitted as an exact double (2U < 2^53 is part of the claim)
-    require(mwB.getDouble(2) == mwS.getDouble(2) * factor.toDouble * factor,
-      s"U did not scale ${factor}^2x: ${mwS.getDouble(2)} -> ${mwB.getDouble(2)}")
-    require(mwB.getDouble(3) == mwS.getDouble(3),
-      s"auc not replication-invariant: ${mwS.getDouble(3)} -> ${mwB.getDouble(3)}")
+    ranged("mannWhitney", 1000) {
+      val mwS = mw(base.select(col("source"), col("lang"), col("n_chars")))
+      val mwB = time(s"mannWhitney x$factor")(mw(big))
+      println(s"[probe] mw base=$mwS")
+      println(s"[probe] mw big =$mwB")
+      require(mwB.getLong(0) == mwS.getLong(0) * factor &&
+        mwB.getLong(1) == mwS.getLong(1) * factor,
+        s"n1/n2 did not scale ${factor}x")
+      // u is emitted as an exact double (2U < 2^53 is part of the claim)
+      require(mwB.getDouble(2) == mwS.getDouble(2) * factor.toDouble * factor,
+        s"U did not scale ${factor}^2x: ${mwS.getDouble(2)} -> ${mwB.getDouble(2)}")
+      require(mwB.getDouble(3) == mwS.getDouble(3),
+        s"auc not replication-invariant: ${mwS.getDouble(3)} -> ${mwB.getDouble(3)}")
+    }
 
     // ---- q260 shape: order-statistic median CI ----
-    val ciS = ops.Stats.medianCI(base, "n_chars").head()
-    val ciB = time("medianCI sf100")(ops.Stats.medianCI(big, "n_chars").head())
-    println(s"[probe] ci base=$ciS")
-    println(s"[probe] ci big =$ciB")
-    require(ciB.getLong(0) == ciS.getLong(0) * factor, "n did not scale")
-    require(ciB.getDouble(1) == ciS.getDouble(1),
-      s"median moved under replication: ${ciS.getDouble(1)} -> ${ciB.getDouble(1)}")
-    require(ciB.getLong(2) >= ciS.getLong(2) && ciB.getLong(3) <= ciS.getLong(3),
-      s"sf100 CI [${ciB.getLong(2)}, ${ciB.getLong(3)}] not inside " +
-        s"sf0.1 CI [${ciS.getLong(2)}, ${ciS.getLong(3)}]")
+    // claimed to sf100; its largest product 38416·n crosses 10³⁸ only
+    // near n ≈ 2.6e33 — effectively unbounded
+    ranged("medianCI", 1000) {
+      val ciS = ops.Stats.medianCI(base, "n_chars").head()
+      val ciB = time(s"medianCI x$factor")(ops.Stats.medianCI(big, "n_chars").head())
+      println(s"[probe] ci base=$ciS")
+      println(s"[probe] ci big =$ciB")
+      require(ciB.getLong(0) == ciS.getLong(0) * factor, "n did not scale")
+      require(ciB.getDouble(1) == ciS.getDouble(1),
+        s"median moved under replication: ${ciS.getDouble(1)} -> ${ciB.getDouble(1)}")
+      require(ciB.getLong(2) >= ciS.getLong(2) && ciB.getLong(3) <= ciS.getLong(3),
+        s"replicated CI [${ciB.getLong(2)}, ${ciB.getLong(3)}] not inside " +
+          s"base CI [${ciS.getLong(2)}, ${ciS.getLong(3)}]")
+    }
 
     // ---- q263 shape: per-source BH-FDR drift battery ----
     def bh(df: DataFrame): Map[String, (Long, Long, Boolean)] = {
@@ -104,21 +136,26 @@ object StatsScaleProbe {
         .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(5))))
         .toMap
     }
-    val bhS = bh(base.select(col("source"), col("lang"), col("n_chars")))
-    val bhB = time("bhDrift sf100")(bh(big))
-    require(bhS.keySet == bhB.keySet, "source sets differ")
-    bhS.foreach { case (s, (n1, n2, rej)) =>
-      val (bn1, bn2, brej) = bhB(s)
-      require(bn1 == n1 * factor && bn2 == n2 * factor, s"$s: n did not scale")
-      // power-monotonicity is expected but not exact law (integer
-      // floors can re-order near-tied z6 neighbours) — warn, don't fail
-      if (rej && !brej)
-        println(s"[probe] WARN $s: rejected at sf0.1 but not at sf100")
+    // claimed to ~sf300 (factor 3000): the e5-ladder peak
+    // e5²·3n(n−1)·n₁n₂ reads 7.2·10³⁷ at k = 3000 on this fixture
+    ranged("bhDrift", 3000) {
+      val bhS = bh(base.select(col("source"), col("lang"), col("n_chars")))
+      val bhB = time(s"bhDrift x$factor")(bh(big))
+      require(bhS.keySet == bhB.keySet, "source sets differ")
+      bhS.foreach { case (s, (n1, n2, rej)) =>
+        val (bn1, bn2, brej) = bhB(s)
+        require(bn1 == n1 * factor && bn2 == n2 * factor, s"$s: n did not scale")
+        // power-monotonicity is expected but not exact law (integer
+        // floors can re-order near-tied z6 neighbours) — warn, don't fail
+        if (rej && !brej)
+          println(s"[probe] WARN $s: rejected at base but not replicated")
+      }
+      println(s"[probe] bh rejections: base=${bhS.count(_._2._3)}/${bhS.size}, " +
+        s"x$factor=${bhB.count(_._2._3)}/${bhB.size}")
     }
-    println(s"[probe] bh rejections: sf0.1=${bhS.count(_._2._3)}/${bhS.size}, " +
-      s"sf100=${bhB.count(_._2._3)}/${bhB.size}")
-    println(s"[probe] PASS: no 38-digit overflow (ANSI mode), all replication " +
-      s"invariants hold at factor $factor")
+    require(!failed, "a kernel overflowed INSIDE its claimed range")
+    println(s"[probe] PASS at factor $factor: no overflow inside any claimed " +
+      s"range; replication invariants hold where kernels ran")
     spark.stop()
   }
 }

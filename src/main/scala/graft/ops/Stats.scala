@@ -525,7 +525,10 @@ object Stats {
     // e5 = ⌊dev·10⁵∕(n₁n₂)⌋ ≤ 10⁵ (dev ≤ n₁n₂ by construction):
     // z6 = ⌊e5²·3n(n−1)·n₁n₂ ∕ (G·10⁴)⌋, every left-to-right
     // intermediate ≤ ~9·10³⁵ at sf100 (e5² ≤ 10¹⁰, ×3n(n−1) ≈
-    // 7.5·10¹³, ×n₁n₂ ≈ 1.2·10¹²) — headroom to sf300+. The e5 grid
+    // 7.5·10¹³, ×n₁n₂ ≈ 1.2·10¹²) — headroom to ~sf300, where the
+    // ladder peak reads 7.2·10³⁷ (StatsScaleProbe at factor 3000
+    // runs this arm clean; the MW verdict product is the arm that
+    // crosses 38 digits first, at k ≈ 1300). The e5 grid
     // is the minted recipe shared verbatim with the oracle (floor
     // divides on both sides), so the ≤ 10⁻⁴-relative coarsening it
     // adds cannot flip a verdict cross-engine; a fully-tied group
