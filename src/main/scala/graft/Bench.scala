@@ -20,7 +20,11 @@ import org.apache.spark.sql.SparkSession
   *     (default 1200) wall-clock budget stops passes ≥ 2 early so the
   *     driver's outer kill timer is never the thing that ends a sweep
   *     (round 15's rc=124 lesson — a kill mid-pass leaves −1 sentinels,
-  *     a budget stop leaves every query with ≥ 1 honest sample);
+  *     a budget stop leaves every query with ≥ 1 honest sample); budget
+  *     LEFT OVER after the requested passes buys additional fill passes
+  *     on full-registry sweeps (round 17 — sharper minima at identical
+  *     wall cost), and per-query sample counts ship in the output so
+  *     readers can weight thin minima;
   *   - the cross-round comparison statistic is the per-query MIN, not the
   *     median: min-of-N is load-robust (load only ever adds time), so a
   *     min-vs-min delta > 15% is signal where a median-vs-median delta
@@ -70,10 +74,25 @@ object Bench {
     * query, not one pass. Queries may therefore end the run with
     * different sample counts; the comparison statistic is min-of-N,
     * which only loses sharpness, never correctness, from a shorter
-    * vector. Returns (samples, budgetHit). Extracted from main so the
-    * guard's semantics are spec-testable with a fake clock. */
+    * vector — and the emitted per-query sample counts let readers
+    * weight thin minima (round 17).
+    *
+    * `fill` (round 17 — budget-aware pass count): when the REQUESTED
+    * passes+extra finish with budget left over, keep running additional
+    * guarded full passes until the budget is spent (capped at
+    * `maxFillPasses` against a pathological tiny-sweep spin). The
+    * round-16 driver default left ~28% of its 1200 s budget unused on a
+    * fast box while a slow box got budget-cut to thin samples — fill
+    * converts that leftover into sharper minima at identical wall cost.
+    * Fill exhausting the budget is the PLAN, not a truncation, so it
+    * never sets `budgetHit`; that flag keeps meaning "the requested
+    * passes were cut".
+    *
+    * Returns (samples, budgetHit). Extracted from main so the guard's
+    * semantics are spec-testable with a fake clock. */
   def sweep(names: Seq[String], passes: Int, extra: Int, budgetSec: Double,
-      elapsedSec: () => Double, run: String => Double)
+      elapsedSec: () => Double, run: String => Double,
+      fill: Boolean = false, maxFillPasses: Int = 50)
       : (Map[String, Vector[Double]], Boolean) = {
     val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
       names.map(n => n -> Vector.empty[Double]): _*)
@@ -100,6 +119,17 @@ object Bench {
         else { val n = it.next(); samples(n) = samples(n) :+ run(n) }
       }
       e += 1
+    }
+    // fill passes: leftover budget buys more full passes (never budgetHit)
+    var f = 1
+    var fillStop = budgetHit || !fill
+    while (!fillStop && f <= maxFillPasses) {
+      val it = names.iterator
+      while (it.hasNext && !fillStop) {
+        if (elapsedSec() > budgetSec) fillStop = true
+        else { val n = it.next(); samples(n) = samples(n) :+ run(n) }
+      }
+      f += 1
     }
     (samples.toMap, budgetHit)
   }
@@ -178,9 +208,15 @@ object Bench {
     // base sweeps interleave queries (pass 1 runs all queries, then pass
     // 2, …) so a transient load spike taxes different queries in
     // different passes instead of all samples of one query; the
-    // scheduler also enforces the wall-clock budget (scaladoc on sweep)
+    // scheduler also enforces the wall-clock budget (scaladoc on sweep).
+    // Fill mode (leftover budget → more passes) defaults ON for
+    // full-registry sweeps and OFF for BENCH_ONLY adjudications, whose
+    // explicit pass counts ARE the protocol; SPARK_GRAFT_BENCH_FILL=0/1
+    // overrides either way.
+    val fill = sys.env.get("SPARK_GRAFT_BENCH_FILL")
+      .map(_ == "1").getOrElse(only.isEmpty)
     val (samples, budgetHit) = sweep(names, passes, extra, budgetSec,
-      () => (System.nanoTime() - t0Main) / 1e9, timeOnce)
+      () => (System.nanoTime() - t0Main) / 1e9, timeOnce, fill)
     def medianOf(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -237,6 +273,12 @@ object Bench {
       vals.map { case (k, v) => s"\"" + k + "\":" + fmt4(v) }.mkString("{", ",", "}")
     val qs = jsonMap(results.map(r => (r._1, r._2)))
     val qsMin = jsonMap(results.map(r => (r._1, r._3)))
+    // per-query sample counts (round 17): a budget cut or the fill
+    // passes leave queries with UNEQUAL sample counts — readers weight
+    // a min-of-2 differently from a min-of-7, so the counts ship with
+    // every run (full copy in bench/last_run.json too)
+    val qsSamples = names
+      .map(n => s"\"$n\":${samples(n).size}").mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // context submetrics (extra keys are ignorable by any JSON reader):
     // gold_sec = the three dbt-gold models — the only workload the
@@ -272,7 +314,8 @@ object Bench {
           s""""improved_rel_pct":${jsonMap(improved)}""" + shiftReport)
     val line =
       s"""{"metric":"total","value":${fmt4(total)},"unit":"sec","queries":$qs,""" +
-        s""""queries_min":$qsMin,"passes":$passes,"extra_passes":$extra,""" +
+        s""""queries_min":$qsMin,"samples":$qsSamples,""" +
+        s""""passes":$passes,"extra_passes":$extra,"fill":$fill,""" +
         s""""budget_sec":${fmt4(budgetSec)},""" +
         s""""elapsed_sec":${fmt4((System.nanoTime() - t0Main) / 1e9)},""" +
         s""""budget_hit":$budgetHit,""" +
@@ -290,6 +333,7 @@ object Bench {
       java.nio.file.Files.createDirectories(dir)
       val full = new StringBuilder()
       full ++= s"""{"sf":"$sfDir","passes":$passes,"extra_passes":$extra,"""
+      full ++= s""""fill":$fill,"samples":$qsSamples,"""
       full ++= s""""budget_sec":${fmt4(budgetSec)},"budget_hit":$budgetHit,"""
       full ++= s""""elapsed_sec":${fmt4((System.nanoTime() - t0Main) / 1e9)},"""
       full ++= s""""queries_median":${results.map(r => s"\"${r._1}\":${fmt6(r._2)}").mkString("{", ",", "}")},"""

@@ -255,15 +255,18 @@ object Stats {
     * support (ties contribute the standard half-credit — the c₂∕2 term
     * is what the −c₂ inside the doubled sum encodes), and the
     * two-sided α = 5% normal-approximation verdict is decided ENTIRELY
-    * in integer space: |2U − n₁n₂|²·30000 > (38416·n₁n₂·G) div
-    * (n(n−1)) with G = n(n−1)(n+1) − Σ(t³−t) the tie-corrected
-    * variance numerator and 38416 = 1.96²·10⁴ the squared 3-dp table
-    * value minted once (the `L·C > A·B ⇔ L > A·B div C` reduction for
-    * integer L keeps every product inside DECIMAL(38,0) to sf100 —
-    * VERIFIED at sf100-scale counts by `graft.StatsScaleProbe` in
-    * round 16 (ANSI mode, 5M-row support-bounded fixture, exact
-    * replication invariants) — where the naive cross-multiplication
-    * overflows 38 digits at sf10).
+    * in integer space on the bhDrift e5 effect-size ladder (round 17 —
+    * the round-16 reduction's verdict product 38416·n₁n₂·G crossed 38
+    * digits at ~sf130, measured by StatsScaleProbe at factor 3000):
+    * e5 = ⌊dev·10⁵∕(n₁n₂)⌋ ≤ 10⁵ with dev = |2U − n₁n₂|, then
+    * z6 = ⌊e5²·3n(n−1)·n₁n₂ ∕ (G·10⁴)⌋ compared strictly against
+    * 3841600 = 1.96²·10⁶, with G = n(n−1)(n+1) − Σ(t³−t) the
+    * tie-corrected variance numerator. Every left-to-right intermediate
+    * stays inside DECIMAL(38,0) to ~sf300 (the bhDrift headroom — the
+    * ladder peak e5²·3n(n−1)·n₁n₂ reads ~7·10³⁷ at factor 3000 on the
+    * probe fixture), and the floor-divide recipe is minted VERBATIM in
+    * the oracle SQL, so the ≤10⁻⁴-relative coarsening the e5 grid adds
+    * cannot flip a verdict cross-engine.
     * A degenerate group (all values tied) has G = 0 and dev = 0 —
     * no drift, no division hazard; a group missing either side is
     * dropped (a one-sample group has no two-sample verdict). A tie
@@ -297,12 +300,26 @@ object Stats {
         col("n") * (col("n") - 1) * (col("n") + 1) - col("ties"))
   }
 
+  /** The shared e5→z6 integer ladder over [[mwCore]] output (minted for
+    * bhDrift in round 16, extended to the single-test verdict in round
+    * 17): the 5-dp effect size e5 = ⌊dev·10⁵∕(n₁n₂)⌋ ≤ 10⁵ (dev ≤ n₁n₂
+    * by construction), then the 10⁻⁶-grid z² as
+    * z6 = ⌊e5²·3n(n−1)·n₁n₂ ∕ (G·10⁴)⌋ — every left-to-right
+    * intermediate ≤ ~9·10³⁵ at sf100-scale counts, headroom to ~sf300
+    * (StatsScaleProbe). A fully-tied group has dev = 0 → e5 = 0 → z6 =
+    * 0, and the G = 0 guard keeps the division defined. */
+  private def withZ6(v: DataFrame): DataFrame = v
+    .withColumn("e5", ExactRound.floorDiv(
+      col("dev") * lit(100000L).cast(I), col("n1") * col("n2")))
+    .withColumn("z6", when(col("g") > 0,
+      ExactRound.floorDiv(
+        col("e5") * col("e5") * lit(3).cast(I) * col("n") *
+          (col("n") - 1) * col("n1") * col("n2"),
+        col("g") * lit(10000L).cast(I))).otherwise(lit(0).cast(I)))
+
   def mannWhitneyBy(df: DataFrame, repCol: String, sideCol: String,
       vCol: String): DataFrame = {
-    val v = mwCore(df, repCol, sideCol, vCol)
-      .withColumn("r", ExactRound.floorDiv(
-        lit(38416L).cast(I) * col("n1") * col("n2") * col("g"),
-        col("n") * (col("n") - 1)))
+    val v = withZ6(mwCore(df, repCol, sideCol, vCol))
     v.select(
       col("rep"),
       col("n1").cast("long").as("n1"),
@@ -310,8 +327,8 @@ object Stats {
       (col("u2").cast("double") / lit(2.0)).as("u"),
       ExactRound.roundRatio(col("u2"), lit(2).cast(I) * col("n1") * col("n2"), 6)
         .cast("double").as("auc"),
-      (col("dev") * col("dev") * lit(30000L).cast(I) > col("r"))
-        .as("drift_detected"))
+      // strict >: a z² tie exactly AT the 1.96² boundary is NOT drift
+      (col("z6") > lit(3841600L).cast(I)).as("drift_detected"))
   }
 
   /** Single-pair Mann–Whitney: `a` is sample A (side 0), `b` sample B.
@@ -521,26 +538,13 @@ object Stats {
     // sf100-safe magnitude ladder (round 16; found by StatsScaleProbe):
     // the one-shot z6 numerator dev²·3n(n−1)·10⁶ reaches 41 digits at
     // sf100 (probe measured 6.3e40) — over DECIMAL(38,0) AND the
-    // oracle's HUGEINT alike. Route through the 5-dp effect size
-    // e5 = ⌊dev·10⁵∕(n₁n₂)⌋ ≤ 10⁵ (dev ≤ n₁n₂ by construction):
-    // z6 = ⌊e5²·3n(n−1)·n₁n₂ ∕ (G·10⁴)⌋, every left-to-right
-    // intermediate ≤ ~9·10³⁵ at sf100 (e5² ≤ 10¹⁰, ×3n(n−1) ≈
-    // 7.5·10¹³, ×n₁n₂ ≈ 1.2·10¹²) — headroom to ~sf300, where the
-    // ladder peak reads 7.2·10³⁷ (StatsScaleProbe at factor 3000
-    // runs this arm clean; the MW verdict product is the arm that
-    // crosses 38 digits first, at k ≈ 1300). The e5 grid
-    // is the minted recipe shared verbatim with the oracle (floor
-    // divides on both sides), so the ≤ 10⁻⁴-relative coarsening it
-    // adds cannot flip a verdict cross-engine; a fully-tied group
-    // still reads exactly 0 (dev = 0 → e5 = 0).
-    val z = mwCore(df, repCol, sideCol, vCol)
-      .withColumn("e5", ExactRound.floorDiv(
-        col("dev") * lit(100000L).cast(I), col("n1") * col("n2")))
-      .withColumn("z6", when(col("g") > 0,
-        ExactRound.floorDiv(
-          col("e5") * col("e5") * lit(3).cast(I) * col("n") *
-            (col("n") - 1) * col("n1") * col("n2"),
-          col("g") * lit(10000L).cast(I))).otherwise(lit(0).cast(I)))
+    // oracle's HUGEINT alike. The [[withZ6]] e5 ladder (shared with
+    // the mannWhitneyBy single-test verdict since round 17) keeps
+    // every intermediate ≤ ~9·10³⁵ at sf100 with headroom to ~sf300,
+    // and its floor-divide recipe is minted verbatim in the oracle,
+    // so the ≤ 10⁻⁴-relative coarsening cannot flip a verdict
+    // cross-engine; a fully-tied group still reads exactly 0.
+    val z = withZ6(mwCore(df, repCol, sideCol, vCol))
     val ranked = z.withColumn("rank",
       row_number().over(Window.orderBy(col("z6").desc, col("rep"))))
     val sess = df.sparkSession

@@ -1100,11 +1100,9 @@ object IndexQueries {
       // batch boundaries.
       val feedDf = e.filter(col("vec_id") % 5 === 0)
         .select(col("vec_id"), col("embedding"))
-      val nFeed = feedDf.count()
-      val cutoff = Option(feedDf.select(col("vec_id"))
-          .orderBy(col("vec_id")).limit((nFeed / 2).toInt)
-          .agg(max(col("vec_id"))).head().get(0))
-        .fold(Long.MinValue)(_.asInstanceOf[Long])
+      // vec_id is the embeddings PK — distinctness (which the value-
+      // cutoff ⇔ rank-split equivalence needs) is asserted inside
+      val cutoff = graft.streaming.Streams.halfCutoffByKey(feedDf, "vec_id")
       val feed = new graft.streaming.Streams.FileFeed(spark, feedDf.schema, root)
       val fold = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {
         val row = scores(batch.toDF("vec_id", "embedding"))

@@ -811,11 +811,9 @@ object StatefulQueries {
       // side staging probe, not part of the measured fold.
       val feedDf = docs.filter(col("doc_id") % 3 === 0)
         .select(col("doc_id"), col("text"))
-      val nFeed = feedDf.count()
-      val cutoff = Option(feedDf.select(col("doc_id"))
-          .orderBy(col("doc_id")).limit((nFeed / 2).toInt)
-          .agg(max(col("doc_id"))).head().get(0))
-        .fold(Long.MinValue)(_.asInstanceOf[Long])
+      // doc_id is the documents PK — distinctness (which the value-
+      // cutoff ⇔ rank-split equivalence needs) is asserted inside
+      val cutoff = Streams.halfCutoffByKey(feedDf, "doc_id")
       val feed = new Streams.FileFeed(spark, feedDf.schema, root)
       @volatile var lastBid = -1L
       val fold = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {

@@ -70,8 +70,10 @@ object StatsQueries {
       |  CAST(u2 AS DOUBLE) / 2 AS u,
       |  CAST((2 * u2 * 1000000 + 2 * n1 * n2) // (4 * n1 * n2) AS DOUBLE)
       |    / 1000000 AS auc,
-      |  dev * dev * 30000 > (38416 * n1 * n2 * g) // (n * (n - 1))
-      |    AS drift_detected""".stripMargin
+      |  (CASE WHEN g > 0 THEN
+      |     (((dev * 100000) // (n1 * n2)) * ((dev * 100000) // (n1 * n2))
+      |       * 3 * n * (n - 1) * n1 * n2) // (g * 10000)
+      |   ELSE 0 END) > 3841600 AS drift_detected""".stripMargin
 
   /** Per-group Gopher-keep partials CTE chain (DuckDB dialect):
     * `parts(<grp>, n, pos)` — the q169 battery aggregated by `grp`
@@ -195,8 +197,10 @@ object StatsQueries {
     // reports next to the verdict. Here: does English documents'
     // length distribution dominate the other languages'? The verdict
     // is decided entirely in integer space (tie-corrected variance,
-    // minted 1.96²·10⁴, the div-reduction that survives sf100) — a
-    // boundary tie cannot flip cross-engine. One support-sized pass.
+    // minted 1.96²·10⁶ on the e5 effect-size ladder that survives
+    // ~sf300 — round 17; the round-16 div-reduction crossed 38 digits
+    // at ~sf130) — a boundary tie cannot flip cross-engine. One
+    // support-sized pass.
     Q(
       "q258_mannwhitney_drift",
       s"""WITH d AS (

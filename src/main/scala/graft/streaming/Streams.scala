@@ -50,15 +50,68 @@ object Streams {
     * reproduces MemoryStream's deterministic batch boundaries (the file
     * source drains ALL newly-listed files into the next batch when no
     * `maxFilesPerTrigger` is set). The real-connector swap stays trivial:
-    * downstream code sees an unbounded DataFrame either way. */
+    * downstream code sees an unbounded DataFrame either way.
+    *
+    * Adds publish ATOMICALLY (round 17): the consumers run under the
+    * default polling trigger, so the source can list the feed while an
+    * `add` is mid-write — a multi-file write committed file-by-file
+    * into the watched directory could surface a PARTIAL file set and
+    * split one intended add across two micro-batches (MemoryStream's
+    * `addData` was atomic; the bid-/membership-sensitive folds rely on
+    * the one-add-one-batch boundary). Each add therefore writes its
+    * part-files to a sibling NON-watched staging directory first and
+    * enters the watched glob via ONE directory rename: any listing
+    * either sees the whole batch directory (files already inside) or
+    * none of it. The write stays fully distributed — no `coalesce(1)`
+    * funnel — and file paths are rename-stable, so the source's
+    * seen-files checkpoint (the T2/T3 restart contract) is unaffected. */
   final class FileFeed(spark: SparkSession, schema: StructType, root: String) {
     private val dir = s"$root/feed"
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    private val staging = s"$root/feed-stage"
+    private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
+    // pre-create one (empty) batch dir so the glob below matches even
+    // before the first add — a stream may start against an empty feed
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/b0"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(staging))
     /** The unbounded view — one streaming scan, start it once. */
-    def stream: DataFrame = parquetFileSource(spark, dir, schema)
-    /** Stage one micro-batch worth of rows (distributed append). */
-    def add(batch: DataFrame): Unit =
-      batch.write.mode("append").parquet(dir)
+    def stream: DataFrame = parquetFileSource(spark, s"$dir/*", schema)
+    /** Stage one micro-batch worth of rows: a distributed write into
+      * the staging area, published by one atomic directory rename. */
+    def add(batch: DataFrame): Unit = {
+      val id = nextId.incrementAndGet()
+      batch.write.mode("overwrite").parquet(s"$staging/b$id")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$staging/b$id"),
+        java.nio.file.Paths.get(s"$dir/b$id"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** Harness-side batch-staging cutoff for FileFeed consumers: the
+    * ⌊n∕2⌋-th-smallest `keyCol` value, reproducing the oracle's
+    * sorted-half split (`rn <= n div 2` over the key). The
+    * value-cutoff ⇔ row-rank-split equivalence REQUIRES the key to be
+    * DISTINCT (with duplicates the two diverge at the boundary) — the
+    * callers' keys are primary keys (vec_id/doc_id), and this asserts
+    * it rather than assuming (one extra count-distinct on the feed,
+    * staging-side only). `limit()` takes an Int, so the half-count is
+    * range-checked instead of silently truncated — a > 2³¹-row feed
+    * must slice by key range, not by this probe. Returns
+    * `Long.MinValue` for an empty feed (no row passes `<= cutoff`). */
+  def halfCutoffByKey(df: DataFrame, keyCol: String): Long = {
+    val c = df.agg(count(col(keyCol)).as("n"),
+      count_distinct(col(keyCol)).as("d")).head()
+    val (n, d) = (c.getLong(0), c.getLong(1))
+    require(n == d, s"halfCutoffByKey($keyCol): key must be distinct " +
+      s"(rows=$n, distinct=$d) — the value cutoff and the oracle's " +
+      "row-rank split diverge under duplicates")
+    val half = n / 2
+    require(half <= Int.MaxValue.toLong,
+      s"halfCutoffByKey: half-count $half exceeds limit()'s Int range")
+    if (half == 0L) Long.MinValue
+    else Option(df.select(col(keyCol)).orderBy(col(keyCol))
+        .limit(half.toInt).agg(max(col(keyCol))).head().get(0))
+      .fold(Long.MinValue)(_.asInstanceOf[Long])
   }
 
   /** S4 with the EXACT Kafka-source column contract — key/value binary,

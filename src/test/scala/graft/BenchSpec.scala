@@ -99,4 +99,51 @@ class BenchSpec extends AnyFunSuite {
     assert(samples("q_bad") == Vector(-1.0)) // never retried in extra sweeps
     assert(samples("q_ok") == Vector(0.2, 0.2, 0.2))
   }
+
+  // ---- the round-17 budget-aware fill passes ----
+
+  test("sweep: fill spends leftover budget on more passes without setting budgetHit") {
+    val log = scala.collection.mutable.Buffer[String]()
+    val clock = Array(0.0)
+    // 2 requested passes over 2 queries = 4 "seconds"; budget 7 leaves
+    // room for one more full fill pass (clock 4→6), then the pre-query
+    // check at 6 lets q_a run (clock=7), 7 > 7 is false → q_b runs
+    // (clock=8), then 8 > 7 stops the fill. budgetHit stays false:
+    // fill exhausting the budget is the plan, not a truncation.
+    val cost = Map("q_a" -> 2.0, "q_b" -> 3.0) // no sub-second → no extra sweeps
+    val (samples, hit) = Bench.sweep(Seq("q_a", "q_b"), passes = 2, extra = 1,
+      budgetSec = 7.0, () => clock(0), fakeRun(log, clock, cost), fill = true)
+    assert(!hit, "fill stopping at the budget must not read as a truncation")
+    assert(samples("q_a").size == 4 && samples("q_b").size == 4,
+      s"fill passes must keep interleaving full passes: $samples")
+  }
+
+  test("sweep: fill=false keeps the round-16 semantics exactly") {
+    val log = scala.collection.mutable.Buffer[String]()
+    val clock = Array(0.0)
+    val cost = Map("q_a" -> 2.0, "q_b" -> 3.0)
+    val (samples, hit) = Bench.sweep(Seq("q_a", "q_b"), passes = 2, extra = 1,
+      budgetSec = 1e9, () => clock(0), fakeRun(log, clock, cost))
+    assert(!hit)
+    assert(samples.values.forall(_.size == 2)) // exactly the requested passes
+  }
+
+  test("sweep: a budget already hit in the requested passes skips fill entirely") {
+    val log = scala.collection.mutable.Buffer[String]()
+    val clock = Array(0.0)
+    val (samples, hit) = Bench.sweep(Seq("q_a", "q_b", "q_c"), passes = 3, extra = 0,
+      budgetSec = 0.0, () => clock(0), fakeRun(log, clock), fill = true)
+    assert(hit)
+    assert(log == Seq("q_a", "q_b", "q_c")) // pass 1 only, no fill after a cut
+  }
+
+  test("sweep: fill is capped so a tiny sweep under a huge budget cannot spin") {
+    val log = scala.collection.mutable.Buffer[String]()
+    val clock = Array(0.0)
+    val (samples, hit) = Bench.sweep(Seq("q_a"), passes = 1, extra = 0,
+      budgetSec = 1e9, () => clock(0), fakeRun(log, clock, _ => 2.0),
+      fill = true, maxFillPasses = 3)
+    assert(!hit)
+    assert(samples("q_a").size == 4) // 1 requested + 3 capped fill passes
+  }
 }

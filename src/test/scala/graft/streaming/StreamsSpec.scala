@@ -371,4 +371,33 @@ class StreamsSpec extends SparkSuite {
     assert(seen.toList == List(0L -> Set(1L, 2L), 1L -> Set(3L, 4L)),
       s"restart must resume at batch 1 with only the new files: $seen")
   }
+
+  test("FileFeed: a multi-file add lands as ONE batch while the query is " +
+      "live, and the staging area is invisible to the stream") {
+    val root = tmp("filefeed-atomic")
+    val src = spark.range(0, 64).select(col("id"), (col("id") % 7).as("v"))
+    val feed = new Streams.FileFeed(spark, src.schema, root.toString)
+    val seen = scala.collection.mutable.Map[Long, Long]()
+    val q = feed.stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        seen(bid) = batch.count(); ()
+      }
+      .option("checkpointLocation", root.resolve("cp").toString)
+      .start()
+    try {
+      // many part-files per add (the multi-file-commit shape the atomic
+      // directory rename exists for) against a RUNNING polling query
+      feed.add(src.filter(col("id") < 40).repartition(8))
+      q.processAllAvailable()
+      feed.add(src.filter(col("id") >= 40).repartition(8))
+      q.processAllAvailable()
+    } finally q.stop()
+    // every add is whole-or-nothing: exact per-batch counts, no split
+    assert(seen.filter(_._2 > 0) == Map(0L -> 40L, 1L -> 24L),
+      s"adds must map 1:1 to non-empty batches: $seen")
+    // nothing under the staging sibling leaks into the watched glob
+    val staged = root.resolve("feed-stage").toFile.listFiles()
+    assert(staged != null && staged.isEmpty,
+      "staging directory must be drained after publish")
+  }
 }
