@@ -27,6 +27,9 @@ object Sessions {
     ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
       info("graft_shingle_hashes", classOf[ShingleHashes]),
       (e: Seq[Expression]) => ShingleHashes(e.head, intArg(e(1), "graft_shingle_hashes"))))
+    ext.injectFunction((FunctionIdentifier("graft_window_hashes"),
+      info("graft_window_hashes", classOf[WindowHashes]),
+      (e: Seq[Expression]) => WindowHashes(e.head, intArg(e(1), "graft_window_hashes"))))
     ext.injectFunction((FunctionIdentifier("graft_token_hashes"),
       info("graft_token_hashes", classOf[TokenHashes]),
       (e: Seq[Expression]) => TokenHashes(e.head)))

@@ -49,6 +49,17 @@ object TextKernels {
   /** Lowercased alphanumeric tokens (same as Text.tokens). */
   def tokenize(text: String): Array[String] =
     splitter.split(text.toLowerCase).filter(_.nonEmpty)
+
+  /** FNV-1a 64 over UTF-8 bytes — the cheap per-token hash feeding
+    * [[WindowHashes]]' rolling combination (internal prefilter keys
+    * only; never crosses an engine boundary). */
+  def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
 }
 
 /** Sorted distinct hash set of word n-gram shingles of a text column.
@@ -87,6 +98,56 @@ case class ShingleHashes(child: Expression, n: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** Per-position word n-gram window hashes in DOCUMENT ORDER — one Long
+  * per start position, duplicates preserved (unlike [[ShingleHashes]]'
+  * sorted distinct set): the bounded-suffix-key stream of the
+  * exact-substring dedup prefilter (`Dedup.exactSubstrDedup`).
+  * Rabin–Karp rolling combination of per-token FNV-1a 64 hashes in
+  * Long wrap arithmetic — O(tokens) per document regardless of n,
+  * where the interpreted shingle-string chain allocates O(tokens·n)
+  * characters. Prefilter key ONLY: equal token windows hash equal (no
+  * false negatives), a collision merely admits a candidate the exact
+  * string recheck downstream discards — so the hash never crosses an
+  * engine boundary and needs no oracle mirror. */
+case class WindowHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_window_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextKernels.tokenize(input.asInstanceOf[UTF8String].toString)
+    val m = toks.length
+    if (m < n) new GenericArrayData(Array.empty[Long])
+    else {
+      val th = new Array[Long](m)
+      var i = 0
+      while (i < m) { th(i) = TextKernels.fnv64(toks(i)); i += 1 }
+      val M = 0x9E3779B97F4A7C15L | 1L // odd → invertible mod 2^64
+      var mn1 = 1L // M^(n-1) mod 2^64
+      i = 1
+      while (i < n) { mn1 *= M; i += 1 }
+      val out = new Array[Long](m - n + 1)
+      var h = 0L
+      i = 0
+      while (i < n) { h = h * M + th(i); i += 1 }
+      out(0) = h
+      i = 1
+      while (i <= m - n) {
+        h = (h - th(i - 1) * mn1) * M + th(i + n - 1)
+        out(i) = h
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHashes =
     copy(child = newChild)
 }
 

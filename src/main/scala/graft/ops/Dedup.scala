@@ -699,6 +699,15 @@ object Dedup {
         explode(sequence(col("spos"), col("spos") + (shingleN - 1))).as("p"))
       .groupBy(idCol)
       .agg(array_sort(collect_set(col("p"))).as("cps"))
+    rewriteMinusCovered(toks, covered, idCol)
+  }
+
+  /** The order-keeping rewrite shared by every span-removal operator:
+    * drop the covered 1-based token positions, re-join the survivors.
+    * `covered` is (id, cps: sorted int array) for AFFECTED docs only —
+    * untouched docs left-join to null and pass through whole. */
+  private def rewriteMinusCovered(toks: DataFrame, covered: DataFrame,
+      idCol: String): DataFrame =
     toks.join(covered, Seq(idCol), "left")
       .select(col(idCol),
         array_join(
@@ -707,5 +716,82 @@ object Dedup {
           " ").as("clean_text"),
         size(col("t")).cast("long").as("n_tokens"),
         coalesce(size(col("cps")), lit(0)).cast("long").as("n_removed"))
+
+  /** Exact-substring dedup at suffix granularity (L258 — Lee et al.
+    * 2022's EXACTSUBSTR mode, the exact twin of [[stripDupSpans]]'s
+    * df-thresholded n-gram approximation): a token span is duplicated
+    * iff it is part of a ≥ `minLen`-token run that appears VERBATIM at
+    * a second site (another document, or another offset of the same
+    * document); every duplicated span keeps exactly ONE canonical
+    * occurrence and is stripped from all others. Returns the
+    * [[stripDupSpans]] shape (id, clean_text, n_tokens, n_removed).
+    *
+    * Mechanism — suffix-key grouping with a bounded window: each token
+    * position's length-`minLen` window is the bounded suffix key (a
+    * full suffix array extends matches unboundedly; grouping the first
+    * `minLen` tokens of every suffix finds exactly the runs ≥ minLen,
+    * because a run of length M ≥ minLen contributes M−minLen+1 aligned
+    * duplicated windows whose union covers it completely — no
+    * approximation). Each window value's canonical site is the global
+    * min (id, spos); NON-owner window positions union into per-doc
+    * covered intervals (overlapping repeats merge by construction —
+    * the cover is a position SET), and the rewrite is the shared
+    * order-keeping token filter. Because ownership is per window and
+    * the min site of every window of a shared run lands in the
+    * minimal document, the owner doc keeps the run intact while every
+    * other site loses it whole — all-but-one semantics at span
+    * granularity, matching the paper's removal rule.
+    *
+    * Scale shape: window count ≈ corpus token count (one per
+    * position), but the window STRING is minLen tokens — building and
+    * shuffling it for every position would be a minLen× token-volume
+    * blow-up. The compiled `graft_window_hashes` kernel avoids both:
+    * a Rabin–Karp ROLLING 64-bit hash per position — O(tokens) per
+    * doc regardless of minLen, no string allocation — whose stream
+    * (8 bytes/position) map-combines into the candidate set of hashes
+    * seen ≥ 2 times. Only SURVIVOR positions (actual repeats plus the
+    * vanishing hash-collision rate) materialize their window strings
+    * (an array slice at the surviving offsets) for the exact
+    * (s)-grouping, so the string work is bounded by the corpus's true
+    * duplication volume, not its size. The prefilter has no false
+    * negatives (equal token windows hash equal) and its false
+    * positives die at the exact occ ≥ 2 recheck — the hash narrows,
+    * the string DECIDES, so the result is exact at any scale. The
+    * candidate-hash side enters the filter join as a plain equi-join
+    * (AQE broadcasts it when small; a 100 TB corpus with a large dup
+    * surface degrades to one bucketed shuffle, never all-pairs). The
+    * survivor table is cached (the [[sigTable]] contract): ownership
+    * and cover both read it, and it is repeat-volume-sized. */
+  def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    val toks = df.select(col(idCol), Text.tokens(col(textCol)).as("t"))
+    // per-position rolling window hashes: the bounded suffix keys
+    val pos = df.select(col(idCol), posexplode(
+        call_function("graft_window_hashes", col(textCol), lit(minLen))))
+      .select(col(idCol), (col("pos") + 1).as("spos"), col("col").as("h"))
+    // pass 1: candidate hashes (8-byte stream, map-side combine)
+    val candH = pos.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    // pass 2: survivors materialize their window string; exact groups
+    // decide ownership
+    val cand = pos.join(candH, "h")
+      .join(toks, Seq(idCol))
+      .select(col(idCol), col("spos"),
+        concat_ws(" ", slice(col("t"), col("spos"), lit(minLen))).as("s"))
+      .cache()
+    val owned = cand.groupBy("s")
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col(idCol), col("spos"))).as("own"))
+      .filter(col("occ") >= 2)
+      .select(col("s"), col("own").getField(idCol).as("own_id"),
+        col("own").getField("spos").as("own_spos"))
+    val covered = cand.join(owned, "s")
+      .filter(!(col(idCol) === col("own_id") &&
+        col("spos") === col("own_spos")))
+      .select(col(idCol),
+        explode(sequence(col("spos"), col("spos") + (minLen - 1))).as("p"))
+      .groupBy(idCol)
+      .agg(array_sort(collect_set(col("p"))).as("cps"))
+    rewriteMinusCovered(toks, covered, idCol)
   }
 }

@@ -1268,6 +1268,59 @@ object CurationQueries {
       Dedup.stripDupSpans(docs, "doc_id", "text", shingleN = 3, minDf = lit(minDf))
     },
 
+    // ---- Exact-substring dedup at suffix granularity (L258, Lee et al.
+    // 2022 EXACTSUBSTR — q111's exact twin): a span is stripped iff it
+    // belongs to a ≥ 20-token run repeated VERBATIM somewhere else, and
+    // exactly one canonical occurrence (global min (doc_id, spos) per
+    // window) survives — where q111's df-threshold strips ALL
+    // occurrences of any frequent short n-gram. 20 tokens on this
+    // fixture's 10–99-token docs is proportionally the paper's
+    // 50-token threshold on web documents. The oracle replays the
+    // bounded-suffix-window grouping with a per-window row_number;
+    // Spark decides ownership with min(struct(doc_id, spos)) — same
+    // total order, both engines exact on the window STRING (the
+    // operator's internal 64-bit prefilter only prunes, never decides).
+    Q(
+      "q277_exact_substring_dedup", {
+        s"""WITH toks AS (
+           |  SELECT doc_id, $toksSql AS t FROM documents),
+           |shp AS (
+           |  SELECT doc_id, i AS spos, array_to_string(t[i:i+19], ' ') AS s
+           |  FROM toks, unnest(CASE WHEN len(t) < 20 THEN []
+           |    ELSE range(1, len(t)-18) END) u(i)),
+           |r AS (
+           |  SELECT doc_id, spos,
+           |    row_number() OVER (PARTITION BY s ORDER BY doc_id, spos) AS rk,
+           |    count(*) OVER (PARTITION BY s) AS occ
+           |  FROM shp),
+           |covered AS (
+           |  SELECT DISTINCT doc_id, spos + o AS p
+           |  FROM r, unnest(range(0, 20)) v(o)
+           |  WHERE occ >= 2 AND rk > 1),
+           |toklist AS (
+           |  SELECT doc_id, i AS p, t[i] AS tok
+           |  FROM toks, unnest(CASE WHEN len(t) = 0 THEN []
+           |    ELSE range(1, len(t)+1) END) u(i)),
+           |kept AS (
+           |  SELECT k.doc_id,
+           |    string_agg(k.tok, ' ' ORDER BY k.p) AS clean_text,
+           |    CAST(count(*) AS BIGINT) AS n_kept
+           |  FROM toklist k LEFT JOIN covered c
+           |    ON k.doc_id = c.doc_id AND k.p = c.p
+           |  WHERE c.doc_id IS NULL GROUP BY 1)
+           |SELECT d.doc_id,
+           |  coalesce(k.clean_text, '') AS clean_text,
+           |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+           |  CAST(len($toksSql) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+           |FROM documents d LEFT JOIN kept k USING (doc_id)""".stripMargin
+      }) { (spark, dir) =>
+      // kernel: ops/Dedup.exactSubstrDedup (overlap-merge, tiling,
+      // within-doc repeat, and ownership semantics pinned in
+      // TextDedupSpec)
+      Dedup.exactSubstrDedup(Tables.documents(spark, dir),
+        "doc_id", "text", minLen = 20)
+    },
+
     // ---- Priority sampling (L94, Duffield–Lund–Thorup): n-row sample
     // answering arbitrary subset-sum queries unbiasedly via ŵ = max(w, τ).
     // One IEEE division per row (no libm), deterministic hash uniform —

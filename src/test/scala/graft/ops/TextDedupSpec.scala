@@ -330,4 +330,49 @@ class TextDedupSpec extends SparkSuite {
     val none = Dedup.stripDupSpans(df, "doc_id", "text", 3, lit(4))
     assert(none.filter(col("n_removed") > 0).isEmpty)
   }
+
+  test("exactSubstrDedup: all-but-one at span granularity — the owner " +
+      "keeps a shared run whole, every other site loses its full extent") {
+    val docs = Seq(
+      (1L, "a b c d e x"),     // min (doc, spos) site of the 5-token run
+      (2L, "p q a b c d e r"), // same run mid-doc: window UNION strips it whole
+      (3L, "f g h z f g h"),   // within-doc repeat: 2nd occurrence stripped
+      (4L, "u v"),             // < minLen tokens: no windows, untouched
+      (5L, "m n o"),           // exactly-minLen run shared with doc 6
+      (6L, "q m n o w")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrDedup(docs, "doc_id", "text", minLen = 3)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out(0) == ((1L, "a b c d e x", 6L, 0L))) // owner: intact
+    // a 5-token run ≥ minLen=3 yields 3 aligned duplicated windows whose
+    // union covers it completely — the non-owner loses all 5 tokens
+    assert(out(1) == ((2L, "p q r", 8L, 5L)))
+    assert(out(2) == ((3L, "f g h z", 7L, 3L))) // first occurrence kept
+    assert(out(3) == ((4L, "u v", 2L, 0L)))
+    assert(out(4) == ((5L, "m n o", 3L, 0L)))   // owner of the exact-L run
+    assert(out(5) == ((6L, "q w", 5L, 3L)))     // single-window strip
+  }
+
+  test("exactSubstrDedup: two distinct overlapping repeats merge and can " +
+      "tile a doc to empty; sub-threshold repeats never strip") {
+    val docs = Seq(
+      (7L, "r s t u"),         // source of run 1
+      (8L, "t u v w"),         // source of run 2
+      (9L, "r s t u v w")      // contains both, overlapping at "t u"
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrDedup(docs, "doc_id", "text", minLen = 3)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out(0) == ((7L, "r s t u", 4L, 0L)))
+    assert(out(1) == ((8L, "t u v w", 4L, 0L)))
+    // covered sets {1..4} (run 1) and {3..6} (run 2) union to the whole
+    // doc — tiling leaves the empty rewrite, not a crash or a remnant
+    assert(out(2) == ((9L, "", 6L, 6L)))
+    // the same corpus at minLen=5 has NO 5-token repeats: exactness means
+    // sub-threshold sharing (unlike a df-thresholded n-gram gate) never
+    // strips anything
+    val none = Dedup.exactSubstrDedup(docs, "doc_id", "text", minLen = 5)
+    assert(none.filter(col("n_removed") > 0).isEmpty)
+  }
 }
