@@ -68,11 +68,18 @@ object Streams {
   final class FileFeed(spark: SparkSession, schema: StructType, root: String) {
     private val dir = s"$root/feed"
     private val staging = s"$root/feed-stage"
-    private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
     // pre-create one (empty) batch dir so the glob below matches even
     // before the first add — a stream may start against an empty feed
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/b0"))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(staging))
+    // resume-safe id: a NEW FileFeed on an existing root (the restart
+    // path StreamsSpec pins at the checkpoint level) must not re-mint a
+    // published batch id — seed the counter past what's on disk
+    private val nextId = new java.util.concurrent.atomic.AtomicLong(
+      new java.io.File(dir).listFiles()
+        .flatMap(f => "^b(\\d+)$".r.findFirstMatchIn(f.getName)
+          .map(_.group(1).toLong))
+        .foldLeft(0L)(math.max))
     /** The unbounded view — one streaming scan, start it once. */
     def stream: DataFrame = parquetFileSource(spark, s"$dir/*", schema)
     /** Stage one micro-batch worth of rows: a distributed write into

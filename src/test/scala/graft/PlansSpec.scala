@@ -568,4 +568,20 @@ class PlansSpec extends SparkSuite {
     assert(p.contains("graft_norm_text"),
       s"q244 reverted off the compiled kernel:\n$p")
   }
+
+  test("q277 exact-substring dedup: the prefilter key stream is the " +
+      "COMPILED graft_window_hashes rolling hash (the interpreted " +
+      "20-token string chain measured 2.5×/4.0× slower at sf0.1/sf1) " +
+      "and the candidate path never goes quadratic") {
+    val df = SparkEntry.queries("q277_exact_substring_dedup")(spark, sfDir())
+    // the kernel sits beneath a cached survivor table, so pin its
+    // presence on the analyzed tree (the executed plan prints the
+    // cache scan, not the cached subtree)
+    assert(df.queryExecution.analyzed.toString().contains("graft_window_hashes"),
+      "q277 reverted off the compiled rolling-hash prefilter")
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"),
+      s"candidate filtering must stay equi-join shaped:\n$p")
+  }
 }

@@ -400,4 +400,26 @@ class StreamsSpec extends SparkSuite {
     assert(staged != null && staged.isEmpty,
       "staging directory must be drained after publish")
   }
+
+  test("FileFeed: a NEW instance on an existing root resumes the batch-id " +
+      "sequence instead of colliding with a published batch") {
+    val root = tmp("filefeed-reinstance")
+    val src = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    new Streams.FileFeed(spark, src.schema, root.toString)
+      .add(src.filter(col("id") === 1))
+    // the restart path: a fresh FileFeed over the same root (e.g. after
+    // a driver restart) — its first add must mint a NEW batch dir
+    val feed2 = new Streams.FileFeed(spark, src.schema, root.toString)
+    feed2.add(src.filter(col("id") === 2))
+    val seen = scala.collection.mutable.Map[Long, Set[Long]]()
+    val q = feed2.stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        seen(bid) = batch.select("id").as[Long].collect().toSet; ()
+      }
+      .option("checkpointLocation", root.resolve("cp").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // both adds visible, nothing overwritten
+    assert(seen.values.flatten.toSet == Set(1L, 2L), s"lost an add: $seen")
+  }
 }
