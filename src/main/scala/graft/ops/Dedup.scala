@@ -792,6 +792,11 @@ object Dedup {
         explode(sequence(col("spos"), col("spos") + (minLen - 1))).as("p"))
       .groupBy(idCol)
       .agg(array_sort(collect_set(col("p"))).as("cps"))
+      // materialize the repeat-volume-sized cover table so the survivor
+      // cache releases NOW (the object-doc caching contract) — the
+      // returned rewrite itself stays a lazy corpus scan, never cached
+      .localCheckpoint()
+    cand.unpersist()
     rewriteMinusCovered(toks, covered, idCol)
   }
 }
