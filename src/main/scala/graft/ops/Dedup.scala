@@ -765,6 +765,25 @@ object Dedup {
   def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
       minLen: Int): DataFrame = {
     val toks = df.select(col(idCol), Text.tokens(col(textCol)).as("t"))
+    val sites = dupWindowSites(df, idCol, textCol, minLen)
+    val covered = sites
+      .select(col(idCol),
+        explode(sequence(col("spos"), col("spos") + (minLen - 1))).as("p"))
+      .groupBy(idCol)
+      .agg(array_sort(collect_set(col("p"))).as("cps"))
+    rewriteMinusCovered(toks, covered, idCol)
+  }
+
+  /** The exact-substring family's shared site stream: every NON-owner
+    * duplicated-window occurrence as (id, spos, own_id) — the owner
+    * (global min (id, spos) of the window's verbatim value) is carried
+    * so consumers can attribute direction. Materialized (repeat-volume-
+    * sized) via `localCheckpoint` and the survivor cache released
+    * before return, per the object-doc caching contract. Mechanism and
+    * scale shape documented on [[exactSubstrDedup]]. */
+  private def dupWindowSites(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    val toks = df.select(col(idCol), Text.tokens(col(textCol)).as("t"))
     // per-position rolling window hashes: the bounded suffix keys
     val pos = df.select(col(idCol), posexplode(
         call_function("graft_window_hashes", col(textCol), lit(minLen))))
@@ -785,18 +804,69 @@ object Dedup {
       .filter(col("occ") >= 2)
       .select(col("s"), col("own").getField(idCol).as("own_id"),
         col("own").getField("spos").as("own_spos"))
-    val covered = cand.join(owned, "s")
+    val sites = cand.join(owned, "s")
       .filter(!(col(idCol) === col("own_id") &&
         col("spos") === col("own_spos")))
-      .select(col(idCol),
-        explode(sequence(col("spos"), col("spos") + (minLen - 1))).as("p"))
-      .groupBy(idCol)
-      .agg(array_sort(collect_set(col("p"))).as("cps"))
-      // materialize the repeat-volume-sized cover table so the survivor
-      // cache releases NOW (the object-doc caching contract) — the
-      // returned rewrite itself stays a lazy corpus scan, never cached
+      .select(col(idCol), col("spos"), col("own_id"))
       .localCheckpoint()
     cand.unpersist()
-    rewriteMinusCovered(toks, covered, idCol)
+    sites
+  }
+
+  /** Directional exact-substring PROVENANCE flow (L259 — the
+    * measurement companion of [[exactSubstrDedup]]'s rewrite, and the
+    * span-level directional twin of the doc-level UNDIRECTED near-dup
+    * matrix): per (src_from = the owning document's source, src_to =
+    * the losing document's source), the count of duplicated-window
+    * occurrences that flow that way and the distinct losing docs.
+    * Every non-owner window occurrence has exactly ONE owner, so the
+    * matrix is well-defined with no double counting (token-level
+    * attribution would be ambiguous where runs from different owners
+    * overlap — window units are the exact, canonical unit here).
+    * Diagonal rows (src_from = src_to) are INTRA-source duplication —
+    * template boilerplate; off-diagonal rows are syndication/mirror
+    * flow, and their asymmetry says who copies whom. Scale: the site
+    * stream is repeat-volume-sized; the two source lookups are
+    * id-keyed metadata joins (broadcast-shaped here, co-partitioned at
+    * corpus scale), then a |sources|²-bounded rollup. */
+  def spanProvenance(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String, minLen: Int): DataFrame = {
+    val sites = dupWindowSites(df, idCol, textCol, minLen)
+    val src = df.select(col(idCol), col(srcCol))
+    sites
+      .join(src.select(col(idCol), col(srcCol).as("src_to")), Seq(idCol))
+      .join(src.select(col(idCol).as("own_id"), col(srcCol).as("src_from")),
+        Seq("own_id"))
+      .groupBy("src_from", "src_to")
+      .agg(count(lit(1)).as("n_windows"),
+        countDistinct(col(idCol)).as("n_docs"))
+  }
+
+  /** Duplicated-span LENGTH distribution (L260 — the dup-length
+    * histogram of the exact-substring analyses): per losing document
+    * the covered positions merge into maximal spans (overlapping
+    * repeats union — every span is ≥ minLen tokens by construction),
+    * and the output is (span_len, n_spans) over the whole corpus. The
+    * gaps-and-islands grouping key is p − row_number per doc — a
+    * per-doc window over the repeat-volume-sized cover stream, never
+    * a corpus-wide sort. The histogram drives the minLen threshold
+    * choice: a heavy tail of just-above-minLen spans means the
+    * threshold sits inside the boilerplate mass, a flat tail means it
+    * cleared it. */
+  def dupSpanLengths(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    val sites = dupWindowSites(df, idCol, textCol, minLen)
+    val covered = sites
+      .select(col(idCol),
+        explode(sequence(col("spos"), col("spos") + (minLen - 1))).as("p"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("p"))
+    covered
+      .withColumn("grp", col("p") - row_number().over(w))
+      .groupBy(col(idCol), col("grp"))
+      .agg(count(lit(1)).as("span_len"))
+      .groupBy("span_len")
+      .agg(count(lit(1)).as("n_spans"))
   }
 }

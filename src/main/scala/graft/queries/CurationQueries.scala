@@ -1321,6 +1321,88 @@ object CurationQueries {
         "doc_id", "text", minLen = 20)
     },
 
+    // ---- Directional span-provenance flow (L259): q277's measurement
+    // companion — per (owning source, losing source), how many
+    // duplicated-window occurrences flow that way and into how many
+    // docs. Each non-owner window has exactly ONE owner, so the
+    // directional matrix has no double counting (token attribution
+    // would be ambiguous under overlapping runs from different
+    // owners); diagonal = intra-source boilerplate, off-diagonal
+    // asymmetry = who copies whom. The doc-level matrix (q160) is
+    // UNDIRECTED and approximate (simhash candidates); this is exact
+    // and directed at span granularity.
+    Q(
+      "q278_span_provenance_flow", {
+        s"""WITH toks AS (
+           |  SELECT doc_id, $toksSql AS t FROM documents),
+           |shp AS (
+           |  SELECT doc_id, i AS spos, array_to_string(t[i:i+19], ' ') AS s
+           |  FROM toks, unnest(CASE WHEN len(t) < 20 THEN []
+           |    ELSE range(1, len(t)-18) END) u(i)),
+           |r AS (
+           |  SELECT doc_id, spos,
+           |    row_number() OVER (PARTITION BY s ORDER BY doc_id, spos) AS rk,
+           |    count(*) OVER (PARTITION BY s) AS occ,
+           |    first_value(doc_id) OVER (PARTITION BY s ORDER BY doc_id, spos
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           |      AS own_id
+           |  FROM shp),
+           |sites AS (
+           |  SELECT doc_id, spos, own_id FROM r WHERE occ >= 2 AND rk > 1)
+           |SELECT dw.source AS src_from, dl.source AS src_to,
+           |  CAST(count(*) AS BIGINT) AS n_windows,
+           |  CAST(count(DISTINCT s.doc_id) AS BIGINT) AS n_docs
+           |FROM sites s
+           |JOIN documents dl ON dl.doc_id = s.doc_id
+           |JOIN documents dw ON dw.doc_id = s.own_id
+           |GROUP BY 1, 2""".stripMargin
+      }) { (spark, dir) =>
+      // kernel: ops/Dedup.spanProvenance (direction + unit semantics
+      // pinned in TextDedupSpec)
+      Dedup.spanProvenance(Tables.documents(spark, dir),
+        "doc_id", "text", "source", minLen = 20)
+    },
+
+    // ---- Duplicated-span length histogram (L260): the dup-length
+    // distribution of the exact-substring analyses — covered positions
+    // merge per doc into maximal spans (gaps-and-islands on p − rn,
+    // a per-doc window over the repeat-volume-sized cover stream) and
+    // the corpus histogram (span_len, n_spans) falls out. Drives the
+    // minLen threshold choice: a heavy just-above-minLen tail means
+    // the threshold sits inside the boilerplate mass.
+    Q(
+      "q279_dup_span_histogram", {
+        s"""WITH toks AS (
+           |  SELECT doc_id, $toksSql AS t FROM documents),
+           |shp AS (
+           |  SELECT doc_id, i AS spos, array_to_string(t[i:i+19], ' ') AS s
+           |  FROM toks, unnest(CASE WHEN len(t) < 20 THEN []
+           |    ELSE range(1, len(t)-18) END) u(i)),
+           |r AS (
+           |  SELECT doc_id, spos,
+           |    row_number() OVER (PARTITION BY s ORDER BY doc_id, spos) AS rk,
+           |    count(*) OVER (PARTITION BY s) AS occ
+           |  FROM shp),
+           |sites AS (SELECT doc_id, spos FROM r WHERE occ >= 2 AND rk > 1),
+           |covered AS (
+           |  SELECT DISTINCT doc_id, spos + o AS p
+           |  FROM sites, unnest(range(0, 20)) v(o)),
+           |isl AS (
+           |  SELECT doc_id, p,
+           |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+           |  FROM covered),
+           |spans AS (
+           |  SELECT doc_id, grp, count(*) AS span_len FROM isl GROUP BY 1, 2)
+           |SELECT CAST(span_len AS BIGINT) AS span_len,
+           |  CAST(count(*) AS BIGINT) AS n_spans
+           |FROM spans GROUP BY 1""".stripMargin
+      }) { (spark, dir) =>
+      // kernel: ops/Dedup.dupSpanLengths (overlap-merge span lengths
+      // pinned in TextDedupSpec)
+      Dedup.dupSpanLengths(Tables.documents(spark, dir),
+        "doc_id", "text", minLen = 20)
+    },
+
     // ---- Priority sampling (L94, Duffield–Lund–Thorup): n-row sample
     // answering arbitrary subset-sum queries unbiasedly via ŵ = max(w, τ).
     // One IEEE division per row (no libm), deterministic hash uniform —

@@ -375,4 +375,38 @@ class TextDedupSpec extends SparkSuite {
     val none = Dedup.exactSubstrDedup(docs, "doc_id", "text", minLen = 5)
     assert(none.filter(col("n_removed") > 0).isEmpty)
   }
+
+  test("spanProvenance: window-unit directional flow — each non-owner " +
+      "occurrence attributes to exactly ONE owning source") {
+    val docs = Seq(
+      (1L, "a b c d e x", "wiki"),   // owns the 5-run: windows @1,@2,@3
+      (2L, "p q a b c d e r", "web"), // loses 3 windows to wiki
+      (3L, "a b c z", "web"),         // loses 1 window ("a b c") to wiki
+      (4L, "f g h z f g h", "news")   // intra-source (within-doc) repeat
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.spanProvenance(docs, "doc_id", "text", "source", minLen = 3)
+      .orderBy("src_from", "src_to")
+      .as[(String, String, Long, Long)].collect().toSeq
+    // doc1 owns "a b c"(also in 2,3), "b c d", "c d e" (also in 2);
+    // doc4's second "f g h" flows news→news (within-doc = intra-source)
+    assert(out == Seq(
+      ("news", "news", 1L, 1L),
+      ("wiki", "web", 4L, 2L)))
+  }
+
+  test("dupSpanLengths: overlapping windows merge into maximal spans " +
+      "before the histogram counts them") {
+    val docs = Seq(
+      (1L, "a b c d e x"),      // owner — contributes no spans
+      (2L, "p q a b c d e r"),  // one merged 5-token span
+      (3L, "m n o"),            // owner of the exact-L run
+      (4L, "q m n o w")         // one 3-token span
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpanLengths(docs, "doc_id", "text", minLen = 3)
+      .orderBy("span_len")
+      .as[(Long, Long)].collect().toSeq
+    // the 5-run is ONE span of 5 (not three windows of 3), the exact-L
+    // run ONE span of 3 — window overlap never inflates the histogram
+    assert(out == Seq((3L, 1L), (5L, 1L)))
+  }
 }
