@@ -779,10 +779,24 @@ object Dedup {
     * (global min (id, spos) of the window's verbatim value) is carried
     * so consumers can attribute direction. Materialized (repeat-volume-
     * sized) via `localCheckpoint` and the survivor cache released
-    * before return, per the object-doc caching contract. Mechanism and
-    * scale shape documented on [[exactSubstrDedup]]. */
+    * before return, per the object-doc caching contract. */
   private def dupWindowSites(df: DataFrame, idCol: String, textCol: String,
       minLen: Int): DataFrame = {
+    val (sitesPlan, cand) = dupWindowSitesPlan(df, idCol, textCol, minLen)
+    val sites = sitesPlan.localCheckpoint()
+    cand.unpersist()
+    sites
+  }
+
+  /** The LAZY site-stream recipe + the survivor cache handle —
+    * `private[graft]` so PlansSpec pins the compiled `graft_window_
+    * hashes` prefilter on the un-materialized plan (the checkpoint in
+    * [[dupWindowSites]] makes it invisible in consumers' plans — the
+    * PairMoments.pass precedent). Callers other than the spec go
+    * through [[dupWindowSites]], which materializes and releases the
+    * cache. */
+  private[graft] def dupWindowSitesPlan(df: DataFrame, idCol: String,
+      textCol: String, minLen: Int): (DataFrame, DataFrame) = {
     val toks = df.select(col(idCol), Text.tokens(col(textCol)).as("t"))
     // per-position rolling window hashes: the bounded suffix keys
     val pos = df.select(col(idCol), posexplode(
@@ -808,9 +822,7 @@ object Dedup {
       .filter(!(col(idCol) === col("own_id") &&
         col("spos") === col("own_spos")))
       .select(col(idCol), col("spos"), col("own_id"))
-      .localCheckpoint()
-    cand.unpersist()
-    sites
+    (sites, cand)
   }
 
   /** Directional exact-substring PROVENANCE flow (L259 — the

@@ -573,12 +573,18 @@ class PlansSpec extends SparkSuite {
       "COMPILED graft_window_hashes rolling hash (the interpreted " +
       "20-token string chain measured 2.5×/4.0× slower at sf0.1/sf1) " +
       "and the candidate path never goes quadratic") {
+    // the shared site stream localCheckpoints before consumers see it
+    // (their plans show a LogicalRDD, not the kernel), so the kernel is
+    // pinned on the LAZY recipe through the package-private accessor —
+    // the PairMoments.pass precedent
+    val (sites, cand) = graft.ops.Dedup.dupWindowSitesPlan(
+      Tables.documents(spark, sfDir()), "doc_id", "text", 20)
+    try {
+      assert(sites.queryExecution.analyzed.toString()
+          .contains("graft_window_hashes"),
+        "the site stream reverted off the compiled rolling-hash prefilter")
+    } finally cand.unpersist()
     val df = SparkEntry.queries("q277_exact_substring_dedup")(spark, sfDir())
-    // the kernel sits beneath a cached survivor table, so pin its
-    // presence on the analyzed tree (the executed plan prints the
-    // cache scan, not the cached subtree)
-    assert(df.queryExecution.analyzed.toString().contains("graft_window_hashes"),
-      "q277 reverted off the compiled rolling-hash prefilter")
     df.collect()
     val p = plan(df).split("== Initial Plan ==")(0)
     assert(!p.contains("CartesianProduct"),
