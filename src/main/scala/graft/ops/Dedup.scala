@@ -705,8 +705,10 @@ object Dedup {
   /** The order-keeping rewrite shared by every span-removal operator:
     * drop the covered 1-based token positions, re-join the survivors.
     * `covered` is (id, cps: sorted int array) for AFFECTED docs only —
-    * untouched docs left-join to null and pass through whole. */
-  private def rewriteMinusCovered(toks: DataFrame, covered: DataFrame,
+    * untouched docs left-join to null and pass through whole.
+    * (`private[graft]`: the streamed exact-substring fold rewrites its
+    * micro-batch through the same tail.) */
+  private[graft] def rewriteMinusCovered(toks: DataFrame, covered: DataFrame,
       idCol: String): DataFrame =
     toks.join(covered, Seq(idCol), "left")
       .select(col(idCol),
@@ -852,6 +854,98 @@ object Dedup {
       .groupBy("src_from", "src_to")
       .agg(count(lit(1)).as("n_windows"),
         countDistinct(col(idCol)).as("n_docs"))
+  }
+
+  /** Incremental exact-substring dedup, one micro-batch against the
+    * STANDING window-ownership state (L261 — [[exactSubstrDedup]]'s
+    * continuous-ingest twin, the shape a growing corpus actually runs:
+    * nobody re-suffix-groups 100 TB per arriving batch). `standing` is
+    * (h, own_id, own_spos) — one row per distinct window string ever
+    * seen, keyed by the 64-bit rolling hash with the OWNER SITE stored
+    * instead of the string: state stays ~24 bytes/window, and owner
+    * strings are re-derived FROM THE LAKE (an id-keyed join pruned to
+    * hash-hit owners + an array slice) only when a batch window
+    * collides on h — the hash narrows, the lake-fetched string
+    * DECIDES, so hash collisions can never mis-own a window (a
+    * colliding new string simply becomes its own owner row under the
+    * same h; the exact (h, s) match disambiguates forever after).
+    * Batch windows with no state match group among themselves with
+    * [[exactSubstrDedup]]'s exact semantics. Under ascending-id
+    * arrival the fold is BIT-identical to the one-shot rewrite (a
+    * later doc can never steal ownership from an earlier one), which
+    * is the q280 oracle pin. Returns (rewritten batch docs in the
+    * [[stripDupSpans]] shape, new owner rows to append to state) —
+    * both materialized batch-/repeat-sized, the survivor cache
+    * released before return (the object-doc contract). Re-applying an
+    * already-folded batch is a NO-OP by construction: every window
+    * matches state and its owner site (inside the replayed batch) is
+    * excluded from cover, so the rewrite reproduces itself and the
+    * new-owner set is empty — the algebraic half of the exactly-once
+    * story, next to the caller's writeOnce markers. */
+  def exactSubstrBatch(standing: DataFrame, batch: DataFrame,
+      lake: DataFrame, idCol: String, textCol: String, minLen: Int)
+      : (DataFrame, DataFrame) = {
+    val toksB = batch.select(col(idCol), Text.tokens(col(textCol)).as("t"))
+    val win = batch.select(col(idCol), posexplode(
+        call_function("graft_window_hashes", col(textCol), lit(minLen))))
+      .select(col(idCol), (col("pos") + 1).as("spos"), col("col").as("h"))
+    // candidate hashes: repeated within the batch OR present in state
+    val candH = win.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+      .unionByName(standing.select("h")).distinct()
+    val cand = win.join(candH, Seq("h"))
+      .join(toksB, Seq(idCol))
+      .select(col(idCol), col("spos"), col("h"),
+        concat_ws(" ", slice(col("t"), col("spos"), lit(minLen))).as("s"))
+      .cache()
+    // owner strings from the LAKE at the stored sites, hash-hits only —
+    // tokenization sits ABOVE the join so only hit rows pay it (below
+    // it, every lake doc would re-tokenize per fold)
+    val stateHit = standing.join(cand.select("h").distinct(), Seq("h"))
+      .join(lake.select(col(idCol).as("own_id"),
+        col(textCol).as("own_text")), Seq("own_id"))
+      .select(col("h"), col("own_id"), col("own_spos"),
+        concat_ws(" ", slice(Text.tokens(col("own_text")),
+          col("own_spos"), lit(minLen))).as("s"))
+    // state-owned occurrences: covered unless the occurrence IS the
+    // owner site (the at-least-once replay path re-folds its own docs)
+    val matched = cand.join(stateHit, Seq("h", "s"))
+    val stateCovered = matched
+      .filter(!(col(idCol) === col("own_id") &&
+        col("spos") === col("own_spos")))
+      .select(col(idCol), col("spos"))
+    // state-unmatched candidates group within the batch: q277 semantics
+    val fresh = cand.join(stateHit.select("h", "s"), Seq("h", "s"),
+      "left_anti")
+    val freshOwn = fresh.groupBy("h", "s")
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col(idCol), col("spos"))).as("own"))
+    val batchCovered = fresh
+      .join(freshOwn.filter(col("occ") >= 2)
+        .select(col("h"), col("s"),
+          col("own").getField(idCol).as("own_id"),
+          col("own").getField("spos").as("own_spos")), Seq("h", "s"))
+      .filter(!(col(idCol) === col("own_id") &&
+        col("spos") === col("own_spos")))
+      .select(col(idCol), col("spos"))
+    val covered = stateCovered.unionByName(batchCovered)
+      .select(col(idCol),
+        explode(sequence(col("spos"), col("spos") + (minLen - 1))).as("p"))
+      .groupBy(idCol)
+      .agg(array_sort(collect_set(col("p"))).as("cps"))
+      .localCheckpoint()
+    // new owners: every distinct window state has not seen — the
+    // candidate-path minima plus the unique-hash windows (whose string
+    // never materializes: a unique h absent from state matches nothing)
+    val newOwners = freshOwn
+      .select(col("h"), col("own").getField(idCol).as("own_id"),
+        col("own").getField("spos").as("own_spos"))
+      .unionByName(win.join(candH, Seq("h"), "left_anti")
+        .select(col("h"), col(idCol).as("own_id"),
+          col("spos").as("own_spos")))
+      .localCheckpoint()
+    cand.unpersist()
+    (rewriteMinusCovered(toksB, covered, idCol), newOwners)
   }
 
   /** Duplicated-span LENGTH distribution (L260 — the dup-length

@@ -19,6 +19,43 @@ object CurationQueries {
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
+  /** q277's one-shot exact-substring rewrite SQL — ALSO the oracle of
+    * the streamed fold (q280): ascending-id arrival makes per-batch
+    * ownership equal the global (doc, pos) order, so the streamed
+    * result must be bit-identical to this one-shot replay. */
+  private[queries] def exactSubstrOracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksSql AS t FROM documents),
+       |shp AS (
+       |  SELECT doc_id, i AS spos, array_to_string(t[i:i+19], ' ') AS s
+       |  FROM toks, unnest(CASE WHEN len(t) < 20 THEN []
+       |    ELSE range(1, len(t)-18) END) u(i)),
+       |r AS (
+       |  SELECT doc_id, spos,
+       |    row_number() OVER (PARTITION BY s ORDER BY doc_id, spos) AS rk,
+       |    count(*) OVER (PARTITION BY s) AS occ
+       |  FROM shp),
+       |covered AS (
+       |  SELECT DISTINCT doc_id, spos + o AS p
+       |  FROM r, unnest(range(0, 20)) v(o)
+       |  WHERE occ >= 2 AND rk > 1),
+       |toklist AS (
+       |  SELECT doc_id, i AS p, t[i] AS tok
+       |  FROM toks, unnest(CASE WHEN len(t) = 0 THEN []
+       |    ELSE range(1, len(t)+1) END) u(i)),
+       |kept AS (
+       |  SELECT k.doc_id,
+       |    string_agg(k.tok, ' ' ORDER BY k.p) AS clean_text,
+       |    CAST(count(*) AS BIGINT) AS n_kept
+       |  FROM toklist k LEFT JOIN covered c
+       |    ON k.doc_id = c.doc_id AND k.p = c.p
+       |  WHERE c.doc_id IS NULL GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(k.clean_text, '') AS clean_text,
+       |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+       |  CAST(len($toksSql) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+       |FROM documents d LEFT JOIN kept k USING (doc_id)""".stripMargin
+
   /** 64-dim sequential-fold dot product (DuckDB dialect) — the oracle
     * twin of the graft_dot_product kernel. */
   private[queries] def dot64Sql(a: String, b: String) =
@@ -1281,39 +1318,7 @@ object CurationQueries {
     // total order, both engines exact on the window STRING (the
     // operator's internal 64-bit prefilter only prunes, never decides).
     Q(
-      "q277_exact_substring_dedup", {
-        s"""WITH toks AS (
-           |  SELECT doc_id, $toksSql AS t FROM documents),
-           |shp AS (
-           |  SELECT doc_id, i AS spos, array_to_string(t[i:i+19], ' ') AS s
-           |  FROM toks, unnest(CASE WHEN len(t) < 20 THEN []
-           |    ELSE range(1, len(t)-18) END) u(i)),
-           |r AS (
-           |  SELECT doc_id, spos,
-           |    row_number() OVER (PARTITION BY s ORDER BY doc_id, spos) AS rk,
-           |    count(*) OVER (PARTITION BY s) AS occ
-           |  FROM shp),
-           |covered AS (
-           |  SELECT DISTINCT doc_id, spos + o AS p
-           |  FROM r, unnest(range(0, 20)) v(o)
-           |  WHERE occ >= 2 AND rk > 1),
-           |toklist AS (
-           |  SELECT doc_id, i AS p, t[i] AS tok
-           |  FROM toks, unnest(CASE WHEN len(t) = 0 THEN []
-           |    ELSE range(1, len(t)+1) END) u(i)),
-           |kept AS (
-           |  SELECT k.doc_id,
-           |    string_agg(k.tok, ' ' ORDER BY k.p) AS clean_text,
-           |    CAST(count(*) AS BIGINT) AS n_kept
-           |  FROM toklist k LEFT JOIN covered c
-           |    ON k.doc_id = c.doc_id AND k.p = c.p
-           |  WHERE c.doc_id IS NULL GROUP BY 1)
-           |SELECT d.doc_id,
-           |  coalesce(k.clean_text, '') AS clean_text,
-           |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
-           |  CAST(len($toksSql) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
-           |FROM documents d LEFT JOIN kept k USING (doc_id)""".stripMargin
-      }) { (spark, dir) =>
+      "q277_exact_substring_dedup", exactSubstrOracleSql) { (spark, dir) =>
       // kernel: ops/Dedup.exactSubstrDedup (overlap-merge, tiling,
       // within-doc repeat, and ownership semantics pinned in
       // TextDedupSpec)

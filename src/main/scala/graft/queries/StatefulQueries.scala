@@ -867,6 +867,87 @@ object StatefulQueries {
       graft.Meta.Versioned.read(spark, resPath)
     },
 
+    // ---- Streamed EXACT-SUBSTRING dedup (L261): q277's rewrite as
+    // continuous ingest — documents arrive in ascending-id micro-
+    // batches, each batch dedups against the STANDING window-ownership
+    // state (h → owner site; strings re-derived from the lake at
+    // hash-hits only, so state stays ~24 B/window — the scale story on
+    // Dedup.exactSubstrBatch) and appends its rewrite + new owners
+    // with exactly-once writeOnce markers. Ascending arrival makes
+    // per-batch ownership equal the global (doc, pos) order, so the
+    // streamed result is BIT-identical to q277's one-shot rewrite —
+    // the oracle IS q277's SQL. The final batch replays in-query:
+    // the fold is algebraically a no-op on re-application (every
+    // window matches state, owner sites excluded from cover, empty
+    // owner append) AND the txn markers skip the writes — both halves
+    // of the exactly-once contract exercised.
+    Q(
+      "q280_stream_exact_substring",
+      CurationQueries.exactSubstrOracleSql) { (spark, dir) =>
+      import graft.streaming.Streams
+      val root = graft.Tmp.dir("graft-q280").toString
+      val ownPath = s"$root/own"
+      val resPath = s"$root/res"
+      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      graft.Meta.Versioned.write(
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("h",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("own_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("own_spos",
+              org.apache.spark.sql.types.IntegerType)))), ownPath)
+      graft.Meta.Versioned.write(
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("clean_text",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_tokens",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_removed",
+              org.apache.spark.sql.types.LongType)))), resPath)
+      // doc_id is the documents PK — distinctness asserted inside
+      val cutoff = Streams.halfCutoffByKey(docs, "doc_id")
+      val feed = new Streams.FileFeed(spark, docs.schema, root)
+      @volatile var lastBid = -1L
+      val fold = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {
+        if (bid > lastBid) lastBid = bid
+        val standing = graft.Meta.Versioned.read(spark, ownPath)
+        val (rewritten, newOwners) = Dedup.exactSubstrBatch(
+          standing, batch.toDF("doc_id", "text"), docs,
+          "doc_id", "text", minLen = 20)
+        graft.Meta.Versioned.writeOnce(
+          standing.unionByName(newOwners), ownPath, "q280own", bid)
+        graft.Meta.Versioned.writeOnce(
+          graft.Meta.Versioned.read(spark, resPath).unionByName(rewritten),
+          resPath, "q280res", bid)
+        ()
+      }
+      Streams.withShufflePartitions(spark, 4) {
+        feed.add(docs.filter(col("doc_id") <= cutoff))
+        val q = feed.stream.writeStream
+          .foreachBatch(fold)
+          .outputMode("update")
+          .option("checkpointLocation", s"$root/cp")
+          .start()
+        try {
+          q.processAllAvailable()
+          feed.add(docs.filter(col("doc_id") > cutoff))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      // at-least-once replay of the final batch: algebraic no-op + txn
+      // markers, both pinned by the oracle match downstream
+      fold(docs.filter(col("doc_id") > cutoff).toDF("doc_id", "text"),
+        lastBid)
+      graft.Meta.Versioned.read(spark, resPath)
+    },
+
     // ---- Streaming HEAVY HITTERS (L103): q53 run as continuous ingest.
     // Candidates: per-micro-batch Misra–Gries sketches, unioned — the
     // superset guarantee COMPOSES across batches by pigeonhole (a term

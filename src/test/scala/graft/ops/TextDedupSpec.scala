@@ -394,6 +394,43 @@ class TextDedupSpec extends SparkSuite {
       ("wiki", "web", 4L, 2L)))
   }
 
+  test("exactSubstrBatch: ascending-id two-batch fold equals the one-shot " +
+      "rewrite, and re-applying the last batch is an algebraic no-op") {
+    val docs = Seq(
+      (1L, "a b c d e x"),      // batch 1 — owner of the 5-run
+      (2L, "f g h z f g h"),    // batch 1 — within-doc repeat
+      (3L, "p q a b c d e r"),  // batch 2 — loses the 5-run to doc 1
+      (4L, "q f g h w")         // batch 2 — loses "f g h" to doc 2
+    ).toDF("doc_id", "text")
+    val oneShot = Dedup.exactSubstrDedup(docs, "doc_id", "text", minLen = 3)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // fold: batch 1 (ids 1-2) against empty state, then batch 2 (3-4)
+    val emptyState = Seq.empty[(Long, Long, Int)]
+      .toDF("h", "own_id", "own_spos")
+    val b1 = docs.filter(col("doc_id") <= 2)
+    val b2 = docs.filter(col("doc_id") > 2)
+    val (r1, o1) = Dedup.exactSubstrBatch(emptyState, b1, docs,
+      "doc_id", "text", minLen = 3)
+    val state1 = emptyState.unionByName(o1)
+    val (r2, o2) = Dedup.exactSubstrBatch(state1, b2, docs,
+      "doc_id", "text", minLen = 3)
+    val folded = r1.unionByName(r2).orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(folded == oneShot,
+      s"fold must equal the one-shot rewrite:\n$folded\nvs\n$oneShot")
+    // replay shield: re-folding batch 2 against the post-fold state
+    // reproduces its own rewrite and mints NO new owners
+    val state2 = state1.unionByName(o2)
+    val (r2b, o2b) = Dedup.exactSubstrBatch(state2, b2, docs,
+      "doc_id", "text", minLen = 3)
+    assert(o2b.isEmpty, "replay must append no owners")
+    assert(r2b.orderBy("doc_id").as[(Long, String, Long, Long)]
+        .collect().toSeq ==
+      r2.orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq,
+      "replay must reproduce the batch rewrite bit-for-bit")
+  }
+
   test("dupSpanLengths: overlapping windows merge into maximal spans " +
       "before the histogram counts them") {
     val docs = Seq(
