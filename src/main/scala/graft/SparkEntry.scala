@@ -14,7 +14,7 @@ object SparkEntry {
       StatefulQueries.all ++ TemporalQueries.all ++ AnalyticsQueries.all ++
       CurationQueries.all ++ GovernanceQueries.all ++ LinkageQueries.all ++
       CorpusStatsQueries.all ++ SelectionQueries.all ++ IndexQueries.all ++
-      StatsQueries.all
+      StatsQueries.all ++ RetrievalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

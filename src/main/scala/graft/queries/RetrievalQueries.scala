@@ -1,0 +1,204 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Text
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse-retrieval operators (round 17, L262/L265): query-time search
+  * over a positional inverted index — the retrieval side of the corpus
+  * the engine already scores (q50 TF-IDF / q54 BM25 emit per-DOC term
+  * weights; these answer QUERIES against the whole corpus). A
+  * training-data pipeline runs exactly these two shapes at scale:
+  * verbatim phrase lookup (decontamination evidence, quote tracing,
+  * boilerplate provenance) and ranked keyword retrieval (BM25 hard
+  * negatives for embedding training, benchmark-adjacent document
+  * pulls). The reference pipeline has no retrieval surface; the shapes
+  * follow the published inverted-index formulation (Zobel & Moffat
+  * 2006) re-expressed as DataFrame joins.
+  *
+  * Scale design, both operators: the standing artifact at 100 TB is the
+  * POSTINGS table — (term, doc, pos) for phrases, (term, doc, tf) for
+  * BM25 — partitioned by term. A query workload touches only its own
+  * terms' postings: the workload's term table is tiny and BROADCAST, so
+  * the corpus-sized postings stream is pruned map-side to matching
+  * terms before any shuffle; the only shuffles that remain are keyed on
+  * (query, doc[, anchor]) over the MATCHED postings, which is
+  * workload-volume, not corpus-volume. Neither operator ever joins
+  * postings to postings (the classic m-way positional join): phrase
+  * matching is the anchor trick — slot k of a phrase matching position
+  * p votes for anchor p−k, and a position-run is a hit iff all slots
+  * vote for the same anchor — ONE join + ONE aggregate for any phrase
+  * length.
+  */
+object RetrievalQueries {
+
+  private val toksSql = LlmQueries.toksSql
+
+  /** Shared workload derivation (DuckDB): top `k` word n-grams of the
+    * corpus by occurrence count, ties broken by the n-gram string — the
+    * deterministic stand-in for a user query log. */
+  private def topNgramSql(n: Int, k: Int): String = {
+    val gram = (0 until n).map(j => s"t[i+$j]").mkString(", ")
+    s"""rq_tokl AS (
+       |  SELECT doc_id, $toksSql AS t FROM documents),
+       |rq_gram AS (
+       |  SELECT unnest(list_transform(range(1, len(t) - ${n - 2}),
+       |    i -> concat_ws(' ', $gram))) AS q
+       |  FROM rq_tokl WHERE len(t) >= $n),
+       |rq_top AS (
+       |  SELECT q FROM (
+       |    SELECT q, count(*) AS cnt FROM rq_gram GROUP BY 1
+       |    ORDER BY cnt DESC, q LIMIT $k)),
+       |rq_terms AS (
+       |  SELECT q, i AS slot, string_split(q, ' ')[i] AS term
+       |  FROM rq_top, unnest(range(1, ${n + 1})) u(i))""".stripMargin
+  }
+
+  /** Spark twin of [[topNgramSql]]: (q, slot, term), slot 1-based. */
+  private def topNgramTerms(tokDf: org.apache.spark.sql.DataFrame,
+      n: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    val grams = tokDf.filter(size(col("t")) >= n)
+      .select(explode(Text.shingles(col("t"), n)).as("q"))
+    grams.groupBy("q").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("q")).limit(k)
+      // parameter-sized (k rows); pinned so the workload is derived once
+      // and both consumers (broadcast prune + output labels) agree
+      .localCheckpoint()
+      .select(col("q"), posexplode(split(col("q"), " ")))
+      .select(col("q"), (col("pos") + 1).as("slot"), col("col").as("term"))
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- L262: positional phrase search. The workload is the corpus's
+    // top-10 trigrams (a deterministic query log); each is matched
+    // VERBATIM via the anchor formulation over (term, doc, pos)
+    // postings: slot k at position p votes anchor p−k, a hit is an
+    // anchor with all 3 distinct slots present (duplicate terms inside
+    // a phrase vote different anchors from their different slots, so
+    // "a b a" cannot self-match on two a's). Overlapping occurrences
+    // count separately (they are distinct anchors). Output: top-3 docs
+    // per phrase by hit count (ties → doc_id), with the phrase's
+    // total matched-doc count.
+    Q(
+      "q281_phrase_search",
+      s"""WITH ${topNgramSql(n = 3, k = 10)},
+         |post AS (
+         |  SELECT doc_id, i AS pos1, t[i] AS term
+         |  FROM rq_tokl, unnest(range(1, len(t) + 1)) u(i)),
+         |hits AS (
+         |  SELECT p.q, post.doc_id, post.pos1 - p.slot AS anchor
+         |  FROM post JOIN rq_terms p USING (term)
+         |  GROUP BY 1, 2, 3
+         |  HAVING count(DISTINCT p.slot) = 3),
+         |pd AS (
+         |  SELECT q, doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM hits GROUP BY 1, 2),
+         |nd AS (
+         |  SELECT q, CAST(count(*) AS BIGINT) AS n_docs FROM pd GROUP BY 1)
+         |SELECT q AS phrase, doc_id, CAST(rk AS INT) AS rank, n_hits, n_docs
+         |FROM (
+         |  SELECT q, doc_id, n_hits,
+         |    row_number() OVER (PARTITION BY q
+         |      ORDER BY n_hits DESC, doc_id) AS rk
+         |  FROM pd) r
+         |JOIN nd USING (q)
+         |WHERE rk <= 3""".stripMargin) { (spark, dir) =>
+      val tokDf = Tables.documents(spark, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      val qterms = topNgramTerms(tokDf, n = 3, k = 10)
+      // the postings stream: one corpus pass; broadcast-pruned to the
+      // workload's terms BEFORE the anchor shuffle
+      val post = tokDf.select(col("doc_id"), posexplode(col("t")))
+        .select(col("doc_id"), (col("pos") + 1).as("pos1"),
+          col("col").as("term"))
+      val hits = post.join(broadcast(qterms), "term")
+        .groupBy(col("q"), col("doc_id"),
+          (col("pos1") - col("slot")).as("anchor"))
+        .agg(count_distinct(col("slot")).as("ns"))
+        .filter(col("ns") === 3)
+      val pd = hits.groupBy("q", "doc_id").agg(count(lit(1)).as("n_hits"))
+      val nd = pd.groupBy("q").agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("q").orderBy(col("n_hits").desc, col("doc_id"))
+      pd.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .join(broadcast(nd), "q")
+        .select(col("q").as("phrase"), col("doc_id"),
+          col("rk").cast("int").as("rank"), col("n_hits"), col("n_docs"))
+    },
+
+    // ---- L265: BM25 ranked retrieval. The query workload is the
+    // corpus's top-10 bigrams as 2-term keyword queries; per (query,
+    // doc) the score is the sum over query-term OCCURRENCES (a repeated
+    // term scores twice — the standard bag-of-words query semantics) of
+    // the q54 BM25 weight (same literals k1=1.2 b=0.75, same smoothed
+    // idf, the SAME operand tree in both engines; the 2-addend
+    // per-group sum is IEEE-commutative so partial-merge order cannot
+    // move it). Disjunctive matching: a doc containing any query term
+    // is scored on the terms it has. Top-5 docs per query by (score
+    // desc, doc_id). The tf/df/dl/stats tables are the standing BM25
+    // index at 100 TB — built once per corpus version, term-partitioned;
+    // the query path touches only matched terms' rows.
+    Q(
+      "q284_bm25_retrieval",
+      s"""WITH ${topNgramSql(n = 2, k = 10)},
+         |toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks GROUP BY 1, 2),
+         |dl AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |dfx AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         |scored AS (
+         |  SELECT qt.q, tf.doc_id,
+         |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |      * (tf * 2.2)
+         |      / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+         |          / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS s
+         |  FROM rq_terms qt
+         |  JOIN tf USING (term) JOIN dfx USING (term) JOIN dl USING (doc_id),
+         |  stats),
+         |agg AS (
+         |  SELECT q, doc_id, sum(s) AS score FROM scored GROUP BY 1, 2)
+         |SELECT q AS query, doc_id, CAST(rk AS INT) AS rank,
+         |  round(score, 6) AS score
+         |FROM (
+         |  SELECT q, doc_id, score,
+         |    row_number() OVER (PARTITION BY q
+         |      ORDER BY score DESC, doc_id) AS rk
+         |  FROM agg) r
+         |WHERE rk <= 5""".stripMargin) { (spark, dir) =>
+      val tokDf = Tables.documents(spark, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      val qterms = topNgramTerms(tokDf, n = 2, k = 10)
+      val toks = tokDf.select(col("doc_id"), explode(col("t")).as("term"))
+      // the standing index: cached for its four consumers (dl, df,
+      // stats, scoring join) — the q54 discipline
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).cache()
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      val scored = broadcast(qterms)
+        .join(tf, "term").join(dfT, "term").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("s",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+            * (col("tf") * 2.2)
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75)
+                * (col("dl").cast("double")
+                  / (col("sum_dl").cast("double") / col("n_docs"))))))
+      val agg = scored.groupBy("q", "doc_id").agg(sum("s").as("score"))
+      val w = Window.partitionBy("q").orderBy(col("score").desc, col("doc_id"))
+      agg.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q").as("query"), col("doc_id"),
+          col("rk").cast("int").as("rank"),
+          round(col("score"), 6).as("score"))
+    })
+}

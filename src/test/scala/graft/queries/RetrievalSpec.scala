@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.SparkSuite
+
+/** Invariants for the round-17 sparse-retrieval operators (L262/L265)
+  * beyond what the DuckDB oracles pin: the anchor-join phrase matcher is
+  * cross-checked against a brute-force sliding-window scan, and the BM25
+  * ranked list against a from-scratch Scala recompute of the score.
+  */
+class RetrievalSpec extends SparkSuite {
+
+  private def tok(text: String): Array[String] =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  private lazy val docToks: Map[Long, Array[String]] =
+    graft.Tables.documents(spark, sfDir()).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> tok(r.getString(1))).toMap
+
+  test("phrase search: every reported hit count equals a brute-force " +
+      "sliding-window scan; ranks are contiguous and hit-ordered") {
+    val rows = graft.SparkEntry.queries("q281_phrase_search")(spark, sfDir())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty, "the fixture's top trigrams must match somewhere")
+    def bruteHits(ph: Array[String], t: Array[String]): Int =
+      if (t.length < ph.length) 0
+      else (0 to t.length - ph.length).count(i =>
+        ph.indices.forall(j => t(i + j) == ph(j)))
+    rows.foreach { case (phrase, docId, _, nHits, nDocs) =>
+      val ph = phrase.split(" ")
+      assert(ph.length == 3, "workload phrases are trigrams")
+      assert(bruteHits(ph, docToks(docId)).toLong == nHits,
+        s"anchor-join hits for '$phrase' in doc $docId")
+      // n_docs is the phrase's TOTAL matched-doc count, brute-forced
+      val expectDocs = docToks.count { case (_, t) => bruteHits(ph, t) > 0 }
+      assert(expectDocs.toLong == nDocs, s"matched-doc count for '$phrase'")
+    }
+    rows.groupBy(_._1).foreach { case (phrase, rs) =>
+      val byRank = rs.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq == (1 to rs.length),
+        s"ranks contiguous for '$phrase'")
+      assert(byRank.length == math.min(3, byRank.head._5),
+        s"top-3 capped by n_docs for '$phrase'")
+      // hit-count non-increasing with rank; ties broken by doc_id asc
+      byRank.zip(byRank.tail).foreach { case (a, b) =>
+        assert(a._4 > b._4 || (a._4 == b._4 && a._2 < b._2)) }
+    }
+  }
+
+  test("bm25 retrieval: top-ranked scores recompute from scratch; " +
+      "ranked lists are score-ordered and every doc matches a term") {
+    val rows = graft.SparkEntry.queries("q284_bm25_retrieval")(spark, sfDir())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // from-scratch corpus stats in plain Scala
+    val tf = docToks.view.mapValues(_.groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap).toMap
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val nDocs = docToks.size.toLong
+    val avgDl = docToks.values.map(_.length.toLong).sum.toDouble / nDocs
+    def bm25(term: String, doc: Long): Double = {
+      val t = tf(doc).getOrElse(term, 0L)
+      if (t == 0L) 0.0
+      else math.log((nDocs - df(term) + 0.5) / (df(term) + 0.5) + 1.0) *
+        (t * 2.2) /
+        (t + 1.2 * (0.25 + 0.75 * (docToks(doc).length / avgDl)))
+    }
+    rows.foreach { case (query, docId, _, score) =>
+      val expect = query.split(" ").map(bm25(_, docId)).sum
+      assert(math.abs(expect - score) < 1e-6,
+        s"score recompute for '$query' doc $docId: $expect vs $score")
+      assert(score > 0, "disjunctive BM25 over smoothed idf is positive")
+      assert(query.split(" ").exists(t => tf(docId).contains(t)),
+        "every returned doc contains at least one query term")
+    }
+    rows.groupBy(_._1).foreach { case (query, rs) =>
+      val byRank = rs.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq == (1 to rs.length),
+        s"ranks contiguous for '$query'")
+      byRank.zip(byRank.tail).foreach { case (a, b) =>
+        assert(a._4 > b._4 || (a._4 == b._4 && a._2 < b._2),
+          s"rank order for '$query'") }
+    }
+  }
+}
