@@ -2812,5 +2812,76 @@ object CurationQueries {
       val g = gaDf.join(gbDf, Seq("doc_id"), "left")
         .select(col("ga"), coalesce(col("gb"), lit(0L)).as("gb"))
       graft.ops.Stats.cohensKappa(g, "ga", "gb")
+    },
+
+    // ---- Interpolated Kneser–Ney bigram scoring (Chen & Goodman 1999,
+    // the published standard q78's raw-MLE score approximates): P(w2|w1)
+    // = (c(w1w2) − D)/c(w1·) + D·N1+(w1·)/c(w1·) · N1+(·w2)/T with
+    // absolute discount D = 3/4 — every scored bigram is OBSERVED
+    // (docs are scored on their own bigrams, so c2 ≥ 1 and the max(·,0)
+    // is inactive) and D is an exact rational, so P is the exact integer
+    // ratio (T·(4·c2 − 3) + 3·n1p·n1m) / (4·c1·T): both operands convert
+    // BIGINT→DOUBLE exactly (< 2^53 — at corpora where T·c2 crosses
+    // 2^53 the products move to DECIMAL(38) with an e5-style ladder, the
+    // bhDrift precedent) and the 9-dp ln grid + DECIMAL sum make the
+    // per-doc mean partial-merge-order-exact (the q65/q78 recipe).
+    // Corpus cost beyond q78: two extra hash aggregates over the
+    // DISTINCT-bigram table (n1p, n1m — type counts, not token counts)
+    // and a broadcast singleton T; the per-occurrence pair stream is
+    // still never cached (two cheap passes, the q78 storage contract).
+    Q(
+      "q282_kn_bigram_lm",
+      s"""WITH toksl AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents),
+         |pairs AS (
+         |  SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(range(1, len(tk)),
+         |        i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS bg
+         |    FROM toksl WHERE len(tk) >= 2)),
+         |c2 AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM pairs GROUP BY 1, 2),
+         |c1 AS (
+         |  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+         |    CAST(count(*) AS BIGINT) AS n1p FROM c2 GROUP BY 1),
+         |n1m AS (
+         |  SELECT w2, CAST(count(*) AS BIGINT) AS n1m FROM c2 GROUP BY 1),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM c2),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST(round(ln(
+         |      CAST(tt * (4 * c2 - 3) + 3 * n1p * n1m AS DOUBLE)
+         |        / CAST(4 * c1 * tt AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lp
+         |  FROM pairs JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+         |  JOIN n1m USING (w2), tt)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_kn_logprob
+         |FROM scored GROUP BY 1""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val pairs = Tables.documents(spark, dir)
+        .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
+        .withColumnRenamed("col", "w1")
+        .withColumn("w2", lead(col("w1"), 1).over(w))
+        .filter(col("w2").isNotNull)
+        .select("doc_id", "w1", "w2")
+      val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        .localCheckpoint() // read three times: c1/n1m derivation + scoring
+      val c1 = c2.groupBy("w1")
+        .agg(sum("c2").as("c1"), count(lit(1)).as("n1p"))
+      val n1m = c2.groupBy("w2").agg(count(lit(1)).as("n1m"))
+      val tt = c2.agg(count(lit(1)).as("tt"))
+      pairs.join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).join(n1m, Seq("w2"))
+        .crossJoin(broadcast(tt))
+        .withColumn("lp",
+          round(log(
+            (col("tt") * (col("c2") * 4 - 3) + col("n1p") * col("n1m") * 3)
+              .cast("double")
+              / (col("c1") * col("tt") * 4).cast("double")), 9)
+            .cast(DecimalType(18, 9)))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+            .as("mean_kn_logprob"))
     })
 }
