@@ -138,6 +138,9 @@ object Sessions {
     ext.injectFunction((FunctionIdentifier("graft_pair_products"),
       info("graft_pair_products", classOf[PairProducts]),
       (e: Seq[Expression]) => PairProducts(e.head)))
+    ext.injectFunction((FunctionIdentifier("graft_char_counts"),
+      info("graft_char_counts", classOf[CharCounts]),
+      (e: Seq[Expression]) => CharCounts(e.head)))
   }
 
   /** Run `body` with `spark.sql.shuffle.partitions` = n, restoring the

@@ -727,3 +727,48 @@ case class PairProducts(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): PairProducts =
     copy(child = newChild)
 }
+
+/** `graft_char_counts(text)` → array<struct<cp INT, n BIGINT>>, the
+  * per-document CODE-POINT histogram sorted by code point — the input
+  * to the character-entropy quality gate (q283). One compiled pass per
+  * row builds the histogram locally, so downstream explodes are bounded
+  * by the document's ALPHABET (≲ a few hundred rows), never its length:
+  * the corpus-character-sized shuffle a naive explode(split(text,''))
+  * would pay disappears entirely. Unit is the Unicode code point
+  * (surrogate pairs count once) — the same unit as DuckDB's
+  * `unicode(substr(text, i, 1))`, which the oracle mirrors. */
+case class CharCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("cp", IntegerType, nullable = false),
+      StructField("n", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_char_counts"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val m = new java.util.TreeMap[Integer, Long]()
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      m.merge(cp, 1L, (a, b) => a + b)
+      i += Character.charCount(cp)
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(e.getKey.intValue(), e.getValue)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharCounts =
+    copy(child = newChild)
+}

@@ -2883,5 +2883,76 @@ object CurationQueries {
           count(lit(1)).as("n_bigrams"),
           round(sum(col("lp")).cast("double") / count(lit(1)), 6)
             .as("mean_kn_logprob"))
+    },
+
+    // ---- Character-entropy compressibility gate: order-0 Shannon
+    // entropy (nats) over each document's code-point distribution — the
+    // cheap stand-in for the gzip-compressibility filter the published
+    // curation stacks run (CCNet §4.2 / Gopher C1: near-zero entropy =
+    // repeated-character junk, binary paste, or padding; natural text
+    // sits well above). The per-doc histogram comes from ONE compiled
+    // pass (`graft_char_counts`) so the explode downstream is bounded
+    // by the document's ALPHABET, never its length — no corpus-character
+    // shuffle. Exactness: H = −Σ n·ln(n∕N)∕N on the 9-dp ln grid with
+    // the (10,0)×(18,9) DECIMAL product summed exactly, divided via the
+    // signed integer-space half-up rule (ExactRound.roundRatioSigned) —
+    // the verdict compares the 6-dp integer, so the keep boundary cannot
+    // flip cross-engine. N = length(text) = code points (Spark and
+    // DuckDB agree on the unit; surrogate pairs count once).
+    Q(
+      "q283_char_entropy", {
+        val d = "2 * CAST(ntot AS HUGEINT) * 1000"
+        s"""WITH ch AS (
+           |  SELECT doc_id, unicode(substr(text, i, 1)) AS cp
+           |  FROM documents, unnest(range(1, length(text) + 1)) u(i)
+           |  WHERE length(text) > 0),
+           |hist AS (
+           |  SELECT doc_id, cp, CAST(count(*) AS BIGINT) AS n
+           |  FROM ch GROUP BY 1, 2),
+           |tot AS (
+           |  SELECT doc_id, CAST(length(text) AS BIGINT) AS ntot
+           |  FROM documents WHERE length(text) > 0),
+           |lps AS (
+           |  SELECT h.doc_id, h.n, t.ntot,
+           |    CAST(round(ln(CAST(h.n AS DOUBLE) / t.ntot), 9)
+           |      AS DECIMAL(18,9)) AS lp
+           |  FROM hist h JOIN tot t USING (doc_id)),
+           |per AS (
+           |  SELECT doc_id,
+           |    CAST(count(*) AS BIGINT) AS n_alphabet,
+           |    any_value(ntot) AS n_cp,
+           |    sum(CAST(n AS HUGEINT)
+           |      * CAST(CAST(lp AS DECIMAL(28,9)) * 1000000000 AS HUGEINT))
+           |      AS s10
+           |  FROM lps GROUP BY 1)
+           |SELECT doc_id, n_cp, n_alphabet,
+           |  CAST(((2 * (-s10) + ntot * 1000) // ($d))
+           |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS entropy,
+           |  ((2 * (-s10) + ntot * 1000) // ($d)) > 1500000 AS keep
+           |FROM (SELECT *, CAST(n_cp AS HUGEINT) AS ntot FROM per) f"""
+          .stripMargin
+      }) { (spark, dir) =>
+      import graft.functions.ExactRound
+      val base = Tables.documents(spark, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), length(col("text")).cast("long").as("ntot"),
+          explode(call_function("graft_char_counts", col("text"))).as("e"))
+        .select(col("doc_id"), col("ntot"), col("e.n").as("n"))
+      val per = base
+        .withColumn("lp",
+          round(log(col("n").cast("double") / col("ntot")), 9)
+            .cast(DecimalType(18, 9)))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_alphabet"),
+          max("ntot").as("n_cp"),
+          sum(col("n").cast(DecimalType(10, 0)) * col("lp")).as("s"))
+        .withColumn("ent6",
+          ExactRound.roundRatioSigned(-col("s"), 9, col("n_cp"), 6))
+      per.select(col("doc_id"), col("n_cp"), col("n_alphabet"),
+        col("ent6").cast("double").as("entropy"),
+        (col("ent6") >
+          lit(new java.math.BigDecimal("1.5")).cast(DecimalType(38, 6)))
+          .as("keep"))
     })
 }
