@@ -1348,6 +1348,100 @@ object CorpusStatsQueries {
           .cast("double").as("chao1"),
         ExactRound.roundRatio(col("n") - col("f1"), col("n"), 6)
           .cast("double").as("coverage"))
+    },
+
+    // ---- KMV theta-sketch SET ALGEBRA (Beyer et al. 2007; the
+    // DataSketches theta-sketch workflow): union / intersection /
+    // difference cardinality estimates between two corpus partitions'
+    // shingle universes from their 8-KiB sketches alone — the overlap
+    // questions (how much does split A share with split B? how much of
+    // A is unique?) answered WITHOUT a distinct-join, which is the only
+    // way they're answerable across 100 TB partitions. Estimators:
+    // |A∪B| from the merged sketch's k-th minimum, J from the bottom-k
+    // coincidence rate (graft_kmv_jaccard), |A∩B| = J·|A∪B|,
+    // |A\B| = |A∪B| − |B|. The splitmix64 hash is fixed, so every
+    // estimate is deterministic for a given dataset; the oracle (which
+    // cannot replay the hash) checks the CONTRACT — exact cardinalities
+    // (one flags-aggregate over distinct hashes) plus within-bound
+    // booleans, the q48 recipe. Bounds are relative to the UNION for
+    // every op — the theta-sketch error model (DataSketches): the
+    // estimators' noise scales with |A∪B|, so a derived quantity that
+    // happens to be small (the fixture's A\\B is ~1% of the union —
+    // even/odd halves share the template mass) has large RELATIVE error
+    // by construction while staying inside the additive band. 5% of
+    // union for the direct union estimate (k=1024 ≈ 3% rel. error),
+    // 10% of union for the derived intersection/difference.
+    Q(
+      "q285_kmv_setops", {
+        val h = LlmQueries.strHashSql("x")
+        s"""WITH toks AS (
+           |  SELECT doc_id, ${LlmQueries.toksSql} AS t FROM documents),
+           |sh AS (
+           |  SELECT doc_id, ${LlmQueries.shinglesSql} AS s FROM toks),
+           |hv AS (
+           |  SELECT DISTINCT doc_id % 2 AS side,
+           |    unnest(list_transform(s, x -> $h)) AS h
+           |  FROM sh WHERE len(s) > 0),
+           |flags AS (
+           |  SELECT h,
+           |    max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ia,
+           |    max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS ib
+           |  FROM hv GROUP BY 1),
+           |x AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS xu,
+           |    CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS xi,
+           |    CAST(sum(CASE WHEN ia = 1 AND ib = 0 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS xd
+           |  FROM flags)
+           |SELECT 'union' AS op, xu AS n_exact, TRUE AS est_ok FROM x
+           |UNION ALL SELECT 'intersect', xi, TRUE FROM x
+           |UNION ALL SELECT 'diff_a_minus_b', xd, TRUE FROM x"""
+          .stripMargin
+      }) { (spark, dir) =>
+      val sh = Tables.documents(spark, dir)
+        .select((col("doc_id") % 2).as("side"),
+          explode(call_function("graft_shingle_hashes", col("text"), lit(3)))
+            .as("h"))
+      val flags = sh.groupBy("h").agg(
+        max(when(col("side") === 0, 1).otherwise(0)).as("ia"),
+        max(when(col("side") === 1, 1).otherwise(0)).as("ib"))
+      val exact = flags.agg(
+        count(lit(1)).as("xu"),
+        sum(when(col("ia") === 1 && col("ib") === 1, 1L).otherwise(0L))
+          .as("xi"),
+        sum(when(col("ia") === 1 && col("ib") === 0, 1L).otherwise(0L))
+          .as("xd"))
+      val sks = sh.groupBy("side")
+        .agg(call_function("graft_kmv_sketch", col("h")).as("sk"))
+        .localCheckpoint() // two rows; read for A, B, and the union merge
+      val skA = sks.filter(col("side") === 0).select(col("sk").as("ska"))
+      val skB = sks.filter(col("side") === 1).select(col("sk").as("skb"))
+      val skU = sks.agg(call_function("graft_kmv_merge", col("sk")).as("sku"))
+      val ests = skA.crossJoin(skB).crossJoin(skU).select(
+        call_function("graft_kmv_estimate", col("sku")).cast("double")
+          .as("eu"),
+        (call_function("graft_kmv_jaccard", col("ska"), col("skb")) *
+          call_function("graft_kmv_estimate", col("sku")).cast("double"))
+          .as("ei"),
+        (call_function("graft_kmv_estimate", col("sku")).cast("double") -
+          call_function("graft_kmv_estimate", col("skb")).cast("double"))
+          .as("ed"))
+      def ok(est: org.apache.spark.sql.Column,
+          x: org.apache.spark.sql.Column, bound: Double) =
+        abs(est - x.cast("double")) <= col("xu").cast("double") * lit(bound)
+      exact.crossJoin(ests)
+        .select(
+          ok(col("eu"), col("xu"), 0.05).as("uok"),
+          ok(col("ei"), col("xi"), 0.10).as("iok"),
+          ok(col("ed"), col("xd"), 0.10).as("dok"),
+          col("xu"), col("xi"), col("xd"))
+        .selectExpr(
+          """stack(3,
+            |  'union', xu, uok,
+            |  'intersect', xi, iok,
+            |  'diff_a_minus_b', xd, dok) AS (op, n_exact, est_ok)"""
+            .stripMargin)
     }
   )
 }

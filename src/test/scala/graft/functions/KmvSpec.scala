@@ -104,4 +104,38 @@ class KmvSpec extends SparkSuite {
       assert(est == small, s"ks=$ks est=$est small=$small")
     }
   }
+
+  test("set algebra (q285 estimators): exact below k, within the union-" +
+      "relative band above it, and edge identities hold") {
+    def setops(a: Seq[Long], b: Seq[Long], k: Int) = {
+      val df = (a.map(v => (0L, v)) ++ b.map(v => (1L, v))).toDF("side", "v")
+      val sks = df.groupBy("side")
+        .agg(call_function("graft_kmv_sketch", col("v"), lit(k)).as("sk"))
+      val ska = sks.filter(col("side") === 0).select(col("sk").as("ska"))
+      val skb = sks.filter(col("side") === 1).select(col("sk").as("skb"))
+      val sku = sks.agg(call_function("graft_kmv_merge", col("sk")).as("sku"))
+      val r = ska.crossJoin(skb).crossJoin(sku).select(
+        call_function("graft_kmv_estimate", col("sku")).as("eu"),
+        call_function("graft_kmv_jaccard", col("ska"), col("skb")).as("j"),
+        call_function("graft_kmv_estimate", col("skb")).as("eb")).head()
+      val (eu, j, eb) = (r.getLong(0).toDouble, r.getDouble(1),
+        r.getLong(2).toDouble)
+      (eu, j * eu, eu - eb) // union, intersection, A-minus-B estimates
+    }
+    // below k the sketches ARE the distinct sets: every estimate exact
+    val (eu1, ei1, ed1) = setops(1L to 300L, 200L to 500L, k = 1024)
+    assert(eu1 == 500.0 && ei1 == 101.0 && ed1 == 199.0)
+    // identical sides: J = 1, difference estimate exactly 0
+    val (eu2, ei2, ed2) = setops(1L to 2000L, 1L to 2000L, k = 64)
+    assert(ei2 == eu2 && ed2 == 0.0)
+    // disjoint sides above k: intersection within the union-relative band
+    val (eu3, ei3, _) = setops(1L to 30000L, 30001L to 60000L, k = 1024)
+    assert(math.abs(eu3 - 60000.0) < 6000.0)
+    assert(ei3 <= 0.10 * eu3, s"disjoint intersection est $ei3 vs union $eu3")
+    // heavy overlap above k: all three inside 10% of the exact union
+    val (eu4, ei4, ed4) = setops(1L to 40000L, 10001L to 50000L, k = 1024)
+    assert(math.abs(eu4 - 50000.0) < 5000.0)
+    assert(math.abs(ei4 - 30000.0) < 5000.0, s"ei=$ei4")
+    assert(math.abs(ed4 - 10000.0) < 5000.0, s"ed=$ed4")
+  }
 }
