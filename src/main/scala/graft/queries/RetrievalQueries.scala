@@ -55,18 +55,51 @@ object RetrievalQueries {
        |  FROM rq_top, unnest(range(1, ${n + 1})) u(i))""".stripMargin
   }
 
-  /** Spark twin of [[topNgramSql]]: (q, slot, term), slot 1-based. */
-  private def topNgramTerms(tokDf: org.apache.spark.sql.DataFrame,
-      n: Int, k: Int): org.apache.spark.sql.DataFrame = {
-    val grams = tokDf.filter(size(col("t")) >= n)
+  /** Per-corpus n-gram occurrence counts: (q, cnt) — the aggregate the
+    * workload derivation (batch) and the count fold (streaming) share. */
+  private def ngramCounts(tokDf: org.apache.spark.sql.DataFrame,
+      n: Int): org.apache.spark.sql.DataFrame =
+    tokDf.filter(size(col("t")) >= n)
       .select(explode(Text.shingles(col("t"), n)).as("q"))
-    grams.groupBy("q").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("q")).limit(k)
+      .groupBy("q").agg(count(lit(1)).as("cnt"))
+
+  /** Top-k workload from an n-gram count table → (q, slot, term),
+    * slot 1-based; the Spark twin of [[topNgramSql]]'s rq_terms. */
+  private def workloadTerms(counts: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame =
+    counts.orderBy(col("cnt").desc, col("q")).limit(k)
       // parameter-sized (k rows); pinned so the workload is derived once
       // and both consumers (broadcast prune + output labels) agree
       .localCheckpoint()
       .select(col("q"), posexplode(split(col("q"), " ")))
       .select(col("q"), (col("pos") + 1).as("slot"), col("col").as("term"))
+
+  /** The positional postings stream of a (doc_id, t) token frame:
+    * (doc_id, pos1, term), pos1 1-based. */
+  private def postings(tokDf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    tokDf.select(col("doc_id"), posexplode(col("t")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos1"),
+        col("col").as("term"))
+
+  /** Anchor-join phrase match + top-3-per-phrase ranking (shared by the
+    * batch q281 and the folded q286 — both must emit the same rows). */
+  private def phraseTopDocs(post: org.apache.spark.sql.DataFrame,
+      qterms: org.apache.spark.sql.DataFrame, phraseLen: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val hits = post.join(broadcast(qterms), "term")
+      .groupBy(col("q"), col("doc_id"),
+        (col("pos1") - col("slot")).as("anchor"))
+      .agg(count_distinct(col("slot")).as("ns"))
+      .filter(col("ns") === phraseLen)
+    val pd = hits.groupBy("q", "doc_id").agg(count(lit(1)).as("n_hits"))
+    val nd = pd.groupBy("q").agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("q").orderBy(col("n_hits").desc, col("doc_id"))
+    pd.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .join(broadcast(nd), "q")
+      .select(col("q").as("phrase"), col("doc_id"),
+        col("rk").cast("int").as("rank"), col("n_hits"), col("n_docs"))
   }
 
   val all: Seq[Q] = Seq(
@@ -107,25 +140,10 @@ object RetrievalQueries {
          |WHERE rk <= 3""".stripMargin) { (spark, dir) =>
       val tokDf = Tables.documents(spark, dir)
         .select(col("doc_id"), Text.tokens(col("text")).as("t"))
-      val qterms = topNgramTerms(tokDf, n = 3, k = 10)
+      val qterms = workloadTerms(ngramCounts(tokDf, n = 3), k = 10)
       // the postings stream: one corpus pass; broadcast-pruned to the
       // workload's terms BEFORE the anchor shuffle
-      val post = tokDf.select(col("doc_id"), posexplode(col("t")))
-        .select(col("doc_id"), (col("pos") + 1).as("pos1"),
-          col("col").as("term"))
-      val hits = post.join(broadcast(qterms), "term")
-        .groupBy(col("q"), col("doc_id"),
-          (col("pos1") - col("slot")).as("anchor"))
-        .agg(count_distinct(col("slot")).as("ns"))
-        .filter(col("ns") === 3)
-      val pd = hits.groupBy("q", "doc_id").agg(count(lit(1)).as("n_hits"))
-      val nd = pd.groupBy("q").agg(count(lit(1)).as("n_docs"))
-      val w = Window.partitionBy("q").orderBy(col("n_hits").desc, col("doc_id"))
-      pd.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .join(broadcast(nd), "q")
-        .select(col("q").as("phrase"), col("doc_id"),
-          col("rk").cast("int").as("rank"), col("n_hits"), col("n_docs"))
+      phraseTopDocs(postings(tokDf), qterms, phraseLen = 3)
     },
 
     // ---- L265: BM25 ranked retrieval. The query workload is the
@@ -176,7 +194,7 @@ object RetrievalQueries {
          |WHERE rk <= 5""".stripMargin) { (spark, dir) =>
       val tokDf = Tables.documents(spark, dir)
         .select(col("doc_id"), Text.tokens(col("text")).as("t"))
-      val qterms = topNgramTerms(tokDf, n = 2, k = 10)
+      val qterms = workloadTerms(ngramCounts(tokDf, n = 2), k = 10)
       val toks = tokDf.select(col("doc_id"), explode(col("t")).as("term"))
       // the standing index: cached for its four consumers (dl, df,
       // stats, scoring join) — the q54 discipline
@@ -200,5 +218,92 @@ object RetrievalQueries {
         .select(col("q").as("query"), col("doc_id"),
           col("rk").cast("int").as("rank"),
           round(col("score"), 6).as("score"))
+    },
+
+    // ---- L267 STREAMING positional-index maintenance: q281's index
+    // kept ALIVE under continuous ingest (nobody re-tokenizes 100 TB
+    // per arriving batch). Two standing versioned tables: the postings
+    // index (per-doc facts — each batch APPENDS only its own postings;
+    // the anchor matcher never needs cross-batch state because a
+    // phrase cannot span documents) and the trigram count table (an
+    // abelian sum fold — batch partials merge by key, so batch
+    // MEMBERSHIP cannot move it). Both folds commit through
+    // Versioned.writeOnce txn markers (a postings re-append would
+    // duplicate hits, a count re-fold would double-count — neither is
+    // idempotent), and the query REPLAYS its final batch under the
+    // original batch id after the stream stops: the oracle only matches
+    // because the replay no-ops. Final answer = workload from the
+    // RESOLVED count state + anchor match over the RESOLVED postings —
+    // the oracle is q281's one-shot SQL VERBATIM, pinning
+    // fold(b₁) ⊕ fold(b₂) == one-shot row-for-row.
+    Q(
+      "q286_stream_phrase_index",
+      s"""WITH ${topNgramSql(n = 3, k = 10)},
+         |post AS (
+         |  SELECT doc_id, i AS pos1, t[i] AS term
+         |  FROM rq_tokl, unnest(range(1, len(t) + 1)) u(i)),
+         |hits AS (
+         |  SELECT p.q, post.doc_id, post.pos1 - p.slot AS anchor
+         |  FROM post JOIN rq_terms p USING (term)
+         |  GROUP BY 1, 2, 3
+         |  HAVING count(DISTINCT p.slot) = 3),
+         |pd AS (
+         |  SELECT q, doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM hits GROUP BY 1, 2),
+         |nd AS (
+         |  SELECT q, CAST(count(*) AS BIGINT) AS n_docs FROM pd GROUP BY 1)
+         |SELECT q AS phrase, doc_id, CAST(rk AS INT) AS rank, n_hits, n_docs
+         |FROM (
+         |  SELECT q, doc_id, n_hits,
+         |    row_number() OVER (PARTITION BY q
+         |      ORDER BY n_hits DESC, doc_id) AS rk
+         |  FROM pd) r
+         |JOIN nd USING (q)
+         |WHERE rk <= 3""".stripMargin) { (spark, dir) =>
+      import graft.Meta.Versioned
+      val root = graft.Tmp.dir("graft-q286").toString
+      val postPath = s"$root/postings"
+      val cntPath = s"$root/tricnt"
+      val feedDf = Tables.documents(spark, dir).select("doc_id", "text")
+      def toks(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      // seed: empty index + empty count state (version 1)
+      Versioned.write(
+        postings(toks(feedDf)).limit(0), postPath)
+      Versioned.write(
+        ngramCounts(toks(feedDf), 3).limit(0), cntPath)
+      val fold = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {
+        val bt = toks(batch.toDF("doc_id", "text"))
+        Versioned.writeOnce(
+          Versioned.read(spark, postPath).unionByName(postings(bt)),
+          postPath, "q286post", bid)
+        Versioned.writeOnce(
+          Versioned.read(spark, cntPath).unionByName(ngramCounts(bt, 3))
+            .groupBy("q").agg(sum("cnt").as("cnt")),
+          cntPath, "q286cnt", bid)
+        ()
+      }
+      val feed = new graft.streaming.Streams.FileFeed(spark, feedDf.schema, root)
+      @volatile var lastBid = -1L
+      graft.streaming.Streams.withShufflePartitions(spark, 4) {
+        feed.add(feedDf.filter(col("doc_id") % 2 === 0))
+        val q = feed.stream.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+            if (bid > lastBid) lastBid = bid
+            fold(b, bid)
+          }
+          .outputMode("update")
+          .option("checkpointLocation", s"$root/cp")
+          .start()
+        try {
+          q.processAllAvailable()
+          feed.add(feedDf.filter(col("doc_id") % 2 =!= 0))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      // deliberate at-least-once replay of the final batch — must no-op
+      fold(feedDf.filter(col("doc_id") % 2 =!= 0), lastBid)
+      val qterms = workloadTerms(Versioned.read(spark, cntPath), k = 10)
+      phraseTopDocs(Versioned.read(spark, postPath), qterms, phraseLen = 3)
     })
 }

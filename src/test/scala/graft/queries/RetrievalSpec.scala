@@ -84,4 +84,13 @@ class RetrievalSpec extends SparkSuite {
           s"rank order for '$query'") }
     }
   }
+
+  test("streaming phrase-index fold equals the one-shot batch answer " +
+      "row-for-row (incl. the deliberate final-batch replay no-op)") {
+    val oneShot = graft.SparkEntry.queries("q281_phrase_search")(
+      spark, sfDir()).collect().map(_.toString).sorted.toSeq
+    val folded = graft.SparkEntry.queries("q286_stream_phrase_index")(
+      spark, sfDir()).collect().map(_.toString).sorted.toSeq
+    assert(folded == oneShot)
+  }
 }
