@@ -56,12 +56,24 @@ object RetrievalQueries {
   }
 
   /** Per-corpus n-gram occurrence counts: (q, cnt) — the aggregate the
-    * workload derivation (batch) and the count fold (streaming) share. */
+    * workload derivation (batch) and the count fold (streaming) share.
+    * Built from the postings frame with lead() windows (all leads share
+    * ONE window operator, fully codegen'd) instead of the interpreted
+    * Text.shingles transform chain — the known HOF hazard that cost
+    * 4.7 s alone at sf0.1 elsewhere; measured here it was +4 s on q281. */
   private def ngramCounts(tokDf: org.apache.spark.sql.DataFrame,
-      n: Int): org.apache.spark.sql.DataFrame =
-    tokDf.filter(size(col("t")) >= n)
-      .select(explode(Text.shingles(col("t"), n)).as("q"))
+      n: Int): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos1")
+    var df = postings(tokDf)
+    val nexts = (1 until n).map { j =>
+      val c = s"t$j"
+      df = df.withColumn(c, lead(col("term"), j).over(w))
+      col(c)
+    }
+    df.filter(nexts.map(_.isNotNull).reduce(_ && _))
+      .select(concat_ws(" ", col("term") +: nexts: _*).as("q"))
       .groupBy("q").agg(count(lit(1)).as("cnt"))
+  }
 
   /** Top-k workload from an n-gram count table → (q, slot, term),
     * slot 1-based; the Spark twin of [[topNgramSql]]'s rq_terms. */
