@@ -1442,6 +1442,78 @@ object CorpusStatsQueries {
             |  'intersect', xi, iok,
             |  'diff_a_minus_b', xd, dok) AS (op, n_exact, est_ok)"""
             .stripMargin)
+    },
+
+    // ---- Skip-gram window PMI (the word-association statistic behind
+    // SGNS/word2vec counting, Church & Hanks 1990 at window scope):
+    // co-occurrence counted over a ±5-token positional window — the
+    // POSITIONAL association q131's doc-level set lift cannot see.
+    // Forward pairs come from FIVE lead() columns sharing one codegen'd
+    // window operator (never a position self-join); the directed count
+    // is fwd + reversed-fwd, so marginals are symmetric by
+    // construction. PMI = ln(n·C ∕ (m_w·m_c)) over exact BIGINT
+    // products (< 2^53 at these SFs; the DECIMAL ladder takes over
+    // beyond, the q282 note), rounded at 6 dp with (w, c) tiebreaks so
+    // the top-30 ranking cannot flip cross-engine. The count table is
+    // the training artifact at 100 TB — corpus-pass once, |vocab|²-
+    // bounded aggregate, top-30 over the bounded grid.
+    Q(
+      "q289_skipgram_pmi",
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${LlmQueries.toksSql} AS t FROM documents),
+         |fwd AS (
+         |  SELECT t[i] AS w, t[i + j] AS c
+         |  FROM toks, unnest(range(1, len(t) + 1)) u(i),
+         |       unnest(range(1, 6)) v(j)
+         |  WHERE i + j <= len(t)),
+         |cf AS (SELECT w, c, CAST(count(*) AS BIGINT) AS n FROM fwd GROUP BY 1, 2),
+         |dir AS (
+         |  SELECT w, c, CAST(sum(n) AS BIGINT) AS n FROM (
+         |    SELECT w, c, n FROM cf
+         |    UNION ALL SELECT c AS w, w AS c, n FROM cf) GROUP BY 1, 2),
+         |mar AS (SELECT w, CAST(sum(n) AS BIGINT) AS m FROM dir GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS ct FROM dir),
+         |p AS (
+         |  SELECT d.w, d.c, d.n,
+         |    round(ln(CAST(d.n * ct AS DOUBLE)
+         |      / CAST(mw.m * mc.m AS DOUBLE)), 6) AS pmi
+         |  FROM dir d JOIN mar mw ON mw.w = d.w JOIN mar mc ON mc.w = d.c, tot
+         |  WHERE d.w <= d.c AND d.n >= 20)
+         |SELECT w, c, n AS n_pairs, pmi FROM (
+         |  SELECT w, c, n, pmi,
+         |    row_number() OVER (ORDER BY pmi DESC, w, c) AS rk FROM p) r
+         |WHERE rk <= 30""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w5 = Window.partitionBy("doc_id").orderBy("pos")
+      var df = Tables.documents(spark, dir)
+        .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
+        .withColumnRenamed("col", "w")
+      val leads = (1 to 5).map { j =>
+        val c = s"c$j"
+        df = df.withColumn(c, lead(col("w"), j).over(w5))
+        col(c)
+      }
+      val cf = df.select(col("w"), explode(array(leads: _*)).as("c"))
+        .filter(col("c").isNotNull)
+        .groupBy("w", "c").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // vocab²-bounded; feeds dir both directions
+      val dirc = cf.select("w", "c", "n")
+        .unionByName(cf.select(col("c").as("w"), col("w").as("c"), col("n")))
+        .groupBy("w", "c").agg(sum("n").as("n"))
+      val mar = dirc.groupBy("w").agg(sum("n").as("m"))
+      val tot = dirc.agg(sum("n").as("ct"))
+      val p = dirc
+        .join(mar.select(col("w"), col("m").as("mw")), "w")
+        .join(mar.select(col("w").as("c"), col("m").as("mc")), "c")
+        .crossJoin(broadcast(tot))
+        .filter(col("w") <= col("c") && col("n") >= 20)
+        .select(col("w"), col("c"), col("n"),
+          round(log((col("n") * col("ct")).cast("double")
+            / (col("mw") * col("mc")).cast("double")), 6).as("pmi"))
+      val rw = Window.orderBy(col("pmi").desc, col("w"), col("c"))
+      p.withColumn("rk", row_number().over(rw))
+        .filter(col("rk") <= 30)
+        .select(col("w"), col("c"), col("n").as("n_pairs"), col("pmi"))
     }
   )
 }

@@ -2885,6 +2885,103 @@ object CurationQueries {
             .as("mean_kn_logprob"))
     },
 
+    // ---- Stupid Backoff held-out scoring (Brants et al. 2007 — THE
+    // published web-scale LM score: no discounting or normalization,
+    // just back off to the unigram at a fixed α = 0.4 = 2∕5): held-out
+    // docs (doc_id % 7 = 0, the q251 split) scored under TRAIN counts,
+    // so unseen bigrams actually exercise the backoff arm — the case
+    // q282's observed-only KN never hits. Every score is an exact
+    // integer ratio (seen: c₂∕c₁; backoff: 2·u(w₂)∕(5·N); w₂ unseen in
+    // train = OOV, excluded from the mean and counted) minted on the
+    // 9-dp ln grid with DECIMAL sums. Per-doc outputs: bigram count,
+    // backoff count, OOV count, mean score over scored bigrams — the
+    // corpus-level triage (high backoff share = domain shift, high OOV
+    // = vocabulary gap) that decides whether a source needs its own
+    // count tables. Train artifacts are three hash aggregates; the
+    // held-out stream joins them LEFT so absence is data, not an error.
+    Q(
+      "q288_stupid_backoff",
+      s"""WITH trt AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents WHERE doc_id % 7 <> 0),
+         |trp AS (
+         |  SELECT bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+         |    SELECT unnest(list_transform(range(1, len(tk)),
+         |      i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS bg
+         |    FROM trt WHERE len(tk) >= 2)),
+         |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM trp GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         |uni AS (
+         |  SELECT w2, CAST(count(*) AS BIGINT) AS u FROM (
+         |    SELECT unnest(tk) AS w2 FROM trt) GROUP BY 1),
+         |nn AS (SELECT CAST(sum(u) AS BIGINT) AS n FROM uni),
+         |tep AS (
+         |  SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |      i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS bg
+         |    FROM (SELECT doc_id, $toksSql AS tk FROM documents
+         |          WHERE doc_id % 7 = 0) te
+         |    WHERE len(tk) >= 2)),
+         |scored AS (
+         |  SELECT tep.doc_id,
+         |    CASE WHEN c2.c2 IS NOT NULL THEN 0
+         |         WHEN uni.u IS NOT NULL THEN 1 ELSE 2 END AS cls,
+         |    CASE WHEN c2.c2 IS NOT NULL THEN
+         |           CAST(round(ln(CAST(c2.c2 AS DOUBLE) / c1.c1), 9)
+         |             AS DECIMAL(18,9))
+         |         WHEN uni.u IS NOT NULL THEN
+         |           CAST(round(ln(CAST(2 * uni.u AS DOUBLE) / (5 * nn.n)), 9)
+         |             AS DECIMAL(18,9))
+         |         ELSE NULL END AS lp
+         |  FROM tep
+         |  LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+         |  LEFT JOIN uni USING (w2), nn)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_backoff,
+         |  CAST(sum(CASE WHEN cls = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  round(CAST(sum(lp) AS DOUBLE) / count(lp), 6) AS mean_sb_logprob
+         |FROM scored GROUP BY 1""".stripMargin) { (spark, dir) =>
+      def pairsOf(df: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        df.select(col("doc_id"), posexplode(Text.tokens(col("text"))))
+          .withColumnRenamed("col", "w1")
+          .withColumn("w2", lead(col("w1"), 1).over(w))
+          .filter(col("w2").isNotNull)
+          .select("doc_id", "w1", "w2")
+      }
+      val docs = Tables.documents(spark, dir)
+      val train = docs.filter(col("doc_id") % 7 =!= 0)
+      val c2 = pairsOf(train).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        .localCheckpoint() // c1 derivation + the scoring join both read it
+      val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+      val uni = train
+        .select(explode(Text.tokens(col("text"))).as("w2"))
+        .groupBy("w2").agg(count(lit(1)).as("u"))
+      val nn = uni.agg(sum("u").as("n"))
+      val scored = pairsOf(docs.filter(col("doc_id") % 7 === 0))
+        .join(c2, Seq("w1", "w2"), "left")
+        .join(c1, Seq("w1"), "left")
+        .join(uni, Seq("w2"), "left")
+        .crossJoin(broadcast(nn))
+        .select(col("doc_id"),
+          when(col("c2").isNotNull, 0)
+            .when(col("u").isNotNull, 1).otherwise(2).as("cls"),
+          when(col("c2").isNotNull,
+            round(log(col("c2").cast("double") / col("c1")), 9)
+              .cast(DecimalType(18, 9)))
+            .when(col("u").isNotNull,
+              round(log((col("u") * 2).cast("double") / (col("n") * 5)), 9)
+                .cast(DecimalType(18, 9)))
+            .otherwise(lit(null).cast(DecimalType(18, 9))).as("lp"))
+      scored.groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("cls") === 1, 1L).otherwise(0L)).as("n_backoff"),
+        sum(when(col("cls") === 2, 1L).otherwise(0L)).as("n_oov"),
+        round(sum(col("lp")).cast("double") / count(col("lp")), 6)
+          .as("mean_sb_logprob"))
+    },
+
     // ---- Character-entropy compressibility gate: order-0 Shannon
     // entropy (nats) over each document's code-point distribution — the
     // cheap stand-in for the gzip-compressibility filter the published

@@ -232,6 +232,82 @@ object RetrievalQueries {
           round(col("score"), 6).as("score"))
     },
 
+    // ---- L268: proximity (sloppy) search — the third retrieval shape a
+    // positional index answers (Zobel & Moffat 2006 §6; Lucene's sloppy
+    // PhraseQuery): the workload's two terms co-occurring within a
+    // ±5-token window in EITHER order, per (query, doc) the unordered
+    // pair count and the tightest gap. The position range-join is
+    // bucketed (bkt = pos div 6; a pair with 0 < Δ ≤ 5 can only land in
+    // the same or the next bucket, so the left side explodes to TWO
+    // candidate buckets and the join is pure equality — the q39 range-
+    // join discipline, never an unbounded position cross product).
+    // Candidate volume is Σ_terms tf·2 — the standard postings read for
+    // a proximity query; workload terms broadcast-prune the corpus
+    // stream first, as in L262/L265.
+    Q(
+      "q287_proximity_search",
+      s"""WITH ${topNgramSql(n = 2, k = 10)},
+         |qp AS (
+         |  SELECT q, string_split(q, ' ')[1] AS t1, string_split(q, ' ')[2] AS t2
+         |  FROM rq_top),
+         |qt AS (SELECT DISTINCT q, term FROM rq_terms),
+         |post AS (
+         |  SELECT doc_id, i AS pos1, t[i] AS term
+         |  FROM rq_tokl, unnest(range(1, len(t) + 1)) u(i)),
+         |ca AS (
+         |  SELECT qt.q, post.doc_id, post.pos1, post.term
+         |  FROM post JOIN qt USING (term)),
+         |prs AS (
+         |  SELECT a.q, a.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(min(b.pos1 - a.pos1) AS BIGINT) AS min_gap
+         |  FROM ca a JOIN ca b ON a.q = b.q AND a.doc_id = b.doc_id
+         |    AND b.pos1 > a.pos1 AND b.pos1 - a.pos1 <= 5
+         |  JOIN qp ON qp.q = a.q
+         |    AND ((a.term = qp.t1 AND b.term = qp.t2)
+         |      OR (a.term = qp.t2 AND b.term = qp.t1))
+         |  GROUP BY 1, 2)
+         |SELECT q AS query, doc_id, CAST(rk AS INT) AS rank, n_pairs, min_gap
+         |FROM (
+         |  SELECT q, doc_id, n_pairs, min_gap,
+         |    row_number() OVER (PARTITION BY q
+         |      ORDER BY n_pairs DESC, doc_id) AS rk
+         |  FROM prs) r
+         |WHERE rk <= 5""".stripMargin) { (spark, dir) =>
+      val tokDf = Tables.documents(spark, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      val qterms = workloadTerms(ngramCounts(tokDf, n = 2), k = 10)
+        .localCheckpoint() // read for qp, the distinct prune, and labels
+      val qp = qterms.groupBy("q").agg(
+        max(when(col("slot") === 1, col("term"))).as("t1"),
+        max(when(col("slot") === 2, col("term"))).as("t2"))
+      val qt = qterms.select("q", "term").distinct()
+      val ca = postings(tokDf).join(broadcast(qt), "term")
+        .select(col("q"), col("doc_id"), col("pos1"), col("term"))
+      val a = ca
+        .withColumn("jb",
+          explode(array(floor(col("pos1") / 6), floor(col("pos1") / 6) + 1)))
+        .select(col("q"), col("doc_id"), col("jb"),
+          col("pos1").as("a_pos"), col("term").as("a_term"))
+      val b = ca.select(col("q"), col("doc_id"),
+        floor(col("pos1") / 6).as("jb"),
+        col("pos1").as("b_pos"), col("term").as("b_term"))
+      val prs = a.join(b, Seq("q", "doc_id", "jb"))
+        .filter(col("b_pos") > col("a_pos") &&
+          col("b_pos") - col("a_pos") <= 5)
+        .join(broadcast(qp), "q")
+        .filter((col("a_term") === col("t1") && col("b_term") === col("t2"))
+          || (col("a_term") === col("t2") && col("b_term") === col("t1")))
+        .groupBy("q", "doc_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("b_pos") - col("a_pos")).cast("long").as("min_gap"))
+      val w = Window.partitionBy("q").orderBy(col("n_pairs").desc, col("doc_id"))
+      prs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q").as("query"), col("doc_id"),
+          col("rk").cast("int").as("rank"), col("n_pairs"), col("min_gap"))
+    },
+
     // ---- L267 STREAMING positional-index maintenance: q281's index
     // kept ALIVE under continuous ingest (nobody re-tokenizes 100 TB
     // per arriving batch). Two standing versioned tables: the postings

@@ -280,4 +280,38 @@ class CorpusStatsSpec extends SparkSuite {
       assert(gini == expect, s"$src gini replay: got $gini want $expect")
     }
   }
+
+  test("skip-gram PMI: returned rows recompute from a brute-force window " +
+      "count; pairs canonical (w <= c), above min-count, rank-ordered") {
+    def tok(text: String): Array[String] =
+      text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val toks = graft.Tables.documents(spark, sfDir())
+      .select("text").collect().map(r => tok(r.getString(0)))
+    val fwd = toks.flatMap { t =>
+      t.indices.flatMap(i => (i + 1) to math.min(i + 5, t.length - 1) map
+        (j => (t(i), t(j))))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val dir = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    fwd.foreach { case ((a, b), n) =>
+      dir((a, b)) += n; dir((b, a)) += n }
+    val mar = dir.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ct = dir.values.sum
+    val rows = graft.SparkEntry.queries("q289_skipgram_pmi")(spark, sfDir())
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty && rows.length <= 30)
+    rows.foreach { case (w, c, n, pmi) =>
+      assert(w <= c && n >= 20)
+      assert(n == dir((w, c)), s"pair count for ($w,$c)")
+      val expect = BigDecimal(math.log(
+        (n * ct).toDouble / (mar(w) * mar(c)).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(expect - pmi) < 1e-9, s"pmi for ($w,$c)")
+    }
+    // rank order: pmi non-increasing with (w, c) tiebreaks
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(a._4 > b._4 || (a._4 == b._4 &&
+        (a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)))) }
+  }
 }

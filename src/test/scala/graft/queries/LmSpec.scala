@@ -64,4 +64,43 @@ class LmSpec extends SparkSuite {
       assert(mean < 0.0)
     }
   }
+
+  test("stupid backoff: held-out scores recompute from scratch; class " +
+      "counts partition the bigrams; every score is <= 0") {
+    val docToks = graft.Tables.documents(spark, sfDir())
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> tok(r.getString(1))).toMap
+    val train = docToks.filter(_._1 % 7 != 0).values.toSeq
+    val pairs = train.flatMap(t => t.zip(t.drop(1)))
+    val c2 = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val u = train.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = train.flatten.size.toLong
+    def lp9(num: Long, den: Long): BigDecimal =
+      BigDecimal(math.log(num.toDouble / den.toDouble))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val rows = graft.SparkEntry.queries("q288_stupid_backoff")(spark, sfDir())
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (docId, nBg, nBo, nOov) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(docId % 7 == 0, "only held-out docs are scored")
+      val bgs = docToks(docId).zip(docToks(docId).drop(1))
+      assert(bgs.length.toLong == nBg)
+      val cls = bgs.map { bg =>
+        if (c2.contains(bg)) 0 else if (u.contains(bg._2)) 1 else 2 }
+      assert(cls.count(_ == 1).toLong == nBo && cls.count(_ == 2).toLong == nOov)
+      val scored = bgs.zip(cls).collect {
+        case (bg, 0) => lp9(c2(bg), c1(bg._1))
+        case (bg, 1) => lp9(2L * u(bg._2), 5L * n)
+      }
+      if (scored.nonEmpty) {
+        val mean = r.getDouble(4)
+        assert(math.abs(scored.sum.toDouble / scored.length - mean) < 1e-6,
+          s"doc $docId mean recompute")
+        assert(mean <= 0.0, "stupid-backoff scores are probabilities-like <= 1")
+      }
+    }
+  }
 }

@@ -93,4 +93,32 @@ class RetrievalSpec extends SparkSuite {
       spark, sfDir()).collect().map(_.toString).sorted.toSeq
     assert(folded == oneShot)
   }
+
+  test("proximity search: pair counts and min gaps equal a brute-force " +
+      "window scan; ranks contiguous and pair-ordered") {
+    val rows = graft.SparkEntry.queries("q287_proximity_search")(
+      spark, sfDir()).collect().map(r => (r.getString(0), r.getLong(1),
+        r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    def brute(t1: String, t2: String, t: Array[String]): (Long, Long) = {
+      val hits = for {
+        i <- t.indices; j <- (i + 1) to math.min(i + 5, t.length - 1)
+        if (t(i) == t1 && t(j) == t2) || (t(i) == t2 && t(j) == t1)
+      } yield (j - i).toLong
+      (hits.length.toLong, if (hits.isEmpty) 0L else hits.min)
+    }
+    rows.foreach { case (query, docId, _, nPairs, minGap) =>
+      val Array(t1, t2) = query.split(" ")
+      val (bn, bg) = brute(t1, t2, docToks(docId))
+      assert(bn == nPairs && bg == minGap,
+        s"'$query' doc $docId: brute ($bn,$bg) vs ($nPairs,$minGap)")
+    }
+    rows.groupBy(_._1).foreach { case (query, rs) =>
+      val byRank = rs.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq == (1 to rs.length))
+      byRank.zip(byRank.tail).foreach { case (a, b) =>
+        assert(a._4 > b._4 || (a._4 == b._4 && a._2 < b._2),
+          s"rank order for '$query'") }
+    }
+  }
 }
