@@ -1514,6 +1514,104 @@ object CorpusStatsQueries {
       p.withColumn("rk", row_number().over(rw))
         .filter(col("rk") <= 30)
         .select(col("w"), col("c"), col("n").as("n_pairs"), col("pmi"))
+    },
+
+    // ---- HyperBall neighborhood function (Boldi & Vigna 2013) over the
+    // capped near-dup graph: N(r) = #{(u,v) : d(u,v) ≤ r} for r = 0..3
+    // via per-node HLL sketches of the ball — each round is ONE
+    // edges⋈sketches join + ONE merge aggregate (state |V|·~1 KiB at
+    // p=10), which is the only way a distance distribution is
+    // computable at 100 TB, where the exact ball table is
+    // Σ-component² rows. The exact side IS computed here as the audit
+    // (the q141/q142 small-corpus-audit precedent — near-dup components
+    // are quasi-cliques, so B_r saturates to component² within a hop
+    // or two); the sketch path never materializes it. Outputs per r:
+    // exact N(r), the closure fraction N(r)∕N(3) (integer-space 6-dp —
+    // the effective-diameter readout: the smallest r with frac ≥ 0.9),
+    // and the q48-style within-band boolean for the HLL sum (10% at
+    // p=10 ≈ 3.25% per-node rel. error). Same deterministic splitmix64
+    // hash as the whole HLL family — one fixed error per dataset.
+    Q(
+      "q290_hyperball", {
+        def grow(prev: String, next: String) =
+          s"""$next AS MATERIALIZED (
+             |  SELECT DISTINCT src, dst FROM (
+             |    SELECT src, dst FROM $prev
+             |    UNION ALL
+             |    SELECT b.src, e.dst FROM $prev b JOIN edges e ON b.dst = e.src))"""
+            .stripMargin
+        s"""WITH ${LlmQueries.simhashCtes},
+           |ranked AS (
+           |  SELECT doc_id, sim, band, band_key,
+           |    row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rk
+           |  FROM banded),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM ranked a JOIN banded b USING (band, band_key)
+           |  WHERE a.rk <= ${graft.ops.Dedup.DefaultDegreeCap}
+           |    AND a.doc_id < b.doc_id
+           |    AND bit_count(xor(a.sim, b.sim)) <= 3),
+           |edges AS MATERIALIZED (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION ALL SELECT id_b, id_a FROM pairs),
+           |b0 AS MATERIALIZED (SELECT doc_id AS src, doc_id AS dst FROM documents),
+           |${grow("b0", "b1")},
+           |${grow("b1", "b2")},
+           |${grow("b2", "b3")},
+           |cnt AS (
+           |  SELECT 0 AS r, CAST(count(*) AS BIGINT) AS n FROM b0
+           |  UNION ALL SELECT 1, CAST(count(*) AS BIGINT) FROM b1
+           |  UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM b2
+           |  UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM b3),
+           |n3 AS (SELECT n AS nmax FROM cnt WHERE r = 3)
+           |SELECT CAST(r AS INT) AS r, n AS n_pairs,
+           |  CAST(((2 * CAST(n AS HUGEINT) * 1000000 + nmax)
+           |      // (2 * CAST(nmax AS HUGEINT)))
+           |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS closure_frac,
+           |  TRUE AS est_ok
+           |FROM cnt, n3""".stripMargin
+      }) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val prs = Dedup.simhashPairsCapped(docs, "doc_id", "text",
+        bands = 4, maxHamming = 3, cap = Dedup.DefaultDegreeCap)
+      val edges = prs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(prs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .localCheckpoint() // read by every round of both arms
+      val nodes = docs.select(col("doc_id").as("id"))
+      // exact audit arm: grow the ball table three hops
+      var ball = nodes.select(col("id").as("src"), col("id").as("dst"))
+        .localCheckpoint()
+      val exact = scala.collection.mutable.ArrayBuffer(ball.count())
+      // sketch arm: HyperBall proper
+      var sk = nodes.groupBy("id")
+        .agg(call_function("graft_hll_sketch", col("id"), lit(10)).as("sk"))
+        .localCheckpoint()
+      def sumEst(s: org.apache.spark.sql.DataFrame): Long =
+        s.select(call_function("graft_hll_estimate", col("sk")).as("e"))
+          .agg(sum("e")).head().getLong(0)
+      val ests = scala.collection.mutable.ArrayBuffer(sumEst(sk))
+      for (_ <- 1 to 3) {
+        val grown = ball
+          .join(edges.select(col("src").as("m"), col("dst").as("w")),
+            col("dst") === col("m"))
+          .select(col("src"), col("w").as("dst"))
+        ball = ball.unionByName(grown).distinct().localCheckpoint()
+        exact += ball.count()
+        val nbr = edges.join(sk.withColumnRenamed("id", "dst"), "dst")
+          .select(col("src").as("id"), col("sk"))
+        sk = sk.unionByName(nbr).groupBy("id")
+          .agg(call_function("graft_hll_merge", col("sk")).as("sk"))
+          .localCheckpoint()
+        ests += sumEst(sk)
+      }
+      val nmax = BigInt(exact.last)
+      (0 to 3).map { r =>
+        val q6 = (BigInt(2) * exact(r) * 1000000 + nmax) / (2 * nmax)
+        (r, exact(r),
+          BigDecimal(q6, 6).toDouble,
+          math.abs(ests(r) - exact(r)).toDouble <= 0.10 * exact(r))
+      }.toDF("r", "n_pairs", "closure_frac", "est_ok")
     }
   )
 }

@@ -314,4 +314,33 @@ class CorpusStatsSpec extends SparkSuite {
       assert(a._4 > b._4 || (a._4 == b._4 &&
         (a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)))) }
   }
+
+  test("hyperball: exact N(r) equals a BFS brute force, N(1) identity " +
+      "holds, closure saturates at r=3, sketch sums inside the band") {
+    val rows = graft.SparkEntry.queries("q290_hyperball")(spark, sfDir())
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    val docs = graft.Tables.documents(spark, sfDir())
+    val prs = graft.ops.Dedup.simhashPairsCapped(docs, "doc_id", "text",
+      bands = 4, maxHamming = 3, cap = graft.ops.Dedup.DefaultDegreeCap)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val adj = (prs ++ prs.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap.withDefaultValue(Set.empty)
+    var balls: Map[Long, Set[Long]] = ids.map(v => v -> Set(v)).toMap
+    (0 to 3).foreach { r =>
+      assert(balls.values.map(_.size.toLong).sum == rows(r)._2,
+        s"exact N($r) vs BFS brute force")
+      balls = balls.map { case (v, b) => v -> (b ++ b.flatMap(adj)) }
+    }
+    assert(rows(0)._2 == ids.length.toLong, "N(0) = |V|")
+    assert(rows(1)._2 == ids.length.toLong + 2L * prs.length,
+      "N(1) = |V| + 2|E|")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2 && a._3 <= b._3, "N and closure are monotone") }
+    assert(rows(3)._3 == 1.0, "closure_frac(3) = 1")
+    assert(rows.forall(_._4), "every HLL ball-sum inside the 10% band")
+  }
 }
