@@ -233,13 +233,34 @@ object Components {
     * simplified formulation (Page et al., 1999, eq. 2).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame =
+    pageRankFrom(edges, srcCol, dstCol, init = None, iters)
+
+  /** [[pageRank]] warm-started from a standing rank table (node_id, pr)
+    * — the graph-MAINTENANCE entry point: after an edge batch arrives,
+    * nobody restarts power iteration from uniform over 100 TB of edges;
+    * the standing vector is already near the new fixpoint everywhere
+    * the batch didn't touch, so a couple of warm iterations buy what a
+    * cold restart needs many for (same per-iteration Pregel cost —
+    * warm-starting changes the CONSTANT, not the shape). Nodes absent
+    * from `init` (new arrivals) seed at the uniform 1e9. Deterministic:
+    * same scaled-integer recurrence as the cold start, so the warmed
+    * result is a pure function of (init, edges, iters) that the oracle
+    * replays exactly. */
+  def pageRankFrom(edges: DataFrame, srcCol: String, dstCol: String,
+      init: Option[DataFrame], iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint() // computed once, reused every iteration
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
-    var rank = deg.select(col("src"), lit(1000000000L).as("pr"))
+    var rank = init.fold(deg.select(col("src"), lit(1000000000L).as("pr"))) {
+      r0 =>
+        deg.select(col("src"))
+          .join(r0.select(col("node_id").as("src"), col("pr")), Seq("src"),
+            "left")
+          .select(col("src"), coalesce(col("pr"), lit(1000000000L)).as("pr"))
+    }
     for (i <- 1 to iters) {
       rank = e.join(rank.join(deg, "src"), "src")
         .select(col("dst"), expr("pr div outdeg").as("c"))

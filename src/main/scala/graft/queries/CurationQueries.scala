@@ -3051,5 +3051,85 @@ object CurationQueries {
         (col("ent6") >
           lit(new java.math.BigDecimal("1.5")).cast(DecimalType(38, 6)))
           .as("keep"))
+    },
+
+    // ---- POST-DEDUP MIXTURE SHIFT: dedup silently reweights the
+    // source mixture (boilerplate-heavy sources lose more tokens than
+    // clean ones — q168 measures per-source survival, q94/q238 plan
+    // mixtures, but nothing connected them): per source the raw vs
+    // post-survivor token share and their exact-decimal difference —
+    // the number a mixture planner must re-plan against after every
+    // dedup build. Survivors are q49's rule VERBATIM (min-label
+    // component canonical + untouched singletons), shares minted by the
+    // integer-space half-up divide, shift = exact DECIMAL(7,6)
+    // subtraction (the q127 drift recipe — no float crosses the oracle
+    // boundary un-rounded). One clustering pass + one corpus token
+    // aggregate + |sources|-row grid math.
+    Q(
+      "q292_postdedup_mixture", {
+        def rr(x: String, t: String) =
+          s"((2 * CAST($x AS HUGEINT) * 1000000 + $t) // (2 * CAST($t AS HUGEINT))) * CAST(0.000001 AS DECIMAL(7,6))"
+        s"""WITH RECURSIVE ${LlmQueries.simhashCtes},
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b USING (band, band_key)
+           |  WHERE a.doc_id < b.doc_id
+           |    AND bit_count(xor(a.sim, b.sim)) <= 3),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach AS (
+           |  SELECT DISTINCT src AS id, src AS comp FROM edges
+           |  UNION
+           |  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+           |cmp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+           |tk AS (
+           |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS ntok
+           |  FROM documents),
+           |j AS (
+           |  SELECT t.source, t.ntok,
+           |    coalesce(c.component, t.doc_id) = t.doc_id AS keep
+           |  FROM tk t LEFT JOIN cmp c ON c.id = t.doc_id),
+           |per AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |    CAST(sum(ntok) AS BIGINT) AS tokens_all,
+           |    CAST(sum(CASE WHEN keep THEN ntok ELSE 0 END) AS BIGINT)
+           |      AS tokens_kept
+           |  FROM j GROUP BY 1),
+           |tot AS (
+           |  SELECT CAST(sum(tokens_all) AS BIGINT) AS ta,
+           |    CAST(sum(tokens_kept) AS BIGINT) AS tkt FROM per)
+           |SELECT source, n_docs, n_kept, tokens_all, tokens_kept,
+           |  CAST(${rr("tokens_all", "ta")} AS DOUBLE) AS share_raw,
+           |  CAST(${rr("tokens_kept", "tkt")} AS DOUBLE) AS share_dedup,
+           |  CAST(${rr("tokens_kept", "tkt")} - ${rr("tokens_all", "ta")}
+           |    AS DOUBLE) AS share_shift
+           |FROM per, tot""".stripMargin
+      }) { (spark, dir) =>
+      import graft.functions.ExactRound
+      val docs = Tables.documents(spark, dir)
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+        bands = 4, maxHamming = 3)
+      val clusters = Components
+        .resolveClusters(docs, "doc_id", pairs, "id_a", "id_b")
+      val tk = docs.select(col("doc_id"), col("source"),
+        size(Text.tokens(col("text"))).cast("long").as("ntok"))
+      val per = tk.join(clusters.select("doc_id", "keep"), "doc_id")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("ntok")).as("tokens_all"),
+          sum(when(col("keep"), col("ntok")).otherwise(0L)).as("tokens_kept"))
+      val tot = per.agg(sum("tokens_all").as("ta"), sum("tokens_kept").as("tkt"))
+      val rrAll = ExactRound.roundRatio(col("tokens_all"), col("ta"), 6)
+      val rrKept = ExactRound.roundRatio(col("tokens_kept"), col("tkt"), 6)
+      per.crossJoin(broadcast(tot)).select(
+        col("source"), col("n_docs"), col("n_kept"),
+        col("tokens_all"), col("tokens_kept"),
+        rrAll.cast("double").as("share_raw"),
+        rrKept.cast("double").as("share_dedup"),
+        (rrKept - rrAll).cast("double").as("share_shift"))
     })
 }

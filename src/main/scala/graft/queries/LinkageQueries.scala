@@ -156,6 +156,74 @@ object LinkageQueries {
       Components.pageRank(e, "src", "dst", iters = 3)
     },
 
+    // ---- WARM-START PAGERANK MAINTENANCE: the graph twin of the
+    // incremental-view folds (q100/q103) — an edge batch arrives
+    // (orders with o_orderkey % 5 = 0 join the standing interaction
+    // graph) and the rank vector is maintained by TWO warm iterations
+    // from yesterday's fixpoint instead of a cold restart (the standing
+    // vector is already near the new fixpoint everywhere the batch
+    // didn't touch; warm-starting changes the iteration COUNT, not the
+    // per-iteration Pregel cost — the only maintenance shape that works
+    // when the graph is 100 TB). New nodes seed at the uniform 1e9.
+    // Same scaled-integer recurrence as q126, so the maintained vector
+    // is a pure function of (standing, edges, iters) — the oracle
+    // unrolls 3 cold iterations on the standing graph then the 2 warm
+    // ones on the full graph, bit-identical.
+    Q(
+      "q291_pagerank_warm_start",
+      """WITH e0a AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderkey % 5 <> 0),
+        |ea AS (SELECT src, dst FROM e0a UNION ALL SELECT dst, src FROM e0a),
+        |dega AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+        |         FROM ea GROUP BY src),
+        |r0 AS (SELECT src, CAST(1000000000 AS BIGINT) AS pr FROM dega),
+        |r1 AS (SELECT e.dst AS src,
+        |    CAST(150000000 + (85 * sum(r.pr // d.outdeg)) // 100 AS BIGINT) AS pr
+        |  FROM ea e JOIN r0 r ON e.src = r.src JOIN dega d ON e.src = d.src
+        |  GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS src,
+        |    CAST(150000000 + (85 * sum(r.pr // d.outdeg)) // 100 AS BIGINT) AS pr
+        |  FROM ea e JOIN r1 r ON e.src = r.src JOIN dega d ON e.src = d.src
+        |  GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS src,
+        |    CAST(150000000 + (85 * sum(r.pr // d.outdeg)) // 100 AS BIGINT) AS pr
+        |  FROM ea e JOIN r2 r ON e.src = r.src JOIN dega d ON e.src = d.src
+        |  GROUP BY e.dst),
+        |e0b AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |eb AS (SELECT src, dst FROM e0b UNION ALL SELECT dst, src FROM e0b),
+        |degb AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+        |         FROM eb GROUP BY src),
+        |w0 AS (SELECT d.src, COALESCE(r3.pr, 1000000000) AS pr
+        |       FROM degb d LEFT JOIN r3 ON d.src = r3.src),
+        |w1 AS (SELECT e.dst AS src,
+        |    CAST(150000000 + (85 * sum(r.pr // d.outdeg)) // 100 AS BIGINT) AS pr
+        |  FROM eb e JOIN w0 r ON e.src = r.src JOIN degb d ON e.src = d.src
+        |  GROUP BY e.dst),
+        |w2 AS (SELECT e.dst AS src,
+        |    CAST(150000000 + (85 * sum(r.pr // d.outdeg)) // 100 AS BIGINT) AS pr
+        |  FROM eb e JOIN w1 r ON e.src = r.src JOIN degb d ON e.src = d.src
+        |  GROUP BY e.dst)
+        |SELECT src AS node_id, pr FROM w2""".stripMargin) { (spark, dir) =>
+      val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+      val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      def edgesOf(ord: org.apache.spark.sql.DataFrame) = {
+        val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 10000000L).as("dst"))
+          .distinct()
+        e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      }
+      val standing = Components.pageRank(
+        edgesOf(o.filter(col("o_orderkey") % 5 =!= 0)), "src", "dst",
+        iters = 3)
+      Components.pageRankFrom(edgesOf(o), "src", "dst",
+        init = Some(standing), iters = 2)
+    },
+
     // ---- CORPUS DRIFT MONITOR: compare two corpus versions (deterministic
     // overlapping subsets standing in for yesterday's and today's build)
     // per (lang, source) cell — document counts, corpus share, mean doc

@@ -107,4 +107,30 @@ class ComponentsSpec extends SparkSuite {
         k = 2, maxIter = 3).collect()
     }
   }
+
+  test("pageRankFrom composes: warm(cold(E,3), 2) == cold(E,5) bit-for-bit " +
+      "on the same graph, and absent nodes seed at the uniform 1e9") {
+    import spark.implicits._
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val e = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+    val cold3 = graft.ops.Components.pageRank(e, "src", "dst", iters = 3)
+    val warm = graft.ops.Components
+      .pageRankFrom(e, "src", "dst", Some(cold3), iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val cold5 = graft.ops.Components.pageRank(e, "src", "dst", iters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(warm == cold5, "the scaled-integer recurrence composes exactly")
+    // a node the standing vector has never seen starts from uniform:
+    // warm-starting the EXPANDED graph from a partial init is exactly
+    // one cold iteration from (init ++ uniform-for-new)
+    val e2a = e.unionByName(Seq((5L, 1L), (1L, 5L)).toDF("src", "dst"))
+    val seeded = graft.ops.Components
+      .pageRankFrom(e2a, "src", "dst", Some(cold3), iters = 1)
+    val manual = graft.ops.Components.pageRankFrom(e2a, "src", "dst",
+      Some(cold3.unionByName(Seq((5L, 1000000000L)).toDF("node_id", "pr"))),
+      iters = 1)
+    assert(seeded.collect().map(_.toString).sorted.toSeq ==
+      manual.collect().map(_.toString).sorted.toSeq)
+  }
 }

@@ -290,4 +290,26 @@ class SelectionSpec extends SparkSuite {
         s"probe $id disagreement quantization")
     }
   }
+
+  test("post-dedup mixture shift: shares sum to ~1, shifts sum to ~0, " +
+      "keep counts reconcile with q49, shift is the exact difference") {
+    val rows = graft.SparkEntry.queries("q292_postdedup_mixture")(
+      spark, sfDir()).collect()
+    assert(rows.nonEmpty)
+    val (shareRaw, shareDedup, shift) =
+      (rows.map(_.getDouble(5)).sum, rows.map(_.getDouble(6)).sum,
+        rows.map(_.getDouble(7)).sum)
+    assert(math.abs(shareRaw - 1.0) < 2e-5 && math.abs(shareDedup - 1.0) < 2e-5)
+    assert(math.abs(shift) < 4e-5, "shifts are a zero-sum reweighting")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "kept docs <= docs")
+      assert(r.getLong(4) <= r.getLong(3), "kept tokens <= tokens")
+      assert(math.abs(r.getDouble(7) - (r.getDouble(6) - r.getDouble(5)))
+        < 1e-12, "shift = dedup share - raw share, exactly")
+    }
+    val q49kept = graft.SparkEntry.queries("q49_dedup_clusters")(
+      spark, sfDir()).filter("keep").count()
+    assert(rows.map(_.getLong(2)).sum == q49kept,
+      "survivor counts reconcile with q49's rule")
+  }
 }
