@@ -1517,20 +1517,24 @@ object CorpusStatsQueries {
     },
 
     // ---- HyperBall neighborhood function (Boldi & Vigna 2013) over the
-    // capped near-dup graph: N(r) = #{(u,v) : d(u,v) ≤ r} for r = 0..3
-    // via per-node HLL sketches of the ball — each round is ONE
-    // edges⋈sketches join + ONE merge aggregate (state |V|·~1 KiB at
-    // p=10), which is the only way a distance distribution is
-    // computable at 100 TB, where the exact ball table is
-    // Σ-component² rows. The exact side IS computed here as the audit
-    // (the q141/q142 small-corpus-audit precedent — near-dup components
-    // are quasi-cliques, so B_r saturates to component² within a hop
-    // or two); the sketch path never materializes it. Outputs per r:
-    // exact N(r), the closure fraction N(r)∕N(3) (integer-space 6-dp —
-    // the effective-diameter readout: the smallest r with frac ≥ 0.9),
-    // and the q48-style within-band boolean for the HLL sum (10% at
-    // p=10 ≈ 3.25% per-node rel. error). Same deterministic splitmix64
-    // hash as the whole HLL family — one fixed error per dataset.
+    // capped near-dup graph, SEEDED readout (the ANF estimator — Palmer
+    // et al. 2002 sample centers; HyperBall keeps per-node state):
+    // N_S(r) = Σ_{v: v%17=0} |B(v,r)| for r = 0..3. The sketch arm is
+    // the production path — per-node HLL ball sketches (p=10, ~1 KiB)
+    // advanced one hop per round by ONE edges⋈sketches join + ONE merge
+    // aggregate over ALL nodes (propagation needs every node's sketch;
+    // only the READOUT restricts to seeds) — the only shape that
+    // computes a distance distribution at 100 TB, where the exact ball
+    // table is Σ-component² rows (near-dup components are quasi-
+    // cliques: B_r saturates within a hop or two — measured 11.6×/decade
+    // when this audit grew balls from every node). The exact side IS
+    // computed here as the audit, BOUNDED by the 1-in-17 seed set (the
+    // q205/q206 sampled-audit precedent). Outputs per r: exact seeded
+    // N_S(r), the closure fraction N_S(r)∕N_S(3) (integer-space 6-dp —
+    // the effective-diameter readout), and the q48-style within-band
+    // boolean for the seeded HLL sum (10% at p=10 ≈ 3.25% per-node
+    // rel. error). Same deterministic splitmix64 hash as the whole HLL
+    // family — one fixed error per dataset.
     Q(
       "q290_hyperball", {
         def grow(prev: String, next: String) =
@@ -1554,7 +1558,9 @@ object CorpusStatsQueries {
            |edges AS MATERIALIZED (
            |  SELECT id_a AS src, id_b AS dst FROM pairs
            |  UNION ALL SELECT id_b, id_a FROM pairs),
-           |b0 AS MATERIALIZED (SELECT doc_id AS src, doc_id AS dst FROM documents),
+           |b0 AS MATERIALIZED (
+           |  SELECT doc_id AS src, doc_id AS dst FROM documents
+           |  WHERE doc_id % 17 = 0),
            |${grow("b0", "b1")},
            |${grow("b1", "b2")},
            |${grow("b2", "b3")},
@@ -1579,8 +1585,9 @@ object CorpusStatsQueries {
         .unionByName(prs.select(col("id_b").as("src"), col("id_a").as("dst")))
         .localCheckpoint() // read by every round of both arms
       val nodes = docs.select(col("doc_id").as("id"))
-      // exact audit arm: grow the ball table three hops
-      var ball = nodes.select(col("id").as("src"), col("id").as("dst"))
+      val seeds = nodes.filter(col("id") % 17 === 0)
+      // exact audit arm: grow the SEEDED ball table three hops
+      var ball = seeds.select(col("id").as("src"), col("id").as("dst"))
         .localCheckpoint()
       val exact = scala.collection.mutable.ArrayBuffer(ball.count())
       // sketch arm: HyperBall proper
@@ -1588,7 +1595,8 @@ object CorpusStatsQueries {
         .agg(call_function("graft_hll_sketch", col("id"), lit(10)).as("sk"))
         .localCheckpoint()
       def sumEst(s: org.apache.spark.sql.DataFrame): Long =
-        s.select(call_function("graft_hll_estimate", col("sk")).as("e"))
+        s.filter(col("id") % 17 === 0)
+          .select(call_function("graft_hll_estimate", col("sk")).as("e"))
           .agg(sum("e")).head().getLong(0)
       val ests = scala.collection.mutable.ArrayBuffer(sumEst(sk))
       for (_ <- 1 to 3) {

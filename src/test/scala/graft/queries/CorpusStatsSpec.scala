@@ -329,15 +329,17 @@ class CorpusStatsSpec extends SparkSuite {
     val ids = docs.select("doc_id").collect().map(_.getLong(0))
     val adj = (prs ++ prs.map(_.swap)).groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap.withDefaultValue(Set.empty)
-    var balls: Map[Long, Set[Long]] = ids.map(v => v -> Set(v)).toMap
+    val seeds = ids.filter(_ % 17 == 0)
+    var balls: Map[Long, Set[Long]] = seeds.map(v => v -> Set(v)).toMap
     (0 to 3).foreach { r =>
       assert(balls.values.map(_.size.toLong).sum == rows(r)._2,
-        s"exact N($r) vs BFS brute force")
+        s"exact seeded N($r) vs BFS brute force")
       balls = balls.map { case (v, b) => v -> (b ++ b.flatMap(adj)) }
     }
-    assert(rows(0)._2 == ids.length.toLong, "N(0) = |V|")
-    assert(rows(1)._2 == ids.length.toLong + 2L * prs.length,
-      "N(1) = |V| + 2|E|")
+    assert(rows(0)._2 == seeds.length.toLong, "N(0) = |seeds|")
+    assert(rows(1)._2 == seeds.length.toLong +
+      seeds.map(v => adj(v).size.toLong).sum,
+      "N(1) = |seeds| + seed out-degrees")
     rows.sliding(2).foreach { case Array(a, b) =>
       assert(a._2 <= b._2 && a._3 <= b._3, "N and closure are monotone") }
     assert(rows(3)._3 == 1.0, "closure_frac(3) = 1")
