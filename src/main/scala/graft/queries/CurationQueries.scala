@@ -3131,5 +3131,93 @@ object CurationQueries {
         rrAll.cast("double").as("share_raw"),
         rrKept.cast("double").as("share_dedup"),
         (rrKept - rrAll).cast("double").as("share_shift"))
+    },
+
+    // ---- WEIGHTED (multiset) Jaccard rescoring of the LSH candidates:
+    // J_w = Σ_t min(tf_a, tf_b) ∕ Σ_t max(tf_a, tf_b) over token
+    // FREQUENCY vectors — the refinement that separates "same vocabulary"
+    // from "same document": a doc and its 3×-repeated concatenation have
+    // set-Jaccard 1.0 but J_w = 1∕3, exactly the boilerplate-amplification
+    // case set dedup mislabels. Candidates are q23's banded-LSH pairs at
+    // set-J ≥ 0.5 (never all-pairs); the rescoring pass streams each
+    // pair's tf rows through a (pair, term) aggregate — volume
+    // Σ_pairs (|terms_a| + |terms_b|), linear in the candidate set.
+    // min/max sums are exact BIGINTs; J_w minted by the integer-space
+    // half-up divide. Set-vs-weighted ordering is NOT monotone — the
+    // audit emits both so the threshold choice is measurable.
+    Q(
+      "q293_weighted_jaccard", {
+        import LlmQueries.{hvCte, sigSql, bands, r, jaccardSql}
+        s"""$hvCte,
+           |sigs AS (
+           |  SELECT doc_id, hv, $sigSql AS sig FROM hvt),
+           |banded AS (
+           |  ${(0 until bands).map(b =>
+                s"SELECT doc_id, $b AS band, array_to_string(sig[${b * r + 1}:${b * r + r}], ',') AS band_key FROM sigs")
+                .mkString("\n  UNION ALL ")}),
+           |prs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM banded a JOIN banded b USING (band, band_key)
+           |  WHERE a.doc_id < b.doc_id),
+           |cand AS (
+           |  SELECT id_a, id_b, set_jaccard FROM (
+           |    SELECT id_a, id_b, $jaccardSql AS set_jaccard
+           |    FROM prs
+           |    JOIN hvt ha ON ha.doc_id = id_a
+           |    JOIN hvt hb ON hb.doc_id = id_b)
+           |  WHERE set_jaccard >= 0.5),
+           |tf AS (
+           |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+           |    SELECT doc_id, unnest($toksSql) AS term FROM documents)
+           |  GROUP BY 1, 2),
+           |pt AS (
+           |  SELECT c.id_a, c.id_b, t.term, t.tf AS tfa, CAST(0 AS BIGINT) AS tfb
+           |  FROM cand c JOIN tf t ON t.doc_id = c.id_a
+           |  UNION ALL
+           |  SELECT c.id_a, c.id_b, t.term, CAST(0 AS BIGINT), t.tf
+           |  FROM cand c JOIN tf t ON t.doc_id = c.id_b),
+           |agg AS (
+           |  SELECT id_a, id_b, term,
+           |    CAST(sum(tfa) AS BIGINT) AS tfa, CAST(sum(tfb) AS BIGINT) AS tfb
+           |  FROM pt GROUP BY 1, 2, 3),
+           |wj AS (
+           |  SELECT id_a, id_b,
+           |    CAST(sum(least(tfa, tfb)) AS BIGINT) AS smin,
+           |    CAST(sum(greatest(tfa, tfb)) AS BIGINT) AS smax
+           |  FROM agg GROUP BY 1, 2)
+           |SELECT c.id_a, c.id_b, c.set_jaccard,
+           |  CAST(((2 * CAST(smin AS HUGEINT) * 1000000 + smax)
+           |      // (2 * CAST(smax AS HUGEINT)))
+           |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS weighted_jaccard
+           |FROM cand c JOIN wj USING (id_a, id_b)""".stripMargin
+      }) { (spark, dir) =>
+      import graft.functions.ExactRound
+      val docs = Tables.documents(spark, dir)
+      val cand = Dedup.nearDupPairs(docs, "doc_id", "text",
+        shingleN = 3, k = LlmQueries.k, bands = LlmQueries.bands,
+        threshold = 0.5)
+        .withColumnRenamed("jaccard", "set_jaccard")
+        .localCheckpoint() // candidate set read by both rescoring sides
+      val tf = docs
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val aSide = cand.select("id_a", "id_b")
+        .join(tf, col("doc_id") === col("id_a"))
+        .select(col("id_a"), col("id_b"), col("term"),
+          col("tf").as("tfa"), lit(0L).as("tfb"))
+      val bSide = cand.select("id_a", "id_b")
+        .join(tf, col("doc_id") === col("id_b"))
+        .select(col("id_a"), col("id_b"), col("term"),
+          lit(0L).as("tfa"), col("tf").as("tfb"))
+      val wj = aSide.unionByName(bSide)
+        .groupBy("id_a", "id_b", "term")
+        .agg(sum("tfa").as("tfa"), sum("tfb").as("tfb"))
+        .groupBy("id_a", "id_b")
+        .agg(sum(least(col("tfa"), col("tfb"))).as("smin"),
+          sum(greatest(col("tfa"), col("tfb"))).as("smax"))
+      cand.join(wj, Seq("id_a", "id_b"))
+        .select(col("id_a"), col("id_b"), col("set_jaccard"),
+          ExactRound.roundRatio(col("smin"), col("smax"), 6)
+            .cast("double").as("weighted_jaccard"))
     })
 }

@@ -393,5 +393,88 @@ object RetrievalQueries {
       fold(feedDf.filter(col("doc_id") % 2 =!= 0), lastBid)
       val qterms = workloadTerms(Versioned.read(spark, cntPath), k = 10)
       phraseTopDocs(Versioned.read(spark, postPath), qterms, phraseLen = 3)
+    },
+
+    // ---- L275 INCREMENTAL BM25 index maintenance under a CDC batch
+    // (inserts AND deletes — the case q286's append-only postings never
+    // face): the standing index (tf/df/dl over corpus v1 = doc_id%7≠0)
+    // is maintained to corpus v2 = doc_id%11≠0 WITHOUT re-tokenizing
+    // the standing corpus — deleted docs' term presence comes from the
+    // standing tf TABLE itself (per-doc rows delete by key; df/dl are
+    // abelian counts that take signed deltas; a term whose df reaches 0
+    // leaves the dictionary), inserted docs tokenize fresh. The final
+    // ranking is the q54 operand tree over the MAINTAINED tables, and
+    // the oracle computes q54 DIRECTLY on v2 — maintenance == rebuild
+    // pinned row-for-row, the incremental-view contract (q100) applied
+    // to a retrieval index. Maintenance cost: |standing tf table| +
+    // |batch| — the 100 TB raw corpus is never re-read.
+    Q(
+      "q294_incremental_bm25",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |  WHERE doc_id % 11 <> 0),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks GROUP BY 1, 2),
+         |dl AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |dfx AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |      * (tf * 2.2)
+         |      / (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+         |          / (CAST(sum_dl AS DOUBLE) / n_docs)))) AS bm25
+         |  FROM tf JOIN dfx USING (term) JOIN dl USING (doc_id), stats),
+         |ranked AS (
+         |  SELECT doc_id, term, bm25,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY bm25 DESC, term) AS rn
+         |  FROM scored)
+         |SELECT doc_id, CAST(rn AS INT) AS rank, term, round(bm25, 6) AS bm25
+         |FROM ranked WHERE rn <= 3""".stripMargin) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      def tfOf(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // the standing index artifact (corpus v1), pinned: maintenance
+      // reads THIS, never the v1 corpus
+      val tf1 = tfOf(docs.filter(col("doc_id") % 7 =!= 0)).localCheckpoint()
+      val isDel = col("doc_id") % 11 === 0
+      val tfIns = tfOf(docs.filter(col("doc_id") % 7 === 0 &&
+        col("doc_id") % 11 =!= 0))
+        .localCheckpoint() // read by tfM, the df delta, and dl delta
+      // maintained per-doc rows: delete by key, append the batch
+      val tfM = tf1.filter(!isDel).unionByName(tfIns)
+      // maintained dictionary: signed presence deltas on the abelian df
+      val presDel = tf1.filter(isDel).groupBy("term")
+        .agg(count(lit(1)).as("d_del"))
+      val presIns = tfIns.groupBy("term").agg(count(lit(1)).as("d_ins"))
+      val dfM = tf1.groupBy("term").agg(count(lit(1)).as("df0"))
+        .join(presDel, Seq("term"), "full_outer")
+        .join(presIns, Seq("term"), "full_outer")
+        .na.fill(0L, Seq("df0", "d_del", "d_ins"))
+        .select(col("term"),
+          (col("df0") - col("d_del") + col("d_ins")).as("df"))
+        .filter(col("df") > 0)
+      val dlM = tfM.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val stats = dlM.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      val w = Window.partitionBy("doc_id").orderBy(col("bm25").desc, col("term"))
+      tfM.join(dfM, "term").join(dlM, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("bm25",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+            * (col("tf") * 2.2)
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75)
+                * (col("dl").cast("double")
+                  / (col("sum_dl").cast("double") / col("n_docs"))))))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"),
+          round(col("bm25"), 6).as("bm25"))
     })
 }

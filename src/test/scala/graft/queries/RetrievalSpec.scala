@@ -121,4 +121,18 @@ class RetrievalSpec extends SparkSuite {
           s"rank order for '$query'") }
     }
   }
+
+  test("incremental bm25: maintained index equals a from-scratch rebuild " +
+      "of corpus v2, row-for-row") {
+    val maintained = graft.SparkEntry.queries("q294_incremental_bm25")(
+      spark, sfDir()).collect().map(_.toString).sorted.toSeq
+    // direct rebuild: q54's own pipeline on a v2-filtered fixture
+    val v2dir = graft.Tmp.dir("graft-q294-spec")
+    graft.Tables.documents(spark, sfDir())
+      .filter("doc_id % 11 <> 0")
+      .write.mode("overwrite").parquet(s"$v2dir/documents.parquet")
+    val direct = graft.SparkEntry.queries("q54_bm25_terms")(
+      spark, v2dir.toString).collect().map(_.toString).sorted.toSeq
+    assert(maintained == direct, "maintenance == rebuild")
+  }
 }
