@@ -3219,5 +3219,58 @@ object CurationQueries {
         .select(col("id_a"), col("id_b"), col("set_jaccard"),
           ExactRound.roundRatio(col("smin"), col("smax"), 6)
             .cast("double").as("weighted_jaccard"))
+    },
+
+    // ---- SPAN-LEVEL post-dedup mixture shift: q292's twin under the
+    // OTHER dedup mode — exact-substring span stripping (L258) removes
+    // tokens inside documents instead of whole documents, and its
+    // mixture impact is different in kind (a syndication-heavy source
+    // keeps its doc count but loses its token mass). Per source: token
+    // totals before vs after the L258 rewrite, shares minted by the
+    // integer half-up divide, shift = exact DECIMAL(7,6) subtraction.
+    // Together q292/q295 price BOTH policies' reweighting before a
+    // mixture planner commits. Cost = one L258 pass (hash-prefiltered,
+    // never all-pairs) + |sources|-row grid math; the removed-token
+    // counts come from the rewrite output, nothing is re-tokenized.
+    Q(
+      "q295_span_mixture_shift", {
+        def rr(x: String, t: String) =
+          s"((2 * CAST($x AS HUGEINT) * 1000000 + $t) // (2 * CAST($t AS HUGEINT))) * CAST(0.000001 AS DECIMAL(7,6))"
+        s"""WITH base AS ($exactSubstrOracleSql),
+           |per AS (
+           |  SELECT d.source,
+           |    CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(b.n_tokens) AS BIGINT) AS tokens_all,
+           |    CAST(sum(b.n_tokens - b.n_removed) AS BIGINT) AS tokens_kept
+           |  FROM base b JOIN documents d USING (doc_id) GROUP BY 1),
+           |tot AS (
+           |  SELECT CAST(sum(tokens_all) AS BIGINT) AS ta,
+           |    CAST(sum(tokens_kept) AS BIGINT) AS tkt FROM per)
+           |SELECT source, n_docs, tokens_all, tokens_kept,
+           |  CAST(${rr("tokens_all", "ta")} AS DOUBLE) AS share_raw,
+           |  CAST(${rr("tokens_kept", "tkt")} AS DOUBLE) AS share_dedup,
+           |  CAST(${rr("tokens_kept", "tkt")} - ${rr("tokens_all", "ta")}
+           |    AS DOUBLE) AS share_shift
+           |FROM per, tot""".stripMargin
+      }) { (spark, dir) =>
+      import graft.functions.ExactRound
+      val docs = Tables.documents(spark, dir)
+      val rewritten = Dedup.exactSubstrDedup(docs, "doc_id", "text",
+        minLen = 20)
+      val per = rewritten
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("tokens_all"),
+          sum(col("n_tokens") - col("n_removed")).as("tokens_kept"))
+      val tot = per.agg(sum("tokens_all").as("ta"), sum("tokens_kept").as("tkt"))
+      val rrAll = ExactRound.roundRatio(col("tokens_all"), col("ta"), 6)
+      val rrKept = ExactRound.roundRatio(col("tokens_kept"), col("tkt"), 6)
+      per.crossJoin(broadcast(tot)).select(
+        col("source"), col("n_docs"), col("tokens_all"), col("tokens_kept"),
+        rrAll.cast("double").as("share_raw"),
+        rrKept.cast("double").as("share_dedup"),
+        (rrKept - rrAll).cast("double").as("share_shift"))
     })
 }

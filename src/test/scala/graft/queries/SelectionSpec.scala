@@ -312,4 +312,25 @@ class SelectionSpec extends SparkSuite {
     assert(rows.map(_.getLong(2)).sum == q49kept,
       "survivor counts reconcile with q49's rule")
   }
+
+  test("span-level mixture shift: shares sum to ~1, shifts zero-sum, " +
+      "token counts reconcile with the L258 rewrite") {
+    val rows = graft.SparkEntry.queries("q295_span_mixture_shift")(
+      spark, sfDir()).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 2e-5)
+    assert(math.abs(rows.map(_.getDouble(5)).sum - 1.0) < 2e-5)
+    assert(math.abs(rows.map(_.getDouble(6)).sum) < 4e-5)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "kept tokens <= tokens")
+      assert(math.abs(r.getDouble(6) - (r.getDouble(5) - r.getDouble(4)))
+        < 1e-12)
+    }
+    val rw = graft.ops.Dedup.exactSubstrDedup(
+      graft.Tables.documents(spark, sfDir()), "doc_id", "text", minLen = 20)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens"),
+        org.apache.spark.sql.functions.sum("n_removed")).head()
+    assert(rows.map(_.getLong(2)).sum == rw.getLong(0))
+    assert(rows.map(r => r.getLong(2) - r.getLong(3)).sum == rw.getLong(1))
+  }
 }
