@@ -1532,9 +1532,10 @@ object CorpusStatsQueries {
     // q205/q206 sampled-audit precedent). Outputs per r: exact seeded
     // N_S(r), the closure fraction N_S(r)∕N_S(3) (integer-space 6-dp —
     // the effective-diameter readout), and the q48-style within-band
-    // boolean for the seeded HLL sum (10% at p=10 ≈ 3.25% per-node
-    // rel. error). Same deterministic splitmix64 hash as the whole HLL
-    // family — one fixed error per dataset.
+    // boolean for the seeded HLL sum (10% at p=8 ≈ 6.5% per-node rel.
+    // error — the seeded SUM averages across balls). Same deterministic
+    // splitmix64 hash as the whole HLL family — one fixed error per
+    // dataset.
     Q(
       "q290_hyperball", {
         def grow(prev: String, next: String) =
@@ -1590,28 +1591,35 @@ object CorpusStatsQueries {
       var ball = seeds.select(col("id").as("src"), col("id").as("dst"))
         .localCheckpoint()
       val exact = scala.collection.mutable.ArrayBuffer(ball.count())
-      // sketch arm: HyperBall proper
+      // sketch arm: HyperBall proper. p=8 (256 B registers) — the edge
+      // join ships |E| sketch copies per round, so sketch BYTES are the
+      // round's shuffle volume; and 256 shuffle partitions so each
+      // task's partial-aggregate map holds a bounded slice of the
+      // |V|·256 B state (32 fat partitions OOM'd an 8 GiB heap at sf10
+      // — 25 M carried sketches in 32 slices).
       var sk = nodes.groupBy("id")
-        .agg(call_function("graft_hll_sketch", col("id"), lit(10)).as("sk"))
+        .agg(call_function("graft_hll_sketch", col("id"), lit(8)).as("sk"))
         .localCheckpoint()
       def sumEst(s: org.apache.spark.sql.DataFrame): Long =
         s.filter(col("id") % 17 === 0)
           .select(call_function("graft_hll_estimate", col("sk")).as("e"))
           .agg(sum("e")).head().getLong(0)
       val ests = scala.collection.mutable.ArrayBuffer(sumEst(sk))
-      for (_ <- 1 to 3) {
-        val grown = ball
-          .join(edges.select(col("src").as("m"), col("dst").as("w")),
-            col("dst") === col("m"))
-          .select(col("src"), col("w").as("dst"))
-        ball = ball.unionByName(grown).distinct().localCheckpoint()
-        exact += ball.count()
-        val nbr = edges.join(sk.withColumnRenamed("id", "dst"), "dst")
-          .select(col("src").as("id"), col("sk"))
-        sk = sk.unionByName(nbr).groupBy("id")
-          .agg(call_function("graft_hll_merge", col("sk")).as("sk"))
-          .localCheckpoint()
-        ests += sumEst(sk)
+      graft.Sessions.withShufflePartitions(spark, 256) {
+        for (_ <- 1 to 3) {
+          val grown = ball
+            .join(edges.select(col("src").as("m"), col("dst").as("w")),
+              col("dst") === col("m"))
+            .select(col("src"), col("w").as("dst"))
+          ball = ball.unionByName(grown).distinct().localCheckpoint()
+          exact += ball.count()
+          val nbr = edges.join(sk.withColumnRenamed("id", "dst"), "dst")
+            .select(col("src").as("id"), col("sk"))
+          sk = sk.unionByName(nbr).groupBy("id")
+            .agg(call_function("graft_hll_merge", col("sk")).as("sk"))
+            .localCheckpoint()
+          ests += sumEst(sk)
+        }
       }
       val nmax = BigInt(exact.last)
       (0 to 3).map { r =>
