@@ -1560,8 +1560,9 @@ object CorpusStatsQueries {
            |  SELECT id_a AS src, id_b AS dst FROM pairs
            |  UNION ALL SELECT id_b, id_a FROM pairs),
            |b0 AS MATERIALIZED (
-           |  SELECT doc_id AS src, doc_id AS dst FROM documents
-           |  WHERE doc_id % 17 = 0),
+           |  SELECT doc_id AS src, doc_id AS dst FROM (
+           |    SELECT doc_id FROM documents WHERE doc_id % 17 = 0
+           |    ORDER BY doc_id LIMIT 100)),
            |${grow("b0", "b1")},
            |${grow("b1", "b2")},
            |${grow("b2", "b3")},
@@ -1584,12 +1585,17 @@ object CorpusStatsQueries {
         bands = 4, maxHamming = 3, cap = Dedup.DefaultDegreeCap)
       val edges = prs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(prs.select(col("id_b").as("src"), col("id_a").as("dst")))
-        .localCheckpoint() // read by every round of both arms
+        .cache() // read by every round of both arms; released at return
       val nodes = docs.select(col("doc_id").as("id"))
+      // FIXED-size center sample (the ANF estimator samples centers; a
+      // rate-based sample keeps the audit quadratic — a mega-component
+      // of size M holds M∕17 centers each with an M-row ball): the 100
+      // smallest 17-residue ids, deterministic at every SF
       val seeds = nodes.filter(col("id") % 17 === 0)
+        .orderBy(col("id")).limit(100)
       // exact audit arm: grow the SEEDED ball table three hops
       var ball = seeds.select(col("id").as("src"), col("id").as("dst"))
-        .localCheckpoint()
+        .cache()
       val exact = scala.collection.mutable.ArrayBuffer(ball.count())
       // sketch arm: HyperBall proper. p=8 (256 B registers) — the edge
       // join ships |E| sketch copies per round, so sketch BYTES are the
@@ -1599,28 +1605,40 @@ object CorpusStatsQueries {
       // — 25 M carried sketches in 32 slices).
       var sk = nodes.groupBy("id")
         .agg(call_function("graft_hll_sketch", col("id"), lit(8)).as("sk"))
-        .localCheckpoint()
+        .cache()
+      val seedIds = seeds.localCheckpoint() // <=100 rows, broadcast below
       def sumEst(s: org.apache.spark.sql.DataFrame): Long =
-        s.filter(col("id") % 17 === 0)
+        s.join(broadcast(seedIds), "id")
           .select(call_function("graft_hll_estimate", col("sk")).as("e"))
           .agg(sum("e")).head().getLong(0)
       val ests = scala.collection.mutable.ArrayBuffer(sumEst(sk))
+      // round state is cache()d, materialized by the readout action,
+      // and the PREVIOUS round released immediately — without this the
+      // retained per-round tables accumulate in the shared session's
+      // storage memory and starved execution at sf10
       graft.Sessions.withShufflePartitions(spark, 256) {
         for (_ <- 1 to 3) {
-          val grown = ball
+          val grownBall = ball
             .join(edges.select(col("src").as("m"), col("dst").as("w")),
               col("dst") === col("m"))
             .select(col("src"), col("w").as("dst"))
-          ball = ball.unionByName(grown).distinct().localCheckpoint()
-          exact += ball.count()
+            .unionByName(ball).distinct().cache()
+          exact += grownBall.count()
+          ball.unpersist()
+          ball = grownBall
           val nbr = edges.join(sk.withColumnRenamed("id", "dst"), "dst")
             .select(col("src").as("id"), col("sk"))
-          sk = sk.unionByName(nbr).groupBy("id")
+          val grownSk = sk.unionByName(nbr).groupBy("id")
             .agg(call_function("graft_hll_merge", col("sk")).as("sk"))
-            .localCheckpoint()
-          ests += sumEst(sk)
+            .cache()
+          ests += sumEst(grownSk)
+          sk.unpersist()
+          sk = grownSk
         }
       }
+      ball.unpersist()
+      sk.unpersist()
+      edges.unpersist()
       val nmax = BigInt(exact.last)
       (0 to 3).map { r =>
         val q6 = (BigInt(2) * exact(r) * 1000000 + nmax) / (2 * nmax)
