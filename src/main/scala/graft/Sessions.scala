@@ -157,6 +157,20 @@ object Sessions {
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** [[withShufflePartitions]] with AQE partition COALESCING off for the
+    * scope: coalescing targets shuffle BYTES, but a hash aggregate's
+    * in-memory entry set can be an order of magnitude larger than its
+    * compressed shuffle input — a wide aggregate that NEEDS its n slices
+    * (q291's 1e8-edge rank aggregation) gets re-fattened by AQE and
+    * exhausts unified memory. Skew-join splitting stays on. */
+  def withWideAggPartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val prevC = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try withShufflePartitions(spark, n)(body)
+    finally
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevC)
+  }
+
   /** Standard engine session builder (UTC, tuned shuffle width, events
     * nanos compat, custom functions). AQE knobs are set explicitly even
     * where they match Spark 4 defaults — runtime partition coalescing

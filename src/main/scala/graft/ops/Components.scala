@@ -250,10 +250,16 @@ object Components {
   def pageRankFrom(edges: DataFrame, srcCol: String, dstCol: String,
       init: Option[DataFrame], iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
+    // DISK_ONLY, not localCheckpoint: the edge table is the graph-sized
+    // artifact (1e8 rows at the sf10 probe) and a memory-resident copy
+    // per pageRank call starves the unified pool for the iteration
+    // aggregates themselves (measured: MemoryStore eviction thrash →
+    // heap OOM at sf10). Disk re-reads per iteration are sequential and
+    // cheap next to the shuffle each iteration already pays.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint() // computed once, reused every iteration
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     var rank = init.fold(deg.select(col("src"), lit(1000000000L).as("pr"))) {
       r0 =>
         deg.select(col("src"))

@@ -3059,21 +3059,31 @@ object CurationQueries {
     // mixtures, but nothing connected them): per source the raw vs
     // post-survivor token share and their exact-decimal difference —
     // the number a mixture planner must re-plan against after every
-    // dedup build. Survivors are q49's rule VERBATIM (min-label
-    // component canonical + untouched singletons), shares minted by the
-    // integer-space half-up divide, shift = exact DECIMAL(7,6)
-    // subtraction (the q127 drift recipe — no float crosses the oracle
-    // boundary un-rounded). One clustering pass + one corpus token
-    // aggregate + |sources|-row grid math.
+    // dedup build. Survivors ride the DEGREE-CAPPED pair stream (L132 —
+    // the production decision rule; the exact generator goes quadratic
+    // inside a template mega-cluster: uncapped, this query OOM'd the
+    // sf10 probe exactly as the 27×/decade pair-explosion precedent
+    // predicts; capped-away links reconcile via the periodic q49 full
+    // recompute), min-label component canonical + untouched singletons;
+    // shares minted by the integer-space half-up divide, shift = exact
+    // DECIMAL(7,6) subtraction (the q127 drift recipe — no float
+    // crosses the oracle boundary un-rounded). One capped clustering
+    // pass + one corpus token aggregate + |sources|-row grid math.
     Q(
       "q292_postdedup_mixture", {
         def rr(x: String, t: String) =
           s"((2 * CAST($x AS HUGEINT) * 1000000 + $t) // (2 * CAST($t AS HUGEINT))) * CAST(0.000001 AS DECIMAL(7,6))"
         s"""WITH RECURSIVE ${LlmQueries.simhashCtes},
+           |ranked AS (
+           |  SELECT doc_id, sim, band, band_key,
+           |    row_number() OVER (PARTITION BY band, band_key
+           |      ORDER BY doc_id) AS rk
+           |  FROM banded),
            |pairs AS (
            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM banded a JOIN banded b USING (band, band_key)
-           |  WHERE a.doc_id < b.doc_id
+           |  FROM ranked a JOIN banded b USING (band, band_key)
+           |  WHERE a.rk <= ${graft.ops.Dedup.DefaultDegreeCap}
+           |    AND a.doc_id < b.doc_id
            |    AND bit_count(xor(a.sim, b.sim)) <= 3),
            |edges AS (
            |  SELECT id_a AS src, id_b AS dst FROM pairs
@@ -3109,10 +3119,14 @@ object CurationQueries {
       }) { (spark, dir) =>
       import graft.functions.ExactRound
       val docs = Tables.documents(spark, dir)
-      val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
-        bands = 4, maxHamming = 3)
-      val clusters = Components
-        .resolveClusters(docs, "doc_id", pairs, "id_a", "id_b")
+      val pairs = Dedup.simhashPairsCapped(docs, "doc_id", "text",
+        bands = 4, maxHamming = 3, cap = Dedup.DefaultDegreeCap)
+      // cluster resolution sized to the PAIR volume: 256 shuffle
+      // partitions keep each task's slice of the closure bounded at sf10
+      val clusters = graft.Sessions.withWideAggPartitions(spark, 256) {
+        Components.resolveClusters(docs, "doc_id", pairs, "id_a", "id_b")
+          .localCheckpoint()
+      }
       val tk = docs.select(col("doc_id"), col("source"),
         size(Text.tokens(col("text"))).cast("long").as("ntok"))
       val per = tk.join(clusters.select("doc_id", "keep"), "doc_id")

@@ -217,11 +217,20 @@ object LinkageQueries {
           .distinct()
         e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       }
-      val standing = Components.pageRank(
-        edgesOf(o.filter(col("o_orderkey") % 5 =!= 0)), "src", "dst",
-        iters = 3)
-      Components.pageRankFrom(edgesOf(o), "src", "dst",
-        init = Some(standing), iters = 2)
+      // shuffle sized to the EDGE volume, not the CPU count: at sf10 the
+      // symmetric edge list is ~1e8 rows and each iteration's (dst, sum)
+      // hash aggregate must fit its slice in a task — 32 fat partitions
+      // exhausted unified memory (UNABLE_TO_ACQUIRE at sf10); 256 bounds
+      // every per-task map. The rank table the query RETURNS is built
+      // inside the scope, so the final aggregate inherits it too.
+      graft.Sessions.withWideAggPartitions(spark, 256) {
+        val standing = Components.pageRank(
+          edgesOf(o.filter(col("o_orderkey") % 5 =!= 0)), "src", "dst",
+          iters = 3)
+        Components.pageRankFrom(edgesOf(o), "src", "dst",
+          init = Some(standing), iters = 2)
+          .localCheckpoint()
+      }
     },
 
     // ---- CORPUS DRIFT MONITOR: compare two corpus versions (deterministic

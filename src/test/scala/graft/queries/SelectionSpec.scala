@@ -307,10 +307,13 @@ class SelectionSpec extends SparkSuite {
       assert(math.abs(r.getDouble(7) - (r.getDouble(6) - r.getDouble(5)))
         < 1e-12, "shift = dedup share - raw share, exactly")
     }
-    val q49kept = graft.SparkEntry.queries("q49_dedup_clusters")(
-      spark, sfDir()).filter("keep").count()
-    assert(rows.map(_.getLong(2)).sum == q49kept,
-      "survivor counts reconcile with q49's rule")
+    val docs = graft.Tables.documents(spark, sfDir())
+    val capped = graft.ops.Components.resolveClusters(docs, "doc_id",
+      graft.ops.Dedup.simhashPairsCapped(docs, "doc_id", "text",
+        bands = 4, maxHamming = 3, cap = graft.ops.Dedup.DefaultDegreeCap),
+      "id_a", "id_b").filter("keep").count()
+    assert(rows.map(_.getLong(2)).sum == capped,
+      "survivor counts reconcile with the capped production rule")
   }
 
   test("span-level mixture shift: shares sum to ~1, shifts zero-sum, " +
