@@ -220,10 +220,11 @@ object LinkageQueries {
       // shuffle sized to the EDGE volume, not the CPU count: at sf10 the
       // symmetric edge list is ~1e8 rows and each iteration's (dst, sum)
       // hash aggregate must fit its slice in a task — 32 fat partitions
-      // exhausted unified memory (UNABLE_TO_ACQUIRE at sf10); 256 bounds
-      // every per-task map. The rank table the query RETURNS is built
-      // inside the scope, so the final aggregate inherits it too.
-      graft.Sessions.withWideAggPartitions(spark, 256) {
+      // exhausted unified memory (UNABLE_TO_ACQUIRE at sf10), while 256
+      // un-coalesced partitions cost ~2x scheduling overhead at sf0.1.
+      // Cost-based: the footer-fast orders count picks the width (the
+      // same measure-then-pick move as the small-graph gate).
+      def run() = {
         val standing = Components.pageRank(
           edgesOf(o.filter(col("o_orderkey") % 5 =!= 0)), "src", "dst",
           iters = 3)
@@ -231,6 +232,9 @@ object LinkageQueries {
           init = Some(standing), iters = 2)
           .localCheckpoint()
       }
+      if (o.count() > 2000000L)
+        graft.Sessions.withWideAggPartitions(spark, 256)(run())
+      else run()
     },
 
     // ---- CORPUS DRIFT MONITOR: compare two corpus versions (deterministic
