@@ -248,18 +248,23 @@ object Components {
     * result is a pure function of (init, edges, iters) that the oracle
     * replays exactly. */
   def pageRankFrom(edges: DataFrame, srcCol: String, dstCol: String,
-      init: Option[DataFrame], iters: Int): DataFrame = {
+      init: Option[DataFrame], iters: Int,
+      diskEdges: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters out of range: $iters")
-    // DISK_ONLY, not localCheckpoint: the edge table is the graph-sized
-    // artifact (1e8 rows at the sf10 probe) and a memory-resident copy
-    // per pageRank call starves the unified pool for the iteration
-    // aggregates themselves (measured: MemoryStore eviction thrash →
-    // heap OOM at sf10). Disk re-reads per iteration are sequential and
-    // cheap next to the shuffle each iteration already pays.
+    // `diskEdges`: the edge table is the graph-sized artifact (1e8 rows
+    // at the sf10 probe) and a MEMORY-resident copy starves the unified
+    // pool for the iteration aggregates themselves (storageFraction
+    // protects cached blocks from eviction — measured heap OOM at
+    // sf10); DISK_ONLY re-reads are sequential and cheap next to the
+    // shuffle each iteration already pays, but cost ~65% at sf0.1, so
+    // callers gate the level on measured volume (q291's orders count).
+    val level =
+      if (diskEdges) org.apache.spark.storage.StorageLevel.DISK_ONLY
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .persist(level)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .persist(level)
     var rank = init.fold(deg.select(col("src"), lit(1000000000L).as("pr"))) {
       r0 =>
         deg.select(col("src"))

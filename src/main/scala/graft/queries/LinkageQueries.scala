@@ -224,16 +224,16 @@ object LinkageQueries {
       // un-coalesced partitions cost ~2x scheduling overhead at sf0.1.
       // Cost-based: the footer-fast orders count picks the width (the
       // same measure-then-pick move as the small-graph gate).
+      val big = o.count() > 2000000L
       def run() = {
-        val standing = Components.pageRank(
+        val standing = Components.pageRankFrom(
           edgesOf(o.filter(col("o_orderkey") % 5 =!= 0)), "src", "dst",
-          iters = 3)
+          init = None, iters = 3, diskEdges = big)
         Components.pageRankFrom(edgesOf(o), "src", "dst",
-          init = Some(standing), iters = 2)
+          init = Some(standing), iters = 2, diskEdges = big)
           .localCheckpoint()
       }
-      if (o.count() > 2000000L)
-        graft.Sessions.withWideAggPartitions(spark, 256)(run())
+      if (big) graft.Sessions.withWideAggPartitions(spark, 256)(run())
       else run()
     },
 
