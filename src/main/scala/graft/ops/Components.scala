@@ -258,13 +258,20 @@ object Components {
     // sf10); DISK_ONLY re-reads are sequential and cheap next to the
     // shuffle each iteration already pays, but cost ~65% at sf0.1, so
     // callers gate the level on measured volume (q291's orders count).
-    val level =
-      if (diskEdges) org.apache.spark.storage.StorageLevel.DISK_ONLY
-      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .persist(level)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .persist(level)
+    // Small graphs keep the EAGER localCheckpoint (an A/B against the
+    // columnar MEMORY_AND_DISK cache measured the cache 3x slower for
+    // q126's graph — building the compressed columnar form costs more
+    // than the whole fixpoint there).
+    val eRaw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e =
+      if (diskEdges)
+        eRaw.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      else eRaw.localCheckpoint()
+    val degRaw = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val deg =
+      if (diskEdges)
+        degRaw.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      else degRaw.localCheckpoint()
     var rank = init.fold(deg.select(col("src"), lit(1000000000L).as("pr"))) {
       r0 =>
         deg.select(col("src"))
