@@ -293,7 +293,18 @@ object Components {
       // materializing the |nodes|-sized rank table a few times.
       if (i % 5 == 0 && i < iters) rank = rank.localCheckpoint()
     }
-    rank.select(col("src").as("node_id"), col("pr"))
+    val out = rank.select(col("src").as("node_id"), col("pr"))
+    if (diskEdges) {
+      // The DISK_ONLY edge/degree tables are graph-sized; callers like
+      // q291 invoke this twice per run (standing + full graph), so
+      // leaving them registered would hold 4 graph-sized persisted
+      // tables in the shared session for its lifetime. Force the
+      // |nodes|-sized result first, then release both inputs.
+      val mat = out.localCheckpoint()
+      e.unpersist()
+      deg.unpersist()
+      mat
+    } else out
   }
 
   /** Deterministic synchronous label propagation (Raghavan et al. 2007

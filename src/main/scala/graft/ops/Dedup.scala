@@ -117,6 +117,56 @@ object Dedup {
     out
   }
 
+  /** Degree-capped [[nearDupPairs]] — the PRODUCTION MinHash-LSH
+    * candidate stream: identical banded candidate generation and exact
+    * Jaccard verification, but each band bucket emits pairs only where
+    * the SMALLER id ranks among the bucket's `cap` smallest ids — the
+    * same rank-prune rule as [[simhashPairsCapped]], so a bucket of B
+    * members contributes ≤ cap·B candidates instead of B². The uncapped
+    * generator's candidate volume grows quadratically with bucket
+    * population on template-heavy corpora (the sf0.1→sf1 probe measured
+    * 27× pair growth for 10× docs — a 100 TB scale-killer for every
+    * downstream rescoring pass); the cap bounds it linearly.
+    *
+    * Semantics contract (mirrors [[simhashPairsCapped]]'s): the result
+    * is a SUBSET of `nearDupPairs(df, …, threshold)` — equal when `cap`
+    * ≥ the largest band bucket (pinned in TextDedupSpec). Recall loss is
+    * confined to pairs whose smaller endpoint ranks > cap in EVERY
+    * shared bucket; inside a dup cluster such members still connect
+    * through a low-rank representative, and production folds absorb
+    * capped-away links via the periodic FULL recompute (the q49
+    * reconciliation rule). The rank prune is a pure function of bucket
+    * contents — `row_number() OVER (PARTITION BY band, band_key ORDER BY
+    * id) <= cap` — deterministic under any partitioning and replayed
+    * bit-for-bit by the DuckDB oracle.
+    *
+    * Scale shape: the prune is a rank-pruned window on the bucket key
+    * (WindowGroupLimit — partial top-cap per partition before the
+    * shuffle), the band join probes ≤ cap rows per bucket per side, and
+    * the Jaccard verify runs on the (now linear) candidate set only. */
+  def nearDupPairsCapped(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 12, bands: Int = 4,
+      threshold: Double = 0.5, cap: Int = DefaultDegreeCap): DataFrame = {
+    require(cap >= 1, s"cap must be positive, got $cap")
+    val sigs = sigTable(df, idCol, textCol, shingleN, k)
+    val banded = bandKeys(sigs, idCol, k, bands)
+    val reps = banded
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("band", "band_key").orderBy(col(idCol))))
+      .filter(col("_rk") <= cap)
+      .select(col("band"), col("band_key"), col(idCol).as("id_a"))
+    val cand = reps
+      .join(banded.select(col("band"), col("band_key"), col(idCol).as("id_b")),
+        Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val out = jaccardJoin(cand, sigs, sigs, idCol, "id_a", "id_b", threshold)
+      .localCheckpoint() // materialize the tail-sized result …
+    sigs.unpersist()     // … so the corpus-sized cache can be released now
+    out
+  }
+
   /** Incremental near-dup: a NEW batch deduplicated AGAINST an existing
     * corpus — the continuous-ingest shape (nobody re-runs the self-join
     * over 100 TB per arriving batch). Same banded-LSH candidate

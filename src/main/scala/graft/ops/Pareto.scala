@@ -54,6 +54,11 @@ object Pareto {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
+    // Unpartitioned-window contract: the windows below run single-
+    // partition ONLY when `part` is empty — at corpus scale callers
+    // pass partition keys (the skyline is then per-group); the
+    // part-empty consumers (q222's incremental state) feed ≤grid-sized
+    // frontier tables, never the raw corpus.
     if (integralX) {
       val lt = (if (part.isEmpty) Window.orderBy(col(xCol))
         else Window.partitionBy(part.map(col): _*).orderBy(col(xCol)))

@@ -253,6 +253,8 @@ object Sample {
     // sample is exhaustive and ŵ = w exactly — the estimator is exact)
     val stats = top.agg(
       count(lit(1)).as("_cnt"), min(col("priority")).as("_minp"))
+    // unpartitioned window over the ≤(n+1)-row priority state only
+    // (priorityTopK already cut the corpus to its top n+1 priorities)
     val ranked = top.withColumn("_rank",
       row_number().over(Window.orderBy(col("priority").desc, col(key))))
     ranked

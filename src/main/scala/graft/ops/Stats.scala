@@ -228,6 +228,8 @@ object Stats {
     val merged = ag.join(bg, Seq("v"), "full_outer")
       .select(col("v"), coalesce(col("c1"), lit(0L)).as("c1"),
         coalesce(col("c2"), lit(0L)).as("c2"))
+    // unpartitioned window over the DISTINCT-value support only (grid-
+    // bounded: 6-dp scores / categorical values — never raw-row-sized)
     val w = Window.orderBy(col("v")).rowsBetween(
       Window.unboundedPreceding, Window.currentRow)
     val n1 = ag.agg(sum("c1").cast(I).as("n1"))
@@ -412,6 +414,8 @@ object Stats {
     val sup = df.groupBy(col(vCol).cast("long").as("v"))
       .agg(count(lit(1)).as("c"))
     val cum = sup.withColumn("f",
+      // unpartitioned window over the integer-value SUPPORT only
+      // (distinct values, grid-bounded — never raw-row-sized)
       sum("c").over(Window.orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast(I))
     val n = col("n")
@@ -488,6 +492,8 @@ object Stats {
         ExactRound.roundRatio(col("num"), col("den"), 6)
           .cast("double").as("mean_b"))
     val ranked = means
+      // unpartitioned window over the b-row replicate table only
+      // (b is the fixed bootstrap replica count, corpus-independent)
       .withColumn("rn", row_number().over(
         Window.orderBy(col("mean_b"), col("rep"))))
       .withColumn("rr", count(lit(1)).over(
@@ -545,6 +551,8 @@ object Stats {
     // so the ≤ 10⁻⁴-relative coarsening cannot flip a verdict
     // cross-engine; a fully-tied group still reads exactly 0.
     val z = withZ6(mwCore(df, repCol, sideCol, vCol))
+    // unpartitioned window over the per-TEST verdict table only (one
+    // row per replicate/test group — experiment-grid bounded)
     val ranked = z.withColumn("rank",
       row_number().over(Window.orderBy(col("z6").desc, col("rep"))))
     val sess = df.sparkSession
@@ -648,6 +656,8 @@ object Stats {
         lit(2).cast(I) * col("pos") * lit(1000000L).cast(I) + col("n"),
         lit(2).cast(I) * col("n")))
     val best = base
+      // unpartitioned window over the per-GROUP aggregate only
+      // (|groups|-bounded — never raw-row-sized)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("raw6").desc, col("grp"))))
       .filter(col("rk") === 1)

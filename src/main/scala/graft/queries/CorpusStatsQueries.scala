@@ -1510,9 +1510,14 @@ object CorpusStatsQueries {
         .select(col("w"), col("c"), col("n"),
           round(log((col("n") * col("ct")).cast("double")
             / (col("mw") * col("mc")).cast("double")), 6).as("pmi"))
-      val rw = Window.orderBy(col("pmi").desc, col("w"), col("c"))
-      p.withColumn("rk", row_number().over(rw))
-        .filter(col("rk") <= 30)
+      // top-30 via orderBy().limit() = TakeOrderedAndProject (per-
+      // partition top-30, then a 30-row driver merge) — never a single-
+      // partition row_number window: the PMI pair table is vocab²-
+      // bounded but at web-corpus vocabulary that is tens of millions
+      // of rows through one task. Total order (pmi desc, w, c) is
+      // tie-free, so the cut matches the oracle's ranked top-30.
+      p.orderBy(col("pmi").desc, col("w"), col("c"))
+        .limit(30)
         .select(col("w"), col("c"), col("n").as("n_pairs"), col("pmi"))
     },
 
@@ -1520,7 +1525,7 @@ object CorpusStatsQueries {
     // capped near-dup graph, SEEDED readout (the ANF estimator — Palmer
     // et al. 2002 sample centers; HyperBall keeps per-node state):
     // N_S(r) = Σ_{v: v%17=0} |B(v,r)| for r = 0..3. The sketch arm is
-    // the production path — per-node HLL ball sketches (p=10, ~1 KiB)
+    // the production path — per-node HLL ball sketches (p=8, ~256 B)
     // advanced one hop per round by ONE edges⋈sketches join + ONE merge
     // aggregate over ALL nodes (propagation needs every node's sketch;
     // only the READOUT restricts to seeds) — the only shape that

@@ -1975,6 +1975,7 @@ object CurationQueries {
       fused.orderBy(col("rrf_score").desc, col("doc_id")).limit(20)
         .withColumn("rrf_rank", row_number().over(
           Window.orderBy(col("rrf_score").desc, col("doc_id"))).cast("long"))
+        // ≤20-row frame: the limit(20) cut precedes the rank window
         .select("doc_id", "rrf_rank", "rrf_score", "lex_rank", "vec_rank")
     },
 
@@ -2012,6 +2013,7 @@ object CurationQueries {
           defaultWeight = 1)
         sched.orderBy(col("vt"), col("source"), col("doc_id")).limit(200)
           .withColumn("sched_pos", row_number().over(
+            // ≤200-row frame: the limit(200) cut precedes the window
             Window.orderBy(col("vt"), col("source"), col("doc_id"))).cast("long"))
           .select("sched_pos", "doc_id", "source", "vt")
     },
@@ -2686,10 +2688,14 @@ object CurationQueries {
           when(length(col("term")) < 2, array().cast("array<string>"))
             .otherwise(transform(sequence(lit(1), length(col("term")) - 1),
               i => col("term").substr(i, lit(2))))).as("pair"))
+      // top-50 cut via TakeOrderedAndProject first; the rank window then
+      // runs on the bounded 50-row frame only (the pair table is
+      // charset²-bounded, but the discipline is uniform: never rank a
+      // whole table through one partition)
       pairs.groupBy("pair").agg(sum("cnt").as("weight"))
+        .orderBy(col("weight").desc, col("pair")).limit(50)
         .withColumn("pair_rank", row_number().over(
           Window.orderBy(col("weight").desc, col("pair"))).cast("long"))
-        .filter(col("pair_rank") <= 50)
         .select("pair_rank", "pair", "weight")
     },
 
@@ -3152,13 +3158,18 @@ object CurationQueries {
     // FREQUENCY vectors — the refinement that separates "same vocabulary"
     // from "same document": a doc and its 3×-repeated concatenation have
     // set-Jaccard 1.0 but J_w = 1∕3, exactly the boilerplate-amplification
-    // case set dedup mislabels. Candidates are q23's banded-LSH pairs at
-    // set-J ≥ 0.5 (never all-pairs); the rescoring pass streams each
-    // pair's tf rows through a (pair, term) aggregate — volume
-    // Σ_pairs (|terms_a| + |terms_b|), linear in the candidate set.
-    // min/max sums are exact BIGINTs; J_w minted by the integer-space
-    // half-up divide. Set-vs-weighted ordering is NOT monotone — the
-    // audit emits both so the threshold choice is measurable.
+    // case set dedup mislabels. Candidates are the DEGREE-CAPPED banded
+    // MinHash-LSH pairs at set-J ≥ 0.5 (Dedup.nearDupPairsCapped — the
+    // production stream; the uncapped q23 set grows ~27×/decade on a
+    // template-heavy corpus, the round-17 grid measured 228 s at sf10
+    // rescoring it, and capped-away links reconcile via the periodic
+    // full recompute, the q49/q292 rule). The rescoring pass streams
+    // each pair's tf rows through a (pair, term) aggregate — volume
+    // Σ_pairs (|terms_a| + |terms_b|), linear in the (now linear)
+    // candidate set. min/max sums are exact BIGINTs; J_w minted by the
+    // integer-space half-up divide. Set-vs-weighted ordering is NOT
+    // monotone — the audit emits both so the threshold choice is
+    // measurable.
     Q(
       "q293_weighted_jaccard", {
         import LlmQueries.{hvCte, sigSql, bands, r, jaccardSql}
@@ -3169,10 +3180,16 @@ object CurationQueries {
            |  ${(0 until bands).map(b =>
                 s"SELECT doc_id, $b AS band, array_to_string(sig[${b * r + 1}:${b * r + r}], ',') AS band_key FROM sigs")
                 .mkString("\n  UNION ALL ")}),
+           |ranked AS (
+           |  SELECT doc_id, band, band_key,
+           |    row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id)
+           |      AS rk
+           |  FROM banded),
            |prs AS (
            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM banded a JOIN banded b USING (band, band_key)
-           |  WHERE a.doc_id < b.doc_id),
+           |  FROM ranked a JOIN banded b USING (band, band_key)
+           |  WHERE a.rk <= ${graft.ops.Dedup.DefaultDegreeCap}
+           |    AND a.doc_id < b.doc_id),
            |cand AS (
            |  SELECT id_a, id_b, set_jaccard FROM (
            |    SELECT id_a, id_b, $jaccardSql AS set_jaccard
@@ -3207,9 +3224,9 @@ object CurationQueries {
       }) { (spark, dir) =>
       import graft.functions.ExactRound
       val docs = Tables.documents(spark, dir)
-      val cand = Dedup.nearDupPairs(docs, "doc_id", "text",
+      val cand = Dedup.nearDupPairsCapped(docs, "doc_id", "text",
         shingleN = 3, k = LlmQueries.k, bands = LlmQueries.bands,
-        threshold = 0.5)
+        threshold = 0.5, cap = Dedup.DefaultDegreeCap)
         .withColumnRenamed("jaccard", "set_jaccard")
         .localCheckpoint() // candidate set read by both rescoring sides
       val tf = docs

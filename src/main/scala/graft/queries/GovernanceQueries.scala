@@ -728,6 +728,7 @@ object GovernanceQueries {
       val d = Tables.events(spark, dir)
         .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
         .agg(count(lit(1)).as("n_events"))
+      // unpartitioned window over the |days|-row daily aggregate only
       val r = d.withColumn("k",
         row_number().over(Window.orderBy(col("day"))).cast("long"))
       r.join(broadcast(g), "k")

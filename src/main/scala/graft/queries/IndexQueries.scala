@@ -565,6 +565,7 @@ object IndexQueries {
           .cast("double").as("variance"),
         ExactRound.roundRatio(col("d10u"), col("td"), 6)
           .cast("double").as("var_share"),
+        // unpartitioned window over the |dims|-row variance grid only
         row_number().over(Window.orderBy(col("d10u").desc, col("i")))
           .cast("long").as("var_rank"))
     },
@@ -1068,6 +1069,8 @@ object IndexQueries {
         .withColumn("k_rank",
           least(expr("((n_cal + 1) * 9 + 9) div 10"), col("n_cal")))
       val thr = cal
+        // rank window over the CALIBRATION SAMPLE only (production
+        // calibrates on a fixed-size sample, not a corpus-rate slice)
         .withColumn("rk",
           row_number().over(Window.orderBy(col("s"), col("vec_id"))))
         .join(broadcast(nc), col("rk") === col("k_rank"))
@@ -1204,13 +1207,18 @@ object IndexQueries {
           .*(BigDecimal(10).pow(12)).toLongExact
       val wdf = (1 to D).map(d => (d.toLong, w12u(d))).toDF("d", "w12u")
       val docs = Tables.documents(spark, dir)
+      // top-D cut via TakeOrderedAndProject first; the rank window then
+      // runs on the bounded D-row frame only (the term-count table is
+      // vocabulary-sized — at web-corpus vocabulary a global row_number
+      // would pull tens of millions of rows through one task)
       def ranking(filt: org.apache.spark.sql.Column, rkCol: String) =
         docs.filter(filt)
           .select(explode(Text.tokens(col("text"))).as("term"))
           .groupBy("term").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term")).limit(D)
           .withColumn(rkCol, row_number().over(
             Window.orderBy(col("cnt").desc, col("term"))))
-          .filter(col(rkCol) <= D).select("term", rkCol)
+          .select("term", rkCol)
       val md = ranking(col("doc_id") % 10 =!= 0, "rk1")
         .join(ranking(col("doc_id") % 7 =!= 0, "rk2"), "term")
         .select(greatest(col("rk1"), col("rk2")).as("m"))
@@ -1894,6 +1902,7 @@ object IndexQueries {
           .cast("double").as("cov"),
         ExactRound.roundRatio(abs(col("covn")), col("tc"), 6)
           .cast("double").as("cov_share"),
+        // unpartitioned window over the |dims|²-row covariance grid only
         row_number().over(
           Window.orderBy(abs(col("covn")).desc, col("i"), col("j")))
           .cast("long").as("cov_rank"))
@@ -2093,6 +2102,7 @@ object IndexQueries {
           .cast("double").as("cov"),
         ExactRound.roundRatio(abs(col("covn")), col("tc"), 6)
           .cast("double").as("cov_share"),
+        // unpartitioned window over the |dims|²-row covariance grid only
         row_number().over(
           Window.orderBy(abs(col("covn")).desc, col("i"), col("j")))
           .cast("long").as("cov_rank"))

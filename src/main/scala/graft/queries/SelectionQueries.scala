@@ -669,6 +669,115 @@ object SelectionQueries {
         .localCheckpoint()
       tb.unpersist()
       out
+    },
+
+    // ---- DSIR IMPORTANCE RESAMPLING (L277, Xie et al. 2023 "Data
+    // Selection for Language Models via Importance Resampling"): the
+    // SELECTION step the q145 weight stage feeds — sample k documents
+    // from the raw corpus without replacement with probability ∝ their
+    // importance weight, via the Gumbel top-k trick: pick the k largest
+    // log w_i + g_i where g_i ~ Gumbel(0,1). The Gumbel draw is SEEDED
+    // per document (u_i = ((doc_id·Mult) mod P + 1) ∕ 2³¹ — the q20/q91
+    // multiplicative-hash gate, exactly representable since 2³¹ is a
+    // binary power; g_i = −ln(−ln u_i)), so the selected set is a pure
+    // function of the corpus — re-runs, retries, and engines agree, the
+    // property an auditable training-set build needs. Weights are
+    // q145's hashed-unigram-bucket target∕raw log-likelihood ratios
+    // (target = the DsirTarget curated slice), candidates are the
+    // NON-target docs (resample raw TOWARD target). Exactness: bucket
+    // ln ratios and g on the 9-dp DECIMAL grid, per-doc Σ exact
+    // DECIMAL, key = lw + g exact DECIMAL addition; top-k is
+    // orderBy().limit(k) = TakeOrderedAndProject (per-partition top-k,
+    // k-row driver merge — never a global window), tie-broken by
+    // doc_id. Scale: the bucket weight table is DsirBuckets rows at ANY
+    // corpus size (broadcast); the corpus side is one explode + hash
+    // aggregates + a scan-level Gumbel projection — linear, no corpus-
+    // axis joins, selection state is k rows.
+    Q(
+      "q296_dsir_selection", {
+        val tgt = DsirTarget.map(s => s"'$s'").mkString(", ")
+        val B = DsirBuckets
+        s"""WITH toks AS (
+           |  SELECT doc_id, source, ${LlmQueries.toksSql} AS t FROM documents),
+           |thc AS (
+           |  SELECT doc_id, source,
+           |    list_transform(t,
+           |      x -> CAST(concat('0x', substr(md5(x),1,8)) AS BIGINT)) AS th
+           |  FROM toks WHERE len(t) > 0),
+           |tb AS (
+           |  SELECT doc_id, source, u.h % $B AS b
+           |  FROM thc, unnest(thc.th) AS u(h)),
+           |rc AS (SELECT b, CAST(count(*) AS BIGINT) AS rcnt FROM tb GROUP BY b),
+           |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS tcnt
+           |       FROM tb WHERE source IN ($tgt) GROUP BY b),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS rtot,
+           |    CAST(count(*) FILTER (WHERE source IN ($tgt)) AS BIGINT) AS ttot
+           |  FROM tb),
+           |w AS (SELECT rc.b,
+           |    CAST(round(ln(
+           |      ((coalesce(tc.tcnt, 0) + 1.0) * (tot.rtot + $B)) /
+           |      ((rc.rcnt + 1.0) * (tot.ttot + $B))), 9)
+           |      AS DECIMAL(13,9)) AS w9
+           |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot),
+           |d AS (SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS n
+           |      FROM tb WHERE source NOT IN ($tgt) GROUP BY 1, 2, 3),
+           |lw AS (SELECT d.doc_id, d.source,
+           |    CAST(sum(d.n) AS BIGINT) AS n_tokens,
+           |    sum(CAST(d.n AS DECIMAL(10,0)) * w.w9) AS lw
+           |  FROM d JOIN w USING (b) GROUP BY 1, 2),
+           |keyed AS (SELECT doc_id, source, n_tokens, lw,
+           |    CAST(round(-ln(-ln(
+           |      CAST((doc_id * ${Text.Mult}) % ${Text.P} + 1 AS DOUBLE)
+           |        / 2147483648.0)), 9) AS DECIMAL(13,9)) AS g
+           |  FROM lw)
+           |SELECT doc_id, source, n_tokens,
+           |  CAST(lw AS DOUBLE) AS log_weight,
+           |  CAST(lw + g AS DOUBLE) AS gumbel_key
+           |FROM keyed ORDER BY lw + g DESC, doc_id LIMIT 50""".stripMargin
+      }) { (spark, dir) =>
+      val B = DsirBuckets
+      val docs = Tables.documents(spark, dir)
+      val tb = docs
+        .withColumn("th", call_function("graft_token_hashes", col("text")))
+        .filter(size(col("th")) > 0)
+        .select(col("doc_id"), col("source"), explode(col("th")).as("h"))
+        .select(col("doc_id"), col("source"),
+          (col("h") % B).as("b"))
+        .cache() // feeds three aggregates; bucket-count-sized outputs
+      val isTgt = col("source").isin(DsirTarget: _*)
+      val rc = tb.groupBy("b").agg(count(lit(1)).as("rcnt"))
+      val tc = tb.filter(isTgt).groupBy("b").agg(count(lit(1)).as("tcnt"))
+      val tot = tb.agg(count(lit(1)).as("rtot"),
+        sum(when(isTgt, 1L).otherwise(0L)).as("ttot"))
+      val w = rc.join(tc, Seq("b"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("w9", round(log(
+          ((coalesce(col("tcnt"), lit(0L)) + lit(1.0d)) *
+            (col("rtot") + lit(B.toLong))) /
+          ((col("rcnt") + lit(1.0d)) *
+            (col("ttot") + lit(B.toLong)))), 9)
+          .cast(DecimalType(13, 9)))
+        .select("b", "w9")
+      val d = tb.filter(!isTgt)
+        .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("n"))
+      val lw = d.join(broadcast(w), "b")
+        .groupBy("doc_id", "source")
+        .agg(sum("n").as("n_tokens"),
+          sum(col("n").cast(DecimalType(10, 0)) * col("w9")).as("lw"))
+      // seeded Gumbel key: u ∈ (0,1) exactly representable (2³¹ divisor),
+      // g on the 9-dp grid, lw + g an exact DECIMAL addition
+      val u = (pmod(col("doc_id").cast("long") * lit(Text.Mult), lit(Text.P))
+        + lit(1L)).cast("double") / lit(2147483648.0d)
+      val keyed = lw.withColumn("g",
+        round(-log(-log(u)), 9).cast(DecimalType(13, 9)))
+      val out = keyed
+        .orderBy((col("lw") + col("g")).desc, col("doc_id")).limit(50)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("lw").cast("double").as("log_weight"),
+          (col("lw") + col("g")).cast("double").as("gumbel_key"))
+        .localCheckpoint() // materialize before releasing the token cache
+      tb.unpersist()
+      out
     }
   )
 }

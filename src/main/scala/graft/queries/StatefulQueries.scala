@@ -1433,6 +1433,7 @@ object StatefulQueries {
           }
         } finally q.stop()
       }
+      // unpartitioned window over the |batches|-row version manifest only
       val w = Window.orderBy("bid")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       graft.Meta.Versioned.read(spark, path)

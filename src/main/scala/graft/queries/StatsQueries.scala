@@ -874,6 +874,7 @@ object StatsQueries {
       import org.apache.spark.sql.types.DecimalType
       val I = DecimalType(38, 0)
       val docs = Tables.documents(spark, dir)
+      // unpartitioned windows below run over the |sources|-row grid only
       val srcs = docs.select("source").distinct()
         .withColumn("rk", row_number().over(Window.orderBy("source")))
       val tr = docs
@@ -1006,6 +1007,7 @@ object StatsQueries {
         lit(2).cast(I) * col("n"))
       val rk = gp.select(col("source"),
           grid6(col("pos")).as("rate6"), grid6(col("sc")).as("len6"))
+        // unpartitioned windows over the |sources|-row aggregate only
         .withColumn("rate_rank", row_number().over(
           Window.orderBy(col("rate6").desc, col("source"))))
         .withColumn("len_rank", row_number().over(

@@ -215,6 +215,76 @@ class TextDedupSpec extends SparkSuite {
       "a capped component spans two exact components")
   }
 
+  test("nearDupPairsCapped: subset of the uncapped MinHash pair set, " +
+      "equal at a saturating cap, genuinely pruning on hot buckets") {
+    // template clusters concentrate band buckets, so the rank prune
+    // genuinely cuts candidates (the q293 production-path contract)
+    val docs = (1 to 120).map { i =>
+      val cluster = i % 6
+      val toks =
+        if (cluster < 4) (1 to 50).map(j => s"t${cluster}_$j") :+ s"salt$i"
+        else (1 to 50).map(j => s"u${i}_$j")
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+    val exact = asSet(Dedup.nearDupPairs(docs, "doc_id", "text",
+      threshold = 0.3))
+    val capped = asSet(Dedup.nearDupPairsCapped(docs, "doc_id", "text",
+      threshold = 0.3, cap = 2))
+    val saturated = asSet(Dedup.nearDupPairsCapped(docs, "doc_id", "text",
+      threshold = 0.3, cap = 1000))
+    assert(exact.nonEmpty, "fixture must produce near-dup pairs")
+    assert(capped.subsetOf(exact), "capped pairs must be a subset of exact")
+    assert(saturated == exact, "cap beyond every bucket size must equal exact")
+    assert(capped.size < exact.size,
+      "cap=2 on hot template buckets must genuinely prune")
+  }
+
+  test("exactSubstrDedup: a forced graft_window_hashes collision " +
+      "(Thue–Morse anti-hash words) dies at the exact string decide — " +
+      "no mis-ownership, nothing stripped") {
+    // The window hash is the polynomial Σ th(tok_i)·M^(n−1−i) mod 2^64
+    // with odd M. For the length-2^10 Thue–Morse sign word,
+    // Σ_{i<2^10} (−1)^{t_i} M^i = Π_{j<10} (1 − M^(2^j)), whose 2-adic
+    // valuation is v2(M−1) + Σ_{j=1..9} (j+2) = 2 + 63 = 65 ≥ 64 — so
+    // the two COMPLEMENTARY 1024-token words built from ANY two
+    // distinct tokens hash identically mod 2^64 while their window
+    // strings differ: a real prefilter collision by construction (the
+    // adversarial case the scaladoc's "hash narrows, string decides"
+    // claim must survive).
+    val n = 1024
+    def tm(i: Int) = Integer.bitCount(i) & 1
+    val wordX = (0 until n).map(i => if (tm(i) == 0) "aa" else "bb")
+    val wordY = (0 until n).map(i => if (tm(i) == 0) "bb" else "aa")
+    val docs = Seq((1L, wordX.mkString(" ")), (2L, wordY.mkString(" ")))
+      .toDF("doc_id", "text")
+    // the collision is real: both single-window docs hash the same
+    val hs = docs.orderBy("doc_id")
+      .select(element_at(
+        call_function("graft_window_hashes", col("text"), lit(n)), 1))
+      .as[Long].collect().toSeq
+    assert(hs(0) == hs(1), "Thue–Morse words must collide mod 2^64")
+    // …and the exact decide path discards it: the two window STRINGS
+    // differ, each occurs once, occ ≥ 2 fails — nothing owned/stripped
+    val out = Dedup.exactSubstrDedup(docs, "doc_id", "text", minLen = n)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out(0) == ((1L, wordX.mkString(" "), n.toLong, 0L)))
+    assert(out(1) == ((2L, wordY.mkString(" "), n.toLong, 0L)))
+    // positive control: a GENUINE 1024-token repeat in the same corpus
+    // is still stripped whole from the non-owner at the same minLen —
+    // the collision pair stays untouched beside it
+    val docs2 = docs.unionByName(
+      Seq((3L, wordX.mkString(" "))).toDF("doc_id", "text"))
+    val out2 = Dedup.exactSubstrDedup(docs2, "doc_id", "text", minLen = n)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out2(0)._4 == 0L && out2(1)._4 == 0L)
+    assert(out2(2) == ((3L, "", n.toLong, n.toLong)))
+  }
+
   test("capped folds + periodic full recompute converge to the exact " +
       "components (the reconciliation simhashPairsCapped's contract " +
       "promises)") {

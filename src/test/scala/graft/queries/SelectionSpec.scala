@@ -336,4 +336,68 @@ class SelectionSpec extends SparkSuite {
     assert(rows.map(_.getLong(2)).sum == rw.getLong(0))
     assert(rows.map(r => r.getLong(2) - r.getLong(3)).sum == rw.getLong(1))
   }
+
+  test("dsir selection: the seeded Gumbel top-k is a pure function of " +
+      "the corpus — a driver-side from-scratch recompute reproduces the " +
+      "selected set bit for bit") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val out = graft.SparkEntry.queries("q296_dsir_selection")(spark, sfDir())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // from scratch: tokenize + hash with the kernel's public primitives,
+    // weights and keys in exact BigDecimal on the same 9-dp grid, the
+    // same Laplace smoothing and the same seeded uniform — no Spark
+    val B = 256
+    val tgt = Set("src0", "src1")
+    val docs = graft.Tables.documents(spark, sfDir())
+      .select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def buckets(text: String): Seq[Int] =
+      graft.functions.TextKernels.tokenize(text).toSeq
+        .map(t => (graft.functions.TextKernels.rawHash32(t) % B).toInt)
+    val all = docs.map { case (id, src, t) => (id, src, buckets(t)) }
+      .filter(_._3.nonEmpty)
+    val rcnt = all.flatMap(_._3).groupBy(identity).map {
+      case (b, xs) => b -> xs.size.toLong }
+    val tcnt = all.filter(d => tgt(d._2)).flatMap(_._3).groupBy(identity)
+      .map { case (b, xs) => b -> xs.size.toLong }
+    val rtot = rcnt.values.sum
+    val ttot = tcnt.values.sum
+    // same double operation order as the operator's expression tree
+    def w9(b: Int): JBD = new JBD(math.log(
+      ((tcnt.getOrElse(b, 0L) + 1.0d) * (rtot + B)) /
+        ((rcnt(b) + 1.0d) * (ttot + B))))
+      .setScale(9, RoundingMode.HALF_UP)
+    val raw = all.filter(d => !tgt(d._2))
+    val expect = raw.map { case (id, src, bs) =>
+      val lw = bs.groupBy(identity).foldLeft(JBD.ZERO) { case (acc, (b, xs)) =>
+        acc.add(new JBD(xs.size.toLong).multiply(w9(b)))
+      }
+      val u = ((id * graft.ops.Text.Mult) % graft.ops.Text.P + 1).toDouble /
+        2147483648.0d
+      val g = new JBD(-math.log(-math.log(u)))
+        .setScale(9, RoundingMode.HALF_UP)
+      (id, src, bs.size.toLong, lw, lw.add(g))
+    }.sortBy { case (id, _, _, _, key) => (key.negate, id) }(
+      Ordering.Tuple2(Ordering.ordered[JBD], Ordering.Long))
+      .take(50)
+      .map { case (id, src, n, lw, key) =>
+        (id, src, n, lw.doubleValue, key.doubleValue) }
+    assert(out.length == math.min(50, raw.length),
+      "selection must fill k or exhaust the raw corpus")
+    assert(out.sortBy(r => (-r._5, r._1)).toSeq == expect.toSeq,
+      "operator selection must equal the from-scratch recompute")
+    // and the selection genuinely tilts toward target-like docs: the
+    // selected mean per-token log weight beats the raw-corpus mean
+    val selSet = out.map(_._1).toSet
+    if (raw.length > 50) {
+      val selLw = expect.map(e => e._4.doubleValue).sum
+      val allLw = raw.map { case (id, _, bs) =>
+        bs.groupBy(identity).foldLeft(JBD.ZERO) { case (acc, (b, xs)) =>
+          acc.add(new JBD(xs.size.toLong).multiply(w9(b))) }.doubleValue
+      }
+      assert(selLw / selSet.size >= allLw.sum / allLw.length,
+        "Gumbel top-k must select above-average importance on average")
+    }
+  }
 }
