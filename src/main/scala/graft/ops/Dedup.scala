@@ -446,6 +446,83 @@ object Dedup {
       .distinct()
   }
 
+  /** Winnowing document fingerprints + the fingerprint match matrix
+    * (Schleimer, Wilkerson & Aiken 2003 — the MOSS local fingerprinting
+    * algorithm): per position, hash the k-gram starting there; slide a
+    * w-wide window over the hash stream and select each window's
+    * MINIMUM (rightmost on ties — "robust winnowing"), so any shared
+    * run of ≥ w+k−1 tokens shares ≥ 1 selected fingerprint (the paper's
+    * guarantee) while only ~2/(w+1) of positions are kept. Doc pairs
+    * are then matched on selected fingerprint VALUES only — the
+    * sampled, bounded alternative to an all-positions join.
+    *
+    * Determinism: the rightmost-tie-break argmin is encoded as a pure
+    * integer key min((h+1)·2²² − p) — no argmin/arg_max aggregate, no
+    * engine tie policy; both engines replay it bit for bit. Bounds:
+    * h < 2³¹ and p < 2²² keep the key < 2⁵³ (docs longer than ~4M
+    * tokens chunk upstream — fixture max is orders below).
+    *
+    * Scale shape: the k-gram hash stream comes from ONE codegen'd
+    * lead() window per doc (the q289 discipline — never an interpreted
+    * HOF chain); the winnow min is a doc-bounded running window; the
+    * match join is keyed on fingerprint value with a df ≤ `dfCap`
+    * stop-fingerprint filter first (the paper's "too many documents"
+    * rule), so a hot boilerplate fingerprint can emit at most
+    * dfCap·(dfCap−1)/2 pairs — candidate volume linear in the corpus.
+    * Returns (id_a, id_b, n_shared, overlap) for pairs sharing ≥ 2
+    * surviving fingerprints; overlap = n_shared ∕ min(|fp_a|, |fp_b|)
+    * by the integer-space half-up divide. */
+  def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, dfCap: Int = 64): DataFrame = {
+    require(k >= 2 && w >= 2 && dfCap >= 2,
+      s"degenerate winnowing parameters: k=$k w=$w dfCap=$dfCap")
+    val C = 1L << 22
+    val byPos = Window.partitionBy(idCol).orderBy("pos")
+    var toks = df
+      .select(col(idCol), posexplode(Text.tokens(col(textCol))))
+      .withColumnRenamed("col", "t1")
+    val parts = (1 until k).map { j =>
+      val c = s"t${j + 1}"
+      toks = toks.withColumn(c, lead(col("t1"), j).over(byPos))
+      col(c)
+    }
+    val sh = toks
+      .filter(parts.last.isNotNull)
+      .select(col(idCol), (col("pos") + 1).as("p"),
+        (Text.strHash32(concat_ws(" ", (col("t1") +: parts): _*)) % Text.P)
+          .as("h"))
+    val winFrame = Window.partitionBy(idCol).orderBy("p")
+      .rowsBetween(Window.currentRow, w - 1)
+    val fp = sh
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(idCol)))
+      .withColumn("selkey", min((col("h") + 1) * C - col("p")).over(winFrame))
+      // trailing starts have truncated windows; keep exactly the full
+      // windows, or the single global-min window for docs with m < w
+      .filter(col("p") <= greatest(col("m") - (w - 1), lit(1)))
+      .select(col(idCol), col("selkey")).distinct()
+      // decode: selkey = (h+1)·C − p with p ∈ [1, C) ⇒ selkey div C = h
+      .select(col(idCol), expr(s"selkey div $C").as("h"))
+      .distinct()
+    val kept = fp
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") <= dfCap)
+      .select(col(idCol), col("h"))
+      .localCheckpoint() // fingerprint-sample-sized; read 3× below
+    val fpc = kept.groupBy(idCol).agg(count(lit(1)).as("nfp"))
+    val pairs = kept.select(col("h"), col(idCol).as("id_a"))
+      .join(kept.select(col("h"), col(idCol).as("id_b")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+    pairs
+      .join(fpc.select(col(idCol).as("id_a"), col("nfp").as("na")), Seq("id_a"))
+      .join(fpc.select(col(idCol).as("id_b"), col("nfp").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        graft.functions.ExactRound
+          .roundRatio(col("n_shared"), least(col("na"), col("nb")), 6)
+          .cast("double").as("overlap"))
+  }
+
   /** Exact n-gram Jaccard over *blocked* candidate pairs: all pairs
     * within a blocking key (e.g. source) — the classic bounded-quadratic
     * fallback when a metadata key already localizes duplicates. */

@@ -1744,5 +1744,111 @@ object AnalyticsQueries {
         (lit(625).cast(I) * n * diff * diff >
           lit(2401).cast(I) * x * (n - x) * col("n_a") * col("n_b"))
           .as("significant"))
+    },
+
+    // ---- Z-ORDER LAYOUT audit (L281 — the OPTIMIZE ZORDER primitive
+    // behind Delta/Iceberg multi-dimensional data clustering, Morton
+    // 1966): bucket two query dimensions (customer, order date) to 8
+    // bits each, bit-interleave into a 16-bit Morton code, range-split
+    // the corpus into 64 z-ordered "files", and PRICE the layout: for
+    // a 100-point-query workload on the customer key, the fraction of
+    // files whose per-file (min, max) customer range cannot be pruned
+    // — side by side with the ingestion-order (date-sorted) layout the
+    // data would otherwise have. This is the decision readout a 100 TB
+    // table owner reads before paying a rewrite: z-order's per-file
+    // ranges stay narrow in BOTH dimensions, so point queries on
+    // either prune most files, where the date layout leaves every file
+    // spanning the full customer range (scan_share → 1). Bit math is
+    // the standard Part1By1 spread — pure integer shifts/masks, both
+    // engines replay it exactly; all ratios half-up 6-dp.
+    //
+    // Scale shape: one scan + a broadcast singleton stats row; the
+    // per-file aggregates are 64-row grids; the workload probe is a
+    // 100×128 broadcast nested-loop on the file GRID (never the rows).
+    // At a real 100 TB table the file grid is the table's add-file
+    // manifest — metadata-sized, same plan.
+    Q(
+      "q300_zorder_layout", {
+        def spread(v: String) = {
+          val a = s"(($v | ($v << 4)) & 3855)"
+          val b = s"(($a | ($a << 2)) & 13107)"
+          s"(($b | ($b << 1)) & 21845)"
+        }
+        s"""WITH o AS (
+           |  SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d
+           |  FROM orders),
+           |st AS (
+           |  SELECT CAST(max(ck) AS BIGINT) AS mc, min(d) AS mind,
+           |    max(d) AS maxd FROM o),
+           |b AS (
+           |  SELECT ck,
+           |    (ck * 256) // (mc + 1) AS xb,
+           |    ((d - mind) * 256) // ((maxd - mind) + 1) AS yb,
+           |    ((d - mind) * 64) // ((maxd - mind) + 1) AS fd
+           |  FROM o, st),
+           |zt AS (
+           |  SELECT ck, fd,
+           |    ((${spread("xb")} << 1) | ${spread("yb")}) // 1024 AS fz
+           |  FROM b),
+           |fl AS (
+           |  SELECT 'zorder' AS layout, fz AS f, min(ck) AS mn, max(ck) AS mx,
+           |    CAST(count(*) AS BIGINT) AS c
+           |  FROM zt GROUP BY 2
+           |  UNION ALL
+           |  SELECT 'datesort', fd, min(ck), max(ck),
+           |    CAST(count(*) AS BIGINT)
+           |  FROM zt GROUP BY 2),
+           |qs AS (SELECT (k * (mc + 1)) // 100 AS q FROM range(0, 100) t(k), st),
+           |tc AS (
+           |  SELECT layout, CAST(count(*) AS BIGINT) AS touched
+           |  FROM fl JOIN qs ON q BETWEEN mn AND mx GROUP BY 1),
+           |nf AS (
+           |  SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+           |    CAST(sum(c) AS BIGINT) AS n_rows
+           |  FROM fl GROUP BY 1)
+           |SELECT layout, n_files, n_rows,
+           |  CAST(((2 * CAST(touched AS HUGEINT) * 1000000 + 100 * n_files)
+           |      // (2 * CAST(100 * n_files AS HUGEINT))) AS DOUBLE)
+           |    / 1000000 AS scan_share
+           |FROM nf JOIN tc USING (layout)""".stripMargin
+      }) { (spark, dir) =>
+      import graft.functions.ExactRound
+      def spread(c: org.apache.spark.sql.Column) = {
+        val a = c.bitwiseOR(shiftleft(c, 4)).bitwiseAND(lit(3855L))
+        val b = a.bitwiseOR(shiftleft(a, 2)).bitwiseAND(lit(13107L))
+        b.bitwiseOR(shiftleft(b, 1)).bitwiseAND(lit(21845L))
+      }
+      val o = Tables.orders(spark, dir)
+        .select(col("o_custkey").as("ck"), to_date(col("o_orderdate")).as("d"))
+      val st = o.agg(max("ck").cast("long").as("mc"), min("d").as("mind"),
+        max("d").as("maxd"))
+      val b = o.crossJoin(broadcast(st)).select(col("ck"),
+        expr("(ck * 256) div (mc + 1)").as("xb"),
+        expr("(datediff(d, mind) * 256) div (datediff(maxd, mind) + 1)")
+          .as("yb"),
+        expr("(datediff(d, mind) * 64) div (datediff(maxd, mind) + 1)")
+          .as("fd"))
+      val zt = b.select(col("ck"), col("fd"),
+        shiftleft(spread(col("xb")), 1).bitwiseOR(spread(col("yb"))).as("z"))
+        .withColumn("fz", expr("z div 1024"))
+        .localCheckpoint() // one scan feeds both layout groupings
+      def files(layout: String, f: org.apache.spark.sql.Column) =
+        zt.groupBy(f.as("f"))
+          .agg(min("ck").as("mn"), max("ck").as("mx"),
+            count(lit(1)).as("c"))
+          .withColumn("layout", lit(layout))
+      val fl = files("zorder", col("fz")).unionByName(files("datesort", col("fd")))
+        .localCheckpoint() // 128-row file grid; probed and summed below
+      val qs = spark.range(0, 100).crossJoin(broadcast(st))
+        .select(expr("(id * (mc + 1)) div 100").as("q"))
+      val tc = fl.join(broadcast(qs),
+          col("q").between(col("mn"), col("mx")))
+        .groupBy("layout").agg(count(lit(1)).as("touched"))
+      val nf = fl.groupBy("layout")
+        .agg(count(lit(1)).as("n_files"), sum("c").as("n_rows"))
+      nf.join(tc, Seq("layout"))
+        .select(col("layout"), col("n_files"), col("n_rows"),
+          ExactRound.roundRatio(col("touched"), col("n_files") * 100, 6)
+            .cast("double").as("scan_share"))
     })
 }

@@ -3303,5 +3303,169 @@ object CurationQueries {
         rrAll.cast("double").as("share_raw"),
         rrKept.cast("double").as("share_dedup"),
         (rrKept - rrAll).cast("double").as("share_shift"))
+    },
+
+    // ---- WINNOWING fingerprint match matrix (L278, Schleimer,
+    // Wilkerson & Aiken 2003 — the MOSS algorithm): per position hash
+    // the k-gram (k=3) starting there, slide a w=4 window over the
+    // hash stream, select each window's minimum (rightmost on ties —
+    // robust winnowing), match docs on selected fingerprint VALUES.
+    // The paper's guarantee: any shared run of ≥ w+k−1 = 6 tokens
+    // shares ≥ 1 fingerprint, at ~2∕(w+1) selection density — the
+    // LOCAL fingerprinting scheme between q22's whole-doc hash and
+    // q277's every-position exact-substring pass. The rightmost-min
+    // argmin is the pure integer key min((h+1)·2²² − p) — no engine
+    // tie policy; stop-fingerprints (df > 64) drop before matching
+    // (the paper's "too many documents" rule) so a boilerplate
+    // fingerprint emits ≤ 64² candidate rows — linear at any corpus
+    // size. overlap = n_shared ∕ min(|fp_a|, |fp_b|), half-up 6-dp.
+    Q(
+      "q297_winnowing_matches", {
+        val C = 1L << 22
+        s"""WITH toks AS (
+           |  SELECT doc_id, $toksSql AS t FROM documents),
+           |shp AS (
+           |  SELECT doc_id, i AS p,
+           |    ${LlmQueries.strHashSql("concat_ws(' ', t[i], t[i+1], t[i+2])")}
+           |      AS h
+           |  FROM toks, unnest(range(1, len(t) - 1)) u(i)),
+           |win AS (
+           |  SELECT doc_id, p,
+           |    min((h + 1) * $C - p) OVER (
+           |      PARTITION BY doc_id ORDER BY p
+           |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selkey,
+           |    count(*) OVER (PARTITION BY doc_id) AS m
+           |  FROM shp),
+           |fp AS (
+           |  SELECT DISTINCT doc_id, selkey // $C AS h
+           |  FROM win WHERE p <= greatest(m - 3, 1)),
+           |kept AS (
+           |  SELECT doc_id, h FROM (
+           |    SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df
+           |    FROM fp)
+           |  WHERE df <= 64),
+           |nf AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp
+           |  FROM kept GROUP BY 1),
+           |pr AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    CAST(count(*) AS BIGINT) AS n_shared
+           |  FROM kept a JOIN kept b USING (h)
+           |  WHERE a.doc_id < b.doc_id
+           |  GROUP BY 1, 2 HAVING count(*) >= 2)
+           |SELECT id_a, id_b, n_shared,
+           |  CAST(((2 * CAST(n_shared AS HUGEINT) * 1000000
+           |        + least(na.nfp, nb.nfp))
+           |      // (2 * CAST(least(na.nfp, nb.nfp) AS HUGEINT)))
+           |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS overlap
+           |FROM pr
+           |JOIN nf na ON na.doc_id = pr.id_a
+           |JOIN nf nb ON nb.doc_id = pr.id_b""".stripMargin
+      }) { (spark, dir) =>
+      Dedup.winnowingPairs(Tables.documents(spark, dir), "doc_id", "text",
+        k = 3, w = 4, dfCap = 64)
+    },
+
+    // ---- CCNet PERPLEXITY BUCKETING (L279, Wenzek et al. 2020 — the
+    // published head/middle/tail split every CommonCrawl-derived
+    // pretraining corpus ships with): per LANGUAGE, rank documents by
+    // LM score and cut the distribution into thirds — head = the
+    // most-fluent third (lowest perplexity = highest mean logprob),
+    // tail = the least. Scores are the q251 unigram add-1 logprob
+    // means on the exact grid (9-dp ln terms, DECIMAL sums, signed
+    // half-away divides). The tercile thresholds are VALUE thresholds
+    // computed on a 3-dp score histogram — CCNet itself cuts on binned
+    // perplexity histograms — so the per-lang cumulative window runs
+    // over the bounded score GRID (≤ ~25k distinct 3-dp values for
+    // ln-scores in [−25, 0]), never over per-doc rows: threshold
+    // computation is support-sized at any corpus scale, and the bucket
+    // assignment is a broadcast |langs|-row threshold join. Ties at a
+    // boundary share the boundary value's bucket (value semantics —
+    // deterministic, engine-free).
+    Q(
+      "q298_ccnet_buckets",
+      s"""WITH tr AS (
+         |  SELECT unnest($toksSql) AS term FROM documents),
+         |freq AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tr GROUP BY 1),
+         |nv AS (
+         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM freq) AS v),
+         |ho AS (
+         |  SELECT doc_id, lang, unnest($toksSql) AS term FROM documents),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |    CAST(round(ln(CAST(f.cnt + 1 AS DOUBLE) / (n + v + 1)), 9)
+         |      AS DECIMAL(18,9)) AS lp
+         |  FROM ho JOIN freq f USING (term), nv),
+         |g AS (
+         |  SELECT doc_id, lang, CAST(count(*) AS HUGEINT) AS nt,
+         |    CAST(sum(lp) * 1000000000 AS HUGEINT) AS s9
+         |  FROM scored GROUP BY 1, 2),
+         |d AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN s9 >= 0 THEN (2*s9 + nt*1000000) // (2*nt*1000000)
+         |         ELSE -((2*(-s9) + nt*1000000) // (2*nt*1000000)) END AS sc3,
+         |    CAST(CASE WHEN s9 >= 0 THEN (2*s9 + nt*1000) // (2*nt*1000)
+         |         ELSE -((2*(-s9) + nt*1000) // (2*nt*1000)) END AS DOUBLE)
+         |      / 1000000 AS mean_lp
+         |  FROM g),
+         |sup AS (
+         |  SELECT lang, sc3, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT lang, sc3, sum(c) OVER (PARTITION BY lang ORDER BY sc3
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f
+         |  FROM sup),
+         |nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+         |th AS (
+         |  SELECT c1.lang, min(c1.sc3) FILTER (WHERE c1.f >= (nl.n + 2) // 3)
+         |      AS t1,
+         |    min(c1.sc3) FILTER (WHERE c1.f >= (2*nl.n + 2) // 3) AS t2
+         |  FROM cum c1 JOIN nl USING (lang) GROUP BY 1)
+         |SELECT doc_id, d.lang, mean_lp AS mean_logprob,
+         |  CASE WHEN sc3 <= t1 THEN 'tail' WHEN sc3 <= t2 THEN 'middle'
+         |       ELSE 'head' END AS ppl_bucket
+         |FROM d JOIN th ON th.lang = d.lang""".stripMargin) { (spark, dir) =>
+      import graft.functions.ExactRound
+      val docs = Tables.documents(spark, dir)
+      val tr = docs.select(explode(Text.tokens(col("text"))).as("term"))
+      val freq = tr.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // model artifact: feeds V and the score join
+      val nv = tr.agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(freq.agg(count(lit(1)).as("v"))))
+      val g = docs
+        .select(col("doc_id"), col("lang"),
+          explode(Text.tokens(col("text"))).as("term"))
+        .join(freq, Seq("term"))
+        .crossJoin(broadcast(nv))
+        .select(col("doc_id"), col("lang"),
+          round(log((col("cnt") + 1).cast("double") /
+            (col("n") + col("v") + 1)), 9)
+            .cast(DecimalType(18, 9)).as("lp"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("nt"), sum("lp").as("slp"))
+      val d = g.select(col("doc_id"), col("lang"),
+          ExactRound.roundRatioSigned(col("slp"), 9, col("nt"), 3).as("sc3"),
+          ExactRound.roundRatioSigned(col("slp"), 9, col("nt"), 6)
+            .cast("double").as("mean_lp"))
+        .localCheckpoint() // read by the support grid AND the final join
+      // tercile thresholds on the bounded 3-dp score grid (support-
+      // sized per-lang cumulative window — never per-doc rows)
+      val sup = d.groupBy("lang", "sc3").agg(count(lit(1)).as("c"))
+      val cum = sup.withColumn("f",
+        sum("c").over(Window.partitionBy("lang").orderBy("sc3")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val nl = d.groupBy("lang").agg(count(lit(1)).as("n"))
+      val th = cum.join(nl, "lang")
+        .groupBy("lang")
+        .agg(
+          min(when(col("f") >= expr("(n + 2) div 3"), col("sc3"))).as("t1"),
+          min(when(col("f") >= expr("(2*n + 2) div 3"), col("sc3"))).as("t2"))
+      d.join(broadcast(th), "lang")
+        .select(col("doc_id"), col("lang"),
+          col("mean_lp").as("mean_logprob"),
+          when(col("sc3") <= col("t1"), "tail")
+            .when(col("sc3") <= col("t2"), "middle")
+            .otherwise("head").as("ppl_bucket"))
     })
 }

@@ -778,6 +778,213 @@ object SelectionQueries {
         .localCheckpoint() // materialize before releasing the token cache
       tb.unpersist()
       out
+    },
+
+    // ---- SEQUENCE PACKING audit (L280): pack documents into fixed
+    // L=512-token context windows with the boundary-preserving NEXT-FIT
+    // rule (docs never split across windows — the packing every
+    // LLM-pretraining data loader prices against plain concat-and-chunk,
+    // cf. Krell et al. 2021): per shard (source = the shard key), docs
+    // in doc_id order fold through (bins, remainder) state — fits →
+    // pack, else open a bin; overlong docs truncate to L (counted as
+    // trunc waste). Emits the per-shard packing economics a planner
+    // needs BEFORE committing a loader: bins, fill rate
+    // (packed ∕ bins·L) and truncation rate, both half-up 6-dp
+    // integer-space.
+    //
+    // Scale shape: packing is inherently ORDER-DEPENDENT (the state is
+    // a non-associative fold), so the operator packs per shard —
+    // `repartition(shard) + sortWithinPartitions(shard, doc_id) +
+    // mapPartitions` runs one compiled sequential fold per contiguous
+    // shard group, O(1) state per stream, parallelism ACROSS shards
+    // (at 100 TB the shard key is the file/split id — thousands of
+    // independent streams; one giant shard would serialize, which is a
+    // data-layout fact, not a plan defect). mapPartitions is the right
+    // tool here, not a fallback: no window/aggregate expresses a
+    // running remainder with reset. The DuckDB oracle replays the fold
+    // as a per-shard list_reduce over the identically-ordered lengths.
+    Q(
+      "q299_sequence_packing", {
+        // packed/truncated token totals are ORDER-FREE plain sums; only
+        // (bins, remainder) is the sequential fold, packed into ONE
+        // BIGINT (nb·1024 + rem, rem < 1024 > L) — a scalar list_reduce
+        // (the q178 fold idiom; DuckDB 1.0.0's list_reduce mis-computes
+        // multi-field STRUCT accumulators through CASE branches — found
+        // while building this oracle, worked around by design)
+        s"""WITH t AS (
+           |  SELECT source, doc_id, CAST(len(${LlmQueries.toksSql}) AS BIGINT)
+           |    AS ntok
+           |  FROM documents),
+           |o AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(ntok) AS BIGINT) AS n_tokens,
+           |    CAST(sum(least(ntok, 512)) AS BIGINT) AS pk,
+           |    CAST(sum(greatest(ntok - 512, 0)) AS BIGINT) AS tr,
+           |    list(ntok ORDER BY doc_id) AS ls
+           |  FROM t GROUP BY 1),
+           |f AS (
+           |  SELECT source, n_docs, n_tokens, pk, tr,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(ls, x -> CAST(least(x, 512) AS BIGINT))),
+           |      (a, x) -> CASE WHEN x <= a % 1024 THEN a - x
+           |        ELSE ((a // 1024) + 1) * 1024 + 512 - x END) // 1024
+           |      AS nb
+           |  FROM o)
+           |SELECT source, n_docs, n_tokens, nb AS n_bins,
+           |  CAST(CASE WHEN nb = 0 THEN 0 ELSE
+           |      ((2 * CAST(pk AS HUGEINT) * 1000000 + nb * 512)
+           |        // (2 * CAST(nb * 512 AS HUGEINT))) END AS DOUBLE)
+           |    / 1000000 AS fill_rate,
+           |  CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE
+           |      ((2 * CAST(tr AS HUGEINT) * 1000000 + n_tokens)
+           |        // (2 * CAST(n_tokens AS HUGEINT))) END AS DOUBLE)
+           |    / 1000000 AS trunc_rate
+           |FROM f""".stripMargin
+      }) { (spark, dir) =>
+      import spark.implicits._
+      val L = 512L
+      val t = Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("ntok"))
+      t.repartition(col("source"))
+        .sortWithinPartitions("source", "doc_id")
+        .as[(String, Long, Long)]
+        .mapPartitions { it =>
+          // one sequential next-fit fold per contiguous shard group
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, Long, Long, Long)]
+          var cur: String = null
+          var nDocs, nTok, nb, rem, pk, tr = 0L
+          def flush(): Unit = if (cur != null)
+            out += ((cur, nDocs, nTok, nb, pk, tr))
+          it.foreach { case (src, _, ntok) =>
+            if (src != cur) {
+              flush(); cur = src
+              nDocs = 0L; nTok = 0L; nb = 0L; rem = 0L; pk = 0L; tr = 0L
+            }
+            nDocs += 1L; nTok += ntok
+            val fit = math.min(ntok, L)
+            tr += math.max(ntok - L, 0L)
+            if (fit <= rem) { rem -= fit; pk += fit }
+            else { nb += 1L; rem = L - fit; pk += fit }
+          }
+          flush()
+          out.iterator
+        }
+        .toDF("source", "n_docs", "n_tokens", "n_bins", "pk", "tr")
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_bins"),
+          when(col("n_bins") === 0, 0.0d).otherwise(
+            graft.functions.ExactRound
+              .roundRatio(col("pk"), col("n_bins") * L, 6).cast("double"))
+            .as("fill_rate"),
+          when(col("n_tokens") === 0, 0.0d).otherwise(
+            graft.functions.ExactRound
+              .roundRatio(col("tr"), col("n_tokens"), 6).cast("double"))
+            .as("trunc_rate"))
+    },
+
+    // ---- INCREMENTAL DSIR maintenance (L282): q296's selection under
+    // CONTINUOUS INGEST — when a document batch arrives, nobody
+    // re-featurizes 100 TB: the standing per-doc bucket-count feature
+    // table is APPEND-ONLY (features of old docs never change), the
+    // bucket distributions are abelian counts that fold batch deltas
+    // in (standing + batch, one 256-row merge), and the refreshed
+    // weight table re-scores the standing FEATURES — a broadcast join
+    // over (doc, bucket) counts, the raw text is read once per
+    // document ever. The Gumbel keys are seeded per doc_id, so
+    // re-selection under new weights is still a pure function of the
+    // corpus. This query RUNS the fold (standing = doc_id%10≠3 state,
+    // batch = the %10=3 arrivals) and its oracle is the ONE-SHOT
+    // full-corpus selection — the row-for-row hash match IS the
+    // maintenance == rebuild proof (the q294 contract).
+    Q(
+      "q301_dsir_incremental", {
+        // the one-shot oracle: identical to q296's — maintenance must
+        // reproduce the rebuild bit for bit
+        val tgt = DsirTarget.map(s => s"'$s'").mkString(", ")
+        val B = DsirBuckets
+        s"""WITH toks AS (
+           |  SELECT doc_id, source, ${LlmQueries.toksSql} AS t FROM documents),
+           |thc AS (
+           |  SELECT doc_id, source,
+           |    list_transform(t,
+           |      x -> CAST(concat('0x', substr(md5(x),1,8)) AS BIGINT)) AS th
+           |  FROM toks WHERE len(t) > 0),
+           |tb AS (
+           |  SELECT doc_id, source, u.h % $B AS b
+           |  FROM thc, unnest(thc.th) AS u(h)),
+           |rc AS (SELECT b, CAST(count(*) AS BIGINT) AS rcnt FROM tb GROUP BY b),
+           |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS tcnt
+           |       FROM tb WHERE source IN ($tgt) GROUP BY b),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS rtot,
+           |    CAST(count(*) FILTER (WHERE source IN ($tgt)) AS BIGINT) AS ttot
+           |  FROM tb),
+           |w AS (SELECT rc.b,
+           |    CAST(round(ln(
+           |      ((coalesce(tc.tcnt, 0) + 1.0) * (tot.rtot + $B)) /
+           |      ((rc.rcnt + 1.0) * (tot.ttot + $B))), 9)
+           |      AS DECIMAL(13,9)) AS w9
+           |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot),
+           |d AS (SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS n
+           |      FROM tb WHERE source NOT IN ($tgt) GROUP BY 1, 2, 3),
+           |lw AS (SELECT d.doc_id, d.source,
+           |    CAST(sum(d.n) AS BIGINT) AS n_tokens,
+           |    sum(CAST(d.n AS DECIMAL(10,0)) * w.w9) AS lw
+           |  FROM d JOIN w USING (b) GROUP BY 1, 2),
+           |keyed AS (SELECT doc_id, source, n_tokens, lw,
+           |    CAST(round(-ln(-ln(
+           |      CAST((doc_id * ${Text.Mult}) % ${Text.P} + 1 AS DOUBLE)
+           |        / 2147483648.0)), 9) AS DECIMAL(13,9)) AS g
+           |  FROM lw)
+           |SELECT doc_id, source, n_tokens,
+           |  CAST(lw AS DOUBLE) AS log_weight,
+           |  CAST(lw + g AS DOUBLE) AS gumbel_key
+           |FROM keyed ORDER BY lw + g DESC, doc_id LIMIT 50""".stripMargin
+      }) { (spark, dir) =>
+      val B = DsirBuckets
+      val docs = Tables.documents(spark, dir)
+      def feats(part: org.apache.spark.sql.DataFrame) = part
+        .withColumn("th", call_function("graft_token_hashes", col("text")))
+        .filter(size(col("th")) > 0)
+        .select(col("doc_id"), col("source"), explode(col("th")).as("h"))
+        .select(col("doc_id"), col("source"), (col("h") % B).as("b"))
+        .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("n"))
+      // standing feature table (featurized long ago) + the arriving
+      // batch's features (featurized once, now) — append-only union
+      val standing = feats(docs.filter(col("doc_id") % 10 =!= 3))
+        .localCheckpoint() // the persisted state a real fold reads back
+      val batch = feats(docs.filter(col("doc_id") % 10 === 3))
+        .localCheckpoint()
+      val feat = standing.unionByName(batch)
+      val isTgt = col("source").isin(DsirTarget: _*)
+      // bucket-distribution fold: abelian counts, standing + batch
+      def bucketCounts(f: org.apache.spark.sql.DataFrame) = f.groupBy("b")
+        .agg(sum("n").as("rcnt"),
+          sum(when(isTgt, col("n")).otherwise(0L)).as("tcnt"))
+      val folded = bucketCounts(standing).unionByName(bucketCounts(batch))
+        .groupBy("b")
+        .agg(sum("rcnt").as("rcnt"), sum("tcnt").as("tcnt"))
+      val tot = folded.agg(sum("rcnt").as("rtot"), sum("tcnt").as("ttot"))
+      val w = folded.crossJoin(broadcast(tot))
+        .withColumn("w9", round(log(
+          ((col("tcnt") + lit(1.0d)) * (col("rtot") + lit(B.toLong))) /
+          ((col("rcnt") + lit(1.0d)) * (col("ttot") + lit(B.toLong)))), 9)
+          .cast(DecimalType(13, 9)))
+        .select("b", "w9")
+      // re-score the STANDING features under the refreshed weights —
+      // no document is re-tokenized
+      val lw = feat.filter(!isTgt)
+        .join(broadcast(w), "b")
+        .groupBy("doc_id", "source")
+        .agg(sum("n").as("n_tokens"),
+          sum(col("n").cast(DecimalType(10, 0)) * col("w9")).as("lw"))
+      val u = (pmod(col("doc_id").cast("long") * lit(Text.Mult), lit(Text.P))
+        + lit(1L)).cast("double") / lit(2147483648.0d)
+      lw.withColumn("g", round(-log(-log(u)), 9).cast(DecimalType(13, 9)))
+        .orderBy((col("lw") + col("g")).desc, col("doc_id")).limit(50)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("lw").cast("double").as("log_weight"),
+          (col("lw") + col("g")).cast("double").as("gumbel_key"))
     }
   )
 }

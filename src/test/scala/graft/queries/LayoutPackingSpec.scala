@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-18 layout/curation wave (L278–L282) beyond
+  * what the DuckDB oracles pin: the winnowing fingerprint guarantee on
+  * a constructed shared run, CCNet bucket monotonicity and tercile
+  * bounds, a from-scratch sequence-packing fold, Morton-code
+  * bijectivity plus the pruning claim that motivates z-ordering, and
+  * the DSIR maintenance == rebuild identity inside one engine. */
+class LayoutPackingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("winnowing guarantee: docs sharing a run of >= w+k-1 tokens " +
+      "share fingerprints; disjoint docs never match") {
+    // a 20-token shared run (>> w+k-1 = 6) embedded in distinct noise,
+    // plus a third doc with no shared content at all
+    val run = (1 to 20).map(i => s"shared$i")
+    val docA = ((1 to 10).map(i => s"noisea$i") ++ run).mkString(" ")
+    val docB = (run ++ (1 to 10).map(i => s"noiseb$i")).mkString(" ")
+    val docC = (1 to 30).map(i => s"lonely$i").mkString(" ")
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    val out = graft.ops.Dedup
+      .winnowingPairs(docs, "doc_id", "text", k = 3, w = 4, dfCap = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 2),
+      s"the shared run must surface shared fingerprints, got ${out.toSeq}")
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L),
+      "a content-disjoint doc can never share a fingerprint")
+  }
+
+  test("ccnet buckets: every doc assigned, tercile lower bounds hold, " +
+      "and bucket score ranges are monotone per language") {
+    val rows = graft.SparkEntry.queries("q298_ccnet_buckets")(spark, sfDir())
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Set("head", "middle", "tail")(r._4)))
+    rows.groupBy(_._2).foreach { case (lang, ls) =>
+      val n = ls.length
+      val tail = ls.filter(_._4 == "tail")
+      val mid = ls.filter(_._4 == "middle")
+      val head = ls.filter(_._4 == "head")
+      // value thresholds: F(t1) >= ceil(n/3), F(t2) >= ceil(2n/3)
+      assert(tail.length >= (n + 2) / 3, s"$lang tail too small")
+      assert(tail.length + mid.length >= (2 * n + 2) / 3,
+        s"$lang tail+middle too small")
+      // bucket ranges are monotone on the 3-dp cut grid; the emitted
+      // 6-dp means can straddle a boundary by < one 3-dp step only
+      if (tail.nonEmpty && mid.nonEmpty)
+        assert(tail.map(_._3).max <= mid.map(_._3).min + 1e-3)
+      if (mid.nonEmpty && head.nonEmpty)
+        assert(mid.map(_._3).max <= head.map(_._3).min + 1e-3)
+    }
+  }
+
+  test("sequence packing: a from-scratch per-source next-fit fold " +
+      "reproduces the operator; bin count is the capacity lower bound " +
+      "or more") {
+    val out = graft.SparkEntry.queries("q299_sequence_packing")(
+      spark, sfDir()).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    val L = 512L
+    val docs = graft.Tables.documents(spark, sfDir())
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        graft.functions.TextKernels.tokenize(r.getString(2)).length.toLong))
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      var nb, rem, pk, tr = 0L
+      ds.sortBy(_._2).foreach { case (_, _, ntok) =>
+        val fit = math.min(ntok, L)
+        tr += math.max(ntok - L, 0L)
+        if (fit <= rem) { rem -= fit; pk += fit }
+        else { nb += 1L; rem = L - fit; pk += fit }
+      }
+      def r6(x: Long, t: Long) =
+        (if (t == 0) 0L else (2 * x * 1000000L + t) / (2 * t)).toDouble / 1e6
+      src -> ((ds.length.toLong, ds.map(_._3).sum, nb,
+        r6(pk, nb * L), r6(tr, ds.map(_._3).sum)))
+    }
+    assert(out == expect, "operator must equal the from-scratch fold")
+    out.foreach { case (src, (_, ntok, nb, fill, _)) =>
+      assert(fill <= 1.0 + 1e-9, s"$src fill > 1")
+      assert(nb >= (math.min(ntok, Long.MaxValue) + L - 1) / L - docs.length,
+        s"$src bins below any plausible bound") // sanity only
+    }
+  }
+
+  test("morton interleave: bijective on the 8-bit x 8-bit grid, and " +
+      "z-order layout prunes strictly better than date-sort for " +
+      "customer point queries") {
+    def spread(v: Long): Long = {
+      val a = (v | (v << 4)) & 3855L
+      val b = (a | (a << 2)) & 13107L
+      (b | (b << 1)) & 21845L
+    }
+    val zs = for (x <- 0L until 256L; y <- 0L until 256L)
+      yield (spread(x) << 1) | spread(y)
+    assert(zs.distinct.size == 65536 && zs.max < 65536L && zs.min == 0L,
+      "Part1By1 interleave must biject [0,256)^2 onto [0,65536)")
+    val rows = graft.SparkEntry.queries("q300_zorder_layout")(spark, sfDir())
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rows("zorder") < rows("datesort"),
+      s"z-order must prune better: $rows")
+  }
+
+  test("dsir maintenance == rebuild: the incremental fold's selection " +
+      "equals the one-shot q296 selection row for row") {
+    def rowsOf(q: String) = graft.SparkEntry.queries(q)(spark, sfDir())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    assert(rowsOf("q301_dsir_incremental") == rowsOf("q296_dsir_selection"))
+  }
+}
