@@ -472,10 +472,13 @@ object Dedup {
     * Returns (id_a, id_b, n_shared, overlap) for pairs sharing ≥ 2
     * surviving fingerprints; overlap = n_shared ∕ min(|fp_a|, |fp_b|)
     * by the integer-space half-up divide. */
-  def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, w: Int = 4, dfCap: Int = 64): DataFrame = {
-    require(k >= 2 && w >= 2 && dfCap >= 2,
-      s"degenerate winnowing parameters: k=$k w=$w dfCap=$dfCap")
+  /** The per-doc winnow stage shared by [[winnowingPairs]] and
+    * [[winnowingPairsAgainst]]: selected fingerprint VALUES per doc —
+    * (id, h) distinct. Per-doc LOCAL computation (the paper's point),
+    * so fingerprinting a batch never touches the standing corpus. */
+  private def winnowFp(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 2 && w >= 2, s"degenerate winnowing parameters: k=$k w=$w")
     val C = 1L << 22
     val byPos = Window.partitionBy(idCol).orderBy("pos")
     var toks = df
@@ -493,7 +496,7 @@ object Dedup {
           .as("h"))
     val winFrame = Window.partitionBy(idCol).orderBy("p")
       .rowsBetween(Window.currentRow, w - 1)
-    val fp = sh
+    sh
       .withColumn("m", count(lit(1)).over(Window.partitionBy(idCol)))
       .withColumn("selkey", min((col("h") + 1) * C - col("p")).over(winFrame))
       // trailing starts have truncated windows; keep exactly the full
@@ -503,6 +506,12 @@ object Dedup {
       // decode: selkey = (h+1)·C − p with p ∈ [1, C) ⇒ selkey div C = h
       .select(col(idCol), expr(s"selkey div $C").as("h"))
       .distinct()
+  }
+
+  def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, dfCap: Int = 64): DataFrame = {
+    require(dfCap >= 2, s"degenerate dfCap: $dfCap")
+    val fp = winnowFp(df, idCol, textCol, k, w)
     val kept = fp
       .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("df") <= dfCap)
@@ -518,6 +527,49 @@ object Dedup {
       .join(fpc.select(col(idCol).as("id_a"), col("nfp").as("na")), Seq("id_a"))
       .join(fpc.select(col(idCol).as("id_b"), col("nfp").as("nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("n_shared"),
+        graft.functions.ExactRound
+          .roundRatio(col("n_shared"), least(col("na"), col("nb")), 6)
+          .cast("double").as("overlap"))
+  }
+
+  /** Incremental [[winnowingPairs]]: an arriving BATCH matched against
+    * a STANDING corpus — the continuous-ingest shape (nobody
+    * re-fingerprints 100 TB per batch; winnowing is per-doc LOCAL, so
+    * batch fingerprints compute from batch text alone and the standing
+    * (id, h) fingerprint index is append-only). Document frequency for
+    * the stop-fingerprint rule is taken over the MAINTAINED index
+    * (standing ∪ batch) — exactly the df a full recompute would see,
+    * so fold == one-shot on the cross pairs (pinned in
+    * LayoutPackingSpec). Returns (corpus_id, batch_id, n_shared,
+    * overlap) for cross pairs sharing ≥ 2 surviving fingerprints. */
+  def winnowingPairsAgainst(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, dfCap: Int = 64): DataFrame = {
+    require(dfCap >= 2, s"degenerate dfCap: $dfCap")
+    val cfp = winnowFp(corpus, idCol, textCol, k, w)
+    val bfp = winnowFp(batch, idCol, textCol, k, w)
+    val all = cfp.withColumn("_side", lit(0))
+      .unionByName(bfp.withColumn("_side", lit(1)))
+    val kept = all
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("df") <= dfCap)
+      .select(col(idCol), col("h"), col("_side"))
+      .localCheckpoint() // fingerprint-sample-sized; read 3× below
+    val fpc = kept.groupBy(idCol, "_side").agg(count(lit(1)).as("nfp"))
+    val pairs = kept.filter(col("_side") === 0)
+      .select(col("h"), col(idCol).as("corpus_id"))
+      .join(kept.filter(col("_side") === 1)
+        .select(col("h"), col(idCol).as("batch_id")), Seq("h"))
+      .groupBy("corpus_id", "batch_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+    pairs
+      .join(fpc.filter(col("_side") === 0)
+        .select(col(idCol).as("corpus_id"), col("nfp").as("na")),
+        Seq("corpus_id"))
+      .join(fpc.filter(col("_side") === 1)
+        .select(col(idCol).as("batch_id"), col("nfp").as("nb")),
+        Seq("batch_id"))
+      .select(col("corpus_id"), col("batch_id"), col("n_shared"),
         graft.functions.ExactRound
           .roundRatio(col("n_shared"), least(col("na"), col("nb")), 6)
           .cast("double").as("overlap"))

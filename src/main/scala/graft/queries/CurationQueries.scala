@@ -3467,5 +3467,163 @@ object CurationQueries {
           when(col("sc3") <= col("t1"), "tail")
             .when(col("sc3") <= col("t2"), "middle")
             .otherwise("head").as("ppl_bucket"))
+    },
+
+    // ---- INCREMENTAL WINNOWING ingest (L284): q297's fingerprint
+    // matching under continuous arrival — winnowing is per-doc LOCAL
+    // (the Schleimer et al. design point), so an arriving batch
+    // fingerprints from its own text alone and matches against the
+    // STANDING append-only (id, h) index; df for the stop-fingerprint
+    // rule comes from the maintained index (standing ∪ batch), exactly
+    // what a full recompute sees — the oracle IS the one-shot cross
+    // join, so the hash match proves fold == rebuild (the q294/q301
+    // contract). Standing = doc_id % 4 ≠ 0, batch = the % 4 = 0
+    // arrivals; output (corpus_id, batch_id, n_shared, overlap).
+    Q(
+      "q303_winnowing_ingest", {
+        val C = 1L << 22
+        s"""WITH toks AS (
+           |  SELECT doc_id, $toksSql AS t FROM documents),
+           |shp AS (
+           |  SELECT doc_id, i AS p,
+           |    ${LlmQueries.strHashSql("concat_ws(' ', t[i], t[i+1], t[i+2])")}
+           |      AS h
+           |  FROM toks, unnest(range(1, len(t) - 1)) u(i)),
+           |win AS (
+           |  SELECT doc_id, p,
+           |    min((h + 1) * $C - p) OVER (
+           |      PARTITION BY doc_id ORDER BY p
+           |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selkey,
+           |    count(*) OVER (PARTITION BY doc_id) AS m
+           |  FROM shp),
+           |fp AS (
+           |  SELECT DISTINCT doc_id, selkey // $C AS h
+           |  FROM win WHERE p <= greatest(m - 3, 1)),
+           |kept AS (
+           |  SELECT doc_id, h FROM (
+           |    SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df
+           |    FROM fp)
+           |  WHERE df <= 64),
+           |nf AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp
+           |  FROM kept GROUP BY 1),
+           |pr AS (
+           |  SELECT a.doc_id AS corpus_id, b.doc_id AS batch_id,
+           |    CAST(count(*) AS BIGINT) AS n_shared
+           |  FROM kept a JOIN kept b USING (h)
+           |  WHERE a.doc_id % 4 <> 0 AND b.doc_id % 4 = 0
+           |  GROUP BY 1, 2 HAVING count(*) >= 2)
+           |SELECT corpus_id, batch_id, n_shared,
+           |  CAST(((2 * CAST(n_shared AS HUGEINT) * 1000000
+           |        + least(na.nfp, nb.nfp))
+           |      // (2 * CAST(least(na.nfp, nb.nfp) AS HUGEINT)))
+           |    * CAST(0.000001 AS DECIMAL(7,6)) AS DOUBLE) AS overlap
+           |FROM pr
+           |JOIN nf na ON na.doc_id = pr.corpus_id
+           |JOIN nf nb ON nb.doc_id = pr.batch_id""".stripMargin
+      }) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      Dedup.winnowingPairsAgainst(
+        docs.filter(col("doc_id") % 4 =!= 0),
+        docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", k = 3, w = 4, dfCap = 64)
+    },
+
+    // ---- LSH S-CURVE PLANNER (L285 — the banding calculus from
+    // Leskovec, Rajaraman & Ullman, MMDS ch. 3): for every (b, r)
+    // factorization of the k=12 MinHash signature, the detection
+    // probability is the S-curve P(s) = 1 − (1 − s^r)^b. Folklore
+    // picks (b, r) from the curve midpoint (1∕b)^(1∕r) alone; this
+    // planner prices each config against the CORPUS — expected recall
+    // = mean P(s) over the measured Jaccard distribution of the
+    // degree-capped candidate pairs (the q293 stream), next to the
+    // constant sub-threshold leak P(0.2) that predicts verify cost.
+    // Determinism: s^r and (1−x)^b are EXPLICIT multiplication chains
+    // (never pow — IEEE multiply is engine-exact where pow is not),
+    // per-pair P rounds onto the 9-dp DECIMAL grid, means by the
+    // signed half-away divide; the two per-config constants are minted
+    // once in Scala and inlined as identical literals into BOTH plans.
+    // Scale: one capped candidate pass (linear), then 6 aggregates
+    // over the tail-sized pair set.
+    Q(
+      "q304_lsh_s_curve", {
+        import LlmQueries.{hvCte, sigSql, bands, r => rr0, jaccardSql}
+        val configs = Seq((1, 12), (2, 6), (3, 4), (4, 3), (6, 2), (12, 1))
+        def mid(b: Int, r: Int) =
+          BigDecimal(math.pow(1.0 / b, 1.0 / r))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        def p02(b: Int, r: Int) = {
+          val sr = math.pow(0.2, r) // exact chain not needed: constant
+          BigDecimal(1.0 - math.pow(1.0 - sr, b))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        def srSql(r: Int) = (1 to r).map(_ => "s").mkString("(", " * ", ")")
+        def ombSql(b: Int, r: Int) =
+          (1 to b).map(_ => s"(1.0 - ${srSql(r)})").mkString("(", " * ", ")")
+        val blocks = configs.map { case (b, r) =>
+          s"""SELECT CAST($b AS BIGINT) AS b, CAST($r AS BIGINT) AS r,
+             |  CAST(${mid(b, r)} AS DOUBLE) AS s_mid,
+             |  CAST(${p02(b, r)} AS DOUBLE) AS p_at_02,
+             |  CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST((2 * CAST(sum(CAST(round(1.0 - ${ombSql(b, r)}, 9)
+             |        AS DECIMAL(10,9))) * 1000000000 AS HUGEINT)
+             |      + count(*) * 1000)
+             |    // (2 * CAST(count(*) AS HUGEINT) * 1000) AS DOUBLE)
+             |    / 1000000 AS expected_recall
+             |FROM sc""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""$hvCte,
+           |sigs AS (
+           |  SELECT doc_id, hv, $sigSql AS sig FROM hvt),
+           |banded AS (
+           |  ${(0 until bands).map(bd =>
+                s"SELECT doc_id, $bd AS band, array_to_string(sig[${bd * rr0 + 1}:${bd * rr0 + rr0}], ',') AS band_key FROM sigs")
+                .mkString("\n  UNION ALL ")}),
+           |ranked AS (
+           |  SELECT doc_id, band, band_key,
+           |    row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id)
+           |      AS rk
+           |  FROM banded),
+           |prs AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM ranked a JOIN banded b USING (band, band_key)
+           |  WHERE a.rk <= ${graft.ops.Dedup.DefaultDegreeCap}
+           |    AND a.doc_id < b.doc_id),
+           |sc AS (
+           |  SELECT s FROM (
+           |    SELECT id_a, id_b, $jaccardSql AS s
+           |    FROM prs
+           |    JOIN hvt ha ON ha.doc_id = id_a
+           |    JOIN hvt hb ON hb.doc_id = id_b)
+           |  WHERE s >= 0.5)
+           |$blocks""".stripMargin
+      }) { (spark, dir) =>
+      import graft.functions.ExactRound
+      val configs = Seq((1, 12), (2, 6), (3, 4), (4, 3), (6, 2), (12, 1))
+      def mid(b: Int, r: Int) =
+        BigDecimal(math.pow(1.0 / b, 1.0 / r))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def p02(b: Int, r: Int) = {
+        val sr = math.pow(0.2, r)
+        BigDecimal(1.0 - math.pow(1.0 - sr, b))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val cand = Dedup.nearDupPairsCapped(Tables.documents(spark, dir),
+        "doc_id", "text", shingleN = 3, k = LlmQueries.k,
+        bands = LlmQueries.bands, threshold = 0.5,
+        cap = Dedup.DefaultDegreeCap)
+        .select(col("jaccard").as("s"))
+        .localCheckpoint() // tail-sized; 6 config aggregates read it
+      configs.map { case (b, r) =>
+        val sr = (1 to r).map(_ => col("s")).reduce(_ * _)
+        val omb = (1 to b).map(_ => lit(1.0d) - sr).reduce(_ * _)
+        val p9 = round(lit(1.0d) - omb, 9).cast(DecimalType(10, 9))
+        cand.agg(count(lit(1)).as("n_pairs"), sum(p9).as("sp"))
+          .select(lit(b.toLong).as("b"), lit(r.toLong).as("r"),
+            lit(mid(b, r)).as("s_mid"), lit(p02(b, r)).as("p_at_02"),
+            col("n_pairs"),
+            ExactRound.roundRatioSigned(col("sp"), 9, col("n_pairs"), 6)
+              .cast("double").as("expected_recall"))
+      }.reduce(_ unionByName _)
     })
 }

@@ -985,6 +985,102 @@ object SelectionQueries {
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("lw").cast("double").as("log_weight"),
           (col("lw") + col("g")).cast("double").as("gumbel_key"))
+    },
+
+    // ---- UNIMAX LANGUAGE-MIXTURE ALLOCATION (L283, Chung et al. 2023
+    // — the published budget allocator behind mT5/PaLM-era multilingual
+    // mixtures): given per-language token counts, a total training
+    // budget B, and a max-epoch cap E, water-fill the budget — every
+    // language gets an equal share of what remains EXCEPT where the
+    // epoch cap binds first (low-resource languages saturate at E
+    // epochs; the rest split the leftover evenly), so no language is
+    // oversampled past E and no head language swallows the budget.
+    // Closed form over the capacity-ascending grid: languages with
+    // cap_i ≤ (B − prefix_i)∕(n−i+1) take their full cap; from the
+    // first violation k on, the remaining W = B − prefix_k splits as
+    // W div m (+1 for the first W mod m ranks — the q148
+    // largest-remainder discipline), so Σ alloc = B EXACTLY in pure
+    // integer arithmetic. Fixture: B = Σ tokens, E = 2. Scale shape:
+    // one corpus pass for the token counts, then |langs|-row grid math
+    // (every window below is grid-bounded); the allocation table is
+    // what a 100 TB mixture loader consumes as its sampling plan.
+    Q(
+      "q302_unimax_mixture", {
+        s"""WITH tl AS (
+           |  SELECT lang, CAST(sum(len(${LlmQueries.toksSql})) AS BIGINT)
+           |    AS nl
+           |  FROM documents GROUP BY 1),
+           |st AS (
+           |  SELECT CAST((3 * sum(nl)) // 2 AS BIGINT) AS b,
+           |    CAST(count(*) AS BIGINT) AS n FROM tl),
+           |g AS (
+           |  SELECT lang, nl, 2 * nl AS cap,
+           |    row_number() OVER (ORDER BY 2 * nl, lang) AS rk,
+           |    sum(2 * nl) OVER (ORDER BY 2 * nl, lang
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 2 * nl
+           |      AS pfx
+           |  FROM tl),
+           |lv AS (
+           |  SELECT g.*, st.b, st.n, (b - pfx) // (n - rk + 1) AS lvl
+           |  FROM g, st),
+           |kk AS (
+           |  SELECT coalesce(min(CASE WHEN cap > lvl THEN rk END),
+           |    (SELECT n + 1 FROM st)) AS k FROM lv),
+           |kp AS (
+           |  SELECT k, coalesce((SELECT pfx FROM lv WHERE rk = kk.k),
+           |    (SELECT sum(cap) FROM lv)) AS pk FROM kk)
+           |SELECT lang, nl AS n_tokens, cap,
+           |  CAST(CASE WHEN rk < k THEN cap ELSE
+           |    (b - pk) // (n - k + 1)
+           |      + CASE WHEN rk - k < (b - pk) % (n - k + 1) THEN 1 ELSE 0 END
+           |  END AS BIGINT) AS alloc,
+           |  CAST(((2 * CAST(CASE WHEN rk < k THEN cap ELSE
+           |      (b - pk) // (n - k + 1)
+           |      + CASE WHEN rk - k < (b - pk) % (n - k + 1) THEN 1 ELSE 0 END
+           |    END AS HUGEINT) * 1000000 + nl)
+           |      // (2 * CAST(nl AS HUGEINT))) AS DOUBLE) / 1000000
+           |    AS epochs
+           |FROM lv, kp""".stripMargin
+      }) { (spark, dir) =>
+      import graft.functions.ExactRound
+      val E = 2L
+      val tl = Tables.documents(spark, dir)
+        .select(col("lang"), size(Text.tokens(col("text"))).cast("long")
+          .as("nt"))
+        .groupBy("lang").agg(sum("nt").as("nl"))
+        .withColumn("cap", col("nl") * E)
+        .localCheckpoint() // |langs|-row grid; read by every stage below
+      // B = 1.5 epochs' worth of tokens: enough that the E=2 cap BINDS
+      // for low-resource languages while the head language takes the
+      // leveled remainder — both allocator regimes exercised
+      val st = tl.agg(sum("nl").as("b0"), count(lit(1)).as("n"))
+        .select(expr("(3 * b0) div 2").as("b"), col("n"))
+      // capacity-ascending grid rank — |langs|-bounded window
+      val byCap = Window.orderBy(col("cap"), col("lang"))
+      val g = tl
+        .withColumn("rk", row_number().over(byCap).cast("long"))
+        .withColumn("pfx", sum("cap").over(byCap
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("cap"))
+        .crossJoin(broadcast(st))
+        .withColumn("lvl", expr("(b - pfx) div (n - rk + 1)"))
+        .localCheckpoint() // grid; read for k, pk, and the output
+      val kk = g.agg(coalesce(min(when(col("cap") > col("lvl"), col("rk"))),
+        max(col("n")) + 1).as("k"))
+      val kp = g.join(broadcast(kk), col("rk") === col("k"), "right")
+        .select(col("k"),
+          coalesce(col("pfx"), lit(null)).as("pk0"))
+        .crossJoin(broadcast(g.agg(sum("cap").as("allcap"))))
+        .select(col("k"), coalesce(col("pk0"), col("allcap")).as("pk"))
+      val alloc = when(col("rk") < col("k"), col("cap")).otherwise(
+        expr("(b - pk) div (n - k + 1)") +
+          when(col("rk") - col("k") < expr("(b - pk) % (n - k + 1)"), 1L)
+            .otherwise(0L))
+      g.crossJoin(broadcast(kp))
+        .select(col("lang"), col("nl").as("n_tokens"), col("cap"),
+          alloc.as("alloc"),
+          ExactRound.roundRatio(alloc, col("nl"), 6)
+            .cast("double").as("epochs"))
     }
   )
 }

@@ -113,4 +113,71 @@ class LayoutPackingSpec extends SparkSuite {
         r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
     assert(rowsOf("q301_dsir_incremental") == rowsOf("q296_dsir_selection"))
   }
+
+  test("unimax: allocations sum to the budget exactly, never exceed the " +
+      "epoch cap, and uncapped languages share the water level") {
+    val rows = graft.SparkEntry.queries("q302_unimax_mixture")(spark, sfDir())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val b = 3 * rows.map(_._2).sum / 2
+    assert(rows.map(_._4).sum == b, "water-filling must spend B exactly")
+    rows.foreach { r =>
+      assert(r._4 <= r._3, s"${r._1} allocated past its epoch cap")
+      assert(r._5 <= 2.0 + 1e-9, s"${r._1} epochs past E")
+    }
+    // uncapped languages all sit at the level (within the +1 remainder)
+    val uncapped = rows.filter(r => r._4 < r._3).map(_._4)
+    if (uncapped.nonEmpty)
+      assert(uncapped.max - uncapped.min <= 1,
+        "uncapped languages must share the water level")
+  }
+
+  test("winnowing ingest == one-shot: the batch-vs-corpus match equals " +
+      "the full-corpus q297 pairs restricted to cross pairs") {
+    val docs = graft.Tables.documents(spark, sfDir())
+    val oneShot = graft.ops.Dedup
+      .winnowingPairs(docs, "doc_id", "text", k = 3, w = 4, dfCap = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .filter(p => (p._1 % 4 == 0) != (p._2 % 4 == 0))
+      .map(p => if (p._1 % 4 != 0) p else (p._2, p._1, p._3, p._4))
+      .toSet
+    val fold = graft.SparkEntry.queries("q303_winnowing_ingest")(
+      spark, sfDir()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(fold == oneShot, "ingest fold must equal the one-shot cross set")
+  }
+
+  test("s-curve planner: recall and sub-threshold leak both rise as " +
+      "bands widen; a from-scratch recompute matches one config") {
+    val rows = graft.SparkEntry.queries("q304_lsh_s_curve")(spark, sfDir())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 6L, 12L))
+    val recalls = rows.map(_._6).toSeq
+    val leaks = rows.map(_._4).toSeq
+    assert(recalls.zip(recalls.tail).forall { case (a, c) => a <= c },
+      "recall must be nondecreasing in b")
+    assert(leaks.zip(leaks.tail).forall { case (a, c) => a <= c },
+      "sub-threshold leak must be nondecreasing in b")
+    // from-scratch recompute for (b=4, r=3) on the raw capped jaccards
+    val ss = graft.ops.Dedup.nearDupPairsCapped(
+      graft.Tables.documents(spark, sfDir()), "doc_id", "text",
+      shingleN = 3, k = 12, bands = 4, threshold = 0.5, cap = 16)
+      .collect().map(_.getDouble(2))
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val sp = ss.map { s =>
+      val sr = s * s * s
+      val omb = (1.0 - sr) * (1.0 - sr) * (1.0 - sr) * (1.0 - sr)
+      new JBD(1.0 - omb).setScale(9, RoundingMode.HALF_UP)
+    }.foldLeft(JBD.ZERO)(_.add(_))
+    val n = ss.length
+    // same half-away divide as roundRatioSigned (sp >= 0 here)
+    val num = sp.movePointRight(6).multiply(new JBD(2)).add(new JBD(n))
+    val mean = num.divideToIntegralValue(new JBD(2L * n)).movePointLeft(6)
+    val got = rows.find(_._1 == 4L).get._6
+    assert(math.abs(mean.doubleValue - got) < 1e-12,
+      s"(4,3) recall recompute: $mean vs $got")
+  }
 }
