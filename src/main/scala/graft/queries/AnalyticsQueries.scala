@@ -1850,5 +1850,123 @@ object AnalyticsQueries {
         .select(col("layout"), col("n_files"), col("n_rows"),
           ExactRound.roundRatio(col("touched"), col("n_files") * 100, 6)
             .cast("double").as("scan_share"))
+    },
+
+    // ---- BLOOM-FILTER DATA SKIPPING (L287 — the Delta BLOOMFILTER
+    // INDEX / Parquet bloom primitive; Bloom 1970): q300 shows min/max
+    // pruning is helpless on the ingestion-order layout (date-sorted
+    // files all span the full customer range, scan_share 0.99); the
+    // published fix is a per-file Bloom filter on the point-lookup key.
+    // Per date-file: a 2¹⁴-bit filter over o_custkey with 4
+    // multiplicative hashes (the Mult∕P family — deterministic,
+    // engine-replayable); the SAME 100-point-query workload then prices
+    // three strategies side by side: minmax (file range), bloom (all 4
+    // bits set), exact (ground truth containment — the lower bound any
+    // skipper can reach). excess_share = files read beyond true hits =
+    // the strategy's false-positive cost. Scale shape: the filter build
+    // is one scan + a distinct on (file, bitpos) — ≤ 64·2¹⁴ rows
+    // REGARDLESS of table size (the index is metadata-sized, exactly
+    // why lakehouses ship it); probes join the 400-row query-bit grid
+    // against the bit set, grid-bounded.
+    Q(
+      "q306_bloom_skipping", {
+        def bit(j: Int) =
+          s"((ck * 2654435761 + $j * 131) % 2147483647) % 16384"
+        s"""WITH o AS (
+           |  SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d
+           |  FROM orders),
+           |st AS (
+           |  SELECT CAST(max(ck) AS BIGINT) AS mc, min(d) AS mind,
+           |    max(d) AS maxd FROM o),
+           |b AS (
+           |  SELECT ck, ((d - mind) * 64) // ((maxd - mind) + 1) AS f
+           |  FROM o, st),
+           |fl AS (
+           |  SELECT f, min(ck) AS mn, max(ck) AS mx FROM b GROUP BY 1),
+           |nf AS (SELECT CAST(count(*) AS BIGINT) AS n_files FROM fl),
+           |bits AS (
+           |  SELECT DISTINCT f, bp FROM b, unnest(ARRAY[
+           |    ${(0 until 4).map(bit).mkString(", ")}]) AS u(bp)),
+           |qs AS (
+           |  SELECT (k * (mc + 1)) // 100 AS q FROM range(0, 100) t(k), st),
+           |qb AS (
+           |  SELECT q, bp, nq FROM (
+           |    SELECT q, unnest(ARRAY[
+           |      ${(0 until 4).map(j => bit(j).replace("ck", "q")).mkString(", ")}
+           |      ]) AS bp,
+           |      len(list_distinct(ARRAY[
+           |      ${(0 until 4).map(j => bit(j).replace("ck", "q")).mkString(", ")}
+           |      ])) AS nq
+           |    FROM qs) GROUP BY 1, 2, 3),
+           |mm AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS sc FROM fl JOIN qs
+           |  ON q BETWEEN mn AND mx),
+           |bf AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS sc FROM (
+           |    SELECT f, q FROM bits JOIN qb USING (bp)
+           |    GROUP BY f, q, nq HAVING count(*) = nq)),
+           |ex AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS sc FROM (
+           |    SELECT DISTINCT f, ck FROM b JOIN qs ON ck = q)),
+           |s AS (
+           |  SELECT 'minmax' AS strategy, mm.sc FROM mm
+           |  UNION ALL SELECT 'bloom', bf.sc FROM bf
+           |  UNION ALL SELECT 'exact', ex.sc FROM ex)
+           |SELECT strategy,
+           |  CAST(((2 * CAST(s.sc AS HUGEINT) * 1000000 + 100 * n_files)
+           |      // (2 * CAST(100 * n_files AS HUGEINT))) AS DOUBLE)
+           |    / 1000000 AS scan_share,
+           |  CAST(((2 * CAST(s.sc - (SELECT sc FROM ex) AS HUGEINT) * 1000000
+           |        + 100 * n_files)
+           |      // (2 * CAST(100 * n_files AS HUGEINT))) AS DOUBLE)
+           |    / 1000000 AS excess_share
+           |FROM s, nf""".stripMargin
+      }) { (spark, dir) =>
+      import graft.functions.ExactRound
+      val o = Tables.orders(spark, dir)
+        .select(col("o_custkey").as("ck"), to_date(col("o_orderdate")).as("d"))
+      val st = o.agg(max("ck").cast("long").as("mc"), min("d").as("mind"),
+        max("d").as("maxd"))
+      val b = o.crossJoin(broadcast(st))
+        .select(col("ck"),
+          expr("(datediff(d, mind) * 64) div (datediff(maxd, mind) + 1)")
+            .as("f"))
+        .localCheckpoint() // one scan feeds ranges, bits, and ground truth
+      def bitsOf(v: org.apache.spark.sql.Column) = array((0 until 4).map(j =>
+        pmod(v * lit(2654435761L) + lit(j.toLong * 131L), lit(2147483647L))
+          % 16384): _*)
+      val fl = b.groupBy("f").agg(min("ck").as("mn"), max("ck").as("mx"))
+      val nf = fl.agg(count(lit(1)).as("n_files"))
+      val bits = b.select(col("f"), explode(bitsOf(col("ck"))).as("bp"))
+        .distinct()
+      val qs = spark.range(0, 100).crossJoin(broadcast(st))
+        .select(expr("(id * (mc + 1)) div 100").as("q"))
+        .localCheckpoint() // 100-row workload; three probes read it
+      val qb = qs
+        .withColumn("nq", size(array_distinct(bitsOf(col("q")))).cast("long"))
+        .select(col("q"), col("nq"), explode(bitsOf(col("q"))).as("bp"))
+        .distinct()
+      val mm = fl.join(broadcast(qs), col("q").between(col("mn"), col("mx")))
+        .agg(count(lit(1)).as("sc")).select(lit("minmax").as("strategy"),
+          col("sc"))
+      val bfp = bits.join(broadcast(qb), Seq("bp"))
+        .groupBy("f", "q", "nq").agg(count(lit(1)).as("nm"))
+        .filter(col("nm") === col("nq"))
+        .agg(count(lit(1)).as("sc")).select(lit("bloom").as("strategy"),
+          col("sc"))
+      val exd = b.join(broadcast(qs), col("ck") === col("q"))
+        .select("f", "ck").distinct()
+        .agg(count(lit(1)).as("sc"))
+        .localCheckpoint() // singleton; read as a row and as the baseline
+      val ex = exd.select(lit("exact").as("strategy"), col("sc"))
+      mm.unionByName(bfp).unionByName(ex)
+        .crossJoin(broadcast(nf))
+        .crossJoin(broadcast(exd.select(col("sc").as("exsc"))))
+        .select(col("strategy"),
+          ExactRound.roundRatio(col("sc"), col("n_files") * 100, 6)
+            .cast("double").as("scan_share"),
+          ExactRound.roundRatio(col("sc") - col("exsc"),
+            col("n_files") * 100, 6)
+            .cast("double").as("excess_share"))
     })
 }

@@ -1081,6 +1081,87 @@ object SelectionQueries {
           alloc.as("alloc"),
           ExactRound.roundRatio(alloc, col("nl"), 6)
             .cast("double").as("epochs"))
+    },
+
+    // ---- TEMPERATURE-SCALED MIXTURE (L286, Xue et al. 2021 mT5 /
+    // Conneau et al. 2020 XLM-R — the OTHER published multilingual
+    // rebalancing rule, q302's smooth counterpart): sample language l
+    // with p_l ∝ n_l^τ, τ = 0.3 — upsampling low-resource languages
+    // continuously instead of UniMax's hard epoch cap. Weights are
+    // n^0.3 = exp(τ·ln n) minted on the 9-dp DECIMAL grid, the budget
+    // splits by the q148 largest-remainder apportionment over the
+    // scaled-integer weights — Σ alloc = B EXACTLY, engine-replayable
+    // (products ride DECIMAL(38)/HUGEINT; at web scale B·w9 exceeds
+    // BIGINT, so both engines use the wide lane). Emits raw vs
+    // temperature shares so the flattening is the readout. Scale: one
+    // corpus pass + |langs|-row grid math, grid-bounded windows only.
+    Q(
+      "q305_temperature_mixture",
+      s"""WITH tl AS (
+         |  SELECT lang, CAST(sum(len(${LlmQueries.toksSql})) AS BIGINT)
+         |    AS nl
+         |  FROM documents GROUP BY 1),
+         |st AS (SELECT CAST(sum(nl) AS BIGINT) AS b FROM tl),
+         |w AS (
+         |  SELECT lang, nl,
+         |    CAST(CAST(CAST(round(exp(0.3 * ln(CAST(nl AS DOUBLE))), 9)
+         |      AS DECIMAL(18,9)) AS DECIMAL(28,9)) * 1000000000 AS HUGEINT)
+         |      AS wi
+         |  FROM tl WHERE nl > 0),
+         |sw AS (SELECT CAST(sum(wi) AS HUGEINT) AS sw FROM w),
+         |q AS (
+         |  SELECT lang, nl, wi,
+         |    (CAST(b AS HUGEINT) * wi) // sw AS base,
+         |    (CAST(b AS HUGEINT) * wi) % sw AS rem, b
+         |  FROM w, st, sw),
+         |d AS (SELECT CAST(any_value(b) - sum(base) AS BIGINT) AS deficit
+         |      FROM q),
+         |r AS (
+         |  SELECT q.*, row_number() OVER (ORDER BY rem DESC, lang) AS rk
+         |  FROM q)
+         |SELECT lang, nl AS n_tokens,
+         |  CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+         |    AS alloc,
+         |  CAST(((2 * CAST(nl AS HUGEINT) * 1000000 + b)
+         |      // (2 * CAST(b AS HUGEINT))) AS DOUBLE) / 1000000
+         |    AS share_raw,
+         |  CAST(((2 * wi * 1000000 + sw) // (2 * sw)) AS DOUBLE) / 1000000
+         |    AS share_temp
+         |FROM r, d, sw""".stripMargin) { (spark, dir) =>
+      import graft.functions.ExactRound
+      val I = DecimalType(38, 0)
+      val tl = Tables.documents(spark, dir)
+        .select(col("lang"), size(Text.tokens(col("text"))).cast("long")
+          .as("nt"))
+        .groupBy("lang").agg(sum("nt").as("nl"))
+        .filter(col("nl") > 0)
+        .localCheckpoint() // |langs| grid
+      val st = tl.agg(sum("nl").as("b"))
+      val w = tl.withColumn("wi",
+        (round(exp(lit(0.3d) * log(col("nl").cast("double"))), 9)
+          .cast(DecimalType(18, 9)) *
+          lit(java.math.BigDecimal.valueOf(1000000000L))
+            .cast(DecimalType(10, 0))).cast(I))
+      val sw = w.agg(sum("wi").cast(I).as("sw"))
+      val q = w.crossJoin(broadcast(st)).crossJoin(broadcast(sw))
+        .withColumn("base",
+          ExactRound.floorDiv(col("b").cast(I) * col("wi"), col("sw")))
+        .withColumn("rem", col("b").cast(I) * col("wi") - col("base") * col("sw"))
+        .localCheckpoint() // grid; read for deficit and the ranked output
+      val d = q.agg((first(col("b")).cast(I) - sum("base")).as("deficit"))
+      // largest-remainder rank over the |langs|-row grid only
+      q.withColumn("rk",
+          row_number().over(Window.orderBy(col("rem").desc, col("lang")))
+            .cast("long"))
+        .crossJoin(broadcast(d))
+        .select(col("lang"), col("nl").as("n_tokens"),
+          (col("base") + when(col("rk").cast(I) <= col("deficit"),
+            lit(1).cast(I)).otherwise(lit(0).cast(I))).cast("long")
+            .as("alloc"),
+          ExactRound.roundRatio(col("nl"), col("b"), 6)
+            .cast("double").as("share_raw"),
+          ExactRound.roundRatio(col("wi"), col("sw"), 6)
+            .cast("double").as("share_temp"))
     }
   )
 }

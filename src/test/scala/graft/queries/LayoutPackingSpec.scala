@@ -149,6 +149,38 @@ class LayoutPackingSpec extends SparkSuite {
     assert(fold == oneShot, "ingest fold must equal the one-shot cross set")
   }
 
+  test("bloom skipping: exact is the lower bound, bloom never reads " +
+      "fewer files than exact and never more than minmax, exact has " +
+      "zero excess") {
+    val rows = graft.SparkEntry.queries("q306_bloom_skipping")(spark, sfDir())
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(rows.keySet == Set("minmax", "bloom", "exact"))
+    assert(rows("exact")._2 == 0.0, "exact containment has no excess")
+    assert(rows("bloom")._1 >= rows("exact")._1 - 1e-9,
+      "no skipper reads fewer files than true containment")
+    assert(rows("bloom")._1 <= rows("minmax")._1 + 1e-9,
+      "the bloom index must not be worse than min/max on this layout")
+    assert(rows("bloom")._2 >= -1e-9, "excess is nonnegative")
+  }
+
+  test("temperature mixture: allocations spend the budget exactly, " +
+      "flatten the raw shares, and preserve the size ordering") {
+    val rows = graft.SparkEntry.queries("q305_temperature_mixture")(
+      spark, sfDir()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._2)
+    assert(rows.map(_._3).sum == rows.map(_._2).sum,
+      "largest-remainder apportionment must spend B exactly")
+    // τ < 1 flattens: the smallest language's share rises, the largest
+    // language's share falls, and ordering by size is preserved
+    assert(rows.head._5 > rows.head._4, "smallest lang must be boosted")
+    assert(rows.last._5 < rows.last._4, "largest lang must be damped")
+    val temps = rows.map(_._5).toSeq
+    assert(temps.zip(temps.tail).forall { case (a, b) => a <= b },
+      "temperature shares must stay monotone in corpus size")
+  }
+
   test("s-curve planner: recall and sub-threshold leak both rise as " +
       "bands widen; a from-scratch recompute matches one config") {
     val rows = graft.SparkEntry.queries("q304_lsh_s_curve")(spark, sfDir())
