@@ -590,4 +590,39 @@ class PlansSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"),
       s"candidate filtering must stay equi-join shaped:\n$p")
   }
+
+  test("q301 DSIR selection: top-k plans as TakeOrderedAndProject — " +
+      "never a global sort or single-partition rank window") {
+    val df = SparkEntry.queries("q301_dsir_incremental")(spark, sfDir())
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
+    assert(!p.contains("windowspecdefinition()"),
+      s"unexpected unpartitioned window:\n$p")
+  }
+
+  test("q297 winnowing: every window is doc-partitioned (except the " +
+      "df stop-fingerprint count, keyed on h) and the match join never " +
+      "goes cartesian") {
+    val df = SparkEntry.queries("q297_winnowing_matches")(spark, sfDir())
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"),
+      s"fingerprint matching must stay equi-join shaped:\n$p")
+    assert(!p.contains("windowspecdefinition()"),
+      s"a window lost its partition key:\n$p")
+  }
+
+  test("q300/q306 layout audits: workload probes run on the broadcast " +
+      "file GRID, never a shuffled row-level join") {
+    for (q <- Seq("q300_zorder_layout", "q306_bloom_skipping")) {
+      val df = SparkEntry.queries(q)(spark, sfDir())
+      df.collect()
+      val p = plan(df)
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+          p.contains("BroadcastHashJoin"),
+        s"$q: the query workload must broadcast onto the grid:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+    }
+  }
 }
