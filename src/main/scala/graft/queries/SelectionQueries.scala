@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.ExactRound
-import graft.ops.{Components, Dedup, Sample, Similarity, Text}
+import graft.ops.{Components, Dedup, Packing, Sample, Similarity, Text}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -44,6 +44,45 @@ object SelectionQueries {
     * quota clears 10^4 (remainder ranking meaningful), small enough
     * that B·Σtokens stays far inside BIGINT at any fixture scale. */
   private val ApportionBudget = 1000000L
+
+  /** The q299 packing oracle — shared verbatim by q307's streamed twin
+    * (fold == rebuild is that query's contract). Packed/truncated token
+    * totals are ORDER-FREE plain sums; only (bins, remainder) is the
+    * sequential fold, packed into ONE BIGINT (nb·1024 + rem, rem <
+    * 1024 > L) — a scalar list_reduce (the q178 fold idiom; DuckDB
+    * 1.0.0's list_reduce mis-computes multi-field STRUCT accumulators
+    * through CASE branches — found while building this oracle, worked
+    * around by design). */
+  private[queries] val packingOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id, CAST(len(${LlmQueries.toksSql}) AS BIGINT)
+       |    AS ntok
+       |  FROM documents),
+       |o AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       |    CAST(sum(least(ntok, 512)) AS BIGINT) AS pk,
+       |    CAST(sum(greatest(ntok - 512, 0)) AS BIGINT) AS tr,
+       |    list(ntok ORDER BY doc_id) AS ls
+       |  FROM t GROUP BY 1),
+       |f AS (
+       |  SELECT source, n_docs, n_tokens, pk, tr,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(ls, x -> CAST(least(x, 512) AS BIGINT))),
+       |      (a, x) -> CASE WHEN x <= a % 1024 THEN a - x
+       |        ELSE ((a // 1024) + 1) * 1024 + 512 - x END) // 1024
+       |      AS nb
+       |  FROM o)
+       |SELECT source, n_docs, n_tokens, nb AS n_bins,
+       |  CAST(CASE WHEN nb = 0 THEN 0 ELSE
+       |      ((2 * CAST(pk AS HUGEINT) * 1000000 + nb * 512)
+       |        // (2 * CAST(nb * 512 AS HUGEINT))) END AS DOUBLE)
+       |    / 1000000 AS fill_rate,
+       |  CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE
+       |      ((2 * CAST(tr AS HUGEINT) * 1000000 + n_tokens)
+       |        // (2 * CAST(n_tokens AS HUGEINT))) END AS DOUBLE)
+       |    / 1000000 AS trunc_rate
+       |FROM f""".stripMargin
 
   /** q150 per-(lang, source)-cell guaranteed minimum and the global
     * fill budget drawn from the post-floor remainder. */
@@ -804,83 +843,13 @@ object SelectionQueries {
     // running remainder with reset. The DuckDB oracle replays the fold
     // as a per-shard list_reduce over the identically-ordered lengths.
     Q(
-      "q299_sequence_packing", {
-        // packed/truncated token totals are ORDER-FREE plain sums; only
-        // (bins, remainder) is the sequential fold, packed into ONE
-        // BIGINT (nb·1024 + rem, rem < 1024 > L) — a scalar list_reduce
-        // (the q178 fold idiom; DuckDB 1.0.0's list_reduce mis-computes
-        // multi-field STRUCT accumulators through CASE branches — found
-        // while building this oracle, worked around by design)
-        s"""WITH t AS (
-           |  SELECT source, doc_id, CAST(len(${LlmQueries.toksSql}) AS BIGINT)
-           |    AS ntok
-           |  FROM documents),
-           |o AS (
-           |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-           |    CAST(sum(ntok) AS BIGINT) AS n_tokens,
-           |    CAST(sum(least(ntok, 512)) AS BIGINT) AS pk,
-           |    CAST(sum(greatest(ntok - 512, 0)) AS BIGINT) AS tr,
-           |    list(ntok ORDER BY doc_id) AS ls
-           |  FROM t GROUP BY 1),
-           |f AS (
-           |  SELECT source, n_docs, n_tokens, pk, tr,
-           |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-           |      list_transform(ls, x -> CAST(least(x, 512) AS BIGINT))),
-           |      (a, x) -> CASE WHEN x <= a % 1024 THEN a - x
-           |        ELSE ((a // 1024) + 1) * 1024 + 512 - x END) // 1024
-           |      AS nb
-           |  FROM o)
-           |SELECT source, n_docs, n_tokens, nb AS n_bins,
-           |  CAST(CASE WHEN nb = 0 THEN 0 ELSE
-           |      ((2 * CAST(pk AS HUGEINT) * 1000000 + nb * 512)
-           |        // (2 * CAST(nb * 512 AS HUGEINT))) END AS DOUBLE)
-           |    / 1000000 AS fill_rate,
-           |  CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE
-           |      ((2 * CAST(tr AS HUGEINT) * 1000000 + n_tokens)
-           |        // (2 * CAST(n_tokens AS HUGEINT))) END AS DOUBLE)
-           |    / 1000000 AS trunc_rate
-           |FROM f""".stripMargin
-      }) { (spark, dir) =>
-      import spark.implicits._
-      val L = 512L
+      "q299_sequence_packing", SelectionQueries.packingOracleSql) {
+      (spark, dir) =>
       val t = Tables.documents(spark, dir)
         .select(col("source"), col("doc_id"),
           size(Text.tokens(col("text"))).cast("long").as("ntok"))
-      t.repartition(col("source"))
-        .sortWithinPartitions("source", "doc_id")
-        .as[(String, Long, Long)]
-        .mapPartitions { it =>
-          // one sequential next-fit fold per contiguous shard group
-          val out = scala.collection.mutable.ArrayBuffer
-            .empty[(String, Long, Long, Long, Long, Long)]
-          var cur: String = null
-          var nDocs, nTok, nb, rem, pk, tr = 0L
-          def flush(): Unit = if (cur != null)
-            out += ((cur, nDocs, nTok, nb, pk, tr))
-          it.foreach { case (src, _, ntok) =>
-            if (src != cur) {
-              flush(); cur = src
-              nDocs = 0L; nTok = 0L; nb = 0L; rem = 0L; pk = 0L; tr = 0L
-            }
-            nDocs += 1L; nTok += ntok
-            val fit = math.min(ntok, L)
-            tr += math.max(ntok - L, 0L)
-            if (fit <= rem) { rem -= fit; pk += fit }
-            else { nb += 1L; rem = L - fit; pk += fit }
-          }
-          flush()
-          out.iterator
-        }
-        .toDF("source", "n_docs", "n_tokens", "n_bins", "pk", "tr")
-        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_bins"),
-          when(col("n_bins") === 0, 0.0d).otherwise(
-            graft.functions.ExactRound
-              .roundRatio(col("pk"), col("n_bins") * L, 6).cast("double"))
-            .as("fill_rate"),
-          when(col("n_tokens") === 0, 0.0d).otherwise(
-            graft.functions.ExactRound
-              .roundRatio(col("tr"), col("n_tokens"), 6).cast("double"))
-            .as("trunc_rate"))
+      Packing.economics(
+        Packing.packFold(Packing.emptyState(spark), t, 512L), 512L)
     },
 
     // ---- INCREMENTAL DSIR maintenance (L282): q296's selection under

@@ -1452,6 +1452,63 @@ object StatefulQueries {
           col("k_cum").cast("long").as("k_cum"),
           (col("llr9").cast("double") / lit(1000000000.0)).as("llr"),
           col("verdict"), col("stopped"))
+    },
+
+    // ---- STREAMING SEQUENCE PACKING (L288): q299's loader fold as
+    // continuous ingest — documents arrive in ascending-id micro-
+    // batches and each batch folds into the standing per-shard packing
+    // state (n_docs, n_tokens, bins, REMAINDER, packed, truncated,
+    // max_id — O(1) per shard; the remainder is what makes the stream
+    // a pure CONTINUATION of the batch fold: the next batch's first
+    // doc lands in the current open window if it fits). Exactly-once
+    // is doubly shielded: rows at or below the shard's standing max_id
+    // drop up front (an at-least-once replay folds to an algebraic
+    // no-op) AND the Versioned writeOnce txn marker skips the commit —
+    // the final batch replays in-query to exercise both halves (the
+    // q280 discipline). Ascending arrival makes the streamed state
+    // BIT-identical to the one-shot q299 fold, so the oracle IS q299's
+    // SQL — the row-for-row hash match is the fold == rebuild proof.
+    Q(
+      "q307_stream_packing",
+      SelectionQueries.packingOracleSql) { (spark, dir) =>
+      import graft.streaming.Streams
+      import graft.ops.Packing
+      val root = graft.Tmp.dir("graft-q307").toString
+      val stPath = s"$root/state"
+      val t = Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"),
+          size(graft.ops.Text.tokens(col("text"))).cast("long").as("ntok"))
+      graft.Meta.Versioned.write(Packing.emptyState(spark), stPath)
+      val cutoff = Streams.halfCutoffByKey(t, "doc_id")
+      val feed = new Streams.FileFeed(spark, t.schema, root)
+      @volatile var lastBid = -1L
+      val fold = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {
+        if (bid > lastBid) lastBid = bid
+        val standing = graft.Meta.Versioned.read(spark, stPath)
+        graft.Meta.Versioned.writeOnce(
+          Packing.packFold(standing,
+            batch.toDF("source", "doc_id", "ntok"), 512L),
+          stPath, "q307state", bid)
+        ()
+      }
+      Streams.withShufflePartitions(spark, 4) {
+        feed.add(t.filter(col("doc_id") <= cutoff))
+        val q = feed.stream.writeStream
+          .foreachBatch(fold)
+          .outputMode("update")
+          .option("checkpointLocation", s"$root/cp")
+          .start()
+        try {
+          q.processAllAvailable()
+          feed.add(t.filter(col("doc_id") > cutoff))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      // at-least-once replay of the final batch: the max_id guard folds
+      // it to a no-op AND the txn marker skips the write
+      fold(t.filter(col("doc_id") > cutoff).toDF("source", "doc_id", "ntok"),
+        lastBid)
+      Packing.economics(graft.Meta.Versioned.read(spark, stPath), 512L)
     })
 
   /** The Gopher stop-word list as a SQL IN-list fragment (shared by the

@@ -149,6 +149,30 @@ class LayoutPackingSpec extends SparkSuite {
     assert(fold == oneShot, "ingest fold must equal the one-shot cross set")
   }
 
+  test("stream packing == one-shot; the remainder carries across " +
+      "batches and replays fold to a no-op") {
+    def rowsOf(q: String) = graft.SparkEntry.queries(q)(spark, sfDir())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).sortBy(_._1).toSeq
+    assert(rowsOf("q307_stream_packing") == rowsOf("q299_sequence_packing"))
+    // remainder carry: 4×100-token docs split mid-window must still
+    // pack into ONE 512-token window across the batch boundary
+    val t = Seq(("s", 1L, 100L), ("s", 2L, 100L), ("s", 3L, 100L),
+      ("s", 4L, 100L)).toDF("source", "doc_id", "ntok")
+    val P = graft.ops.Packing
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("source").collect().map(_.toSeq).toSeq
+    val st1 = P.packFold(P.emptyState(spark), t.filter(col("doc_id") <= 2), 512L)
+    val st2 = P.packFold(st1, t.filter(col("doc_id") > 2), 512L)
+    val one = P.packFold(P.emptyState(spark), t, 512L)
+    assert(rows(st2) == rows(one), "two-batch fold must equal one-shot")
+    assert(one.select("n_bins").head.getLong(0) == 1L,
+      "400 tokens across the batch boundary must share one open window")
+    // at-least-once replay: the max_id guard folds it to a no-op
+    val st3 = P.packFold(st2, t.filter(col("doc_id") > 2), 512L)
+    assert(rows(st3) == rows(st2), "replay must be an algebraic no-op")
+  }
+
   test("bloom skipping: exact is the lower bound, bloom never reads " +
       "fewer files than exact and never more than minmax, exact has " +
       "zero excess") {
