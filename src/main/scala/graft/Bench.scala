@@ -88,6 +88,18 @@ object Bench {
     * never sets `budgetHit`; that flag keeps meaning "the requested
     * passes were cut".
     *
+    * Slowest-first pass order (round 19): every guarded pass (passes
+    * ≥ 2, extra, fill) visits queries in DESCENDING current-min order,
+    * re-ranked at the start of each pass. When a budget cut lands
+    * mid-pass, the queries left with thin sample counts are therefore
+    * always the CHEAP cohort — whose minima stabilize in 1–2 samples
+    * anyway — never the multi-second queries whose single-sample
+    * readings produced the round-18 unadjudicated rel tail (BENCH_r18:
+    * budget_hit=true cut 88 queries to one sample, q280/q281 read >2×
+    * baseline on byte-identical code). Pass 1 keeps name order: there
+    * are no observed costs yet, and every query still gets its
+    * unguarded first sample.
+    *
     * Returns (samples, budgetHit). Extracted from main so the guard's
     * semantics are spec-testable with a fake clock. */
   def sweep(names: Seq[String], passes: Int, extra: Int, budgetSec: Double,
@@ -97,10 +109,17 @@ object Bench {
     val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
       names.map(n => n -> Vector.empty[Double]): _*)
     var budgetHit = false
+    // descending observed-min order; failed-so-far queries (no valid
+    // sample) rank last — re-timing a crash buys nothing. Name is the
+    // deterministic tie-break.
+    def slowestFirst(ns: Seq[String]): Seq[String] = ns.sortBy { n =>
+      val ok = samples(n).filter(_ >= 0)
+      (-(if (ok.nonEmpty) ok.min else 0.0), n)
+    }
     names.foreach(n => samples(n) = samples(n) :+ run(n)) // pass 1: unguarded
     var p = 2
     while (p <= passes && !budgetHit) {
-      val it = names.iterator
+      val it = slowestFirst(names).iterator
       while (it.hasNext && !budgetHit) {
         if (elapsedSec() > budgetSec) budgetHit = true
         else { val n = it.next(); samples(n) = samples(n) :+ run(n) }
@@ -113,7 +132,7 @@ object Bench {
     }
     var e = 1
     while (e <= extra && !budgetHit) {
-      val it = cheap.iterator
+      val it = slowestFirst(cheap).iterator
       while (it.hasNext && !budgetHit) {
         if (elapsedSec() > budgetSec) budgetHit = true
         else { val n = it.next(); samples(n) = samples(n) :+ run(n) }
@@ -124,7 +143,7 @@ object Bench {
     var f = 1
     var fillStop = budgetHit || !fill
     while (!fillStop && f <= maxFillPasses) {
-      val it = names.iterator
+      val it = slowestFirst(names).iterator
       while (it.hasNext && !fillStop) {
         if (elapsedSec() > budgetSec) fillStop = true
         else { val n = it.next(); samples(n) = samples(n) :+ run(n) }
@@ -345,6 +364,14 @@ object Bench {
         full.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"[bench] file dump failed: $e") }
     println(line)
+    // Stop streaming state-store maintenance BEFORE the session stops:
+    // the maintenance thread otherwise races session shutdown and
+    // prints an IllegalStateException ("SparkEnv not active, cannot do
+    // maintenance on StateStores") into the driver-captured tail after
+    // the JSON line. Harmless to results, but the BENCH record must
+    // not carry [error] lines.
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => }
     spark.stop()
   }
 }

@@ -121,7 +121,8 @@ object Dedup {
     * candidate stream: identical banded candidate generation and exact
     * Jaccard verification, but each band bucket emits pairs only where
     * the SMALLER id ranks among the bucket's `cap` smallest ids — the
-    * same rank-prune rule as [[simhashPairsCapped]], so a bucket of B
+    * SAME [[cappedBucketPairs]] rank prune [[simhashPairsCapped]] uses
+    * (one implementation, both call sites), so a bucket of B
     * members contributes ≤ cap·B candidates instead of B². The uncapped
     * generator's candidate volume grows quadratically with bucket
     * population on template-heavy corpora (the sf0.1→sf1 probe measured
@@ -147,24 +148,47 @@ object Dedup {
   def nearDupPairsCapped(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 12, bands: Int = 4,
       threshold: Double = 0.5, cap: Int = DefaultDegreeCap): DataFrame = {
-    require(cap >= 1, s"cap must be positive, got $cap")
     val sigs = sigTable(df, idCol, textCol, shingleN, k)
     val banded = bandKeys(sigs, idCol, k, bands)
-    val reps = banded
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy("band", "band_key").orderBy(col(idCol))))
-      .filter(col("_rk") <= cap)
-      .select(col("band"), col("band_key"), col(idCol).as("id_a"))
-    val cand = reps
-      .join(banded.select(col("band"), col("band_key"), col(idCol).as("id_b")),
-        Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
+    val cand = cappedBucketPairs(banded, idCol, Seq("band", "band_key"), cap)
       .select("id_a", "id_b")
       .distinct()
     val out = jaccardJoin(cand, sigs, sigs, idCol, "id_a", "id_b", threshold)
       .localCheckpoint() // materialize the tail-sized result …
     sigs.unpersist()     // … so the corpus-sized cache can be released now
     out
+  }
+
+  /** The ONE rank-prune implementation behind both degree-capped
+    * candidate streams — [[nearDupPairsCapped]] (MinHash-LSH band
+    * buckets) and [[simhashPairsCapped]] (SimHash band buckets) — so
+    * the cap semantics cannot drift between the two paths (round-19
+    * unification; the rule was previously written twice). Within every
+    * bucket (`bucketCols` key), only rows whose id ranks among the
+    * bucket's `cap` smallest take the LEFT (id_a) side of a pair:
+    * `row_number() OVER (PARTITION BY bucket ORDER BY id) <= cap` — a
+    * pure function of bucket contents (deterministic under any
+    * partitioning, engine-replayable), planned as WindowGroupLimit
+    * (partial top-cap per partition BEFORE the shuffle, pinned in
+    * PlansSpec). The probe join then emits id_a < id_b candidates —
+    * ≤ cap·B per bucket of B members instead of B². `carry` columns
+    * ride along as `<c>_a`/`<c>_b` for the caller's verification
+    * predicate; callers apply their own verify filter and distinct. */
+  private[graft] def cappedBucketPairs(banded: DataFrame, idCol: String,
+      bucketCols: Seq[String], cap: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    require(cap >= 1, s"cap must be positive, got $cap")
+    val bc = bucketCols.map(col)
+    val reps = banded
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(bc: _*).orderBy(col(idCol))))
+      .filter(col("_rk") <= cap)
+      .select((bc :+ col(idCol).as("id_a")) ++
+        carry.map(c => col(c).as(c + "_a")): _*)
+    val probe = banded.select((bc :+ col(idCol).as("id_b")) ++
+      carry.map(c => col(c).as(c + "_b")): _*)
+    reps.join(probe, bucketCols)
+      .filter(col("id_a") < col("id_b"))
   }
 
   /** Incremental near-dup: a NEW batch deduplicated AGAINST an existing
@@ -424,24 +448,15 @@ object Dedup {
     val bitsPerBand = SimHashBits / bands
     require(maxHamming < bands,
       s"pigeonhole needs maxHamming < bands, got $maxHamming >= $bands")
-    require(cap >= 1, s"cap must be positive, got $cap")
     def bandKey(sim: Column, b: Int): Column =
       shiftright(sim, b * bitsPerBand) % (1 << bitsPerBand)
     val l1 = hashed
       .select(col(idCol), col("sim"),
         posexplode(array((0 until bands).map(b => bandKey(col("sim"), b)): _*)))
       .select(col(idCol), col("sim"), col("pos").as("band"), col("col").as("bk"))
-    val reps = l1
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy("band", "bk").orderBy(col(idCol))))
-      .filter(col("_rk") <= cap)
-      .select(col("band"), col("bk"),
-        col(idCol).as("id_a"), col("sim").as("sim_a"))
     val diff = col("sim_a").bitwiseXOR(col("sim_b"))
-    reps
-      .join(l1.select(col("band"), col("bk"),
-        col(idCol).as("id_b"), col("sim").as("sim_b")), Seq("band", "bk"))
-      .filter(col("id_a") < col("id_b") && bit_count(diff) <= maxHamming)
+    cappedBucketPairs(l1, idCol, Seq("band", "bk"), cap, carry = Seq("sim"))
+      .filter(bit_count(diff) <= maxHamming)
       .select(col("id_a"), col("id_b"), bit_count(diff).as("hamming"))
       .distinct()
   }
@@ -450,7 +465,10 @@ object Dedup {
     * (Schleimer, Wilkerson & Aiken 2003 — the MOSS local fingerprinting
     * algorithm): per position, hash the k-gram starting there; slide a
     * w-wide window over the hash stream and select each window's
-    * MINIMUM (rightmost on ties — "robust winnowing"), so any shared
+    * MINIMUM (rightmost on ties — the paper's plain winnowing; the
+    * "robust" variant instead prefers re-selecting the previous
+    * window's fingerprint, a tie policy that changes selected
+    * POSITIONS but not the distinct VALUES matched here), so any shared
     * run of ≥ w+k−1 tokens shares ≥ 1 selected fingerprint (the paper's
     * guarantee) while only ~2/(w+1) of positions are kept. Doc pairs
     * are then matched on selected fingerprint VALUES only — the
@@ -573,6 +591,105 @@ object Dedup {
         graft.functions.ExactRound
           .roundRatio(col("n_shared"), least(col("na"), col("nb")), 6)
           .cast("double").as("overlap"))
+  }
+
+  /** Paragraph/line-level EXACT dedup, ownership stage (Wenzek et al.
+    * 2020 CCNet §3.1 — normalized-paragraph dedup is the stage every
+    * published CommonCrawl pipeline runs BEFORE LM scoring; RefinedWeb
+    * runs the same rule line-wise): the granularity between whole-doc
+    * hashing ([[exactDupTag]]) and the every-position exact-substring
+    * pass. Input is a pre-split (id, pos 1-based, line) frame — the
+    * splitter and normalization are the caller's (newline/paragraph
+    * boundaries + CCNet lowercase-strip-punct in production; the
+    * fixture queries chunk tokens deterministically because the corpus
+    * carries no line structure).
+    *
+    * Ownership rule: of all occurrences of the same line VALUE
+    * corpus-wide, exactly the one with the minimum (prio, id, pos) is
+    * kept — first occurrence wins. `prio` defaults to a constant (pure
+    * (id, pos) order) and is the arrival-order hook of
+    * [[dedupLinesIncremental]] (standing docs rank before the batch,
+    * so an arriving batch can never steal ownership from published
+    * docs). The rule is a pure function of the line multiset —
+    * deterministic under any partitioning, engine-replayable.
+    *
+    * Scale shape: the owner per value is ONE map-side-combinable
+    * min-struct aggregate keyed on the line's md5 — never a rank
+    * window (a boilerplate line with millions of occurrences would
+    * serialize a window partition; the partial-agg min folds it in
+    * combiners) — the ownership join fans out exactly one owner row
+    * per occurrence, and the shuffled key is the 32-char md5, never
+    * the paragraph text. Returns (id, pos, line, kept). */
+  def lineOwnershipTag(lines: DataFrame, idCol: String, posCol: String,
+      lineCol: String, prio: Column = lit(0L)): DataFrame = {
+    val keyed = lines.select(col(idCol), col(posCol), col(lineCol),
+      md5(col(lineCol)).as("_h"), prio.as("_prio"))
+    val site = struct(col("_prio"), col(idCol), col(posCol))
+    val owners = keyed.groupBy("_h").agg(min(site).as("_owner"))
+    keyed.join(owners, "_h")
+      .withColumn("kept", site === col("_owner"))
+      .select(col(idCol), col(posCol), col(lineCol), col("kept"))
+  }
+
+  /** Per-doc rollup of [[lineOwnershipTag]]: (id, n_lines, n_kept,
+    * n_removed, kept_frac, clean_text) — clean_text re-joins the
+    * SURVIVING lines in position order (a doc whose every line is
+    * owned elsewhere comes back with clean_text = "", the
+    * full-duplicate drop). One hash aggregate on the doc id; the
+    * surviving-line sort is doc-bounded array math, never a shuffle. */
+  def lineDedupStats(tagged: DataFrame, idCol: String, posCol: String,
+      lineCol: String): DataFrame =
+    tagged
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col(posCol).as("p"), col(lineCol).as("l"))))),
+          x => x.getField("l")), " ").as("clean_text"))
+      .select(col(idCol), col("n_lines"), col("n_kept"),
+        (col("n_lines") - col("n_kept")).as("n_removed"),
+        graft.functions.ExactRound
+          .roundRatio(col("n_kept"), col("n_lines"), 6)
+          .cast("double").as("kept_frac"),
+        col("clean_text"))
+
+  /** One-shot line/paragraph dedup: [[lineOwnershipTag]] +
+    * [[lineDedupStats]]. */
+  def dedupLines(lines: DataFrame, idCol: String, posCol: String,
+      lineCol: String, prio: Column = lit(0L)): DataFrame =
+    lineDedupStats(lineOwnershipTag(lines, idCol, posCol, lineCol, prio),
+      idCol, posCol, lineCol)
+
+  /** Incremental [[dedupLines]]: an arriving BATCH folded against a
+    * STANDING line-ownership index — the continuous-ingest shape
+    * (nobody re-splits 100 TB per batch; published docs' lines are
+    * already owned, so the value index is APPEND-ONLY — arriving lines
+    * can only add ownership of values never seen, never reassign one).
+    * A batch line survives iff its value is absent from the standing
+    * index AND it is the batch's own first occurrence by (id, pos);
+    * standing docs' stats are untouched (their published rollup unions
+    * through verbatim). Row-for-row equal to the one-shot
+    * [[dedupLines]] under arrival priority (standing before batch) —
+    * the fold == rebuild contract the oracle pins. */
+  def dedupLinesIncremental(standing: DataFrame, batch: DataFrame,
+      idCol: String, posCol: String, lineCol: String): DataFrame = {
+    // the artifacts a real fold reads back: the standing docs' own
+    // ownership tags (their rollup is already published) and the
+    // standing distinct-value index (md5 set — metadata next to the
+    // corpus, like the q301 feature table)
+    val standingTag = lineOwnershipTag(standing, idCol, posCol, lineCol)
+    val index = standing.select(md5(col(lineCol)).as("_h")).distinct()
+      .localCheckpoint()
+    val keyed = batch.select(col(idCol), col(posCol), col(lineCol),
+      md5(col(lineCol)).as("_h"))
+    val site = struct(col(idCol), col(posCol))
+    val batchOwners = keyed.groupBy("_h").agg(min(site).as("_owner"))
+      .join(index.withColumn("_standing", lit(true)), Seq("_h"), "left")
+    val batchTag = keyed.join(batchOwners, "_h")
+      .withColumn("kept", col("_standing").isNull && site === col("_owner"))
+      .select(col(idCol), col(posCol), col(lineCol), col("kept"))
+    lineDedupStats(standingTag.unionByName(batchTag), idCol, posCol, lineCol)
   }
 
   /** Exact n-gram Jaccard over *blocked* candidate pairs: all pairs

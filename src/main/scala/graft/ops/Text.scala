@@ -164,6 +164,124 @@ object Text {
         stopHits >= 2L).as("keep"))
   }
 
+  /** Within-document REPETITIOUS-TEXT battery (Rae et al. 2021 Gopher
+    * §A1.1 Table A1 — the "repetition" half of the quality rules
+    * [[gopherSignals]] deliberately left out; Dolma/RedPajama
+    * reimplement these same signals): duplicate-line fraction and
+    * duplicate-line CHARACTER fraction over caller-supplied lines, the
+    * character share of the MOST FREQUENT word 2-gram (count × gram
+    * chars ∕ doc chars — the Dolma count-based formula), and the
+    * character fraction covered by word 5-grams occurring ≥ 2 times
+    * within the doc (position-coverage UNION, so overlapping repeats
+    * never double-count — the coverage-based formula). The paper runs
+    * the same two shapes at n = 2..4 (top n-gram) and n = 5..10
+    * (dup n-gram); one representative n each keeps the battery
+    * demonstrative without seven near-identical columns. Character
+    * mass = token characters (separators excluded).
+    *
+    * Gates at the paper's thresholds, PASS-polarity like
+    * [[gopherSignals]] (g_* true = doc passes), compared via integer
+    * cross-multiplication so a boundary doc cannot flip on float
+    * rounding: dup_line_frac ≤ 0.30, dup_line_char_frac ≤ 0.20,
+    * top_2gram_char_frac ≤ 0.20, dup_5gram_char_frac ≤ 0.15; keep =
+    * all four. Ratios present 6-dp half-up (ExactRound).
+    *
+    * The top-2-gram argmax is the pure integer key
+    * max(c·2⁴⁰ + c·gmass) — frequency first, covered chars as the
+    * deterministic tie-break, no engine argmax policy (c·gmass < 2⁴⁰
+    * under the corpus-wide ≤ 4M-token-doc chunking contract the
+    * winnowing key already relies on).
+    *
+    * EVERYTHING is per-doc local, and NO GRAM STRING EVER SHUFFLES
+    * (the q277/q297 discipline): n-gram identity is the 32-bit
+    * md5-prefix key mod P both engines share, built from lead()
+    * windows over the position stream, so the shuffled rows are
+    * (doc, position, integers) — at 60M positions the string form
+    * measured 6× the winnowing band (145 s at sf10) and the position
+    * join it needed is gone entirely: duplicated-5-gram coverage is a
+    * per-doc 4-PRECEDING running max over the dup flag. A within-doc
+    * hash collision (~len²∕2³¹ per doc) merges two grams IDENTICALLY
+    * in both engines — a documented approximation of the same kind
+    * the chunk-hash (q191) and window-hash (q277 prefilter) keys
+    * carry. All windows are doc-partitioned.
+    *
+    * `lines` must be an (idCol, pos, line) split of the SAME docs (the
+    * L289 splitter contract: production splits on newlines; the
+    * fixture chunks tokens). */
+  def repetitionStats(docs: DataFrame, lines: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import graft.functions.ExactRound
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) > 0)
+    // duplicate-line stats: all occurrences beyond each value's first
+    // (line rows are token-count/10 — the one place a string key is
+    // fine; char mass = token chars, separators excluded)
+    val lg = lines.groupBy(col(idCol), col("line"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("lchars",
+        length(regexp_replace(col("line"), " ", "")).cast("long"))
+    val ld = lg.groupBy(idCol).agg(
+      sum("c").as("n_lines"),
+      sum(col("c") - 1).as("n_dup"),
+      sum((col("c") - 1) * col("lchars")).as("dupchars"))
+    // one position stream; gram keys from lead() windows — integers only
+    val byPos = Window.partitionBy(col(idCol)).orderBy("p")
+    val tl = toks.select(col(idCol), posexplode(col("t")))
+      .select(col(idCol), (col("pos") + 1).as("p"), col("col").as("tok"))
+      .withColumn("t2", lead(col("tok"), 1).over(byPos))
+      .withColumn("t5a", lead(col("tok"), 2).over(byPos))
+      .withColumn("t5b", lead(col("tok"), 3).over(byPos))
+      .withColumn("t5c", lead(col("tok"), 4).over(byPos))
+      .select(col(idCol), col("p"),
+        length(col("tok")).cast("long").as("plen"),
+        when(col("t2").isNotNull,
+          strHash32(concat_ws(" ", col("tok"), col("t2"))) % P).as("h2"),
+        when(col("t2").isNotNull,
+          (length(col("tok")) + length(col("t2"))).cast("long")).as("gmass"),
+        when(col("t5c").isNotNull,
+          strHash32(concat_ws(" ", col("tok"), col("t2"), col("t5a"),
+            col("t5b"), col("t5c"))) % P).as("h5"))
+    val c2 = count(lit(1)).over(Window.partitionBy(col(idCol), col("h2")))
+    val c5 = count(lit(1)).over(Window.partitionBy(col(idCol), col("h5")))
+    val K = 1099511627776L // 2^40
+    val flagged = tl
+      .withColumn("k2", when(col("h2").isNotNull,
+        c2 * K + c2 * col("gmass")))
+      .withColumn("d5", when(col("h5").isNotNull && c5 >= 2, 1L)
+        .otherwise(0L))
+      // position p is covered iff ANY duplicated 5-gram starts in
+      // [p−4, p] — a per-doc running max, no position join
+      .withColumn("cvr", max(col("d5")).over(
+        byPos.rowsBetween(-4, Window.currentRow)))
+    val pc = flagged.groupBy(idCol).agg(
+      sum("plen").as("totchars"),
+      sum(when(col("cvr") === 1L, col("plen")).otherwise(0L))
+        .as("dup5chars"),
+      max("k2").as("k2"))
+    val top2 = coalesce(col("k2") % K, lit(0L))
+    val dup5 = col("dup5chars")
+    val gLine = col("n_dup") * 10 <= col("n_lines") * 3
+    val gLineCh = col("dupchars") * 5 <= col("totchars")
+    val gTop2 = top2 * 5 <= col("totchars")
+    val gDup5 = dup5 * 20 <= col("totchars") * 3
+    pc.join(ld, Seq(idCol))
+      .select(col(idCol), col("n_lines"),
+        ExactRound.roundRatio(col("n_dup"), col("n_lines"), 6)
+          .cast("double").as("dup_line_frac"),
+        ExactRound.roundRatio(col("dupchars"), col("totchars"), 6)
+          .cast("double").as("dup_line_char_frac"),
+        ExactRound.roundRatio(top2, col("totchars"), 6)
+          .cast("double").as("top_2gram_char_frac"),
+        ExactRound.roundRatio(dup5, col("totchars"), 6)
+          .cast("double").as("dup_5gram_char_frac"),
+        gLine.as("g_dup_line"),
+        gLineCh.as("g_dup_line_chars"),
+        gTop2.as("g_top_2gram"),
+        gDup5.as("g_dup_5gram"),
+        (gLine && gLineCh && gTop2 && gDup5).as("keep"))
+  }
+
   /** Content-defined chunk table: one row per variable-size chunk of
     * `textCol`, split where the w-char rolling window hash divides by
     * `divisor` ([[graft.functions.CdcBoundaries]] — compiled O(len)

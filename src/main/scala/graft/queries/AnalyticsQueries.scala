@@ -1602,8 +1602,9 @@ object AnalyticsQueries {
         |      * CAST(0.000000001 AS DECIMAL(10,9)) AS term9
         |  FROM (
         |    SELECT *,
-        |      CAST((p9 - q9) * 1000000000 AS HUGEINT)
-        |        * CAST(lr9 * 1000000000 AS HUGEINT) AS dplr
+        |      CAST(CAST(p9 - q9 AS DECIMAL(28,9)) * 1000000000 AS HUGEINT)
+        |        * CAST(CAST(lr9 AS DECIMAL(28,9)) * 1000000000 AS HUGEINT)
+        |        AS dplr
         |    FROM terms) z)
         |SELECT event_type, CAST(bin AS BIGINT) AS bin, cp, cq,
         |  CAST(p9 AS DOUBLE) AS p_base,
@@ -1888,7 +1889,8 @@ object AnalyticsQueries {
            |  SELECT DISTINCT f, bp FROM b, unnest(ARRAY[
            |    ${(0 until 4).map(bit).mkString(", ")}]) AS u(bp)),
            |qs AS (
-           |  SELECT (k * (mc + 1)) // 100 AS q FROM range(0, 100) t(k), st),
+           |  SELECT DISTINCT (k * (mc + 1)) // 100 AS q
+           |  FROM range(0, 100) t(k), st),
            |qb AS (
            |  SELECT q, bp, nq FROM (
            |    SELECT q, unnest(ARRAY[
@@ -1939,9 +1941,14 @@ object AnalyticsQueries {
       val nf = fl.agg(count(lit(1)).as("n_files"))
       val bits = b.select(col("f"), explode(bitsOf(col("ck"))).as("bp"))
         .distinct()
+      // DISTINCT (round-19 advice): with mc + 1 < 100 the point grid
+      // repeats values, and minmax counted file × row pairs including
+      // the duplicate q while bloom/exact deduped on (f,q)/(f,ck) —
+      // all three strategies must price one deduplicated workload
       val qs = spark.range(0, 100).crossJoin(broadcast(st))
         .select(expr("(id * (mc + 1)) div 100").as("q"))
-        .localCheckpoint() // 100-row workload; three probes read it
+        .distinct()
+        .localCheckpoint() // ≤100-row workload; three probes read it
       val qb = qs
         .withColumn("nq", size(array_distinct(bitsOf(col("q")))).cast("long"))
         .select(col("q"), col("nq"), explode(bitsOf(col("q"))).as("bp"))

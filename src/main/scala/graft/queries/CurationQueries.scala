@@ -3309,7 +3309,9 @@ object CurationQueries {
     // Wilkerson & Aiken 2003 — the MOSS algorithm): per position hash
     // the k-gram (k=3) starting there, slide a w=4 window over the
     // hash stream, select each window's minimum (rightmost on ties —
-    // robust winnowing), match docs on selected fingerprint VALUES.
+    // the paper's plain winnowing; its "robust" variant re-selects the
+    // previous window's fingerprint on ties, shifting positions but
+    // not the distinct VALUES), match docs on selected fingerprints.
     // The paper's guarantee: any shared run of ≥ w+k−1 = 6 tokens
     // shares ≥ 1 fingerprint, at ~2∕(w+1) selection density — the
     // LOCAL fingerprinting scheme between q22's whole-doc hash and
@@ -3565,11 +3567,12 @@ object CurationQueries {
              |  CAST(${mid(b, r)} AS DOUBLE) AS s_mid,
              |  CAST(${p02(b, r)} AS DOUBLE) AS p_at_02,
              |  CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CASE WHEN count(*) = 0 THEN CAST(0 AS DOUBLE) ELSE
              |  CAST((2 * CAST(sum(CAST(round(1.0 - ${ombSql(b, r)}, 9)
              |        AS DECIMAL(10,9))) * 1000000000 AS HUGEINT)
              |      + count(*) * 1000)
              |    // (2 * CAST(count(*) AS HUGEINT) * 1000) AS DOUBLE)
-             |    / 1000000 AS expected_recall
+             |    / 1000000 END AS expected_recall
              |FROM sc""".stripMargin
         }.mkString("\nUNION ALL\n")
         s"""$hvCte,
@@ -3618,12 +3621,210 @@ object CurationQueries {
         val sr = (1 to r).map(_ => col("s")).reduce(_ * _)
         val omb = (1 to b).map(_ => lit(1.0d) - sr).reduce(_ * _)
         val p9 = round(lit(1.0d) - omb, 9).cast(DecimalType(10, 9))
+        // empty-candidate guard (round-19 advice): a sparse corpus with
+        // zero pairs ≥ threshold must price to recall 0, not a ÷0
         cand.agg(count(lit(1)).as("n_pairs"), sum(p9).as("sp"))
           .select(lit(b.toLong).as("b"), lit(r.toLong).as("r"),
             lit(mid(b, r)).as("s_mid"), lit(p02(b, r)).as("p_at_02"),
             col("n_pairs"),
-            ExactRound.roundRatioSigned(col("sp"), 9, col("n_pairs"), 6)
-              .cast("double").as("expected_recall"))
+            when(col("n_pairs") === 0, lit(0.0d)).otherwise(
+              ExactRound.roundRatioSigned(col("sp"), 9, col("n_pairs"), 6)
+                .cast("double")).as("expected_recall"))
       }.reduce(_ unionByName _)
+    },
+
+    // ---- PARAGRAPH/LINE-LEVEL EXACT DEDUP (L289, Wenzek et al. 2020
+    // CCNet §3.1 — dedup normalized paragraphs corpus-wide BEFORE LM
+    // scoring; RefinedWeb's line-wise rule is the same operator): the
+    // granularity between q22's whole-document hash and q277's
+    // every-position exact-substring pass, and the single most-used
+    // dedup stage in published CommonCrawl pipelines (it is q298's own
+    // upstream). The fixture corpus carries no newline structure, so
+    // "lines" are deterministic non-overlapping 10-token chunks —
+    // engine-replayable; production splits on newline/paragraph
+    // boundaries instead, same operator. Ownership: every line VALUE
+    // keeps exactly its first occurrence by (doc_id, pos), decided by
+    // ONE map-combinable min-struct aggregate on the line's md5 (never
+    // a rank window — a boilerplate line with millions of occurrences
+    // would serialize a window partition; the partial-agg min folds it
+    // in combiners). Emits per-doc surviving-span stats + the
+    // rewritten text. Scale: explode + two hash aggregates + one
+    // ownership join, all keyed on 32-char hashes — linear, no
+    // corpus-axis self-join anywhere.
+    Q(
+      "q308_line_dedup",
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents),
+         |lines AS (
+         |  SELECT doc_id, CAST(k + 1 AS BIGINT) AS pos,
+         |    array_to_string(t[(k*10+1):(k*10+10)], ' ') AS line
+         |  FROM toks, unnest(range(0, (len(t) + 9) // 10)) u(k)),
+         |k AS (
+         |  SELECT doc_id, pos, line,
+         |    row_number() OVER (PARTITION BY md5(line)
+         |      ORDER BY doc_id, pos) = 1 AS kept
+         |  FROM lines),
+         |p AS (
+         |  SELECT doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_lines,
+         |    CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+         |    coalesce(string_agg(line, ' ' ORDER BY pos)
+         |      FILTER (WHERE kept), '') AS clean_text
+         |  FROM k GROUP BY 1)
+         |SELECT doc_id, n_lines, n_kept,
+         |  n_lines - n_kept AS n_removed,
+         |  CAST((2 * n_kept * 1000000 + n_lines) // (2 * n_lines)
+         |    AS DOUBLE) / 1000000 AS kept_frac,
+         |  clean_text
+         |FROM p""".stripMargin) { (spark, dir) =>
+      Dedup.dedupLines(
+        tokenChunkLines(Tables.documents(spark, dir), 10),
+        "doc_id", "pos", "line")
+    },
+
+    // ---- INCREMENTAL LINE DEDUP (L291 — L289 under continuous
+    // ingest, the q280/q301 maintenance discipline): a batch (doc_id %
+    // 10 = 3) arrives against the standing corpus; published docs'
+    // lines are already owned, so the standing value index is
+    // APPEND-ONLY and a batch line survives iff its value is new to
+    // the index AND first within the batch. The oracle is the ONE-SHOT
+    // rebuild under arrival priority (standing docs rank before batch
+    // in the ownership order) — the row-for-row hash match IS the
+    // fold == rebuild proof. Scale: the batch never re-reads standing
+    // TEXT — only the md5 value index (metadata beside the corpus).
+    Q(
+      "q310_line_dedup_ingest",
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents),
+         |lines AS (
+         |  SELECT doc_id, CAST(k + 1 AS BIGINT) AS pos,
+         |    array_to_string(t[(k*10+1):(k*10+10)], ' ') AS line
+         |  FROM toks, unnest(range(0, (len(t) + 9) // 10)) u(k)),
+         |k AS (
+         |  SELECT doc_id, pos, line,
+         |    row_number() OVER (PARTITION BY md5(line)
+         |      ORDER BY (doc_id % 10 = 3), doc_id, pos) = 1 AS kept
+         |  FROM lines),
+         |p AS (
+         |  SELECT doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_lines,
+         |    CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+         |    coalesce(string_agg(line, ' ' ORDER BY pos)
+         |      FILTER (WHERE kept), '') AS clean_text
+         |  FROM k GROUP BY 1)
+         |SELECT doc_id, n_lines, n_kept,
+         |  n_lines - n_kept AS n_removed,
+         |  CAST((2 * n_kept * 1000000 + n_lines) // (2 * n_lines)
+         |    AS DOUBLE) / 1000000 AS kept_frac,
+         |  clean_text
+         |FROM p""".stripMargin) { (spark, dir) =>
+      val lines = tokenChunkLines(Tables.documents(spark, dir), 10)
+      Dedup.dedupLinesIncremental(
+        lines.filter(col("doc_id") % 10 =!= 3),
+        lines.filter(col("doc_id") % 10 === 3),
+        "doc_id", "pos", "line")
+    },
+
+    // ---- REPETITIOUS-TEXT GATES (L292, Rae et al. 2021 Gopher §A1.1
+    // Table A1 — the WITHIN-doc repetition battery every published
+    // pipeline runs beside the q169 heuristics; Dolma/RedPajama
+    // reimplement the same four signal shapes): duplicate-line
+    // fraction + duplicate-line char fraction (over the same L289
+    // line split), the most-frequent-2-gram char share (count×chars,
+    // the Dolma formula), and the char fraction covered by duplicated
+    // 5-grams (position union — overlaps never double-count). Gates at
+    // the paper's thresholds via integer cross-multiplication,
+    // PASS-polarity like q169; the top-2-gram argmax rides a pure
+    // integer key (c·2⁴⁰ + c·gmass — frequency, then covered chars),
+    // so no engine argmax tie policy exists. Scale: per-doc LOCAL
+    // throughout — explodes + aggregates keyed on (doc) or
+    // (doc, value), linear at any corpus size (ops/Text
+    // repetitionStats scaladoc).
+    Q(
+      "q311_repetition_gates",
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents),
+         |lines AS (
+         |  SELECT doc_id, CAST(k + 1 AS BIGINT) AS pos,
+         |    array_to_string(t[(k*10+1):(k*10+10)], ' ') AS line
+         |  FROM toks, unnest(range(0, (len(t) + 9) // 10)) u(k)),
+         |lg AS (
+         |  SELECT doc_id, line, CAST(count(*) AS BIGINT) AS c,
+         |    CAST(length(replace(line, ' ', '')) AS BIGINT) AS lchars
+         |  FROM lines GROUP BY 1, 2),
+         |ld AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+         |    CAST(sum(c - 1) AS BIGINT) AS n_dup,
+         |    CAST(sum((c - 1) * lchars) AS BIGINT) AS dupchars
+         |  FROM lg GROUP BY 1),
+         |tlp AS (
+         |  SELECT doc_id, i AS p, CAST(length(t[i]) AS BIGINT) AS plen,
+         |    CASE WHEN i + 1 <= len(t) THEN
+         |      CAST(concat('0x', substr(md5(
+         |        array_to_string(t[i:i+1], ' ')),1,8)) AS BIGINT)
+         |        % 2147483647 END AS h2,
+         |    CASE WHEN i + 1 <= len(t) THEN
+         |      CAST(length(t[i]) + length(t[i+1]) AS BIGINT) END AS gmass,
+         |    CASE WHEN i + 4 <= len(t) THEN
+         |      CAST(concat('0x', substr(md5(
+         |        array_to_string(t[i:i+4], ' ')),1,8)) AS BIGINT)
+         |        % 2147483647 END AS h5
+         |  FROM toks, unnest(CASE WHEN len(t) = 0 THEN []
+         |    ELSE range(1, len(t)+1) END) u(i)),
+         |w AS (
+         |  SELECT doc_id, p, plen, h2, gmass, h5,
+         |    count(*) OVER (PARTITION BY doc_id, h2) AS c2,
+         |    count(*) OVER (PARTITION BY doc_id, h5) AS c5
+         |  FROM tlp),
+         |f AS (
+         |  SELECT doc_id, p, plen,
+         |    CASE WHEN h2 IS NOT NULL
+         |      THEN c2 * 1099511627776 + c2 * gmass END AS k2,
+         |    max(CASE WHEN h5 IS NOT NULL AND c5 >= 2 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY p
+         |        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS cvr
+         |  FROM w),
+         |pc AS (
+         |  SELECT doc_id, CAST(sum(plen) AS BIGINT) AS totchars,
+         |    CAST(coalesce(sum(plen) FILTER (WHERE cvr = 1), 0) AS BIGINT)
+         |      AS dup5chars,
+         |    max(k2) AS k2
+         |  FROM f GROUP BY 1)
+         |SELECT doc_id, n_lines,
+         |  CAST((2 * n_dup * 1000000 + n_lines) // (2 * n_lines)
+         |    AS DOUBLE) / 1000000 AS dup_line_frac,
+         |  CAST((2 * dupchars * 1000000 + totchars) // (2 * totchars)
+         |    AS DOUBLE) / 1000000 AS dup_line_char_frac,
+         |  CAST((2 * coalesce(k2 % 1099511627776, 0) * 1000000 + totchars)
+         |    // (2 * totchars) AS DOUBLE) / 1000000 AS top_2gram_char_frac,
+         |  CAST((2 * dup5chars * 1000000 + totchars)
+         |    // (2 * totchars) AS DOUBLE) / 1000000 AS dup_5gram_char_frac,
+         |  n_dup * 10 <= n_lines * 3 AS g_dup_line,
+         |  dupchars * 5 <= totchars AS g_dup_line_chars,
+         |  coalesce(k2 % 1099511627776, 0) * 5 <= totchars AS g_top_2gram,
+         |  dup5chars * 20 <= totchars * 3 AS g_dup_5gram,
+         |  n_dup * 10 <= n_lines * 3 AND dupchars * 5 <= totchars
+         |    AND coalesce(k2 % 1099511627776, 0) * 5 <= totchars
+         |    AND dup5chars * 20 <= totchars * 3 AS keep
+         |FROM pc JOIN ld USING (doc_id)""".stripMargin) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      Text.repetitionStats(docs, tokenChunkLines(docs, 10),
+        "doc_id", "text")
     })
+
+  /** The fixture line splitter shared by q308/q310: non-overlapping
+    * `w`-token chunks as (doc_id, pos 1-based, line) — deterministic
+    * where the fixture text has no newline structure. (Production
+    * passes real paragraph splits to [[graft.ops.Dedup.dedupLines]];
+    * the operator is agnostic.) */
+  private def tokenChunkLines(docs: org.apache.spark.sql.DataFrame,
+      w: Int): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), expr(s"(size(t) + ${w - 1}) div $w") - 1),
+          k => array_join(slice(col("t"), k * w + 1, lit(w)), " "))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("line"))
 }

@@ -89,6 +89,57 @@ object SelectionQueries {
   private val CoverageFloor = 3
   private val CoverageFill = 100
 
+  /** q296's DSIR Gumbel-top-50 selection over the non-target
+    * candidates — extracted so q309's classifier-agreement pricing can
+    * reuse the selection verbatim (the selected set, not a
+    * re-implementation, is what the κ comparison must see). */
+  private def dsirTop50(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val B = DsirBuckets
+    val docs = Tables.documents(spark, dir)
+    val tb = docs
+      .withColumn("th", call_function("graft_token_hashes", col("text")))
+      .filter(size(col("th")) > 0)
+      .select(col("doc_id"), col("source"), explode(col("th")).as("h"))
+      .select(col("doc_id"), col("source"),
+        (col("h") % B).as("b"))
+      .cache() // feeds three aggregates; bucket-count-sized outputs
+    val isTgt = col("source").isin(DsirTarget: _*)
+    val rc = tb.groupBy("b").agg(count(lit(1)).as("rcnt"))
+    val tc = tb.filter(isTgt).groupBy("b").agg(count(lit(1)).as("tcnt"))
+    val tot = tb.agg(count(lit(1)).as("rtot"),
+      sum(when(isTgt, 1L).otherwise(0L)).as("ttot"))
+    val w = rc.join(tc, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("w9", round(log(
+        ((coalesce(col("tcnt"), lit(0L)) + lit(1.0d)) *
+          (col("rtot") + lit(B.toLong))) /
+        ((col("rcnt") + lit(1.0d)) *
+          (col("ttot") + lit(B.toLong)))), 9)
+        .cast(DecimalType(13, 9)))
+      .select("b", "w9")
+    val d = tb.filter(!isTgt)
+      .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("n"))
+    val lw = d.join(broadcast(w), "b")
+      .groupBy("doc_id", "source")
+      .agg(sum("n").as("n_tokens"),
+        sum(col("n").cast(DecimalType(10, 0)) * col("w9")).as("lw"))
+    // seeded Gumbel key: u ∈ (0,1) exactly representable (2³¹ divisor),
+    // g on the 9-dp grid, lw + g an exact DECIMAL addition
+    val u = (pmod(col("doc_id").cast("long") * lit(Text.Mult), lit(Text.P))
+      + lit(1L)).cast("double") / lit(2147483648.0d)
+    val keyed = lw.withColumn("g",
+      round(-log(-log(u)), 9).cast(DecimalType(13, 9)))
+    val out = keyed
+      .orderBy((col("lw") + col("g")).desc, col("doc_id")).limit(50)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("lw").cast("double").as("log_weight"),
+        (col("lw") + col("g")).cast("double").as("gumbel_key"))
+      .localCheckpoint() // materialize before releasing the token cache
+    tb.unpersist()
+    out
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- SEMANTIC DEDUP over embedding clusters (L125, SemDeDup):
@@ -773,51 +824,7 @@ object SelectionQueries {
            |  CAST(lw AS DOUBLE) AS log_weight,
            |  CAST(lw + g AS DOUBLE) AS gumbel_key
            |FROM keyed ORDER BY lw + g DESC, doc_id LIMIT 50""".stripMargin
-      }) { (spark, dir) =>
-      val B = DsirBuckets
-      val docs = Tables.documents(spark, dir)
-      val tb = docs
-        .withColumn("th", call_function("graft_token_hashes", col("text")))
-        .filter(size(col("th")) > 0)
-        .select(col("doc_id"), col("source"), explode(col("th")).as("h"))
-        .select(col("doc_id"), col("source"),
-          (col("h") % B).as("b"))
-        .cache() // feeds three aggregates; bucket-count-sized outputs
-      val isTgt = col("source").isin(DsirTarget: _*)
-      val rc = tb.groupBy("b").agg(count(lit(1)).as("rcnt"))
-      val tc = tb.filter(isTgt).groupBy("b").agg(count(lit(1)).as("tcnt"))
-      val tot = tb.agg(count(lit(1)).as("rtot"),
-        sum(when(isTgt, 1L).otherwise(0L)).as("ttot"))
-      val w = rc.join(tc, Seq("b"), "left")
-        .crossJoin(broadcast(tot))
-        .withColumn("w9", round(log(
-          ((coalesce(col("tcnt"), lit(0L)) + lit(1.0d)) *
-            (col("rtot") + lit(B.toLong))) /
-          ((col("rcnt") + lit(1.0d)) *
-            (col("ttot") + lit(B.toLong)))), 9)
-          .cast(DecimalType(13, 9)))
-        .select("b", "w9")
-      val d = tb.filter(!isTgt)
-        .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("n"))
-      val lw = d.join(broadcast(w), "b")
-        .groupBy("doc_id", "source")
-        .agg(sum("n").as("n_tokens"),
-          sum(col("n").cast(DecimalType(10, 0)) * col("w9")).as("lw"))
-      // seeded Gumbel key: u ∈ (0,1) exactly representable (2³¹ divisor),
-      // g on the 9-dp grid, lw + g an exact DECIMAL addition
-      val u = (pmod(col("doc_id").cast("long") * lit(Text.Mult), lit(Text.P))
-        + lit(1L)).cast("double") / lit(2147483648.0d)
-      val keyed = lw.withColumn("g",
-        round(-log(-log(u)), 9).cast(DecimalType(13, 9)))
-      val out = keyed
-        .orderBy((col("lw") + col("g")).desc, col("doc_id")).limit(50)
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          col("lw").cast("double").as("log_weight"),
-          (col("lw") + col("g")).cast("double").as("gumbel_key"))
-        .localCheckpoint() // materialize before releasing the token cache
-      tb.unpersist()
-      out
-    },
+      }) { (spark, dir) => dsirTop50(spark, dir) },
 
     // ---- SEQUENCE PACKING audit (L280): pack documents into fixed
     // L=512-token context windows with the boundary-preserving NEXT-FIT
@@ -975,10 +982,11 @@ object SelectionQueries {
     // what a 100 TB mixture loader consumes as its sampling plan.
     Q(
       "q302_unimax_mixture", {
-        s"""WITH tl AS (
+        s"""WITH tl0 AS (
            |  SELECT lang, CAST(sum(len(${LlmQueries.toksSql})) AS BIGINT)
            |    AS nl
            |  FROM documents GROUP BY 1),
+           |tl AS (SELECT * FROM tl0 WHERE nl > 0),
            |st AS (
            |  SELECT CAST((3 * sum(nl)) // 2 AS BIGINT) AS b,
            |    CAST(count(*) AS BIGINT) AS n FROM tl),
@@ -1013,10 +1021,14 @@ object SelectionQueries {
       }) { (spark, dir) =>
       import graft.functions.ExactRound
       val E = 2L
+      // nl > 0 guard (round-19 advice): a language whose docs tokenize
+      // to zero tokens would put nl = 0 into the epochs divide — filter
+      // it out in BOTH engines, mirroring q305
       val tl = Tables.documents(spark, dir)
         .select(col("lang"), size(Text.tokens(col("text"))).cast("long")
           .as("nt"))
         .groupBy("lang").agg(sum("nt").as("nl"))
+        .filter(col("nl") > 0)
         .withColumn("cap", col("nl") * E)
         .localCheckpoint() // |langs|-row grid; read by every stage below
       // B = 1.5 epochs' worth of tokens: enough that the E=2 cap BINDS
@@ -1131,6 +1143,175 @@ object SelectionQueries {
             .cast("double").as("share_raw"),
           ExactRound.roundRatio(col("wi"), col("sw"), 6)
             .cast("double").as("share_temp"))
+    },
+
+    // ---- QUALITY-CLASSIFIER SELECTION (L290 — the model-based half
+    // of the CCNet/FineWeb recipe, pairing q296's DSIR: Wenzek et al.
+    // 2020 §3.3 train a linear classifier on a curated target vs the
+    // raw crawl and keep docs it scores as target-like): a multinomial
+    // Naive Bayes over hashed bag-of-token features, trained in CLOSED
+    // FORM from class counts (ops/Classify — no MLlib, no iterations:
+    // NB's MLE is two aggregates), positive class = the DsirTarget
+    // curated slice, scored over the non-target candidates, keep =
+    // log-odds sum > 0. The query then PRICES the new gate the way a
+    // pipeline owner must before shipping it — Cohen's κ agreement
+    // (the q239 machinery) against the two selection rules already in
+    // the registry: the q169 Gopher heuristic battery and the q296
+    // DSIR top-50 — so the readout says whether the classifier adds
+    // signal or re-derives an existing gate. Exactness: weights on the
+    // 9-dp DECIMAL grid (q296's ln precedent), scores exact DECIMAL
+    // sums, κ pure integers into the signed half-away divide. Scale:
+    // training is one corpus pass onto a 256-row broadcast grid,
+    // scoring one broadcast join + per-doc aggregate; the κ verdicts
+    // aggregate candidate-count rows to 2 output rows.
+    Q(
+      "q309_quality_classifier", {
+        val tgt = DsirTarget.map(s => s"'$s'").mkString(", ")
+        val B = DsirBuckets
+        val stops = Text.StopWords.head._2.map(w => s"'$w'").mkString(",")
+        s"""WITH toks AS (
+           |  SELECT doc_id, source, text, ${LlmQueries.toksSql} AS t
+           |  FROM documents),
+           |thc AS (
+           |  SELECT doc_id, source,
+           |    list_transform(t,
+           |      x -> CAST(concat('0x', substr(md5(x),1,8)) AS BIGINT)) AS th
+           |  FROM toks WHERE len(t) > 0),
+           |tb AS (
+           |  SELECT doc_id, source, u.h % $B AS b
+           |  FROM thc, unnest(thc.th) AS u(h)),
+           |bc AS (
+           |  SELECT b,
+           |    CAST(count(*) FILTER (WHERE source IN ($tgt)) AS BIGINT)
+           |      AS cpos,
+           |    CAST(count(*) FILTER (WHERE source NOT IN ($tgt)) AS BIGINT)
+           |      AS cneg
+           |  FROM tb GROUP BY 1),
+           |nbt AS (SELECT CAST(sum(cpos) AS BIGINT) AS npos,
+           |    CAST(sum(cneg) AS BIGINT) AS nneg FROM bc),
+           |nbw AS (SELECT b,
+           |    CAST(round(ln(((cpos + 1.0) * (nneg + $B)) /
+           |      ((cneg + 1.0) * (npos + $B))), 9) AS DECIMAL(13,9)) AS w9
+           |  FROM bc, nbt),
+           |d AS (SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS n
+           |      FROM tb WHERE source NOT IN ($tgt) GROUP BY 1, 2, 3),
+           |sc AS (SELECT d.doc_id,
+           |    sum(CAST(d.n AS DECIMAL(10,0)) * nbw.w9) AS score
+           |  FROM d JOIN nbw USING (b) GROUP BY 1),
+           |cls AS (SELECT doc_id, score > 0 AS ka FROM sc),
+           |gop AS (
+           |  SELECT doc_id,
+           |    (n >= 20 AND n <= 100000 AND n > 0
+           |     AND sum_len >= n * 3 AND sum_len <= n * 10
+           |     AND symbols * 10 <= n AND alpha * 10 >= n * 8
+           |     AND stop_hits >= 2) AS kb
+           |  FROM (
+           |    SELECT doc_id,
+           |      CAST(len(t) AS BIGINT) AS n,
+           |      ${LlmQueries.foldSumSql(
+                    "list_transform(t, w -> CAST(length(w) AS BIGINT))",
+                    "CAST(0 AS BIGINT)")} AS sum_len,
+           |      CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+           |        AS BIGINT) AS alpha,
+           |      CAST(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+           |        AS BIGINT) AS symbols,
+           |      CAST(len(list_filter(t, w -> w IN ($stops))) AS BIGINT)
+           |        AS stop_hits
+           |    FROM toks WHERE source NOT IN ($tgt))),
+           |rc AS (SELECT b, CAST(count(*) AS BIGINT) AS rcnt
+           |       FROM tb GROUP BY b),
+           |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS tcnt
+           |       FROM tb WHERE source IN ($tgt) GROUP BY b),
+           |tt AS (SELECT CAST(count(*) AS BIGINT) AS rtot,
+           |    CAST(count(*) FILTER (WHERE source IN ($tgt)) AS BIGINT)
+           |      AS ttot
+           |  FROM tb),
+           |dw AS (SELECT rc.b,
+           |    CAST(round(ln(
+           |      ((coalesce(tc.tcnt, 0) + 1.0) * (tt.rtot + $B)) /
+           |      ((rc.rcnt + 1.0) * (tt.ttot + $B))), 9)
+           |      AS DECIMAL(13,9)) AS dw9
+           |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tt),
+           |lw AS (SELECT d.doc_id,
+           |    sum(CAST(d.n AS DECIMAL(10,0)) * dw.dw9) AS lw
+           |  FROM d JOIN dw USING (b) GROUP BY 1),
+           |keyed AS (SELECT doc_id,
+           |    lw + CAST(round(-ln(-ln(
+           |      CAST((doc_id * ${Text.Mult}) % ${Text.P} + 1 AS DOUBLE)
+           |        / 2147483648.0)), 9) AS DECIMAL(13,9)) AS gk
+           |  FROM lw),
+           |top50 AS (SELECT doc_id FROM keyed
+           |  ORDER BY gk DESC, doc_id LIMIT 50),
+           |v AS (
+           |  SELECT c.doc_id,
+           |    CASE WHEN c.ka THEN 1 ELSE 0 END AS cls,
+           |    CASE WHEN g.kb THEN 1 ELSE 0 END AS gop,
+           |    CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dsir
+           |  FROM cls c JOIN gop g USING (doc_id)
+           |  LEFT JOIN top50 t USING (doc_id)),
+           |kg AS (
+           |  SELECT 'gopher' AS comparator,
+           |    CAST(sum(cls * gop) AS HUGEINT) AS a,
+           |    CAST(sum(cls * (1 - gop)) AS HUGEINT) AS b,
+           |    CAST(sum((1 - cls) * gop) AS HUGEINT) AS c,
+           |    CAST(sum((1 - cls) * (1 - gop)) AS HUGEINT) AS d,
+           |    CAST(count(*) AS HUGEINT) AS n
+           |  FROM v),
+           |kd AS (
+           |  SELECT 'dsir_top50' AS comparator,
+           |    CAST(sum(cls * dsir) AS HUGEINT) AS a,
+           |    CAST(sum(cls * (1 - dsir)) AS HUGEINT) AS b,
+           |    CAST(sum((1 - cls) * dsir) AS HUGEINT) AS c,
+           |    CAST(sum((1 - cls) * (1 - dsir)) AS HUGEINT) AS d,
+           |    CAST(count(*) AS HUGEINT) AS n
+           |  FROM v),
+           |u AS (SELECT * FROM kg UNION ALL SELECT * FROM kd),
+           |w2 AS (SELECT comparator, a, b, c, d, n,
+           |    (a + b) * (a + c) + (c + d) * (b + d) AS pe,
+           |    n * (a + d) AS po
+           |  FROM u)
+           |SELECT comparator,
+           |  CAST(a AS BIGINT) AS n_both, CAST(b AS BIGINT) AS n_a_only,
+           |  CAST(c AS BIGINT) AS n_b_only, CAST(d AS BIGINT) AS n_neither,
+           |  CAST((2 * (a + d) * 1000000 + n) // (2 * n) AS DOUBLE)
+           |    / 1000000 AS observed_agreement,
+           |  CASE WHEN n * n - pe = 0 THEN 1.0 ELSE
+           |    CAST(CASE WHEN po - pe >= 0
+           |      THEN (2 * (po - pe) * 1000000 + (n * n - pe))
+           |        // (2 * (n * n - pe))
+           |      ELSE -((2 * (pe - po) * 1000000 + (n * n - pe))
+           |        // (2 * (n * n - pe))) END AS DOUBLE) / 1000000 END
+           |    AS kappa
+           |FROM w2""".stripMargin
+      }) { (spark, dir) =>
+      import graft.ops.{Classify, Stats}
+      val docs = Tables.documents(spark, dir)
+      val isTgt = col("source").isin(DsirTarget: _*)
+      val feats = Classify.hashedTokenFeatures(docs, "doc_id", "text",
+        DsirBuckets, carry = Seq("source"))
+        .cache() // feeds training counts AND candidate scoring
+      val w = Classify.nbWeights(feats, isTgt, DsirBuckets)
+      val scored = Classify.nbScore(feats.filter(!isTgt), w, "doc_id")
+      val gop = docs.filter(!isTgt)
+        .select(col("doc_id"),
+          Text.gopherSignals(col("text")).last.as("keep_gopher"))
+      val dsir = dsirTop50(spark, dir)
+        .select(col("doc_id"), lit(true).as("_sel"))
+      val v = scored.join(gop, "doc_id")
+        .join(dsir, Seq("doc_id"), "left")
+        .select(when(col("keep_cls"), 1L).otherwise(0L).as("cls"),
+          when(col("keep_gopher"), 1L).otherwise(0L).as("gop"),
+          when(col("_sel").isNotNull, 1L).otherwise(0L).as("dsir"))
+        .localCheckpoint() // candidate-count rows; two κ aggregates read it
+      val kg = Stats.cohensKappa(v.select(col("cls").as("ga"),
+          col("gop").as("gb")), "ga", "gb")
+        .select(lit("gopher").as("comparator"), col("*"))
+      val kd = Stats.cohensKappa(v.select(col("cls").as("ga"),
+          col("dsir").as("gb")), "ga", "gb")
+        .select(lit("dsir_top50").as("comparator"), col("*"))
+      val out = kg.unionByName(kd).localCheckpoint()
+      feats.unpersist()
+      out
     }
   )
 }

@@ -61,9 +61,31 @@ class BenchSpec extends AnyFunSuite {
     val (samples, hit) = Bench.sweep(Seq("q_a", "q_b"), passes = 2, extra = 1,
       budgetSec = 1e9, () => clock(0), fakeRun(log, clock, cost))
     assert(!hit)
-    assert(log == Seq("q_a", "q_b", "q_a", "q_b", "q_a")) // interleaved, extra on cheap only
+    // pass 1 in name order, pass 2 slowest-first, extra on cheap only
+    assert(log == Seq("q_a", "q_b", "q_b", "q_a", "q_a"))
     assert(samples("q_a") == Vector(0.5, 0.5, 0.5))
     assert(samples("q_b") == Vector(2.0, 2.0))
+  }
+
+  test("sweep: guarded passes run slowest-first, so a budget cut strands " +
+      "only the sub-second cohort at thin sample counts") {
+    // the round-18 failure shape: a budget-hit sweep left multi-second
+    // queries (q280/q281) with ONE sample and an unadjudicatable rel
+    // tail; with slowest-first re-ranking the cut tail is always the
+    // cheap cohort, whose minima stabilize in 1–2 samples anyway
+    val log = scala.collection.mutable.Buffer[String]()
+    val clock = Array(0.0)
+    val cost = Map("q_fast" -> 0.1, "q_mid" -> 2.0, "q_slow" -> 5.0)
+    // fake clock: 1 "second" per run; budget 4 → pass 1 (clock=3), then
+    // pass 2 fits exactly two more samples — they must be the slow ones
+    val (samples, hit) = Bench.sweep(Seq("q_fast", "q_mid", "q_slow"),
+      passes = 2, extra = 0, budgetSec = 4.0, () => clock(0),
+      fakeRun(log, clock, cost))
+    assert(hit)
+    assert(log == Seq("q_fast", "q_mid", "q_slow", "q_slow", "q_mid"))
+    assert(samples("q_slow").size == 2 && samples("q_mid").size == 2,
+      s"multi-second queries must get their second sample first: $samples")
+    assert(samples("q_fast").size == 1)
   }
 
   test("sweep: pass 1 is never cut — a zero budget still samples every query once") {

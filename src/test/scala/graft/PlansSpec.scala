@@ -12,6 +12,24 @@ class PlansSpec extends SparkSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString()
 
+  /** Window nodes in the optimized logical plan with an EMPTY
+    * partitionSpec — the single-partition window shape these scale pins
+    * forbid. Structural (round-19 advice): the previous string check
+    * `!plan.contains("windowspecdefinition()")` was vacuous because
+    * Spark prints unpartitioned windows as
+    * `windowspecdefinition(<order>, specifiedwindowframe(...))`, never
+    * with empty parens. */
+  private def unpartitionedWindows(
+      df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty =>
+        w.windowExpressions.map(_.toString).mkString(", ")
+      case w: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
+          if w.partitionSpec.isEmpty =>
+        s"WindowGroupLimit(${w.rankLikeFunction})"
+    }
+
   test("filters and column pruning reach the parquet scan") {
     val p = plan(Tables.orders(spark, sfDir())
       .filter(col("o_totalprice") > 1000.0)
@@ -271,9 +289,9 @@ class PlansSpec extends SparkSuite {
       val df = SparkEntry.queries(q)(spark, sfDir())
       df.collect()
       val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-      val windowed = p.linesIterator.filter(l => l.contains("Window")).mkString("\n")
-      assert(!windowed.contains("windowspecdefinition()"),
-        s"$q has an unpartitioned window:\n$p")
+      val unpart = unpartitionedWindows(df)
+      assert(unpart.isEmpty,
+        s"$q has an unpartitioned window: ${unpart.mkString("; ")}\n$p")
       // every Sort in the plan is within-partition (global=false) or
       // feeds TakeOrdered — never a global single-partition sort
       assert(!p.contains("Sort [") || !p.contains("global=true") ||
@@ -597,8 +615,9 @@ class PlansSpec extends SparkSuite {
     df.collect()
     val p = plan(df)
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
-    assert(!p.contains("windowspecdefinition()"),
-      s"unexpected unpartitioned window:\n$p")
+    val unpart = unpartitionedWindows(df)
+    assert(unpart.isEmpty,
+      s"unexpected unpartitioned window: ${unpart.mkString("; ")}\n$p")
   }
 
   test("q297 winnowing: every window is doc-partitioned (except the " +
@@ -609,8 +628,9 @@ class PlansSpec extends SparkSuite {
     val p = plan(df).split("== Initial Plan ==")(0)
     assert(!p.contains("CartesianProduct"),
       s"fingerprint matching must stay equi-join shaped:\n$p")
-    assert(!p.contains("windowspecdefinition()"),
-      s"a window lost its partition key:\n$p")
+    val unpart = unpartitionedWindows(df)
+    assert(unpart.isEmpty,
+      s"a window lost its partition key: ${unpart.mkString("; ")}\n$p")
   }
 
   test("q300/q306 layout audits: workload probes run on the broadcast " +

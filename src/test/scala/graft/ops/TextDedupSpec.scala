@@ -516,4 +516,102 @@ class TextDedupSpec extends SparkSuite {
     // run ONE span of 3 — window overlap never inflates the histogram
     assert(out == Seq((3L, 1L), (5L, 1L)))
   }
+
+  // ---- paragraph/line-level exact dedup (L289/L291) ----
+
+  private def lineFrame(rows: (Long, Long, String)*) =
+    rows.toDF("doc_id", "pos", "line")
+
+  test("dedupLines: first occurrence by (doc_id, pos) owns; stats and " +
+      "rewritten text from a hand-checked fixture") {
+    val lines = lineFrame(
+      (1L, 1L, "alpha beta"), (1L, 2L, "gamma"),
+      (2L, 1L, "alpha beta"), (2L, 2L, "delta"),   // line 1 duped from doc 1
+      (3L, 1L, "gamma"), (3L, 2L, "alpha beta"))   // fully duplicated doc
+    val out = Dedup.dedupLines(lines, "doc_id", "pos", "line")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, 0L, 1.0, "alpha beta gamma"),
+      (2L, 2L, 1L, 1L, 0.5, "delta"),
+      (3L, 2L, 0L, 2L, 0.0, "")))
+  }
+
+  test("dedupLines: a value duplicated WITHIN one doc keeps exactly its " +
+      "first position, and every value keeps exactly one site corpus-wide") {
+    val lines = lineFrame(
+      (1L, 1L, "x"), (1L, 2L, "x"), (1L, 3L, "y"),
+      (2L, 1L, "y"), (2L, 2L, "x"))
+    val tagged = Dedup.lineOwnershipTag(lines, "doc_id", "pos", "line")
+    val kept = tagged.filter(col("kept"))
+      .as[(Long, Long, String, Boolean)].collect().toSeq.sorted
+    assert(kept.map(r => (r._1, r._2, r._3)) ==
+      Seq((1L, 1L, "x"), (1L, 3L, "y")))
+    // invariant: one owner per distinct value
+    val owners = tagged.filter(col("kept")).groupBy("line").count()
+      .as[(String, Long)].collect().toMap
+    assert(owners.values.forall(_ == 1L))
+  }
+
+  test("dedupLinesIncremental == one-shot rebuild under arrival priority " +
+      "(fold == rebuild), on the documents fixture chunked to lines") {
+    val docs = graft.Tables.documents(spark, sfDir())
+    val lines = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), expr("(size(t) + 9) div 10") - 1),
+          k => array_join(slice(col("t"), k * 10 + 1, lit(10)), " "))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("line"))
+    val folded = Dedup.dedupLinesIncremental(
+      lines.filter(col("doc_id") % 10 =!= 3),
+      lines.filter(col("doc_id") % 10 === 3),
+      "doc_id", "pos", "line")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double, String)].collect().toSeq
+    val rebuild = Dedup.dedupLines(lines, "doc_id", "pos", "line",
+      prio = when(col("doc_id") % 10 === 3, 1L).otherwise(0L))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double, String)].collect().toSeq
+    assert(folded == rebuild,
+      "the incremental fold must reproduce the arrival-priority rebuild")
+    // and the batch can never steal ownership from the standing corpus:
+    // standing docs' stats are identical to a standing-only dedup
+    val standingOnly = Dedup.dedupLines(
+      lines.filter(col("doc_id") % 10 =!= 3), "doc_id", "pos", "line")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double, String)].collect().toSeq
+    assert(folded.filter(_._1 % 10 != 3) == standingOnly)
+  }
+
+  test("repetitionStats: the Gopher within-doc battery from a hand-checked " +
+      "fixture — duplicate lines, top-2-gram share, duplicated-5-gram " +
+      "coverage union, pass-polarity gates") {
+    // doc 1 = the same 10 tokens twice: its two 10-token lines are
+    // identical, every 2-gram inside the half repeats, and the
+    // duplicated 5-grams tile ALL 20 positions (coverage union = 1.0)
+    val docs = Seq(
+      (1L, "a b c d e f g h i j a b c d e f g h i j"),
+      (2L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13 t14 t15 t16 t17 t18 t19 t20")
+    ).toDF("doc_id", "text")
+    val lines = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), expr("(size(t) + 9) div 10") - 1),
+          k => array_join(slice(col("t"), k * 10 + 1, lit(10)), " "))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("line"))
+    val out = Text.repetitionStats(docs, lines, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Double, Double,
+        Boolean, Boolean, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(out == Seq(
+      // dup_line 1/2; dup chars 10/20; top 2-gram "a b" 2×2 chars / 20
+      // = 0.2 EXACTLY (≤ gate boundary → passes); dup-5-gram cover 20/20
+      (1L, 2L, 0.5, 0.5, 0.2, 1.0, false, false, true, false, false),
+      // all distinct: zero repetition, top 2-gram is a count-1 6-char
+      // gram over 51 token chars = 0.117647 half-up
+      (2L, 2L, 0.0, 0.0, 0.117647, 0.0, true, true, true, true, true)))
+  }
 }

@@ -400,4 +400,76 @@ class SelectionSpec extends SparkSuite {
         "Gumbel top-k must select above-average importance on average")
     }
   }
+
+  // ---- L290 quality classifier (ops/Classify) ----
+
+  test("nbWeights: the weight table IS the closed-form Laplace-smoothed " +
+      "count model — from-scratch recompute matches every bucket") {
+    import spark.implicits._
+    import graft.ops.Classify
+    val B = 64
+    val train = Seq(
+      (1L, "good clean prose text good clean", "pos"),
+      (2L, "good prose text clean article insight", "pos"),
+      (3L, "spam junk buy click spam junk", "neg"),
+      (4L, "junk click buy spam offer", "neg")).toDF("doc_id", "text", "cls")
+    val feats = Classify.hashedTokenFeatures(train, "doc_id", "text", B,
+      carry = Seq("cls"))
+    val f = feats.as[(Long, String, Long, Long)].collect()
+    val cpos = f.filter(_._2 == "pos").groupBy(_._3)
+      .map { case (b, xs) => b -> xs.map(_._4).sum }
+    val cneg = f.filter(_._2 == "neg").groupBy(_._3)
+      .map { case (b, xs) => b -> xs.map(_._4).sum }
+    val (npos, nneg) = (cpos.values.sum, cneg.values.sum)
+    val got = Classify.nbWeights(feats, col("cls") === "pos", B)
+      .collect().map(r => r.getLong(0) ->
+        r.getDecimal(1)).toMap
+    val allB = (cpos.keySet ++ cneg.keySet)
+    assert(got.keySet == allB, "one weight row per occupied bucket")
+    allB.foreach { b =>
+      val expect = BigDecimal(math.log(
+        ((cpos.getOrElse(b, 0L) + 1.0) * (nneg + B)) /
+        ((cneg.getOrElse(b, 0L) + 1.0) * (npos + B))))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      assert(BigDecimal(got(b)).compare(expect) == 0,
+        s"bucket $b: got ${got(b)}, closed form $expect")
+    }
+  }
+
+  test("nbScore: exact DECIMAL count×weight sums, keep = log-odds > 0, " +
+      "and the classifier separates target-like from junk-like docs") {
+    import spark.implicits._
+    import graft.ops.Classify
+    val B = 64
+    val train = Seq(
+      (1L, "good clean prose text good clean", "pos"),
+      (2L, "good prose text clean article insight", "pos"),
+      (3L, "spam junk buy click spam junk", "neg"),
+      (4L, "junk click buy spam offer", "neg")).toDF("doc_id", "text", "cls")
+    val feats = Classify.hashedTokenFeatures(train, "doc_id", "text", B,
+      carry = Seq("cls"))
+    val w = Classify.nbWeights(feats, col("cls") === "pos", B)
+    val probe = Seq((10L, "good clean prose text"),
+      (11L, "spam junk buy click")).toDF("doc_id", "text")
+    val scored = Classify.nbScore(
+      Classify.hashedTokenFeatures(probe, "doc_id", "text", B), w, "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDecimal(r.fieldIndex("score")), r.getBoolean(r.fieldIndex("keep_cls"))))
+      .toMap
+    assert(scored(10L)._2, "target-like probe must be kept")
+    assert(!scored(11L)._2, "junk-like probe must be dropped")
+    // keep is EXACTLY the sign of the decimal score — no float detour
+    scored.values.foreach { case (s, k) =>
+      assert(k == (s.signum > 0))
+    }
+    // recompute doc 10's score from the weight table
+    val wm = w.collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val f10 = Classify.hashedTokenFeatures(probe.filter(col("doc_id") === 10L),
+      "doc_id", "text", B).as[(Long, Long, Long)].collect()
+    val expect = f10.map { case (_, b, n) =>
+      wm(b).multiply(java.math.BigDecimal.valueOf(n))
+    }.reduce(_ add _)
+    assert(scored(10L)._1.compareTo(expect) == 0,
+      s"score must be the exact decimal sum: ${scored(10L)._1} vs $expect")
+  }
 }
