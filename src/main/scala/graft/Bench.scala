@@ -167,9 +167,15 @@ object Bench {
     // Wall-clock budget (seconds, measured from main entry so session
     // startup and warmup count against it — the driver's kill timer
     // sees those too). Guarded passes stop when exceeded; pass 1 never
-    // is (see `sweep`). Default sized so worst case ≈ budget + one
-    // query stays well inside the ~30 min window round 15 overran.
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200").toDouble
+    // is (see `sweep`). Default raised 1200 → 1560 in round 19: the
+    // 311-query registry needs ~1250 s for the requested 2+1 passes on
+    // the round-19 box, so 1200 was permanently budget-hit at
+    // full-registry shape (BENCH_r18's 88-query single-sample tail).
+    // Worst case = budget + one query (the stop is per-query, never a
+    // kill sentinel) ≈ 1620 s — still ~180 s inside the ~30 min outer
+    // window round 15 overran; a slower box degrades to budget_hit,
+    // never to rc=124. Local baseline sweeps still override to 2400.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1560").toDouble
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
       "bench/baseline_min.json")
     // SPARK_GRAFT_SHUFFLE_PARTITIONS decouples shuffle width from the
