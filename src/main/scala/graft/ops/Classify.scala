@@ -49,25 +49,39 @@ object Classify {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** The `buckets`-row Naive Bayes log-odds weight table from labeled
-    * (…, b, n) features: w9(b) = round(ln(((cpos+1)·(Nneg+V)) ∕
-    * ((cneg+1)·(Npos+V))), 9) on the DECIMAL grid — Laplace-smoothed
-    * multinomial NB, where cpos/cneg are the class token counts in
-    * bucket b and Npos/Nneg the class totals. Buckets no token ever
-    * hashes to are absent from the table — they are also absent from
-    * every document, so they can never contribute to a score. */
-  def nbWeights(feats: DataFrame, isPos: Column, buckets: Int): DataFrame = {
-    val byB = feats.groupBy("b").agg(
+  /** Per-bucket class token counts (b, cpos, cneg) — the ABELIAN
+    * sufficient statistics of the NB model: counts from independent
+    * corpus parts fold by plain addition, which is exactly what makes
+    * the classifier maintainable under continuous ingest (L293): an
+    * arriving batch contributes its own counts, the standing counts
+    * never recompute. */
+  def classCounts(feats: DataFrame, isPos: Column): DataFrame =
+    feats.groupBy("b").agg(
       sum(when(isPos, col("n")).otherwise(0L)).as("cpos"),
       sum(when(isPos, 0L).otherwise(col("n"))).as("cneg"))
-    val tot = byB.agg(sum("cpos").as("npos"), sum("cneg").as("nneg"))
-    byB.crossJoin(broadcast(tot))
+
+  /** The `buckets`-row weight table from (possibly folded) class
+    * counts: w9(b) = round(ln(((cpos+1)·(Nneg+V)) ∕ ((cneg+1)·
+    * (Npos+V))), 9) on the DECIMAL grid — Laplace-smoothed multinomial
+    * NB. ONE formula implementation serves both the one-shot
+    * ([[nbWeights]]) and incremental (fold [[classCounts]], then this)
+    * paths, so the training closed form cannot drift between them.
+    * Buckets no token ever hashes to are absent from the table — they
+    * are also absent from every document, so they can never contribute
+    * to a score. */
+  def nbWeightsFromCounts(counts: DataFrame, buckets: Int): DataFrame = {
+    val tot = counts.agg(sum("cpos").as("npos"), sum("cneg").as("nneg"))
+    counts.crossJoin(broadcast(tot))
       .withColumn("w9", round(log(
         ((col("cpos") + lit(1.0d)) * (col("nneg") + lit(buckets.toLong))) /
         ((col("cneg") + lit(1.0d)) * (col("npos") + lit(buckets.toLong)))), 9)
         .cast(DecimalType(13, 9)))
       .select("b", "w9")
   }
+
+  /** One-shot training: [[classCounts]] + [[nbWeightsFromCounts]]. */
+  def nbWeights(feats: DataFrame, isPos: Column, buckets: Int): DataFrame =
+    nbWeightsFromCounts(classCounts(feats, isPos), buckets)
 
   /** Per-doc NB verdict: score = Σ_b n·w9 (exact DECIMAL — the count
     * lane mirrors the oracle's DECIMAL(10,0) cast), keep_cls = score

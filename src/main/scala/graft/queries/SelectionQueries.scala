@@ -1312,6 +1312,86 @@ object SelectionQueries {
       val out = kg.unionByName(kd).localCheckpoint()
       feats.unpersist()
       out
+    },
+
+    // ---- INCREMENTAL CLASSIFIER MAINTENANCE (L293 — q309's fold
+    // twin under the q301/q310 continuous-ingest discipline): when a
+    // document batch arrives, nobody re-featurizes the corpus — the
+    // standing per-doc (b, n) feature table is APPEND-ONLY, the NB
+    // model's sufficient statistics are ABELIAN class counts that fold
+    // by plain addition (ops/Classify.classCounts scaladoc), and the
+    // refreshed 256-row weight table re-scores the standing FEATURES
+    // via a broadcast join — raw text is read once per document ever.
+    // This query RUNS the fold (standing = doc_id%10≠3 features, batch
+    // = the %10=3 arrivals) and its oracle is the ONE-SHOT full-corpus
+    // training + scoring — the row-for-row hash match IS the
+    // maintenance == rebuild proof. Emits the per-candidate verdicts
+    // (the table a selection stage consumes; q309 prices the gate,
+    // this maintains it). Score exactness: exact DECIMAL count×weight
+    // sums presented as double (unscaled ≪ 2^53 — uniquely-rounded
+    // conversion in both engines, the q296 log_weight precedent).
+    Q(
+      "q312_classifier_incremental", {
+        val tgt = DsirTarget.map(s => s"'$s'").mkString(", ")
+        val B = DsirBuckets
+        s"""WITH toks AS (
+           |  SELECT doc_id, source, ${LlmQueries.toksSql} AS t
+           |  FROM documents),
+           |thc AS (
+           |  SELECT doc_id, source,
+           |    list_transform(t,
+           |      x -> CAST(concat('0x', substr(md5(x),1,8)) AS BIGINT)) AS th
+           |  FROM toks WHERE len(t) > 0),
+           |tb AS (
+           |  SELECT doc_id, source, u.h % $B AS b
+           |  FROM thc, unnest(thc.th) AS u(h)),
+           |bc AS (
+           |  SELECT b,
+           |    CAST(count(*) FILTER (WHERE source IN ($tgt)) AS BIGINT)
+           |      AS cpos,
+           |    CAST(count(*) FILTER (WHERE source NOT IN ($tgt)) AS BIGINT)
+           |      AS cneg
+           |  FROM tb GROUP BY 1),
+           |nbt AS (SELECT CAST(sum(cpos) AS BIGINT) AS npos,
+           |    CAST(sum(cneg) AS BIGINT) AS nneg FROM bc),
+           |nbw AS (SELECT b,
+           |    CAST(round(ln(((cpos + 1.0) * (nneg + $B)) /
+           |      ((cneg + 1.0) * (npos + $B))), 9) AS DECIMAL(13,9)) AS w9
+           |  FROM bc, nbt),
+           |d AS (SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS n
+           |      FROM tb WHERE source NOT IN ($tgt) GROUP BY 1, 2, 3),
+           |sc AS (SELECT d.doc_id, d.source,
+           |    CAST(sum(d.n) AS BIGINT) AS n_tokens,
+           |    sum(CAST(d.n AS DECIMAL(10,0)) * nbw.w9) AS s
+           |  FROM d JOIN nbw USING (b) GROUP BY 1, 2)
+           |SELECT doc_id, source, n_tokens,
+           |  CAST(s AS DOUBLE) AS score, s > 0 AS keep_cls
+           |FROM sc""".stripMargin
+      }) { (spark, dir) =>
+      import graft.ops.Classify
+      val docs = Tables.documents(spark, dir)
+      val isTgt = col("source").isin(DsirTarget: _*)
+      def feats(part: org.apache.spark.sql.DataFrame) =
+        Classify.hashedTokenFeatures(part, "doc_id", "text",
+          DsirBuckets, carry = Seq("source"))
+      // the persisted artifacts a real fold reads back: standing
+      // features (featurized long ago) + the arriving batch's
+      val standing = feats(docs.filter(col("doc_id") % 10 =!= 3))
+        .localCheckpoint()
+      val batch = feats(docs.filter(col("doc_id") % 10 === 3))
+        .localCheckpoint()
+      // abelian sufficient-statistics fold: standing + batch counts
+      val folded = Classify.classCounts(standing, isTgt)
+        .unionByName(Classify.classCounts(batch, isTgt))
+        .groupBy("b")
+        .agg(sum("cpos").as("cpos"), sum("cneg").as("cneg"))
+      val w = Classify.nbWeightsFromCounts(folded, DsirBuckets)
+      // re-score the standing features under the refreshed weights —
+      // no document is re-tokenized
+      Classify.nbScore(standing.unionByName(batch).filter(!isTgt), w,
+          "doc_id", carry = Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("score").cast("double").as("score"), col("keep_cls"))
     }
   )
 }

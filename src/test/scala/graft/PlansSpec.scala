@@ -633,6 +633,50 @@ class PlansSpec extends SparkSuite {
       s"a window lost its partition key: ${unpart.mkString("; ")}\n$p")
   }
 
+  test("q308/q310 line dedup: ownership is a map-combinable AGGREGATE — " +
+      "no window node anywhere in the plan (a hot boilerplate line must " +
+      "never serialize a rank-window partition) and no cartesian") {
+    for (q <- Seq("q308_line_dedup", "q310_line_dedup_ingest")) {
+      val df = SparkEntry.queries(q)(spark, sfDir())
+      df.collect()
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.isEmpty,
+        s"$q ownership regressed onto a window: ${windows.mkString(";")}")
+      val p = plan(df).split("== Initial Plan ==")(0)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+    }
+  }
+
+  test("q309 classifier: the weight table joins BROADCAST (the model is " +
+      "grid-sized at any corpus scale) and nothing goes cartesian") {
+    // q309's output localCheckpoints (its executed plan is only the
+    // checkpoint scan), so the shape pins on the op pipeline it calls
+    import graft.ops.Classify
+    val docs = Tables.documents(spark, sfDir())
+    val feats = Classify.hashedTokenFeatures(docs, "doc_id", "text", 256,
+      carry = Seq("source"))
+    val w = Classify.nbWeights(feats, col("source").isin("src0", "src1"), 256)
+    val scored = Classify.nbScore(feats, w, "doc_id")
+    scored.collect()
+    val p = plan(scored)
+    assert(p.contains("BroadcastHashJoin"),
+      s"weight join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q309 went cartesian:\n$p")
+  }
+
+  test("q311 repetition battery: every window is doc-partitioned and no " +
+      "gram string survives to a shuffle (gram keys are integers)") {
+    val df = SparkEntry.queries("q311_repetition_gates")(spark, sfDir())
+    df.collect()
+    val unpart = unpartitionedWindows(df)
+    assert(unpart.isEmpty,
+      s"q311 has an unpartitioned window: ${unpart.mkString("; ")}")
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), s"q311 went cartesian:\n$p")
+  }
+
   test("q300/q306 layout audits: workload probes run on the broadcast " +
       "file GRID, never a shuffled row-level join") {
     for (q <- Seq("q300_zorder_layout", "q306_bloom_skipping")) {

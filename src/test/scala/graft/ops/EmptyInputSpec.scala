@@ -165,4 +165,32 @@ class EmptyInputSpec extends SparkSuite {
     assert(rows(graft.Meta.Versioned.composeFeeds(f, noFeed, Seq("id"))) == rows(f))
     assert(rows(graft.Meta.Versioned.composeFeeds(noFeed, f, Seq("id"))) == rows(f))
   }
+
+  test("round-19 operators on empty input: line dedup (incl. empty batch " +
+      "and empty standing sides), classifier, repetition battery") {
+    val noLines = Seq.empty[(Long, Long, String)].toDF("doc_id", "pos", "line")
+    val dl = Dedup.dedupLines(noLines, "doc_id", "pos", "line")
+    assert(dl.isEmpty && dl.columns.toSeq == Seq("doc_id", "n_lines",
+      "n_kept", "n_removed", "kept_frac", "clean_text"))
+    // empty BATCH: the fold is exactly the standing dedup; empty
+    // STANDING: the fold is exactly a fresh batch dedup (bootstrap)
+    val some = Seq((1L, 1L, "x y"), (2L, 1L, "x y")).toDF("doc_id", "pos", "line")
+    def got(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got(Dedup.dedupLinesIncremental(some, noLines, "doc_id", "pos", "line")) ==
+      got(Dedup.dedupLines(some, "doc_id", "pos", "line")))
+    assert(got(Dedup.dedupLinesIncremental(noLines, some, "doc_id", "pos", "line")) ==
+      got(Dedup.dedupLines(some, "doc_id", "pos", "line")))
+    // classifier: empty corpus trains an empty weight table and scores
+    // nothing — empty, correctly-schemed frames, no throw
+    val feats = Classify.hashedTokenFeatures(noDocs, "doc_id", "text", 64)
+    assert(feats.isEmpty && feats.columns.toSeq == Seq("doc_id", "b", "n"))
+    val w = Classify.nbWeights(
+      Classify.hashedTokenFeatures(noDocs, "doc_id", "text", 64,
+        carry = Seq("source")), col("source") === "pos", 64)
+    assert(w.isEmpty && w.columns.toSeq == Seq("b", "w9"))
+    assert(Classify.nbScore(feats, w, "doc_id").isEmpty)
+    // repetition battery over no docs / no lines
+    assert(Text.repetitionStats(noDocs, noLines, "doc_id", "text").isEmpty)
+  }
 }

@@ -472,4 +472,30 @@ class SelectionSpec extends SparkSuite {
     assert(scored(10L)._1.compareTo(expect) == 0,
       s"score must be the exact decimal sum: ${scored(10L)._1} vs $expect")
   }
+
+  test("classifier maintenance: folded class counts reproduce the one-shot " +
+      "weight table bit for bit (maintenance == rebuild), on the fixture") {
+    import graft.ops.Classify
+    val B = 256
+    val docs = graft.Tables.documents(spark, sfDir())
+    val isTgt = col("source").isin("src0", "src1")
+    def feats(part: org.apache.spark.sql.DataFrame) =
+      Classify.hashedTokenFeatures(part, "doc_id", "text", B,
+        carry = Seq("source"))
+    def wmap(w: org.apache.spark.sql.DataFrame) =
+      w.collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val oneShot = wmap(Classify.nbWeights(feats(docs), isTgt, B))
+    val folded = Classify.classCounts(
+        feats(docs.filter(col("doc_id") % 10 =!= 3)), isTgt)
+      .unionByName(Classify.classCounts(
+        feats(docs.filter(col("doc_id") % 10 === 3)), isTgt))
+      .groupBy("b")
+      .agg(sum("cpos").as("cpos"), sum("cneg").as("cneg"))
+    val maintained = wmap(Classify.nbWeightsFromCounts(folded, B))
+    assert(maintained.keySet == oneShot.keySet)
+    oneShot.foreach { case (b, w) =>
+      assert(maintained(b).compareTo(w) == 0,
+        s"bucket $b drifted under the fold: ${maintained(b)} vs $w")
+    }
+  }
 }
