@@ -3810,6 +3810,215 @@ object CurationQueries {
       val docs = Tables.documents(spark, dir)
       Text.repetitionStats(docs, tokenChunkLines(docs, 10),
         "doc_id", "text")
+    },
+
+    // ---- FILTERING-FUNNEL AUDIT (L294 — the per-stage attrition
+    // table every published pipeline REPORTS: FineWeb's filtering
+    // funnel, CCNet §3's pipeline order, RefinedWeb Table 2): the
+    // round's gates COMPOSED in the canonical order — Gopher
+    // heuristics (q169) → within-doc repetition battery (q311) →
+    // corpus-wide exact dedup, first occurrence among survivors (q22's
+    // rule) → quality classifier (q309/q312; curated target sources
+    // bypass the gate trained on themselves) — emitting one row per
+    // stage with n_in/n_kept/n_removed/keep_rate. Each stage verdict
+    // comes from the REGISTERED operator's own code (gopherSignals,
+    // repetitionStats, exactDupTag, Classify), so the funnel is an
+    // integration proof, not a re-implementation. Exactness: pure
+    // counts + integer-space rates (n_in = 0 presents rate 1.0 — an
+    // empty stage drops nothing). Scale: the stages' own linear plans
+    // + one 4-row aggregate; nothing new shuffles.
+    Q(
+      "q313_curation_funnel", {
+        val tgt = Seq("src0", "src1").map(s => s"'$s'").mkString(", ")
+        val B = 256
+        val stops = Text.StopWords.head._2.map(w => s"'$w'").mkString(",")
+        s"""WITH toks AS (
+           |  SELECT doc_id, source, text, $toksSql AS t FROM documents),
+           |gop AS (
+           |  SELECT doc_id,
+           |    (n >= 20 AND n <= 100000 AND n > 0
+           |     AND sum_len >= n * 3 AND sum_len <= n * 10
+           |     AND symbols * 10 <= n AND alpha * 10 >= n * 8
+           |     AND stop_hits >= 2) AS k1
+           |  FROM (
+           |    SELECT doc_id,
+           |      CAST(len(t) AS BIGINT) AS n,
+           |      ${LlmQueries.foldSumSql(
+                    "list_transform(t, w -> CAST(length(w) AS BIGINT))",
+                    "CAST(0 AS BIGINT)")} AS sum_len,
+           |      CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+           |        AS BIGINT) AS alpha,
+           |      CAST(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+           |        AS BIGINT) AS symbols,
+           |      CAST(len(list_filter(t, w -> w IN ($stops))) AS BIGINT)
+           |        AS stop_hits
+           |    FROM toks)),
+           |lines AS (
+           |  SELECT doc_id, CAST(k + 1 AS BIGINT) AS pos,
+           |    array_to_string(t[(k*10+1):(k*10+10)], ' ') AS line
+           |  FROM toks, unnest(range(0, (len(t) + 9) // 10)) u(k)),
+           |ld AS (
+           |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+           |    CAST(sum(c - 1) AS BIGINT) AS n_dup,
+           |    CAST(sum((c - 1) * lchars) AS BIGINT) AS dupchars
+           |  FROM (
+           |    SELECT doc_id, line, CAST(count(*) AS BIGINT) AS c,
+           |      CAST(length(replace(line, ' ', '')) AS BIGINT) AS lchars
+           |    FROM lines GROUP BY 1, 2) GROUP BY 1),
+           |tlp AS (
+           |  SELECT doc_id, i AS p, CAST(length(t[i]) AS BIGINT) AS plen,
+           |    CASE WHEN i + 1 <= len(t) THEN
+           |      CAST(concat('0x', substr(md5(
+           |        array_to_string(t[i:i+1], ' ')),1,8)) AS BIGINT)
+           |        % 2147483647 END AS h2,
+           |    CASE WHEN i + 1 <= len(t) THEN
+           |      CAST(length(t[i]) + length(t[i+1]) AS BIGINT) END AS gmass,
+           |    CASE WHEN i + 4 <= len(t) THEN
+           |      CAST(concat('0x', substr(md5(
+           |        array_to_string(t[i:i+4], ' ')),1,8)) AS BIGINT)
+           |        % 2147483647 END AS h5
+           |  FROM toks, unnest(CASE WHEN len(t) = 0 THEN []
+           |    ELSE range(1, len(t)+1) END) u(i)),
+           |pc AS (
+           |  SELECT doc_id, CAST(sum(plen) AS BIGINT) AS totchars,
+           |    CAST(coalesce(sum(plen) FILTER (WHERE cvr = 1), 0) AS BIGINT)
+           |      AS dup5chars,
+           |    max(k2) AS k2
+           |  FROM (
+           |    SELECT doc_id, p, plen,
+           |      CASE WHEN h2 IS NOT NULL
+           |        THEN c2 * 1099511627776 + c2 * gmass END AS k2,
+           |      max(CASE WHEN h5 IS NOT NULL AND c5 >= 2 THEN 1 ELSE 0 END)
+           |        OVER (PARTITION BY doc_id ORDER BY p
+           |          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS cvr
+           |    FROM (
+           |      SELECT doc_id, p, plen, h2, gmass, h5,
+           |        count(*) OVER (PARTITION BY doc_id, h2) AS c2,
+           |        count(*) OVER (PARTITION BY doc_id, h5) AS c5
+           |      FROM tlp) w0) f0 GROUP BY 1),
+           |rep AS (
+           |  SELECT pc.doc_id,
+           |    (n_dup * 10 <= n_lines * 3 AND dupchars * 5 <= totchars
+           |     AND coalesce(k2 % 1099511627776, 0) * 5 <= totchars
+           |     AND dup5chars * 20 <= totchars * 3) AS k2
+           |  FROM pc JOIN ld USING (doc_id)),
+           |thc AS (
+           |  SELECT doc_id, source,
+           |    list_transform(t,
+           |      x -> CAST(concat('0x', substr(md5(x),1,8)) AS BIGINT)) AS th
+           |  FROM toks WHERE len(t) > 0),
+           |tb AS (
+           |  SELECT doc_id, source, u.h % $B AS b
+           |  FROM thc, unnest(thc.th) AS u(h)),
+           |bc AS (
+           |  SELECT b,
+           |    CAST(count(*) FILTER (WHERE source IN ($tgt)) AS BIGINT)
+           |      AS cpos,
+           |    CAST(count(*) FILTER (WHERE source NOT IN ($tgt)) AS BIGINT)
+           |      AS cneg
+           |  FROM tb GROUP BY 1),
+           |nbt AS (SELECT CAST(sum(cpos) AS BIGINT) AS npos,
+           |    CAST(sum(cneg) AS BIGINT) AS nneg FROM bc),
+           |nbw AS (SELECT b,
+           |    CAST(round(ln(((cpos + 1.0) * (nneg + $B)) /
+           |      ((cneg + 1.0) * (npos + $B))), 9) AS DECIMAL(13,9)) AS w9
+           |  FROM bc, nbt),
+           |sc AS (SELECT d.doc_id,
+           |    sum(CAST(d.n AS DECIMAL(10,0)) * nbw.w9) AS s
+           |  FROM (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n
+           |        FROM tb GROUP BY 1, 2) d
+           |  JOIN nbw USING (b) GROUP BY 1),
+           |v AS (
+           |  SELECT tk.doc_id,
+           |    coalesce(g.k1, FALSE) AS f1,
+           |    coalesce(g.k1, FALSE) AND coalesce(r.k2, FALSE) AS f2,
+           |    tk.source IN ($tgt) OR coalesce(c.s > 0, FALSE) AS kcls,
+           |    md5(tk.text) AS h
+           |  FROM toks tk
+           |  LEFT JOIN gop g USING (doc_id)
+           |  LEFT JOIN rep r USING (doc_id)
+           |  LEFT JOIN sc c USING (doc_id)),
+           |v3 AS (
+           |  SELECT doc_id, f1, f2, kcls,
+           |    f2 AND row_number() OVER (PARTITION BY h,
+           |      CASE WHEN f2 THEN 1 ELSE 0 END ORDER BY doc_id) = 1 AS f3
+           |  FROM v),
+           |ag AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n0,
+           |    CAST(count(*) FILTER (WHERE f1) AS BIGINT) AS n1,
+           |    CAST(count(*) FILTER (WHERE f2) AS BIGINT) AS n2,
+           |    CAST(count(*) FILTER (WHERE f3) AS BIGINT) AS n3,
+           |    CAST(count(*) FILTER (WHERE f3 AND kcls) AS BIGINT) AS n4
+           |  FROM v3),
+           |st AS (
+           |  SELECT 1 AS stage, 'gopher_gates' AS stage_name,
+           |    n0 AS n_in, n1 AS n_kept FROM ag
+           |  UNION ALL SELECT 2, 'repetition_gates', n1, n2 FROM ag
+           |  UNION ALL SELECT 3, 'exact_dedup', n2, n3 FROM ag
+           |  UNION ALL SELECT 4, 'quality_classifier', n3, n4 FROM ag)
+           |SELECT CAST(stage AS BIGINT) AS stage, stage_name, n_in, n_kept,
+           |  n_in - n_kept AS n_removed,
+           |  CASE WHEN n_in = 0 THEN 1.0 ELSE
+           |    CAST((2 * n_kept * 1000000 + n_in) // (2 * n_in) AS DOUBLE)
+           |      / 1000000 END AS keep_rate
+           |FROM st""".stripMargin
+      }) { (spark, dir) =>
+      import graft.functions.ExactRound
+      import graft.ops.Classify
+      val B = 256
+      val tgt = Seq("src0", "src1")
+      val docs = Tables.documents(spark, dir)
+      val gop = docs.select(col("doc_id"),
+        Text.gopherSignals(col("text")).last.as("k1"))
+      val rep = Text.repetitionStats(docs, tokenChunkLines(docs, 10),
+          "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("k2"))
+      val feats = Classify.hashedTokenFeatures(docs, "doc_id", "text", B,
+        carry = Seq("source")).cache() // trains the gate AND scores it
+      val w = Classify.nbWeights(feats, col("source").isin(tgt: _*), B)
+      val cls = Classify.nbScore(
+        feats.drop("source"), w, "doc_id")
+        .select(col("doc_id"), col("keep_cls"))
+      val v = docs
+        .join(gop, Seq("doc_id"), "left")
+        .join(rep, Seq("doc_id"), "left")
+        .join(cls, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("k1"), lit(false)).as("f1"),
+          (coalesce(col("k1"), lit(false)) &&
+            coalesce(col("k2"), lit(false))).as("f2"),
+          (col("source").isin(tgt: _*) ||
+            coalesce(col("keep_cls"), lit(false))).as("kcls"),
+          md5(col("text")).as("h"))
+      // exact dedup AMONG stage-2 survivors: first occurrence by id
+      // (q22's exactDupTag rule applied to the filtered population —
+      // the dup-group window is bucketed by the survivor flag so the
+      // dropped docs never steal first-occurrence ownership)
+      val v3 = v.withColumn("f3", col("f2") &&
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("h"), when(col("f2"), 1).otherwise(0))
+            .orderBy(col("doc_id"))) === 1)
+      val ag = v3.agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("f1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("f2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("f3"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("f3") && col("kcls"), 1L).otherwise(0L)).as("n4"))
+        .localCheckpoint() // singleton; four stage rows read it
+      feats.unpersist()
+      def stage(i: Int, name: String, nIn: String, nKept: String) =
+        ag.select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
+          col(nIn).as("n_in"), col(nKept).as("n_kept"))
+      stage(1, "gopher_gates", "n0", "n1")
+        .unionByName(stage(2, "repetition_gates", "n1", "n2"))
+        .unionByName(stage(3, "exact_dedup", "n2", "n3"))
+        .unionByName(stage(4, "quality_classifier", "n3", "n4"))
+        .select(col("stage"), col("stage_name"), col("n_in"), col("n_kept"),
+          (col("n_in") - col("n_kept")).as("n_removed"),
+          when(col("n_in") === 0, lit(1.0d)).otherwise(
+            ExactRound.roundRatio(col("n_kept"), col("n_in"), 6)
+              .cast("double")).as("keep_rate"))
     })
 
   /** The fixture line splitter shared by q308/q310: non-overlapping

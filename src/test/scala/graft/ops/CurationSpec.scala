@@ -116,4 +116,25 @@ class CurationSpec extends SparkSuite {
       .head().getSeq[String](0)
     assert(cands == Seq("a", "b"))
   }
+
+  test("curation funnel (q313): stages CHAIN — each stage's intake is the " +
+      "previous stage's survivors — counts are monotone, the population " +
+      "is the whole corpus, and removed/rate columns replay from counts") {
+    val rows = graft.SparkEntry.queries("q313_curation_funnel")(
+      spark, sfDir()).orderBy("stage").collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getString(1)).toSeq == Seq("gopher_gates",
+      "repetition_gates", "exact_dedup", "quality_classifier"))
+    assert(rows(0).getLong(2) ==
+      graft.Tables.documents(spark, sfDir()).count(),
+      "stage 1 must take the WHOLE corpus as intake")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) == a.getLong(3),
+        s"stage ${b.getLong(0)} intake must equal stage ${a.getLong(0)} survivors")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "a stage can never add docs")
+      assert(r.getLong(4) == r.getLong(2) - r.getLong(3))
+    }
+  }
 }
