@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
   *     `SPARK_GRAFT_BENCH_EXTRA` (default 1) additional samples — cheap
   *     queries are the ones a transient spike distorts the most, and the
   *     extra samples cost almost nothing; a `SPARK_GRAFT_BENCH_BUDGET_SEC`
-  *     (default 1200) wall-clock budget stops passes ≥ 2 early so the
+  *     (default 1560) wall-clock budget stops passes ≥ 2 early so the
   *     driver's outer kill timer is never the thing that ends a sweep
   *     (round 15's rc=124 lesson — a kill mid-pass leaves −1 sentinels,
   *     a budget stop leaves every query with ≥ 1 honest sample); budget
@@ -110,11 +110,12 @@ object Bench {
       names.map(n => n -> Vector.empty[Double]): _*)
     var budgetHit = false
     // descending observed-min order; failed-so-far queries (no valid
-    // sample) rank last — re-timing a crash buys nothing. Name is the
-    // deterministic tie-break.
+    // sample) rank STRICTLY last — +∞ as the negated sort key, below
+    // any real cost, so a crashed query is never re-timed ahead of a
+    // healthy sub-second one. Name is the deterministic tie-break.
     def slowestFirst(ns: Seq[String]): Seq[String] = ns.sortBy { n =>
       val ok = samples(n).filter(_ >= 0)
-      (-(if (ok.nonEmpty) ok.min else 0.0), n)
+      (if (ok.nonEmpty) -ok.min else Double.PositiveInfinity, n)
     }
     names.foreach(n => samples(n) = samples(n) :+ run(n)) // pass 1: unguarded
     var p = 2

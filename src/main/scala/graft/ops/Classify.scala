@@ -66,16 +66,30 @@ object Classify {
     * NB. ONE formula implementation serves both the one-shot
     * ([[nbWeights]]) and incremental (fold [[classCounts]], then this)
     * paths, so the training closed form cannot drift between them.
-    * Buckets no token ever hashes to are absent from the table — they
-    * are also absent from every document, so they can never contribute
-    * to a score. */
+    * The table is DENSE — exactly `buckets` rows: counts are
+    * left-joined onto the full 0..buckets−1 grid before the formula,
+    * so a bucket no TRAINING token ever hashed to still carries its
+    * Laplace-smoothed default weight ln((Nneg+V)∕(Npos+V)) (cpos =
+    * cneg = 0). That makes [[nbScore]]'s feature→weight join complete
+    * for ANY scored document, including out-of-training docs whose
+    * buckets never occurred in the training corpus. */
   def nbWeightsFromCounts(counts: DataFrame, buckets: Int): DataFrame = {
     val tot = counts.agg(sum("cpos").as("npos"), sum("cneg").as("nneg"))
-    counts.crossJoin(broadcast(tot))
+    val grid = counts.sparkSession.range(buckets.toLong)
+      .select(col("id").as("b"))
+    grid.join(counts, Seq("b"), "left")
+      .na.fill(0L, Seq("cpos", "cneg"))
+      .crossJoin(broadcast(tot))
       .withColumn("w9", round(log(
         ((col("cpos") + lit(1.0d)) * (col("nneg") + lit(buckets.toLong))) /
         ((col("cneg") + lit(1.0d)) * (col("npos") + lit(buckets.toLong)))), 9)
         .cast(DecimalType(13, 9)))
+      // an EMPTY training corpus has null totals → null weights on every
+      // grid row; drop them so an untrained model is an empty table that
+      // scores nothing (EmptyInputSpec), not a table of nulls that
+      // scores everything to null. With ≥ 1 training row every grid
+      // weight is non-null, so this filter never fires on a real model.
+      .filter(col("w9").isNotNull)
       .select("b", "w9")
   }
 
@@ -88,7 +102,12 @@ object Classify {
     * > 0, the likelihood-ratio-1 threshold (class-prior calibration is
     * a deployment knob, deliberately not part of the closed form —
     * published quality classifiers tune the operating point against a
-    * downstream eval, not the training prior). */
+    * downstream eval, not the training prior). The join is an inner
+    * equi-join but LOSES nothing: [[nbWeightsFromCounts]] weight
+    * tables are dense over the full bucket grid, so every feature row
+    * of every document — in or out of the training corpus — finds its
+    * weight (unseen-in-training buckets contribute the smoothed
+    * default, and n_tokens counts every token). */
   def nbScore(feats: DataFrame, weights: DataFrame, idCol: String,
       carry: Seq[String] = Nil): DataFrame =
     feats.join(broadcast(weights), "b")
@@ -96,4 +115,55 @@ object Classify {
       .agg(sum("n").as("n_tokens"),
         sum(col("n").cast(DecimalType(10, 0)) * col("w9")).as("score"))
       .withColumn("keep_cls", col("score") > 0)
+
+  /** K-class sufficient statistics: per-(bucket, class) token counts
+    * from labeled features — the multi-class twin of [[classCounts]],
+    * same abelian property (counts from independent corpus parts or
+    * arriving batches fold by plain addition). `labelCol` rides on the
+    * feature frame (a `carry` of [[hashedTokenFeatures]]). */
+  def classCountsK(feats: DataFrame, labelCol: String): DataFrame =
+    feats.groupBy(col("b"), col(labelCol).as("cls"))
+      .agg(sum("n").as("c"))
+
+  /** Dense per-class weight table from k-class counts: for EVERY
+    * (bucket, class) cell of the |classes|×`buckets` grid, w9 =
+    * round(ln((c + 1) ∕ (N_cls + V)), 9) — Laplace-smoothed
+    * multinomial NB log-likelihood on the shared 9-dp DECIMAL grid
+    * (uniform class prior: the prior is a deployment knob exactly as
+    * in [[nbScore]]'s threshold, and published LID models are priced
+    * on likelihood argmax). Dense for the same reason as
+    * [[nbWeightsFromCounts]]: an out-of-training doc's buckets must
+    * still contribute each class's smoothed floor, or short docs lose
+    * their verdicts. The table is |classes|·`buckets` rows — broadcast
+    * at any corpus size. */
+  def nbWeightsK(counts: DataFrame, buckets: Int): DataFrame = {
+    val classes = counts.select("cls").distinct()
+    val grid = counts.sparkSession.range(buckets.toLong)
+      .select(col("id").as("b")).crossJoin(classes)
+    val tot = counts.groupBy("cls").agg(sum("c").as("nl"))
+    grid.join(counts, Seq("b", "cls"), "left")
+      .na.fill(0L, Seq("c"))
+      .join(broadcast(tot), "cls")
+      .withColumn("w9", round(log(
+        (col("c") + lit(1.0d)) / (col("nl") + lit(buckets.toLong))), 9)
+        .cast(DecimalType(13, 9)))
+      .select("b", "cls", "w9")
+  }
+
+  /** Per-doc argmax-class verdict: score_cls = Σ_b n·w9 (exact DECIMAL
+    * sums — partial-agg order can never move a doc across a class
+    * boundary), pred = the class with the highest score, ties broken
+    * to the lexicographically LARGER class label (the struct-max
+    * order — deterministic, engine-replayable, no engine argmax
+    * policy). Scoring = one broadcast join + two hash aggregates keyed
+    * on (doc, class) then (doc) — linear, the k-class twin of
+    * [[nbScore]]. */
+  def nbClassify(feats: DataFrame, weights: DataFrame, idCol: String)
+      : DataFrame =
+    feats.join(broadcast(weights), "b")
+      .groupBy(col(idCol), col("cls"))
+      .agg(sum(col("n").cast(DecimalType(10, 0)) * col("w9")).as("score"))
+      .groupBy(idCol)
+      .agg(max(struct(col("score"), col("cls"))).as("_m"))
+      .select(col(idCol), col("_m.cls").as("pred"))
 }

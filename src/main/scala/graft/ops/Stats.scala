@@ -68,16 +68,19 @@ object Stats {
     * product — pure integers into one signed half-away divide. A
     * degenerate pair of single-class gates (n² == pe, e.g. both gates
     * pass everything) is defined as κ = 1: gates that cannot disagree
-    * agree perfectly. Returns one row: the 2×2 contingency counts,
-    * observed agreement, κ. */
+    * agree perfectly — and an EMPTY population (n = 0, e.g. every doc
+    * upstream-filtered) likewise presents agreement = κ = 1.0 rather
+    * than dividing by zero (the q302/q304 degenerate-fixture guard
+    * class). Returns one row: the 2×2 contingency counts, observed
+    * agreement, κ. */
   def cohensKappa(g: DataFrame, gaCol: String, gbCol: String): DataFrame = {
     val ga = col(gaCol)
     val gb = col(gbCol)
     val c = g.agg(
-      sum(ga * gb).cast(I).as("a"),
-      sum(ga * (lit(1L) - gb)).cast(I).as("b"),
-      sum((lit(1L) - ga) * gb).cast(I).as("c"),
-      sum((lit(1L) - ga) * (lit(1L) - gb)).cast(I).as("d"),
+      coalesce(sum(ga * gb), lit(0L)).cast(I).as("a"),
+      coalesce(sum(ga * (lit(1L) - gb)), lit(0L)).cast(I).as("b"),
+      coalesce(sum((lit(1L) - ga) * gb), lit(0L)).cast(I).as("c"),
+      coalesce(sum((lit(1L) - ga) * (lit(1L) - gb)), lit(0L)).cast(I).as("d"),
       count(lit(1)).cast(I).as("n"))
     val k = c
       .withColumn("pe", (col("a") + col("b")) * (col("a") + col("c")) +
@@ -89,14 +92,53 @@ object Stats {
       col("b").cast("long").as("n_a_only"),
       col("c").cast("long").as("n_b_only"),
       col("d").cast("long").as("n_neither"),
-      ExactRound.roundRatio(col("a") + col("d"), col("n"), 6)
-        .cast("double").as("observed_agreement"),
+      when(col("n") === 0, lit(1.0)).otherwise(
+        ExactRound.roundRatio(col("a") + col("d"), col("n"), 6)
+          .cast("double")).as("observed_agreement"),
       when(col("den") === 0, lit(1.0)).otherwise(
         when(col("po") - col("pe") >= 0,
           ExactRound.roundRatio(col("po") - col("pe"), col("den"), 6))
           .otherwise(-ExactRound.roundRatio(col("pe") - col("po"),
             col("den"), 6))
           .cast("double")).as("kappa"))
+  }
+
+  /** Multi-class Cohen's κ between two categorical label columns
+    * (q315 — the k-class generalization of [[cohensKappa]], the
+    * agreement measure published LID comparisons report): po =
+    * Σ_k n_kk (diagonal mass), pe = Σ_k rowtot_k·coltot_k (chance
+    * cross product), κ = (n·po − pe)∕(n² − pe) — pure DECIMAL(38,0)
+    * integers into the signed half-away divide. Degenerate cases are
+    * κ = 1 exactly as in the binary kernel: n² == pe (both labelings
+    * constant — they cannot disagree) and n == 0 (nothing to
+    * disagree on). The contingency table is |classes|² rows — grid
+    * math, one corpus aggregate. One row: n, observed agreement, κ. */
+  def cohensKappaMulti(g: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val c = g.groupBy(col(aCol).as("ka"), col(bCol).as("kb"))
+      .agg(count(lit(1)).cast(I).as("m"))
+      .localCheckpoint() // |classes|² grid; margins + diagonal read it
+    val diag = c.agg(
+      coalesce(sum(when(col("ka") === col("kb"), col("m"))
+        .otherwise(lit(0).cast(I))), lit(0).cast(I)).as("po"),
+      coalesce(sum(col("m")), lit(0).cast(I)).as("n"))
+    val ra = c.groupBy("ka").agg(sum("m").as("ra"))
+    val cb = c.groupBy("kb").agg(sum("m").as("cb"))
+    val pe = ra.join(cb, col("ka") === col("kb"))
+      .agg(coalesce(sum(col("ra") * col("cb")), lit(0).cast(I)).as("pe"))
+    diag.crossJoin(pe)
+      .withColumn("den", col("n") * col("n") - col("pe"))
+      .withColumn("num", col("n") * col("po") - col("pe"))
+      .select(
+        col("n").cast("long").as("n"),
+        when(col("n") === 0, lit(1.0)).otherwise(
+          ExactRound.roundRatio(col("po"), col("n"), 6)
+            .cast("double")).as("observed_agreement"),
+        when(col("den") === 0, lit(1.0)).otherwise(
+          when(col("num") >= 0,
+            ExactRound.roundRatio(col("num"), col("den"), 6))
+            .otherwise(-ExactRound.roundRatio(-col("num"), col("den"), 6))
+            .cast("double")).as("kappa"))
   }
 
   /** Kendall's τ between two DISTINCT integer rankings of the same

@@ -216,11 +216,17 @@ object Text {
       .filter(size(col("t")) > 0)
     // duplicate-line stats: all occurrences beyond each value's first
     // (line rows are token-count/10 — the one place a string key is
-    // fine; char mass = token chars, separators excluded)
+    // fine). lchars uses the SAME character-mass alphabet as totchars
+    // — the [a-z0-9] token chars of the lowered line — so the
+    // dup_line_char_frac numerator and denominator count identical
+    // masses for ANY line content (a real newline split carries
+    // punctuation/uppercase the tokenizer strips; stripping only
+    // spaces here would let the fraction exceed 1).
     val lg = lines.groupBy(col(idCol), col("line"))
       .agg(count(lit(1)).as("c"))
       .withColumn("lchars",
-        length(regexp_replace(col("line"), " ", "")).cast("long"))
+        length(regexp_replace(lower(col("line")), "[^a-z0-9]", ""))
+          .cast("long"))
     val ld = lg.groupBy(idCol).agg(
       sum("c").as("n_lines"),
       sum(col("c") - 1).as("n_dup"),

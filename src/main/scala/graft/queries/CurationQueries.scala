@@ -2774,8 +2774,9 @@ object CurationQueries {
            |  FROM c)
            |SELECT CAST(a AS BIGINT) AS n_both, CAST(b AS BIGINT) AS n_a_only,
            |  CAST(c AS BIGINT) AS n_b_only, CAST(d AS BIGINT) AS n_neither,
-           |  CAST((2 * (a + d) * 1000000 + n) // (2 * n) AS DOUBLE) / 1000000
-           |    AS observed_agreement,
+           |  CASE WHEN n = 0 THEN 1.0 ELSE
+           |    CAST((2 * (a + d) * 1000000 + n) // (2 * n) AS DOUBLE)
+           |      / 1000000 END AS observed_agreement,
            |  CASE WHEN n * n - pe = 0 THEN 1.0 ELSE
            |    CAST(CASE WHEN po - pe >= 0
            |      THEN (2 * (po - pe) * 1000000 + (n * n - pe))
@@ -3750,7 +3751,8 @@ object CurationQueries {
          |  FROM toks, unnest(range(0, (len(t) + 9) // 10)) u(k)),
          |lg AS (
          |  SELECT doc_id, line, CAST(count(*) AS BIGINT) AS c,
-         |    CAST(length(replace(line, ' ', '')) AS BIGINT) AS lchars
+         |    CAST(length(regexp_replace(lower(line), '[^a-z0-9]', '', 'g'))
+         |      AS BIGINT) AS lchars
          |  FROM lines GROUP BY 1, 2),
          |ld AS (
          |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
@@ -3815,25 +3817,57 @@ object CurationQueries {
     // ---- FILTERING-FUNNEL AUDIT (L294 — the per-stage attrition
     // table every published pipeline REPORTS: FineWeb's filtering
     // funnel, CCNet §3's pipeline order, RefinedWeb Table 2): the
-    // round's gates COMPOSED in the canonical order — Gopher
-    // heuristics (q169) → within-doc repetition battery (q311) →
-    // corpus-wide exact dedup, first occurrence among survivors (q22's
-    // rule) → quality classifier (q309/q312; curated target sources
-    // bypass the gate trained on themselves) — emitting one row per
+    // shipped curation gates COMPOSED in the canonical order —
+    // URL/domain filtering (q314's L295 rule gate, stage 0 of every
+    // published CommonCrawl pipeline) → Gopher heuristics (q169) →
+    // within-doc repetition battery (q311) → corpus-wide line dedup
+    // over the survivors (q308's ownership rule; docs retaining under
+    // 20% of their lines are dropped — the CCNet/RefinedWeb
+    // too-short-after-cleaning rule) → exact dedup of the REWRITTEN
+    // text, first occurrence among survivors (q22's rule) → benchmark
+    // decontamination (q89's 3-gram overlap against the held-out
+    // %97 slice) → quality classifier (q309/q312; curated target
+    // sources bypass the gate trained on themselves) — one row per
     // stage with n_in/n_kept/n_removed/keep_rate. Each stage verdict
-    // comes from the REGISTERED operator's own code (gopherSignals,
-    // repetitionStats, exactDupTag, Classify), so the funnel is an
+    // comes from the REGISTERED operator's own code (UrlFilter.gate,
+    // gopherSignals, repetitionStats, Dedup.dedupLines, exactDupTag's
+    // rule, Dedup.contamination, Classify), so the funnel is an
     // integration proof, not a re-implementation. Exactness: pure
     // counts + integer-space rates (n_in = 0 presents rate 1.0 — an
     // empty stage drops nothing). Scale: the stages' own linear plans
-    // + one 4-row aggregate; nothing new shuffles.
+    // + one 7-row aggregate; the only population-dependent stages
+    // (line/exact dedup) key their ownership on md5 hashes bucketed by
+    // the survivor flag, so dropped docs never steal ownership and no
+    // text ever shuffles.
     Q(
       "q313_curation_funnel", {
         val tgt = Seq("src0", "src1").map(s => s"'$s'").mkString(", ")
         val B = 256
         val stops = Text.StopWords.head._2.map(w => s"'$w'").mkString(",")
-        s"""WITH toks AS (
-           |  SELECT doc_id, source, text, $toksSql AS t FROM documents),
+        s"""WITH raw AS (
+           |  SELECT doc_id, source, text, $toksSql AS t,
+           |    concat('https://',
+           |      CASE WHEN doc_id % 37 = 0
+           |        THEN concat(source, '.ads.example.net')
+           |        ELSE concat(source, '-', CAST(doc_id % 41 AS VARCHAR),
+           |          '.example.com') END,
+           |      CASE WHEN doc_id % 29 = 0 THEN '/tracker/click'
+           |        ELSE '/page/' END,
+           |      CAST(doc_id AS VARCHAR)) AS url
+           |  FROM documents),
+           |toks AS (
+           |  SELECT raw.*,
+           |    regexp_replace(lower(regexp_extract(url,
+           |      '^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)),
+           |      '^www\\.', '') AS domain
+           |  FROM raw),
+           |urlg AS (
+           |  SELECT doc_id,
+           |    NOT (domain IN ('src0-7.example.com',
+           |        'src3-13.example.com', 'src8-0.example.com')
+           |      OR ends_with(domain, '.ads.example.net')
+           |      OR regexp_matches(url, '/tracker/')) AS k0
+           |  FROM toks),
            |gop AS (
            |  SELECT doc_id,
            |    (n >= 20 AND n <= 100000 AND n > 0
@@ -3863,7 +3897,8 @@ object CurationQueries {
            |    CAST(sum((c - 1) * lchars) AS BIGINT) AS dupchars
            |  FROM (
            |    SELECT doc_id, line, CAST(count(*) AS BIGINT) AS c,
-           |      CAST(length(replace(line, ' ', '')) AS BIGINT) AS lchars
+           |      CAST(length(regexp_replace(lower(line), '[^a-z0-9]', '',
+           |        'g')) AS BIGINT) AS lchars
            |    FROM lines GROUP BY 1, 2) GROUP BY 1),
            |tlp AS (
            |  SELECT doc_id, i AS p, CAST(length(t[i]) AS BIGINT) AS plen,
@@ -3902,6 +3937,27 @@ object CurationQueries {
            |     AND coalesce(k2 % 1099511627776, 0) * 5 <= totchars
            |     AND dup5chars * 20 <= totchars * 3) AS k2
            |  FROM pc JOIN ld USING (doc_id)),
+           |fl AS (
+           |  SELECT tk.doc_id, tk.source, tk.text,
+           |    coalesce(ug.k0, FALSE) AS f1,
+           |    coalesce(ug.k0, FALSE) AND coalesce(g.k1, FALSE) AS f2,
+           |    coalesce(ug.k0, FALSE) AND coalesce(g.k1, FALSE)
+           |      AND coalesce(r.k2, FALSE) AS f3
+           |  FROM toks tk
+           |  LEFT JOIN urlg ug USING (doc_id)
+           |  LEFT JOIN gop g USING (doc_id)
+           |  LEFT JOIN rep r USING (doc_id)),
+           |own AS (
+           |  SELECT l.doc_id, l.pos, l.line,
+           |    row_number() OVER (PARTITION BY md5(l.line)
+           |      ORDER BY l.doc_id, l.pos) = 1 AS kept
+           |  FROM lines l JOIN fl ON fl.doc_id = l.doc_id AND fl.f3),
+           |ld4 AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+           |    CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+           |    coalesce(string_agg(line, ' ' ORDER BY pos)
+           |      FILTER (WHERE kept), '') AS clean_text
+           |  FROM own GROUP BY 1),
            |thc AS (
            |  SELECT doc_id, source,
            |    list_transform(t,
@@ -3929,33 +3985,56 @@ object CurationQueries {
            |        FROM tb GROUP BY 1, 2) d
            |  JOIN nbw USING (b) GROUP BY 1),
            |v AS (
-           |  SELECT tk.doc_id,
-           |    coalesce(g.k1, FALSE) AS f1,
-           |    coalesce(g.k1, FALSE) AND coalesce(r.k2, FALSE) AS f2,
-           |    tk.source IN ($tgt) OR coalesce(c.s > 0, FALSE) AS kcls,
-           |    md5(tk.text) AS h
-           |  FROM toks tk
-           |  LEFT JOIN gop g USING (doc_id)
-           |  LEFT JOIN rep r USING (doc_id)
+           |  SELECT fl.doc_id, fl.f1, fl.f2, fl.f3,
+           |    fl.f3 AND coalesce(ld4.n_kept * 5 >= ld4.n_lines, FALSE)
+           |      AS f4,
+           |    coalesce(md5(ld4.clean_text), md5(fl.text)) AS h,
+           |    fl.source IN ($tgt) OR coalesce(c.s > 0, FALSE) AS kcls
+           |  FROM fl
+           |  LEFT JOIN ld4 USING (doc_id)
            |  LEFT JOIN sc c USING (doc_id)),
-           |v3 AS (
-           |  SELECT doc_id, f1, f2, kcls,
-           |    f2 AND row_number() OVER (PARTITION BY h,
-           |      CASE WHEN f2 THEN 1 ELSE 0 END ORDER BY doc_id) = 1 AS f3
+           |v5 AS (
+           |  SELECT doc_id, f1, f2, f3, f4, kcls,
+           |    f4 AND row_number() OVER (PARTITION BY h,
+           |      CASE WHEN f4 THEN 1 ELSE 0 END ORDER BY doc_id) = 1 AS f5
            |  FROM v),
+           |sh AS (
+           |  SELECT doc_id, CASE WHEN len(t) < 3 THEN []
+           |    ELSE list_transform(range(1, len(t)-1),
+           |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END AS s
+           |  FROM toks),
+           |ex AS (SELECT doc_id, unnest(s) AS x FROM sh WHERE len(s) > 0),
+           |prs AS (SELECT DISTINCT doc_id,
+           |    CAST(concat('0x', substr(md5(x),1,8)) AS BIGINT)
+           |      % 2147483647 AS hh
+           |  FROM ex),
+           |bench AS (SELECT DISTINCT hh FROM prs WHERE doc_id % 97 = 0),
+           |cont AS (SELECT DISTINCT c.doc_id
+           |  FROM prs c JOIN bench USING (hh)),
+           |v6 AS (
+           |  SELECT v5.doc_id, v5.f1, v5.f2, v5.f3, v5.f4, v5.f5,
+           |    v5.f5 AND cont.doc_id IS NULL AS f6,
+           |    v5.f5 AND cont.doc_id IS NULL AND v5.kcls AS f7
+           |  FROM v5 LEFT JOIN cont USING (doc_id)),
            |ag AS (
            |  SELECT CAST(count(*) AS BIGINT) AS n0,
            |    CAST(count(*) FILTER (WHERE f1) AS BIGINT) AS n1,
            |    CAST(count(*) FILTER (WHERE f2) AS BIGINT) AS n2,
            |    CAST(count(*) FILTER (WHERE f3) AS BIGINT) AS n3,
-           |    CAST(count(*) FILTER (WHERE f3 AND kcls) AS BIGINT) AS n4
-           |  FROM v3),
+           |    CAST(count(*) FILTER (WHERE f4) AS BIGINT) AS n4,
+           |    CAST(count(*) FILTER (WHERE f5) AS BIGINT) AS n5,
+           |    CAST(count(*) FILTER (WHERE f6) AS BIGINT) AS n6,
+           |    CAST(count(*) FILTER (WHERE f7) AS BIGINT) AS n7
+           |  FROM v6),
            |st AS (
-           |  SELECT 1 AS stage, 'gopher_gates' AS stage_name,
+           |  SELECT 1 AS stage, 'url_filter' AS stage_name,
            |    n0 AS n_in, n1 AS n_kept FROM ag
-           |  UNION ALL SELECT 2, 'repetition_gates', n1, n2 FROM ag
-           |  UNION ALL SELECT 3, 'exact_dedup', n2, n3 FROM ag
-           |  UNION ALL SELECT 4, 'quality_classifier', n3, n4 FROM ag)
+           |  UNION ALL SELECT 2, 'gopher_gates', n1, n2 FROM ag
+           |  UNION ALL SELECT 3, 'repetition_gates', n2, n3 FROM ag
+           |  UNION ALL SELECT 4, 'line_dedup', n3, n4 FROM ag
+           |  UNION ALL SELECT 5, 'exact_dedup', n4, n5 FROM ag
+           |  UNION ALL SELECT 6, 'decontamination', n5, n6 FROM ag
+           |  UNION ALL SELECT 7, 'quality_classifier', n6, n7 FROM ag)
            |SELECT CAST(stage AS BIGINT) AS stage, stage_name, n_in, n_kept,
            |  n_in - n_kept AS n_removed,
            |  CASE WHEN n_in = 0 THEN 1.0 ELSE
@@ -3968,6 +4047,22 @@ object CurationQueries {
       val B = 256
       val tgt = Seq("src0", "src1")
       val docs = Tables.documents(spark, dir)
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 37 === 0,
+          concat(col("source"), lit(".ads.example.net")))
+          .otherwise(concat(col("source"), lit("-"),
+            (col("doc_id") % 41).cast("string"), lit(".example.com"))),
+        when(col("doc_id") % 29 === 0, lit("/tracker/click"))
+          .otherwise(lit("/page/")),
+        col("doc_id").cast("string"))
+      val urlRules = Seq(
+        UrlFilter.DomainBlocklist("curated_blocklist", Seq(
+          "src0-7.example.com", "src3-13.example.com",
+          "src8-0.example.com")),
+        UrlFilter.DomainSuffix("ad_domains", Seq(".ads.example.net")),
+        UrlFilter.UrlPattern("tracker_path", "/tracker/"))
+      val ug = UrlFilter.gate(docs.withColumn("url", url), "url", urlRules)
+        .select(col("doc_id"), col("keep_url").as("k0"))
       val gop = docs.select(col("doc_id"),
         Text.gopherSignals(col("text")).last.as("k1"))
       val rep = Text.repetitionStats(docs, tokenChunkLines(docs, 10),
@@ -3979,46 +4074,185 @@ object CurationQueries {
       val cls = Classify.nbScore(
         feats.drop("source"), w, "doc_id")
         .select(col("doc_id"), col("keep_cls"))
-      val v = docs
+      val fl = docs
+        .join(ug, Seq("doc_id"), "left")
         .join(gop, Seq("doc_id"), "left")
         .join(rep, Seq("doc_id"), "left")
         .join(cls, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("k1"), lit(false)).as("f1"),
-          (coalesce(col("k1"), lit(false)) &&
-            coalesce(col("k2"), lit(false))).as("f2"),
+        .select(col("doc_id"), col("text"),
+          coalesce(col("k0"), lit(false)).as("f1"),
+          (coalesce(col("k0"), lit(false)) &&
+            coalesce(col("k1"), lit(false))).as("f2"),
+          (coalesce(col("k0"), lit(false)) &&
+            coalesce(col("k1"), lit(false)) &&
+            coalesce(col("k2"), lit(false))).as("f3"),
           (col("source").isin(tgt: _*) ||
-            coalesce(col("keep_cls"), lit(false))).as("kcls"),
-          md5(col("text")).as("h"))
-      // exact dedup AMONG stage-2 survivors: first occurrence by id
-      // (q22's exactDupTag rule applied to the filtered population —
-      // the dup-group window is bucketed by the survivor flag so the
-      // dropped docs never steal first-occurrence ownership)
-      val v3 = v.withColumn("f3", col("f2") &&
-        org.apache.spark.sql.functions.row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("h"), when(col("f2"), 1).otherwise(0))
-            .orderBy(col("doc_id"))) === 1)
-      val ag = v3.agg(
+            coalesce(col("keep_cls"), lit(false))).as("kcls"))
+      // corpus-wide line dedup among stage-3 survivors (the registered
+      // dedupLines ownership: md5-keyed min-struct aggregate — dropped
+      // docs' lines never steal ownership because they never enter)
+      val lines3 = tokenChunkLines(docs, 10)
+        .join(fl.filter(col("f3")).select("doc_id"), "doc_id")
+      val ld4 = Dedup.dedupLines(lines3, "doc_id", "pos", "line")
+        .select(col("doc_id"), col("n_lines").as("_nl"),
+          col("n_kept").as("_nk"), col("clean_text"))
+      val v = fl.join(ld4, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("f1"), col("f2"), col("f3"), col("kcls"),
+          (col("f3") && coalesce(col("_nk") * 5 >= col("_nl"), lit(false)))
+            .as("f4"),
+          // exact dedup keys on the REWRITTEN text (published funnels
+          // dedup what survives line cleaning); non-survivors fall back
+          // to the raw-text hash inside the f4=false bucket, where
+          // ownership is irrelevant
+          coalesce(md5(col("clean_text")), md5(col("text"))).as("h"))
+      val v5 = v.withColumn("f5", col("f4") && row_number().over(
+        Window.partitionBy(col("h"), when(col("f4"), 1).otherwise(0))
+          .orderBy(col("doc_id"))) === 1)
+      val cont = Dedup.contamination(docs,
+          docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", 3)
+        .select(col("doc_id"), lit(true).as("_cont"))
+      val v6 = v5.join(cont, Seq("doc_id"), "left")
+        .withColumn("f6", col("f5") && col("_cont").isNull)
+        .withColumn("f7", col("f6") && col("kcls"))
+      val ag = v6.agg(
         count(lit(1)).as("n0"),
         sum(when(col("f1"), 1L).otherwise(0L)).as("n1"),
         sum(when(col("f2"), 1L).otherwise(0L)).as("n2"),
         sum(when(col("f3"), 1L).otherwise(0L)).as("n3"),
-        sum(when(col("f3") && col("kcls"), 1L).otherwise(0L)).as("n4"))
-        .localCheckpoint() // singleton; four stage rows read it
+        sum(when(col("f4"), 1L).otherwise(0L)).as("n4"),
+        sum(when(col("f5"), 1L).otherwise(0L)).as("n5"),
+        sum(when(col("f6"), 1L).otherwise(0L)).as("n6"),
+        sum(when(col("f7"), 1L).otherwise(0L)).as("n7"))
+        .localCheckpoint() // singleton; seven stage rows read it
       feats.unpersist()
       def stage(i: Int, name: String, nIn: String, nKept: String) =
         ag.select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
           col(nIn).as("n_in"), col(nKept).as("n_kept"))
-      stage(1, "gopher_gates", "n0", "n1")
-        .unionByName(stage(2, "repetition_gates", "n1", "n2"))
-        .unionByName(stage(3, "exact_dedup", "n2", "n3"))
-        .unionByName(stage(4, "quality_classifier", "n3", "n4"))
+      stage(1, "url_filter", "n0", "n1")
+        .unionByName(stage(2, "gopher_gates", "n1", "n2"))
+        .unionByName(stage(3, "repetition_gates", "n2", "n3"))
+        .unionByName(stage(4, "line_dedup", "n3", "n4"))
+        .unionByName(stage(5, "exact_dedup", "n4", "n5"))
+        .unionByName(stage(6, "decontamination", "n5", "n6"))
+        .unionByName(stage(7, "quality_classifier", "n6", "n7"))
         .select(col("stage"), col("stage_name"), col("n_in"), col("n_kept"),
           (col("n_in") - col("n_kept")).as("n_removed"),
           when(col("n_in") === 0, lit(1.0d)).otherwise(
             ExactRound.roundRatio(col("n_kept"), col("n_in"), 6)
               .cast("double")).as("keep_rate"))
+    },
+
+    // ---- URL/DOMAIN-LEVEL FILTERING + DOMAIN REPUTATION (L295 —
+    // stage 0 of every published CommonCrawl pipeline: RefinedWeb §3.1
+    // opens with URL blocklist filtering, FineWeb inherits it, CCNet
+    // gates per-snapshot before text heuristics): the ops/UrlFilter
+    // rule gate (exact-domain blocklist + domain-suffix ban + URL
+    // pattern — the Quality-ADT discipline, rules as data) over a URL
+    // minted deterministically from fixture columns (documents carries
+    // no URL; same expression both engines — the q22/q90 replant
+    // precedent), PLUS the per-domain reputation table that DECIDES
+    // blocklist candidates: docs, token mass, already-blocked count,
+    // exact-dup rate, Gopher keep rate. Scale: the gate is a pure
+    // scan-level projection (no shuffle); the stats are one dup-hash
+    // join (q22's shape — 32-char md5 keys, never text) + ONE hash
+    // aggregate keyed on the domain; output is |domains| rows —
+    // metadata-sized at any corpus scale.
+    Q(
+      "q314_url_domain_filter", {
+        val stops = Text.StopWords.head._2.map(w => s"'$w'").mkString(",")
+        s"""WITH u AS (
+           |  SELECT doc_id, source, text,
+           |    concat('https://',
+           |      CASE WHEN doc_id % 37 = 0
+           |        THEN concat(source, '.ads.example.net')
+           |        ELSE concat(source, '-', CAST(doc_id % 41 AS VARCHAR),
+           |          '.example.com') END,
+           |      CASE WHEN doc_id % 29 = 0 THEN '/tracker/click'
+           |        ELSE '/page/' END,
+           |      CAST(doc_id AS VARCHAR)) AS url,
+           |    $toksSql AS t
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc_id, text, t, url,
+           |    regexp_replace(lower(regexp_extract(url,
+           |      '^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)),
+           |      '^www\\.', '') AS domain
+           |  FROM u),
+           |gate AS (
+           |  SELECT *, NOT (domain IN ('src0-7.example.com',
+           |      'src3-13.example.com', 'src8-0.example.com')
+           |    OR ends_with(domain, '.ads.example.net')
+           |    OR regexp_matches(url, '/tracker/')) AS keep_url
+           |  FROM g),
+           |dup AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS c
+           |  FROM documents GROUP BY 1),
+           |gop AS (
+           |  SELECT doc_id,
+           |    (n >= 20 AND n <= 100000 AND n > 0
+           |     AND sum_len >= n * 3 AND sum_len <= n * 10
+           |     AND symbols * 10 <= n AND alpha * 10 >= n * 8
+           |     AND stop_hits >= 2) AS k1
+           |  FROM (
+           |    SELECT doc_id,
+           |      CAST(len(t) AS BIGINT) AS n,
+           |      ${LlmQueries.foldSumSql(
+                    "list_transform(t, w -> CAST(length(w) AS BIGINT))",
+                    "CAST(0 AS BIGINT)")} AS sum_len,
+           |      CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+           |        AS BIGINT) AS alpha,
+           |      CAST(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+           |        AS BIGINT) AS symbols,
+           |      CAST(len(list_filter(t, w -> w IN ($stops))) AS BIGINT)
+           |        AS stop_hits
+           |    FROM u)),
+           |p AS (
+           |  SELECT gate.domain,
+           |    CAST(len(gate.t) AS BIGINT) AS ntok,
+           |    NOT gate.keep_url AS blocked,
+           |    dup.c >= 2 AS isdup,
+           |    gop.k1 AS q
+           |  FROM gate
+           |  JOIN dup ON md5(gate.text) = dup.h
+           |  JOIN gop USING (doc_id))
+           |SELECT domain,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+           |  CAST(count(*) FILTER (WHERE blocked) AS BIGINT) AS n_blocked,
+           |  CAST(count(*) FILTER (WHERE isdup) AS BIGINT) AS n_dup,
+           |  CAST((2 * count(*) FILTER (WHERE isdup) * 1000000 + count(*))
+           |    // (2 * count(*)) AS DOUBLE) / 1000000 AS dup_rate,
+           |  CAST((2 * count(*) FILTER (WHERE q) * 1000000 + count(*))
+           |    // (2 * count(*)) AS DOUBLE) / 1000000 AS quality_keep_rate
+           |FROM p GROUP BY 1""".stripMargin
+      }) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 37 === 0,
+          concat(col("source"), lit(".ads.example.net")))
+          .otherwise(concat(col("source"), lit("-"),
+            (col("doc_id") % 41).cast("string"), lit(".example.com"))),
+        when(col("doc_id") % 29 === 0, lit("/tracker/click"))
+          .otherwise(lit("/page/")),
+        col("doc_id").cast("string"))
+      val rules = Seq(
+        UrlFilter.DomainBlocklist("curated_blocklist", Seq(
+          "src0-7.example.com", "src3-13.example.com",
+          "src8-0.example.com")),
+        UrlFilter.DomainSuffix("ad_domains", Seq(".ads.example.net")),
+        UrlFilter.UrlPattern("tracker_path", "/tracker/"))
+      val gated = UrlFilter.gate(docs.withColumn("url", url), "url", rules)
+      val dup = docs.select(md5(col("text")).as("_h"))
+        .groupBy("_h").agg(count(lit(1)).as("_c"))
+      val perDoc = gated
+        .withColumn("_h", md5(col("text")))
+        .join(dup, "_h")
+        .select(col("domain"),
+          size(Text.tokens(col("text"))).cast("long").as("ntok"),
+          (!col("keep_url")).as("blocked"),
+          (col("_c") >= 2).as("isdup"),
+          Text.gopherSignals(col("text")).last.as("q"))
+      UrlFilter.domainStats(perDoc, "domain", col("ntok"),
+        col("blocked"), col("isdup"), col("q"))
     })
 
   /** The fixture line splitter shared by q308/q310: non-overlapping

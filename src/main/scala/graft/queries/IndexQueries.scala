@@ -1581,8 +1581,9 @@ object IndexQueries {
          |  FROM c)
          |SELECT CAST(a AS BIGINT) AS n_both, CAST(b AS BIGINT) AS n_a_only,
          |  CAST(c AS BIGINT) AS n_b_only, CAST(d AS BIGINT) AS n_neither,
-         |  CAST((2 * (a + d) * 1000000 + n) // (2 * n) AS DOUBLE) / 1000000
-         |    AS observed_agreement,
+         |  CASE WHEN n = 0 THEN 1.0 ELSE
+         |    CAST((2 * (a + d) * 1000000 + n) // (2 * n) AS DOUBLE)
+         |      / 1000000 END AS observed_agreement,
          |  CASE WHEN n * n - pe = 0 THEN 1.0 ELSE
          |    CAST(CASE WHEN po - pe >= 0
          |      THEN (2 * (po - pe) * 1000000 + (n * n - pe))

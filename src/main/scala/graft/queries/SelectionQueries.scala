@@ -1273,8 +1273,9 @@ object SelectionQueries {
            |SELECT comparator,
            |  CAST(a AS BIGINT) AS n_both, CAST(b AS BIGINT) AS n_a_only,
            |  CAST(c AS BIGINT) AS n_b_only, CAST(d AS BIGINT) AS n_neither,
-           |  CAST((2 * (a + d) * 1000000 + n) // (2 * n) AS DOUBLE)
-           |    / 1000000 AS observed_agreement,
+           |  CASE WHEN n = 0 THEN 1.0 ELSE
+           |    CAST((2 * (a + d) * 1000000 + n) // (2 * n) AS DOUBLE)
+           |      / 1000000 END AS observed_agreement,
            |  CASE WHEN n * n - pe = 0 THEN 1.0 ELSE
            |    CAST(CASE WHEN po - pe >= 0
            |      THEN (2 * (po - pe) * 1000000 + (n * n - pe))
@@ -1392,6 +1393,144 @@ object SelectionQueries {
           "doc_id", carry = Seq("source"))
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("score").cast("double").as("score"), col("keep_cls"))
+    },
+
+    // ---- MULTI-CLASS NB LANGUAGE ID (L296 — the fastText-LID shape
+    // every published pipeline runs where L6's stopword argmax is the
+    // stand-in: CCNet §3.2, RefinedWeb, FineWeb all gate on a trained
+    // k-class linear model): the Classify kernel extended to k classes
+    // — per-(bucket, class) counts are ABELIAN folds (the q312
+    // maintenance discipline applies unchanged), the dense
+    // |classes|×256 weight table broadcasts, and the per-doc verdict
+    // is the exact-DECIMAL score argmax with a deterministic
+    // lexicographic tie-break. Trained on the labeled slice
+    // (doc_id % 5 ≠ 4, documents.lang as the label — the fixture's
+    // stand-in for a labeled LID corpus), predictions on the held-out
+    // %5 = 4 docs, and PRICED the q309 way before shipping: multi-class
+    // Cohen's κ against the L6 heuristic (does the model add signal —
+    // note the heuristic cannot even represent zh, it has no zh
+    // stopword list) and against the fixture's true lang column.
+    // Scale: training = one corpus pass onto a broadcast grid; scoring
+    // = broadcast join + two hash aggregates; κ = |classes|²-row grid
+    // math.
+    Q(
+      "q315_nb_language_id", {
+        val B = DsirBuckets
+        val hits = Text.StopWords.map { case (lang, words) =>
+          lang -> s"len(list_filter(t, w -> w IN (${words.map(w => s"'$w'").mkString(",")})))"
+        }
+        val greatest = s"GREATEST(${hits.map(h => s"${h._1}_hits").mkString(", ")})"
+        val cases = hits.map { case (lang, _) =>
+          s"WHEN ${lang}_hits = $greatest THEN '$lang'"
+        }.mkString(" ")
+        def kappaSql(tag: String, aCol: String, bCol: String) =
+          s"""c$tag AS (
+             |  SELECT $aCol AS ka, $bCol AS kb, CAST(count(*) AS HUGEINT) AS m
+             |  FROM v GROUP BY 1, 2),
+             |d$tag AS (
+             |  SELECT CAST(coalesce(sum(m), 0) AS HUGEINT) AS n,
+             |    CAST(coalesce(sum(m) FILTER (WHERE ka = kb), 0) AS HUGEINT)
+             |      AS po
+             |  FROM c$tag),
+             |p$tag AS (
+             |  SELECT CAST(coalesce(sum(r.rm * q.cm), 0) AS HUGEINT) AS pe
+             |  FROM (SELECT ka, sum(m) AS rm FROM c$tag GROUP BY 1) r
+             |  JOIN (SELECT kb, sum(m) AS cm FROM c$tag GROUP BY 1) q
+             |    ON r.ka = q.kb),
+             |k$tag AS (
+             |  SELECT CASE WHEN n * n - pe = 0 THEN 1.0 ELSE
+             |    CAST(CASE WHEN n * po - pe >= 0
+             |      THEN (2 * (n * po - pe) * 1000000 + (n * n - pe))
+             |        // (2 * (n * n - pe))
+             |      ELSE -((2 * (pe - n * po) * 1000000 + (n * n - pe))
+             |        // (2 * (n * n - pe))) END AS DOUBLE) / 1000000 END
+             |    AS kappa
+             |  FROM d$tag, p$tag)""".stripMargin
+        s"""WITH toks AS (
+           |  SELECT doc_id, lang, ${LlmQueries.toksSql} AS t
+           |  FROM documents),
+           |thc AS (
+           |  SELECT doc_id, lang,
+           |    list_transform(t,
+           |      x -> CAST(concat('0x', substr(md5(x),1,8)) AS BIGINT)) AS th
+           |  FROM toks WHERE len(t) > 0),
+           |feats AS (
+           |  SELECT doc_id, lang, u.h % $B AS b,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM thc, unnest(thc.th) AS u(h) GROUP BY 1, 2, 3),
+           |cc AS (
+           |  SELECT b, lang AS cls, CAST(sum(n) AS BIGINT) AS c
+           |  FROM feats WHERE doc_id % 5 <> 4 GROUP BY 1, 2),
+           |tot AS (SELECT cls, CAST(sum(c) AS BIGINT) AS nl
+           |  FROM cc GROUP BY 1),
+           |grid AS (SELECT g.b, t.cls, t.nl FROM range(0, $B) g(b), tot t),
+           |w AS (
+           |  SELECT grid.b, grid.cls,
+           |    CAST(round(ln((coalesce(cc.c, 0) + 1.0) / (grid.nl + $B)), 9)
+           |      AS DECIMAL(13,9)) AS w9
+           |  FROM grid LEFT JOIN cc ON cc.b = grid.b AND cc.cls = grid.cls),
+           |sc AS (
+           |  SELECT f.doc_id, w.cls,
+           |    sum(CAST(f.n AS DECIMAL(10,0)) * w.w9) AS s
+           |  FROM feats f JOIN w USING (b)
+           |  WHERE f.doc_id % 5 = 4 GROUP BY 1, 2),
+           |pred AS (
+           |  SELECT doc_id, cls AS pred FROM (
+           |    SELECT doc_id, cls, row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY s DESC, cls DESC) AS rk
+           |    FROM sc) WHERE rk = 1),
+           |h AS (
+           |  SELECT doc_id, lang AS true_lang, t,
+           |    ${hits.map { case (l, sql) => s"$sql AS ${l}_hits" }.mkString(",\n    ")}
+           |  FROM toks WHERE doc_id % 5 = 4),
+           |heur AS (
+           |  SELECT doc_id, true_lang,
+           |    CASE WHEN $greatest = 0 THEN 'und' $cases END AS heur
+           |  FROM h),
+           |v AS (
+           |  SELECT p.doc_id, p.pred, e.heur, e.true_lang
+           |  FROM pred p JOIN heur e USING (doc_id)),
+           |${kappaSql("h", "pred", "heur")},
+           |${kappaSql("t", "pred", "true_lang")}
+           |SELECT pred AS lang,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(count(*) FILTER (WHERE heur = pred) AS BIGINT)
+           |    AS n_heur_agree,
+           |  CAST(count(*) FILTER (WHERE true_lang = pred) AS BIGINT)
+           |    AS n_true_agree,
+           |  kh.kappa AS kappa_heur,
+           |  kt.kappa AS kappa_true
+           |FROM v, kh, kt
+           |GROUP BY 1, kh.kappa, kt.kappa""".stripMargin
+      }) { (spark, dir) =>
+      import graft.ops.{Classify, Stats}
+      val docs = Tables.documents(spark, dir)
+      val feats = Classify.hashedTokenFeatures(docs, "doc_id", "text",
+        DsirBuckets, carry = Seq("lang"))
+        .cache() // training counts AND holdout scoring read it
+      val w = Classify.nbWeightsK(
+        Classify.classCountsK(feats.filter(col("doc_id") % 5 =!= 4), "lang"),
+        DsirBuckets)
+      val pred = Classify.nbClassify(
+        feats.filter(col("doc_id") % 5 === 4).drop("lang"), w, "doc_id")
+      val heur = docs.filter(col("doc_id") % 5 === 4)
+        .select(col("doc_id"), col("lang").as("true_lang"),
+          Text.langId(Text.tokens(col("text"))).as("heur"))
+      val v = pred.join(heur, "doc_id")
+        .localCheckpoint() // holdout verdicts; κ grids + rollup read it
+      feats.unpersist()
+      val kh = Stats.cohensKappaMulti(v, "pred", "heur")
+        .select(col("kappa").as("kappa_heur"))
+      val kt = Stats.cohensKappaMulti(v, "pred", "true_lang")
+        .select(col("kappa").as("kappa_true"))
+      v.groupBy(col("pred").as("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("heur") === col("pred"), 1L).otherwise(0L))
+            .as("n_heur_agree"),
+          sum(when(col("true_lang") === col("pred"), 1L).otherwise(0L))
+            .as("n_true_agree"))
+        .crossJoin(broadcast(kh))
+        .crossJoin(broadcast(kt))
     }
   )
 }

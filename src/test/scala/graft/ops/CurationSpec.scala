@@ -122,9 +122,10 @@ class CurationSpec extends SparkSuite {
       "is the whole corpus, and removed/rate columns replay from counts") {
     val rows = graft.SparkEntry.queries("q313_curation_funnel")(
       spark, sfDir()).orderBy("stage").collect()
-    assert(rows.length == 4)
-    assert(rows.map(_.getString(1)).toSeq == Seq("gopher_gates",
-      "repetition_gates", "exact_dedup", "quality_classifier"))
+    assert(rows.length == 7)
+    assert(rows.map(_.getString(1)).toSeq == Seq("url_filter",
+      "gopher_gates", "repetition_gates", "line_dedup", "exact_dedup",
+      "decontamination", "quality_classifier"))
     assert(rows(0).getLong(2) ==
       graft.Tables.documents(spark, sfDir()).count(),
       "stage 1 must take the WHOLE corpus as intake")

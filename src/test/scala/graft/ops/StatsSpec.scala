@@ -398,4 +398,35 @@ class StatsSpec extends SparkSuite {
       r.getDouble(4) == r.getDouble(3)),
       "over-dispersed family must not invent a prior")
   }
+
+  test("cohensKappaMulti: hand-checked 3-class table, perfect agreement " +
+      "and the n = 0 degenerate both present 1.0") {
+    import graft.ops.Stats
+    // a = (x,x,y,y,z,x), b = (x,y,y,z,z,x): n = 6, diagonal po = 4
+    // margins a: x=3 y=2 z=1; b: x=2 y=2 z=2 -> pe = 3*2 + 2*2 + 1*2 = 12
+    // kappa = (6*4 - 12) / (36 - 12) = 12/24 = 0.5
+    val df = Seq(("x", "x"), ("x", "y"), ("y", "y"), ("y", "z"),
+      ("z", "z"), ("x", "x")).toDF("a", "b")
+    val r = Stats.cohensKappaMulti(df, "a", "b").collect().head
+    assert(r.getLong(0) == 6)
+    assert(r.getDouble(1) == 0.666667) // 4/6 half-up at 6 dp
+    assert(r.getDouble(2) == 0.5)
+    val perfect = Seq(("x", "x"), ("y", "y")).toDF("a", "b")
+    val p = Stats.cohensKappaMulti(perfect, "a", "b").collect().head
+    assert(p.getDouble(1) == 1.0 && p.getDouble(2) == 1.0)
+    val empty = Seq.empty[(String, String)].toDF("a", "b")
+    val e = Stats.cohensKappaMulti(empty, "a", "b").collect().head
+    assert(e.getLong(0) == 0 && e.getDouble(1) == 1.0 && e.getDouble(2) == 1.0,
+      "an empty population must present agreement = kappa = 1.0, not /0")
+  }
+
+  test("cohensKappa: an empty population presents agreement = kappa = 1.0 " +
+      "(the q309 degenerate-fixture guard)") {
+    import graft.ops.Stats
+    val empty = Seq.empty[(Long, Long)].toDF("ga", "gb")
+    val r = Stats.cohensKappa(empty, "ga", "gb").collect().head
+    assert((0 to 3).forall(r.getLong(_) == 0L), "all four cells are 0")
+    assert(r.getDouble(r.fieldIndex("observed_agreement")) == 1.0)
+    assert(r.getDouble(r.fieldIndex("kappa")) == 1.0)
+  }
 }

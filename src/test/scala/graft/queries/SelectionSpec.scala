@@ -424,9 +424,10 @@ class SelectionSpec extends SparkSuite {
     val got = Classify.nbWeights(feats, col("cls") === "pos", B)
       .collect().map(r => r.getLong(0) ->
         r.getDecimal(1)).toMap
-    val allB = (cpos.keySet ++ cneg.keySet)
-    assert(got.keySet == allB, "one weight row per occupied bucket")
-    allB.foreach { b =>
+    assert(got.keySet == (0L until B.toLong).toSet,
+      "the weight table must be DENSE — one row per bucket of the grid, " +
+        "so out-of-training buckets still find their smoothed weight")
+    got.keySet.foreach { b =>
       val expect = BigDecimal(math.log(
         ((cpos.getOrElse(b, 0L) + 1.0) * (nneg + B)) /
         ((cneg.getOrElse(b, 0L) + 1.0) * (npos + B))))
@@ -434,6 +435,14 @@ class SelectionSpec extends SparkSuite {
       assert(BigDecimal(got(b)).compare(expect) == 0,
         s"bucket $b: got ${got(b)}, closed form $expect")
     }
+    // a bucket NO training token occupies carries the smoothed default
+    val unseen = (0L until B.toLong)
+      .filterNot(cpos.keySet ++ cneg.keySet).head
+    val default = BigDecimal(math.log((nneg + B).toDouble / (npos + B)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    assert(BigDecimal(got(unseen)).compare(default) == 0,
+      "an unseen bucket's weight must be the smoothed default " +
+        "ln((Nneg+V)/(Npos+V))")
   }
 
   test("nbScore: exact DECIMAL count×weight sums, keep = log-odds > 0, " +
@@ -497,5 +506,85 @@ class SelectionSpec extends SparkSuite {
       assert(maintained(b).compareTo(w) == 0,
         s"bucket $b drifted under the fold: ${maintained(b)} vs $w")
     }
+  }
+
+  test("nbScore on an out-of-training doc: buckets unseen in training " +
+      "contribute their smoothed default weight, n_tokens counts every " +
+      "token, and a fully-novel doc still gets a verdict row") {
+    import spark.implicits._
+    import graft.ops.Classify
+    val B = 64
+    val train = Seq(
+      (1L, "good clean prose", "pos"),
+      (2L, "spam junk buy", "neg")).toDF("doc_id", "text", "cls")
+    val tf = Classify.hashedTokenFeatures(train, "doc_id", "text", B,
+      carry = Seq("cls"))
+    val w = Classify.nbWeights(tf, col("cls") === "pos", B)
+    val wm = w.collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val trainB = tf.select("b").as[Long].collect().toSet
+    val probe = Seq((20L, "zq xv qqj wpk zzt kqe vvx")).toDF("doc_id", "text")
+    val pf = Classify.hashedTokenFeatures(probe, "doc_id", "text", B)
+      .as[(Long, Long, Long)].collect()
+    assert(pf.exists(f => !trainB.contains(f._2)),
+      "fixture must exercise a bucket no training token occupies — " +
+        "the regression this test pins (such rows used to be dropped)")
+    val scored = Classify.nbScore(
+      Classify.hashedTokenFeatures(probe, "doc_id", "text", B), w, "doc_id")
+      .collect()
+    assert(scored.length == 1,
+      "an out-of-training doc must still get a verdict row")
+    val r = scored.head
+    assert(r.getLong(r.fieldIndex("n_tokens")) == pf.map(_._3).sum,
+      "n_tokens must count EVERY token, unseen buckets included")
+    val expect = pf.map { case (_, b, n) =>
+      wm(b).multiply(java.math.BigDecimal.valueOf(n))
+    }.reduce(_ add _)
+    assert(r.getDecimal(r.fieldIndex("score")).compareTo(expect) == 0,
+      "the score must include the unseen buckets' smoothed defaults")
+  }
+
+  test("nbWeightsK/nbClassify: k-class closed form — dense per-class " +
+      "grid, training docs classify home, exact ties break to the " +
+      "lexicographically larger label") {
+    import spark.implicits._
+    import graft.ops.Classify
+    val B = 64
+    val train = Seq(
+      (1L, "bonjour le monde le chat", "fr"),
+      (2L, "le chien bonjour le", "fr"),
+      (3L, "hello the world the cat", "en"),
+      (4L, "the dog hello the", "en"),
+      (5L, "hola el mundo el gato", "es")).toDF("doc_id", "text", "lang")
+    val feats = Classify.hashedTokenFeatures(train, "doc_id", "text", B,
+      carry = Seq("lang"))
+    val cc = Classify.classCountsK(feats, "lang")
+    val w = Classify.nbWeightsK(cc, B)
+    assert(w.count() == 3L * B, "dense: |classes| × buckets rows")
+    val counts = cc.as[(Long, String, Long)].collect()
+      .map { case (b, c, n) => (b, c) -> n }.toMap
+    val nl = counts.groupBy(_._1._2).map { case (c, xs) => c -> xs.values.sum }
+    w.collect().foreach { r =>
+      val (b, c, w9) = (r.getLong(0), r.getString(1), r.getDecimal(2))
+      val expect = BigDecimal(math.log(
+        (counts.getOrElse((b, c), 0L) + 1.0) / (nl(c) + B)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      assert(BigDecimal(w9).compare(expect) == 0, s"cell ($b, $c)")
+    }
+    val pred = Classify.nbClassify(feats.drop("lang"), w, "doc_id")
+      .as[(Long, String)].collect().toMap
+    assert(pred(1L) == "fr" && pred(3L) == "en" && pred(5L) == "es",
+      s"training docs must classify to their own class: $pred")
+    // exact tie: two classes with IDENTICAL weight rows — the DECIMAL
+    // scores tie bit-for-bit and the verdict must be the larger label
+    val en = w.filter(col("cls") === "en").drop("cls")
+    val tied = en.withColumn("cls", lit("aa"))
+      .unionByName(en.withColumn("cls", lit("bb")))
+      .select("b", "cls", "w9")
+    val probe = Seq((9L, "hello world")).toDF("doc_id", "text")
+    val p = Classify.nbClassify(
+      Classify.hashedTokenFeatures(probe, "doc_id", "text", B), tied,
+      "doc_id").collect().head
+    assert(p.getString(1) == "bb",
+      "exact score ties must break to the lexicographically larger label")
   }
 }
