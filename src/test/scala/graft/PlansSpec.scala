@@ -689,4 +689,41 @@ class PlansSpec extends SparkSuite {
       assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
     }
   }
+
+  test("q314 url/domain gate: the rule predicates are scan-level " +
+      "projections — no window, no cartesian, and the reputation " +
+      "rollup is hash aggregation (the stage-0 scale shape)") {
+    val df = SparkEntry.queries("q314_url_domain_filter")(spark, sfDir())
+    df.collect()
+    val unpart = unpartitionedWindows(df)
+    assert(unpart.isEmpty,
+      s"q314 has an unpartitioned window: ${unpart.mkString("; ")}")
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), s"q314 went cartesian:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"the domain rollup must be a hash aggregate:\n$p")
+  }
+
+  test("q315 language id: the k-class weight table joins BROADCAST " +
+      "(the model is metadata-sized at any corpus scale) and the " +
+      "verdict is an aggregate argmax, never a window") {
+    import graft.ops.Classify
+    val docs = Tables.documents(spark, sfDir())
+    val feats = Classify.hashedTokenFeatures(docs, "doc_id", "text", 256,
+      carry = Seq("lang"))
+    val w = Classify.nbWeightsK(
+      Classify.classCountsK(feats.filter(col("doc_id") % 5 =!= 4), "lang"),
+      256)
+    val pred = Classify.nbClassify(
+      feats.filter(col("doc_id") % 5 === 4).drop("lang"), w, "doc_id")
+    pred.collect()
+    val p = plan(pred)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the weight join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the weight join must not shuffle the feature stream:\n$p")
+    val unpart = unpartitionedWindows(pred)
+    assert(unpart.isEmpty,
+      s"nbClassify has an unpartitioned window: ${unpart.mkString("; ")}")
+  }
 }
