@@ -109,4 +109,63 @@ object UrlFilter {
         ExactRound.roundRatio(col("n_quality"), col("n_docs"), 6)
           .cast("double").as("quality_keep_rate"))
   }
+
+  /** [[domainStats]] under continuous ingest (the q310/q312
+    * maintenance discipline applied to the reputation table): when a
+    * document batch arrives, nobody re-reads the standing corpus — the
+    * fold consumes only the PERSISTED standing artifacts plus the
+    * batch's own per-doc rows:
+    *
+    *   - `standingStats` (domain, n_docs, n_tokens, n_blocked,
+    *     n_quality): the abelian sums — domain-count rows, they fold
+    *     with the batch by plain addition;
+    *   - `standingIndex` (domain, h, c): per-(domain, text-hash)
+    *     standing doc counts — the hash-only value index (32-char md5,
+    *     never text; the L291 index class) that makes the DUP column
+    *     maintainable, because dup membership is NOT abelian: a
+    *     standing doc BECOMES a duplicate the moment a batch delivers
+    *     its twin, so per-domain dup counts must be re-derived from
+    *     corpus-wide hash totals, never incremented;
+    *   - `batch` (domainCol, hashCol + the verdict columns): the
+    *     arriving per-doc rows.
+    *
+    * Fold: stats' = stats + batch sums (one union + hash aggregate);
+    * index' = index + batch counts; n_dup(domain) = Σ over hashes with
+    * corpus total ≥ 2 of that domain's count — one join keyed on the
+    * hash. Row-for-row equal to [[domainStats]] rebuilt over
+    * standing ∪ batch (the fold == rebuild contract the oracle pins).
+    * Only hashes present in the batch can CHANGE dup membership, so a
+    * delta implementation may restrict the tot-join to those hashes
+    * and patch standing rows; this fold recomputes the (metadata-
+    * sized) table wholesale — output is domain-count rows either way. */
+  def domainStatsIncremental(standingStats: DataFrame,
+      standingIndex: DataFrame, batch: DataFrame, domainCol: String,
+      nTokens: Column, isBlocked: Column, passQuality: Column,
+      hashCol: String): DataFrame = {
+    import graft.functions.ExactRound
+    val bStats = batch.groupBy(col(domainCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(nTokens).as("n_tokens"),
+      sum(when(isBlocked, 1L).otherwise(0L)).as("n_blocked"),
+      sum(when(passQuality, 1L).otherwise(0L)).as("n_quality"))
+    val stats = standingStats.unionByName(bStats)
+      .groupBy(col(domainCol)).agg(
+        sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("n_blocked").as("n_blocked"), sum("n_quality").as("n_quality"))
+    val bIdx = batch.groupBy(col(domainCol), col(hashCol))
+      .agg(count(lit(1)).as("c"))
+    val idx = standingIndex.unionByName(bIdx)
+      .groupBy(col(domainCol), col(hashCol)).agg(sum("c").as("c"))
+    val tot = idx.groupBy(col(hashCol)).agg(sum("c").as("tc"))
+    val dup = idx.join(tot, hashCol).filter(col("tc") >= 2)
+      .groupBy(col(domainCol)).agg(sum("c").as("n_dup"))
+    stats.join(dup, Seq(domainCol), "left")
+      .na.fill(0L, Seq("n_dup"))
+      .select(col(domainCol), col("n_docs"), col("n_tokens"),
+        col("n_blocked"), col("n_dup"),
+        ExactRound.roundRatio(col("n_dup"), col("n_docs"), 6)
+          .cast("double").as("dup_rate"),
+        ExactRound.roundRatio(col("n_quality"), col("n_docs"), 6)
+          .cast("double").as("quality_keep_rate"))
+  }
 }

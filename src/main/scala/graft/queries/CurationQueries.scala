@@ -4158,7 +4158,51 @@ object CurationQueries {
     // aggregate keyed on the domain; output is |domains| rows —
     // metadata-sized at any corpus scale.
     Q(
-      "q314_url_domain_filter", {
+      "q314_url_domain_filter", urlDomainOracleSql) { (spark, dir) =>
+      val perDoc = urlGatedPerDoc(Tables.documents(spark, dir))
+      UrlFilter.domainStats(perDoc, "domain", col("ntok"),
+        col("blocked"), col("isdup"), col("q"))
+    },
+
+    // ---- INCREMENTAL DOMAIN REPUTATION (L297 — q314's fold twin
+    // under the q310/q312 continuous-ingest discipline): the
+    // reputation table is refreshed per batch from PERSISTED artifacts
+    // only — the abelian per-domain sums plus the hash-only
+    // (domain, md5) value index — because the dup column is NOT
+    // abelian: a standing doc BECOMES a duplicate the moment a batch
+    // delivers its twin, so dup counts re-derive from corpus-wide hash
+    // totals (one join keyed on the 32-char hash, standing text never
+    // re-read). This query RUNS the fold (standing = doc_id%10≠3,
+    // batch = the %10=3 arrivals) and its oracle is q314's ONE-SHOT
+    // full-corpus SQL verbatim — the row-for-row hash match IS
+    // fold == rebuild (the q89/q101 shared-oracle pattern).
+    Q(
+      "q316_domain_reputation_ingest", urlDomainOracleSql) { (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      // the persisted artifacts a real fold reads back (materialized —
+      // the q312 localCheckpoint discipline): abelian sums + hash index
+      val standing = urlGatedPerDoc(docs.filter(col("doc_id") % 10 =!= 3),
+        withDup = false)
+      val standingStats = standing.groupBy(col("domain")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"),
+        sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"))
+        .localCheckpoint()
+      val standingIndex = standing.groupBy(col("domain"), col("h"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val batch = urlGatedPerDoc(docs.filter(col("doc_id") % 10 === 3),
+          withDup = false)
+        .localCheckpoint()
+      UrlFilter.domainStatsIncremental(standingStats, standingIndex,
+        batch, "domain", col("ntok"), col("blocked"), col("q"), "h")
+    })
+
+  /** q314's oracle — ALSO the oracle of the incremental fold (q316):
+    * fold == rebuild, so both queries hash-match the same one-shot
+    * full-corpus SQL (the q89/q101 shared-oracle pattern). */
+  private[queries] def urlDomainOracleSql: String = {
         val stops = Text.StopWords.head._2.map(w => s"'$w'").mkString(",")
         s"""WITH u AS (
            |  SELECT doc_id, source, text,
@@ -4224,36 +4268,48 @@ object CurationQueries {
            |  CAST((2 * count(*) FILTER (WHERE q) * 1000000 + count(*))
            |    // (2 * count(*)) AS DOUBLE) / 1000000 AS quality_keep_rate
            |FROM p GROUP BY 1""".stripMargin
-      }) { (spark, dir) =>
-      val docs = Tables.documents(spark, dir)
-      val url = concat(lit("https://"),
-        when(col("doc_id") % 37 === 0,
-          concat(col("source"), lit(".ads.example.net")))
-          .otherwise(concat(col("source"), lit("-"),
-            (col("doc_id") % 41).cast("string"), lit(".example.com"))),
-        when(col("doc_id") % 29 === 0, lit("/tracker/click"))
-          .otherwise(lit("/page/")),
-        col("doc_id").cast("string"))
-      val rules = Seq(
-        UrlFilter.DomainBlocklist("curated_blocklist", Seq(
-          "src0-7.example.com", "src3-13.example.com",
-          "src8-0.example.com")),
-        UrlFilter.DomainSuffix("ad_domains", Seq(".ads.example.net")),
-        UrlFilter.UrlPattern("tracker_path", "/tracker/"))
-      val gated = UrlFilter.gate(docs.withColumn("url", url), "url", rules)
-      val dup = docs.select(md5(col("text")).as("_h"))
-        .groupBy("_h").agg(count(lit(1)).as("_c"))
-      val perDoc = gated
-        .withColumn("_h", md5(col("text")))
-        .join(dup, "_h")
-        .select(col("domain"),
-          size(Text.tokens(col("text"))).cast("long").as("ntok"),
-          (!col("keep_url")).as("blocked"),
-          (col("_c") >= 2).as("isdup"),
-          Text.gopherSignals(col("text")).last.as("q"))
-      UrlFilter.domainStats(perDoc, "domain", col("ntok"),
-        col("blocked"), col("isdup"), col("q"))
-    })
+  }
+
+  /** The shared q314/q316 fixture gate: mints the deterministic URL
+    * (documents carries none — same expression both engines, the
+    * q22/q90 replant precedent), applies the L295 rule set, and emits
+    * one row per doc with every verdict column the reputation table
+    * rolls up: (doc_id, domain, ntok, blocked, isdup, q, h). The
+    * corpus-wide dup flag rides a hash self-aggregate join — 32-char
+    * md5 keys, never text. */
+  private def urlGatedPerDoc(docs: org.apache.spark.sql.DataFrame,
+      withDup: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val url = concat(lit("https://"),
+      when(col("doc_id") % 37 === 0,
+        concat(col("source"), lit(".ads.example.net")))
+        .otherwise(concat(col("source"), lit("-"),
+          (col("doc_id") % 41).cast("string"), lit(".example.com"))),
+      when(col("doc_id") % 29 === 0, lit("/tracker/click"))
+        .otherwise(lit("/page/")),
+      col("doc_id").cast("string"))
+    val rules = Seq(
+      UrlFilter.DomainBlocklist("curated_blocklist", Seq(
+        "src0-7.example.com", "src3-13.example.com",
+        "src8-0.example.com")),
+      UrlFilter.DomainSuffix("ad_domains", Seq(".ads.example.net")),
+      UrlFilter.UrlPattern("tracker_path", "/tracker/"))
+    val gated = UrlFilter.gate(docs.withColumn("url", url), "url", rules)
+      .withColumn("_h", md5(col("text")))
+    // the corpus-wide dup flag costs a hash self-aggregate join; q316's
+    // fold derives dup from the standing INDEX instead, so it skips it
+    // (dup built from docs, not gated — self-derived join inputs trip
+    // Spark's ambiguous-column check)
+    val flagged =
+      if (!withDup) gated.withColumn("_c", lit(0L))
+      else gated.join(docs.select(md5(col("text")).as("_h"))
+        .groupBy("_h").agg(count(lit(1)).as("_c")), "_h")
+    flagged.select(col("doc_id"), col("domain"),
+      size(Text.tokens(col("text"))).cast("long").as("ntok"),
+      (!col("keep_url")).as("blocked"),
+      (col("_c") >= 2).as("isdup"),
+      Text.gopherSignals(col("text")).last.as("q"),
+      col("_h").as("h"))
+  }
 
   /** The fixture line splitter shared by q308/q310: non-overlapping
     * `w`-token chunks as (doc_id, pos 1-based, line) — deterministic
