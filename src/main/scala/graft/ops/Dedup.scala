@@ -1182,13 +1182,25 @@ object Dedup {
       lake: DataFrame, idCol: String, textCol: String, minLen: Int)
       : (DataFrame, DataFrame) = {
     val toksB = batch.select(col(idCol), Text.tokens(col(textCol)).as("t"))
+    // The three subtrees below are each consumed by SEVERAL of the
+    // downstream plans (win → candH/cand/unique-owner anti-join, candH →
+    // cand/anti-join, stateHit → matched/fresh), and several of those
+    // consumers are BROADCAST sides whose build jobs run the subtree
+    // again from scratch — a warm q280 pass spent 13.6 of 15.7 s in 25
+    // broadcast-build jobs re-running the rolling-hash kernel and the
+    // lake re-tokenization (ProbeJobs, r20). Caching them makes every
+    // re-read O(cached bytes); all are batch-/repeat-sized, never
+    // corpus-sized, and all are released before return (the object-doc
+    // caching contract, same as `cand`).
     val win = batch.select(col(idCol), posexplode(
         call_function("graft_window_hashes", col(textCol), lit(minLen))))
       .select(col(idCol), (col("pos") + 1).as("spos"), col("col").as("h"))
+      .cache()
     // candidate hashes: repeated within the batch OR present in state
     val candH = win.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("h")
       .unionByName(standing.select("h")).distinct()
+      .cache()
     val cand = win.join(candH, Seq("h"))
       .join(toksB, Seq(idCol))
       .select(col(idCol), col("spos"), col("h"),
@@ -1203,6 +1215,7 @@ object Dedup {
       .select(col("h"), col("own_id"), col("own_spos"),
         concat_ws(" ", slice(Text.tokens(col("own_text")),
           col("own_spos"), lit(minLen))).as("s"))
+      .cache()
     // state-owned occurrences: covered unless the occurrence IS the
     // owner site (the at-least-once replay path re-folds its own docs)
     val matched = cand.join(stateHit, Seq("h", "s"))
@@ -1241,6 +1254,9 @@ object Dedup {
           col("spos").as("own_spos")))
       .localCheckpoint()
     cand.unpersist()
+    win.unpersist()
+    candH.unpersist()
+    stateHit.unpersist()
     (rewriteMinusCovered(toksB, covered, idCol), newOwners)
   }
 
