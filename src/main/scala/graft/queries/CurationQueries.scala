@@ -4074,12 +4074,22 @@ object CurationQueries {
       val cls = Classify.nbScore(
         feats.drop("source"), w, "doc_id")
         .select(col("doc_id"), col("keep_cls"))
+      // Flag frame: doc_id + stage booleans + md5(text) (the exact-dedup
+      // fallback key — carrying the 32-char hash instead of the text
+      // keeps the frame metadata-sized). CACHED because it is consumed
+      // by TWO subtrees of the one funnel aggregate (the stage-3
+      // survivor filter feeding line dedup, and the verdict chain) and
+      // Catalyst shares no common subtrees — uncached, every gate
+      // kernel (URL rules, Gopher signals, repetition windows, NB
+      // scoring) ran twice, once more per broadcast build (ProbeJobs
+      // r20: 8.8 s of a 5.1 s warm pass inside 33 broadcast-build
+      // jobs). Released right after the funnel aggregate materializes.
       val fl = docs
         .join(ug, Seq("doc_id"), "left")
         .join(gop, Seq("doc_id"), "left")
         .join(rep, Seq("doc_id"), "left")
         .join(cls, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("text"),
+        .select(col("doc_id"), md5(col("text")).as("h_raw"),
           coalesce(col("k0"), lit(false)).as("f1"),
           (coalesce(col("k0"), lit(false)) &&
             coalesce(col("k1"), lit(false))).as("f2"),
@@ -4088,6 +4098,7 @@ object CurationQueries {
             coalesce(col("k2"), lit(false))).as("f3"),
           (col("source").isin(tgt: _*) ||
             coalesce(col("keep_cls"), lit(false))).as("kcls"))
+        .cache()
       // corpus-wide line dedup among stage-3 survivors (the registered
       // dedupLines ownership: md5-keyed min-struct aggregate — dropped
       // docs' lines never steal ownership because they never enter)
@@ -4104,7 +4115,7 @@ object CurationQueries {
           // dedup what survives line cleaning); non-survivors fall back
           // to the raw-text hash inside the f4=false bucket, where
           // ownership is irrelevant
-          coalesce(md5(col("clean_text")), md5(col("text"))).as("h"))
+          coalesce(md5(col("clean_text")), col("h_raw")).as("h"))
       val v5 = v.withColumn("f5", col("f4") && row_number().over(
         Window.partitionBy(col("h"), when(col("f4"), 1).otherwise(0))
           .orderBy(col("doc_id"))) === 1)
@@ -4125,6 +4136,7 @@ object CurationQueries {
         sum(when(col("f7"), 1L).otherwise(0L)).as("n7"))
         .localCheckpoint() // singleton; seven stage rows read it
       feats.unpersist()
+      fl.unpersist()
       def stage(i: Int, name: String, nIn: String, nKept: String) =
         ag.select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
           col(nIn).as("n_in"), col(nKept).as("n_kept"))

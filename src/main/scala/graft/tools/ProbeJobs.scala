@@ -25,8 +25,10 @@ object ProbeJobs {
     val fn = SparkEntry.queries(name)
 
     final case class Rec(site: String, ms: Long)
+    final case class Span(site: String, t0: Long, t1: Long)
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
     val recs = new java.util.concurrent.ConcurrentLinkedQueue[Rec]()
+    val spans = new java.util.concurrent.ConcurrentLinkedQueue[Span]()
     val stageRecs = new java.util.concurrent.ConcurrentLinkedQueue[Rec]()
     val listener = new SparkListener {
       override def onStageCompleted(
@@ -49,6 +51,7 @@ object ProbeJobs {
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(starts.remove(je.jobId)).foreach { case (site, t0) =>
           recs.add(Rec(site, je.time - t0))
+          spans.add(Span(site, t0, je.time))
         }
       }
     }
@@ -56,6 +59,7 @@ object ProbeJobs {
 
     for (p <- 1 to passes) {
       recs.clear()
+      spans.clear()
       stageRecs.clear()
       val t0 = System.nanoTime()
       fn(spark, sfDir).queryExecution.toRdd.count()
@@ -83,6 +87,23 @@ object ProbeJobs {
         println(f"[probe] stages (${byStage.map(_._3).sum} total):")
         byStage.takeWhile(_._2 > 0.05).take(30).foreach { case (site, sec, n) =>
           println(f"[probe]   $sec%8.3f s  x$n%-4d $site")
+        }
+        // timeline gaps: driver-only intervals > 80 ms with NO job in
+        // flight — the "gap" bucket named, so planning/commit-protocol
+        // time is attributable to the surrounding jobs' call sites
+        val sorted = spans.asScala.toSeq.sortBy(_.t0)
+        var cursor = 0L
+        var prevSite = "(start)"
+        val gaps = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Double)]
+        sorted.foreach { s =>
+          if (cursor > 0 && s.t0 - cursor > 80)
+            gaps += ((prevSite, s.site, (s.t0 - cursor) / 1e3))
+          if (s.t1 > cursor) { cursor = s.t1; prevSite = s.site }
+        }
+        println(f"[probe] driver gaps > 80 ms (after -> before, sec):")
+        gaps.sortBy(-_._3).take(20).foreach { case (a, b, sec) =>
+          println(f"[probe]   $sec%8.3f s  after [$a] before [$b]")
         }
       }
     }
