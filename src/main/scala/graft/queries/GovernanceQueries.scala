@@ -242,6 +242,20 @@ object GovernanceQueries {
         |FROM toks GROUP BY source""".stripMargin) {
       (spark, dir) =>
         val fp = Text.strHash32(col("text"))
+        // Sketches aggregate SEPARATELY from the two count-distincts:
+        // mixed into one agg, the distinct rewrite's Expand makes one
+        // partial-agg group per (source, lang) and per (source, fp),
+        // and EVERY group row carries the (empty) 4 KiB HLL register
+        // array + KLL buffer in its agg-buffer schema — a per-distinct-
+        // fingerprint 4 KiB shuffle (20.8 MiB at sf0.1's 5 k docs,
+        // corpus-sized at 100 TB; the q48 plan pathology). Split, the
+        // sketch shuffle is |sources| rows and the distinct shuffle is
+        // plain longs.
+        val sketches = Tables.documents(spark, dir)
+          .groupBy("source")
+          .agg(
+            call_function("graft_hll_distinct", fp).as("ndv_est"),
+            call_function("graft_kll_sketch", col("n_chars").cast("double")).as("sk"))
         val card = Tables.documents(spark, dir)
           .groupBy("source")
           .agg(
@@ -249,9 +263,8 @@ object GovernanceQueries {
             sum(Text.tokenCount(col("text")).cast("long")).as("n_tokens"),
             countDistinct(col("lang")).as("n_langs"),
             round(percentile(col("n_chars").cast("double"), lit(0.5)), 6).as("p50_chars"),
-            countDistinct(fp).as("ndv_exact"),
-            call_function("graft_hll_distinct", fp).as("ndv_est"),
-            call_function("graft_kll_sketch", col("n_chars").cast("double")).as("sk"))
+            countDistinct(fp).as("ndv_exact"))
+          .join(sketches, "source")
         def within(est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
           abs(est - exact).cast("double") <= abs(exact) * lit(0.05)
         card.select(
