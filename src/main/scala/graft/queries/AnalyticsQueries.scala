@@ -647,12 +647,19 @@ object AnalyticsQueries {
         |  TRUE AS p50_rolled_ok, TRUE AS p90_rolled_ok
         |FROM lineitem GROUP BY 1""".stripMargin) { (spark, dir) =>
       val price = col("l_extendedprice").cast("double")
+      // ONE percentile aggregate for both ranks: each percentile(...)
+      // call keeps its own value-count map as the agg buffer, so two
+      // scalar calls shuffled the 600 k-value map TWICE (31.7 MiB
+      // partial-agg stage at sf0.1 — plan stats, r20); the array form
+      // computes both ranks from one buffer, bit-identically.
       val direct = Tables.lineitem(spark, dir)
         .groupBy("l_returnflag")
         .agg(
           call_function("graft_kll_sketch", price).as("sk"),
-          percentile(price, lit(0.5)).as("p50e"),
-          percentile(price, lit(0.9)).as("p90e"))
+          percentile(price, array(lit(0.5), lit(0.9))).as("pe"))
+        .select(col("l_returnflag"), col("sk"),
+          element_at(col("pe"), 1).as("p50e"),
+          element_at(col("pe"), 2).as("p90e"))
       val rolled = Tables.lineitem(spark, dir)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(call_function("graft_kll_sketch", price).as("psk"))
