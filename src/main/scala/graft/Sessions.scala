@@ -185,6 +185,15 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Cached plans coalesce like everything else: with the Spark
+      // default (false), a frame cached inside a wide-shuffle scope
+      // pins its width onto every downstream stage — q290's HyperBall
+      // rounds cache at the 256-partition sketch width and re-ran 256
+      // near-empty tasks per stage at sf0.1. AQE still keeps partitions
+      // at the advisory byte size, so the sf10 wide-state protection is
+      // unchanged — the width now ADAPTS to the volume instead of the
+      // constant (guide §2: scale-adaptive partitioning).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",
