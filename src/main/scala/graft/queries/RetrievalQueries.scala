@@ -62,9 +62,17 @@ object RetrievalQueries {
     * Text.shingles transform chain — the known HOF hazard that cost
     * 4.7 s alone at sf0.1 elsewhere; measured here it was +4 s on q281. */
   private def ngramCounts(tokDf: org.apache.spark.sql.DataFrame,
+      n: Int): org.apache.spark.sql.DataFrame =
+    ngramCountsFrom(postings(tokDf), n)
+
+  /** [[ngramCounts]] over an already-built postings frame — so a caller
+    * that also needs the postings themselves (q281's anchor match,
+    * q286's index append) shares ONE tokenize+posexplode pass instead
+    * of exploding the corpus once per consumer. */
+  private def ngramCountsFrom(post: org.apache.spark.sql.DataFrame,
       n: Int): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos1")
-    var df = postings(tokDf)
+    var df = post
     val nexts = (1 until n).map { j =>
       val c = s"t$j"
       df = df.withColumn(c, lead(col("term"), j).over(w))
@@ -152,6 +160,11 @@ object RetrievalQueries {
          |WHERE rk <= 3""".stripMargin) { (spark, dir) =>
       val tokDf = Tables.documents(spark, dir)
         .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      // Deliberately NOT sharing one cached postings frame here (the
+      // q284/q287 pattern): A/B'd at r20 and the cache WRITE of the
+      // corpus-token-sized postings costs more than the saved explode
+      // (1.58 vs 1.47 s min-of-6) because both consumers are cheap
+      // map-side passes over it.
       val qterms = workloadTerms(ngramCounts(tokDf, n = 3), k = 10)
       // the postings stream: one corpus pass; broadcast-pruned to the
       // workload's terms BEFORE the anchor shuffle
@@ -206,11 +219,13 @@ object RetrievalQueries {
          |WHERE rk <= 5""".stripMargin) { (spark, dir) =>
       val tokDf = Tables.documents(spark, dir)
         .select(col("doc_id"), Text.tokens(col("text")).as("t"))
-      val qterms = workloadTerms(ngramCounts(tokDf, n = 2), k = 10)
-      val toks = tokDf.select(col("doc_id"), explode(col("t")).as("term"))
+      // one postings pass shared by the workload derivation and the tf
+      // build (each exploded the corpus separately before)
+      val post = postings(tokDf).cache()
+      val qterms = workloadTerms(ngramCountsFrom(post, n = 2), k = 10)
       // the standing index: cached for its four consumers (dl, df,
       // stats, scoring join) — the q54 discipline
-      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).cache()
+      val tf = post.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).cache()
       val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
       val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
@@ -225,11 +240,15 @@ object RetrievalQueries {
                   / (col("sum_dl").cast("double") / col("n_docs"))))))
       val agg = scored.groupBy("q", "doc_id").agg(sum("s").as("score"))
       val w = Window.partitionBy("q").orderBy(col("score").desc, col("doc_id"))
-      agg.withColumn("rk", row_number().over(w))
+      val out = agg.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select(col("q").as("query"), col("doc_id"),
           col("rk").cast("int").as("rank"),
           round(col("score"), 6).as("score"))
+        .localCheckpoint() // ≤ 50 rows; releases both caches below
+      tf.unpersist()
+      post.unpersist()
+      out
     },
 
     // ---- L268: proximity (sloppy) search — the third retrieval shape a
@@ -276,14 +295,20 @@ object RetrievalQueries {
          |WHERE rk <= 5""".stripMargin) { (spark, dir) =>
       val tokDf = Tables.documents(spark, dir)
         .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      // postings deliberately NOT cached (the q281 A/B: the corpus-
+      // token-sized cache write costs what the saved explode saves);
+      // the workload-sized candidate frame below IS cached — it feeds
+      // both join sides
       val qterms = workloadTerms(ngramCounts(tokDf, n = 2), k = 10)
         .localCheckpoint() // read for qp, the distinct prune, and labels
       val qp = qterms.groupBy("q").agg(
         max(when(col("slot") === 1, col("term"))).as("t1"),
         max(when(col("slot") === 2, col("term"))).as("t2"))
       val qt = qterms.select("q", "term").distinct()
+      // workload-volume; cached because it feeds BOTH join sides (a, b)
       val ca = postings(tokDf).join(broadcast(qt), "term")
         .select(col("q"), col("doc_id"), col("pos1"), col("term"))
+        .cache()
       val a = ca
         .withColumn("jb",
           explode(array(floor(col("pos1") / 6), floor(col("pos1") / 6) + 1)))
@@ -302,10 +327,13 @@ object RetrievalQueries {
         .agg(count(lit(1)).as("n_pairs"),
           min(col("b_pos") - col("a_pos")).cast("long").as("min_gap"))
       val w = Window.partitionBy("q").orderBy(col("n_pairs").desc, col("doc_id"))
-      prs.withColumn("rk", row_number().over(w))
+      val out = prs.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select(col("q").as("query"), col("doc_id"),
           col("rk").cast("int").as("rank"), col("n_pairs"), col("min_gap"))
+        .localCheckpoint() // ≤ 50 rows; releases the candidate cache
+      ca.unpersist()
+      out
     },
 
     // ---- L267 STREAMING positional-index maintenance: q281's index
@@ -361,14 +389,18 @@ object RetrievalQueries {
       Versioned.write(
         ngramCounts(toks(feedDf), 3).limit(0), cntPath)
       val fold = (batch: org.apache.spark.sql.DataFrame, bid: Long) => {
-        val bt = toks(batch.toDF("doc_id", "text"))
+        // one tokenize+posexplode of the batch shared by both folds
+        // (the postings append and the trigram-count delta each built
+        // their own before); released after the two commits
+        val bp = postings(toks(batch.toDF("doc_id", "text"))).cache()
         Versioned.writeOnce(
-          Versioned.read(spark, postPath).unionByName(postings(bt)),
+          Versioned.read(spark, postPath).unionByName(bp),
           postPath, "q286post", bid)
         Versioned.writeOnce(
-          Versioned.read(spark, cntPath).unionByName(ngramCounts(bt, 3))
+          Versioned.read(spark, cntPath).unionByName(ngramCountsFrom(bp, 3))
             .groupBy("q").agg(sum("cnt").as("cnt")),
           cntPath, "q286cnt", bid)
+        bp.unpersist()
         ()
       }
       val feed = new graft.streaming.Streams.FileFeed(spark, feedDf.schema, root)
